@@ -1,0 +1,128 @@
+"""Mention-detector stage — the batched analogue of the reference's
+``EntityRecognizer.predict`` (recon/recognizer.py:111-138), as a Ray Data
+actor-pool callable: patterns compiled ONCE per actor in ``__init__``,
+per-batch work in ``__call__`` (regex engine does the heavy lifting in C).
+
+Appends a ``mentions`` list<struct<text,start,end,label,source>> column of
+RAW (lowercase-label, dirty-boundary) spans; the correction chain
+(recon_ray/ops/spans.py) cleans them downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from recon_ray import spec
+from recon_ray.hashing import add_content_keys
+from recon_ray.ops.mentions_io import mentions_list_array
+
+
+class MentionDetector:
+    """map_batches(MentionDetector, batch_format="pyarrow", concurrency=N).
+
+    At 100 TB scale this is the dominant compute stage: size the pool with
+    ``concurrency=(min,max)`` and keep batches modest in *bytes* (source
+    files can be MBs) — callers pass ``batch_size`` accordingly.
+    """
+
+    def __init__(self, add_keys: bool = True):
+        # compile once per actor (reference recompiles nothing per doc either;
+        # its model load happens once in SpacyEntityRecognizer.__init__)
+        self.patterns = {
+            lang: [(lbl, pat, grp) for (lbl, pat, grp) in pats]
+            for lang, pats in spec.PATTERNS.items()
+        }
+        self.add_keys = add_keys
+
+    def detect_one(self, content: str, lang: str) -> list[tuple]:
+        """(text, start, end, label, source) tuples sorted by (start,end,label)."""
+        found: list[tuple] = []
+        for raw_label, pattern, group in self.patterns.get(lang, []):
+            src = f"{lang}:{raw_label}"
+            for m in pattern.finditer(content):
+                found.append(
+                    (m.group(group), m.start(group), m.end(group), raw_label, src)
+                )
+        found.sort(key=lambda t: (t[1], t[2], t[3]))
+        return found
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.add_keys and "content_sha256" not in batch.column_names:
+            batch = add_content_keys(batch)
+        contents = batch.column("content").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        n = len(contents)
+        lengths = np.zeros(n, dtype=np.int64)
+        texts: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        labels: list[str] = []
+        sources: list[str] = []
+        for i in range(n):
+            found = self.detect_one(contents[i], langs[i])
+            lengths[i] = len(found)
+            for t, s, e, l, src in found:
+                texts.append(t)
+                starts.append(s)
+                ends.append(e)
+                labels.append(l)
+                sources.append(src)
+        mentions = mentions_list_array(
+            lengths,
+            np.asarray(texts, dtype=object),
+            np.asarray(starts, dtype=np.int64),
+            np.asarray(ends, dtype=np.int64),
+            np.asarray(labels, dtype=object),
+            np.asarray(sources, dtype=object),
+        )
+        return batch.append_column("mentions", mentions)
+
+
+class SymbolScanner:
+    """Pass-1 DEF-only scan used to build the linker's symbol dictionary.
+
+    Exact by construction: DEF spans are never altered or removed by the
+    correction chain (no strip chars in ``def name``; longest-in-chain so
+    filter_overlaps keeps them; corrections only touch CALL labels) — an
+    invariant asserted in tests against the full reference chain.
+
+    Emits one row per (repo, module, name) occurrence; callers dedup with a
+    groupby (the symbol table is orders of magnitude smaller than mentions).
+    """
+
+    def __init__(self):
+        self.def_patterns = {
+            lang: [(pat, grp) for (lbl, pat, grp) in pats if lbl == "def"]
+            for lang, pats in spec.PATTERNS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        contents = batch.column("content").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        out_repo: list[str] = []
+        out_module: list[str] = []
+        out_name: list[str] = []
+        for i in range(len(repos)):
+            pats = self.def_patterns.get(langs[i], [])
+            if not pats:
+                continue
+            module = spec.module_of(paths[i])
+            seen: set[str] = set()
+            for pat, grp in pats:
+                for m in pat.finditer(contents[i]):
+                    name = spec.def_name(m.group(grp))
+                    if name not in seen:
+                        seen.add(name)
+                        out_repo.append(repos[i])
+                        out_module.append(module)
+                        out_name.append(name)
+        return pa.table(
+            {
+                "repo": pa.array(out_repo, pa.string()),
+                "module": pa.array(out_module, pa.string()),
+                "name": pa.array(out_name, pa.string()),
+            }
+        )

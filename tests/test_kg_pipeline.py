@@ -1,0 +1,92 @@
+"""End-to-end parity: the Ray Data pipeline must reproduce the sequential
+reference extractor's canonical triples EXACTLY (the P/R≥0.95 gate of
+BASELINE.json, met at P=R=1.0), plus lineage and scoring checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from recon_ray.pipelines.kg import lineage_summary, run_kg
+
+COLS = [
+    "subj", "pred", "obj", "subj_type", "obj_type", "n_mentions",
+    "repo", "path", "commit", "content_sha256", "extractor",
+]
+
+
+@pytest.fixture(scope="module")
+def kg_result(unit_corpus_dir):
+    res = run_kg(
+        unit_corpus_dir, track_lineage=True, concurrency=2, materialize_docs=True
+    )
+    canonical = res["canonical"].to_pandas()
+    mentions = res["mentions"].to_pandas()
+    return res, canonical, mentions
+
+
+def test_canonical_exact_match(kg_result, gold_extraction):
+    _, canonical, _ = kg_result
+    gold = pd.DataFrame(gold_extraction["canonical"])
+    a = canonical[COLS].sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = gold[COLS].sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_canonical_sorted_output(kg_result):
+    _, canonical, _ = kg_result
+    keys = list(zip(canonical["subj"], canonical["pred"], canonical["obj"]))
+    assert keys == sorted(keys)
+
+
+def test_mentions_match_gold(kg_result, gold_extraction):
+    _, _, mentions = kg_result
+    gold = pd.DataFrame(gold_extraction["mentions"])
+    cols = ["repo", "path", "text", "start", "end", "label"]
+    a = mentions[cols].sort_values(cols).reset_index(drop=True)
+    b = gold[cols].sort_values(cols).reset_index(drop=True)
+    a["start"] = a["start"].astype("int64")
+    a["end"] = a["end"].astype("int64")
+    b["start"] = b["start"].astype("int64")
+    b["end"] = b["end"].astype("int64")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_triple_prf_gate(kg_result, gold_extraction):
+    from recon_ray.functions.scoring import score_triples_frames
+
+    _, canonical, _ = kg_result
+    gold = pd.DataFrame(gold_extraction["canonical"])
+    scores = score_triples_frames(canonical, gold)
+    assert scores["precision"] >= 0.95
+    assert scores["recall"] >= 0.95
+    assert scores["f1"] == 1.0
+
+
+def test_lineage_counts(kg_result):
+    res, _, _ = kg_result
+    summary = lineage_summary(res["tracker"])
+    names = [s["name"] for s in summary]
+    assert names == [
+        "recon_ray.upcase_labels.v1",
+        "recon_ray.rename_labels.v1",
+        "recon_ray.strip_annotations.v1",
+        "recon_ray.filter_overlaps.v1",
+        "recon_ray.fix_annotations.v1",
+    ]
+    for s in summary:
+        assert s["rows"] == 120
+        assert s["added"] == 0 and s["removed"] == 0
+        assert 0 < s["changed"] <= 120
+
+
+def test_symbol_dict_matches_reference(kg_result, gold_extraction):
+    res, _, _ = kg_result
+    ray_rows = {
+        (r["id"], r["name"], r["repo"])
+        for repo, names in res["symbols_dict"].items()
+        for name, quals in names.items()
+        for r in [{"id": q, "name": name, "repo": repo} for q in quals]
+    }
+    gold_rows = {(r["id"], r["name"], r["repo"]) for r in gold_extraction["symbols"]}
+    assert ray_rows == gold_rows
