@@ -77,7 +77,11 @@ def _python_file(rng: random.Random, module_fns: list[str], repo_fns: list[str])
     lines.append("")
     p0 = pkgs[0]
     member0 = rng.choice(PACKAGE_MEMBERS.get(p0, ["call"]))
-    lines.append(f"{rng.choice(VAR_NAMES)} = {p0}.{member0}({rng.randint(1, 99)})")
+    # sometimes name the variable after a pool function → plants the
+    # same-text-different-label (IDENT vs CALL) disparity pairs the
+    # reference's fixtures rely on (tests/test_corrections.py:36-53)
+    var0 = rng.choice(FN_NAMES[:6]) if rng.random() < 0.3 else rng.choice(VAR_NAMES)
+    lines.append(f"{var0} = {p0}.{member0}({rng.randint(1, 99)})")
     lines.append("")
     for i, fn in enumerate(module_fns):
         # messy spacing before "(" on some defs/calls → exercises

@@ -1,0 +1,215 @@
+"""Dataset statistics — Ray Data ports of recon/stats.py.
+
+All wide steps follow the combiner pattern: partial aggregation inside
+``map_batches`` (one row per key per batch) before the global groupby, so
+hot keys (mega-repos) arrive pre-reduced at the shuffle (SURVEY §4.2).
+Scalar math (entropy, Jensen-Shannon) runs driver-side on the tiny grouped
+results, in numpy (scipy isn't available here; formulas inlined).
+
+Parity targets:
+- ``ner_stats``                       ← get_ner_stats (recon/stats.py:13-50)
+- ``label_counts``                    ← n_annotations_per_type ordering
+  (count desc; ties by label asc for determinism — the reference relies on
+  dict insertion order, recon/stats.py:36-39)
+- ``entity_coverage``                 ← get_entity_coverage (recon/stats.py:102-145)
+- ``entity_coverage_similarity``      ← calculate_entity_coverage_similarity
+  (recon/stats.py:148-190)
+- ``label_distribution_similarity``   ← calculate_label_distribution_similarity
+  (recon/stats.py:68-99): 100*(1−JS_distance)
+- ``label_balance_entropy`` / ``entity_coverage_entropy``
+                                      ← recon/stats.py:236-263
+- ``detect_outliers``                 ← recon/stats.py:266-283 (IQR fence,
+  floor()ed, low ≤ fence, high > fence)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+
+def _partial_label_counts(batch: pa.Table) -> pa.Table:
+    t = batch.group_by("label").aggregate([("label", "count")])
+    return t.rename_columns(["label", "partial"])
+
+
+def label_counts(mentions_ds, descending: bool = True):
+    """(label, count) sorted by count desc, label asc."""
+    partial = mentions_ds.select_columns(["label"]).map_batches(
+        _partial_label_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = partial.groupby("label").aggregate(Sum("partial", alias_name="count"))
+    # tiny result; deterministic ordering done driver-side
+    df = out.to_pandas()
+    df = df.sort_values(
+        ["count", "label"], ascending=[not descending, True], kind="mergesort"
+    ).reset_index(drop=True)
+    df["count"] = df["count"].astype("int64")
+    return df
+
+
+def ner_stats(docs_ds) -> dict:
+    """Corpus summary over docs-with-mentions (pre-explode): doc counts,
+    no-mention docs, per-label counts — one streaming pass, partial agg."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = batch.column("mentions").combine_chunks().value_lengths()
+        n_docs = batch.num_rows
+        n_empty = pc.sum(pc.equal(lens.fill_null(0), 0)).as_py() or 0
+        flat = batch.column("mentions").combine_chunks().flatten()
+        lbl_tbl = pa.table({"label": flat.field("label")})
+        g = lbl_tbl.group_by("label").aggregate([("label", "count")])
+        labels = g.column("label").to_pylist()
+        counts = g.column("label_count").to_pylist()
+        return pa.table(
+            {
+                "label": pa.array(["__docs__", "__docs_no_mentions__"] + labels),
+                "partial": pa.array([n_docs, n_empty] + counts, pa.int64()),
+            }
+        )
+
+    merged = (
+        docs_ds.select_columns(["mentions"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Sum("partial", alias_name="count"))
+        .to_pandas()
+    )
+    counts = dict(zip(merged["label"], merged["count"].astype(int)))
+    n_docs = counts.pop("__docs__", 0)
+    n_empty = counts.pop("__docs_no_mentions__", 0)
+    per_type = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    )
+    return {
+        "n_docs": int(n_docs),
+        "n_docs_no_mentions": int(n_empty),
+        "n_mentions": int(sum(per_type.values())),
+        "n_mentions_per_type": per_type,
+    }
+
+
+def _partial_coverage(batch: pa.Table, case_sensitive: bool) -> pa.Table:
+    text = batch.column("text")
+    if not case_sensitive:
+        text = pc.utf8_lower(text)
+    t = pa.table({"text": text, "label": batch.column("label")})
+    g = t.group_by(["text", "label"]).aggregate([("label", "count")])
+    return g.rename_columns(["text", "label", "partial"])
+
+
+def entity_coverage(mentions_ds, case_sensitive: bool = False):
+    """(text, label, count) sorted desc — the canonical wide shuffle.
+    Returns a Dataset (callers .to_pandas() small results or write big ones)."""
+    partial = mentions_ds.select_columns(["text", "label"]).map_batches(
+        lambda b: _partial_coverage(b, case_sensitive),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = partial.groupby(["text", "label"]).aggregate(
+        Sum("partial", alias_name="count")
+    )
+    return out.sort(["count", "text", "label"], descending=[True, False, False])
+
+
+def entity_coverage_similarity(x_mentions, y_mentions) -> dict:
+    """% of y's (text,label) keys — and % of y's count mass — present in x.
+    Joins the two (small) coverage aggregates; for vocabulary sizes beyond
+    driver RAM, swap the pandas merge for a key-partitioned Dataset join."""
+    xc = entity_coverage(x_mentions).to_pandas()
+    yc = entity_coverage(y_mentions).to_pandas()
+    m = yc.merge(xc[["text", "label"]], on=["text", "label"], how="left", indicator=True)
+    inter = m["_merge"] == "both"
+    n_union = len(yc)
+    count_union = int(yc["count"].sum())
+    return {
+        "entity": 100.0 * inter.sum() / n_union if n_union else 0.0,
+        "count": 100.0 * int(m.loc[inter, "count"].sum()) / count_union
+        if count_union
+        else 0.0,
+    }
+
+
+def _probs(counts) -> np.ndarray:
+    a = np.asarray(counts, dtype=np.float64)
+    return a / a.sum()
+
+
+def shannon_entropy(counts) -> float:
+    """scipy.stats.entropy equivalent (natural log) on counts/probs."""
+    p = _probs(counts)
+    p = p[p > 0]
+    return float(-(p * np.log(p)).sum())
+
+
+def jensen_shannon_distance(p, q) -> float:
+    """scipy.spatial.distance.jensenshannon equivalent (base-2 sqrt form
+    matches scipy default: sqrt(JS divergence with log base e / ln? —
+    scipy uses natural log unless base given; distance = sqrt(JSD))."""
+    p = _probs(p)
+    q = _probs(q)
+    m = (p + q) / 2.0
+
+    def _kl(a, b):
+        mask = a > 0
+        return float((a[mask] * np.log(a[mask] / b[mask])).sum())
+
+    jsd = (_kl(p, m) + _kl(q, m)) / 2.0
+    return math.sqrt(max(jsd, 0.0))
+
+
+def sorted_type_counts(stats: dict) -> list[int]:
+    """get_sorted_type_counts port (recon/stats.py:53-65): per-type counts
+    (incl. the NOT_LABELED bucket = docs with no mentions) sorted by name."""
+    per_type = dict(stats["n_mentions_per_type"])
+    per_type["NOT_LABELED"] = stats["n_docs_no_mentions"]
+    return [c for _, c in sorted(per_type.items())]
+
+
+def label_distribution_similarity(x_docs, y_docs) -> float:
+    sx = ner_stats(x_docs)
+    sy = ner_stats(y_docs)
+    keys = sorted(
+        set(sx["n_mentions_per_type"]) | set(sy["n_mentions_per_type"]) | {"NOT_LABELED"}
+    )
+    px = dict(sx["n_mentions_per_type"], NOT_LABELED=sx["n_docs_no_mentions"])
+    py = dict(sy["n_mentions_per_type"], NOT_LABELED=sy["n_docs_no_mentions"])
+    cx = [px.get(k, 0) for k in keys]
+    cy = [py.get(k, 0) for k in keys]
+    return (1.0 - jensen_shannon_distance(cx, cy)) * 100.0
+
+
+def label_balance_entropy(stats: dict) -> float:
+    return shannon_entropy(list(stats["n_mentions_per_type"].values()))
+
+
+def entity_coverage_entropy(coverage_df: pd.DataFrame) -> float:
+    return shannon_entropy(coverage_df["count"].to_numpy())
+
+
+def detect_outliers(values, use_log: bool = False) -> dict:
+    """IQR fence (recon/stats.py:266-283): low = idx where v <= floor(q1-1.5iqr),
+    high = idx where v > floor(q3+1.5iqr). Driver-side numpy on a collected
+    column; for columns beyond driver RAM compute q1/q3 from a seeded
+    random_sample first."""
+    seq = np.asarray(values, dtype=np.float64)
+    if use_log:
+        seq = np.log(seq)
+    q1 = np.quantile(seq, 0.25)
+    q3 = np.quantile(seq, 0.75)
+    iqr = q3 - q1
+    fence_low = math.floor(q1 - 1.5 * iqr)
+    fence_high = math.floor(q3 + 1.5 * iqr)
+    return {
+        "low": [int(i) for i in np.nonzero(seq <= fence_low)[0]],
+        "high": [int(i) for i in np.nonzero(seq > fence_high)[0]],
+        "fence_low": fence_low,
+        "fence_high": fence_high,
+    }

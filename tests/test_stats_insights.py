@@ -1,0 +1,169 @@
+"""Stats/insights parity vs. pandas oracles over the gold mention table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from recon_ray.functions import insights as ins
+from recon_ray.functions import stats as st
+
+
+@pytest.fixture(scope="module")
+def gold_mentions_df(gold_extraction):
+    df = pd.DataFrame(gold_extraction["mentions"])
+    # synthesize a doc key for grouping (repo,path is the doc identity)
+    df["doc_id"] = (df["repo"] + "//" + df["path"]).astype("category").cat.codes.astype("uint64")
+    return df
+
+
+@pytest.fixture(scope="module")
+def gold_mentions_ds(gold_mentions_df):
+    return rd.from_pandas(gold_mentions_df).repartition(4)
+
+
+def test_label_counts(gold_mentions_ds, gold_mentions_df):
+    got = st.label_counts(gold_mentions_ds)
+    want = (
+        gold_mentions_df.groupby("label", as_index=False)
+        .size()
+        .rename(columns={"size": "count"})
+        .sort_values(["count", "label"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[["label", "count"]])
+
+
+def test_entity_coverage(gold_mentions_ds, gold_mentions_df):
+    got = st.entity_coverage(gold_mentions_ds).to_pandas()
+    df = gold_mentions_df.copy()
+    df["text"] = df["text"].str.lower()
+    want = (
+        df.groupby(["text", "label"], as_index=False)
+        .size()
+        .rename(columns={"size": "count"})
+        .sort_values(["count", "text", "label"], ascending=[False, True, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["count"] = got["count"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ner_stats(unit_corpus_dir, gold_extraction):
+    from recon_ray.pipelines.kg import run_kg
+
+    res = run_kg(unit_corpus_dir, concurrency=2)
+    stats = st.ner_stats(res["docs"])
+    gold = pd.DataFrame(gold_extraction["mentions"])
+    assert stats["n_docs"] == 120
+    assert stats["n_mentions"] == len(gold)
+    per_type = gold.groupby("label").size().to_dict()
+    assert stats["n_mentions_per_type"] == dict(
+        sorted(per_type.items(), key=lambda kv: (-kv[1], kv[0]))
+    )
+    # no-mention docs: corpus generator plants empty/comment-only files
+    assert stats["n_docs_no_mentions"] > 0
+
+
+def test_coverage_similarity_self(gold_mentions_ds):
+    sim = st.entity_coverage_similarity(gold_mentions_ds, gold_mentions_ds)
+    assert sim["entity"] == 100.0
+    assert sim["count"] == 100.0
+
+
+def test_label_distribution_similarity_identical(unit_corpus_dir):
+    from recon_ray.pipelines.kg import run_kg
+
+    docs = run_kg(unit_corpus_dir, concurrency=2)["docs"]
+    assert st.label_distribution_similarity(docs, docs) == pytest.approx(100.0)
+
+
+def test_entropy_helpers():
+    # uniform over 4 → ln(4)
+    assert st.shannon_entropy([5, 5, 5, 5]) == pytest.approx(np.log(4))
+    assert st.jensen_shannon_distance([1, 0], [0, 1]) == pytest.approx(
+        np.sqrt(np.log(2))
+    )
+    assert st.jensen_shannon_distance([3, 1], [3, 1]) == pytest.approx(0.0)
+
+
+def test_detect_outliers_reference_semantics():
+    seq = [1, 1, 2, 2, 2, 3, 3, 50]
+    out = st.detect_outliers(seq)
+    assert out["high"] == [7]
+    assert out["low"] == []
+
+
+def test_label_disparities(gold_mentions_ds, gold_mentions_df):
+    got = ins.label_disparities(gold_mentions_ds, "CALL", "IDENT")
+    df = gold_mentions_df.copy()
+    df["text"] = df["text"].str.lower()
+    call = set(df.loc[df["label"] == "CALL", "text"])
+    ident = set(df.loc[df["label"] == "IDENT", "text"])
+    assert got == (call & ident)
+    assert len(got) > 0  # corpus plants fn names used as both
+
+
+def test_top_label_disparities_dedupe(gold_mentions_ds):
+    full = ins.top_label_disparities(gold_mentions_ds)
+    deduped = ins.top_label_disparities(gold_mentions_ds, dedupe=True)
+    assert len(full) == 2 * len(deduped)
+    assert (full["count"].values[:-1] >= full["count"].values[1:]).all()
+
+
+def test_top_prediction_errors_degraded_chain(unit_corpus_dir):
+    """pred = pipeline WITHOUT fix_annotations, gold = full chain → every
+    error is a keyword CALL false-positive reported as NOT_LABELED→CALL."""
+    from recon_ray import spec
+    from recon_ray.ops import OPS
+    from recon_ray.pipelines.kg import read_files, run_kg
+    from recon_ray.stages.detect import MentionDetector
+    from recon_ray.stages.explode import explode_mentions
+
+    res = run_kg(unit_corpus_dir, concurrency=2, materialize_docs=True)
+    gold_ms = res["mentions"]
+
+    degraded = read_files(unit_corpus_dir).map_batches(
+        MentionDetector, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    for name in [
+        "recon_ray.upcase_labels.v1",
+        "recon_ray.rename_labels.v1",
+        "recon_ray.strip_annotations.v1",
+        "recon_ray.filter_overlaps.v1",
+    ]:
+        degraded = OPS[name].apply(degraded)
+    pred_ms = explode_mentions(degraded.drop_columns(["content"]))
+
+    errors = ins.top_prediction_errors(pred_ms, gold_ms)
+    assert len(errors) > 0
+    kws = {k.lower() for k in spec.CALL_KEYWORDS}
+    assert (errors["true_label"] == ins.NOT_LABELED).all()
+    assert (errors["pred_label"] == "CALL").all()
+    assert set(errors["text"].str.lower()) <= kws
+    assert (errors["count"].values[:-1] >= errors["count"].values[1:]).all()
+
+    hardest = ins.hardest_docs(pred_ms, gold_ms)
+    assert len(hardest) > 0
+    assert (hardest["score"].values[:-1] <= hardest["score"].values[1:]).all()
+    assert hardest["score"].min() == 0.0 and hardest["score"].max() == 1.0
+
+    errs_fn_only = ins.top_prediction_errors(pred_ms, gold_ms, exclude_fp=True)
+    assert len(errs_fn_only) == 0  # degraded chain only ADDS spans
+
+
+def test_sample_stratified(gold_mentions_ds):
+    sampled = ins.sample_mentions_stratified(
+        gold_mentions_ds, ["label"], top_k_per_bucket=5, seed=3
+    ).to_pandas()
+    assert (sampled.groupby("label").size() <= 5).all()
+    again = ins.sample_mentions_stratified(
+        gold_mentions_ds, ["label"], top_k_per_bucket=5, seed=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        sampled.sort_values(list(sampled.columns)).reset_index(drop=True),
+        again.sort_values(list(again.columns)).reset_index(drop=True),
+    )
