@@ -101,17 +101,25 @@ def run_kg(
     track_lineage: bool = False,
     sort_output: bool = True,
     materialize_docs: bool = False,
+    symbols_ref=None,
 ) -> dict:
     """Assemble the lazy pipeline; returns the component Datasets plus the
-    lineage tracker (all unconsumed — callers write/collect)."""
+    lineage tracker (all unconsumed — callers write/collect).
+
+    ``symbols_ref``: pass a pre-broadcast symbol dictionary (ray.put ref) to
+    skip the DEF pre-scan — the checkpointed runner scans once globally,
+    then reuses the ref across shards."""
     det_default, link_default = _pool_sizes(_cluster_cpus())
     concurrency = concurrency or det_default
     linker_concurrency = linker_concurrency or link_default
     tracker = LineageTracker.remote() if track_lineage else None
 
     files = read_files(input_path)
-    symbols_table = scan_symbols(files)
-    symbols_ref, symbols_dict = build_symbol_broadcast(symbols_table)
+    if symbols_ref is None:
+        symbols_table = scan_symbols(files)
+        symbols_ref, symbols_dict = build_symbol_broadcast(symbols_table)
+    else:
+        symbols_table, symbols_dict = None, None
 
     docs = files.map_batches(
         MentionDetector,

@@ -1,0 +1,85 @@
+"""Checkpoint/resume semantics of the sharded runner — the partition-grain
+analogue of the reference's replay test (recon/dataset.py:370-381)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ckpt(unit_corpus_dir, tmp_path_factory, gold_extraction):
+    from recon_ray.state.runner import run_kg_checkpointed
+
+    out = str(tmp_path_factory.mktemp("ckpt"))
+    # simulate a mid-run kill: only 1 shard allowed, then "crash"
+    r1 = run_kg_checkpointed(
+        unit_corpus_dir, out, fragments_per_shard=1, max_shards=1
+    )
+    # resume: remaining shards run, first shard skipped
+    r2 = run_kg_checkpointed(unit_corpus_dir, out, fragments_per_shard=1)
+    # idempotent third run: everything skipped
+    r3 = run_kg_checkpointed(unit_corpus_dir, out, fragments_per_shard=1)
+    return out, r1, r2, r3
+
+
+def test_resume_skips_completed(ckpt):
+    out, r1, r2, r3 = ckpt
+    assert r1["shards_run"] == 1 and not r1["complete"]
+    assert r2["shards_skipped"] == 1 and r2["complete"]
+    assert r3["shards_run"] == 0 and r3["shards_skipped"] == 3 and r3["complete"]
+
+
+def test_final_output_matches_oracle(ckpt, gold_extraction):
+    out, _, _, _ = ckpt
+    final = pd.read_parquet(os.path.join(out, "triples", "data"))
+    gold = pd.DataFrame(gold_extraction["canonical"])
+    cols = list(gold.columns)
+    a = final[cols].sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = gold.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_manifests_record_lineage(ckpt):
+    out, _, _, _ = ckpt
+    shard_dirs = sorted(os.listdir(os.path.join(out, "shards")))
+    assert len(shard_dirs) == 3
+    for d in shard_dirs:
+        with open(os.path.join(out, "shards", d, "manifest.json")) as f:
+            m = json.load(f)
+        assert m["status"] == "COMPLETED"
+        assert m["n_files"] > 0 and m["n_canonical"] > 0
+        assert m["content_hash_rollup"]
+        assert m["input_fragments"][0]["rows"] == m["n_files"]
+        # per-partition quality insights written alongside
+        assert os.path.isdir(os.path.join(out, "shards", d, "insights", "coverage"))
+
+
+def test_external_edit_forces_recompute(ckpt, unit_corpus_dir, tmp_path_factory):
+    """Changed input ⇒ fingerprint mismatch ⇒ shard recomputes (the
+    commit-hash semantics of recon/dataset.py:353-368)."""
+    import shutil
+
+    from recon_ray.state.runner import run_kg_checkpointed
+
+    out, _, _, _ = ckpt
+    edited = str(tmp_path_factory.mktemp("edited"))
+    shutil.copytree(unit_corpus_dir, edited, dirs_exist_ok=True)
+    out2 = str(tmp_path_factory.mktemp("ckpt2"))
+    run_kg_checkpointed(edited, out2, fragments_per_shard=1)
+    # append rows to one fragment
+    import pyarrow.parquet as pq
+
+    from recon_ray.corpusgen import generate_corpus
+
+    frag = sorted(os.listdir(edited))[0]
+    extra = generate_corpus(5, seed=99)
+    old = pq.read_table(os.path.join(edited, frag))
+    import pyarrow as pa
+
+    pq.write_table(pa.concat_tables([old, extra]), os.path.join(edited, frag))
+    r = run_kg_checkpointed(edited, out2, fragments_per_shard=1)
+    assert r["shards_run"] == 1 and r["shards_skipped"] == 2
