@@ -1,0 +1,211 @@
+"""Relational building blocks on Ray Data Datasets.
+
+The reference has no relational joins — only broadcast-dict lookups
+(recon/corrections.py:58-81), positional zips, and hash-joins of two
+aggregate maps (recon/stats.py:168-186). Generalized here as the standard
+distributed shapes (SURVEY §2.5):
+
+- ``broadcast_join``: small side ``ray.put`` once, pandas merge per batch —
+  no shuffle. The right tool for dimension tables, vocab, blocklists.
+- ``semi_join`` / ``anti_join``: broadcast key set + vectorized isin filter.
+- ``grouped_agg``: combiner pattern — per-batch pandas partial aggregates
+  (sum/count/min/max; mean derived as sum/count at merge), then a small
+  global groupby. Hot keys arrive pre-reduced (skew absorber).
+- ``salted_group_count``: the explicit salting path for combiner-less
+  aggregations — key ⊕ salt bucket first, merge second (SURVEY §4.2).
+- ``local_global_topk``: per-batch top-k then driver merge — no global sort.
+- ``distinct``: per-batch dedup then grouped first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+AggSpec = dict[str, Sequence[str]]  # col → ["sum","count","min","max","mean"]
+
+
+def _get_broadcast(ref_or_obj):
+    return ray.get(ref_or_obj) if isinstance(ref_or_obj, ray.ObjectRef) else ref_or_obj
+
+
+def broadcast_join(
+    big_ds,
+    small: Union[pd.DataFrame, pa.Table],
+    on: Union[str, list[str]],
+    how: str = "inner",
+    small_on: Optional[Union[str, list[str]]] = None,
+):
+    """Hash-join a Dataset against a driver-side small table. The small side
+    ships to the object store ONCE; every batch task reads it zero-copy."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    ref = ray.put(small)
+    on_ = [on] if isinstance(on, str) else list(on)
+    small_on_ = (
+        on_ if small_on is None
+        else [small_on] if isinstance(small_on, str) else list(small_on)
+    )
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = _get_broadcast(ref)
+        return batch.merge(
+            sm, left_on=on_, right_on=small_on_, how=how, suffixes=("", "_r")
+        )
+
+    return big_ds.map_batches(join_batch, batch_format="pandas")
+
+
+def semi_join(big_ds, keys: Union[set, pd.DataFrame], on: Union[str, list[str]]):
+    return _membership_join(big_ds, keys, on, keep=True)
+
+
+def anti_join(big_ds, keys: Union[set, pd.DataFrame], on: Union[str, list[str]]):
+    return _membership_join(big_ds, keys, on, keep=False)
+
+
+def _membership_join(big_ds, keys, on, keep: bool):
+    on_ = [on] if isinstance(on, str) else list(on)
+    if isinstance(keys, pd.DataFrame):
+        keys = set(map(tuple, keys[on_].itertuples(index=False)))
+    ref = ray.put(keys)
+
+    def filter_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _get_broadcast(ref)
+        if len(on_) == 1:
+            flat = {k[0] if isinstance(k, tuple) else k for k in ks}
+            mask = batch[on_[0]].isin(flat)
+        else:
+            mask = pd.Series(
+                list(map(tuple, batch[on_].itertuples(index=False))), index=batch.index
+            ).isin(ks)
+        return batch[mask if keep else ~mask]
+
+    return big_ds.map_batches(filter_batch, batch_format="pandas")
+
+
+def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
+    """Pre-aggregated groupby. Output columns named ``{col}_{agg}``."""
+    keys_ = [keys] if isinstance(keys, str) else list(keys)
+    # which partials each requested agg needs
+    partial_cols: list[tuple[str, str]] = []  # (col, op) with op in sum/count/min/max
+    for col, ops in aggs.items():
+        for op in ops:
+            if op == "mean":
+                partial_cols += [(col, "sum"), (col, "count")]
+            else:
+                partial_cols.append((col, op))
+    partial_cols = sorted(set(partial_cols))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys_, sort=False, dropna=False)
+        out = {}
+        for col, op in partial_cols:
+            s = getattr(g[col], op)()
+            out[f"__{col}__{op}"] = s
+        return pd.DataFrame(out).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    ray_aggs = []
+    for col, op in partial_cols:
+        pc_name = f"__{col}__{op}"
+        if op in ("sum", "count"):
+            ray_aggs.append(Sum(pc_name, alias_name=pc_name))
+        elif op == "min":
+            ray_aggs.append(Min(pc_name, alias_name=pc_name))
+        elif op == "max":
+            ray_aggs.append(Max(pc_name, alias_name=pc_name))
+    merged = partials.groupby(keys_).aggregate(*ray_aggs).to_pandas()
+    out = merged[keys_].copy()
+    for col, ops in aggs.items():
+        for op in ops:
+            if op == "mean":
+                out[f"{col}_mean"] = (
+                    merged[f"__{col}__sum"] / merged[f"__{col}__count"]
+                )
+            else:
+                out[f"{col}_{op}"] = merged[f"__{col}__{op}"]
+    return out
+
+
+def group_count(ds, keys: Union[str, list[str]], alias: str = "count") -> pd.DataFrame:
+    keys_ = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(keys_, sort=False, dropna=False)
+            .size()
+            .rename("__partial")
+            .reset_index()
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys_)
+        .aggregate(Sum("__partial", alias_name=alias))
+        .to_pandas()
+    )
+    merged[alias] = merged[alias].astype("int64")
+    return merged
+
+
+def salted_group_count(
+    ds, keys: Union[str, list[str]], n_salts: int = 16, alias: str = "count"
+) -> pd.DataFrame:
+    """Two-phase count with an EXPLICIT salt column: phase 1 groups on
+    (keys, salt) so a hot key splits across n_salts reducers; phase 2 merges
+    the per-salt partials. Use when the per-batch combiner can't run (e.g.
+    map_groups logic); otherwise grouped_agg's combiner already absorbs skew."""
+    keys_ = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__salt"] = np.arange(len(batch)) % n_salts
+        return batch
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    phase1 = (
+        salted.groupby(keys_ + ["__salt"])
+        .aggregate(Count(alias_name="__c"))
+    )
+    phase2 = phase1.groupby(keys_).aggregate(Sum("__c", alias_name=alias)).to_pandas()
+    phase2[alias] = phase2[alias].astype("int64")
+    return phase2.drop(columns=[c for c in ["__salt"] if c in phase2], errors="ignore")
+
+
+def local_global_topk(
+    ds, by: Union[str, list[str]], k: int, descending: bool = True,
+    columns: Optional[list[str]] = None,
+) -> pd.DataFrame:
+    """Top-k without a global sort: each batch emits its local top-k, the
+    driver merges ≤ k×n_batches rows."""
+    by_ = [by] if isinstance(by, str) else list(by)
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if columns:
+            batch = batch[columns]
+        return batch.sort_values(by_, ascending=not descending,
+                                 kind="mergesort").head(k)
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(by_, ascending=not descending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def distinct(ds, cols: Union[str, list[str]]):
+    """Exact distinct on a column subset: per-batch dedup (combiner), then
+    grouped-first global dedup."""
+    cols_ = [cols] if isinstance(cols, str) else list(cols)
+    pre = ds.map_batches(
+        lambda b: b[cols_].drop_duplicates(), batch_format="pandas"
+    )
+    return pre.groupby(cols_).map_groups(lambda g: g.head(1), batch_format="pandas")

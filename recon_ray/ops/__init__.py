@@ -132,3 +132,9 @@ def pipe(ds, ops: list[OpSpec], tracker=None, batch_size: Optional[int] = None):
             name, kwargs = entry
         ds = OPS[name].apply(ds, tracker=tracker, batch_size=batch_size, **kwargs)
     return ds
+
+
+# populate the registry with the built-in operators (safe circular import:
+# these modules only need the already-defined @op decorator above)
+from recon_ray.ops import augment as _augment  # noqa: E402,F401
+from recon_ray.ops import spans as _spans  # noqa: E402,F401

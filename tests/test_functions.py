@@ -1,0 +1,371 @@
+"""Relational / text / dedup / similarity / multimodal functions — parity
+against DuckDB or numpy oracles over the driver-provided testdata."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "documents", "embeddings", "events"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def lineitem():
+    return rd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet").repartition(4)
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return rd.read_parquet(f"{SF}/embeddings.parquet").repartition(4)
+
+
+def test_grouped_agg_vs_duckdb(lineitem, con):
+    from recon_ray.functions.relational import grouped_agg
+
+    got = grouped_agg(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": ["sum", "mean"], "l_extendedprice": ["sum"],
+         "l_orderkey": ["count"]},
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want = con.execute(
+        """SELECT l_returnflag, l_linestatus,
+                  sum(l_quantity) AS l_quantity_sum,
+                  avg(l_quantity) AS l_quantity_mean,
+                  sum(l_extendedprice) AS l_extendedprice_sum,
+                  count(l_orderkey) AS l_orderkey_count
+           FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    got = got[want.columns]
+    got["l_orderkey_count"] = got["l_orderkey_count"].astype(want["l_orderkey_count"].dtype)
+    pd.testing.assert_frame_equal(got, want, rtol=1e-9)
+
+
+def test_broadcast_join_vs_duckdb(con):
+    from recon_ray.functions.relational import broadcast_join, grouped_agg
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    joined = broadcast_join(orders, cust, on="o_custkey", small_on="c_custkey")
+    got = grouped_agg(joined, "c_mktsegment", {"o_totalprice": ["sum", "count"]})
+    got = got.sort_values("c_mktsegment").reset_index(drop=True)
+    want = con.execute(
+        """SELECT c_mktsegment, sum(o_totalprice) AS o_totalprice_sum,
+                  count(o_totalprice) AS o_totalprice_count
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1 ORDER BY 1"""
+    ).df()
+    got["o_totalprice_count"] = got["o_totalprice_count"].astype(
+        want["o_totalprice_count"].dtype
+    )
+    pd.testing.assert_frame_equal(got, want, rtol=1e-9)
+
+
+def test_semi_anti_join(con):
+    from recon_ray.functions.relational import anti_join, semi_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    big_cust = con.execute(
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000"
+    ).df()
+    keys = set(big_cust["o_custkey"])
+    n_semi = semi_join(orders, keys, "o_custkey").count()
+    n_anti = anti_join(orders, keys, "o_custkey").count()
+    want_semi = con.execute(
+        """SELECT count(*) FROM orders WHERE o_custkey IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"""
+    ).fetchone()[0]
+    assert n_semi == want_semi
+    assert n_semi + n_anti == orders.count()
+
+
+def test_topk_and_salted_count(lineitem, con):
+    from recon_ray.functions.relational import local_global_topk, salted_group_count
+
+    got = local_global_topk(
+        lineitem, "l_extendedprice", 15,
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    want = con.execute(
+        """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+           ORDER BY l_extendedprice DESC LIMIT 15"""
+    ).df()
+    assert got["l_extendedprice"].tolist() == want["l_extendedprice"].tolist()
+
+    sc = salted_group_count(lineitem, "l_returnflag", n_salts=8)
+    want2 = con.execute(
+        "SELECT l_returnflag, count(*)::BIGINT AS count FROM lineitem GROUP BY 1"
+    ).df()
+    merged = sc.merge(want2, on="l_returnflag", suffixes=("_got", "_want"))
+    assert (merged["count_got"] == merged["count_want"]).all()
+
+
+def test_distinct(lineitem, con):
+    from recon_ray.functions.relational import distinct
+
+    got = distinct(lineitem, ["l_returnflag", "l_linestatus"]).to_pandas()
+    want = con.execute(
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    ).df()
+    assert set(map(tuple, got.itertuples(index=False))) == set(
+        map(tuple, want.itertuples(index=False))
+    )
+
+
+def test_token_counts_vs_duckdb(docs, con):
+    from recon_ray.functions.text import token_counts
+
+    got = (
+        docs.map_batches(token_counts, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """SELECT doc_id,
+                  CASE WHEN trim(text)='' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+                       AS n_tokens,
+                  length(text)::BIGINT AS n_chars
+           FROM documents ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_quality_scores(docs, con):
+    from recon_ray.functions.text import quality_scores
+
+    got = (
+        docs.map_batches(quality_scores, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["n_chars"] > 0).any()
+    assert (got["punct_ratio"] >= 0).all() and (got["punct_ratio"] <= 1).all()
+    want_words = con.execute(
+        "SELECT doc_id, len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_words "
+        "FROM documents ORDER BY doc_id"
+    ).df()
+    assert got["n_words"].tolist() == want_words["n_words"].tolist()
+
+
+def test_language_id(docs):
+    from recon_ray.functions.text import LanguageId
+
+    got = docs.map_batches(
+        LanguageId, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert set(got.columns) == {"doc_id", "lang_pred", "lang_score"}
+    assert len(got) == docs.count()
+    assert set(got["lang_pred"]) <= {"en", "de", "fr", "es", "unknown"}
+    # determinism
+    again = docs.map_batches(
+        LanguageId, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_fingerprinter(docs):
+    from recon_ray.functions.text import Fingerprinter
+
+    got = docs.map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert len(got) == docs.count()
+    assert (got["n_grams"] > 0).all()
+    # same text → same fingerprint (stable hashing)
+    fp = Fingerprinter()
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    assert fp.gram_hashes(t).min() == fp.gram_hashes(t).min()
+
+
+def test_exact_dedup(docs, con):
+    from recon_ray.functions.dedup import dup_groups, exact_dedup
+
+    kept = exact_dedup(docs).to_pandas()
+    want = con.execute(
+        "SELECT count(DISTINCT text) FROM documents"
+    ).fetchone()[0]
+    assert len(kept) == want
+    groups = dup_groups(docs)
+    want_groups = con.execute(
+        """SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+           FROM documents GROUP BY text ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(groups, want_groups)
+
+
+def test_exact_dedup_with_planted_dups():
+    from recon_ray.functions.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "text": ["a b c", "d e f", "a b c", "a b c", "g"]}
+    )
+    kept = exact_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 5]
+
+
+def test_minhash_lsh_dedup_planted():
+    from recon_ray.functions.dedup import minhash_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before nightfall comes quickly")
+    near = base.replace("green", "dark")
+    far = "completely different words having nothing in common at all here"
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [base, near, far, base]}
+    )
+    res = minhash_lsh_dedup(rd.from_pandas(df).repartition(2), threshold=0.5,
+                            concurrency=2)
+    pairs = set(map(tuple, res["pairs"][["a", "b"]].itertuples(index=False)))
+    assert (0, 3) in pairs  # exact dup
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup
+    assert not any(2 in p for p in pairs)  # far doc untouched
+    assert res["n_duplicates"] >= 2
+
+
+def test_simhash_dedup_planted():
+    from recon_ray.functions.dedup import SimHasher, simhash_dedup
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"word{i}" for i in range(150)]
+    words = [rng.choice(vocab) for _ in range(400)]
+    base = " ".join(words)
+    w2 = list(words)
+    w2[5] = "changed"
+    near = " ".join(w2)  # hamming distance 1 from base
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, "zz yy xx"]})
+    pairs = simhash_dedup(rd.from_pandas(df).repartition(2), max_hamming=3,
+                          concurrency=2)
+    assert (0, 1) in set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    sh = SimHasher()
+    assert sh.simhash(base) == sh.simhash(base)
+
+
+def test_jaccard():
+    from recon_ray.functions.dedup import jaccard
+
+    assert jaccard("a b c d", "a b c d") == 1.0
+    assert jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_embedding_neardup(emb):
+    from recon_ray.functions.dedup import embedding_neardup
+
+    pairs = embedding_neardup(emb, threshold=0.95)
+    full = emb.to_pandas()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(mat), k=1)
+    want = int((sims[iu] >= 0.95).sum())
+    assert len(pairs) == want
+
+    # planted near-dups: v, v+noise, and an orthogonal-ish vector
+    rng = np.random.RandomState(0)
+    v = rng.normal(size=64)
+    near = v + rng.normal(scale=0.01, size=64)
+    far = rng.normal(size=64)
+    df = pd.DataFrame(
+        {"vec_id": [10, 11, 12], "embedding": [v.tolist(), near.tolist(), far.tolist()]}
+    )
+    got = embedding_neardup(rd.from_pandas(df).repartition(2), threshold=0.98)
+    assert got[["a", "b"]].values.tolist() == [[10, 11]]
+
+
+def test_knn_bruteforce_vs_numpy(emb):
+    from recon_ray.functions.similarity import knn_bruteforce
+
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    queries = np.stack(full["embedding"].head(3).to_numpy())
+    got = knn_bruteforce(emb, queries, k=5)
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries.astype(np.float64), axis=1, keepdims=True)
+    sims = qn @ matn.T
+    for qi in range(3):
+        order = np.lexsort((full["vec_id"].to_numpy(), -sims[qi]))[:5]
+        want_ids = full["vec_id"].to_numpy()[order].tolist()
+        got_ids = got.loc[got["query_id"] == qi, "vec_id"].tolist()
+        assert got_ids == want_ids
+    # self-neighbor is rank 1 with cosine 1.0
+    assert got[got["rank"] == 1]["cosine"].tolist() == [1.0, 1.0, 1.0]
+
+
+def test_knn_lsh_recall(emb):
+    from recon_ray.functions.similarity import knn_bruteforce, knn_lsh, knn_recall
+
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    queries = np.stack(full["embedding"].head(8).to_numpy())
+    exact = knn_bruteforce(emb, queries, k=5)
+    approx = knn_lsh(emb, queries, k=5, n_bits=6, n_tables=8)
+    r = knn_recall(approx, exact)
+    assert r >= 0.5  # approximate, but must be in the right ballpark
+    # the query vector itself always lands in its own bucket
+    self_hits = approx[approx["rank"] == 1]
+    assert (self_hits["cosine"] == 1.0).all()
+
+
+def test_multimodal_stages():
+    from recon_ray.functions.multimodal import (
+        AudioFrameSampler,
+        ImageFeatureExtractor,
+        ImageResizer,
+        MM_BATCH_SIZE,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(20, seed=1)
+    ds = rd.from_arrow(media)
+    images = ds.filter(lambda r: r["kind"] == "image")
+    feats = images.map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    assert len(feats) == 10
+    assert all(len(m) == 3 for m in feats["channel_mean"])
+    resized = images.map_batches(
+        ImageResizer, fn_constructor_kwargs={"target": (8, 8)},
+        batch_format="pyarrow", batch_size=MM_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
+    assert all(len(p) == 8 * 8 * 3 for p in resized["payload"])
+    audio = ds.filter(lambda r: r["kind"] == "audio")
+    rms = audio.map_batches(
+        AudioFrameSampler, batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    assert len(rms) == 10 and all(len(e) >= 1 for e in rms["frame_rms"])
+    # determinism of the fake decode
+    f2 = images.map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        f2.sort_values("media_id").reset_index(drop=True),
+    )
