@@ -1,44 +1,50 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native KG-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG pipeline over the deterministic synthetic code
+  corpus derived from sf0.001 (BASELINE.json input_hint shape) → canonical
+  (subj, pred, obj) triples as a pandas DataFrame.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY §2 (see recon_ray/pipelines/queries.py).
+- ``oracle_sql()``: DuckDB SQL for every SQL-expressible query. KG oracles
+  read the sequential reference extractor's gold parquet fixtures (written
+  deterministically under /tmp by recon_ray/fixtures.py) — the side-by-side
+  compare is therefore the P/R-vs-reference acceptance gate. Non-SQL ops
+  (lang-ID, MinHash/SimHash, LSH ANN, fingerprints, centroid norms,
+  triple-score) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_DEFAULT_SF = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from recon_ray import fixtures
+    from recon_ray.pipelines.kg import run_kg
+
+    sf_dir = "/root/testdata/sf0.001"
+    fixtures.ensure_fixtures(sf_dir)
+    res = run_kg(fixtures.files_dir(sf_dir), materialize_docs=True)
+    return res["canonical"].to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from recon_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from recon_ray.pipelines.queries import oracles_for
+
+    return oracles_for(_DEFAULT_SF)

@@ -1,0 +1,1035 @@
+"""The driver-facing query surface: one entry per operator/pipeline from
+SURVEY §2, each paired (where SQL-expressible) with a DuckDB oracle over
+the same inputs.
+
+Conventions keeping the driver's order-insensitive value-hash compare
+stable:
+- every aggregate/computed column is NAMED IDENTICALLY in Ray and SQL;
+- counts are int64 both sides;
+- floating-point aggregates are rounded (sums → 2dp, means/ratios → 6dp)
+  in BOTH implementations, because summation order differs between engines;
+- top-k selections always carry a full deterministic tie-break order.
+
+KG queries run over the deterministic synthetic corpus (fixtures.py); their
+oracles read the sequential reference extractor's gold parquet — i.e. the
+driver compare IS the P/R-vs-reference gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from recon_ray import fixtures
+from recon_ray.functions import insights as ins
+from recon_ray.functions import stats as st
+from recon_ray.functions.dedup import dup_groups, embedding_neardup, minhash_lsh_dedup
+from recon_ray.functions.relational import (
+    broadcast_join,
+    distinct,
+    grouped_agg,
+    group_count,
+    local_global_topk,
+    semi_join,
+)
+from recon_ray.functions.similarity import knn_bruteforce, knn_lsh
+from recon_ray.functions.text import (
+    Fingerprinter,
+    LanguageId,
+    quality_scores,
+    token_counts,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(sf_dir: str, name: str):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pdf(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+
+def _round_away(x, dp: int):
+    """DuckDB-compatible round: floor(v*10^dp + 0.5) / 10^dp (half away
+    from zero for positives) — numpy/pandas .round() is banker's and
+    disagrees with the SQL oracle on exact halves."""
+    f = 10.0 ** dp
+    a = np.asarray(x, dtype=np.float64)
+    out = np.floor(a * f + 0.5) / f
+    if isinstance(x, pd.Series):
+        return pd.Series(out, index=x.index)
+    return out
+
+
+def _cents(series, factor: int = 100) -> "pd.Series":
+    """value → integer cents with HALF-AWAY-FROM-ZERO rounding (DuckDB's
+    round(); pandas .round() is banker's and disagrees on half-cents)."""
+    a = np.asarray(series, dtype=np.float64) * factor
+    return pd.Series(np.floor(a + 0.5).astype("int64"), index=getattr(series, "index", None))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Filter → grouped agg → sort (TPC-H Q1 shape)."""
+    li = _t(sf_dir, "lineitem")
+    li = li.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        # integer-cent/basis-point arithmetic: double summation order differs
+        # between engines, so monetary aggregates are computed EXACTLY in
+        # int64 and divided once at the end (both here and in the oracle)
+        out = pd.DataFrame()
+        out["l_returnflag"] = df["l_returnflag"]
+        out["l_linestatus"] = df["l_linestatus"]
+        price_c = _cents(df["l_extendedprice"])
+        disc_bp = _cents(df["l_discount"])
+        tax_bp = _cents(df["l_tax"])
+        out["qty"] = df["l_quantity"]
+        out["price_c"] = price_c
+        out["disc_c"] = price_c * (100 - disc_bp)
+        out["charge_c"] = price_c * (100 - disc_bp) * (100 + tax_bp)
+        out["disc_bp"] = disc_bp
+        return out
+
+    g = grouped_agg(
+        li.map_batches(add_cents, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "qty": ["sum", "count"],
+            "price_c": ["sum"],
+            "disc_c": ["sum"],
+            "charge_c": ["sum"],
+            "disc_bp": ["sum"],
+        },
+    )
+    n = g["qty_count"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": _round_away(g["qty_sum"], 2),
+            "sum_base_price": _round_away((g["price_c_sum"] / 100.0), 2),
+            "sum_disc_price": _round_away((g["disc_c_sum"] / 10000.0), 2),
+            "sum_charge": _round_away((g["charge_c_sum"] / 1000000.0), 2),
+            "avg_qty": _round_away((g["qty_sum"] / n), 6),
+            "avg_disc": _round_away((g["disc_bp_sum"] / 100.0 / n), 6),
+            "count_order": n,
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2)  AS sum_base_price,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2)
+                                                                    AS sum_disc_price,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)
+                 * (100 + round(l_tax * 100)::BIGINT)) / 1000000.0, 2)
+                                                                    AS sum_charge,
+       round(sum(l_quantity) / count(*), 6)                         AS avg_qty,
+       round(sum(round(l_discount * 100)::BIGINT) / 100.0 / count(*), 6)
+                                                                    AS avg_disc,
+       count(*)::BIGINT                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """customer ⋈ orders ⋈ lineitem (broadcast small sides) → grouped
+    revenue → top 10."""
+    li = _t(sf_dir, "lineitem")
+    cust = _pdf(sf_dir, "customer")
+    orders = _pdf(sf_dir, "orders")
+    building = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+    sel_orders = orders.merge(
+        building, left_on="o_custkey", right_on="c_custkey"
+    )[["o_orderkey", "o_orderdate"]]
+    joined = broadcast_join(li, sel_orders, on="l_orderkey", small_on="o_orderkey")
+
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue_part"] = _cents(df["l_extendedprice"]).values * (
+            100 - _cents(df["l_discount"]).values
+        )
+        return df
+
+    joined = joined.map_batches(add_rev, batch_format="pandas")
+    g = grouped_agg(joined, ["l_orderkey", "o_orderdate"], {"revenue_part": ["sum"]})
+    g["revenue"] = _round_away((g["revenue_part_sum"] / 10000.0), 2)
+    g = g.drop(columns=["revenue_part_sum"])
+    g = g.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return g[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Multi-dimension broadcast join chain: lineitem→orders→customer→
+    nation→region, revenue per nation."""
+    li = _t(sf_dir, "lineitem")
+    orders = _pdf(sf_dir, "orders")[["o_orderkey", "o_custkey"]]
+    cust = _pdf(sf_dir, "customer")[["c_custkey", "c_nationkey"]]
+    nation = _pdf(sf_dir, "nation")[["n_nationkey", "n_name", "n_regionkey"]]
+    region = _pdf(sf_dir, "region")[["r_regionkey", "r_name"]]
+    dim = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["o_orderkey", "n_name", "r_name"]]
+    joined = broadcast_join(li, dim, on="l_orderkey", small_on="o_orderkey")
+
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue_part"] = _cents(df["l_extendedprice"]).values * (
+            100 - _cents(df["l_discount"]).values
+        )
+        return df
+
+    g = grouped_agg(
+        joined.map_batches(add_rev, batch_format="pandas"),
+        ["r_name", "n_name"],
+        {"revenue_part": ["sum"], "l_orderkey": ["count"]},
+    )
+    out = pd.DataFrame(
+        {
+            "r_name": g["r_name"],
+            "n_name": g["n_name"],
+            "revenue": _round_away((g["revenue_part_sum"] / 10000.0), 2),
+            "n_items": g["l_orderkey_count"].astype("int64"),
+        }
+    )
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+ORACLE_Q5 = """
+SELECT r_name, n_name,
+       round(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q6_revenue_forecast(sf_dir: str):
+    """Pure filter + global aggregate (single row)."""
+    li = _t(sf_dir, "lineitem")
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.03)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+            ),
+            pc.less(t["l_quantity"], pa.scalar(24.0)),
+        )
+        t = t.filter(m)
+        import numpy as np
+
+        price_c = _cents(t["l_extendedprice"].to_numpy()).values
+        disc_bp = _cents(t["l_discount"].to_numpy()).values
+        return pa.table(
+            {"rev": [int((price_c * disc_bp).sum())], "n": [t.num_rows]}
+        )
+
+    parts = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue": [round(float(parts["rev"].sum()) / 10000.0, 2)],
+            "n_items": [int(parts["n"].sum())],
+        }
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(round(l_extendedprice * 100)::BIGINT * round(l_discount * 100)::BIGINT) / 10000.0, 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_top_suppliers(sf_dir: str):
+    li = _t(sf_dir, "lineitem")
+    supp = _pdf(sf_dir, "supplier")[["s_suppkey", "s_name"]]
+
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue_part"] = _cents(df["l_extendedprice"]).values * (
+            100 - _cents(df["l_discount"]).values
+        )
+        return df
+
+    g = grouped_agg(
+        li.map_batches(add_rev, batch_format="pandas"),
+        "l_suppkey",
+        {"revenue_part": ["sum"]},
+    )
+    g["total_revenue"] = _round_away((g["revenue_part_sum"] / 10000.0), 2)
+    g = g.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    g = g.sort_values(
+        ["total_revenue", "s_suppkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return g[["s_suppkey", "s_name", "total_revenue"]].reset_index(drop=True)
+
+
+ORACLE_TOP_SUPPLIERS = """
+SELECT s_suppkey, s_name,
+       round(sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2) AS total_revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY total_revenue DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def q_order_priority_counts(sf_dir: str):
+    g = group_count(_t(sf_dir, "orders"), "o_orderpriority", alias="n_orders")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    d = distinct(_t(sf_dir, "customer"), "c_mktsegment").to_pandas()
+    return d.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORACLE_DISTINCT_SEGMENTS = (
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+)
+
+
+def q_big_customer_orders(sf_dir: str):
+    """Semi-join: orders of customers who placed any order > 400000."""
+    orders = _t(sf_dir, "orders")
+    big = (
+        orders.map_batches(
+            lambda df: df.loc[df["o_totalprice"] > 400000, ["o_custkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    sel = semi_join(orders, set(big.tolist()), "o_custkey")
+    g = group_count(sel, "o_custkey", alias="n_orders")
+    return g.sort_values("o_custkey").reset_index(drop=True)
+
+
+ORACLE_BIG_CUSTOMER = """
+SELECT o_custkey, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def q_order_outliers(sf_dir: str):
+    """IQR outlier fences over o_totalprice (detect_outliers port)."""
+    vals = (
+        _t(sf_dir, "orders")
+        .select_columns(["o_totalprice"])
+        .to_pandas()["o_totalprice"]
+        .to_numpy()
+    )
+    out = st.detect_outliers(vals)
+    return pd.DataFrame(
+        {
+            "fence_low": [int(out["fence_low"])],
+            "fence_high": [int(out["fence_high"])],
+            "n_low": [len(out["low"])],
+            "n_high": [len(out["high"])],
+        }
+    )
+
+
+ORACLE_ORDER_OUTLIERS = """
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+), f AS (
+  SELECT floor(q1 - 1.5 * (q3 - q1))::BIGINT AS fence_low,
+         floor(q3 + 1.5 * (q3 - q1))::BIGINT AS fence_high
+  FROM q
+)
+SELECT f.fence_low, f.fence_high,
+       (SELECT count(*) FROM orders, f WHERE o_totalprice <= f.fence_low)::BIGINT AS n_low,
+       (SELECT count(*) FROM orders, f WHERE o_totalprice > f.fence_high)::BIGINT AS n_high
+FROM f
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    g = grouped_agg(
+        _t(sf_dir, "events"), "event_type", {"value": ["sum", "mean", "count"]}
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n_events": g["value_count"].astype("int64"),
+            "total_value": _round_away(g["value_sum"], 2),
+            "avg_value": _round_away(g["value_mean"], 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_BY_TYPE = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_daily(sf_dir: str):
+    ev = _t(sf_dir, "events")
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.floor("D")})
+
+    g = group_count(ev.map_batches(day, batch_format="pandas"), "day",
+                    alias="n_events")
+    return g.sort_values("day").reset_index(drop=True)
+
+
+ORACLE_EVENTS_DAILY = """
+SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the streaming-
+    shaped workload: groupby(user).map_groups over ts-sorted events."""
+    ev = _t(sf_dir, "events")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM marked GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_union_price_bands(sf_dir: str):
+    """Union-all of two filtered selects + grouped count (Corpus.all shape)."""
+    orders = _t(sf_dir, "orders")
+
+    def tag(df: pd.DataFrame, band: str, lo: float, hi: float) -> pd.DataFrame:
+        sel = df[(df["o_totalprice"] >= lo) & (df["o_totalprice"] < hi)].copy()
+        sel["band"] = band
+        return sel[["band", "o_orderkey"]]
+
+    high = orders.map_batches(
+        lambda df: tag(df, "high", 300000, float("inf")), batch_format="pandas"
+    )
+    low = orders.map_batches(
+        lambda df: tag(df, "low", 0, 50000), batch_format="pandas"
+    )
+    g = group_count(high.union(low), "band", alias="n_orders")
+    return g.sort_values("band").reset_index(drop=True)
+
+
+ORACLE_UNION_BANDS = """
+SELECT band, count(*)::BIGINT AS n_orders FROM (
+  SELECT 'high' AS band, o_orderkey FROM orders WHERE o_totalprice >= 300000
+  UNION ALL
+  SELECT 'low' AS band, o_orderkey FROM orders WHERE o_totalprice < 50000
+) GROUP BY band ORDER BY band
+"""
+
+
+def q_part_type_stats(sf_dir: str):
+    g = grouped_agg(
+        _t(sf_dir, "part"), "p_type", {"p_retailprice": ["min", "max", "mean", "count"]}
+    )
+    out = pd.DataFrame(
+        {
+            "p_type": g["p_type"],
+            "n_parts": g["p_retailprice_count"].astype("int64"),
+            "min_price": _round_away(g["p_retailprice_min"], 2),
+            "max_price": _round_away(g["p_retailprice_max"], 2),
+            "avg_price": _round_away(g["p_retailprice_mean"], 6),
+        }
+    )
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+ORACLE_PART_TYPE = """
+SELECT p_type, count(*)::BIGINT AS n_parts,
+       round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+# ---------------------------------------------------------------------------
+# KG-construction queries (synthetic corpus; oracle = gold parquet from the
+# sequential reference extractor — the P/R-vs-reference gate)
+# ---------------------------------------------------------------------------
+
+_KG_CACHE: dict = {}
+
+
+def _kg(sf_dir: str) -> dict:
+    """Run the Ray pipeline once and cache the collected outputs. The KG
+    corpus scale is PINNED to fixtures.PINNED_KG_SF independent of sf_dir —
+    oracle_sql() bakes absolute gold paths with no sf parameter, so query
+    and oracle must resolve the same corpus (see fixtures.py)."""
+    sf_dir = fixtures.PINNED_KG_SF
+    key = fixtures.sf_name(sf_dir)
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+    fixtures.ensure_fixtures(sf_dir)
+    from recon_ray.pipelines.kg import run_kg
+
+    res = run_kg(fixtures.files_dir(sf_dir), materialize_docs=True)
+    out = {
+        "canonical": res["canonical"].to_pandas(),
+        "mentions": res["mentions"].to_pandas(),
+        "mentions_ds": res["mentions"],
+        "docs": res["docs"],
+        "symbols_table": res["symbols_table"].to_pandas(),
+    }
+    _KG_CACHE[key] = out
+    return out
+
+
+def _gold(sf_dir: str, which: str) -> str:
+    sf_dir = fixtures.PINNED_KG_SF
+    fixtures.ensure_fixtures(sf_dir)
+    return fixtures.gold_path(sf_dir, which)
+
+
+def kg_canonical_triples(sf_dir: str):
+    return _kg(sf_dir)["canonical"]
+
+
+def oracle_kg_canonical(sf_dir_path: str) -> str:
+    return f"SELECT * FROM read_parquet('{sf_dir_path}')"
+
+
+def kg_imports(sf_dir: str):
+    c = _kg(sf_dir)["canonical"]
+    out = c.loc[c["pred"] == "imports", ["subj", "obj", "n_mentions"]]
+    return out.rename(columns={"subj": "repo", "obj": "package"}).sort_values(
+        ["repo", "package"]
+    ).reset_index(drop=True)
+
+
+def kg_calls(sf_dir: str):
+    c = _kg(sf_dir)["canonical"]
+    out = c.loc[c["pred"] == "calls", ["subj", "obj", "n_mentions"]]
+    return out.rename(columns={"subj": "caller", "obj": "callee"}).sort_values(
+        ["caller", "callee"]
+    ).reset_index(drop=True)
+
+
+def kg_defines(sf_dir: str):
+    c = _kg(sf_dir)["canonical"]
+    out = c.loc[c["pred"] == "defines", ["subj", "obj"]]
+    return out.rename(columns={"subj": "file", "obj": "function"}).sort_values(
+        ["file", "function"]
+    ).reset_index(drop=True)
+
+
+def kg_symbols(sf_dir: str):
+    s = _kg(sf_dir)["symbols_table"].copy()
+    s["id"] = s.apply(lambda r: f"{r['repo']}:{r['module']}.{r['name']}", axis=1)
+    return s[["id", "name", "repo"]].sort_values("id").reset_index(drop=True)
+
+
+def kg_mentions(sf_dir: str):
+    m = _kg(sf_dir)["mentions"]
+    out = m[["repo", "path", "text", "start", "end", "label"]].copy()
+    out["start"] = out["start"].astype("int64")
+    out["end"] = out["end"].astype("int64")
+    return out.sort_values(["repo", "path", "start", "end", "label"]).reset_index(
+        drop=True
+    )
+
+
+def kg_entity_coverage(sf_dir: str):
+    cov = st.entity_coverage(_kg(sf_dir)["mentions_ds"]).to_pandas()
+    cov["count"] = cov["count"].astype("int64")
+    return cov
+
+
+def kg_label_counts(sf_dir: str):
+    return st.label_counts(_kg(sf_dir)["mentions_ds"])
+
+
+def kg_ner_stats(sf_dir: str):
+    s = st.ner_stats(_kg(sf_dir)["docs"])
+    return pd.DataFrame(
+        {
+            "n_docs": [s["n_docs"]],
+            "n_docs_no_mentions": [s["n_docs_no_mentions"]],
+            "n_mentions": [s["n_mentions"]],
+        }
+    )
+
+
+def kg_label_disparities(sf_dir: str):
+    df = ins.top_label_disparities(_kg(sf_dir)["mentions_ds"], dedupe=True)
+    return df.sort_values(["label1", "label2"]).reset_index(drop=True)
+
+
+def kg_triple_score(sf_dir: str):
+    """Self-check query: P/R/F of the Ray pipeline vs the gold parquet
+    (expected identically 1.0) — the acceptance metric as a result row."""
+    from recon_ray.functions.scoring import score_triples_frames
+
+    pred = _kg(sf_dir)["canonical"]
+    gold = pd.read_parquet(_gold(sf_dir, "canonical"))
+    s = score_triples_frames(pred, gold)
+    return pd.DataFrame(
+        {
+            "precision": [round(s["precision"], 6)],
+            "recall": [round(s["recall"], 6)],
+            "f1": [round(s["f1"], 6)],
+            "n_pred": [s["n_pred"]],
+            "n_gold": [s["n_gold"]],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents-table queries (text analysis + dedup)
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(sf_dir: str):
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_TOKENS = """
+SELECT doc_id,
+       CASE WHEN trim(text)='' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_word_freq_top50(sf_dir: str):
+    """Word-frequency coverage (entity_coverage shape over word tokens)."""
+    docs = _t(sf_dir, "documents")
+
+    def words(t: pa.Table) -> pa.Table:
+        import re
+
+        out = []
+        for s in t.column("text").to_pylist():
+            out += re.findall(r"\w+", s.lower())
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    w = docs.map_batches(words, batch_format="pyarrow", zero_copy_batch=True)
+    g = group_count(w, "word", alias="n_occurrences")
+    return (
+        g.sort_values(["n_occurrences", "word"], ascending=[False, True],
+                      kind="mergesort")
+        .head(50)
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_WORD_FREQ = """
+SELECT lower(w) AS word, count(*)::BIGINT AS n_occurrences
+FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS w FROM documents)
+GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 50
+"""
+
+
+def doc_dedup_groups(sf_dir: str):
+    return dup_groups(_t(sf_dir, "documents").repartition(8))
+
+
+ORACLE_DOC_DEDUP = """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def doc_quality(sf_dir: str):
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(quality_scores, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out = out[["doc_id", "n_chars", "n_words", "avg_word_len"]].copy()
+    out["avg_word_len"] = _round_away(out["avg_word_len"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_QUALITY = """
+WITH w AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_words,
+         length(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g'))::BIGINT AS word_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round(word_chars / greatest(n_words, 1), 6) AS avg_word_len
+FROM w ORDER BY doc_id
+"""
+
+
+def doc_langid(sf_dir: str):
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(LanguageId, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=2)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str):
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(Fingerprinter, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=2)
+        .to_pandas()
+    )
+    out["fingerprint"] = out["fingerprint"].astype("uint64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_minhash_dedup(sf_dir: str):
+    res = minhash_lsh_dedup(
+        _t(sf_dir, "documents").repartition(8), threshold=0.7, concurrency=2
+    )
+    pairs = res["pairs"][["a", "b"]].copy()
+    pairs["a"] = pairs["a"].astype("int64")
+    pairs["b"] = pairs["b"].astype("int64")
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def doc_simhash_dedup(sf_dir: str):
+    from recon_ray.functions.dedup import simhash_dedup
+
+    pairs = simhash_dedup(
+        _t(sf_dir, "documents").repartition(8), max_hamming=8, concurrency=2
+    )
+    out = pairs[["a", "b", "hamming"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table queries (similarity search)
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    emb = _pdf(sf_dir, "embeddings").sort_values("vec_id").head(n)
+    return np.stack(emb["embedding"].to_numpy()), emb["vec_id"].tolist()
+
+
+def knn_exact_top10(sf_dir: str):
+    q, qids = _query_vectors(sf_dir, 5)
+    out = knn_bruteforce(
+        _t(sf_dir, "embeddings").repartition(8), q, k=10, query_ids=qids
+    )
+    out = out[["query_id", "rank", "vec_id"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS c
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def knn_lsh_top10(sf_dir: str):
+    q, qids = _query_vectors(sf_dir, 5)
+    out = knn_lsh(
+        _t(sf_dir, "embeddings").repartition(8), q, k=10, n_bits=6, n_tables=8,
+        query_ids=qids,
+    )
+    out = out[["query_id", "rank", "vec_id"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def emb_neardup_pairs(sf_dir: str):
+    pairs = embedding_neardup(
+        _t(sf_dir, "embeddings").repartition(8), threshold=0.5
+    )
+    out = pairs[["a", "b"]].copy() if len(pairs) else pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE_EMB_NEARDUP = """
+SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+ORDER BY a, b
+"""
+
+
+def emb_label_centroid_norms(sf_dir: str):
+    """Grouped vector aggregate: mean embedding per label → L2 norm."""
+    emb = _t(sf_dir, "embeddings")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mats = np.stack(df["embedding"].to_numpy())
+        g = df.groupby("label", sort=False)
+        rows = []
+        for lbl, idx in g.indices.items():
+            rows.append(
+                {
+                    "label": lbl,
+                    "vsum": mats[idx].sum(axis=0).tolist(),
+                    "n": len(idx),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for lbl, g in parts.groupby("label"):
+        vsum = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+        n = int(g["n"].sum())
+        out.append(
+            {
+                "label": int(lbl),
+                "n_vectors": n,
+                "centroid_norm": round(float(np.linalg.norm(vsum / n)), 6),
+            }
+        )
+    df = pd.DataFrame(out).sort_values("label").reset_index(drop=True)
+    df["label"] = df["label"].astype("int64")
+    df["n_vectors"] = df["n_vectors"].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # relational
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q_top_suppliers": q_top_suppliers,
+    "q_order_priority_counts": q_order_priority_counts,
+    "q_distinct_segments": q_distinct_segments,
+    "q_big_customer_orders": q_big_customer_orders,
+    "q_order_outliers": q_order_outliers,
+    "q_events_by_type": q_events_by_type,
+    "q_events_daily": q_events_daily,
+    "q_events_sessions": q_events_sessions,
+    "q_union_price_bands": q_union_price_bands,
+    "q_part_type_stats": q_part_type_stats,
+    # kg pipeline
+    "kg_canonical_triples": kg_canonical_triples,
+    "kg_imports": kg_imports,
+    "kg_calls": kg_calls,
+    "kg_defines": kg_defines,
+    "kg_symbols": kg_symbols,
+    "kg_mentions": kg_mentions,
+    "kg_entity_coverage": kg_entity_coverage,
+    "kg_label_counts": kg_label_counts,
+    "kg_ner_stats": kg_ner_stats,
+    "kg_label_disparities": kg_label_disparities,
+    "kg_triple_score": kg_triple_score,
+    # documents
+    "doc_token_counts": doc_token_counts,
+    "doc_word_freq_top50": doc_word_freq_top50,
+    "doc_dedup_groups": doc_dedup_groups,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_minhash_dedup": doc_minhash_dedup,
+    "doc_simhash_dedup": doc_simhash_dedup,
+    # embeddings
+    "knn_exact_top10": knn_exact_top10,
+    "knn_lsh_top10": knn_lsh_top10,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_label_centroid_norms": emb_label_centroid_norms,
+}
+
+
+def oracles_for(sf_dir: str) -> dict[str, str]:
+    """SQL strings for every SQL-expressible query. KG oracles read the gold
+    parquet fixtures (absolute /tmp paths, pinned scale — fixtures.py)."""
+    sf_dir = fixtures.PINNED_KG_SF
+    fixtures.ensure_fixtures(sf_dir)
+    g_can = fixtures.gold_path(sf_dir, "canonical")
+    g_men = fixtures.gold_path(sf_dir, "mentions")
+    g_sym = fixtures.gold_path(sf_dir, "symbols")
+    return {
+        "q1_pricing_summary": ORACLE_Q1,
+        "q3_top_orders": ORACLE_Q3,
+        "q5_nation_revenue": ORACLE_Q5,
+        "q6_revenue_forecast": ORACLE_Q6,
+        "q_top_suppliers": ORACLE_TOP_SUPPLIERS,
+        "q_order_priority_counts": ORACLE_ORDER_PRIORITY,
+        "q_distinct_segments": ORACLE_DISTINCT_SEGMENTS,
+        "q_big_customer_orders": ORACLE_BIG_CUSTOMER,
+        "q_order_outliers": ORACLE_ORDER_OUTLIERS,
+        "q_events_by_type": ORACLE_EVENTS_BY_TYPE,
+        "q_events_daily": ORACLE_EVENTS_DAILY,
+        "q_events_sessions": ORACLE_EVENTS_SESSIONS,
+        "q_union_price_bands": ORACLE_UNION_BANDS,
+        "q_part_type_stats": ORACLE_PART_TYPE,
+        "kg_canonical_triples": f"SELECT * FROM read_parquet('{g_can}')",
+        "kg_imports": (
+            f"SELECT subj AS repo, obj AS package, n_mentions FROM "
+            f"read_parquet('{g_can}') WHERE pred='imports' ORDER BY repo, package"
+        ),
+        "kg_calls": (
+            f"SELECT subj AS caller, obj AS callee, n_mentions FROM "
+            f"read_parquet('{g_can}') WHERE pred='calls' ORDER BY caller, callee"
+        ),
+        "kg_defines": (
+            f"SELECT subj AS file, obj AS function FROM read_parquet('{g_can}') "
+            f"WHERE pred='defines' ORDER BY file, function"
+        ),
+        "kg_symbols": (
+            f"SELECT id, name, repo FROM read_parquet('{g_sym}') ORDER BY id"
+        ),
+        "kg_mentions": (
+            f"SELECT repo, path, text, start::BIGINT AS start, \"end\"::BIGINT "
+            f"AS \"end\", label FROM read_parquet('{g_men}') "
+            f"ORDER BY repo, path, start, \"end\", label"
+        ),
+        "kg_entity_coverage": (
+            f"SELECT lower(text) AS text, label, count(*)::BIGINT AS count "
+            f"FROM read_parquet('{g_men}') GROUP BY 1, 2 "
+            f"ORDER BY count DESC, text, label"
+        ),
+        "kg_label_counts": (
+            f"SELECT label, count(*)::BIGINT AS count FROM read_parquet('{g_men}') "
+            f"GROUP BY label ORDER BY count DESC, label"
+        ),
+        "kg_ner_stats": (
+            f"SELECT (SELECT count(*) FROM read_parquet('{fixtures.files_dir(sf_dir)}/*.parquet'))::BIGINT AS n_docs, "
+            f"(SELECT count(*) FROM read_parquet('{fixtures.files_dir(sf_dir)}/*.parquet') f "
+            f" WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{g_men}') m "
+            f"  WHERE m.repo = f.repo AND m.path = f.path))::BIGINT AS n_docs_no_mentions, "
+            f"(SELECT count(*) FROM read_parquet('{g_men}'))::BIGINT AS n_mentions"
+        ),
+        "kg_label_disparities": (
+            f"WITH pairs AS (SELECT DISTINCT lower(text) AS text, label FROM "
+            f"read_parquet('{g_men}')) "
+            f"SELECT a.label AS label1, b.label AS label2, count(*)::BIGINT AS count "
+            f"FROM pairs a JOIN pairs b ON a.text = b.text AND a.label < b.label "
+            f"GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "doc_token_counts": ORACLE_DOC_TOKENS,
+        "doc_word_freq_top50": ORACLE_WORD_FREQ,
+        "doc_dedup_groups": ORACLE_DOC_DEDUP,
+        "doc_quality": ORACLE_DOC_QUALITY,
+        "knn_exact_top10": ORACLE_KNN,
+        "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
+        # rows-only (non-SQL-expressible): kg_triple_score, doc_langid,
+        # doc_fingerprints, doc_minhash_dedup, doc_simhash_dedup,
+        # knn_lsh_top10, emb_label_centroid_norms
+    }
