@@ -1,0 +1,181 @@
+"""Benchmark harness.
+
+Headline: the flagship KG pipeline (read → detect → correct → link →
+canonicalize → sorted write) over the deterministic synthetic code corpus
+sized for $GRAFT_SF_DIR (default /root/testdata/sf0.1 → 12,000 files, ~90 MB
+source text), at ``num_cpus = $RAY_GRAFT_CPUS`` (default 32).
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ..., "files_per_sec": ...}
+
+``--scaling``: runs the headline twice in FRESH processes (num_cpus=8 and
+32) on the same input and prints both throughputs + scaling efficiency
+(the in-sandbox proxy for the N→4N-node criterion in BASELINE.json).
+
+An untimed warmup execution spawns worker processes / actor pools and
+warms the page cache first, so the timed run measures compute + shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,  # keep stdout to the single JSON line
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from recon_ray import fixtures
+    from recon_ray.pipelines.kg import run_kg
+
+    fixtures.ensure_fixtures(SF_DIR, files_only=True)
+    corpus = fixtures.files_dir(SF_DIR)
+    import glob
+    import shutil
+
+    n_fragments = sum(
+        1 for _ in glob.glob(os.path.join(corpus, "*.parquet"))
+    )
+    n_files = fixtures.N_FILES[fixtures.sf_name(SF_DIR)]
+
+    # ---- warmup (untimed): spawn workers/pools, warm page cache ----------
+    warm_frags = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[:2]
+    run_kg(warm_frags)["canonical"].count()
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: full KG pipeline, sorted parquet materialize ----------
+    out_dir = "/tmp/recon_ray_bench/triples"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = run_kg(corpus)
+    res["canonical"].write_parquet(out_dir)
+    headline = time.time() - t0
+    queries["kg_pipeline"] = round(headline, 3)
+
+    import pyarrow.parquet as pq
+
+    n_canonical = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    # raw (pre-dedup) triples throughput is the "triples/sec" metric: count
+    # of emitted triples over end-to-end wall time
+    t0 = time.time()
+    n_raw = res["triples"].count()
+    queries["kg_raw_triples_recount"] = round(time.time() - t0, 3)
+
+    # ---- secondary pipelines over driver testdata -------------------------
+    from recon_ray.pipelines.queries import (
+        doc_token_counts,
+        knn_exact_top10,
+        q1_pricing_summary,
+    )
+
+    t0 = time.time()
+    q1_pricing_summary(SF_DIR)
+    queries["q1_pricing_summary"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    doc_token_counts(SF_DIR)
+    queries["doc_token_counts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    knn_exact_top10(SF_DIR)
+    queries["knn_exact_top10"] = round(time.time() - t0, 3)
+
+    from recon_ray.functions.dedup import minhash_lsh_dedup
+    import ray.data as rd
+
+    t0 = time.time()
+    minhash_lsh_dedup(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16),
+        threshold=0.7,
+        concurrency=max(2, NUM_CPUS // 4),
+    )
+    queries["doc_minhash_dedup"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_files": n_files,
+        "n_fragments": n_fragments,
+        "n_raw_triples": int(n_raw),
+        "n_canonical_triples": int(n_canonical),
+        "triples_per_sec": round(n_raw / headline, 1),
+        "files_per_sec": round(n_files / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    tput_lo = lo["triples_per_sec"]
+    tput_hi = hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "triples_per_sec_8": tput_lo,
+                "triples_per_sec_32": tput_hi,
+                "cpu_ratio": hi_cpus / lo_cpus,
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -49,12 +49,16 @@ def gold_path(sf_dir: str, which: str) -> str:
     return os.path.join(fixture_dir(sf_dir), f"gold_{which}.parquet")
 
 
-def ensure_fixtures(sf_dir: str) -> str:
-    """Idempotent: generate corpus + gold outputs once per sf; returns the
-    fixture dir. Pure single-process Python (no Ray needed)."""
+def ensure_fixtures(sf_dir: str, files_only: bool = False) -> str:
+    """Idempotent: generate corpus (+ gold outputs unless ``files_only``)
+    once per sf; returns the fixture dir. Pure single-process Python (no
+    Ray needed). ``files_only`` skips the sequential gold extraction —
+    used by bench at sf0.1, where the oracle compare doesn't run and the
+    single-process extractor would dominate setup time."""
     root = fixture_dir(sf_dir)
     done = os.path.join(root, ".done")
-    if os.path.exists(done):
+    files_done = os.path.join(root, ".files_done")
+    if os.path.exists(done) or (files_only and os.path.exists(files_done)):
         return root
     from recon_ray import reference_extractor as rx
     from recon_ray.corpusgen import generate_corpus
@@ -62,12 +66,17 @@ def ensure_fixtures(sf_dir: str) -> str:
     n = N_FILES[sf_name(sf_dir)]
     os.makedirs(files_dir(sf_dir), exist_ok=True)
     table = generate_corpus(n, seed=SEED)
-    frag = max(64, n // 16)
-    for i, start in enumerate(range(0, table.num_rows, frag)):
-        pq.write_table(
-            table.slice(start, frag),
-            os.path.join(files_dir(sf_dir), f"part-{i:05d}.parquet"),
-        )
+    if not os.path.exists(files_done):
+        frag = max(64, n // 16)
+        for i, start in enumerate(range(0, table.num_rows, frag)):
+            pq.write_table(
+                table.slice(start, frag),
+                os.path.join(files_dir(sf_dir), f"part-{i:05d}.parquet"),
+            )
+        with open(files_done, "w") as f:
+            f.write("ok")
+    if files_only:
+        return root
     gold = rx.extract_corpus(table.to_pylist())
     pq.write_table(
         pa.Table.from_pylist(gold["canonical"]), gold_path(sf_dir, "canonical")

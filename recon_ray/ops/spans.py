@@ -1,19 +1,24 @@
-"""Span-correction batch kernels — vectorized ports of the reference's
-per-Example correction/validation operations, operating on the flattened
-``mentions`` child arrays of a pyarrow batch.
+"""Span-correction batch kernels — Arrow-native ports of the reference's
+per-Example correction/validation operations, operating directly on the
+``mentions`` ListArray's child arrays with pyarrow.compute kernels (no
+to_pylist round-trips, no per-row Python in the common paths).
 
 Semantics parity (asserted in tests against the sequential ports in
 recon_ray/reference_extractor.py):
 
-- ``recon_ray.upcase_labels.v1``   ← recon/validation.py:7-19
-- ``recon_ray.rename_labels.v1``   ← recon/corrections.py:12-25
+- ``recon_ray.upcase_labels.v1``     ← recon/validation.py:7-19
+- ``recon_ray.rename_labels.v1``     ← recon/corrections.py:12-25
 - ``recon_ray.strip_annotations.v1`` ← recon/corrections.py:142-176,
   including the elif quirk: per strip-char, a span is either left-stripped
   OR right-stripped in that iteration, never both.
-- ``recon_ray.filter_overlaps.v1`` ← recon/validation.py:22-112 (chain-
-  greedy longest-wins). Vectorized overlap pre-screen; the sequential
-  chain algorithm runs only on flagged docs.
-- ``recon_ray.fix_annotations.v1`` ← recon/corrections.py:28-95.
+- ``recon_ray.filter_overlaps.v1``   ← recon/validation.py:22-112 (chain-
+  greedy longest-wins). Chains are segmented VECTORIZED (running-max of
+  span ends per doc); the sequential greedy runs only inside multi-span
+  chains, which are tiny (typically the DEF-span/CALL-span pair at a
+  definition site) even when a document has tens of thousands of spans.
+- ``recon_ray.fix_annotations.v1``   ← recon/corrections.py:28-95 —
+  fully vectorized per correction entry (the corrections list is small;
+  the mention table is not).
 """
 
 from __future__ import annotations
@@ -23,152 +28,171 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from recon_ray import spec
 from recon_ray.ops import op
-from recon_ray.ops.mentions_io import (
-    doc_index,
-    keep_flat,
-    mentions_parts,
-    replace_mentions,
-)
 
 
-def _remap_strings(values: np.ndarray, mapping: dict[str, str]) -> np.ndarray:
-    if len(values) == 0 or not mapping:
-        return values
-    uniq, inv = np.unique(values.astype(str), return_inverse=True)
-    mapped = np.array([mapping.get(u, u) for u in uniq], dtype=object)
-    return mapped[inv]
+def _parts(batch: pa.Table, col: str = "mentions"):
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lengths = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+    child = arr.flatten()
+    return lengths.astype(np.int64), child
+
+
+def _rebuild(batch: pa.Table, lengths: np.ndarray, child: pa.StructArray,
+             col: str = "mentions") -> pa.Table:
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    new = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+    idx = batch.column_names.index(col)
+    return batch.set_column(idx, col, new)
+
+
+def _struct(text, start, end, label, source) -> pa.StructArray:
+    return pa.StructArray.from_arrays(
+        [text, start.cast(pa.int32()), end.cast(pa.int32()), label, source],
+        names=["text", "start", "end", "label", "source"],
+    )
+
+
+def _fields(child: pa.StructArray):
+    return (child.field("text"), child.field("start"), child.field("end"),
+            child.field("label"), child.field("source"))
+
+
+def _filter_child(child: pa.StructArray, keep: np.ndarray,
+                  lengths: np.ndarray) -> tuple[np.ndarray, pa.StructArray]:
+    didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    new_lengths = np.bincount(didx[keep], minlength=len(lengths)).astype(np.int64)
+    mask = pa.array(keep)
+    text, start, end, label, source = _fields(child)
+    return new_lengths, _struct(
+        text.filter(mask), start.filter(mask), end.filter(mask),
+        label.filter(mask), source.filter(mask),
+    )
 
 
 @op("recon_ray.upcase_labels.v1")
 def upcase_labels(batch: pa.Table) -> pa.Table:
-    lengths, text, start, end, label, source = mentions_parts(batch)
-    if len(label):
-        label = np.char.upper(label.astype(str)).astype(object)
-    return replace_mentions(batch, lengths, text, start, end, label, source)
+    lengths, child = _parts(batch)
+    text, start, end, label, source = _fields(child)
+    return _rebuild(batch, lengths,
+                    _struct(text, start, end, pc.utf8_upper(label), source))
 
 
 @op("recon_ray.rename_labels.v1")
 def rename_labels(batch: pa.Table, label_map: Optional[dict] = None) -> pa.Table:
     label_map = label_map or spec.RENAME_MAP
-    lengths, text, start, end, label, source = mentions_parts(batch)
-    label = _remap_strings(label, label_map)
-    return replace_mentions(batch, lengths, text, start, end, label, source)
+    lengths, child = _parts(batch)
+    text, start, end, label, source = _fields(child)
+    if len(label) and label_map:
+        uniq = pc.unique(label)
+        mapped = pa.array(
+            [label_map.get(u, u) for u in uniq.to_pylist()], pa.string()
+        )
+        label = pc.take(mapped, pc.index_in(label, uniq))
+    return _rebuild(batch, lengths, _struct(text, start, end, label, source))
 
 
 @op("recon_ray.strip_annotations.v1")
 def strip_annotations(batch: pa.Table, strip_chars: Optional[list] = None) -> pa.Table:
     strip_chars = strip_chars if strip_chars is not None else spec.STRIP_CHARS
     strip_set = "".join(strip_chars)
-    lengths, text, start, end, label, source = mentions_parts(batch)
-    if len(text) == 0:
+    lengths, child = _parts(batch)
+    if len(child) == 0:
         return batch
-    s = pd.Series(text, dtype=object).astype(str)
-    start = start.copy()
-    end = end.copy()
+    text, start, end, label, source = _fields(child)
+    start = start.cast(pa.int64())
+    end = end.cast(pa.int64())
     for ch in strip_chars:
-        nonempty = s.str.len() > 0
-        starts = nonempty & s.str.startswith(ch)
-        if starts.any():
-            lstripped = s[starts].str.lstrip(strip_set)
-            delta = s[starts].str.len() - lstripped.str.len()
-            start[starts.to_numpy()] += delta.to_numpy()
-            s[starts] = lstripped
-        ends = nonempty & ~starts & s.str.endswith(ch)
-        if ends.any():
-            rstripped = s[ends].str.rstrip(strip_set)
-            delta = s[ends].str.len() - rstripped.str.len()
-            end[ends.to_numpy()] -= delta.to_numpy()
-            s[ends] = rstripped
-    text = s.to_numpy(dtype=object)
-    # reference would IndexError on an all-strip-chars span; we drop it
-    keep = np.array([len(t) > 0 for t in text])
-    if not keep.all():
-        lengths, (text, start, end, label, source) = keep_flat(
-            keep, lengths, text, start, end, label, source
+        ln = pc.utf8_length(text)
+        nonempty = pc.greater(ln, 0)
+        starts = pc.and_(nonempty, pc.starts_with(text, ch))
+        # reference while-loop == lstrip over the whole strip set
+        lstripped = pc.utf8_ltrim(text, strip_set)
+        ldelta = pc.subtract(ln, pc.utf8_length(lstripped))
+        text = pc.if_else(starts, lstripped, text)
+        start = pc.add(start, pc.if_else(starts, ldelta, pa.scalar(0, pa.int64())))
+        ends = pc.and_(
+            pc.and_(nonempty, pc.invert(starts)), pc.ends_with(text, ch)
         )
-    return replace_mentions(batch, lengths, text, start, end, label, source)
+        rstripped = pc.utf8_rtrim(text, strip_set)
+        rdelta = pc.subtract(pc.utf8_length(text), pc.utf8_length(rstripped))
+        text = pc.if_else(ends, rstripped, text)
+        end = pc.subtract(end, pc.if_else(ends, rdelta, pa.scalar(0, pa.int64())))
+    keep = pc.greater(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    child = _struct(text, start, end, label, source)
+    if not keep.all():
+        lengths, child = _filter_child(child, keep, lengths)
+    return _rebuild(batch, lengths, child)
 
 
 def _chain_greedy_keep(starts: np.ndarray, ends: np.ndarray) -> list[int]:
-    """Indices (into the sorted-by-start slice) kept by the reference's
-    chain-greedy longest-wins (recon/validation.py:39-112)."""
-    kept: list[int] = []
-    chain: list[int] = []
-    chain_start = chain_end = 0
-    n = len(starts)
-
-    def flush(chain_idx: list[int]) -> None:
-        order = sorted(chain_idx, key=lambda i: ends[i] - starts[i], reverse=True)
-        selected: list[int] = []
-        for i in order:
-            clash = False
-            for j in selected:
-                if min(ends[i], ends[j]) - max(starts[i], starts[j]) > 0:
-                    clash = True
-                    break
-            if not clash:
-                selected.append(i)
-        kept.extend(selected)
-
-    for i in range(n):
-        if not chain:
-            chain = [i]
-            chain_start, chain_end = starts[i], ends[i]
-        elif min(ends[i], chain_end) - max(starts[i], chain_start) > 0:
-            chain.append(i)
-            chain_start = min(starts[i], chain_start)
-            chain_end = max(ends[i], chain_end)
-        else:
-            flush(chain)
-            chain = [i]
-            chain_start, chain_end = starts[i], ends[i]
-    if chain:
-        flush(chain)
-    return sorted(kept)
+    """Greedy longest-wins inside ONE overlap chain (already sorted by
+    start): recon/validation.py:39-65."""
+    order = sorted(range(len(starts)), key=lambda i: ends[i] - starts[i],
+                   reverse=True)
+    selected: list[int] = []
+    for i in order:
+        clash = False
+        for j in selected:
+            if min(ends[i], ends[j]) - max(starts[i], starts[j]) > 0:
+                clash = True
+                break
+        if not clash:
+            selected.append(i)
+    return selected
 
 
 @op("recon_ray.filter_overlaps.v1")
 def filter_overlaps(batch: pa.Table) -> pa.Table:
-    lengths, text, start, end, label, source = mentions_parts(batch)
-    if len(start) == 0:
+    lengths, child = _parts(batch)
+    n = len(child)
+    if n == 0:
         return batch
-    didx = doc_index(lengths)
+    text, start_a, end_a, label, source = _fields(child)
+    start = start_a.to_numpy(zero_copy_only=False).astype(np.int64)
+    end = end_a.to_numpy(zero_copy_only=False).astype(np.int64)
+    didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
     # stable sort by start within doc (reference sorts by start,
     # recon/validation.py:33)
-    order = np.lexsort((np.arange(len(start)), start, didx))
-    text, start, end, label, source = (
-        text[order], start[order], end[order], label[order], source[order]
+    order = np.lexsort((np.arange(n), start, didx))
+    if not np.array_equal(order, np.arange(n)):
+        take = pa.array(order)
+        child = _struct(
+            text.take(take), start_a.take(take), end_a.take(take),
+            label.take(take), source.take(take),
+        )
+        start, end, didx = start[order], end[order], didx[order]
+    # vectorized chain segmentation: within a doc, a new chain starts where
+    # start[i] >= running-max(end) of the previous spans (strict-overlap
+    # rule min(end)-max(start) > 0, recon/validation.py:88-92)
+    cummax_end = (
+        pd.Series(end).groupby(pd.Series(didx), sort=False).cummax().to_numpy()
     )
-    # vectorized overlap pre-screen: within a doc, overlap exists iff some
-    # start[i+1] < running-max(end[:i+1])
-    df = pd.DataFrame({"d": didx, "s": start, "e": end})
-    cummax_e = df.groupby("d", sort=False)["e"].cummax().to_numpy()
-    nxt_same_doc = np.zeros(len(start), dtype=bool)
-    if len(start) > 1:
-        nxt_same_doc[:-1] = didx[1:] == didx[:-1]
-    overlap_here = np.zeros(len(start), dtype=bool)
-    if len(start) > 1:
-        overlap_here[:-1] = nxt_same_doc[:-1] & (start[1:] < cummax_e[:-1])
-    flagged_docs = np.unique(didx[overlap_here])
-    if len(flagged_docs) == 0:
-        return replace_mentions(batch, lengths, text, start, end, label, source)
-
-    keep = np.ones(len(start), dtype=bool)
-    boundaries = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=boundaries[1:])
-    for d in flagged_docs:
-        lo, hi = boundaries[d], boundaries[d + 1]
-        local_keep = _chain_greedy_keep(start[lo:hi], end[lo:hi])
+    new_chain = np.ones(n, dtype=bool)
+    if n > 1:
+        same_doc = didx[1:] == didx[:-1]
+        new_chain[1:] = ~(same_doc & (start[1:] < cummax_end[:-1]))
+    chain_id = np.cumsum(new_chain) - 1
+    sizes = np.bincount(chain_id)
+    if (sizes <= 1).all():
+        return _rebuild(batch, lengths, child)
+    keep = np.ones(n, dtype=bool)
+    starts_of_chain = np.nonzero(new_chain)[0]
+    for c in np.nonzero(sizes > 1)[0]:
+        lo = starts_of_chain[c]
+        hi = lo + sizes[c]
+        local = _chain_greedy_keep(start[lo:hi], end[lo:hi])
         mask = np.zeros(hi - lo, dtype=bool)
-        mask[local_keep] = True
+        mask[local] = True
         keep[lo:hi] = mask
-    lengths, (text, start, end, label, source) = keep_flat(
-        keep, lengths, text, start, end, label, source
-    )
-    return replace_mentions(batch, lengths, text, start, end, label, source)
+    new_lengths, child = _filter_child(child, keep, lengths)
+    return _rebuild(batch, new_lengths, child)
 
 
 @op("recon_ray.fix_annotations.v1")
@@ -177,33 +201,36 @@ def fix_annotations(
     corrections: Optional[list] = None,
     case_sensitive: bool = False,
 ) -> pa.Table:
-    """corrections: list of (annotation, from_labels, to_label|None)."""
+    """corrections: list of (annotation, from_labels, to_label|None) —
+    vectorized per correction entry over the whole batch."""
     corrections = corrections if corrections is not None else spec.CORRECTIONS
-    lengths, text, start, end, label, source = mentions_parts(batch)
-    if len(text) == 0 or not corrections:
+    lengths, child = _parts(batch)
+    if len(child) == 0 or not corrections:
         return batch
+    text, start, end, label, source = _fields(child)
+    orig_label = label
+    keys = text if case_sensitive else pc.utf8_lower(text)
+    keep = np.ones(len(child), dtype=bool)
+    # reference puts corrections in a dict keyed by annotation — a later
+    # entry with the same text wins (recon/corrections.py:58); matching
+    # always tests the ORIGINAL span label (single dict lookup per span)
     cmap: dict[str, tuple[list, Optional[str]]] = {}
     for annotation, from_labels, to_label in corrections:
-        key = annotation if case_sensitive else annotation.lower()
-        cmap[key] = (list(from_labels), to_label)
-    keys = text.astype(str) if case_sensitive else np.char.lower(text.astype(str))
-    hit = np.isin(keys, np.array(list(cmap.keys()), dtype=str))
-    keep = np.ones(len(text), dtype=bool)
-    label = label.copy()
-    for i in np.nonzero(hit)[0]:
-        from_labels, to_label = cmap[keys[i]]
-        applies = label[i] in from_labels or "ANY" in from_labels
-        if not applies:
-            continue
+        akey = annotation if case_sensitive else annotation.lower()
+        cmap[akey] = (list(from_labels), to_label)
+    for akey, (from_labels, to_label) in cmap.items():
+        m = pc.equal(keys, akey)
+        if "ANY" not in from_labels:
+            lbl_m = pc.is_in(orig_label, value_set=pa.array(list(from_labels)))
+            m = pc.and_(m, lbl_m)
         if to_label is None:
-            keep[i] = False
+            keep &= pc.invert(m).to_numpy(zero_copy_only=False)
         else:
-            label[i] = to_label
+            label = pc.if_else(m, pa.scalar(to_label, pa.string()), label)
+    child = _struct(text, start, end, label, source)
     if not keep.all():
-        lengths, (text, start, end, label, source) = keep_flat(
-            keep, lengths, text, start, end, label, source
-        )
-    return replace_mentions(batch, lengths, text, start, end, label, source)
+        lengths, child = _filter_child(child, keep, lengths)
+    return _rebuild(batch, lengths, child)
 
 
 #: the frozen correction chain, in spec order

@@ -5,70 +5,75 @@ analogue of the reference's content-addressed ``ExampleStore`` dedup
 1. **partial pre-aggregation** inside ``map_batches`` (one row per distinct
    triple key per batch) — this is the skew absorber: a mega-repo's hot key
    collapses to one tiny partial row per batch before anything moves, so
-   the all-to-all groupby only shuffles pre-reduced rows (SURVEY §4.2
-   "salting mega-repos": with a combiner, hot keys arrive pre-shrunk; the
-   explicit salted path for combiner-less aggs lives in
+   the all-to-all groupby only shuffles pre-reduced rows (SURVEY §4.2;
+   the explicit salted path for combiner-less aggs lives in
    recon_ray/functions/relational.py:salted_group_count);
-2. **global groupby merge** on the key columns;
+2. **global groupby merge** on the key columns using ONLY built-in
+   vectorized aggregates (Sum + Min) — a per-group Python callback
+   (map_groups) costs ~1 ms per group and collapses at 10^5+ distinct
+   triples, so provenance is packed into a single \\x00-separated string
+   whose lexicographic Min equals the (repo, path) tuple-min the
+   sequential oracle computes;
 3. **sorted materialize** by (subj, pred, obj) — the graph's storage order.
-
-Provenance rule (matches reference_extractor.canonicalize): keep the
-lexicographically smallest (repo, path) occurrence; count all occurrences
-as ``n_mentions``.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Min, Sum
 
 KEY_COLS = ["subj", "pred", "obj", "subj_type", "obj_type"]
 PROV_COLS = ["repo", "path", "commit", "content_sha256", "extractor"]
+_SEP = "\x00"  # sorts before every printable char → string min == tuple min
+
+
+def _pack_prov(batch: pa.Table) -> pa.Array:
+    packed = batch.column(PROV_COLS[0]).cast(pa.string())
+    for c in PROV_COLS[1:]:
+        packed = pc.binary_join_element_wise(
+            packed, batch.column(c).cast(pa.string()), _SEP
+        )
+    return packed
 
 
 def partial_canonicalize(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: dedup + count + min-provenance."""
-    df = batch.to_pandas()
-    if "n_mentions" not in df.columns:
-        df["n_mentions"] = 1
-    df = df.sort_values(["repo", "path"], kind="mergesort")
-    g = df.groupby(KEY_COLS, sort=False, as_index=False)
-    agg = {c: "first" for c in PROV_COLS}
-    agg["n_mentions"] = "sum"
-    out = g.agg(agg)
-    return pa.Table.from_pandas(
-        out[KEY_COLS + ["n_mentions"] + PROV_COLS], preserve_index=False
+    """Per-batch combiner: dedup + count + min-provenance (all Arrow)."""
+    t = pa.table(
+        {
+            **{c: batch.column(c) for c in KEY_COLS},
+            "prov": _pack_prov(batch),
+            "n_mentions": batch.column("n_mentions")
+            if "n_mentions" in batch.column_names
+            else pa.array([1] * batch.num_rows, pa.int64()),
+        }
     )
+    g = t.group_by(KEY_COLS).aggregate([("n_mentions", "sum"), ("prov", "min")])
+    return g.rename_columns(KEY_COLS + ["n_mentions", "prov"])
 
 
-def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["repo", "path"], kind="mergesort")
-    first = g.iloc[0].copy()
-    first["n_mentions"] = int(g["n_mentions"].sum())
-    return first.to_frame().T
+def _unpack(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern(batch.column("prov"), _SEP)
+    cols = {c: batch.column(c) for c in KEY_COLS}
+    cols["n_mentions"] = batch.column("n_mentions").cast(pa.int64())
+    for i, c in enumerate(PROV_COLS):
+        cols[c] = pc.list_element(parts, i)
+    return pa.table(cols)
 
 
 def canonicalize(triples_ds, sort: bool = True):
-    """Dataset of raw triples → canonical deduped Dataset.
-
-    The groupby shuffle sees only partial rows (≤ distinct-keys-per-batch),
-    then merges per key; finally a global sort by (subj,pred,obj).
-    """
+    """Dataset of raw (or pre-canonicalized) triples → canonical deduped
+    Dataset. The groupby shuffle sees only partial rows (≤ distinct keys
+    per batch); the merge is Ray's vectorized hash aggregation."""
     partial = triples_ds.map_batches(
         partial_canonicalize, batch_format="pyarrow", zero_copy_batch=True
     )
-    merged = partial.groupby(KEY_COLS).map_groups(
-        _merge_group, batch_format="pandas"
+    merged = partial.groupby(KEY_COLS).aggregate(
+        Sum("n_mentions", alias_name="n_mentions"),
+        Min("prov", alias_name="prov"),
     )
-
-    def _fix_types(batch: pa.Table) -> pa.Table:
-        # map_groups via pandas can widen ints to object; pin the schema
-        idx = batch.column_names.index("n_mentions")
-        return batch.set_column(
-            idx, "n_mentions", batch.column("n_mentions").cast(pa.int64())
-        )
-
-    merged = merged.map_batches(_fix_types, batch_format="pyarrow")
+    out = merged.map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
     if sort:
-        merged = merged.sort(["subj", "pred", "obj"])
-    return merged
+        out = out.sort(["subj", "pred", "obj"])
+    return out
