@@ -1,0 +1,104 @@
+"""Property-based parity: the vectorized Arrow span kernels must agree with
+the sequential reference ports on arbitrary span configurations (the
+offset-arithmetic property testing SURVEY §7.4 calls for)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from recon_ray import reference_extractor as rx
+from recon_ray.ops.mentions_io import mentions_list_array, mentions_parts
+from recon_ray.ops.spans import (
+    filter_overlaps,
+    fix_annotations,
+    strip_annotations,
+    upcase_labels,
+)
+from recon_ray.spec import Mention
+
+CHARS = "ab .-:!?xyz_"
+LABELS = ["call", "def", "import", "ident", "CALL"]
+
+
+span_st = st.tuples(
+    st.text(alphabet=CHARS, min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=400),
+    st.sampled_from(LABELS),
+)
+
+
+def _to_batch(docs):
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    flat = [m for d in docs for m in d]
+    mentions = mentions_list_array(
+        lengths,
+        np.array([m[0] for m in flat], dtype=object),
+        np.array([m[1] for m in flat], dtype=np.int64),
+        np.array([m[2] for m in flat], dtype=np.int64),
+        np.array([m[3] for m in flat], dtype=object),
+        np.array(["t"] * len(flat), dtype=object),
+    )
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.uint64())})
+    return t.append_column("mentions", mentions)
+
+
+def _spans_of(batch, d):
+    lengths, text, start, end, label, _ = mentions_parts(batch)
+    lo = int(lengths[:d].sum())
+    hi = lo + int(lengths[d])
+    return [(text[i], int(start[i]), int(end[i]), label[i]) for i in range(lo, hi)]
+
+
+def _mk_docs(raw_docs):
+    """hypothesis tuples → per-doc span lists (end = start + len(text))."""
+    return [
+        [(t, s, s + len(t), l) for (t, s, l) in doc]
+        for doc in raw_docs
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(span_st, max_size=8), min_size=1, max_size=5))
+def test_strip_parity(raw_docs):
+    docs = _mk_docs(raw_docs)
+    out = strip_annotations(_to_batch(docs))
+    for d, doc in enumerate(docs):
+        seq = rx.strip_annotations(
+            [Mention(t, s, e, l) for (t, s, e, l) in doc]
+        )
+        assert _spans_of(out, d) == [(m.text, m.start, m.end, m.label) for m in seq]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(span_st, max_size=10), min_size=1, max_size=4))
+def test_filter_overlaps_parity(raw_docs):
+    docs = _mk_docs(raw_docs)
+    out = filter_overlaps(_to_batch(docs))
+    for d, doc in enumerate(docs):
+        seq = rx.filter_overlaps([Mention(t, s, e, l) for (t, s, e, l) in doc])
+        assert _spans_of(out, d) == [(m.text, m.start, m.end, m.label) for m in seq]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(span_st, max_size=6), min_size=1, max_size=3),
+    st.lists(
+        st.tuples(
+            st.text(alphabet=CHARS, min_size=1, max_size=4),
+            st.sampled_from([["CALL"], ["ANY"], ["IDENT", "DEF"]]),
+            st.sampled_from([None, "FIXED"]),
+        ),
+        max_size=4,
+    ),
+)
+def test_fix_annotations_parity(raw_docs, corrections):
+    docs = _mk_docs(raw_docs)
+    out = fix_annotations(upcase_labels(_to_batch(docs)), corrections=corrections)
+    for d, doc in enumerate(docs):
+        seq = rx.fix_annotations(
+            rx.upcase_labels([Mention(t, s, e, l) for (t, s, e, l) in doc]),
+            corrections=corrections,
+        )
+        assert _spans_of(out, d) == [(m.text, m.start, m.end, m.label) for m in seq]
