@@ -20,7 +20,7 @@ FIXTURE_ROOT = "/tmp/recon_ray_fixtures"
 
 #: corpus size per driver scale factor (sf0.01 is the correctness gate;
 #: kept modest so gold extraction stays fast at import time)
-N_FILES = {"sf0.001": 300, "sf0.01": 1200, "sf0.1": 12000}
+N_FILES = {"sf0.001": 300, "sf0.01": 1200, "sf0.1": 96000}
 SEED = 42
 
 

@@ -2,13 +2,19 @@
 
     read_parquet(files)
       → add content_sha256 / doc_id                [stateless map_batches]
-      → MentionDetector actor pool                 [raw spans]
+      → mention detection                          [elastic tasks; per-process
+          (import/def/call/ident raw spans)         compiled-pattern cache —
+                                                    actor-pool form available
+                                                    for model-heavy detectors]
       → correction chain (upcase → rename → strip
-        → filter_overlaps → fix_annotations)       [vectorized kernels]
+        → filter_overlaps → fix_annotations)       [vectorized Arrow kernels]
       → drop content (sha256 travels on)           [block slimming]
-      → TripleLinker actor pool (broadcast symbol
-        dictionary built by a DEF-only pre-scan)   [stateful actors]
-      → canonicalize (combiner + groupby + sort)   [shuffle]
+      → triple linking against the broadcast       [elastic tasks reading the
+          symbol dictionary (DEF-only pre-scan,     ray.put dict zero-copy,
+          ray.put once)                             once per worker process]
+      → canonicalize (combiner → small-partials
+          barrier → bucketed hash merge)           [shuffle]
+      → sort(subj, pred, obj)                      [range shuffle]
     plus the exploded mentions table for stats/insights.
 
 Everything stays a lazy streaming ``ray.data.Dataset`` until the caller
@@ -30,9 +36,9 @@ import ray.data as rd
 from recon_ray.ops import LineageTracker, pipe
 from recon_ray.ops.spans import CORRECTION_CHAIN
 from recon_ray.stages.canonicalize import canonicalize
-from recon_ray.stages.detect import MentionDetector, SymbolScanner
+from recon_ray.stages.detect import (MentionDetector, SymbolScanner, detect_batch, scan_symbols_batch)
 from recon_ray.stages.explode import explode_mentions
-from recon_ray.stages.link import TripleLinker, build_symbol_broadcast
+from recon_ray.stages.link import (TripleLinker, build_symbol_broadcast, make_link_batch)
 
 #: docs per detector batch — source files average ~1-4 KB here; at 100 TB
 #: with multi-MB files, budget by bytes (target ≲ 32 MiB of content/batch).
@@ -75,11 +81,10 @@ def scan_symbols(files_ds) -> pa.Table:
     collected to the driver (orders of magnitude smaller than the corpus;
     see link.py scale note for the partitioned variant)."""
     symbol_ds = files_ds.map_batches(
-        SymbolScanner,
+        scan_symbols_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=DEFAULT_BATCH_SIZE,
-        concurrency=_default_concurrency(),
     )
     blocks = ray.get(symbol_ds.to_arrow_refs())
     blocks = [b for b in blocks if b.num_rows] or [
@@ -114,19 +119,25 @@ def run_kg(
     linker_concurrency = linker_concurrency or link_default
     tracker = LineageTracker.remote() if track_lineage else None
 
-    files = read_files(input_path)
+    # fan the read out well past the pool sizes — parallelism is otherwise
+    # capped by the input fragment count (few big fragments → idle actors)
+    n_blocks = max(4 * (concurrency + linker_concurrency), 32)
+    files = read_files(input_path, parallelism=n_blocks)
     if symbols_ref is None:
         symbols_table = scan_symbols(files)
         symbols_ref, symbols_dict = build_symbol_broadcast(symbols_table)
     else:
         symbols_table, symbols_dict = None, None
 
+    # the regex detector's only state is module-level compiled patterns, so
+    # it runs as elastic stateless TASKS (no actor-pool spawn latency); a
+    # model-loading detector would use the MentionDetector class form with
+    # concurrency=N instead (see stages/detect.py docstrings)
     docs = files.map_batches(
-        MentionDetector,
+        detect_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     docs = pipe(docs, CORRECTION_CHAIN, tracker=tracker, batch_size=batch_size)
     docs = docs.drop_columns(["content"])
@@ -137,13 +148,14 @@ def run_kg(
         # per SHARD, never on the whole corpus (state/runner.py).
         docs = docs.materialize()
 
+    # linker as elastic tasks: the broadcast dict is fetched once per worker
+    # process (zero-copy plasma read) — see stages/link.py:make_link_batch;
+    # the TripleLinker actor-pool form remains for model-heavy linkers
     triples = docs.map_batches(
-        TripleLinker,
-        fn_constructor_kwargs={"symbols_ref": symbols_ref},
+        make_link_batch(symbols_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=linker_concurrency,
     )
     canonical = canonicalize(triples, sort=sort_output)
     mentions = explode_mentions(docs)

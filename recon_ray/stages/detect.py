@@ -79,6 +79,32 @@ class MentionDetector:
         return batch.append_column("mentions", mentions)
 
 
+_PROCESS_DETECTOR: "MentionDetector | None" = None
+
+
+def detect_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the detector: the compiled-pattern state is a
+    per-process singleton (patterns compile once per worker process, like an
+    actor's __init__ but without per-execution pool-spawn latency). Use this
+    for the plain regex detector; use the MentionDetector class form when
+    the stage holds real per-actor state (models, GPU handles)."""
+    global _PROCESS_DETECTOR
+    if _PROCESS_DETECTOR is None:
+        _PROCESS_DETECTOR = MentionDetector()
+    return _PROCESS_DETECTOR(batch)
+
+
+_PROCESS_SYMBOL_SCANNER: "SymbolScanner | None" = None
+
+
+def scan_symbols_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the DEF-only scanner (same rationale)."""
+    global _PROCESS_SYMBOL_SCANNER
+    if _PROCESS_SYMBOL_SCANNER is None:
+        _PROCESS_SYMBOL_SCANNER = SymbolScanner()
+    return _PROCESS_SYMBOL_SCANNER(batch)
+
+
 class SymbolScanner:
     """Pass-1 DEF-only scan used to build the linker's symbol dictionary.
 

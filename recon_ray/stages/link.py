@@ -186,6 +186,29 @@ class TripleLinker:
         return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
+_PROCESS_LINKER: dict = {}
+
+
+def make_link_batch(symbols_ref):
+    """Stateless-task form of the linker: returns a plain function for
+    ``map_batches`` that fetches the broadcast dictionary ONCE PER WORKER
+    PROCESS (``ray.get`` of a plasma object is shared-memory; the cache
+    keys on the object ref so a new dictionary invalidates it). Elastic —
+    scales to every free CPU instead of a fixed pool. Use the TripleLinker
+    class form when the stage holds heavier per-actor state (models)."""
+
+    def link_batch(batch: pa.Table) -> pa.Table:
+        key = symbols_ref.hex() if symbols_ref is not None else "none"
+        linker = _PROCESS_LINKER.get(key)
+        if linker is None:
+            linker = TripleLinker(symbols_ref)
+            _PROCESS_LINKER.clear()
+            _PROCESS_LINKER[key] = linker
+        return linker(batch)
+
+    return link_batch
+
+
 def build_symbol_broadcast(symbol_rows: pa.Table):
     """Distinct (repo, module, name) rows → broadcast dict
     {repo: {name: sorted [qualified]}} → ray.put ref (read zero-copy by
