@@ -103,39 +103,79 @@ def _tag(ds, side: str):
     )
 
 
-def _doc_errors(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-doc FP/FN analysis (one group = one doc_id), reference
-    semantics from recon/insights.py:152-196."""
-    gold = {
-        (int(r.start), int(r.end), r.label): r.text
-        for r in g[g["side"] == "gold"].itertuples()
-    }
-    pred = {
-        (int(r.start), int(r.end), r.label): r.text
-        for r in g[g["side"] == "pred"].itertuples()
-    }
-    fp = set(pred) - set(gold)
-    fn = set(gold) - set(pred)
-    out = []
-    seen: set[tuple] = set()
-    gold_by_offsets = {(s, e): (s, e, l) for (s, e, l) in gold}
-    for s, e, plabel in sorted(fp):
-        match = gold_by_offsets.get((s, e))
-        if match:
-            _, _, glabel = match
-            out.append((gold[match], glabel, plabel))
-        else:
-            out.append((pred[(s, e, plabel)], NOT_LABELED, plabel))
-        seen.add((s, e))
-    for s, e, glabel in sorted(fn):
-        if (s, e) not in seen:
-            out.append((gold[(s, e, glabel)], glabel, NOT_LABELED))
-    if not out:
+N_ERROR_BUCKETS = 64
+
+
+def _with_bucket(ds):
+    """hash(doc_id) bucket column — a per-group Python callback costs ~1 ms
+    per group (see canonicalize.py), so the FP/FN logic runs once per
+    BUCKET of docs, fully vectorized, instead of once per doc."""
+
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["doc_id"].astype("uint64") % N_ERROR_BUCKETS
+        ).astype("int64")
+        return batch
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def _bucket_errors(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized FP/FN analysis for every doc in one bucket — reference
+    semantics from recon/insights.py:152-196 via three merges:
+
+    - outer-merge pred/gold span sets on (doc,start,end,label): left-only
+      rows are FPs, right-only rows are FNs;
+    - FPs join gold on (doc,start,end): a hit reports (gold_text,
+      gold_label → pred_label) [offset collisions resolved to the min gold
+      label, deterministic], a miss reports (pred_text, NOT_LABELED →
+      pred_label);
+    - FNs anti-join the FP offsets per doc ('seen' rule), the rest report
+      (gold_text, gold_label → NOT_LABELED)."""
+    k = ["doc_id", "start", "end", "label"]
+    pred = g[g["side"] == "pred"][k + ["text"]].drop_duplicates(k)
+    gold = g[g["side"] == "gold"][k + ["text"]].drop_duplicates(k)
+    m = pred.merge(gold, on=k, how="outer", indicator=True,
+                   suffixes=("_p", "_g"))
+    fp = m[m["_merge"] == "left_only"].rename(columns={"text_p": "ptext"})
+    fn = m[m["_merge"] == "right_only"].rename(columns={"text_g": "gtext"})
+    off = ["doc_id", "start", "end"]
+    gold_off = (
+        gold.sort_values(k, kind="mergesort").drop_duplicates(off)
+        .rename(columns={"label": "glabel", "text": "gtext"})
+    )
+    fpm = fp.merge(gold_off, on=off, how="left")
+    matched = fpm["glabel"].notna()
+    errors = pd.DataFrame(
+        {
+            "text": np.where(matched, fpm["gtext"], fpm["ptext"]),
+            "true_label": np.where(matched, fpm["glabel"], NOT_LABELED),
+            "pred_label": fpm["label"].values,
+        }
+    )
+    if len(fn):
+        seen = fp[off].drop_duplicates()
+        fnm = fn.merge(seen, on=off, how="left", indicator="seen_fp")
+        fn_keep = fnm[fnm["seen_fp"] == "left_only"]
+        errors = pd.concat(
+            [
+                errors,
+                pd.DataFrame(
+                    {
+                        "text": fn_keep["gtext"].values,
+                        "true_label": fn_keep["label"].values,
+                        "pred_label": NOT_LABELED,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    if not len(errors):
         return pd.DataFrame(
             columns=["text", "true_label", "pred_label", "partial"]
         )
-    df = pd.DataFrame(out, columns=["text", "true_label", "pred_label"])
-    return df.groupby(
+    return errors.groupby(
         ["text", "true_label", "pred_label"], as_index=False
     ).size().rename(columns={"size": "partial"})
 
@@ -144,16 +184,20 @@ def top_prediction_errors(
     pred_mentions, gold_mentions,
     exclude_fp: bool = False, exclude_fn: bool = False,
 ):
-    """(text, true_label, pred_label, count) sorted desc — per-doc set
-    diff inside map_groups, then a grouped count over error records."""
+    """(text, true_label, pred_label, count) sorted desc — bucketed
+    vectorized FP/FN diff, then a grouped count over error records."""
     union = _tag(pred_mentions, "pred").union(_tag(gold_mentions, "gold"))
-    per_doc = union.groupby("doc_id").map_groups(
-        _doc_errors, batch_format="pandas"
+    per_bucket = _with_bucket(union).groupby("bucket").map_groups(
+        _bucket_errors, batch_format="pandas"
     )
-    errors = per_doc.groupby(["text", "true_label", "pred_label"]).aggregate(
+    errors = per_bucket.groupby(["text", "true_label", "pred_label"]).aggregate(
         Sum("partial", alias_name="count")
     )
     df = errors.to_pandas()
+    if "count" not in df.columns:  # no errors at all → empty result frame
+        return pd.DataFrame(
+            columns=["text", "true_label", "pred_label", "count"]
+        ).astype({"count": "int64"})
     if exclude_fp:  # FP-branch rows are exactly those with a real pred_label
         df = df[df["pred_label"] == NOT_LABELED]
     if exclude_fn:  # FN-branch rows are exactly those predicted NOT_LABELED
@@ -165,24 +209,38 @@ def top_prediction_errors(
     ).reset_index(drop=True)
 
 
-def _doc_prf(g: pd.DataFrame) -> pd.DataFrame:
-    gold = {
-        (int(r.start), int(r.end), r.label)
-        for r in g[g["side"] == "gold"].itertuples()
-    }
-    pred = {
-        (int(r.start), int(r.end), r.label)
-        for r in g[g["side"] == "pred"].itertuples()
-    }
-    tp = len(gold & pred)
-    fp = len(pred - gold)
-    fn = len(gold - pred)
-    p = tp / (tp + fp) if tp + fp else 0.0
-    r = tp / (tp + fn) if tp + fn else 0.0
-    f = 2 * p * r / (p + r) if p + r else 0.0
-    score = f if (gold and pred) else 1.0  # reference quirk: empty → 1.0
+def _bucket_prf(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc tp/fp/fn for every doc in one bucket, via one outer merge +
+    grouped counts (no per-doc Python)."""
+    k = ["doc_id", "start", "end", "label"]
+    pred = g[g["side"] == "pred"][k].drop_duplicates(k)
+    gold = g[g["side"] == "gold"][k].drop_duplicates(k)
+    m = pred.merge(gold, on=k, how="outer", indicator=True)
+    counts = (
+        m.groupby(["doc_id", "_merge"], observed=True)
+        .size()
+        .unstack(fill_value=0)
+        .reindex(columns=["both", "left_only", "right_only"], fill_value=0)
+        .reset_index()
+    )
+    tp = counts["both"].to_numpy(dtype=np.float64)
+    fp = counts["left_only"].to_numpy(dtype=np.float64)
+    fn = counts["right_only"].to_numpy(dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(tp + fp > 0, tp / (tp + fp), 0.0)
+        r = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
+        f = np.where(p + r > 0, 2 * p * r / (p + r), 0.0)
+    # reference quirk (recon/insights.py:268): score = 1.0 unless BOTH
+    # sides are non-empty
+    has_pred = (tp + fp) > 0
+    has_gold = (tp + fn) > 0
+    score = np.where(has_pred & has_gold, f, 1.0)
     return pd.DataFrame(
-        {"doc_id": [g["doc_id"].iloc[0]], "count": [fp + fn], "score": [score]}
+        {
+            "doc_id": counts["doc_id"].values,
+            "count": (fp + fn).astype("int64"),
+            "score": score,
+        }
     )
 
 
@@ -192,7 +250,9 @@ def hardest_docs(
 ) -> pd.DataFrame:
     """Per-doc difficulty ranking (hardest first)."""
     union = _tag(pred_mentions, "pred").union(_tag(gold_mentions, "gold"))
-    per_doc = union.groupby("doc_id").map_groups(_doc_prf, batch_format="pandas")
+    per_doc = _with_bucket(union).groupby("bucket").map_groups(
+        _bucket_prf, batch_format="pandas"
+    )
     df = per_doc.to_pandas()
     if score_count and len(df):
         max_count = int(df["count"].max())
