@@ -90,6 +90,38 @@ def _membership_join(big_ds, keys, on, keep: bool):
     return big_ds.map_batches(filter_batch, batch_format="pandas")
 
 
+def shuffle_join(
+    left_ds,
+    right_ds,
+    on: Union[str, list[str]],
+    right_on: Optional[Union[str, list[str]]] = None,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+):
+    """Both-sides-large hash join: each side shuffles on the key into
+    ``num_partitions`` hash partitions and matching partitions join
+    pairwise (Ray's ``Dataset.join``). Use when neither side fits a
+    broadcast; keys should be pre-salted upstream if one key is hot."""
+    on_ = (on,) if isinstance(on, str) else tuple(on)
+    r_on = (
+        None if right_on is None
+        else (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 8
+    return left_ds.join(
+        right_ds,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on_,
+        right_on=r_on,
+        right_suffix="_r",
+    )
+
+
 def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
     """Pre-aggregated groupby. Output columns named ``{col}_{agg}``."""
     keys_ = [keys] if isinstance(keys, str) else list(keys)

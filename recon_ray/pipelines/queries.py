@@ -540,6 +540,47 @@ SELECT p_type, count(*)::BIGINT AS n_parts,
 FROM part GROUP BY p_type ORDER BY p_type
 """
 
+
+
+def q_priority_revenue_shuffle_join(sf_dir: str):
+    """Both-sides-large hash join (Dataset.join, hash-partitioned):
+    lineitem ⋈ orders on the order key, revenue per order priority."""
+    from recon_ray.functions.relational import shuffle_join
+
+    li = _t(sf_dir, "lineitem").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "revenue_part": _cents(df["l_extendedprice"]).values
+                * (100 - _cents(df["l_discount"]).values),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    g = grouped_agg(joined, "o_orderpriority",
+                    {"revenue_part": ["sum", "count"]})
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": g["o_orderpriority"],
+            "revenue": _round_away((g["revenue_part_sum"] / 10000.0), 2),
+            "n_items": g["revenue_part_count"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_PRIORITY_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG-construction queries (synthetic corpus; oracle = gold parquet from the
 # sequential reference extractor — the P/R-vs-reference gate)
@@ -927,6 +968,7 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_union_price_bands": q_union_price_bands,
     "q_part_type_stats": q_part_type_stats,
+    "q_priority_revenue_shuffle_join": q_priority_revenue_shuffle_join,
     # kg pipeline
     "kg_canonical_triples": kg_canonical_triples,
     "kg_imports": kg_imports,
@@ -979,6 +1021,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,
         "q_union_price_bands": ORACLE_UNION_BANDS,
         "q_part_type_stats": ORACLE_PART_TYPE,
+        "q_priority_revenue_shuffle_join": ORACLE_PRIORITY_REVENUE,
         "kg_canonical_triples": f"SELECT * FROM read_parquet('{g_can}')",
         "kg_imports": (
             f"SELECT subj AS repo, obj AS package, n_mentions FROM "
