@@ -369,3 +369,41 @@ def test_multimodal_stages():
         feats.sort_values("media_id").reset_index(drop=True),
         f2.sort_values("media_id").reset_index(drop=True),
     )
+
+
+def test_shuffle_join_vs_duckdb(con):
+    from recon_ray.functions.relational import grouped_agg, shuffle_join
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet").select_columns(
+        ["l_orderkey", "l_quantity"]
+    )
+    orders = rd.read_parquet(f"{SF}/orders.parquet").select_columns(
+        ["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=4)
+    got = grouped_agg(joined, "o_orderpriority", {"l_quantity": ["sum", "count"]})
+    got = got.sort_values("o_orderpriority").reset_index(drop=True)
+    want = con.execute(
+        """SELECT o_orderpriority, sum(l_quantity) AS l_quantity_sum,
+                  count(*) AS l_quantity_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got["l_quantity_sum"].tolist() == pytest.approx(
+        want["l_quantity_sum"].tolist()
+    )
+    assert got["l_quantity_count"].astype(int).tolist() == want[
+        "l_quantity_count"
+    ].astype(int).tolist()
+
+
+def test_shuffle_join_left_outer():
+    from recon_ray.functions.relational import shuffle_join
+
+    a = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": list("abc")}))
+    b = rd.from_pandas(pd.DataFrame({"j": [2], "y": ["z"]}))
+    out = shuffle_join(a, b, on="k", right_on="j", how="left_outer",
+                       num_partitions=2).to_pandas()
+    assert len(out) == 3
+    assert out["y"].notna().sum() == 1
