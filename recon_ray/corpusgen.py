@@ -187,9 +187,16 @@ def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
         if kind < 0.05:
             content = "" if frng.random() < 0.3 else "# notes only\n# nothing here\n"
         elif kind < 0.07:
-            # oversized file: repeat a generated block to ≥256 KB
+            # oversized file: repeat a generated block to ≥256 KB, using the
+            # generator matching the file's lang (a .js/.go file carrying
+            # Python content would exercise the wrong pattern set)
             fns = frng.sample(FN_NAMES, k=2)
-            block = _python_file(frng, fns, known)
+            if lang == "python":
+                block = _python_file(frng, fns, known)
+            elif lang == "javascript":
+                block = _js_file(frng, fns, known)
+            else:
+                block = _go_file(frng, fns, known)
             reps = (256 * 1024) // max(1, len(block)) + 1
             content = block * reps
             known.extend(f for f in fns if f not in known)

@@ -16,7 +16,11 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/recon_ray_fixtures"
+#: bump CORPUS_VERSION whenever corpusgen/spec output changes — the version
+#: is part of the cache path, so stale /tmp fixtures from an older generator
+#: can never be read by a newer engine (or vice versa)
+CORPUS_VERSION = "v2"
+FIXTURE_ROOT = f"/tmp/recon_ray_fixtures/{CORPUS_VERSION}"
 
 #: corpus size per driver scale factor (sf0.01 is the correctness gate;
 #: kept modest so gold extraction stays fast at import time)

@@ -121,7 +121,9 @@ def _with_bucket(ds):
     return ds.map_batches(add, batch_format="pandas")
 
 
-def _bucket_errors(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_errors(
+    g: pd.DataFrame, exclude_fp: bool = False, exclude_fn: bool = False
+) -> pd.DataFrame:
     """Vectorized FP/FN analysis for every doc in one bucket — reference
     semantics from recon/insights.py:152-196 via three merges:
 
@@ -132,7 +134,12 @@ def _bucket_errors(g: pd.DataFrame) -> pd.DataFrame:
       label, deterministic], a miss reports (pred_text, NOT_LABELED →
       pred_label);
     - FNs anti-join the FP offsets per doc ('seen' rule), the rest report
-      (gold_text, gold_label → NOT_LABELED)."""
+      (gold_text, gold_label → NOT_LABELED).
+
+    ``exclude_fp`` skips the WHOLE FP branch including the 'seen' offset
+    suppression (recon/insights.py:163 guards the branch that also does
+    seen.add), so FNs at offsets that had a mislabeled FP are still
+    reported; ``exclude_fn`` skips the FN branch."""
     k = ["doc_id", "start", "end", "label"]
     pred = g[g["side"] == "pred"][k + ["text"]].drop_duplicates(k)
     gold = g[g["side"] == "gold"][k + ["text"]].drop_duplicates(k)
@@ -141,23 +148,29 @@ def _bucket_errors(g: pd.DataFrame) -> pd.DataFrame:
     fp = m[m["_merge"] == "left_only"].rename(columns={"text_p": "ptext"})
     fn = m[m["_merge"] == "right_only"].rename(columns={"text_g": "gtext"})
     off = ["doc_id", "start", "end"]
-    gold_off = (
-        gold.sort_values(k, kind="mergesort").drop_duplicates(off)
-        .rename(columns={"label": "glabel", "text": "gtext"})
-    )
-    fpm = fp.merge(gold_off, on=off, how="left")
-    matched = fpm["glabel"].notna()
-    errors = pd.DataFrame(
-        {
-            "text": np.where(matched, fpm["gtext"], fpm["ptext"]),
-            "true_label": np.where(matched, fpm["glabel"], NOT_LABELED),
-            "pred_label": fpm["label"].values,
-        }
-    )
-    if len(fn):
-        seen = fp[off].drop_duplicates()
-        fnm = fn.merge(seen, on=off, how="left", indicator="seen_fp")
-        fn_keep = fnm[fnm["seen_fp"] == "left_only"]
+    if exclude_fp:
+        errors = pd.DataFrame(columns=["text", "true_label", "pred_label"])
+    else:
+        gold_off = (
+            gold.sort_values(k, kind="mergesort").drop_duplicates(off)
+            .rename(columns={"label": "glabel", "text": "gtext"})
+        )
+        fpm = fp.merge(gold_off, on=off, how="left")
+        matched = fpm["glabel"].notna()
+        errors = pd.DataFrame(
+            {
+                "text": np.where(matched, fpm["gtext"], fpm["ptext"]),
+                "true_label": np.where(matched, fpm["glabel"], NOT_LABELED),
+                "pred_label": fpm["label"].values,
+            }
+        )
+    if len(fn) and not exclude_fn:
+        if exclude_fp:
+            fn_keep = fn  # no FP branch ran → no 'seen' offsets to suppress
+        else:
+            seen = fp[off].drop_duplicates()
+            fnm = fn.merge(seen, on=off, how="left", indicator="seen_fp")
+            fn_keep = fnm[fnm["seen_fp"] == "left_only"]
         errors = pd.concat(
             [
                 errors,
@@ -185,10 +198,15 @@ def top_prediction_errors(
     exclude_fp: bool = False, exclude_fn: bool = False,
 ):
     """(text, true_label, pred_label, count) sorted desc — bucketed
-    vectorized FP/FN diff, then a grouped count over error records."""
+    vectorized FP/FN diff, then a grouped count over error records.
+    The exclude flags thread INTO the per-bucket kernel because they change
+    the 'seen' suppression semantics, not just the output filter."""
+    from functools import partial
+
     union = _tag(pred_mentions, "pred").union(_tag(gold_mentions, "gold"))
     per_bucket = _with_bucket(union).groupby("bucket").map_groups(
-        _bucket_errors, batch_format="pandas"
+        partial(_bucket_errors, exclude_fp=exclude_fp, exclude_fn=exclude_fn),
+        batch_format="pandas",
     )
     errors = per_bucket.groupby(["text", "true_label", "pred_label"]).aggregate(
         Sum("partial", alias_name="count")
@@ -198,10 +216,6 @@ def top_prediction_errors(
         return pd.DataFrame(
             columns=["text", "true_label", "pred_label", "count"]
         ).astype({"count": "int64"})
-    if exclude_fp:  # FP-branch rows are exactly those with a real pred_label
-        df = df[df["pred_label"] == NOT_LABELED]
-    if exclude_fn:  # FN-branch rows are exactly those predicted NOT_LABELED
-        df = df[df["pred_label"] != NOT_LABELED]
     df["count"] = df["count"].astype("int64")
     return df.sort_values(
         ["count", "text", "true_label", "pred_label"],

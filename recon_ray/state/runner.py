@@ -174,24 +174,37 @@ def run_kg_checkpointed(
         fm = lin.load_manifest(final_dir)
         if not (fm and fm.status == lin.COMPLETED and fm.args_hash == merge_hash):
             t0 = time.time()
+            # enumerate ONLY this run's shard ids — a reused out_dir may hold
+            # stale higher-numbered shard dirs from a previous run with a
+            # different fragments_per_shard, which must not leak into the merge
             shard_parts = [
-                os.path.join(out_dir, "shards", d, "triples", f)
-                for d in sorted(os.listdir(os.path.join(out_dir, "shards")))
+                os.path.join(out_dir, "shards", f"shard={sid:04d}", "triples", f)
+                for sid in range(len(shards))
                 for f in sorted(
-                    os.listdir(os.path.join(out_dir, "shards", d, "triples"))
+                    os.listdir(
+                        os.path.join(out_dir, "shards", f"shard={sid:04d}", "triples")
+                    )
                 )
                 if f.endswith(".parquet")
             ]
             merged = canonicalize(rd.read_parquet(shard_parts), sort=True)
             with lin.atomic_output_dir(os.path.join(final_dir, "data")) as tmp:
                 merged.write_parquet(tmp)
+            # count the MERGED rows (cross-shard triples dedupe at the global
+            # canonicalize, so summing per-shard counts would overstate)
+            data_dir = os.path.join(final_dir, "data")
+            n_merged = sum(
+                pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
             lin.write_manifest(
                 final_dir,
                 lin.ShardManifest(
                     shard_id=-2,
                     status=lin.COMPLETED,
                     args_hash=merge_hash,
-                    n_canonical=sum(m.n_canonical for m in manifests),
+                    n_canonical=n_merged,
                     elapsed_sec=time.time() - t0,
                 ),
             )

@@ -58,6 +58,35 @@ def test_manifests_record_lineage(ckpt):
         assert os.path.isdir(os.path.join(out, "shards", d, "insights", "coverage"))
 
 
+def test_stale_shard_dirs_not_merged(ckpt, unit_corpus_dir, tmp_path_factory):
+    """A reused out_dir with leftover higher-numbered shard dirs (e.g. from
+    a previous run with smaller fragments_per_shard) must not leak stale
+    triples into the final merge."""
+    import shutil
+
+    from recon_ray.state.runner import run_kg_checkpointed
+
+    out, _, _, _ = ckpt
+    out2 = str(tmp_path_factory.mktemp("ckpt_stale"))
+    # first run: 3 shards (fragments_per_shard=1)
+    run_kg_checkpointed(unit_corpus_dir, out2, fragments_per_shard=1)
+    first = pd.read_parquet(os.path.join(out2, "triples", "data"))
+    # second run over the SAME out_dir with fragments_per_shard=3 → 1 shard;
+    # shard=0001/0002 dirs from the first run survive on disk
+    r = run_kg_checkpointed(unit_corpus_dir, out2, fragments_per_shard=3)
+    assert r["complete"]
+    merged = pd.read_parquet(os.path.join(out2, "triples", "data"))
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        merged.sort_values(key).reset_index(drop=True),
+        first.sort_values(key).reset_index(drop=True),
+    )
+    # manifest n_canonical records the MERGED row count, not the shard sum
+    with open(os.path.join(out2, "triples", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_canonical"] == len(merged)
+
+
 def test_external_edit_forces_recompute(ckpt, unit_corpus_dir, tmp_path_factory):
     """Changed input ⇒ fingerprint mismatch ⇒ shard recomputes (the
     commit-hash semantics of recon/dataset.py:353-368)."""

@@ -155,6 +155,34 @@ def test_top_prediction_errors_degraded_chain(unit_corpus_dir):
     assert len(errs_fn_only) == 0  # degraded chain only ADDS spans
 
 
+def test_exclude_fp_reports_fn_at_fp_offset():
+    """Reference semantics (recon/insights.py:161-197): exclude_fp=True
+    skips the WHOLE FP branch including seen.add(), so an FN at an offset
+    that also had a mislabeled FP IS reported."""
+    pred = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "start": [0], "end": [3], "label": ["A"],
+         "text": ["foo"]}))
+    gold = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "start": [0], "end": [3], "label": ["B"],
+         "text": ["foo"]}))
+    # default: the mislabeled FP reports (B→A) and 'seen' suppresses the FN
+    errs = ins.top_prediction_errors(pred, gold)
+    assert errs.to_dict("records") == [
+        {"text": "foo", "true_label": "B", "pred_label": "A", "count": 1}
+    ]
+    # exclude_fp: FP branch (and its seen.add) skipped → the FN surfaces
+    errs2 = ins.top_prediction_errors(pred, gold, exclude_fp=True)
+    assert errs2.to_dict("records") == [
+        {"text": "foo", "true_label": "B", "pred_label": ins.NOT_LABELED,
+         "count": 1}
+    ]
+    # exclude_fn: only the FP row
+    errs3 = ins.top_prediction_errors(pred, gold, exclude_fn=True)
+    assert errs3.to_dict("records") == [
+        {"text": "foo", "true_label": "B", "pred_label": "A", "count": 1}
+    ]
+
+
 def test_sample_stratified(gold_mentions_ds):
     sampled = ins.sample_mentions_stratified(
         gold_mentions_ds, ["label"], top_k_per_bucket=5, seed=3
