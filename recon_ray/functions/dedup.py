@@ -76,7 +76,10 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep one representative (min id) per distinct text. Shuffle keys are
-    16-byte content hashes, never the texts themselves."""
+    16-byte content hashes, never the texts themselves. Global dedup is a
+    bucketed merge — one vectorized call per hash bucket, never one Python
+    callback per distinct text (distinct texts ≈ corpus size at scale)."""
+    from recon_ray.functions.relational import bucketed_group_apply
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -86,15 +89,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return batch
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
-    kept = hashed.groupby("__h").map_groups(
-        lambda g: g.sort_values(id_col, kind="mergesort").head(1),
-        batch_format="pandas",
-    )
+
+    def keep_min_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").drop_duplicates("__h")
+
+    kept = bucketed_group_apply(hashed, "__h", keep_min_per_hash)
     return kept.drop_columns(["__h"])
 
 
 def dup_groups(ds, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
-    """(representative id, n_copies) per distinct text — the dedup audit."""
+    """(representative id, n_copies) per distinct text — the dedup audit.
+    Pure built-in aggregates (Min + Count) over the content-hash key: the
+    shuffle carries (hash, id) rows only and the merge is vectorized."""
+    from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -108,19 +115,14 @@ def dup_groups(ds, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFra
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
-
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_col: [g[id_col].min()], "n_copies": [len(g)]}
-        )
-
-    return (
+    agg = (
         hashed.groupby("__h")
-        .map_groups(summarize, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
         .to_pandas()
-        .sort_values(id_col)
-        .reset_index(drop=True)
     )
+    out = agg[[id_col, "n_copies"]].copy()
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

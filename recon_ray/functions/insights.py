@@ -35,8 +35,10 @@ NOT_LABELED = "NOT_LABELED"
 
 
 def _distinct_text_label(mentions_ds, case_sensitive: bool = False):
-    """Distinct (text_norm, label) pairs — partial unique per batch, then
-    a groupby-first global dedup (the vocabulary table)."""
+    """Distinct (text_norm, label) pairs — partial unique per batch, then a
+    bucketed global dedup (one vectorized call per hash bucket; a per-
+    distinct-pair callback would cost ~1 ms × vocabulary size)."""
+    from recon_ray.functions.relational import bucketed_group_apply
 
     def partial(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -48,8 +50,9 @@ def _distinct_text_label(mentions_ds, case_sensitive: bool = False):
     pairs = mentions_ds.select_columns(["text", "label"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    return pairs.groupby(["text", "label"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_group_apply(
+        pairs, ["text", "label"],
+        lambda g: g.drop_duplicates(["text", "label"]),
     )
 
 

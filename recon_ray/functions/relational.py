@@ -233,11 +233,43 @@ def local_global_topk(
     )
 
 
+N_HASH_BUCKETS = 64
+
+
+def _add_hash_bucket(key_cols: list[str], n_buckets: int):
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = pd.util.hash_pandas_object(batch[key_cols], index=False).to_numpy()
+        batch["__bucket"] = (h % n_buckets).astype("int64")
+        return batch
+
+    return add
+
+
+def bucketed_group_apply(ds, key_cols: Union[str, list[str]], bucket_fn,
+                         n_buckets: int = N_HASH_BUCKETS):
+    """Group-wise apply WITHOUT the per-distinct-key Python-callback trap:
+    rows shuffle on hash(key) % n_buckets (every row of a key lands in one
+    bucket), and ``bucket_fn`` runs once per BUCKET — bounded at n_buckets
+    calls total — with a fully vectorized pandas body over all keys in the
+    bucket. A plain ``groupby(key).map_groups`` costs ~1 ms of interpreter
+    overhead per DISTINCT KEY (measured in canonicalize.py) and collapses
+    when distinct keys ≈ corpus size."""
+    key_cols_ = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tagged = ds.map_batches(
+        _add_hash_bucket(key_cols_, n_buckets), batch_format="pandas"
+    )
+    return tagged.groupby("__bucket").map_groups(
+        lambda g: bucket_fn(g.drop(columns="__bucket")), batch_format="pandas"
+    )
+
+
 def distinct(ds, cols: Union[str, list[str]]):
     """Exact distinct on a column subset: per-batch dedup (combiner), then
-    grouped-first global dedup."""
+    a bucketed global dedup (one vectorized call per hash bucket, not one
+    per distinct key)."""
     cols_ = [cols] if isinstance(cols, str) else list(cols)
     pre = ds.map_batches(
         lambda b: b[cols_].drop_duplicates(), batch_format="pandas"
     )
-    return pre.groupby(cols_).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return bucketed_group_apply(pre, cols_, lambda g: g.drop_duplicates(cols_))

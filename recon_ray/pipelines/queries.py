@@ -448,26 +448,28 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def q_events_sessions(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — the streaming-
-    shaped workload: groupby(user).map_groups over ts-sorted events."""
+    """Session windows (30-min inactivity gap) per user — sessionization
+    runs once per HASH BUCKET of users (all of a user's events land in one
+    bucket), fully vectorized inside the bucket: sort by (user, ts), mark
+    session starts at user boundaries and >30-min gaps, grouped sum. Scales
+    to millions of users at a bounded number of Python callbacks."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
     ev = _t(sf_dir, "events")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g = g.assign(__ns=(new_user | gap))
+        agg = g.groupby("user_id", sort=False).agg(
+            n_sessions=("__ns", "sum"), n_events=("__ns", "size")
         )
+        return agg.reset_index()
 
-    out = (
-        ev.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
-        .to_pandas()
-    )
+    out = bucketed_group_apply(
+        ev.select_columns(["user_id", "ts"]), "user_id", sessions_bucket
+    ).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
