@@ -160,49 +160,161 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(
-    sig_ds, n_bands: int = 16, n_perm: int = _N_PERM
-) -> pd.DataFrame:
-    """Band the signatures, shuffle on (band, band_hash), emit candidate
-    pairs (a<b) within each bucket. Returns a (small) pandas pair table."""
+def _band_weights(n_bands: int, rows_per_band: int, seed: int = 777):
+    """Fixed odd uint64 weights + per-band offsets for the vectorized band
+    hash: bhash[b] = Σ sig[b,r]·W[b,r] + B[b] (mod 2^64). Collisions are
+    spurious candidates only — the exact-Jaccard verify removes them."""
+    rng = np.random.RandomState(seed)
+    w = rng.randint(1, 2**62, size=(n_bands, rows_per_band)).astype(np.uint64)
+    w |= np.uint64(1)  # odd → bijective per-term multiply mod 2^64
+    b = rng.randint(1, 2**62, size=n_bands).astype(np.uint64)
+    return w, b
+
+
+def lsh_candidate_pairs(sig_ds, n_bands: int = 16, n_perm: int = _N_PERM):
+    """Band the signatures, shuffle on the band hash, emit candidate pairs
+    (a<b) within each bucket. Returns a DATASET of distinct (a, b) pairs.
+
+    Pair enumeration runs once per HASH BUCKET of band keys (one vectorized
+    self-merge per bucket), never once per band key — band keys ≈ n_docs ×
+    n_bands, which is the per-distinct-key map_groups trap at scale. Only
+    tiny (doc_id, band, bhash) rows ride the shuffle."""
+    from recon_ray.functions.relational import bucketed_group_apply, distinct
+
     rows_per_band = n_perm // n_bands
+    W, B = _band_weights(n_bands, rows_per_band)
 
     def bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        sigs = batch.column("sig").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for d, s in zip(doc_ids, sigs):
-            for b in range(n_bands):
-                chunk = tuple(s[b * rows_per_band : (b + 1) * rows_per_band])
-                h = hash((b, chunk)) & 0x7FFFFFFFFFFFFFFF
-                out_doc.append(d)
-                out_band.append(b)
-                out_hash.append(h)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bhash": pa.array([], pa.uint64()),
+                }
+            )
+        sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+        chunks = sigs.reshape(n, n_bands, rows_per_band)
+        bh = (chunks * W[None, :, :]).sum(axis=2, dtype=np.uint64) + B[None, :]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bhash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, n_bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                ),
+                "bhash": pa.array(bh.reshape(-1), pa.uint64()),
             }
         )
 
     banded = sig_ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["a", "b"])
-        out = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(out, columns=["a", "b"])
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["band", "bhash", "doc_id"])
+        m = d.merge(d, on=["band", "bhash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        )
 
-    pair_df = (
-        banded.groupby(["band", "bhash"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(pair_df) == 0:
-        return pd.DataFrame(columns=["a", "b"])
-    return pair_df.drop_duplicates().reset_index(drop=True)
+    pairs = bucketed_group_apply(banded, ["band", "bhash"], bucket_pairs)
+    # the same pair can surface from several bands → global distinct
+    return distinct(pairs, ["a", "b"])
+
+
+class ShingleSets:
+    """(doc_id, shingles: list<uint64>) — unique shingle hashes per doc,
+    for distributed Jaccard verification."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sets = [np.unique(_shingle_hashes(t, self.k)) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array(
+                    [s.tolist() for s in sets], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+
+def _verify_pairs_fn(sh_ref, threshold: float):
+    """map_batches kernel over the candidate-pair Dataset: exact Jaccard
+    from broadcast shingle sets (fetched zero-copy once per worker)."""
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = _get(sh_ref)
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(batch["a"].values, batch["b"].values)):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                jac[i] = 1.0 if (sa is not None and sb is not None) else 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        out = batch.assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
+
+    return verify
+
+
+def _get(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+def connected_components(edges_ds, max_iter: int = 64) -> pd.DataFrame:
+    """Connected components of the (a, b) edge Dataset by iterative
+    min-label propagation, shaped as the combiner pattern: each iteration
+    is ONE distributed pass over the edges (per-batch partial min-label per
+    node) plus a small driver merge of the partials. The label table holds
+    only the DUP-GRAPH nodes — documents that verified as near-duplicates —
+    a small fraction of the corpus by construction; if it ever outgrows the
+    driver, swap the broadcast for a shuffle join of labels onto edges and
+    the merge for a Ray groupby(node).min — same loop, no logic change.
+
+    Converges in O(graph diameter) passes; near-dup clusters are shallow."""
+    ends = edges_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": pd.concat([df["a"], df["b"]], ignore_index=True)}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(ends) == 0:
+        return pd.DataFrame(columns=["doc_id", "cluster"])
+    nodes = np.unique(ends["node"].to_numpy())
+    label = pd.Series(nodes, index=nodes)
+
+    for _ in range(max_iter):
+        ref = ray.put(label.to_dict())
+
+        def msgs(batch: pd.DataFrame) -> pd.DataFrame:
+            lab = _get(ref)
+            la = batch["a"].map(lab)
+            lb = batch["b"].map(lab)
+            m = pd.DataFrame(
+                {
+                    "node": pd.concat([batch["a"], batch["b"]],
+                                      ignore_index=True),
+                    "lbl": pd.concat([lb, la], ignore_index=True),
+                }
+            )
+            return m.groupby("node", as_index=False)["lbl"].min()
+
+        parts = edges_ds.map_batches(msgs, batch_format="pandas").to_pandas()
+        merged = parts.groupby("node")["lbl"].min()
+        new = pd.concat([label, merged]).groupby(level=0).min()
+        if new.equals(label):
+            break
+        label = new
+    return pd.DataFrame({"doc_id": label.index, "cluster": label.values})
 
 
 def minhash_lsh_dedup(
@@ -216,8 +328,13 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline. Returns {"pairs": verified pair df,
     "clusters": doc_id→cluster_rep df, "n_duplicates": int}.
 
-    Candidate verification fetches only the candidate texts (semi-join by
-    broadcast id-set) — the corpus never re-shuffles."""
+    Distributed end to end: candidate pairs stay a Dataset; verification
+    fetches only the CANDIDATE docs' shingle sets (semi-join by broadcast
+    id-set, never the corpus) and runs exact Jaccard in map_batches over
+    the pair Dataset; clustering is iterative min-label propagation as
+    combiner passes over the edge Dataset (see connected_components)."""
+    from recon_ray.functions.relational import semi_join
+
     sigs = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"n_perm": n_perm, "k": k},
@@ -225,39 +342,50 @@ def minhash_lsh_dedup(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
-    cand = lsh_candidate_pairs(sigs, n_bands=n_bands, n_perm=n_perm)
-    if len(cand) == 0:
-        return {"pairs": cand.assign(jaccard=[]), "clusters": pd.DataFrame(
-            columns=["doc_id", "cluster"]), "n_duplicates": 0}
-    cand_ids = set(cand["a"]) | set(cand["b"])
-    from recon_ray.functions.relational import semi_join
-
-    texts = (
+    cand_ds = lsh_candidate_pairs(sigs, n_bands=n_bands, n_perm=n_perm)
+    cand_ds = cand_ds.materialize()  # reused: id-collect + verify pass
+    cand_ids = set(
+        np.unique(
+            cand_ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"i": pd.concat([df["a"], df["b"]], ignore_index=True)}
+                ),
+                batch_format="pandas",
+            ).to_pandas()["i"]
+        ).tolist()
+    )
+    if not cand_ids:
+        return {
+            "pairs": pd.DataFrame(columns=["a", "b", "jaccard"]),
+            "clusters": pd.DataFrame(columns=["doc_id", "cluster"]),
+            "n_duplicates": 0,
+        }
+    # shingle sets for candidate docs only (candidates << corpus)
+    sh_df = (
         semi_join(docs_ds.select_columns(["doc_id", "text"]), cand_ids, "doc_id")
+        .map_batches(
+            ShingleSets, fn_constructor_kwargs={"k": k},
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency,
+        )
         .to_pandas()
-        .set_index("doc_id")["text"]
-        .to_dict()
     )
-    jac = np.array([jaccard(texts[a], texts[b], k) for a, b in
-                    zip(cand["a"], cand["b"])])
-    verified = cand[jac >= threshold].assign(jaccard=jac[jac >= threshold])
-    # connected components by min-label propagation (candidate graph is small
-    # post-verify; at larger scale run the same loop as grouped Datasets)
-    label = {d: d for d in set(verified["a"]) | set(verified["b"])}
-    changed = True
-    while changed:
-        changed = False
-        for a, b in zip(verified["a"], verified["b"]):
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    clusters = pd.DataFrame(
-        sorted(label.items()), columns=["doc_id", "cluster"]
+    sh_ref = ray.put(
+        {
+            d: np.asarray(s, dtype=np.uint64)
+            for d, s in zip(sh_df["doc_id"], sh_df["shingles"])
+        }
     )
+    verified_ds = cand_ds.map_batches(
+        _verify_pairs_fn(sh_ref, threshold), batch_format="pandas"
+    ).materialize()  # reused: driver pair table + CC edge passes
+    verified = (
+        verified_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    clusters = connected_components(verified_ds)
+    clusters = clusters.sort_values("doc_id").reset_index(drop=True)
     n_dup = int((clusters["doc_id"] != clusters["cluster"]).sum())
-    return {"pairs": verified.reset_index(drop=True), "clusters": clusters,
-            "n_duplicates": n_dup}
+    return {"pairs": verified, "clusters": clusters, "n_duplicates": n_dup}
 
 
 # ---------------------------------------------------------------------------
@@ -266,26 +394,37 @@ def minhash_lsh_dedup(
 
 
 class SimHasher:
-    """64-bit SimHash signatures: sign-sum of per-word hash bits."""
+    """64-bit SimHash signatures: sign-sum of per-word hash bits.
+
+    Vectorized per batch: sha1 runs once per DISTINCT word (cached across
+    batches in the actor), the bit expansion and sign accumulation are one
+    numpy einsum over (n_distinct_words, 64) per doc group."""
 
     def __init__(self):
         self.word = WORD_RE
+        self._cache: dict[str, int] = {}
 
-    @staticmethod
-    def _word_hash(w: str) -> int:
-        return int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "little")
+    def _hash_words(self, words: list[str]) -> np.ndarray:
+        c = self._cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = c.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:8],
+                                   "little")
+                c[w] = h
+            out[i] = h
+        return out
 
     def simhash(self, text: str) -> int:
         words = [w.lower() for w in self.word.findall(text)]
         if not words:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
+        hs = self._hash_words(words)
         shifts = np.arange(64, dtype=np.uint64)
-        for w in words:
-            h = np.uint64(self._word_hash(w))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_words, 64)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -303,51 +442,63 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _hamming64_vec(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount of x^y (uint8 view + unpackbits)."""
+    xor = (x ^ y).astype(np.uint64)
+    as_bytes = xor.view(np.uint8).reshape(len(xor), 8)
+    return np.unpackbits(as_bytes, axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency: int = 4) -> pd.DataFrame:
     """Near-dup pairs by SimHash: 4 bands of 16 bits (any pair within
-    Hamming ≤3 of 64 bits shares at least one exact band), verify Hamming."""
+    Hamming ≤3 of 64 bits shares at least one exact band), Hamming verify.
+    Pair enumeration + verify run once per hash bucket of band keys (one
+    vectorized self-merge + popcount per bucket), not once per band key."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
     sigs_ds = docs_ds.map_batches(
         SimHasher, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sh = batch.column("simhash").to_pylist()
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for d, s in zip(ids, sh):
-            for b in range(4):
-                out_id.append(d)
-                out_band.append(b)
-                out_key.append((s >> (16 * b)) & 0xFFFF)
-                out_sig.append(s)
+        n = batch.num_rows
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        band_idx = np.arange(4, dtype=np.uint64)
+        keys = (sh[:, None] >> (band_idx * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "simhash": pa.array(out_sig, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n),
+                                 pa.int32()),
+                "key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        sh = rows["simhash"].tolist()
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(sh[i]), int(sh[j]))
-                if d <= max_hamming:
-                    out.append((ids[i], ids[j], d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["band", "key", "doc_id"])
+        m = d.merge(d, on=["band", "key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        ham = _hamming64_vec(
+            m["simhash_x"].to_numpy().astype(np.uint64),
+            m["simhash_y"].to_numpy().astype(np.uint64),
+        )
+        out = pd.DataFrame(
+            {"a": m["doc_id_x"].values, "b": m["doc_id_y"].values,
+             "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming].drop_duplicates(["a", "b"])
 
-    df = (
-        sigs_ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    banded = sigs_ds.map_batches(bands, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    df = bucketed_group_apply(banded, ["band", "key"], bucket_pairs).to_pandas()
     if len(df) == 0:
         return pd.DataFrame(columns=["a", "b", "hamming"])
     return (
