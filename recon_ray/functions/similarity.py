@@ -4,10 +4,11 @@
   (``ray.put``), each batch computes a numpy matmul block and emits its
   LOCAL top-k per query; the driver merges ≤ k×n_batches rows. No shuffle,
   no full materialization of the corpus.
-- ``knn_lsh``: the scale path — random-hyperplane signatures bucket the
-  corpus (groupby shuffle on small signature rows); queries search only
-  matching buckets (multi-probe over Hamming-1 neighbors). Approximate;
-  recall measured against brute force in tests.
+- ``knn_lsh``: the scale path — random-hyperplane signatures prune each
+  corpus batch to the rows any query probes (multi-probe over Hamming-1
+  neighbors), cosine runs on the pruned candidate subset only, and the
+  corpus never leaves the Dataset. Approximate; recall measured against
+  brute force in tests (including a 100× fixture).
 """
 
 from __future__ import annotations
@@ -51,6 +52,15 @@ def knn_bruteforce(
         return pd.DataFrame({"qi": out_q, id_col: out_id, "cosine": out_s})
 
     parts = emb_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return _merge_local_topk(parts, qids, k, id_col, round_scores)
+
+
+def _merge_local_topk(
+    parts: pd.DataFrame, qids: list, k: int, id_col: str, round_scores: int = 6
+) -> pd.DataFrame:
+    """Driver-side merge of per-batch local top-k rows (≤ k×n_batches)."""
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "cosine"])
     out = []
     for qi, g in parts.groupby("qi"):
         g = g.sort_values(["cosine", id_col], ascending=[False, True],
@@ -87,57 +97,76 @@ def knn_lsh(
     seed: int = 99,
     multiprobe: bool = True,
 ) -> pd.DataFrame:
-    """Bucketed approximate top-k: ``n_tables`` independent hyperplane
-    tables, each hashing the corpus into 2^n_bits buckets; a query scans
-    the union of its buckets (plus Hamming-1 probes). Multiple tables is
-    the standard recall lever for random-hyperplane LSH. At cluster scale
-    the bucketed corpus is a Dataset partitioned by (table, signature);
-    here buckets collect per-batch then concat driver-side."""
+    """Bucketed approximate top-k, fully distributed: the corpus NEVER
+    leaves the Dataset. The query signatures + multi-probe sets (per
+    table, signature → probing query ids) broadcast once; each corpus
+    batch computes its rows' signatures, prunes to rows probed by ANY
+    query, runs the cosine matmul on that candidate subset only, and
+    emits its local top-k per query. The driver merges ≤ k×n_batches tiny
+    rows — same merge as ``knn_bruteforce``. The union of per-batch
+    candidates equals the global LSH bucket union, so results are
+    identical to a bucketed shuffle layout without the all-to-all.
+    Multiple tables is the standard recall lever for random-hyperplane
+    LSH; Hamming-1 multiprobe widens each table's reach."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
+    n_q = len(q)
     planes = [
         _rh_planes(q.shape[1], n_bits, seed + 7919 * t) for t in range(n_tables)
     ]
-    planes_ref = ray.put(planes)
-    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        ps = ray.get(planes_ref)
-        m = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
-        out = {id_col: batch[id_col].values, emb_col: batch[emb_col].values}
-        for t, p in enumerate(ps):
-            out[f"bucket{t}"] = _signature(m, p)
-        return pd.DataFrame(out)
-
-    tagged = emb_ds.map_batches(tag, batch_format="pandas").to_pandas()
-    by_bucket = [
-        {b: g for b, g in tagged.groupby(f"bucket{t}")} for t in range(n_tables)
-    ]
     q_sigs = [_signature(q, p) for p in planes]
-    rows = []
-    for qi in range(len(q)):
-        cand = []
-        for t in range(n_tables):
-            probes = [int(q_sigs[t][qi])]
+    # per table: signature → list of query indices probing that bucket
+    probes: list[dict[int, list[int]]] = []
+    for t in range(n_tables):
+        pt: dict[int, list[int]] = {}
+        for qi in range(n_q):
+            sigs = [int(q_sigs[t][qi])]
             if multiprobe:
-                probes += [int(q_sigs[t][qi]) ^ (1 << b) for b in range(n_bits)]
-            cand += [by_bucket[t][b] for b in probes if b in by_bucket[t]]
-        if not cand:
-            continue
-        cdf = pd.concat(cand).drop_duplicates(id_col)
-        m = _normalize(np.stack(cdf[emb_col].to_numpy()).astype(np.float64))
-        sims = m @ q[qi]
-        g = pd.DataFrame({id_col: cdf[id_col].values, "cosine": sims})
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1), query_id=qids[qi])
-        rows.append(g)
-    if not rows:
-        return pd.DataFrame(columns=["query_id", "rank", id_col, "cosine"])
-    df = pd.concat(rows, ignore_index=True)
-    df["cosine"] = df["cosine"].round(6)
-    return df[["query_id", "rank", id_col, "cosine"]].sort_values(
-        ["query_id", "rank"]
-    ).reset_index(drop=True)
+                sigs += [int(q_sigs[t][qi]) ^ (1 << b) for b in range(n_bits)]
+            for s in sigs:
+                pt.setdefault(s, []).append(qi)
+        probes.append(pt)
+    ref = ray.put((planes, probes, q))
+    qids = list(query_ids) if query_ids is not None else list(range(n_q))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ps, pr, qm = ray.get(ref)
+        empty = pd.DataFrame(
+            {
+                "qi": pd.Series(dtype="int64"),
+                id_col: batch[id_col].iloc[:0],
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        m = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+        n = len(m)
+        cand = np.zeros((len(qm), n), dtype=bool)
+        for t, p in enumerate(ps):
+            sig = _signature(m, p)
+            uniq, inv = np.unique(sig, return_inverse=True)
+            pt = pr[t]
+            for ui, s in enumerate(uniq):
+                qs = pt.get(int(s))
+                if qs:
+                    cand[np.asarray(qs)[:, None], np.flatnonzero(inv == ui)[None, :]] = True
+        cols = np.flatnonzero(cand.any(axis=0))
+        if len(cols) == 0:
+            return empty
+        sims = qm @ m[cols].T  # (n_q, n_cand) — candidates only
+        ids = batch[id_col].to_numpy()[cols]
+        out_q, out_id, out_s = [], [], []
+        for qi in np.flatnonzero(cand[:, cols].any(axis=1)):
+            qc = np.flatnonzero(cand[qi, cols])
+            kk = min(k, len(qc))
+            idx = qc[np.argpartition(-sims[qi, qc], kk - 1)[:kk]]
+            out_q += [int(qi)] * kk
+            out_id += ids[idx].tolist()
+            out_s += sims[qi, idx].tolist()
+        return pd.DataFrame({"qi": out_q, id_col: out_id, "cosine": out_s})
+
+    parts = emb_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return _merge_local_topk(parts, qids, k, id_col)
 
 
 def knn_recall(approx: pd.DataFrame, exact: pd.DataFrame, id_col: str = "vec_id") -> float:

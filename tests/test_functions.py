@@ -330,6 +330,27 @@ def test_knn_lsh_recall(emb):
     assert (self_hits["cosine"] == 1.0).all()
 
 
+def test_knn_lsh_recall_100x():
+    """Recall vs exact at 100× the sf0.01 embeddings fixture (50k vectors)
+    — the distributed candidate-pruning path must hold recall without ever
+    collecting the corpus."""
+    from recon_ray.functions.similarity import knn_bruteforce, knn_lsh, knn_recall
+
+    rng = np.random.RandomState(7)
+    n, dim = 50_000, 16
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    big = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": list(mat)})
+    ).repartition(16)
+    queries = mat[:5].astype(np.float64)
+    exact = knn_bruteforce(big, queries, k=10)
+    approx = knn_lsh(big, queries, k=10, n_bits=8, n_tables=8)
+    r = knn_recall(approx, exact)
+    assert r >= 0.5, r
+    assert (approx[approx["rank"] == 1]["cosine"] == 1.0).all()
+
+
 def test_multimodal_stages():
     from recon_ray.functions.multimodal import (
         AudioFrameSampler,
