@@ -10,8 +10,9 @@
 - ``simhash_signatures`` + ``simhash_dedup``: 64-bit SimHash, banded
   bucketing, Hamming-distance verify.
 - ``ngram_jaccard_pairs``: exact n-gram Jaccard for candidate pairs.
-- ``embedding_neardup``: cosine-similarity near-dup over an embedding
-  column (blocked matmul against a broadcast matrix).
+- ``embedding_neardup``: exact cosine near-dup over an embedding column
+  (object-store block refs × block-pair tasks with an exact angular
+  pruning bound — no driver materialization).
 
 Everything is deterministic (fixed hash seeds), shuffle-aware (signatures
 are tiny rows; texts never ride through the LSH shuffle), and shaped as
@@ -511,38 +512,108 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency: int = 4) -> pd.Dat
 # ---------------------------------------------------------------------------
 
 
+@ray.remote(num_returns=2)
+def _prep_emb_block(tbl: pa.Table, id_col: str, emb_col: str):
+    """Block prep task: normalized matrix stays in the OBJECT STORE (first
+    return); only the tiny pruning metadata (n, centroid, angular radius)
+    travels to the driver (second return)."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n == 0:
+        return (ids, np.zeros((0, 1))), (0, None, 0.0)
+    col = tbl.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list<float> arrow column OR Ray tensor-extension column
+    arr = col.to_numpy(zero_copy_only=False)
+    mat = (np.stack(arr) if arr.dtype == object else np.asarray(arr)).astype(
+        np.float64
+    ).reshape(n, -1)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    c = mat.mean(axis=0)
+    cn = c / max(np.linalg.norm(c), 1e-12)
+    radius = float(np.arccos(np.clip(mat @ cn, -1.0, 1.0)).max())
+    return (ids, mat), (n, cn, radius)
+
+
+@ray.remote
+def _emb_block_pair(a, b, threshold: float, same: bool) -> pd.DataFrame:
+    """One block-pair matmul; emits only the (a<b, cosine≥threshold) hits."""
+    ids_a, ma = a
+    ids_b, mb = b
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    sims = ma @ mb.T
+    if same:
+        sims = np.triu(sims, k=1)  # each within-block pair once, no self
+    rows, cols = np.nonzero(sims >= threshold)
+    if len(rows) == 0:
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    ia = ids_a[rows].astype(np.int64)
+    ib = ids_b[cols].astype(np.int64)
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    keep = lo != hi
+    return pd.DataFrame(
+        {
+            "a": lo[keep],
+            "b": hi[keep],
+            "cosine": np.round(sims[rows, cols][keep], 6),
+        }
+    )
+
+
 def embedding_neardup(
     emb_ds, threshold: float = 0.98, id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Cosine near-dup pairs (a<b, cosine≥threshold) by blocked matmul:
-    the (normalized) matrix broadcasts once; each batch computes its block
-    row against the full matrix. O(n²/B) per task, no shuffle.
-    For corpora where the matrix exceeds worker RAM, pre-bucket by coarse
-    LSH (see similarity.knn_lsh) and run this per bucket."""
-    full = emb_ds.select_columns([id_col, emb_col]).to_pandas()
-    ids = full[id_col].to_numpy()
-    mat = np.stack(full[emb_col].to_numpy())
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ids_ref = ray.put(ids)
-    mat_ref = ray.put(mat)
+    """Exact cosine near-dup pairs (a<b, cosine≥threshold), blocked: the
+    corpus materializes as OBJECT-STORE block refs (never on the driver),
+    each block is normalized once by a prep task, and the B(B+1)/2 block
+    pairs run as Ray tasks that fetch their two blocks zero-copy and emit
+    only the threshold hits. The Dataset API has no cross-join, so this is
+    the documented raw-task escape hatch (block cross-product).
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids = ray.get(ids_ref)
-        m = ray.get(mat_ref)
-        q = np.stack(batch[emb_col].to_numpy())
-        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ m.T
-        qa_ids = batch[id_col].to_numpy()
-        rows, cols = np.nonzero(sims >= threshold)
-        out = []
-        for r, c in zip(rows, cols):
-            a, b = int(qa_ids[r]), int(all_ids[c])
-            if a < b:
-                out.append((a, b, round(float(sims[r, c]), 6)))
-        return pd.DataFrame(out, columns=["a", "b", "cosine"])
-
-    df = emb_ds.map_batches(block, batch_format="pandas").to_pandas()
+    Block pairs are pruned EXACTLY with an angular triangle bound: a pair
+    of blocks with centroid angle θ and radii r_a, r_b can't contain a hit
+    unless cos(max(0, θ − r_a − r_b)) ≥ threshold. Pre-sorting the corpus
+    by a coarse LSH signature makes blocks angularly coherent and the
+    pruning sharp; without it the bound is checked but rarely fires.
+    Repartition upstream to size blocks so two fit in a worker heap."""
+    pre = emb_ds.select_columns([id_col, emb_col])
+    refs = pre.to_arrow_refs()
+    prepped = [_prep_emb_block.remote(r, id_col, emb_col) for r in refs]
+    data_refs = [p[0] for p in prepped]
+    metas = ray.get([p[1] for p in prepped])
+    theta_max = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    tasks = []
+    for i in range(len(data_refs)):
+        n_i, c_i, r_i = metas[i]
+        if n_i == 0:
+            continue
+        for j in range(i, len(data_refs)):
+            n_j, c_j, r_j = metas[j]
+            if n_j == 0:
+                continue
+            if i != j:
+                ang = float(np.arccos(np.clip(np.dot(c_i, c_j), -1.0, 1.0)))
+                if ang - r_i - r_j > theta_max:
+                    continue  # exact bound: no pair can reach threshold
+            tasks.append(
+                _emb_block_pair.remote(
+                    data_refs[i], data_refs[j], threshold, i == j
+                )
+            )
+    parts = ray.get(tasks)
+    df = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(columns=["a", "b", "cosine"])
+    )
     if df.empty:
         return pd.DataFrame(columns=["a", "b", "cosine"])
-    return df.sort_values(["a", "b"]).reset_index(drop=True)
+    return (
+        df.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

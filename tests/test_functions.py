@@ -330,6 +330,29 @@ def test_knn_lsh_recall(emb):
     assert (self_hits["cosine"] == 1.0).all()
 
 
+def test_embedding_neardup_100x_planted():
+    """40× the sf0.01 fixture with planted near-dup pairs scattered across
+    blocks: the blocked exact path must return exactly the planted pairs
+    (random 32-dim pairs can't reach cosine 0.98) with no driver
+    materialization of the corpus."""
+    from recon_ray.functions.dedup import embedding_neardup
+
+    rng = np.random.RandomState(11)
+    n, dim, n_dup = 20_000, 32, 50
+    mat = rng.normal(size=(n, dim)).astype(np.float64)
+    src = rng.choice(n - n_dup, size=n_dup, replace=False) + n_dup
+    # rows 0..n_dup-1 become near-copies of rows src[i] (tiny perturbation)
+    mat[:n_dup] = mat[src] + rng.normal(scale=1e-3, size=(n_dup, dim))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": list(mat)})
+    ).repartition(8)
+    got = embedding_neardup(ds, threshold=0.98)
+    want = sorted((min(i, int(s)), max(i, int(s))) for i, s in enumerate(src))
+    assert list(map(tuple, got[["a", "b"]].values.tolist())) == want
+    assert (got["cosine"] >= 0.98).all()
+
+
 def test_knn_lsh_recall_100x():
     """Recall vs exact at 100× the sf0.01 embeddings fixture (50k vectors)
     — the distributed candidate-pruning path must hold recall without ever
