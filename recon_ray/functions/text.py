@@ -39,6 +39,21 @@ def token_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+def search(ds, query: str, case_sensitive: bool = True, text_col: str = "text"):
+    """Substring search — the Dataset.search port (recon/dataset.py:291-311)
+    as a vectorized Arrow filter (pc.match_substring), streaming over the
+    corpus instead of the reference's driver-side Python loop. Returns the
+    matching rows as a (lazy) Dataset."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(
+            batch.column(text_col), query, ignore_case=not case_sensitive
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def bpe_token_counts(batch: pa.Table) -> pa.Table:
     """(doc_id, n_bpe_tokens): count of \\w+|[^\\w\\s] matches — the
     pre-tokenization a BPE vocab would see."""

@@ -138,3 +138,4 @@ def pipe(ds, ops: list[OpSpec], tracker=None, batch_size: Optional[int] = None):
 # these modules only need the already-defined @op decorator above)
 from recon_ray.ops import augment as _augment  # noqa: E402,F401
 from recon_ray.ops import spans as _spans  # noqa: E402,F401
+from recon_ray.ops import tokens as _tokens  # noqa: E402,F401

@@ -695,6 +695,64 @@ def kg_label_disparities(sf_dir: str):
     return df.sort_values(["label1", "label2"]).reset_index(drop=True)
 
 
+def kg_token_alignment(sf_dir: str):
+    """add_tokens over the corrected docs: per-mention char→token alignment
+    (token_start = index of the token starting at span.start, token_end =
+    index of the token ending at span.end). The SQL oracle recomputes both
+    indices from the gold mentions + file contents with the same regex —
+    the tokenizer is prefix-stable, so token_start equals the token count
+    of content[:start]. Both sides restrict to files < 8 KiB: the oracle's
+    per-mention prefix regex is O(|content|·mentions) and the oversized
+    256 KiB fixture files would make the SQL side quadratic."""
+    from recon_ray.ops import OPS, pipe
+    from recon_ray.ops.spans import CORRECTION_CHAIN
+    from recon_ray.pipelines.kg import read_files
+    from recon_ray.stages.detect import detect_batch
+
+    sf_dir = fixtures.PINNED_KG_SF
+    fixtures.ensure_fixtures(sf_dir)
+    docs = read_files(fixtures.files_dir(sf_dir)).map_batches(
+        lambda t: t.filter(pc.less(pc.utf8_length(t["content"]),
+                                   pa.scalar(8192))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        detect_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128,
+    )
+    docs = pipe(docs, CORRECTION_CHAIN)
+    tok = OPS["recon_ray.add_tokens.v1"].apply(docs)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        m = t.column("mentions")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        a = t.column("mention_tokens")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        lengths = m.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(lengths)), lengths)
+        mc, ac = m.flatten(), a.flatten()
+        return pa.table(
+            {
+                "repo": pc.take(t.column("repo"), pa.array(didx)),
+                "path": pc.take(t.column("path"), pa.array(didx)),
+                "start": mc.field("start").cast(pa.int64()),
+                "end": mc.field("end").cast(pa.int64()),
+                "label": mc.field("label"),
+                "token_start": ac.field("token_start").cast(pa.int64()),
+                "token_end": ac.field("token_end").cast(pa.int64()),
+            }
+        )
+
+    out = tok.map_batches(
+        flatten, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return out.sort_values(
+        ["repo", "path", "start", "end", "label"]
+    ).reset_index(drop=True)
+
+
 def kg_triple_score(sf_dir: str):
     """Self-check query: P/R/F of the Ray pipeline vs the gold parquet
     (expected identically 1.0) — the acceptance metric as a result row."""
@@ -763,6 +821,25 @@ ORACLE_WORD_FREQ = """
 SELECT lower(w) AS word, count(*)::BIGINT AS n_occurrences
 FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS w FROM documents)
 GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 50
+"""
+
+
+def doc_search(sf_dir: str):
+    """Dataset.search port: case-insensitive substring match, streaming
+    Arrow filter (recon/dataset.py:291-311 semantics)."""
+    from recon_ray.functions.text import search
+
+    hits = (
+        search(_t(sf_dir, "documents"), "SPARK", case_sensitive=False)
+        .select_columns(["doc_id"])
+        .to_pandas()
+    )
+    return hits.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_SEARCH = """
+SELECT doc_id FROM documents WHERE contains(lower(text), 'spark')
+ORDER BY doc_id
 """
 
 
@@ -982,10 +1059,12 @@ QUERIES = {
     "kg_label_counts": kg_label_counts,
     "kg_ner_stats": kg_ner_stats,
     "kg_label_disparities": kg_label_disparities,
+    "kg_token_alignment": kg_token_alignment,
     "kg_triple_score": kg_triple_score,
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_word_freq_top50": doc_word_freq_top50,
+    "doc_search": doc_search,
     "doc_dedup_groups": doc_dedup_groups,
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
@@ -1068,8 +1147,22 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             f"FROM pairs a JOIN pairs b ON a.text = b.text AND a.label < b.label "
             f"GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "kg_token_alignment": (
+            "SELECT m.repo, m.path, m.start::BIGINT AS start, "
+            "m.\"end\"::BIGINT AS \"end\", m.label, "
+            "len(regexp_extract_all(left(f.content, m.start::INT), "
+            "'\\w+|[^\\w\\s]'))::BIGINT AS token_start, "
+            "(len(regexp_extract_all(left(f.content, m.\"end\"::INT), "
+            "'\\w+|[^\\w\\s]')) - 1)::BIGINT AS token_end "
+            f"FROM read_parquet('{g_men}') m "
+            f"JOIN read_parquet('{fixtures.files_dir(sf_dir)}/*.parquet') f "
+            "USING (repo, path) "
+            "WHERE length(f.content) < 8192 "
+            "ORDER BY m.repo, m.path, m.start, m.\"end\", m.label"
+        ),
         "doc_token_counts": ORACLE_DOC_TOKENS,
         "doc_word_freq_top50": ORACLE_WORD_FREQ,
+        "doc_search": ORACLE_DOC_SEARCH,
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
         "knn_exact_top10": ORACLE_KNN,
