@@ -1,0 +1,80 @@
+"""TrackedDataset apply_/rollback — port of the reference's rollback
+contract (recon/dataset.py:240-289, tests/test_dataset.py:90-117): stats
+change after an op, rollback restores data, stats, and commit hash."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from recon_ray.ops.mentions_io import mentions_parts, mentions_list_array
+from recon_ray.state.oplog import TrackedDataset
+
+
+def _docs() -> pa.Table:
+    lengths = np.array([2, 1], dtype=np.int64)
+    text = np.array(["foo", "bar", "baz"], dtype=object)
+    start = np.array([0, 4, 0], dtype=np.int64)
+    end = np.array([3, 7, 3], dtype=np.int64)
+    label = np.array(["call", "CALL", "ident"], dtype=object)
+    source = np.array(["t", "t", "t"], dtype=object)
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "content": pa.array(["foo bar", "baz"], pa.string()),
+            "mentions": mentions_list_array(
+                lengths, text, start, end, label, source
+            ),
+        }
+    )
+
+
+def _labels(ds) -> list[str]:
+    out: set[str] = set()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        _, _, _, _, label, _ = mentions_parts(b)
+        out.update(label.tolist())
+    return sorted(out)
+
+
+def test_rollback_restores_stats_and_hash(tmp_path):
+    td = TrackedDataset(rd.from_arrow(_docs()), str(tmp_path / "oplog"))
+    h0 = td.commit_hash
+    pre = _labels(td.data)
+    assert pre == ["CALL", "call", "ident"]
+    assert len(td.operations) == 0
+
+    td.apply_("recon_ray.upcase_labels.v1")
+    post = _labels(td.data)
+    assert post == ["CALL", "IDENT"]
+    assert len(td.operations) == 1
+    assert td.commit_hash != h0
+
+    td.rollback()
+    assert len(td.operations) == 0
+    assert td.commit_hash == h0
+    assert _labels(td.data) == pre
+
+
+def test_rollback_multiple_and_bounds(tmp_path):
+    td = TrackedDataset(rd.from_arrow(_docs()), str(tmp_path / "oplog"))
+    h0 = td.commit_hash
+    td.apply_("recon_ray.upcase_labels.v1")
+    td.apply_("recon_ray.strip_annotations.v1")
+    assert len(td.operations) == 2
+    with pytest.raises(ValueError):
+        td.rollback(0)
+    with pytest.raises(ValueError):
+        td.rollback(3)
+    td.rollback(2)
+    assert len(td.operations) == 0
+    assert td.commit_hash == h0
+
+
+def test_tracked_search(tmp_path):
+    td = TrackedDataset(rd.from_arrow(_docs()), str(tmp_path / "oplog"))
+    assert td.search("FOO").count() == 0
+    assert td.search("foo").count() == 1
+    assert td.search("FOO", case_sensitive=False).count() == 1
