@@ -107,13 +107,20 @@ def run_kg(
     sort_output: bool = True,
     materialize_docs: bool = False,
     symbols_ref=None,
+    linker_mode: str = "broadcast",
 ) -> dict:
     """Assemble the lazy pipeline; returns the component Datasets plus the
     lineage tracker (all unconsumed — callers write/collect).
 
     ``symbols_ref``: pass a pre-broadcast symbol dictionary (ray.put ref) to
     skip the DEF pre-scan — the checkpointed runner scans once globally,
-    then reuses the ref across shards."""
+    then reuses the ref across shards.
+
+    ``linker_mode``: "broadcast" (default — the whole DEF dictionary ships
+    once via ray.put; right while it fits a worker heap) or "partitioned"
+    (both sides co-partition on hash(repo) with mega-repo salting — the
+    path for when the dictionary outgrows a broadcast; emits identical
+    triples, see stages/link.py:link_partitioned)."""
     det_default, link_default = _pool_sizes(_cluster_cpus())
     concurrency = concurrency or det_default
     linker_concurrency = linker_concurrency or link_default
@@ -123,7 +130,9 @@ def run_kg(
     # capped by the input fragment count (few big fragments → idle actors)
     n_blocks = max(4 * (concurrency + linker_concurrency), 32)
     files = read_files(input_path, parallelism=n_blocks)
-    if symbols_ref is None:
+    if linker_mode == "partitioned":
+        symbols_table, symbols_dict = None, None
+    elif symbols_ref is None:
         symbols_table = scan_symbols(files)
         symbols_ref, symbols_dict = build_symbol_broadcast(symbols_table)
     else:
@@ -148,15 +157,34 @@ def run_kg(
         # per SHARD, never on the whole corpus (state/runner.py).
         docs = docs.materialize()
 
-    # linker as elastic tasks: the broadcast dict is fetched once per worker
-    # process (zero-copy plasma read) — see stages/link.py:make_link_batch;
-    # the TripleLinker actor-pool form remains for model-heavy linkers
-    triples = docs.map_batches(
-        make_link_batch(symbols_ref),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-    )
+    if linker_mode == "partitioned":
+        # symbols stay a DATASET (never collected): DEF-only scan → distinct
+        # rows; the link is a co-partitioned shuffle (see link_partitioned)
+        from recon_ray.functions.relational import bucketed_group_apply
+        from recon_ray.stages.link import link_partitioned
+
+        sym_rows = files.map_batches(
+            scan_symbols_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+        sym_ds = bucketed_group_apply(
+            sym_rows, ["repo", "module", "name"],
+            lambda g: g.drop_duplicates(["repo", "module", "name"]),
+        )
+        triples = link_partitioned(docs, sym_ds)
+    else:
+        # linker as elastic tasks: the broadcast dict is fetched once per
+        # worker process (zero-copy plasma read) — see
+        # stages/link.py:make_link_batch; the TripleLinker actor-pool form
+        # remains for model-heavy linkers
+        triples = docs.map_batches(
+            make_link_batch(symbols_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     canonical = canonicalize(triples, sort=sort_output)
     mentions = explode_mentions(docs)
 

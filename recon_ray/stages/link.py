@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from recon_ray import spec
@@ -86,7 +87,14 @@ class TripleLinker:
 
     def __init__(self, symbols_ref):
         # one ray.get per actor: zero-copy read of the broadcast dictionary
-        self.symbols = ray.get(symbols_ref) if symbols_ref is not None else {}
+        # (a plain dict is also accepted — the partitioned linker builds a
+        # repo-local dict per bucket and calls the same body)
+        if symbols_ref is None:
+            self.symbols = {}
+        elif isinstance(symbols_ref, dict):
+            self.symbols = symbols_ref
+        else:
+            self.symbols = ray.get(symbols_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = _flat_frame(batch)
@@ -207,6 +215,126 @@ def make_link_batch(symbols_ref):
         return linker(batch)
 
     return link_batch
+
+
+def _symbols_from_rows(repos, modules, names) -> dict:
+    from recon_ray import spec as _spec
+
+    symbols: dict[str, dict[str, list[str]]] = {}
+    for r, m, n in zip(repos, modules, names):
+        lst = symbols.setdefault(r, {}).setdefault(n, [])
+        q = _spec.qualified(r, m, n)
+        if q not in lst:
+            lst.append(q)
+    for r in symbols:
+        for n in symbols[r]:
+            symbols[r][n].sort()
+    return symbols
+
+
+#: doc columns the linker consumes (mentions last — nested type)
+_DOC_COLS = ["repo", "path", "commit", "lang", "content_sha256"]
+
+
+def link_partitioned(
+    docs_ds,
+    symbols_ds,
+    n_repo_buckets: int = 32,
+    n_salts: int = 4,
+):
+    """The SHUFFLE form of the linker for when the global DEF dictionary
+    outgrows a broadcast (see module docstring): resolution is repo-local
+    by construction, so BOTH sides co-partition on hash(repo) and each
+    partition links against only its repos' symbol rows. Mega-repos are
+    SALTED: a repo's docs spread over ``n_salts`` sub-partitions by
+    hash(path) while its (much smaller) symbol rows replicate to every
+    salt — the SURVEY §4.2 skew strategy, so one huge repo parallelizes
+    across n_salts workers instead of hot-spotting one.
+
+    Emits the identical triple table as the broadcast path (equality
+    asserted in tests/test_kg_pipeline.py on a mega-repo corpus)."""
+    import pandas as pd
+
+    from recon_ray.ops.mentions_io import MENTION_TYPE
+
+    mention_list_t = pa.list_(MENTION_TYPE)
+
+    def _bucket_of(repos: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(repos, index=False).to_numpy()
+        return (h % n_repo_buckets).astype(np.int64)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        repo = t.column("repo").to_pandas()
+        path = t.column("path").to_pandas()
+        rb = _bucket_of(repo)
+        salt = (
+            pd.util.hash_pandas_object(path, index=False).to_numpy() % n_salts
+        ).astype(np.int64)
+        m = t.column("mentions")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(rb * n_salts + salt, pa.int64()),
+                "kind": pa.array(["doc"] * t.num_rows, pa.string()),
+                **{c: t.column(c) for c in _DOC_COLS},
+                "module": pa.nulls(t.num_rows, pa.string()),
+                "name": pa.nulls(t.num_rows, pa.string()),
+                "mentions": m.cast(mention_list_t),
+            }
+        )
+
+    def tag_symbols(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        repo = t.column("repo").to_pandas()
+        rb = _bucket_of(repo)
+        parts = []
+        for s in range(n_salts):  # replicate symbol rows to every salt
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(rb * n_salts + s, pa.int64()),
+                        "kind": pa.array(["sym"] * n, pa.string()),
+                        "repo": t.column("repo"),
+                        "path": pa.nulls(n, pa.string()),
+                        "commit": pa.nulls(n, pa.string()),
+                        "lang": pa.nulls(n, pa.string()),
+                        "content_sha256": pa.nulls(n, pa.string()),
+                        "module": t.column("module"),
+                        "name": t.column("name"),
+                        "mentions": pa.nulls(n, mention_list_t),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    tagged = docs_ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        symbols_ds.map_batches(
+            tag_symbols, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def link_bucket(t: pa.Table) -> pa.Table:
+        is_sym = pc.equal(t.column("kind"), pa.scalar("sym"))
+        sym = t.filter(is_sym)
+        doc = t.filter(pc.invert(is_sym))
+        if doc.num_rows == 0:
+            return pa.table(
+                {name: pa.array([], typ) for name, typ in TRIPLE_FIELDS}
+            )
+        symbols = _symbols_from_rows(
+            sym.column("repo").to_pylist(),
+            sym.column("module").to_pylist(),
+            sym.column("name").to_pylist(),
+        )
+        linker = TripleLinker(symbols)
+        return linker(doc.select([*_DOC_COLS, "mentions"]))
+
+    return tagged.groupby("bucket").map_groups(
+        link_bucket, batch_format="pyarrow"
+    )
 
 
 def build_symbol_broadcast(symbol_rows: pa.Table):

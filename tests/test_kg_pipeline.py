@@ -90,3 +90,23 @@ def test_symbol_dict_matches_reference(kg_result, gold_extraction):
     }
     gold_rows = {(r["id"], r["name"], r["repo"]) for r in gold_extraction["symbols"]}
     assert ray_rows == gold_rows
+
+
+def test_partitioned_linker_equals_broadcast(unit_corpus_dir, kg_result):
+    """linker_mode='partitioned' (co-partition by repo hash, mega-repo
+    salting, symbols never collected) must emit triple-for-triple the same
+    canonical table as the broadcast path. The unit corpus's megarepo owns
+    ~30% of files, so the salted path is exercised."""
+    import pandas as pd
+
+    from recon_ray.pipelines.kg import run_kg
+
+    res, _, _ = kg_result
+    a = res["canonical"].to_pandas()
+    b = run_kg(unit_corpus_dir, linker_mode="partitioned")[
+        "canonical"
+    ].to_pandas()
+    key = ["subj", "pred", "obj", "subj_type", "obj_type"]
+    a2 = a.sort_values(key).reset_index(drop=True)
+    b2 = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2[a2.columns])
