@@ -592,10 +592,13 @@ _KG_CACHE: dict = {}
 
 
 def _kg(sf_dir: str) -> dict:
-    """Run the Ray pipeline once and cache the collected outputs. The KG
-    corpus scale is PINNED to fixtures.PINNED_KG_SF independent of sf_dir —
-    oracle_sql() bakes absolute gold paths with no sf parameter, so query
-    and oracle must resolve the same corpus (see fixtures.py)."""
+    """Run the Ray pipeline once and cache MATERIALIZED Datasets (pinned in
+    the object store, never collected to driver pandas) — every downstream
+    query streams over them with Arrow filters / grouped aggregates; only a
+    query's own RESULT table is collected. The KG corpus scale is PINNED to
+    fixtures.PINNED_KG_SF independent of sf_dir — oracle_sql() bakes
+    absolute gold paths with no sf parameter, so query and oracle must
+    resolve the same corpus (see fixtures.py)."""
     sf_dir = fixtures.PINNED_KG_SF
     key = fixtures.sf_name(sf_dir)
     if key in _KG_CACHE:
@@ -605,14 +608,29 @@ def _kg(sf_dir: str) -> dict:
 
     res = run_kg(fixtures.files_dir(sf_dir), materialize_docs=True)
     out = {
-        "canonical": res["canonical"].to_pandas(),
-        "mentions": res["mentions"].to_pandas(),
-        "mentions_ds": res["mentions"],
+        "canonical_ds": res["canonical"].materialize(),
+        "mentions_ds": res["mentions"].materialize(),
         "docs": res["docs"],
         "symbols_table": res["symbols_table"].to_pandas(),
     }
     _KG_CACHE[key] = out
     return out
+
+
+def _canonical_pred(sf_dir: str, pred: str, cols: dict[str, str]) -> pd.DataFrame:
+    """Streaming Arrow filter over the canonical Dataset; only the (small)
+    filtered projection collects."""
+    ds = _kg(sf_dir)["canonical_ds"]
+
+    def f(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["pred"], pa.scalar(pred)))
+        return sel.select(list(cols))
+
+    out = ds.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = out.rename(columns=cols)
+    return out.sort_values(list(cols.values())[:2]).reset_index(drop=True)
 
 
 def _gold(sf_dir: str, which: str) -> str:
@@ -622,35 +640,27 @@ def _gold(sf_dir: str, which: str) -> str:
 
 
 def kg_canonical_triples(sf_dir: str):
-    return _kg(sf_dir)["canonical"]
-
-
-def oracle_kg_canonical(sf_dir_path: str) -> str:
-    return f"SELECT * FROM read_parquet('{sf_dir_path}')"
+    # the full canonical table IS this query's result — collection here is
+    # the deliverable, not an intermediate
+    return _kg(sf_dir)["canonical_ds"].to_pandas()
 
 
 def kg_imports(sf_dir: str):
-    c = _kg(sf_dir)["canonical"]
-    out = c.loc[c["pred"] == "imports", ["subj", "obj", "n_mentions"]]
-    return out.rename(columns={"subj": "repo", "obj": "package"}).sort_values(
-        ["repo", "package"]
-    ).reset_index(drop=True)
+    return _canonical_pred(
+        sf_dir, "imports",
+        {"subj": "repo", "obj": "package", "n_mentions": "n_mentions"},
+    )
 
 
 def kg_calls(sf_dir: str):
-    c = _kg(sf_dir)["canonical"]
-    out = c.loc[c["pred"] == "calls", ["subj", "obj", "n_mentions"]]
-    return out.rename(columns={"subj": "caller", "obj": "callee"}).sort_values(
-        ["caller", "callee"]
-    ).reset_index(drop=True)
+    return _canonical_pred(
+        sf_dir, "calls",
+        {"subj": "caller", "obj": "callee", "n_mentions": "n_mentions"},
+    )
 
 
 def kg_defines(sf_dir: str):
-    c = _kg(sf_dir)["canonical"]
-    out = c.loc[c["pred"] == "defines", ["subj", "obj"]]
-    return out.rename(columns={"subj": "file", "obj": "function"}).sort_values(
-        ["file", "function"]
-    ).reset_index(drop=True)
+    return _canonical_pred(sf_dir, "defines", {"subj": "file", "obj": "function"})
 
 
 def kg_symbols(sf_dir: str):
@@ -660,8 +670,12 @@ def kg_symbols(sf_dir: str):
 
 
 def kg_mentions(sf_dir: str):
-    m = _kg(sf_dir)["mentions"]
-    out = m[["repo", "path", "text", "start", "end", "label"]].copy()
+    # full mentions table as the result: streaming projection, then collect
+    out = (
+        _kg(sf_dir)["mentions_ds"]
+        .select_columns(["repo", "path", "text", "start", "end", "label"])
+        .to_pandas()
+    )
     out["start"] = out["start"].astype("int64")
     out["end"] = out["end"].astype("int64")
     return out.sort_values(["repo", "path", "start", "end", "label"]).reset_index(
@@ -758,7 +772,7 @@ def kg_triple_score(sf_dir: str):
     (expected identically 1.0) — the acceptance metric as a result row."""
     from recon_ray.functions.scoring import score_triples_frames
 
-    pred = _kg(sf_dir)["canonical"]
+    pred = _kg(sf_dir)["canonical_ds"].to_pandas()
     gold = pd.read_parquet(_gold(sf_dir, "canonical"))
     s = score_triples_frames(pred, gold)
     return pd.DataFrame(
