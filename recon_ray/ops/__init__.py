@@ -23,6 +23,82 @@ import pyarrow as pa
 import ray
 
 OPS: dict[str, "Op"] = {}
+PREPROCESSORS: dict[str, "PreProc"] = {}
+FACTORIES: dict[str, Callable[..., "Op"]] = {}
+
+
+@dataclass
+class PreProc:
+    """Shared-preprocessing stage (analogue of recon's PreProcessor,
+    recon/preprocess.py:47-66): a batch kernel that APPENDS one derived
+    column. Caching falls out of the data model — ``ensure`` computes the
+    column only when absent, so a chain of ops declaring the same ``pre``
+    derives it once and every later op reads it for free (the reference
+    caches preprocessor outputs per example hash; here the cache is the
+    column riding the Dataset)."""
+
+    name: str
+    provides: str
+    fn: Callable[[pa.Table], pa.Table]
+
+    def ensure(self, ds):
+        provides, fn = self.provides, self.fn
+
+        def maybe(batch: pa.Table) -> pa.Table:
+            if provides in batch.column_names:
+                return batch
+            return fn(batch)
+
+        return ds.map_batches(
+            maybe, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+
+def preprocessor(name: str, provides: str) -> Callable:
+    """Register a preprocessing kernel (analogue of @preprocessor,
+    recon/preprocess.py:16-44)."""
+
+    def deco(fn: Callable[[pa.Table], pa.Table]) -> Callable:
+        PREPROCESSORS[name] = PreProc(name=name, provides=provides, fn=fn)
+        return fn
+
+    return deco
+
+
+def op_factory(name: str) -> Callable:
+    """Register an operation FACTORY — a callable returning a configured
+    Op (analogue of operation_factories, recon/operations.py:28-30).
+    ``make_op(name, **kwargs)`` instantiates and registers the result."""
+
+    def deco(fn: Callable[..., "Op"]) -> Callable:
+        FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+def make_op(name: str, **kwargs) -> "Op":
+    new_op = FACTORIES[name](**kwargs)
+    OPS[new_op.name] = new_op
+    return new_op
+
+
+def load_entry_point_plugins(group: str = "recon_ray.operations") -> int:
+    """Plugin surface (the catalogue ``entry_points=True`` analogue,
+    recon/operations.py:27-30): importing each module registered under the
+    entry-point group runs its @op/@preprocessor/@op_factory decorators.
+    Returns the number of plugins loaded (0 when none installed)."""
+    import importlib.metadata as md
+
+    count = 0
+    try:
+        eps = md.entry_points(group=group)
+    except TypeError:  # older importlib.metadata API
+        eps = md.entry_points().get(group, [])
+    for ep in eps:
+        ep.load()
+        count += 1
+    return count
 
 
 @ray.remote(num_cpus=0)
@@ -79,6 +155,7 @@ class Op:
     name: str
     fn: Callable[..., pa.Table]
     kind: str = "map"  # map | filter | explode — doc-level semantics
+    pre: tuple = ()  # preprocessor names this op depends on
 
     def batch_fn(self, tracker=None, **kwargs) -> Callable[[pa.Table], pa.Table]:
         kernel, name = self.fn, self.name
@@ -100,6 +177,8 @@ class Op:
         return run
 
     def apply(self, ds, tracker=None, batch_size: Optional[int] = None, **kwargs):
+        for p in self.pre:  # ensure is a no-op when the column already rides
+            ds = PREPROCESSORS[p].ensure(ds)
         return ds.map_batches(
             self.batch_fn(tracker=tracker, **kwargs),
             batch_format="pyarrow",
@@ -108,12 +187,13 @@ class Op:
         )
 
 
-def op(name: str, kind: str = "map") -> Callable:
+def op(name: str, kind: str = "map", pre: tuple = ()) -> Callable:
     """Register a batch kernel (analogue of @operation,
-    recon/operations.py:63-125)."""
+    recon/operations.py:63-125). ``pre`` names preprocessors whose derived
+    columns the kernel reads — applied (and shared) automatically."""
 
     def deco(fn: Callable[..., pa.Table]) -> Callable[..., pa.Table]:
-        OPS[name] = Op(name=name, fn=fn, kind=kind)
+        OPS[name] = Op(name=name, fn=fn, kind=kind, pre=tuple(pre))
         return fn
 
     return deco

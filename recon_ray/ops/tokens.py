@@ -2,17 +2,20 @@
 ``add_tokens`` operation (recon/tokenization.py:7-49, exercised by
 recon/tests/test_tokenization.py).
 
-The reference tokenizes with spaCy; the SEMANTICS ported here are
-tokenizer-agnostic and are what downstream consumers rely on:
+Split reference-style into a shared PREPROCESSOR + an operation, mirroring
+``@operation("recon.add_tokens.v1", pre=["recon.spacy.v1"])``:
 
-- a ``tokens`` column: list<struct{text, start, end, id}> per doc;
-- char→token alignment for every mention span: ``token_start`` = index of
-  the token starting exactly at span.start, ``token_end`` = index of the
-  token ending exactly at span.end (the ``use_spacy_token_ends=False``
-  convention, recon/tokenization.py:40-46);
-- an example whose spans can't all be aligned is DROPPED (the reference
-  op returns None → EXAMPLE_REMOVED; here the doc row filters out of the
-  batch and the lineage tracker counts the removal).
+- ``recon_ray.tokenize.v1`` (preprocessor, provides ``tokens``): appends
+  list<struct{text, start, end, id}> per doc. Because the derived column
+  rides the Dataset, a chain of ops declaring this ``pre`` tokenizes ONCE
+  (the reference caches preprocessor outputs per example hash).
+- ``recon_ray.add_tokens.v1`` (op, pre=tokenize): char→token alignment
+  for every mention span — ``token_start`` = index of the token starting
+  exactly at span.start, ``token_end`` = index of the token ending exactly
+  at span.end (the ``use_spacy_token_ends=False`` convention,
+  recon/tokenization.py:40-46) — and DROPS any doc whose spans can't all
+  align (the reference op returns None → EXAMPLE_REMOVED; here the doc row
+  filters out and the lineage tracker counts the removal).
 
 The tokenizer is ``\\w+|[^\\w\\s]`` (word runs, else single punctuation) —
 local and prefix-stable, so a span cut at a token boundary never changes
@@ -27,7 +30,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from recon_ray.ops import op
+from recon_ray.ops import op, preprocessor
 from recon_ray.ops.mentions_io import mentions_parts
 
 TOKEN_PATTERN = r"\w+|[^\w\s]"
@@ -57,32 +60,82 @@ def tokenize(text: str) -> tuple[list[str], np.ndarray, np.ndarray]:
     return tx, np.asarray(st, dtype=np.int64), np.asarray(en, dtype=np.int64)
 
 
-def _list_array(offlens: list[int], child: pa.StructArray) -> pa.ListArray:
+def _list_array(offlens, child: pa.StructArray) -> pa.ListArray:
     offsets = np.zeros(len(offlens) + 1, dtype=np.int32)
     np.cumsum(offlens, out=offsets[1:])
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
 
 
-@op("recon_ray.add_tokens.v1", kind="filter")
-def add_tokens(batch: pa.Table) -> pa.Table:
-    """Requires ``content`` + ``mentions``; appends ``tokens`` and
-    ``mention_tokens`` (list of {token_start, token_end} parallel to the
-    doc's mentions) and drops docs with any unalignable mention."""
+@preprocessor("recon_ray.tokenize.v1", provides="tokens")
+def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """Append the ``tokens`` column (requires ``content``)."""
     contents = batch.column("content").to_pylist()
+    lens: list[int] = []
+    flat_tx: list[str] = []
+    flat_st: list[np.ndarray] = []
+    flat_en: list[np.ndarray] = []
+    for c in contents:
+        tx, st, en = tokenize(c)
+        lens.append(len(tx))
+        flat_tx.extend(tx)
+        flat_st.append(st)
+        flat_en.append(en)
+    st_all = (
+        np.concatenate(flat_st) if flat_st else np.array([], dtype=np.int64)
+    )
+    en_all = (
+        np.concatenate(flat_en) if flat_en else np.array([], dtype=np.int64)
+    )
+    id_all = (
+        np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+        if lens
+        else np.array([], dtype=np.int64)
+    )
+    child = pa.StructArray.from_arrays(
+        [
+            pa.array(flat_tx, pa.string()),
+            pa.array(st_all.astype(np.int32), pa.int32()),
+            pa.array(en_all.astype(np.int32), pa.int32()),
+            pa.array(id_all.astype(np.int32), pa.int32()),
+        ],
+        names=["text", "start", "end", "id"],
+    )
+    return batch.append_column("tokens", _list_array(lens, child))
+
+
+def _tokens_parts(batch: pa.Table):
+    arr = batch.column("tokens")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+    child = arr.flatten()
+    st = child.field("start").to_numpy(zero_copy_only=False).astype(np.int64)
+    en = child.field("end").to_numpy(zero_copy_only=False).astype(np.int64)
+    return lens.astype(np.int64), st, en
+
+
+@op("recon_ray.add_tokens.v1", kind="filter", pre=("recon_ray.tokenize.v1",))
+def add_tokens(batch: pa.Table) -> pa.Table:
+    """Requires ``mentions`` (+ the ``tokens`` column from the tokenize
+    preprocessor — derived automatically); appends ``mention_tokens``
+    (list of {token_start, token_end} parallel to the doc's mentions) and
+    drops docs with any unalignable mention."""
     lengths, _text, start, end, _label, _source = mentions_parts(batch)
-    n_docs = len(contents)
+    t_lens, t_st, t_en = _tokens_parts(batch)
+    t_offsets = np.zeros(len(t_lens) + 1, dtype=np.int64)
+    np.cumsum(t_lens, out=t_offsets[1:])
+    n_docs = batch.num_rows
     n_flat = int(lengths.sum())
     keep_doc = np.ones(n_docs, dtype=bool)
     ts_flat = np.zeros(n_flat, dtype=np.int64)
     te_flat = np.zeros(n_flat, dtype=np.int64)
-    toks: list[tuple[list[str], np.ndarray, np.ndarray]] = []
     pos = 0
-    for i, c in enumerate(contents):
-        tx, st_np, en_np = tokenize(c)
-        toks.append((tx, st_np, en_np))
+    for i in range(n_docs):
         n_m = int(lengths[i])
         if n_m == 0:
             continue
+        st_np = t_st[t_offsets[i] : t_offsets[i + 1]]
+        en_np = t_en[t_offsets[i] : t_offsets[i + 1]]
         ms = start[pos : pos + n_m]
         me = end[pos : pos + n_m]
         if len(st_np) == 0:
@@ -106,36 +159,6 @@ def add_tokens(batch: pa.Table) -> pa.Table:
         pos += n_m
 
     filtered = batch.filter(pa.array(keep_doc))
-    kept = np.flatnonzero(keep_doc)
-    # tokens column (kept docs)
-    tok_lens = [len(toks[i][0]) for i in kept]
-    flat_tx: list[str] = []
-    for i in kept:
-        flat_tx.extend(toks[i][0])
-    flat_st = (
-        np.concatenate([toks[i][1] for i in kept])
-        if len(kept)
-        else np.array([], dtype=np.int64)
-    )
-    flat_en = (
-        np.concatenate([toks[i][2] for i in kept])
-        if len(kept)
-        else np.array([], dtype=np.int64)
-    )
-    flat_id = np.concatenate(
-        [np.arange(n, dtype=np.int64) for n in tok_lens]
-    ) if tok_lens else np.array([], dtype=np.int64)
-    tok_child = pa.StructArray.from_arrays(
-        [
-            pa.array(flat_tx, pa.string()),
-            pa.array(flat_st.astype(np.int32), pa.int32()),
-            pa.array(flat_en.astype(np.int32), pa.int32()),
-            pa.array(flat_id.astype(np.int32), pa.int32()),
-        ],
-        names=["text", "start", "end", "id"],
-    )
-    tokens_col = _list_array(tok_lens, tok_child)
-    # mention_tokens column, parallel to the kept docs' mentions
     m_keep = np.repeat(keep_doc, lengths)
     align_child = pa.StructArray.from_arrays(
         [
@@ -144,7 +167,7 @@ def add_tokens(batch: pa.Table) -> pa.Table:
         ],
         names=["token_start", "token_end"],
     )
-    align_col = _list_array([int(n) for n in lengths[keep_doc]], align_child)
-    return filtered.append_column("tokens", tokens_col).append_column(
-        "mention_tokens", align_col
+    align_col = _list_array(
+        [int(n) for n in lengths[keep_doc]], align_child
     )
+    return filtered.append_column("mention_tokens", align_col)

@@ -62,6 +62,56 @@ def test_add_tokens_alignment_and_misalignment_drop():
     assert rec["removed"] == 1
 
 
+def test_preprocessor_shared_and_factory():
+    """pre=[...] framework: the tokenize preprocessor's column is derived
+    once and shared down the chain (ensure() no-ops when present); op
+    factories create configured ops; the entry-point plugin loader is a
+    safe no-op when nothing is installed."""
+    import pyarrow.compute as pc
+
+    from recon_ray.ops import (
+        OPS,
+        PREPROCESSORS,
+        Op,
+        load_entry_point_plugins,
+        make_op,
+        op_factory,
+    )
+
+    assert "recon_ray.tokenize.v1" in PREPROCESSORS
+    assert OPS["recon_ray.add_tokens.v1"].pre == ("recon_ray.tokenize.v1",)
+
+    @op_factory("recon_ray.min_tokens_filter")
+    def min_tokens_filter(n_min: int = 2) -> Op:
+        def kernel(batch: pa.Table) -> pa.Table:
+            arr = batch.column("tokens")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            keep = pc.greater_equal(arr.value_lengths(), pa.scalar(n_min))
+            return batch.filter(keep)
+
+        return Op(
+            name=f"recon_ray.min_tokens_filter[{n_min}].v1",
+            fn=kernel,
+            kind="filter",
+            pre=("recon_ray.tokenize.v1",),
+        )
+
+    flt = make_op("recon_ray.min_tokens_filter", n_min=4)
+    assert flt.name in OPS
+
+    ds = rd.from_arrow(_docs_table())
+    chained = OPS["recon_ray.add_tokens.v1"].apply(ds)
+    # tokens column already rides the chain → the second ensure() no-ops
+    out = flt.apply(chained).to_pandas()
+    assert out["doc_id"].tolist() == [0]  # 8 tokens ≥ 4 (doc 1 already dropped)
+    # filter everything with a high threshold
+    strict = make_op("recon_ray.min_tokens_filter", n_min=100)
+    assert strict.apply(OPS["recon_ray.add_tokens.v1"].apply(ds)).count() == 0
+
+    assert load_entry_point_plugins("recon_ray.no_such_group") == 0
+
+
 def test_empty_content_doc_with_mentions_drops():
     lengths = np.array([1], dtype=np.int64)
     mentions = mentions_list_array(
