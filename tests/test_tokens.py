@@ -57,9 +57,19 @@ def test_add_tokens_alignment_and_misalignment_drop():
     align = out["mention_tokens"].iloc[0]
     # "foo" → token 1..1 ; "def foo" → tokens 0..1
     assert [(a["token_start"], a["token_end"]) for a in align] == [(1, 1), (0, 1)]
-    summary = ray.get(tracker.summary.remote())
-    rec = [s for s in summary if s["name"] == "recon_ray.add_tokens.v1"][0]
-    assert rec["removed"] == 1
+    # the worker's tracker.add.remote is fire-and-forget — poll until the
+    # record lands (distinct actor mailboxes give no cross-caller ordering)
+    import time
+
+    rec = None
+    for _ in range(100):
+        summary = ray.get(tracker.summary.remote())
+        recs = [s for s in summary if s["name"] == "recon_ray.add_tokens.v1"]
+        if recs:
+            rec = recs[0]
+            break
+        time.sleep(0.1)
+    assert rec is not None and rec["removed"] == 1
 
 
 def test_preprocessor_shared_and_factory():
