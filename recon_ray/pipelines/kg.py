@@ -127,8 +127,12 @@ def run_kg(
     tracker = LineageTracker.remote() if track_lineage else None
 
     # fan the read out well past the pool sizes — parallelism is otherwise
-    # capped by the input fragment count (few big fragments → idle actors)
-    n_blocks = max(4 * (concurrency + linker_concurrency), 32)
+    # capped by the input fragment count (few big fragments → idle actors).
+    # 8× (not 4×): at 96 blocks/32 cpus the extract stage ran 3 task waves
+    # with a straggler tail (14.7 s max vs 9.0 s mean task — oversized-file
+    # skew) and realized only ~24/32 of the node; halving task size evens
+    # the last wave for ~2% per-task overhead.
+    n_blocks = max(8 * (concurrency + linker_concurrency), 64)
     files = read_files(input_path, parallelism=n_blocks)
     if linker_mode == "partitioned":
         symbols_table, symbols_dict = None, None

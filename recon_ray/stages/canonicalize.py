@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 KEY_COLS = ["subj", "pred", "obj", "subj_type", "obj_type"]
 PROV_COLS = ["repo", "path", "commit", "content_sha256", "extractor"]
@@ -60,7 +61,10 @@ def _unpack(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-N_BUCKETS = 64
+#: 256 (not 64): at 96k files the 64-bucket merge showed 3.5× skew between
+#: hottest and mean bucket task (2.9 s vs 0.8 s); 4× more buckets evens the
+#: reduce wave and the per-bucket Python overhead stays negligible
+N_BUCKETS = 256
 
 
 def _add_bucket(batch: pa.Table) -> pa.Table:
@@ -75,39 +79,80 @@ def _add_bucket(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_bucket(g) -> "object":
-    # one call per BUCKET (bounded at N_BUCKETS), body fully vectorized
-    agg = g.groupby(KEY_COLS, sort=False, as_index=False).agg(
-        n_mentions=("n_mentions", "sum"), prov=("prov", "min")
+
+
+@ray.remote
+def _reduce_bucket_range(r: int, n_reducers: int, *blocks: pa.Table) -> pa.Table:
+    """One reduce task: gather its bucket range from every map block
+    (zero-copy plasma reads on-node; remote fetches on a cluster — the
+    same data movement as any shuffle) and merge vectorized."""
+    lo = r * N_BUCKETS // n_reducers
+    hi = (r + 1) * N_BUCKETS // n_reducers
+    picked = []
+    for b in blocks:
+        col = b.column("bucket")
+        mask = pc.and_(
+            pc.greater_equal(col, pa.scalar(lo)), pc.less(col, pa.scalar(hi))
+        )
+        t = b.filter(mask)
+        if t.num_rows:
+            picked.append(t)
+    if not picked:
+        return pa.table(
+            {
+                **{c: pa.array([], pa.string()) for c in KEY_COLS},
+                "n_mentions": pa.array([], pa.int64()),
+                "prov": pa.array([], pa.string()),
+            }
+        )
+    t = pa.concat_tables(picked)
+    g = t.group_by(KEY_COLS).aggregate(
+        [("n_mentions", "sum"), ("prov", "min")]
     )
-    return agg
+    return g.rename_columns(KEY_COLS + ["n_mentions", "prov"])
 
 
-def canonicalize(triples_ds, sort: bool = True):
+def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None):
     """Dataset of raw (or pre-canonicalized) triples → canonical deduped
     Dataset.
 
     Two-phase hash aggregation: (1) per-batch combiner (one row per
-    distinct key per batch — the skew absorber); (2) partition the partial
-    rows into N_BUCKETS hash buckets and merge each bucket with ONE
-    vectorized pandas aggregation — Ray's groupby on five string keys is
-    sort-based and costs several seconds at 10^6 partial rows, while the
-    bucketed merge shuffles the same rows but aggregates vectorized."""
+    distinct key per batch — the skew absorber); (2) bucket merge as
+    EXPLICIT reduce tasks over the materialized partial blocks: each of
+    ``n_reducers`` tasks filters its bucket range out of every map block
+    and merges with one vectorized Arrow group_by. Ray's sort-based
+    groupby on the same partials measured 7–12 s of pure orchestration
+    (boundary sampling + 2×blocks task waves) for <2 s of useful work at
+    10^6 partial rows — the documented raw-task escape hatch applies
+    (same all-to-all data movement, none of the sort machinery). The
+    reduce output stays in the object store (``from_arrow_refs``).
+
+    The materialize() barrier on the SMALL combiner output is deliberate:
+    fusing the merge into the heavy extraction DAG makes the executor
+    juggle both and, at low CPU counts, collapses into spill-thrash
+    (measured at 8 cpus: merge 22 s fused vs 5 s on materialized input).
+    Partial rows are ≤ distinct-keys-per-batch, so pinning costs
+    ~rows(canonical), not rows(corpus)."""
+    import ray as _ray
+
     partial = triples_ds.map_batches(
         partial_canonicalize, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    # explicit barrier on the SMALL combiner output: fusing the all-to-all
-    # merge/sort into the same streaming DAG as the heavy extraction stages
-    # makes the executor juggle both across the barrier and, at low CPU
-    # counts, collapses into spill-thrash (measured at 8 cpus: merge 22s
-    # fused vs 5s on a materialized input; sorted write 157s vs ~70s).
-    # The partial rows are ≤ distinct-keys-per-batch by construction, so
-    # pinning them costs ~rows(canonical) of object store, not rows(corpus).
-    partial = partial.materialize()
-    merged = partial.groupby("bucket").map_groups(
-        _merge_bucket, batch_format="pandas"
-    )
-    out = merged.map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
+    refs = partial.to_arrow_refs()  # materializes the combiner output
+    if n_reducers is None:
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n_reducers = max(8, min(N_BUCKETS, cpus))
+    out_refs = [
+        _reduce_bucket_range.remote(r, n_reducers, *refs)
+        for r in range(n_reducers)
+    ]
+    import ray.data as rd
+
+    out = rd.from_arrow_refs(out_refs)
+    out = out.map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
     if sort:
         out = out.sort(["subj", "pred", "obj"])
     return out

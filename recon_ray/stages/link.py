@@ -340,17 +340,28 @@ def link_partitioned(
 def build_symbol_broadcast(symbol_rows: pa.Table):
     """Distinct (repo, module, name) rows → broadcast dict
     {repo: {name: sorted [qualified]}} → ray.put ref (read zero-copy by
-    every linker actor; the dict ships once, not per batch)."""
-    repos = symbol_rows.column("repo").to_pylist()
-    modules = symbol_rows.column("module").to_pylist()
-    names = symbol_rows.column("name").to_pylist()
+    every linker actor; the dict ships once, not per batch).
+
+    Dedup + qualified-name construction + ordering are VECTORIZED (the
+    scan emits one row per occurrence, so the raw table is ~defs-per-file
+    × files; a per-row `q not in list` membership scan here measured 4.4 s
+    of serial driver time at 96k files and scales quadratically for hot
+    names). The residual Python loop is plain appends over the deduped,
+    pre-sorted rows."""
+    df = pd.DataFrame(
+        {
+            "repo": symbol_rows.column("repo").to_pandas(),
+            "module": symbol_rows.column("module").to_pandas(),
+            "name": symbol_rows.column("name").to_pandas(),
+        }
+    ).drop_duplicates()
+    df["q"] = df["repo"] + ":" + df["module"] + "." + df["name"]
+    df = (
+        df[["repo", "name", "q"]]
+        .drop_duplicates()
+        .sort_values(["repo", "name", "q"], kind="mergesort")
+    )
     symbols: dict[str, dict[str, list[str]]] = {}
-    for r, m, n in zip(repos, modules, names):
-        lst = symbols.setdefault(r, {}).setdefault(n, [])
-        q = spec.qualified(r, m, n)
-        if q not in lst:
-            lst.append(q)
-    for r in symbols:
-        for n in symbols[r]:
-            symbols[r][n].sort()
+    for r, n, q in zip(df["repo"].values, df["name"].values, df["q"].values):
+        symbols.setdefault(r, {}).setdefault(n, []).append(q)
     return ray.put(symbols), symbols
