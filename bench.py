@@ -79,7 +79,9 @@ def run_bench() -> dict:
     out_dir = "/tmp/recon_ray_bench/triples"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    res = run_kg(corpus)
+    # symbol_source="mentions": one corpus read — symbols derive from the
+    # detected (materialized) docs instead of a second DEF-scan pass
+    res = run_kg(corpus, symbol_source="mentions")
     res["canonical"].write_parquet(out_dir)
     headline = time.time() - t0
     queries["kg_pipeline"] = round(headline, 3)
@@ -120,7 +122,7 @@ def run_bench() -> dict:
     knn_exact_top10(SF_DIR)
     queries["knn_exact_top10"] = round(time.time() - t0, 3)
 
-    from recon_ray.functions.dedup import minhash_lsh_dedup
+    from recon_ray.functions.dedup import dup_groups, minhash_lsh_dedup
     import ray.data as rd
 
     t0 = time.time()
@@ -130,6 +132,10 @@ def run_bench() -> dict:
         concurrency=max(2, NUM_CPUS // 4),
     )
     queries["doc_minhash_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dup_groups(rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16))
+    queries["doc_exact_dedup"] = round(time.time() - t0, 3)
 
     result = {
         "metric": "kg_pipeline_sec",
