@@ -6,6 +6,8 @@ Commands:
   stats  <files_dir>             corpus stats report (ner stats, coverage,
                                  disparities — the `recon stats` analogue)
   score  <pred_parquet> <gold_parquet>   triple P/R/F
+  search <files_dir> <query>     substring search over file contents
+                                 (Dataset.search analogue)
   bench                          delegate to bench.py
 
 On a real cluster each command is submitted via ``ray job submit -- python
@@ -89,6 +91,29 @@ def cmd_score(args) -> int:
     return 0 if s["f1"] >= args.min_f1 else 1
 
 
+def cmd_search(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.functions.text import search
+
+    hits = search(
+        rd.read_parquet(args.files_dir),
+        args.query,
+        case_sensitive=not args.ignore_case,
+        text_col=args.text_col,
+    )
+    # print match keys (repo/path/doc_id when present), streaming
+    n = 0
+    for b in hits.iter_batches(batch_format="pandas"):
+        cols = [c for c in ("repo", "path", "doc_id") if c in b.columns]
+        for _, row in b[cols].iterrows() if cols else ():
+            print("\t".join(str(v) for v in row.values))
+        n += len(b)
+    print(f"# {n} matching rows", file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -119,6 +144,13 @@ def main(argv=None) -> int:
     pc.add_argument("gold")
     pc.add_argument("--min-f1", type=float, default=0.95)
     pc.set_defaults(fn=cmd_score)
+
+    pse = sub.add_parser("search", help="substring search over contents")
+    pse.add_argument("files_dir")
+    pse.add_argument("query")
+    pse.add_argument("-i", "--ignore-case", action="store_true")
+    pse.add_argument("--text-col", default="content")
+    pse.set_defaults(fn=cmd_search)
 
     pb = sub.add_parser("bench", help="benchmark")
     pb.add_argument("--scaling", action="store_true")

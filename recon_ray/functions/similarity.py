@@ -9,6 +9,10 @@
   neighbors), cosine runs on the pruned candidate subset only, and the
   corpus never leaves the Dataset. Approximate; recall measured against
   brute force in tests (including a 100× fixture).
+- ``knn_ivf``: the IVF variant — spherical k-means centroids (trained on
+  a small deterministic sample) partition the corpus into cells; queries
+  probe their ``nprobe`` nearest cells. Same distributed candidate-
+  pruning shape as knn_lsh.
 """
 
 from __future__ import annotations
@@ -154,6 +158,97 @@ def knn_lsh(
         if len(cols) == 0:
             return empty
         sims = qm @ m[cols].T  # (n_q, n_cand) — candidates only
+        ids = batch[id_col].to_numpy()[cols]
+        out_q, out_id, out_s = [], [], []
+        for qi in np.flatnonzero(cand[:, cols].any(axis=1)):
+            qc = np.flatnonzero(cand[qi, cols])
+            kk = min(k, len(qc))
+            idx = qc[np.argpartition(-sims[qi, qc], kk - 1)[:kk]]
+            out_q += [int(qi)] * kk
+            out_id += ids[idx].tolist()
+            out_s += sims[qi, idx].tolist()
+        return pd.DataFrame({"qi": out_q, id_col: out_id, "cosine": out_s})
+
+    parts = emb_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return _merge_local_topk(parts, qids, k, id_col)
+
+
+def _kmeans_fit(
+    sample: np.ndarray, k: int, n_iter: int = 10, seed: int = 99
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (the IVF
+    training step). Sample is small by construction; Lloyd iterations are
+    numpy matmuls."""
+    m = _normalize(sample.astype(np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(k, len(m))
+    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    emb_ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    query_ids: list | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 99,
+) -> pd.DataFrame:
+    """IVF approximate top-k, fully distributed like ``knn_lsh``: spherical
+    k-means centroids train on a small sample (driver-side, deterministic),
+    then broadcast; each corpus batch assigns its rows to cells, prunes to
+    rows in any query's ``nprobe`` nearest cells, runs the cosine matmul on
+    that candidate subset only, and emits local top-k. The corpus never
+    leaves the Dataset. At cluster scale the assignment column doubles as a
+    partition key for a cell-clustered layout (write once, probe-read
+    later)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample_df = emb_ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_df[emb_col].to_numpy())
+    centroids = _kmeans_fit(sample, n_cells, seed=seed)
+    # per-query probe cells (nprobe nearest centroids)
+    np_eff = min(nprobe, len(centroids))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :np_eff]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    ref = ray.put((centroids, cell_to_queries, q))
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        cents, c2q, qm = ray.get(ref)
+        empty = pd.DataFrame(
+            {
+                "qi": pd.Series(dtype="int64"),
+                id_col: batch[id_col].iloc[:0],
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        m = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+        assign = np.argmax(m @ cents.T, axis=1)
+        cand = np.zeros((len(qm), len(m)), dtype=bool)
+        for c, qis in c2q.items():
+            rows = np.flatnonzero(assign == c)
+            if len(rows):
+                cand[np.asarray(qis)[:, None], rows[None, :]] = True
+        cols = np.flatnonzero(cand.any(axis=0))
+        if len(cols) == 0:
+            return empty
+        sims = qm @ m[cols].T
         ids = batch[id_col].to_numpy()[cols]
         out_q, out_id, out_s = [], [], []
         for qi in np.flatnonzero(cand[:, cols].any(axis=1)):

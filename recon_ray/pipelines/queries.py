@@ -985,6 +985,20 @@ def knn_lsh_top10(sf_dir: str):
     return out
 
 
+def knn_ivf_top10(sf_dir: str):
+    from recon_ray.functions.similarity import knn_ivf
+
+    q, qids = _query_vectors(sf_dir, 5)
+    out = knn_ivf(
+        _t(sf_dir, "embeddings").repartition(8), q, k=10, n_cells=8,
+        nprobe=4, query_ids=qids,
+    )
+    out = out[["query_id", "rank", "vec_id"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def emb_neardup_pairs(sf_dir: str):
     pairs = embedding_neardup(
         _t(sf_dir, "embeddings").repartition(8), threshold=0.5
@@ -1088,6 +1102,7 @@ QUERIES = {
     # embeddings
     "knn_exact_top10": knn_exact_top10,
     "knn_lsh_top10": knn_lsh_top10,
+    "knn_ivf_top10": knn_ivf_top10,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_label_centroid_norms": emb_label_centroid_norms,
 }

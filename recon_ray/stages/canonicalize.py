@@ -81,6 +81,74 @@ def _add_bucket(batch: pa.Table) -> pa.Table:
 
 
 
+def _pack_key(batch: pa.Table) -> pa.Array:
+    packed = batch.column(KEY_COLS[0]).cast(pa.string())
+    for c in KEY_COLS[1:]:
+        packed = pc.binary_join_element_wise(
+            packed, batch.column(c).cast(pa.string()), _SEP
+        )
+    return packed
+
+
+@ray.remote
+def _reduce_key_range(lo, hi, *blocks: pa.Table) -> pa.Table:
+    """Range-partitioned reduce: gather [lo, hi) of the PACKED key space
+    from every map block, merge, and sort locally — the concatenation of
+    the range outputs is globally sorted, so the separate post-merge sort
+    stage (≈5 s of orchestration at 10^6 rows) disappears. Packed-key
+    order refines (subj, pred, obj) order deterministically."""
+    picked = []
+    for b in blocks:
+        key = _pack_key(b)
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(key, pa.scalar(lo))
+        if hi is not None:
+            m2 = pc.less(key, pa.scalar(hi))
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        t = b if mask is None else b.filter(mask)
+        if t.num_rows:
+            picked.append(t.select(KEY_COLS + ["n_mentions", "prov"]))
+    if not picked:
+        return pa.table(
+            {
+                **{c: pa.array([], pa.string()) for c in KEY_COLS},
+                "n_mentions": pa.array([], pa.int64()),
+                "prov": pa.array([], pa.string()),
+            }
+        )
+    t = pa.concat_tables(picked)
+    g = t.group_by(KEY_COLS).aggregate(
+        [("n_mentions", "sum"), ("prov", "min")]
+    )
+    g = g.rename_columns(KEY_COLS + ["n_mentions", "prov"])
+    return g.sort_by([(c, "ascending") for c in KEY_COLS])
+
+
+def _sample_key_boundaries(refs, n_reducers: int) -> list[str]:
+    """Quantile boundaries of the packed key space from a block sample
+    (deterministic; balance only affects task sizing, never correctness)."""
+    import numpy as np
+
+    if not refs:
+        return []
+    idx = sorted(set(np.linspace(0, len(refs) - 1, min(8, len(refs))).astype(int)))
+    tables = ray.get([refs[i] for i in idx])
+    keys: list[str] = []
+    for t in tables:
+        if t.num_rows:
+            keys.extend(_pack_key(t).to_pylist())
+    if not keys:
+        return []
+    keys.sort()
+    bounds = []
+    for r in range(1, n_reducers):
+        b = keys[min(len(keys) - 1, len(keys) * r // n_reducers)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 @ray.remote
 def _reduce_bucket_range(r: int, n_reducers: int, *blocks: pa.Table) -> pa.Table:
     """One reduce task: gather its bucket range from every map block
@@ -137,7 +205,11 @@ def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None):
 
     partial = triples_ds.map_batches(
         partial_canonicalize, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if not sort:  # hash-range reduce routes on the bucket column
+        partial = partial.map_batches(
+            _add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
     refs = partial.to_arrow_refs()  # materializes the combiner output
     if n_reducers is None:
         try:
@@ -145,14 +217,24 @@ def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None):
         except Exception:
             cpus = 8
         n_reducers = max(8, min(N_BUCKETS, cpus))
-    out_refs = [
-        _reduce_bucket_range.remote(r, n_reducers, *refs)
-        for r in range(n_reducers)
-    ]
     import ray.data as rd
 
-    out = rd.from_arrow_refs(out_refs)
-    out = out.map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
     if sort:
-        out = out.sort(["subj", "pred", "obj"])
-    return out
+        # range-partitioned reduce: each task merges AND locally sorts its
+        # key range; block order = key order, so the output Dataset is
+        # already globally sorted (no separate sort stage)
+        bounds = _sample_key_boundaries(refs, n_reducers)
+        edges = [None, *bounds, None]
+        out_refs = [
+            _reduce_key_range.remote(edges[i], edges[i + 1], *refs)
+            for i in range(len(edges) - 1)
+        ]
+    else:
+        out_refs = [
+            _reduce_bucket_range.remote(r, n_reducers, *refs)
+            for r in range(n_reducers)
+        ]
+    out = rd.from_arrow_refs(out_refs)
+    return out.map_batches(
+        _unpack, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -81,6 +81,55 @@ class OpLogEntry:
     extra: dict = field(default_factory=dict)
 
 
+class SnapshotStore:
+    """Content-addressed snapshot store — the ExampleStore analogue at
+    dataset granularity (recon/store.py keys examples by hash; at Ray
+    scale the unit is a docs SNAPSHOT keyed by its order-insensitive
+    commit hash). Identical dataset states share one directory, so an
+    apply→rollback→re-apply chain (or two TrackedDatasets reaching the
+    same state) stores the bytes once."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, commit_hash: str) -> str:
+        return os.path.join(self.root, commit_hash)
+
+    def has(self, commit_hash: str) -> bool:
+        return os.path.isdir(self.path(commit_hash))
+
+    def get(self, commit_hash: str):
+        """The stored docs as a (lazy) Dataset."""
+        if not self.has(commit_hash):
+            raise KeyError(commit_hash)
+        return rd.read_parquet(self.path(commit_hash))
+
+    def list(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def put_dir(self, tmp_dir: str, commit_hash: str) -> str:
+        """Move a freshly-written snapshot into the store; dedupe on hash."""
+        dest = self.path(commit_hash)
+        if os.path.isdir(dest):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            os.replace(tmp_dir, dest)
+        return dest
+
+    def gc(self, referenced: set[str]) -> list[str]:
+        """Drop snapshots not in ``referenced``; returns removed hashes."""
+        removed = []
+        for h in self.list():
+            if h not in referenced:
+                shutil.rmtree(self.path(h), ignore_errors=True)
+                removed.append(h)
+        return removed
+
+
 class TrackedDataset:
     """Apply registered ops over a docs Dataset with per-op snapshots and
     snapshot-grained rollback.
@@ -89,30 +138,32 @@ class TrackedDataset:
     ``rollback(n)`` restores the dataset (and its stats/commit hash) to
     the state n operations back; ``operations`` is the live op log."""
 
-    def __init__(self, ds, workdir: str, name: str = "dataset"):
+    def __init__(self, ds, workdir: str, name: str = "dataset",
+                 store: Optional[SnapshotStore] = None):
         self.name = name
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
+        # snapshots live in a content-addressed store (shareable across
+        # TrackedDatasets pointed at the same root)
+        self.store = store or SnapshotStore(os.path.join(workdir, "store"))
         self._log: list[OpLogEntry] = []
         self._commit("__initial__", {}, ds)
 
     # ------------------------------------------------------------------
-    def _snap_dir(self, idx: int, op_name: str) -> str:
-        safe = op_name.replace("/", "_").replace(".", "_")
-        return os.path.join(self.workdir, f"snap-{idx:03d}-{safe}")
-
     def _commit(self, op_name: str, kwargs: dict, ds) -> None:
-        idx = len(self._log)
-        snap = self._snap_dir(idx, op_name)
-        shutil.rmtree(snap, ignore_errors=True)
-        ds.write_parquet(snap)
-        snapshot_ds = rd.read_parquet(snap)
+        tmp = os.path.join(self.workdir, f".tmp-{len(self._log):03d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        snapshot_ds = rd.read_parquet(tmp)
+        n_docs = snapshot_ds.count()
+        commit_hash = f"{dataset_commit_hash(snapshot_ds):016x}"
+        snap = self.store.put_dir(tmp, commit_hash)
         entry = OpLogEntry(
             name=op_name,
             kwargs={k: v for k, v in kwargs.items()},
             snapshot=snap,
-            n_docs=snapshot_ds.count(),
-            commit_hash=f"{dataset_commit_hash(snapshot_ds):016x}",
+            n_docs=n_docs,
+            commit_hash=commit_hash,
         )
         self._log.append(entry)
         self._write_log()
@@ -173,10 +224,14 @@ class TrackedDataset:
                 f"Cannot rollback dataset: provided n ({n}) is larger than "
                 "the total number of dataset operations."
             )
-        for e in self._log[-n:]:
-            shutil.rmtree(e.snapshot, ignore_errors=True)
+        # snapshots are content-addressed and may be shared — truncate the
+        # log only; reclaim unreferenced dirs explicitly via gc()
         self._log = self._log[:-n]
         self._write_log()
+
+    def gc(self) -> list[str]:
+        """Drop store snapshots no longer referenced by this op log."""
+        return self.store.gc({e.commit_hash for e in self._log})
 
     def search(self, query: str, case_sensitive: bool = True,
                text_col: str = "content"):

@@ -353,6 +353,22 @@ def test_embedding_neardup_100x_planted():
     assert (got["cosine"] >= 0.98).all()
 
 
+def test_knn_ivf_recall(emb):
+    from recon_ray.functions.similarity import knn_bruteforce, knn_ivf, knn_recall
+
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    queries = np.stack(full["embedding"].head(8).to_numpy())
+    exact = knn_bruteforce(emb, queries, k=5)
+    approx = knn_ivf(emb, queries, k=5, n_cells=8, nprobe=4)
+    r = knn_recall(approx, exact)
+    assert r >= 0.5, r
+    # the query vector itself is always in a probed cell (its own)
+    assert (approx[approx["rank"] == 1]["cosine"] == 1.0).all()
+    # determinism
+    again = knn_ivf(emb, queries, k=5, n_cells=8, nprobe=4)
+    pd.testing.assert_frame_equal(approx, again)
+
+
 def test_knn_lsh_recall_100x():
     """Recall vs exact at 100× the sf0.01 embeddings fixture (50k vectors)
     — the distributed candidate-pruning path must hold recall without ever

@@ -73,6 +73,26 @@ def test_rollback_multiple_and_bounds(tmp_path):
     assert td.commit_hash == h0
 
 
+def test_content_addressed_store_dedup_and_gc(tmp_path):
+    """Snapshots are keyed by commit hash: re-applying an op after a
+    rollback reuses the stored state instead of writing a new copy; gc()
+    reclaims unreferenced hashes."""
+    td = TrackedDataset(rd.from_arrow(_docs()), str(tmp_path / "oplog"))
+    h0 = td.commit_hash
+    td.apply_("recon_ray.upcase_labels.v1")
+    h1 = td.commit_hash
+    assert sorted(td.store.list()) == sorted({h0, h1})
+    td.rollback()
+    assert h1 in td.store.list()  # content-addressed: survives rollback
+    td.apply_("recon_ray.upcase_labels.v1")
+    assert td.commit_hash == h1  # deterministic op → same state, reused
+    assert len(td.store.list()) == 2
+    td.rollback()
+    assert td.gc() == [h1]
+    assert td.store.list() == [h0]
+    assert td.store.get(h0).count() == 2
+
+
 def test_tracked_search(tmp_path):
     td = TrackedDataset(rd.from_arrow(_docs()), str(tmp_path / "oplog"))
     assert td.search("FOO").count() == 0
