@@ -490,6 +490,79 @@ FROM marked GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_tumbling_6h(sf_dir: str):
+    """Tumbling-window aggregate (6-hour buckets × event_type): the
+    batch-expressible form of a streaming window — the window key is a
+    pure row function (ts floor), so it composes with the combiner
+    grouped_agg like any other key; no ordering or state needed."""
+    ev = _t(sf_dir, "events")
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["ts"].dt.floor("6h"),
+                "event_type": df["event_type"],
+                "value": df["value"],
+            }
+        )
+
+    g = grouped_agg(
+        ev.map_batches(win, batch_format="pandas"),
+        ["window_start", "event_type"],
+        {"value": ["sum", "count"]},
+    )
+    out = pd.DataFrame(
+        {
+            "window_start": g["window_start"],
+            "event_type": g["event_type"],
+            "n_events": g["value_count"].astype("int64"),
+            "total_value": _round_away(g["value_sum"], 2),
+        }
+    )
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_rolling_7d(sf_dir: str):
+    """Rolling 7-day event count per day: the heavy part (daily counts) is
+    a distributed grouped count; the rolling frame runs over the TINY
+    per-day table (one row per day) on the driver — the right split for a
+    window whose frame spans many partitions."""
+    ev = _t(sf_dir, "events")
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.floor("D")})
+
+    daily = group_count(
+        ev.map_batches(day, batch_format="pandas"), "day", alias="n_events"
+    ).sort_values("day").reset_index(drop=True)
+    daily["n_events_7d"] = (
+        daily.set_index("day")["n_events"].rolling("7D").sum().to_numpy()
+        .astype("int64")
+    )
+    return daily[["day", "n_events", "n_events_7d"]]
+
+
+ORACLE_EVENTS_ROLLING = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       sum(n_events) OVER (
+         ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       )::BIGINT AS n_events_7d
+FROM daily ORDER BY day
+"""
+
+
 def q_union_price_bands(sf_dir: str):
     """Union-all of two filtered selects + grouped count (Corpus.all shape)."""
     orders = _t(sf_dir, "orders")
@@ -1073,6 +1146,8 @@ QUERIES = {
     "q_events_by_type": q_events_by_type,
     "q_events_daily": q_events_daily,
     "q_events_sessions": q_events_sessions,
+    "q_events_tumbling_6h": q_events_tumbling_6h,
+    "q_events_rolling_7d": q_events_rolling_7d,
     "q_union_price_bands": q_union_price_bands,
     "q_part_type_stats": q_part_type_stats,
     "q_priority_revenue_shuffle_join": q_priority_revenue_shuffle_join,
@@ -1129,6 +1204,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_by_type": ORACLE_EVENTS_BY_TYPE,
         "q_events_daily": ORACLE_EVENTS_DAILY,
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,
+        "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
+        "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_union_price_bands": ORACLE_UNION_BANDS,
         "q_part_type_stats": ORACLE_PART_TYPE,
         "q_priority_revenue_shuffle_join": ORACLE_PRIORITY_REVENUE,
