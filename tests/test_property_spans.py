@@ -102,3 +102,75 @@ def test_fix_annotations_parity(raw_docs, corrections):
             corrections=corrections,
         )
         assert _spans_of(out, d) == [(m.text, m.start, m.end, m.label) for m in seq]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer properties (no Ray needed — the op kernels are pure functions)
+# ---------------------------------------------------------------------------
+
+TOK_CHARS = "ab c.d(_)!\n\tz0"
+
+
+@given(st.text(alphabet=TOK_CHARS, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_partition_properties(text):
+    """Tokens are in-bounds, ordered, non-overlapping, text-faithful, and
+    exactly cover every non-whitespace character (the \\w+|[^\\w\\s]
+    pattern partitions non-space text)."""
+    from recon_ray.ops.tokens import tokenize
+
+    tx, starts, ends = tokenize(text)
+    assert len(tx) == len(starts) == len(ends)
+    prev_end = 0
+    covered = 0
+    for t, s, e in zip(tx, starts, ends):
+        assert 0 <= s < e <= len(text)
+        assert s >= prev_end  # ordered, non-overlapping
+        assert text[s:e] == t  # faithful offsets
+        assert text[prev_end:s].strip() == ""  # gaps are whitespace only
+        prev_end = e
+        covered += e - s
+    assert covered == sum(1 for c in text if not c.isspace())
+
+
+@given(st.text(alphabet=TOK_CHARS, min_size=3, max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_add_tokens_alignment_property(text):
+    """Any span cut exactly at token boundaries aligns to those token
+    indices; shifting the start mid-token drops the doc."""
+    from recon_ray.ops.tokens import add_tokens, tokenize, tokenize_batch
+
+    tx, starts, ends = tokenize(text)
+    if len(tx) == 0:
+        return
+    i = len(tx) // 3
+    j = min(len(tx) - 1, i + 1)
+
+    def run(start, end):
+        lengths = np.array([1], dtype=np.int64)
+        m = mentions_list_array(
+            lengths,
+            np.array([text[start:end]], dtype=object),
+            np.array([start], dtype=np.int64),
+            np.array([end], dtype=np.int64),
+            np.array(["IDENT"], dtype=object),
+            np.array(["t"], dtype=object),
+        )
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "content": pa.array([text], pa.string()),
+                "mentions": m,
+            }
+        )
+        return add_tokens(tokenize_batch(batch))
+
+    out = run(int(starts[i]), int(ends[j]))
+    assert out.num_rows == 1
+    align = out.column("mention_tokens").to_pylist()[0][0]
+    assert (align["token_start"], align["token_end"]) == (i, j)
+
+    # start shifted INTO a multi-char token → misaligned → doc dropped
+    if ends[i] - starts[i] > 1:
+        out2 = run(int(starts[i]) + 1, int(ends[j]))
+        assert out2.num_rows == 0
