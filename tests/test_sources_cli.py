@@ -110,3 +110,33 @@ def test_cli_score_and_stats(tmp_path, unit_corpus_dir, gold_extraction):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert json.loads(r.stdout)["f1"] == 1.0
+
+
+def test_cli_search(unit_corpus_dir):
+    """search verb: streaming substring match over file contents (the
+    Dataset.search analogue, recon/dataset.py:291-311)."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "search", unit_corpus_dir,
+         "import numpy"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) > 0
+    assert all("\t" in ln for ln in lines)  # repo\tpath rows
+    # case sensitivity: uppercase query only hits with -i
+    r2 = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "search", unit_corpus_dir,
+         "IMPORT NUMPY"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0
+    assert not [ln for ln in r2.stdout.splitlines() if ln.strip()]
+    r3 = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "search", "-i", unit_corpus_dir,
+         "IMPORT NUMPY"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r3.returncode == 0
+    assert len([ln for ln in r3.stdout.splitlines() if ln.strip()]) == len(lines)
