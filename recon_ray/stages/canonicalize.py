@@ -180,7 +180,25 @@ def _reduce_bucket_range(r: int, n_reducers: int, *blocks: pa.Table) -> pa.Table
     return g.rename_columns(KEY_COLS + ["n_mentions", "prov"])
 
 
-def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None):
+def _merge_bucket_pd(g):
+    # fallback-path per-bucket merge (one vectorized call per bucket)
+    agg = g.groupby(KEY_COLS, sort=False, as_index=False).agg(
+        n_mentions=("n_mentions", "sum"), prov=("prov", "min")
+    )
+    return agg.drop(columns=[c for c in ("bucket",) if c in agg.columns],
+                    errors="ignore")
+
+
+#: above this many combiner blocks, the explicit reduce (which hands every
+#: block ref to every reduce task) degrades to O(blocks × reducers) argument
+#: plumbing — fall back to Ray's staged shuffle. The checkpointed runner
+#: bounds per-shard block counts far below this; only an unsharded run over
+#: a huge corpus trips it.
+MAX_REDUCE_FANIN = 1024
+
+
+def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None,
+                 max_fanin: int = MAX_REDUCE_FANIN):
     """Dataset of raw (or pre-canonicalized) triples → canonical deduped
     Dataset.
 
@@ -218,6 +236,22 @@ def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None):
             cpus = 8
         n_reducers = max(8, min(N_BUCKETS, cpus))
     import ray.data as rd
+
+    if len(refs) > max_fanin:
+        # scale-safety valve: Ray's staged shuffle beats per-task ref
+        # plumbing at very high block counts (see MAX_REDUCE_FANIN)
+        ds = rd.from_arrow_refs(refs)
+        if sort:
+            ds = ds.map_batches(
+                _add_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
+        merged = ds.groupby("bucket").map_groups(
+            _merge_bucket_pd, batch_format="pandas"
+        )
+        out = merged.map_batches(
+            _unpack, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return out.sort(["subj", "pred", "obj"]) if sort else out
 
     if sort:
         # range-partitioned reduce: each task merges AND locally sorts its

@@ -110,3 +110,19 @@ def test_partitioned_linker_equals_broadcast(unit_corpus_dir, kg_result):
     a2 = a.sort_values(key).reset_index(drop=True)
     b2 = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a2, b2[a2.columns])
+
+
+def test_canonicalize_fanin_fallback_equals_task_reduce(kg_result):
+    """Above MAX_REDUCE_FANIN combiner blocks canonicalize falls back to
+    Ray's staged shuffle; forcing the fallback (max_fanin=1) must produce
+    the identical sorted canonical table."""
+    import pandas as pd
+
+    from recon_ray.stages.canonicalize import canonicalize
+
+    res, _, _ = kg_result
+    a = res["canonical"].to_pandas()
+    b = canonicalize(res["triples"], sort=True, max_fanin=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b[a.columns].reset_index(drop=True)
+    )
