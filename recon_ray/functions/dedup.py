@@ -172,6 +172,45 @@ def _band_weights(n_bands: int, rows_per_band: int, seed: int = 777):
     return w, b
 
 
+#: per-worker-process kernel cache — the stage state (permutation params,
+#: word-hash memos) is cheap to build but an ACTOR POOL costs 2-4 s of
+#: spawn latency per call; elastic tasks + a process cache get the same
+#: build-once-per-worker behavior with no pool (cf. stages/detect.py)
+_PROCESS_KERNELS: dict = {}
+
+
+def make_minhash_batch(n_perm: int = _N_PERM, k: int = 3):
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("minhash", n_perm, k)
+        h = _PROCESS_KERNELS.get(key)
+        if h is None:
+            h = _PROCESS_KERNELS[key] = MinHasher(n_perm=n_perm, k=k)
+        return h(batch)
+
+    return fn
+
+
+def make_simhash_batch():
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _PROCESS_KERNELS.get("simhash")
+        if h is None:
+            h = _PROCESS_KERNELS["simhash"] = SimHasher()
+        return h(batch)
+
+    return fn
+
+
+def make_shingle_batch(k: int = 3):
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("shingles", k)
+        h = _PROCESS_KERNELS.get(key)
+        if h is None:
+            h = _PROCESS_KERNELS[key] = ShingleSets(k=k)
+        return h(batch)
+
+    return fn
+
+
 def lsh_candidate_pairs(sig_ds, n_bands: int = 16, n_perm: int = _N_PERM):
     """Band the signatures, shuffle on the band hash, emit candidate pairs
     (a<b) within each bucket. Returns a DATASET of distinct (a, b) pairs.
@@ -337,11 +376,9 @@ def minhash_lsh_dedup(
     from recon_ray.functions.relational import semi_join
 
     sigs = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_perm": n_perm, "k": k},
+        make_minhash_batch(n_perm, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
     cand_ds = lsh_candidate_pairs(sigs, n_bands=n_bands, n_perm=n_perm)
     cand_ds = cand_ds.materialize()  # reused: id-collect + verify pass
@@ -365,9 +402,7 @@ def minhash_lsh_dedup(
     sh_df = (
         semi_join(docs_ds.select_columns(["doc_id", "text"]), cand_ids, "doc_id")
         .map_batches(
-            ShingleSets, fn_constructor_kwargs={"k": k},
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency,
+            make_shingle_batch(k), batch_format="pyarrow", zero_copy_batch=True
         )
         .to_pandas()
     )
@@ -458,8 +493,7 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency: int = 4) -> pd.Dat
     from recon_ray.functions.relational import bucketed_group_apply
 
     sigs_ds = docs_ds.map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+        make_simhash_batch(), batch_format="pyarrow", zero_copy_batch=True
     )
 
     def bands(batch: pa.Table) -> pa.Table:
