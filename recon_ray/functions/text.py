@@ -152,6 +152,34 @@ class LanguageId:
         )
 
 
+#: per-worker-process kernel cache (elastic-task form of the stateful
+#: stages — see stages/detect.py; an actor pool pays 2-4 s spawn for
+#: state that costs microseconds to build)
+_PROCESS_KERNELS: dict = {}
+
+
+def make_langid_batch(min_score: float = 0.05):
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("langid", min_score)
+        h = _PROCESS_KERNELS.get(key)
+        if h is None:
+            h = _PROCESS_KERNELS[key] = LanguageId(min_score=min_score)
+        return h(batch)
+
+    return fn
+
+
+def make_fingerprint_batch(w: int = 5):
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("fingerprint", w)
+        h = _PROCESS_KERNELS.get(key)
+        if h is None:
+            h = _PROCESS_KERNELS[key] = Fingerprinter(w=w)
+        return h(batch)
+
+    return fn
+
+
 _FP_BASE = np.uint64(1099511628211)
 _FP_OFFSET = np.uint64(14695981039346656037)
 

@@ -38,12 +38,7 @@ from recon_ray.functions.relational import (
     semi_join,
 )
 from recon_ray.functions.similarity import knn_bruteforce, knn_lsh
-from recon_ray.functions.text import (
-    Fingerprinter,
-    LanguageId,
-    quality_scores,
-    token_counts,
-)
+from recon_ray.functions.text import quality_scores, token_counts
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -965,20 +960,24 @@ FROM w ORDER BY doc_id
 
 
 def doc_langid(sf_dir: str):
+    from recon_ray.functions.text import make_langid_batch
+
     out = (
         _t(sf_dir, "documents")
-        .map_batches(LanguageId, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=2)
+        .map_batches(make_langid_batch(), batch_format="pyarrow",
+                     zero_copy_batch=True)
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_fingerprints(sf_dir: str):
+    from recon_ray.functions.text import make_fingerprint_batch
+
     out = (
         _t(sf_dir, "documents")
-        .map_batches(Fingerprinter, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=2)
+        .map_batches(make_fingerprint_batch(), batch_format="pyarrow",
+                     zero_copy_batch=True)
         .to_pandas()
     )
     out["fingerprint"] = out["fingerprint"].astype("uint64")
