@@ -99,6 +99,9 @@ def _reduce_key_range(lo, hi, *blocks: pa.Table) -> pa.Table:
     order refines (subj, pred, obj) order deterministically."""
     picked = []
     for b in blocks:
+        # empty upstream blocks can arrive schema-less (no columns at all)
+        if b.num_rows == 0 or KEY_COLS[0] not in b.column_names:
+            continue
         key = _pack_key(b)
         mask = None
         if lo is not None:
@@ -158,6 +161,8 @@ def _reduce_bucket_range(r: int, n_reducers: int, *blocks: pa.Table) -> pa.Table
     hi = (r + 1) * N_BUCKETS // n_reducers
     picked = []
     for b in blocks:
+        if b.num_rows == 0 or "bucket" not in b.column_names:
+            continue
         col = b.column("bucket")
         mask = pc.and_(
             pc.greater_equal(col, pa.scalar(lo)), pc.less(col, pa.scalar(hi))

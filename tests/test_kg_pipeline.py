@@ -126,3 +126,23 @@ def test_canonicalize_fanin_fallback_equals_task_reduce(kg_result):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b[a.columns].reset_index(drop=True)
     )
+
+
+def test_empty_corpus_all_modes(tmp_path):
+    """0 rows flow through every pipeline mode without error (schema-less
+    empty blocks must not break the reduce kernels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recon_ray.pipelines.kg import run_kg
+
+    d = tmp_path / "empty_corpus"
+    d.mkdir()
+    t = pa.table(
+        {c: pa.array([], pa.string())
+         for c in ["repo", "path", "commit", "lang", "content"]}
+    )
+    pq.write_table(t, str(d / "part-0.parquet"))
+    assert run_kg(str(d))["canonical"].count() == 0
+    assert run_kg(str(d), linker_mode="partitioned")["canonical"].count() == 0
+    assert run_kg(str(d), symbol_source="mentions")["canonical"].count() == 0
