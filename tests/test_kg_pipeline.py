@@ -64,8 +64,16 @@ def test_triple_prf_gate(kg_result, gold_extraction):
 
 
 def test_lineage_counts(kg_result):
+    import time
+
     res, _, _ = kg_result
-    summary = lineage_summary(res["tracker"])
+    # workers report via fire-and-forget actor calls — poll until all five
+    # ops have landed their full row counts (no cross-caller ordering)
+    for _ in range(100):
+        summary = lineage_summary(res["tracker"])
+        if len(summary) == 5 and all(s["rows"] == 120 for s in summary):
+            break
+        time.sleep(0.1)
     names = [s["name"] for s in summary]
     assert names == [
         "recon_ray.upcase_labels.v1",
