@@ -1,0 +1,271 @@
+"""Global content-addressed ExampleStore — the distributed analogue of the
+reference's ``ExampleStore`` (reference recon/store.py:10-80: a hash→Example
+dict with add/contains/from_disk/to_disk), shared ACROSS datasets.
+
+The reference keeps every example in driver memory; at 100 TB that is a
+non-starter. Here the store is a directory of hash-partitioned parquet
+buckets (``bucket = doc_id % num_buckets``):
+
+    root/
+      meta.json                     {"num_buckets": N}
+      bucket=0007/part-<sha>.parquet
+
+* ``add_dataset(ds)`` stages the incoming Dataset partitioned by bucket
+  (a parquet write with ``partition_cols`` — rows route to their bucket at
+  write time, no global shuffle), then runs ONE Ray task per touched
+  bucket that anti-joins staged doc_ids against the bucket's existing ids
+  and appends only the novel rows as a new content-addressed part file.
+  Work and memory are bounded per bucket, never per store.
+* Membership / length stream only the ``doc_id`` column of the touched
+  buckets (column pruning at the read).
+* Part files are content-addressed (sha of their doc_id set), so a
+  retried merge task rewrites identical bytes to the same name —
+  idempotent under Ray retries.
+
+Concurrency: adds from ONE driver are serial and fully deduped; racing
+adds from multiple drivers to the same store need external coordination
+(the reference's dict-backed store has the same contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+_META = "meta.json"
+
+
+def _bucket_dir(root: str, b: int) -> str:
+    return os.path.join(root, f"bucket={b:04d}")
+
+
+def _part_ids(bucket_dir: str) -> set[int]:
+    """All doc_ids already stored in a bucket (doc_id column only)."""
+    ids: set[int] = set()
+    if not os.path.isdir(bucket_dir):
+        return ids
+    for name in sorted(os.listdir(bucket_dir)):
+        if name.endswith(".parquet"):
+            col = pq.read_table(
+                os.path.join(bucket_dir, name), columns=["doc_id"]
+            ).column("doc_id")
+            ids.update(col.to_pylist())
+    return ids
+
+
+@ray.remote
+def _merge_bucket(staging_bucket: str, store_bucket: str) -> int:
+    """Anti-join one staged bucket against the stored bucket and append the
+    novel rows as a content-addressed part. Returns rows added."""
+    parts = [
+        os.path.join(staging_bucket, n)
+        for n in sorted(os.listdir(staging_bucket))
+        if n.endswith(".parquet")
+    ]
+    if not parts:
+        return 0
+    staged = pa.concat_tables([pq.read_table(p) for p in parts])
+    if staged.num_rows == 0:
+        return 0
+    # first occurrence per doc_id within the staged rows
+    ids = staged.column("doc_id").to_pylist()
+    existing = _part_ids(store_bucket)
+    keep = []
+    seen: set[int] = set()
+    for i, h in enumerate(ids):
+        if h not in existing and h not in seen:
+            seen.add(h)
+            keep.append(i)
+    if not keep:
+        return 0
+    novel = staged.take(pa.array(keep, pa.int64()))
+    os.makedirs(store_bucket, exist_ok=True)
+    sig = hashlib.sha256(
+        b"".join(int(h).to_bytes(8, "little") for h in sorted(seen))
+    ).hexdigest()[:16]
+    tmp = os.path.join(store_bucket, f".part-{sig}.tmp")
+    pq.write_table(novel, tmp)
+    os.replace(tmp, os.path.join(store_bucket, f"part-{sig}.parquet"))
+    return novel.num_rows
+
+
+class ExampleStore:
+    """Content-addressed, hash-bucketed store of examples keyed by ``doc_id``
+    (the reference's ``example_hash``). See module docstring for layout."""
+
+    def __init__(self, root: str, num_buckets: int = 64):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        meta_path = os.path.join(root, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.num_buckets = int(json.load(f)["num_buckets"])
+        else:
+            self.num_buckets = num_buckets
+            with open(meta_path, "w") as f:
+                json.dump({"num_buckets": num_buckets}, f)
+
+    # -- write path ---------------------------------------------------------
+
+    def add_dataset(self, ds, staging_dir: Optional[str] = None) -> int:
+        """Add every example of a docs Dataset (columns incl. ``doc_id``)
+        not already present. Returns the number of rows added."""
+        import tempfile
+
+        n_buckets = self.num_buckets
+
+        def tag(batch: pa.Table) -> pa.Table:
+            b = pc.cast(
+                pc.bit_wise_and(
+                    batch.column("doc_id"), pa.scalar(2**63 - 1, pa.uint64())
+                ),
+                pa.int64(),
+            )
+            bucket = pc.cast(
+                pc.subtract(
+                    b, pc.multiply(pc.divide(b, n_buckets), n_buckets)
+                ),
+                pa.int32(),
+            )
+            return batch.append_column("bucket", bucket)
+
+        staging = staging_dir or tempfile.mkdtemp(prefix="example_store_stage_")
+        ds.map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(staging, partition_cols=["bucket"])
+
+        refs = []
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            refs.append(
+                _merge_bucket.remote(
+                    os.path.join(staging, name), _bucket_dir(self.root, b)
+                )
+            )
+        added = sum(ray.get(refs))
+        import shutil
+
+        if staging_dir is None:
+            shutil.rmtree(staging, ignore_errors=True)
+        return added
+
+    def add_examples(self, records: list[dict]) -> int:
+        """Driver-side convenience for a handful of raw example dicts
+        (reference ExampleStore.add); bulk adds go through add_dataset."""
+        from recon_ray.sources.jsonl import records_to_table
+
+        return self.add_dataset(rd.from_arrow(records_to_table(records)))
+
+    # -- read path ----------------------------------------------------------
+
+    def _bucket_of(self, doc_id: int) -> int:
+        return (int(doc_id) & (2**63 - 1)) % self.num_buckets
+
+    def __contains__(self, doc_id: int) -> bool:
+        return int(doc_id) in _part_ids(
+            _bucket_dir(self.root, self._bucket_of(doc_id))
+        )
+
+    def contains_many(self, doc_ids: Iterable[int]) -> dict[int, bool]:
+        """Membership for a set of hashes, reading each touched bucket once."""
+        by_bucket: dict[int, list[int]] = {}
+        for h in doc_ids:
+            by_bucket.setdefault(self._bucket_of(h), []).append(int(h))
+        out: dict[int, bool] = {}
+        for b, hs in by_bucket.items():
+            ids = _part_ids(_bucket_dir(self.root, b))
+            for h in hs:
+                out[h] = h in ids
+        return out
+
+    def get(self, doc_id: int) -> Optional[dict]:
+        """Fetch one example row by hash (reference __getitem__); None when
+        absent. Reads only the one bucket."""
+        bdir = _bucket_dir(self.root, self._bucket_of(doc_id))
+        if not os.path.isdir(bdir):
+            return None
+        for name in sorted(os.listdir(bdir)):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(bdir, name))
+            mask = pc.equal(t.column("doc_id"), pa.scalar(int(doc_id), pa.uint64()))
+            hit = t.filter(mask)
+            if hit.num_rows:
+                return hit.slice(0, 1).to_pylist()[0]
+        return None
+
+    def __len__(self) -> int:
+        n = 0
+        for name in os.listdir(self.root):
+            if name.startswith("bucket="):
+                bdir = os.path.join(self.root, name)
+                n += len(_part_ids(bdir))
+        return n
+
+    def to_dataset(self):
+        """The whole store as a Dataset. Uniqueness per doc_id is a store
+        invariant: each id routes to exactly one bucket and ``_merge_bucket``
+        anti-joins every add against the bucket's existing parts. (Like the
+        reference's dict-backed store, concurrent adds to the SAME store
+        need external coordination.)"""
+        parts = [
+            os.path.join(self.root, name, fn)
+            for name in sorted(os.listdir(self.root))
+            if name.startswith("bucket=")
+            for fn in sorted(os.listdir(os.path.join(self.root, name)))
+            if fn.endswith(".parquet")
+        ]
+        if not parts:
+            return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.uint64())}))
+        return rd.read_parquet(parts)
+
+    # -- reference-format interop ------------------------------------------
+
+    def to_disk(self, path: str) -> None:
+        """Serialize as the reference JSONL shape
+        ``{"example_hash": ..., "example": {text, spans, meta}}``
+        (reference recon/store.py:68-80) — small-store interop only."""
+        from recon_ray.sources.jsonl import write_jsonl_examples
+
+        tmp = path + ".docs"
+        write_jsonl_examples(self.to_dataset(), tmp)
+        records = []
+        for name in sorted(os.listdir(tmp)):
+            with open(os.path.join(tmp, name)) as f:
+                for line in f:
+                    records.append(json.loads(line))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        from recon_ray.sources.jsonl import records_to_table
+
+        t = records_to_table(records)
+        ids = t.column("doc_id").to_pylist()
+        with open(path, "w") as f:
+            for h, rec in zip(ids, records):
+                f.write(
+                    json.dumps({"example_hash": int(h), "example": rec},
+                               sort_keys=True) + "\n"
+                )
+
+    @classmethod
+    def from_disk(cls, path: str, root: str, num_buckets: int = 64
+                  ) -> "ExampleStore":
+        """Load a reference-format JSONL store file into a new bucketed
+        store (reference recon/store.py:49-66)."""
+        store = cls(root, num_buckets=num_buckets)
+        with open(path) as f:
+            records = [json.loads(line)["example"] for line in f if line.strip()]
+        if records:
+            store.add_examples(records)
+        return store

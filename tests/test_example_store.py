@@ -1,0 +1,87 @@
+"""Global ExampleStore — the distributed analogue of the reference's
+content-addressed store (recon/store.py:10-80): add is idempotent by
+example hash, membership/get work across datasets, reference-format JSONL
+round-trips."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data as rd
+
+from recon_ray.sources.jsonl import records_to_table
+from recon_ray.state.example_store import ExampleStore
+
+
+def _recs(tag: str, n: int) -> list[dict]:
+    return [
+        {
+            "text": f"{tag} text {i}",
+            "spans": [{"start": 0, "end": len(tag), "label": "ENT"}],
+            "meta": {"source": tag},
+        }
+        for i in range(n)
+    ]
+
+
+def test_add_is_idempotent_and_deduped(tmp_path):
+    store = ExampleStore(str(tmp_path / "store"), num_buckets=8)
+    a = _recs("alpha", 20)
+    n1 = store.add_dataset(rd.from_arrow(records_to_table(a)))
+    assert n1 == 20
+    # adding the same examples again (even from a different Dataset) adds 0
+    n2 = store.add_dataset(rd.from_arrow(records_to_table(list(reversed(a)))))
+    assert n2 == 0
+    assert len(store) == 20
+
+    # overlapping second dataset: only the novel rows land
+    b = _recs("alpha", 5) + _recs("beta", 7)
+    n3 = store.add_dataset(rd.from_arrow(records_to_table(b)))
+    assert n3 == 7
+    assert len(store) == 27
+
+
+def test_membership_get_and_roundtrip(tmp_path):
+    store = ExampleStore(str(tmp_path / "store"), num_buckets=4)
+    t = records_to_table(_recs("gamma", 6))
+    store.add_dataset(rd.from_arrow(t))
+    ids = t.column("doc_id").to_pylist()
+
+    assert all(h in store for h in ids)
+    assert (ids[0] + 1) not in store
+    flags = store.contains_many(ids + [ids[0] + 1])
+    assert sum(flags.values()) == len(ids)
+
+    row = store.get(ids[2])
+    assert row is not None and row["text"] == "gamma text 2"
+    assert store.get(ids[0] + 1) is None
+
+    out = store.to_dataset().to_pandas()
+    assert len(out) == 6
+    assert sorted(out["doc_id"].astype("uint64").tolist()) == sorted(ids)
+
+    # reference-format JSONL round-trip (recon/store.py:49-80 shape)
+    path = str(tmp_path / "store.jsonl")
+    store.to_disk(path)
+    with open(path) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 6
+    assert set(lines[0]) == {"example_hash", "example"}
+
+    store2 = ExampleStore.from_disk(path, str(tmp_path / "store2"),
+                                    num_buckets=4)
+    assert len(store2) == 6
+    assert all(h in store2 for h in ids)
+
+
+def test_store_reopen_persists(tmp_path):
+    root = str(tmp_path / "store")
+    s1 = ExampleStore(root, num_buckets=16)
+    s1.add_dataset(rd.from_arrow(records_to_table(_recs("delta", 3))))
+    # reopen: num_buckets comes from meta.json, contents survive
+    s2 = ExampleStore(root, num_buckets=999)
+    assert s2.num_buckets == 16
+    assert len(s2) == 3
+    assert s2.add_dataset(
+        rd.from_arrow(records_to_table(_recs("delta", 3)))) == 0
