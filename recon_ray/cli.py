@@ -8,6 +8,8 @@ Commands:
   score  <pred_parquet> <gold_parquet>   triple P/R/F
   search <files_dir> <query>     substring search over file contents
                                  (Dataset.search analogue)
+  track  init|apply|log|rollback|gc   op-log verbs over a tracked workdir
+                                 (apply_/rollback analogue)
   bench                          delegate to bench.py
 
 On a real cluster each command is submitted via ``ray job submit -- python
@@ -114,6 +116,39 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_track(args) -> int:
+    """Op-log verbs over a TrackedDataset workdir (the CLI face of the
+    reference's apply_/rollback contract, recon/dataset.py:176-289)."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.state.oplog import TrackedDataset
+
+    if args.verb == "init":
+        td = TrackedDataset(rd.read_parquet(args.input), args.workdir)
+        print(json.dumps({"commit": td.commit_hash, "n_docs": len(td)}))
+        return 0
+
+    td = TrackedDataset.load(args.workdir)
+    if args.verb == "log":
+        for e in td.operations:
+            print(f"{e.commit_hash}  {e.name}  n_docs={e.n_docs}  "
+                  f"kwargs={json.dumps(e.kwargs, sort_keys=True)}")
+        print(f"# head: {td.commit_hash} ({len(td.operations)} ops, "
+              f"{len(td)} docs)", file=sys.stderr)
+    elif args.verb == "apply":
+        kwargs = json.loads(args.kwargs) if args.kwargs else {}
+        td.apply_(args.op, **kwargs)
+        print(json.dumps({"commit": td.commit_hash, "n_docs": len(td)}))
+    elif args.verb == "rollback":
+        td.rollback(args.n)
+        print(json.dumps({"commit": td.commit_hash, "n_docs": len(td)}))
+    elif args.verb == "gc":
+        removed = td.gc()
+        print(json.dumps({"removed": removed}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -151,6 +186,25 @@ def main(argv=None) -> int:
     pse.add_argument("-i", "--ignore-case", action="store_true")
     pse.add_argument("--text-col", default="content")
     pse.set_defaults(fn=cmd_search)
+
+    pt = sub.add_parser("track", help="op-log verbs over a tracked workdir")
+    tsub = pt.add_subparsers(dest="verb", required=True)
+    ti = tsub.add_parser("init", help="start tracking a docs parquet")
+    ti.add_argument("workdir")
+    ti.add_argument("input")
+    ta = tsub.add_parser("apply", help="apply a registered op")
+    ta.add_argument("workdir")
+    ta.add_argument("op")
+    ta.add_argument("--kwargs", default=None, help="JSON kwargs for the op")
+    tl = tsub.add_parser("log", help="print the op log")
+    tl.add_argument("workdir")
+    tr = tsub.add_parser("rollback", help="undo the last n ops")
+    tr.add_argument("workdir")
+    tr.add_argument("-n", type=int, default=1)
+    tg = tsub.add_parser("gc", help="drop unreferenced snapshots")
+    tg.add_argument("workdir")
+    for sp in (ti, ta, tl, tr, tg):
+        sp.set_defaults(fn=cmd_track)
 
     pb = sub.add_parser("bench", help="benchmark")
     pb.add_argument("--scaling", action="store_true")

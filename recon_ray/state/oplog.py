@@ -185,6 +185,32 @@ class TrackedDataset:
                 indent=2,
             )
 
+    @classmethod
+    def load(cls, workdir: str, store: Optional[SnapshotStore] = None
+             ) -> "TrackedDataset":
+        """Reopen a persisted op log (ops.json + snapshot store) in a new
+        process — data, stats and commit hash come back exactly; this is
+        what the CLI ``track log/rollback/gc`` verbs drive."""
+        self = object.__new__(cls)
+        self.name = os.path.basename(workdir.rstrip("/")) or "dataset"
+        self.workdir = workdir
+        self.store = store or SnapshotStore(os.path.join(workdir, "store"))
+        with open(os.path.join(workdir, "ops.json")) as f:
+            entries = json.load(f)
+        self._log = [
+            OpLogEntry(
+                name=e["name"],
+                kwargs=e["kwargs"],
+                snapshot=e["snapshot"],
+                n_docs=e["n_docs"],
+                commit_hash=e["commit_hash"],
+            )
+            for e in entries
+        ]
+        if not self._log:
+            raise ValueError(f"empty op log in {workdir}")
+        return self
+
     # ------------------------------------------------------------------
     @property
     def data(self):

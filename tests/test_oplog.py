@@ -98,3 +98,55 @@ def test_tracked_search(tmp_path):
     assert td.search("FOO").count() == 0
     assert td.search("foo").count() == 1
     assert td.search("FOO", case_sensitive=False).count() == 1
+
+
+def test_load_reopens_persisted_log(tmp_path):
+    """TrackedDataset.load in a 'new process': data, ops, and commit hash
+    come back from ops.json + the snapshot store alone."""
+    wd = str(tmp_path / "oplog")
+    td = TrackedDataset(rd.from_arrow(_docs()), wd)
+    td.apply_("recon_ray.upcase_labels.v1")
+    h1, ops1 = td.commit_hash, [e.name for e in td.operations]
+
+    td2 = TrackedDataset.load(wd)
+    assert td2.commit_hash == h1
+    assert [e.name for e in td2.operations] == ops1
+    assert len(td2) == 2
+    assert _labels(td2.data) == _labels(td.data)
+    # rollback from the reopened handle persists for a third open
+    td2.rollback()
+    td3 = TrackedDataset.load(wd)
+    assert len(td3.operations) == 0
+    assert _labels(td3.data) == ["CALL", "call", "ident"]
+
+
+def test_cli_track_verbs(tmp_path, capsys):
+    """CLI face of the op log: init → apply → log → rollback → gc, driven
+    in-process through cli.main (shares the session Ray)."""
+    import json as _json
+
+    from recon_ray.cli import main
+
+    docs_dir = str(tmp_path / "docs")
+    rd.from_arrow(_docs()).write_parquet(docs_dir)
+    wd = str(tmp_path / "wd")
+
+    assert main(["track", "init", wd, docs_dir]) == 0
+    init = _json.loads(capsys.readouterr().out)
+    assert init["n_docs"] == 2
+
+    assert main(["track", "apply", wd, "recon_ray.upcase_labels.v1"]) == 0
+    applied = _json.loads(capsys.readouterr().out)
+    assert applied["commit"] != init["commit"]
+
+    assert main(["track", "log", wd]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and "upcase_labels" in out[0]
+
+    assert main(["track", "rollback", wd]) == 0
+    rb = _json.loads(capsys.readouterr().out)
+    assert rb["commit"] == init["commit"]
+
+    assert main(["track", "gc", wd]) == 0
+    gced = _json.loads(capsys.readouterr().out)
+    assert gced["removed"] == [applied["commit"]]
