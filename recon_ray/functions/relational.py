@@ -273,3 +273,157 @@ def distinct(ds, cols: Union[str, list[str]]):
         lambda b: b[cols_].drop_duplicates(), batch_format="pandas"
     )
     return bucketed_group_apply(pre, cols_, lambda g: g.drop_duplicates(cols_))
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    suffix: str = "_r",
+    direction: str = "backward",
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """As-of join — for each left row, the single right row with the same
+    ``by`` key whose ``on`` is the greatest value ≤ the left's ``on``
+    (direction="backward"; "forward" mirrors it). Inner semantics:
+    unmatched left rows drop.
+
+    Ray Data has no as-of join; this is the co-partitioned composition
+    (SURVEY §2.5 custom-operator path (a)): tag both sides, union them,
+    hash-shuffle ONCE on ``by`` (every key's rows — both sides — land in
+    one bucket), then one vectorized ``pandas.merge_asof`` per BUCKET.
+    Python callbacks are bounded at n_buckets, not at distinct keys.
+
+    Partitioning assumption: a bucket's rows fit one pandas frame. Keys
+    are hash-spread across buckets, so this holds unless a single ``by``
+    key is itself object-store-sized — such hot keys would need a
+    secondary time-range split inside the bucket.
+
+    Right non-key columns come back ``suffix``-renamed; right numeric
+    columns ride through the union as nullable (pandas float) — cast at
+    the consumer if exact integer dtype matters.
+    """
+    def _pa_schema(ds) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-backed blocks expose numpy dtypes; object columns are text
+        fields = []
+        for n, t in zip(base.names, base.types):
+            if isinstance(t, pa.DataType):
+                fields.append((n, t))
+            else:
+                try:
+                    fields.append((n, pa.from_numpy_dtype(t)))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    fields.append((n, pa.string()))
+        return pa.schema(fields)
+
+    left_schema = _pa_schema(left_ds)
+    right_schema = _pa_schema(right_ds)
+    l_cols = list(left_schema.names)
+    r_cols = list(right_schema.names)
+    r_keep = [c for c in r_cols if c != by]
+    r_renamed = [c + suffix for c in r_keep]
+    on_r = on + suffix
+    out_r_cols = [on_r] + [c for c in r_renamed if c != on_r]
+
+    # capture only the pa.Schemas in the task closures, never the Datasets
+    def widen_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        for c, src in zip(r_renamed, r_keep):
+            batch = batch.append_column(
+                c, pa.nulls(n, right_schema.field(src).type)
+            )
+        return batch.append_column("__side", pa.array(np.zeros(n, np.int8)))
+
+    def widen_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c + suffix: batch.column(c) for c in r_keep}
+        cols[by] = batch.column(by)
+        arrays, names = [], []
+        for c in l_cols:
+            if c in cols:
+                arrays.append(cols[c]); names.append(c)
+            else:
+                arrays.append(pa.nulls(n, left_schema.field(c).type))
+                names.append(c)
+        for c in r_renamed:
+            arrays.append(cols[c]); names.append(c)
+        arrays.append(pa.array(np.ones(n, np.int8)))
+        names.append("__side")
+        return pa.table(dict(zip(names, arrays)))
+
+    tagged = left_ds.map_batches(
+        widen_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.map_batches(
+            widen_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_cols = l_cols + out_r_cols
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][l_cols].sort_values(on, kind="mergesort")
+        r = (
+            g[g["__side"] == 1][[by] + out_r_cols]
+            .sort_values(on_r, kind="mergesort")
+        )
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=g[c].dtype) for c in out_cols}
+            )
+        out = pd.merge_asof(
+            l, r, left_on=on, right_on=on_r, by=by, direction=direction
+        )
+        return out.dropna(subset=[on_r])[out_cols]
+
+    return bucketed_group_apply(tagged, by, bucket_fn, n_buckets=n_buckets)
+
+
+def range_join(
+    big_ds,
+    ranges: Union[pd.DataFrame, pa.Table],
+    on: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    closed: str = "left",
+):
+    """Interval join: each big-side row pairs with EVERY range row whose
+    [lo, hi) contains its ``on`` value (closed="left"; "both" includes hi).
+    Overlapping ranges multi-match — one output row per (row, range) pair.
+
+    Ray Data has no interval join; the standard distributed shape is a
+    broadcast: the range table ships via ``ray.put`` once (range tables —
+    price bands, time buckets, geo tiers — are small by construction), and
+    each batch evaluates all ranges with vectorized comparisons: O(n_ranges)
+    numpy ops per batch, no shuffle at all. A billion-row big side streams
+    through untouched."""
+    if isinstance(ranges, pa.Table):
+        ranges = ranges.to_pandas()
+    ranges = ranges.reset_index(drop=True)
+    ref = ray.put(ranges)
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        r = _get_broadcast(ref)
+        v = batch[on].to_numpy()
+        parts = []
+        for i in range(len(r)):
+            lo_v, hi_v = r[lo].iloc[i], r[hi].iloc[i]
+            mask = (v >= lo_v) & ((v <= hi_v) if closed == "both" else (v < hi_v))
+            if not mask.any():
+                continue
+            hit = batch[mask].reset_index(drop=True)
+            for c in r.columns:
+                hit[c] = r[c].iloc[i]
+            parts.append(hit)
+        if not parts:
+            out = batch.head(0).copy()
+            for c in r.columns:
+                out[c] = pd.Series(dtype=r[c].dtype)
+            return out
+        return pd.concat(parts, ignore_index=True)
+
+    return big_ds.map_batches(join_batch, batch_format="pandas")

@@ -558,6 +558,110 @@ FROM daily ORDER BY day
 """
 
 
+def q_events_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase event matched to the SAME user's latest
+    click at-or-before it (inner — purchases with no prior click drop).
+    Uses functions.relational.asof_join: both sides co-partition in ONE
+    hash shuffle on user_id, then one vectorized merge_asof per bucket;
+    DuckDB's native ASOF JOIN is the oracle."""
+    import pyarrow.compute as pc
+
+    from recon_ray.functions.relational import asof_join
+
+    ev = _t(sf_dir, "events")
+
+    def only(event_type: str):
+        def f(t):
+            return t.filter(pc.equal(t["event_type"], pa.scalar(event_type)))
+
+        return f
+
+    cols = ["event_id", "user_id", "ts"]
+    purchases = ev.map_batches(
+        only("purchase"), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(cols)
+    clicks = ev.map_batches(
+        only("click"), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(cols)
+
+    j = asof_join(purchases, clicks, by="user_id", on="ts").to_pandas()
+    out = pd.DataFrame(
+        {
+            "purchase_id": j["event_id"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "purchase_ts": j["ts"],
+            "click_id": j["event_id_r"].astype("int64"),
+            "click_ts": j["ts_r"],
+        }
+    )
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_ASOF = """
+SELECT l.event_id AS purchase_id, l.user_id AS user_id, l.ts AS purchase_ts,
+       r.event_id AS click_id, r.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+ORDER BY purchase_id
+"""
+
+
+#: price bands for the range-join showcase — deliberately OVERLAPPING
+#: ('huge' ⊂ 'large'), so rows multi-match and the interval semantics
+#: (not just a CASE bucketing) are what the oracle checks.
+PRICE_BANDS = [
+    ("small", 0.0, 50_000.0),
+    ("medium", 50_000.0, 150_000.0),
+    ("large", 150_000.0, 1e12),
+    ("huge", 300_000.0, 1e12),
+]
+
+
+def q_orders_range_join_bands(sf_dir: str):
+    """Interval (range) join: orders against a broadcast band table on
+    o_totalprice ∈ [lo, hi) — overlapping bands multi-match — then a
+    combiner grouped agg per band. No shuffle for the join itself
+    (functions.relational.range_join)."""
+    from recon_ray.functions.relational import range_join
+
+    orders = _t(sf_dir, "orders")
+    bands = pd.DataFrame(PRICE_BANDS, columns=["band", "lo", "hi"])
+    j = range_join(orders, bands, on="o_totalprice")
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"band": df["band"], "price_c": _cents(df["o_totalprice"])}
+        )
+
+    g = grouped_agg(
+        j.map_batches(cents, batch_format="pandas"),
+        ["band"],
+        {"price_c": ["sum", "count"]},
+    )
+    out = pd.DataFrame(
+        {
+            "band": g["band"],
+            "n_orders": g["price_c_count"].astype("int64"),
+            "total_price": _round_away(g["price_c_sum"] / 100.0, 2),
+        }
+    )
+    return out.sort_values("band").reset_index(drop=True)
+
+
+ORACLE_ORDERS_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('small', 0.0, 50000.0),
+  ('medium', 50000.0, 150000.0),
+  ('large', 150000.0, 1e12),
+  ('huge', 300000.0, 1e12))
+SELECT band, count(*)::BIGINT AS n_orders,
+       round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
 def q_union_price_bands(sf_dir: str):
     """Union-all of two filtered selects + grouped count (Corpus.all shape)."""
     orders = _t(sf_dir, "orders")
@@ -1147,6 +1251,8 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
+    "q_events_asof_purchase_click": q_events_asof_purchase_click,
+    "q_orders_range_join_bands": q_orders_range_join_bands,
     "q_union_price_bands": q_union_price_bands,
     "q_part_type_stats": q_part_type_stats,
     "q_priority_revenue_shuffle_join": q_priority_revenue_shuffle_join,
@@ -1205,6 +1311,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
+        "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
+        "q_orders_range_join_bands": ORACLE_ORDERS_RANGE_JOIN,
         "q_union_price_bands": ORACLE_UNION_BANDS,
         "q_part_type_stats": ORACLE_PART_TYPE,
         "q_priority_revenue_shuffle_join": ORACLE_PRIORITY_REVENUE,

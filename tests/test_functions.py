@@ -467,3 +467,71 @@ def test_shuffle_join_left_outer():
                        num_partitions=2).to_pandas()
     assert len(out) == 3
     assert out["y"].notna().sum() == 1
+
+
+def test_asof_join_backward_and_forward(con):
+    """asof_join vs DuckDB ASOF JOIN on events (backward), plus the
+    forward direction and the no-match/empty-side edges against a tiny
+    hand-built pair of tables."""
+    from recon_ray.functions.relational import asof_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+
+    def only(et):
+        import pyarrow.compute as pc
+
+        return lambda t: t.filter(pc.equal(t["event_type"], et))
+
+    cols = ["event_id", "user_id", "ts"]
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow").select_columns(cols)
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow").select_columns(cols)
+    got = asof_join(purchases, clicks, by="user_id", on="ts").to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    gold = con.sql("""
+        SELECT l.event_id, l.user_id, l.ts, l.event_id AS _drop,
+               r.ts AS ts_r, r.event_id AS event_id_r
+        FROM (SELECT * FROM events WHERE event_type='purchase') l
+        ASOF JOIN (SELECT * FROM events WHERE event_type='click') r
+          ON l.user_id = r.user_id AND r.ts <= l.ts
+        ORDER BY l.event_id
+    """).df().drop(columns=["_drop"])
+    assert len(got) == len(gold)
+    assert got["event_id"].tolist() == gold["event_id"].tolist()
+    assert got["event_id_r"].astype("int64").tolist() == gold["event_id_r"].tolist()
+    assert got["ts_r"].tolist() == gold["ts_r"].tolist()
+
+    # forward direction + empty right: tiny deterministic frames
+    l = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2], "t": [10, 20, 10], "lv": ["a", "b", "c"]}))
+    r = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2], "t": [12, 25, 99], "rv": ["x", "y", "z"]}))
+    fwd = asof_join(l, r, by="k", on="t", direction="forward").to_pandas()
+    fwd = fwd.sort_values(["k", "t"]).reset_index(drop=True)
+    # 1@10 → 1@12(x); 1@20 → 1@25(y); 2@10 → 2@99(z)
+    assert fwd["rv_r"].tolist() == ["x", "y", "z"]
+    bwd = asof_join(l, r, by="k", on="t").to_pandas()
+    # backward: only 1@20 has a prior right row (1@12)
+    assert bwd["lv"].tolist() == ["b"] and bwd["rv_r"].tolist() == ["x"]
+
+    empty_r = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64"),
+         "rv": pd.Series(dtype="object")}))
+    assert asof_join(l, empty_r, by="k", on="t").count() == 0
+
+
+def test_range_join_overlap_and_edges(con):
+    """range_join: overlapping bands multi-match; closed='both' includes
+    the hi edge; rows outside every band drop."""
+    from recon_ray.functions.relational import range_join
+
+    big = rd.from_pandas(pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 10.0, 25.0, 99.0]}))
+    bands = pd.DataFrame(
+        {"band": ["a", "b", "wide"], "lo": [0.0, 10.0, 0.0], "hi": [10.0, 30.0, 30.0]}
+    )
+    got = range_join(big, bands, on="v").to_pandas().sort_values(["id", "band"])
+    # 5→(a,wide) 10→(b,wide) 25→(b,wide) 99→nothing
+    assert list(map(tuple, got[["id", "band"]].itertuples(index=False))) == [
+        (1, "a"), (1, "wide"), (2, "b"), (2, "wide"), (3, "b"), (3, "wide")]
+    both = range_join(big, bands, on="v", closed="both").to_pandas()
+    # closed='both': v=10 now also matches band a's hi edge
+    assert len(both) == 7
