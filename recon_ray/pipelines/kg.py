@@ -107,28 +107,48 @@ def symbols_from_docs(docs_ds) -> pa.Table:
     5.3 s @8 cpus at 96k files). Requires a MATERIALIZED docs dataset or
     detection runs twice."""
     import numpy as np
-
-    from recon_ray.ops.mentions_io import mentions_parts
+    import pyarrow.compute as pc
 
     def defs(batch: pa.Table) -> pa.Table:
-        lengths, text, _s, _e, label, _src = mentions_parts(batch)
-        didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-        mask = label == "DEF"
-        if not mask.any():
+        # fully Arrow-native: never converts the mention columns to Python
+        # (mentions_parts's to_pylist of text/label/source measured ~70% of
+        # this stage); only the DEF subset is ever gathered.
+        arr = batch.column("mentions")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        child = arr.flatten()
+        mask = pc.equal(child.field("label"), pa.scalar("DEF"))
+        if not (pc.any(mask).as_py() or False):
             return pa.table(
                 {"repo": pa.array([], pa.string()),
                  "module": pa.array([], pa.string()),
                  "name": pa.array([], pa.string())}
             )
-        repos = batch.column("repo").to_pandas().to_numpy()[didx[mask]]
-        paths = batch.column("path").to_pandas().to_numpy()[didx[mask]]
-        names = [spec.def_name(t) for t in text[mask]]
+        lengths = arr.value_lengths().fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        didx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
+        sel = mask.to_numpy(zero_copy_only=False)
+        idx = pa.array(didx[sel])
+        texts = child.field("text").filter(mask)
+        # vectorized spec.def_name / spec.module_of (equivalence pinned by
+        # tests/test_kg_pipeline.py symbol-table equality): last whitespace
+        # token of the DEF text; path stem (text after the LAST dot cut,
+        # exactly like str.rsplit('.', 1)) with '/' → '.'
+        names = pc.struct_field(
+            pc.extract_regex(texts, r"(?P<name>\S+)\s*$"), "name"
+        )
+        modules = pc.replace_substring(
+            pc.replace_substring_regex(
+                batch.column("path").take(idx), r"\.[^.]*$", ""
+            ),
+            "/", ".",
+        )
         t = pa.table(
             {
-                "repo": pa.array(repos, pa.string()),
-                "module": pa.array([spec.module_of(p) for p in paths],
-                                   pa.string()),
-                "name": pa.array(names, pa.string()),
+                "repo": batch.column("repo").take(idx),
+                "module": modules,
+                "name": names,
             }
         )
         return t.group_by(["repo", "module", "name"]).aggregate([])

@@ -154,3 +154,15 @@ def test_empty_corpus_all_modes(tmp_path):
     assert run_kg(str(d))["canonical"].count() == 0
     assert run_kg(str(d), linker_mode="partitioned")["canonical"].count() == 0
     assert run_kg(str(d), symbol_source="mentions")["canonical"].count() == 0
+
+
+def test_symbols_from_docs_equals_scan(unit_corpus_dir, kg_result):
+    """The mentions-derived symbol table (vectorized def_name/module_of)
+    is row-identical to the DEF-only corpus scan's distinct rows."""
+    from recon_ray.pipelines.kg import read_files, scan_symbols, symbols_from_docs
+
+    scan = scan_symbols(read_files(unit_corpus_dir)).to_pandas()
+    scan = scan.drop_duplicates().sort_values(["repo", "module", "name"]).reset_index(drop=True)
+    derived = symbols_from_docs(kg_result[0]["docs"]).to_pandas()
+    derived = derived.drop_duplicates().sort_values(["repo", "module", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(derived, scan)
