@@ -22,6 +22,7 @@ map_batches + groupby.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -651,3 +652,118 @@ def embedding_neardup(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def prefix_candidate_pairs(sh_ds, threshold: float):
+    """EXACT-recall candidate pairs for Jaccard ≥ threshold by prefix
+    filtering (the PPJoin family): order each doc's shingle hashes
+    ascending (a global total order on the shingle universe) and emit only
+    the first ``|s| - ⌈τ·|s|⌉ + 1`` of them; if J(a,b) ≥ τ the two
+    prefixes MUST share a hash, so grouping on the emitted hash finds
+    every qualifying pair — unlike MinHash banding there is no missed-pair
+    probability, and only (hash, doc_id) rows ride the shuffle.
+
+    Empty shingle sets (docs shorter than k) pair with each other
+    (J(∅,∅)=1) via a sentinel hash.
+
+    Scale caveat: a hash that lands in MANY prefixes makes a quadratic
+    bucket; production PPJoin orders the universe by ascending global
+    frequency so prefixes hold the RAREST shingles. With sha1-hash order
+    the order is random — fine until a corpus has near-identical
+    boilerplate; the frequency ordering drops in here as a pre-pass that
+    remaps hash → frequency rank."""
+    from recon_ray.functions.relational import bucketed_group_apply, distinct
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        shingles = batch.column("shingles")
+        if isinstance(shingles, pa.ChunkedArray):
+            shingles = shingles.combine_chunks()
+        for i in range(len(ids)):
+            s = np.asarray(shingles[i].as_py(), dtype=np.uint64)
+            if len(s) == 0:
+                out_h.append(np.array([0], dtype=np.uint64))  # sentinel
+                out_d.append(np.array([ids[i]], dtype=np.int64))
+                continue
+            p = len(s) - int(math.ceil(threshold * len(s))) + 1
+            out_h.append(s[:p])
+            out_d.append(np.full(p, ids[i], dtype=np.int64))
+        return pa.table(
+            {
+                "phash": pa.array(np.concatenate(out_h), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    emitted = sh_ds.map_batches(
+        prefixes, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["phash", "doc_id"])
+        m = d.merge(d, on="phash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        )
+
+    pairs = bucketed_group_apply(emitted, ["phash"], bucket_pairs)
+    return distinct(pairs, ["a", "b"])
+
+
+def ngram_jaccard_dedup(
+    docs_ds, threshold: float = 0.8, k: int = 3
+) -> dict:
+    """Exact n-gram-Jaccard near-dup join: prefix-filtered candidates
+    (EXACT recall — see prefix_candidate_pairs) → exact Jaccard verify in
+    map_batches over broadcast candidate shingle sets → min-label
+    clustering. Same return shape as minhash_lsh_dedup; use this when the
+    threshold contract must be exact, MinHash-LSH when the corpus is too
+    boilerplate-heavy for hash-order prefixes."""
+    from recon_ray.functions.relational import semi_join
+
+    sh_all = docs_ds.map_batches(
+        make_shingle_batch(k), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused: prefix emit + verify fetch
+    cand_ds = prefix_candidate_pairs(sh_all, threshold).materialize()
+    cand_ids = set(
+        np.unique(
+            cand_ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"i": pd.concat([df["a"], df["b"]], ignore_index=True)}
+                ),
+                batch_format="pandas",
+            ).to_pandas()["i"]
+        ).tolist()
+    )
+    if not cand_ids:
+        return {
+            "pairs": pd.DataFrame(columns=["a", "b", "jaccard"]),
+            "clusters": pd.DataFrame(columns=["doc_id", "cluster"]),
+            "n_duplicates": 0,
+        }
+    sh_df = semi_join(sh_all, cand_ids, "doc_id").to_pandas()
+    sh_ref = ray.put(
+        {
+            d: np.asarray(s, dtype=np.uint64)
+            for d, s in zip(sh_df["doc_id"], sh_df["shingles"])
+        }
+    )
+    verified_ds = cand_ds.map_batches(
+        _verify_pairs_fn(sh_ref, threshold), batch_format="pandas"
+    ).materialize()
+    verified = (
+        verified_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    clusters = connected_components(verified_ds)
+    n_dup = int((clusters["doc_id"] != clusters["cluster"]).sum()) if len(clusters) else 0
+    return {"pairs": verified, "clusters": clusters, "n_duplicates": n_dup}

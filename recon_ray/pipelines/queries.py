@@ -1098,6 +1098,51 @@ def doc_minhash_dedup(sf_dir: str):
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def doc_ngram_jaccard_dedup(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering (exact
+    recall, unlike MinHash banding) — functions.dedup.ngram_jaccard_dedup.
+    SQL-oracled (ORACLE_NGRAM_JACCARD recomputes Jaccard over distinct
+    word-3-gram STRINGS — identical to Jaccard over their sha1 hashes
+    because hashing a set preserves distinctness); exactness vs a
+    brute-force all-pairs sweep is additionally pinned in
+    tests/test_functions.py."""
+    from recon_ray.functions.dedup import ngram_jaccard_dedup
+
+    res = ngram_jaccard_dedup(
+        _t(sf_dir, "documents").repartition(8), threshold=0.7, k=3
+    )
+    pairs = res["pairs"][["a", "b", "jaccard"]].copy()
+    pairs["a"] = pairs["a"].astype("int64")
+    pairs["b"] = pairs["b"].astype("int64")
+    pairs["jaccard"] = _round_away(pairs["jaccard"].astype("float64"), 6)
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x)) AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(
+    1, greatest(len(ws) - 2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) AS i) t
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS c
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+ORDER BY a, b
+"""
+
+
 def doc_simhash_dedup(sf_dir: str):
     from recon_ray.functions.dedup import simhash_dedup
 
@@ -1278,6 +1323,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
+    "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
     "doc_simhash_dedup": doc_simhash_dedup,
     # embeddings
     "knn_exact_top10": knn_exact_top10,
@@ -1380,6 +1426,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_quality": ORACLE_DOC_QUALITY,
         "knn_exact_top10": ORACLE_KNN,
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
+        "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
         # rows-only (non-SQL-expressible): kg_triple_score, doc_langid,
         # doc_fingerprints, doc_minhash_dedup, doc_simhash_dedup,
         # knn_lsh_top10, emb_label_centroid_norms

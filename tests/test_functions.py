@@ -535,3 +535,42 @@ def test_range_join_overlap_and_edges(con):
     both = range_join(big, bands, on="v", closed="both").to_pandas()
     # closed='both': v=10 now also matches band a's hi edge
     assert len(both) == 7
+
+
+def test_ngram_jaccard_dedup_exact_recall(docs):
+    """Prefix filtering is EXACT: the distributed join must return exactly
+    the brute-force all-pairs Jaccard ≥ τ set (MinHash-LSH only promises
+    probabilistic recall; this operator promises all of it)."""
+    import numpy as np
+
+    from recon_ray.functions.dedup import (
+        ShingleSets, ngram_jaccard_dedup)
+
+    tau, k = 0.5, 3
+    res = ngram_jaccard_dedup(docs, threshold=tau, k=k)
+    got = set(map(tuple, res["pairs"][["a", "b"]].itertuples(index=False)))
+
+    # brute force on the driver (500 docs → 125k pairs)
+    sh = ShingleSets(k=k)
+    frames = [sh(b) for b in docs.select_columns(["doc_id", "text"])
+              .iter_batches(batch_format="pyarrow")]
+    ids, sets = [], []
+    for t in frames:
+        ids += t.column("doc_id").to_pylist()
+        sets += [np.asarray(s, dtype=np.uint64) for s in t.column("shingles").to_pylist()]
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sets[i], sets[j]
+            if len(sa) == 0 and len(sb) == 0:
+                jac = 1.0
+            elif len(sa) == 0 or len(sb) == 0:
+                jac = 0.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= tau:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b))
+    assert got == want
+    assert len(res["clusters"]) >= 0  # clustering shape sanity
