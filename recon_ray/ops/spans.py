@@ -170,10 +170,12 @@ def filter_overlaps(batch: pa.Table) -> pa.Table:
         start, end, didx = start[order], end[order], didx[order]
     # vectorized chain segmentation: within a doc, a new chain starts where
     # start[i] >= running-max(end) of the previous spans (strict-overlap
-    # rule min(end)-max(start) > 0, recon/validation.py:88-92)
-    cummax_end = (
-        pd.Series(end).groupby(pd.Series(didx), sort=False).cummax().to_numpy()
-    )
+    # rule min(end)-max(start) > 0, recon/validation.py:88-92). The per-doc
+    # running max is one global np.maximum.accumulate on end + K·didx
+    # (K > every end, so a later doc's offset dominates any earlier doc's
+    # value and the max effectively resets at each doc boundary).
+    K = int(end.max()) + 1 if n else 1
+    cummax_end = np.maximum.accumulate(end + K * didx) - K * didx
     new_chain = np.ones(n, dtype=bool)
     if n > 1:
         same_doc = didx[1:] == didx[:-1]
@@ -184,7 +186,21 @@ def filter_overlaps(batch: pa.Table) -> pa.Table:
         return _rebuild(batch, lengths, child)
     keep = np.ones(n, dtype=bool)
     starts_of_chain = np.nonzero(new_chain)[0]
-    for c in np.nonzero(sizes > 1)[0]:
+    # size-2 chains — in practice nearly all of them (the DEF/CALL pair at
+    # a definition site) — resolve in closed form: greedy longest-first
+    # keeps only the longer span (tie → the earlier, sorted()'s stability)
+    # IF the two strictly overlap, else both survive. Only ≥3 chains run
+    # the sequential reference greedy.
+    lo2 = starts_of_chain[sizes == 2]
+    if len(lo2):
+        len0 = end[lo2] - start[lo2]
+        len1 = end[lo2 + 1] - start[lo2 + 1]
+        ov = np.minimum(end[lo2], end[lo2 + 1]) - np.maximum(
+            start[lo2], start[lo2 + 1]
+        )
+        drop = np.where(len1 > len0, lo2, lo2 + 1)[ov > 0]
+        keep[drop] = False
+    for c in np.nonzero(sizes > 2)[0]:
         lo = starts_of_chain[c]
         hi = lo + sizes[c]
         local = _chain_greedy_keep(start[lo:hi], end[lo:hi])

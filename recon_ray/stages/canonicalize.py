@@ -93,10 +93,17 @@ def _pack_key(batch: pa.Table) -> pa.Array:
 @ray.remote
 def _reduce_key_range(lo, hi, *blocks: pa.Table) -> pa.Table:
     """Range-partitioned reduce: gather [lo, hi) of the PACKED key space
-    from every map block, merge, and sort locally — the concatenation of
-    the range outputs is globally sorted, so the separate post-merge sort
-    stage (≈5 s of orchestration at 10^6 rows) disappears. Packed-key
-    order refines (subj, pred, obj) order deterministically."""
+    from every map block, merge, sort locally, and UNPACK — the
+    concatenation of the range outputs is globally sorted, so the separate
+    post-merge sort stage (≈5 s of orchestration at 10^6 rows)
+    disappears. Packed-key order refines (subj, pred, obj) order
+    deterministically.
+
+    Unpacking happens HERE (not in a downstream map_batches): with the
+    executor's default ``preserve_order=False`` a map stage after
+    ``from_arrow_refs`` may emit blocks in completion order, silently
+    breaking the global sort — the reduce output must already be the
+    final table so the sorted Dataset is a pure block source."""
     picked = []
     for b in blocks:
         # empty upstream blocks can arrive schema-less (no columns at all)
@@ -117,7 +124,7 @@ def _reduce_key_range(lo, hi, *blocks: pa.Table) -> pa.Table:
             {
                 **{c: pa.array([], pa.string()) for c in KEY_COLS},
                 "n_mentions": pa.array([], pa.int64()),
-                "prov": pa.array([], pa.string()),
+                **{c: pa.array([], pa.string()) for c in PROV_COLS},
             }
         )
     t = pa.concat_tables(picked)
@@ -125,7 +132,7 @@ def _reduce_key_range(lo, hi, *blocks: pa.Table) -> pa.Table:
         [("n_mentions", "sum"), ("prov", "min")]
     )
     g = g.rename_columns(KEY_COLS + ["n_mentions", "prov"])
-    return g.sort_by([(c, "ascending") for c in KEY_COLS])
+    return _unpack(g.sort_by([(c, "ascending") for c in KEY_COLS]))
 
 
 def _sample_key_boundaries(refs, n_reducers: int) -> list[str]:
@@ -259,20 +266,22 @@ def canonicalize(triples_ds, sort: bool = True, n_reducers: int | None = None,
         return out.sort(["subj", "pred", "obj"]) if sort else out
 
     if sort:
-        # range-partitioned reduce: each task merges AND locally sorts its
-        # key range; block order = key order, so the output Dataset is
-        # already globally sorted (no separate sort stage)
+        # range-partitioned reduce: each task merges, locally sorts its
+        # key range AND unpacks; block order = key order, so the output
+        # Dataset is already globally sorted with no stage after the
+        # source (a later map stage could re-emit blocks in completion
+        # order under preserve_order=False — see _reduce_key_range)
         bounds = _sample_key_boundaries(refs, n_reducers)
         edges = [None, *bounds, None]
         out_refs = [
             _reduce_key_range.remote(edges[i], edges[i + 1], *refs)
             for i in range(len(edges) - 1)
         ]
-    else:
-        out_refs = [
-            _reduce_bucket_range.remote(r, n_reducers, *refs)
-            for r in range(n_reducers)
-        ]
+        return rd.from_arrow_refs(out_refs)
+    out_refs = [
+        _reduce_bucket_range.remote(r, n_reducers, *refs)
+        for r in range(n_reducers)
+    ]
     out = rd.from_arrow_refs(out_refs)
     return out.map_batches(
         _unpack, batch_format="pyarrow", zero_copy_batch=True

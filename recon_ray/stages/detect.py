@@ -33,10 +33,20 @@ class MentionDetector:
             lang: [(lbl, pat, grp) for (lbl, pat, grp) in pats]
             for lang, pats in spec.PATTERNS.items()
         }
+        # lexicographic rank of every raw label: the (start, end, label)
+        # tie-break compares label STRINGS, so with precomputed ranks the
+        # whole batch sorts in one integer np.lexsort (stable, like the
+        # reference's per-doc stable sort) instead of a Python sort per doc
+        all_labels = sorted(
+            {lbl for pats in self.patterns.values() for (lbl, _, _) in pats}
+        )
+        self.label_rank = {lbl: i for i, lbl in enumerate(all_labels)}
         self.add_keys = add_keys
 
     def detect_one(self, content: str, lang: str) -> list[tuple]:
-        """(text, start, end, label, source) tuples sorted by (start,end,label)."""
+        """(text, start, end, label, source) tuples sorted by (start,end,label)
+        — the reference-shaped per-doc form (tests / small callers; the
+        batched __call__ below is the hot path and skips the tuples)."""
         found: list[tuple] = []
         for raw_label, pattern, group in self.patterns.get(lang, []):
             src = f"{lang}:{raw_label}"
@@ -53,28 +63,52 @@ class MentionDetector:
         contents = batch.column("content").to_pylist()
         langs = batch.column("lang").to_pylist()
         n = len(contents)
-        lengths = np.zeros(n, dtype=np.int64)
+        # columnar accumulation: per match only one group() + one span() +
+        # three appends; label/source/doc-index are CONSTANT per
+        # (doc, pattern) chunk so they expand via np.repeat afterwards
         texts: list[str] = []
         starts: list[int] = []
         ends: list[int] = []
-        labels: list[str] = []
-        sources: list[str] = []
+        chunk_doc: list[int] = []
+        chunk_rank: list[int] = []
+        chunk_label: list[str] = []
+        chunk_src: list[str] = []
+        chunk_count: list[int] = []
+        t_app, s_app, e_app = texts.append, starts.append, ends.append
         for i in range(n):
-            found = self.detect_one(contents[i], langs[i])
-            lengths[i] = len(found)
-            for t, s, e, l, src in found:
-                texts.append(t)
-                starts.append(s)
-                ends.append(e)
-                labels.append(l)
-                sources.append(src)
+            content, lang = contents[i], langs[i]
+            for raw_label, pattern, group in self.patterns.get(lang, []):
+                before = len(starts)
+                for m in pattern.finditer(content):
+                    t_app(m.group(group))
+                    sp = m.span(group)
+                    s_app(sp[0])
+                    e_app(sp[1])
+                c = len(starts) - before
+                if c:
+                    chunk_doc.append(i)
+                    chunk_rank.append(self.label_rank[raw_label])
+                    chunk_label.append(raw_label)
+                    chunk_src.append(f"{lang}:{raw_label}")
+                    chunk_count.append(c)
+        counts = np.asarray(chunk_count, dtype=np.int64)
+        doc_ids = np.asarray(chunk_doc, dtype=np.int64)
+        didx = np.repeat(doc_ids, counts)
+        ranks = np.repeat(np.asarray(chunk_rank, dtype=np.int64), counts)
+        starts_np = np.asarray(starts, dtype=np.int64)
+        ends_np = np.asarray(ends, dtype=np.int64)
+        # one batch-wide stable sort in (doc, start, end, label) order
+        order = np.lexsort((ranks, ends_np, starts_np, didx))
+        lengths = np.bincount(doc_ids, weights=counts, minlength=n).astype(
+            np.int64
+        )
         mentions = mentions_list_array(
             lengths,
-            np.asarray(texts, dtype=object),
-            np.asarray(starts, dtype=np.int64),
-            np.asarray(ends, dtype=np.int64),
-            np.asarray(labels, dtype=object),
-            np.asarray(sources, dtype=object),
+            np.asarray(texts, dtype=object)[order],
+            starts_np[order],
+            ends_np[order],
+            np.repeat(np.asarray(chunk_label, dtype=object), counts)[order],
+            np.repeat(np.asarray(chunk_src, dtype=object), counts)[order],
         )
         return batch.append_column("mentions", mentions)
 

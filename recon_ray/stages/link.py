@@ -97,101 +97,185 @@ class TripleLinker:
             self.symbols = ray.get(symbols_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = _flat_frame(batch)
-        if len(df) == 0:
+        arr = batch.column("mentions")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lengths = arr.value_lengths().fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        child = arr.flatten()
+        n = len(child)
+        if n == 0:
             return pa.table(
                 {name: pa.array([], typ) for name, typ in TRIPLE_FIELDS}
             )
-        # the sequential oracle iterates per doc in (start, end, label) order
-        df = df.sort_values(["didx", "start", "end", "label"], kind="mergesort")
-        df["module"] = df["path"].map(spec.module_of)
-        df["file_id"] = df["repo"] + "/" + df["path"]
+        didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
 
-        # enclosing def: DEF rows carry their qualified name; forward-fill
-        # per doc; unfilled → <module> sentinel
-        is_def = (df["label"] == "DEF").to_numpy()
-        def_name = df["text"].str.split().str[-1]
-        qualified = df["repo"] + ":" + df["module"] + "." + def_name
-        cur = pd.Series(np.where(is_def, qualified, None), index=df.index,
-                        dtype=object)
-        cur = cur.groupby(df["didx"]).ffill()
-        sentinel = df["repo"] + ":" + df["module"] + "." + spec.MODULE_SENTINEL
-        cur = cur.fillna(sentinel)
+        # the sequential oracle iterates per doc in (start, end, label)
+        # order — one numpy lexsort instead of a 4-key pandas sort. The
+        # label tie-break must be LEXICOGRAPHIC, so dictionary-encode and
+        # remap the (tiny) dictionary's codes to its sorted ranks.
+        starts = child.field("start").to_numpy(zero_copy_only=False)
+        ends = child.field("end").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(child.field("label"))
+        lab_dict = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        rank_of = np.empty(len(lab_dict), dtype=np.int64)
+        rank_of[np.argsort(lab_dict)] = np.arange(len(lab_dict))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank_of[codes], ends, starts, didx))
+        didx_s = didx[order]
+        codes_s = codes[order]
 
-        outs: list[pd.DataFrame] = []
+        def _code(lbl: str) -> int:
+            hits = np.where(lab_dict == lbl)[0]
+            return int(hits[0]) if len(hits) else -1
 
-        def emit(sel: pd.DataFrame, subj, pred, obj, st, ot):
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "subj": subj,
-                        "pred": pred,
-                        "obj": obj,
-                        "subj_type": st,
-                        "obj_type": ot,
-                        "repo": sel["repo"].values,
-                        "path": sel["path"].values,
-                        "commit": sel["commit"].values,
-                        "content_sha256": sel["content_sha256"].values,
-                        "extractor": spec.EXTRACTOR_TAG,
-                    }
-                )
+        is_def = codes_s == _code("DEF")
+        is_imp = codes_s == _code("IMPORT")
+        is_call = codes_s == _code("CALL")
+
+        # per-DOC derived values (batch.num_rows strings, not n mentions);
+        # per-mention values are cheap didx gathers of these
+        repo_doc = np.asarray(batch.column("repo").to_pylist(), dtype=object)
+        path_doc = np.asarray(batch.column("path").to_pylist(), dtype=object)
+        commit_doc = np.asarray(
+            batch.column("commit").to_pylist(), dtype=object
+        )
+        sha_doc = np.asarray(
+            batch.column("content_sha256").to_pylist(), dtype=object
+        )
+        lang_doc = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        module_doc = np.asarray(
+            [spec.module_of(p) for p in path_doc], dtype=object
+        )
+        file_id_doc = np.asarray(
+            [f"{r}/{p}" for r, p in zip(repo_doc, path_doc)], dtype=object
+        )
+        sentinel_doc = np.asarray(
+            [f"{r}:{m}.{spec.MODULE_SENTINEL}"
+             for r, m in zip(repo_doc, module_doc)],
+            dtype=object,
+        )
+
+        text_arr = child.field("text")
+
+        def _texts(rows: np.ndarray) -> np.ndarray:
+            # fetch ONLY the needed subset's texts out of Arrow (IDENT
+            # mentions — the bulk — never convert to Python)
+            return np.asarray(
+                text_arr.take(pa.array(order[rows])).to_pylist(), dtype=object
             )
 
-        imp = df[df["label"] == "IMPORT"]
-        if len(imp):
-            # vectorized import_root by lang
-            dot_root = imp["text"].str.split(".").str[0]
-            slash_root = imp["text"].str.split("/").str[0]
-            rel = imp["text"].str.startswith(".")
-            root = np.select(
-                [imp["lang"].values == "python",
-                 (imp["lang"].values == "javascript") & ~rel.values,
-                 (imp["lang"].values == "javascript") & rel.values],
-                [dot_root.values, slash_root.values, imp["text"].values],
-                default=imp["text"].values,  # go: full path
+        # enclosing def: qualified names exist only AT def rows (a small
+        # subset); forward-fill per doc = running max of def positions,
+        # reset at doc boundaries via each doc's first-row offset
+        def_rows = np.where(is_def)[0]
+        def_texts = _texts(def_rows)
+        def_didx = didx_s[def_rows]
+        qual_def = np.asarray(
+            [f"{r}:{m}.{t.split()[-1]}"
+             for r, m, t in zip(
+                 repo_doc[def_didx], module_doc[def_didx], def_texts)],
+            dtype=object,
+        )
+        qual_at = np.empty(n, dtype=object)
+        qual_at[def_rows] = qual_def
+        last_def = np.maximum.accumulate(
+            np.where(is_def, np.arange(n, dtype=np.int64), -1)
+        )
+        offsets = np.concatenate(
+            [[0], np.cumsum(lengths)]
+        )  # sorted rows of doc d occupy [offsets[d], offsets[d+1])
+        valid = last_def >= offsets[didx_s]
+        enclosing = np.where(
+            valid, qual_at[np.clip(last_def, 0, None)], sentinel_doc[didx_s]
+        )
+
+        cols: dict[str, list] = {name: [] for name, _ in TRIPLE_FIELDS}
+
+        def emit(rows: np.ndarray, subj, pred, obj, st, ot):
+            k = len(rows)
+            d = didx_s[rows]
+            cols["subj"].append(subj)
+            cols["pred"].append(
+                np.full(k, pred, dtype=object) if isinstance(pred, str)
+                else pred
             )
-            emit(imp, imp["repo"].values, "imports", root, "repo", "package")
-            emit(imp, imp["file_id"].values, "imports_module",
-                 imp["text"].values, "file", "module")
+            cols["obj"].append(obj)
+            cols["subj_type"].append(
+                np.full(k, st, dtype=object) if isinstance(st, str) else st
+            )
+            cols["obj_type"].append(
+                np.full(k, ot, dtype=object) if isinstance(ot, str) else ot
+            )
+            cols["repo"].append(repo_doc[d])
+            cols["path"].append(path_doc[d])
+            cols["commit"].append(commit_doc[d])
+            cols["content_sha256"].append(sha_doc[d])
+            cols["extractor"].append(
+                np.full(k, spec.EXTRACTOR_TAG, dtype=object)
+            )
 
-        de = df[is_def]
-        if len(de):
-            emit(de, de["file_id"].values, "defines",
-                 qualified[de.index].values, "file", "function")
+        imp_rows = np.where(is_imp)[0]
+        if len(imp_rows):
+            imp_texts = _texts(imp_rows)
+            imp_d = didx_s[imp_rows]
+            root = np.asarray(
+                [spec.import_root(t, l)
+                 for t, l in zip(imp_texts, lang_doc[imp_d])],
+                dtype=object,
+            )
+            emit(imp_rows, repo_doc[imp_d], "imports", root, "repo",
+                 "package")
+            emit(imp_rows, file_id_doc[imp_d], "imports_module", imp_texts,
+                 "file", "module")
 
-        call = df[df["label"] == "CALL"]
-        if len(call):
+        if len(def_rows):
+            emit(def_rows, file_id_doc[def_didx], "defines", qual_def,
+                 "file", "function")
+
+        call_rows = np.where(is_call)[0]
+        if len(call_rows):
+            call_texts = _texts(call_rows)
+            call_d = didx_s[call_rows]
             keys = pd.DataFrame(
                 {
-                    "repo": call["repo"].values,
-                    "module": call["module"].values,
-                    "name": call["text"].values,
+                    "repo": repo_doc[call_d],
+                    "module": module_doc[call_d],
+                    "name": call_texts,
                 }
-            ).drop_duplicates()
-            keys["resolved"] = [
-                resolve_call(self.symbols, r, m, n)
-                for r, m, n in zip(keys["repo"], keys["module"], keys["name"])
-            ]
-            merged = call.merge(
-                keys,
-                left_on=["repo", "module", "text"],
-                right_on=["repo", "module", "name"],
-                how="left",
             )
-            resolved = merged["resolved"].values
+            uniq = keys.drop_duplicates().copy()
+            uniq["resolved"] = [
+                resolve_call(self.symbols, r, m, nm)
+                for r, m, nm in zip(
+                    uniq["repo"], uniq["module"], uniq["name"])
+            ]
+            merged = keys.merge(
+                uniq, on=["repo", "module", "name"], how="left"
+            )
+            resolved = merged["resolved"].to_numpy()
             ok = pd.notna(resolved)
             pred = np.where(ok, "calls", "calls_unresolved")
-            obj = np.where(ok, resolved, call["text"].values)
+            obj = np.where(ok, resolved, call_texts)
             ot = np.where(ok, "function", "ident")
-            emit(call, cur[call.index].values, pred, obj, "function", ot)
+            emit(call_rows, enclosing[call_rows], pred, obj, "function", ot)
 
-        if not outs:
+        total = sum(len(a) for a in cols["subj"])
+        if total == 0:
             return pa.table(
                 {name: pa.array([], typ) for name, typ in TRIPLE_FIELDS}
             )
-        out = pd.concat(outs, ignore_index=True)
-        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
+        return pa.table(
+            {
+                name: pa.array(
+                    np.concatenate(cols[name])
+                    if len(cols[name]) > 1 else cols[name][0],
+                    typ,
+                )
+                for name, typ in TRIPLE_FIELDS
+            }
+        )
 
 
 _PROCESS_LINKER: dict = {}
