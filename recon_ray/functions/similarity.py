@@ -214,8 +214,10 @@ def knn_ivf(
     partition key for a cell-clustered layout (write once, probe-read
     later)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    sample_df = emb_ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_df[emb_col].to_numpy())
+    # deterministic sample (lowest-hash rows, see _det_sample): limit()
+    # returns whichever blocks the executor finishes first, which makes
+    # the trained cells — and thus the approximate result — run-dependent
+    sample = _det_sample(emb_ds, sample_size, id_col, emb_col)
     centroids = _kmeans_fit(sample, n_cells, seed=seed)
     # per-query probe cells (nprobe nearest centroids)
     np_eff = min(nprobe, len(centroids))
@@ -272,3 +274,175 @@ def knn_recall(approx: pd.DataFrame, exact: pd.DataFrame, id_col: str = "vec_id"
         got = set(approx.loc[approx["query_id"] == qid, id_col])
         recalls.append(len(truth & got) / len(truth) if truth else 1.0)
     return float(np.mean(recalls)) if recalls else 0.0
+
+
+def kmeans(
+    emb_ds,
+    k: int = 8,
+    n_iter: int = 10,
+    seed: int = 99,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+) -> dict:
+    """Distributed spherical k-means (Lloyd's) over the full corpus —
+    the clustering primitive a 100-TB embedding table needs (topic
+    bucketing, stratified sampling, IVF training at full fidelity).
+
+    Each iteration is ONE streaming pass: ``map_batches`` assigns its
+    batch to the broadcast centroids and emits a (k × d) partial-sum
+    table plus counts (a few KB per block — shuffle-free); the driver
+    reduces the partials and renormalizes. The corpus itself never
+    materializes.
+
+    Deterministic under ANY execution order, which Ray does not
+    guarantee (block completion/coalescing varies run to run):
+    - the init sample is the ``sample_size`` rows with the LOWEST mixed
+      hash of ``id_col`` (a streaming local-top-n + driver merge), not a
+      ``limit()`` that grabs whichever blocks finish first;
+    - partial sums are QUANTIZED to int64 (×2^40 — exact, order-free
+      integer addition; quantization error ~n·2⁻⁴¹ ≪ float noise), so
+      the reduce is independent of how rows were batched.
+
+    Returns {"centroids": (k, d) ndarray, "sizes": (k,) int64,
+    "mean_cosine": (k,) float64 per-cell mean similarity to its centroid,
+    "inertia": float mean (1 - cosine) over the corpus, "n": int}.
+    """
+    sample = _det_sample(emb_ds, sample_size, id_col, emb_col)
+    if len(sample) == 0:
+        return {
+            "centroids": np.zeros((0, 0)),
+            "sizes": np.zeros(0, np.int64),
+            "mean_cosine": np.zeros(0),
+            "inertia": 0.0,
+            "n": 0,
+        }
+    m0 = _normalize(sample)
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, len(m0))
+    centroids = m0[rng.choice(len(m0), size=k_eff, replace=False)]
+    dim = centroids.shape[1]
+    Q = float(2 ** 40)  # |values| ≤ 1 → int64 sums safe to ~2^22 rows/cell
+    sizes = np.zeros(k_eff, np.int64)
+    sim_sums_i = np.zeros(k_eff, np.int64)
+    n_total = 0
+    # n_iter UPDATE passes + one final stats-only pass, so the returned
+    # sizes/mean_cosine/inertia describe the RETURNED centroids (and agree
+    # exactly with a subsequent assign_clusters)
+    for it in range(n_iter + 1):
+        ref = ray.put(centroids)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            if len(batch) == 0:
+                return pd.DataFrame(
+                    {
+                        "cell": pd.Series(dtype="int64"),
+                        "count": pd.Series(dtype="int64"),
+                        "sim_sum_q": pd.Series(dtype="int64"),
+                        "vec_sum_q": pd.Series(dtype="object"),
+                    }
+                )
+            m = _normalize(
+                np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+            )
+            a = np.argmax(m @ c.T, axis=1)
+            mq = np.rint(m * Q).astype(np.int64)
+            sums = np.zeros((len(c), m.shape[1]), np.int64)
+            np.add.at(sums, a, mq)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            simq = np.rint((m * c[a]).sum(axis=1) * Q).astype(np.int64)
+            ssum = np.zeros(len(c), np.int64)
+            np.add.at(ssum, a, simq)
+            return pd.DataFrame(
+                {
+                    "cell": np.arange(len(c), dtype=np.int64),
+                    "count": counts,
+                    "sim_sum_q": ssum,
+                    "vec_sum_q": list(sums),
+                }
+            )
+
+        parts = emb_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        sums_i = np.zeros((k_eff, dim), np.int64)
+        sizes = np.zeros(k_eff, np.int64)
+        sim_sums_i = np.zeros(k_eff, np.int64)
+        cells = parts["cell"].to_numpy()
+        np.add.at(sizes, cells, parts["count"].to_numpy())
+        np.add.at(sim_sums_i, cells, parts["sim_sum_q"].to_numpy())
+        for c, v in zip(cells, parts["vec_sum_q"]):
+            sums_i[c] += np.asarray(v, dtype=np.int64)
+        n_total = int(sizes.sum())
+        if it == n_iter:  # stats-only pass: keep the returned centroids
+            break
+        nonempty = sizes > 0
+        sums = sums_i.astype(np.float64) / Q
+        centroids = np.where(
+            nonempty[:, None], _normalize(np.where(
+                nonempty[:, None], sums, 1.0)), centroids
+        )
+    sim_sums = sim_sums_i.astype(np.float64) / Q
+    mean_cos = np.where(sizes > 0, sim_sums / np.maximum(sizes, 1), 0.0)
+    inertia = float(1.0 - (sim_sums.sum() / max(n_total, 1)))
+    return {
+        "centroids": centroids,
+        "sizes": sizes,
+        "mean_cosine": mean_cos,
+        "inertia": inertia,
+        "n": n_total,
+    }
+
+
+def _det_sample(
+    emb_ds, n: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Deterministic pseudo-random sample: the n rows with the lowest
+    64-bit mixed hash of their id — each batch emits only its local
+    lowest-n, the driver merges. Unlike ``limit()``, the result does not
+    depend on which blocks the executor happens to finish first."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"h": pd.Series(dtype="uint64"),
+                                 "e": pd.Series(dtype="object")})
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        take = np.argsort(h, kind="stable")[:n]
+        return pd.DataFrame(
+            {"h": h[take], "e": batch[emb_col].to_numpy()[take]}
+        )
+
+    parts = emb_ds.map_batches(local, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return np.zeros((0, 0))
+    parts = parts.sort_values("h", kind="stable").head(n)
+    return np.stack(parts["e"].to_numpy()).astype(np.float64)
+
+
+def assign_clusters(
+    emb_ds,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+):
+    """Streaming cluster assignment: appends ``cluster`` (argmax cosine)
+    and ``cosine`` columns against the broadcast centroids. Lazy — at
+    scale this is the pass that writes a cluster-partitioned layout."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        if len(batch) == 0:
+            batch["cluster"] = pd.Series(dtype="int64")
+            batch["cosine"] = pd.Series(dtype="float64")
+            return batch
+        m = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+        sims = m @ c.T
+        batch = batch.copy()
+        batch["cluster"] = np.argmax(sims, axis=1).astype(np.int64)
+        batch["cosine"] = sims.max(axis=1)
+        return batch
+
+    return emb_ds.map_batches(f, batch_format="pandas")

@@ -102,6 +102,107 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_scores(batch: pa.Table) -> pa.Table:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality filters): fraction of duplicate words / 2-grams / 3-grams and
+    the top-word share. A doc whose text is one paragraph pasted ten times
+    scores ~0.9 dup fractions and gets filtered before training.
+
+    Vectorized across the batch: words factorize to int codes once;
+    per-doc distinct counts come from np.unique over (doc, code) pairs and
+    n-gram codes chain via code arithmetic — no per-doc Counter loops.
+    Definitions (mirrored exactly by ORACLE_DOC_REPETITION):
+    words = lowercased \\w+ matches; k-grams = adjacent runs (n-k+1 per
+    doc, 0 when the doc has fewer than k words); dup_frac = (total -
+    distinct) / total, 0 when total is 0; top_word_frac = max word count /
+    n_words."""
+    texts = batch.column("text").to_pylist()
+    n_docs = len(texts)
+    words_per_doc = [
+        [w.lower() for w in WORD_RE.findall(t)] for t in texts
+    ]
+    n_words = np.fromiter(
+        (len(ws) for ws in words_per_doc), dtype=np.int64, count=n_docs
+    )
+    flat = [w for ws in words_per_doc for w in ws]
+    didx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+
+    def zeros():
+        return np.zeros(n_docs, np.float64)
+
+    if not flat:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "dup_word_frac": pa.array(zeros(), pa.float64()),
+                "dup_2gram_frac": pa.array(zeros(), pa.float64()),
+                "dup_3gram_frac": pa.array(zeros(), pa.float64()),
+                "top_word_frac": pa.array(zeros(), pa.float64()),
+            }
+        )
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    codes = codes.astype(np.int64)
+    K = np.int64(len(uniques))
+
+    def dup_frac(gram_codes: np.ndarray, gram_didx: np.ndarray,
+                 totals: np.ndarray) -> np.ndarray:
+        if len(gram_codes) == 0:
+            return zeros()
+        comb = gram_didx * (gram_codes.max() + 1) + gram_codes
+        uniq_pairs = np.unique(comb)
+        distinct = np.bincount(
+            (uniq_pairs // (gram_codes.max() + 1)), minlength=n_docs
+        )
+        tot = totals.astype(np.float64)
+        return np.where(tot > 0, (tot - distinct) / np.maximum(tot, 1), 0.0)
+
+    # words
+    dup_w = dup_frac(codes, didx, n_words)
+    # top word share: counts of each (doc, word) pair, then per-doc max
+    comb_w = didx * K + codes
+    pairs, counts = np.unique(comb_w, return_counts=True)
+    top = np.zeros(n_docs, np.int64)
+    np.maximum.at(top, (pairs // K).astype(np.int64), counts)
+    top_frac = np.where(
+        n_words > 0, top / np.maximum(n_words, 1), 0.0
+    )
+    # adjacent 2-grams: positions i, i+1 within the same doc
+    adj = didx[1:] == didx[:-1] if len(codes) > 1 else np.zeros(0, bool)
+    c2 = codes[:-1][adj] * K + codes[1:][adj]
+    d2 = didx[:-1][adj]
+    n2 = np.maximum(n_words - 1, 0)
+    # re-factorize 2-gram codes so the 3-gram chain stays in int64 range
+    u2, inv2 = np.unique(c2, return_inverse=True)
+    dup_2 = dup_frac(inv2, d2, n2)
+    # 3-grams = (2-gram at i, word at i+2) — adjacency needs didx[i]==didx[i+2]
+    if len(codes) > 2:
+        adj3 = (didx[2:] == didx[:-2])
+        # inv2 indexes positions where adj held; map back: position i has a
+        # 2-gram iff adj[i]; build full-length inv2 slots
+        inv2_full = np.full(len(codes) - 1, -1, dtype=np.int64)
+        inv2_full[adj] = inv2
+        first = inv2_full[:-1]
+        ok = adj3 & (first >= 0)
+        c3 = first[ok] * K + codes[2:][ok]
+        d3 = didx[2:][ok]
+    else:
+        c3 = np.zeros(0, np.int64)
+        d3 = np.zeros(0, np.int64)
+    n3 = np.maximum(n_words - 2, 0)
+    dup_3 = dup_frac(c3, d3, n3)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "dup_word_frac": pa.array(dup_w, pa.float64()),
+            "dup_2gram_frac": pa.array(dup_2, pa.float64()),
+            "dup_3gram_frac": pa.array(dup_3, pa.float64()),
+            "top_word_frac": pa.array(top_frac, pa.float64()),
+        }
+    )
+
+
 #: tiny per-language stopword tables for the n-gram/stopword heuristic
 STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "for",

@@ -1063,6 +1063,67 @@ FROM w ORDER BY doc_id
 """
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition filters (dup word/2-gram/3-gram
+    fractions, top-word share) — functions.text.repetition_scores."""
+    from recon_ray.functions.text import repetition_scores
+
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(
+            repetition_scores, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+    )
+    for c in ["dup_word_frac", "dup_2gram_frac", "dup_3gram_frac",
+              "top_word_frac"]:
+        out[c] = _round_away(out[c].astype("float64"), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x)) AS ws
+  FROM documents
+),
+wordrows AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM wordrows GROUP BY 1, 2),
+wstats AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS topc FROM wc GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+),
+g2s AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d FROM g2 GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+),
+g3s AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d FROM g3 GROUP BY 1
+)
+SELECT w.doc_id,
+       coalesce(ws_.n, 0)::BIGINT AS n_words,
+       round(CASE WHEN coalesce(ws_.n, 0) > 0
+             THEN (ws_.n - ws_.d) * 1.0 / ws_.n ELSE 0 END, 6) AS dup_word_frac,
+       round(CASE WHEN coalesce(g2s.n, 0) > 0
+             THEN (g2s.n - g2s.d) * 1.0 / g2s.n ELSE 0 END, 6) AS dup_2gram_frac,
+       round(CASE WHEN coalesce(g3s.n, 0) > 0
+             THEN (g3s.n - g3s.d) * 1.0 / g3s.n ELSE 0 END, 6) AS dup_3gram_frac,
+       round(CASE WHEN coalesce(ws_.n, 0) > 0
+             THEN ws_.topc * 1.0 / ws_.n ELSE 0 END, 6) AS top_word_frac
+FROM w
+LEFT JOIN wstats ws_ ON ws_.doc_id = w.doc_id
+LEFT JOIN g2s ON g2s.doc_id = w.doc_id
+LEFT JOIN g3s ON g3s.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 def doc_langid(sf_dir: str):
     from recon_ray.functions.text import make_langid_batch
 
@@ -1276,6 +1337,24 @@ def emb_label_centroid_norms(sf_dir: str):
     return df
 
 
+def emb_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means (Lloyd's, streaming partial-sum
+    passes — functions.similarity.kmeans) → per-cluster size and mean
+    cosine. Iterative, so no SQL oracle; determinism and convergence are
+    pinned in tests/test_functions.py."""
+    from recon_ray.functions.similarity import kmeans
+
+    res = kmeans(_t(sf_dir, "embeddings"), k=8, n_iter=5, seed=99)
+    out = pd.DataFrame(
+        {
+            "cluster": np.arange(len(res["sizes"]), dtype=np.int64),
+            "size": res["sizes"].astype("int64"),
+            "mean_cosine": _round_away(res["mean_cosine"], 6),
+        }
+    )
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1321,6 +1400,7 @@ QUERIES = {
     "doc_dedup_groups": doc_dedup_groups,
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
+    "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
@@ -1331,6 +1411,7 @@ QUERIES = {
     "knn_ivf_top10": knn_ivf_top10,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_label_centroid_norms": emb_label_centroid_norms,
+    "emb_kmeans_clusters": emb_kmeans_clusters,
 }
 
 
@@ -1424,6 +1505,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_search": ORACLE_DOC_SEARCH,
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
+        "doc_repetition": ORACLE_DOC_REPETITION,
         "knn_exact_top10": ORACLE_KNN,
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,

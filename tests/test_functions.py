@@ -574,3 +574,55 @@ def test_ngram_jaccard_dedup_exact_recall(docs):
                 want.add((a, b))
     assert got == want
     assert len(res["clusters"]) >= 0  # clustering shape sanity
+
+
+def test_repetition_scores_hand_computed():
+    """Gopher repetition signals on hand-computed docs (incl. empty and
+    single-word edges)."""
+    import pyarrow as pa
+
+    from recon_ray.functions.text import repetition_scores
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a a a b", "x y x y x", "", "hi"]),
+        }
+    )
+    out = repetition_scores(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_words"] == 4
+    assert out.loc[0, "dup_word_frac"] == 0.5          # 4 words, 2 distinct
+    assert abs(out.loc[0, "dup_2gram_frac"] - 1 / 3) < 1e-12  # aa,aa,ab
+    assert out.loc[0, "dup_3gram_frac"] == 0.0         # aaa,aab distinct
+    assert out.loc[0, "top_word_frac"] == 0.75         # 'a' 3/4
+    assert out.loc[1, "dup_word_frac"] == 0.6          # 5 words, 2 distinct
+    assert out.loc[1, "dup_2gram_frac"] == 0.5         # xy,yx,xy,yx
+    assert abs(out.loc[1, "dup_3gram_frac"] - 1 / 3) < 1e-12
+    assert out.loc[2, "n_words"] == 0
+    assert (out.loc[2, ["dup_word_frac", "dup_2gram_frac", "dup_3gram_frac",
+                        "top_word_frac"]] == 0).all()
+    assert out.loc[3, "n_words"] == 1
+    assert out.loc[3, "top_word_frac"] == 1.0
+    assert out.loc[3, "dup_2gram_frac"] == 0.0
+
+
+def test_kmeans_distributed(emb):
+    """Distributed Lloyd's: deterministic across runs (order-independent
+    reduce), sizes partition the corpus, assignments agree with sizes,
+    and the final inertia beats a 1-iteration fit."""
+    import numpy as np
+
+    from recon_ray.functions.similarity import assign_clusters, kmeans
+
+    r1 = kmeans(emb, k=6, n_iter=4, seed=7)
+    r2 = kmeans(emb, k=6, n_iter=4, seed=7)
+    np.testing.assert_array_equal(r1["sizes"], r2["sizes"])
+    np.testing.assert_allclose(r1["centroids"], r2["centroids"])
+    assert r1["sizes"].sum() == r1["n"] == emb.count()
+    short = kmeans(emb, k=6, n_iter=1, seed=7)
+    assert r1["inertia"] <= short["inertia"] + 1e-9
+    assigned = assign_clusters(emb, r1["centroids"]).to_pandas()
+    got_sizes = (
+        assigned["cluster"].value_counts().reindex(range(6), fill_value=0)
+    )
+    np.testing.assert_array_equal(got_sizes.to_numpy(), r1["sizes"])
