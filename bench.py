@@ -143,6 +143,16 @@ def run_bench() -> dict:
     dup_groups(rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16))
     queries["doc_exact_dedup"] = round(time.time() - t0, 3)
 
+    from recon_ray.pipelines.queries import doc_repetition, emb_kmeans_clusters
+
+    t0 = time.time()
+    doc_repetition(SF_DIR)
+    queries["doc_repetition"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    emb_kmeans_clusters(SF_DIR)
+    queries["emb_kmeans"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,

@@ -659,7 +659,47 @@ def embedding_neardup(
 # ---------------------------------------------------------------------------
 
 
-def prefix_candidate_pairs(sh_ds, threshold: float):
+def hot_shingles(sh_ds, df_threshold: int = 64) -> np.ndarray:
+    """Shingle hashes whose document frequency ≥ ``df_threshold`` — the
+    'boilerplate' set that would blow up prefix-filter buckets. Per-batch
+    partial counts (ShingleSets already dedups within a doc) → bucketed
+    sum that FILTERS to hot rows inside the bucket, so only the tiny hot
+    set is ever collected, never the vocabulary."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    def counts(batch: pa.Table) -> pa.Table:
+        shingles = batch.column("shingles")
+        if isinstance(shingles, pa.ChunkedArray):
+            shingles = shingles.combine_chunks()
+        flat = shingles.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {"hash": pa.array([], pa.uint64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(flat, dtype=np.uint64),
+                         return_counts=True)
+        return pa.table(
+            {"hash": pa.array(u, pa.uint64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    part = sh_ds.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("hash", sort=False)["cnt"].sum().reset_index()
+        return s[s["cnt"] >= df_threshold][["hash"]]
+
+    hot = bucketed_group_apply(part, ["hash"], bucket_sum).to_pandas()
+    if "hash" not in hot.columns:  # no bucket had a hot hash
+        return np.zeros(0, np.uint64)
+    return np.sort(hot["hash"].to_numpy().astype(np.uint64))
+
+
+def prefix_candidate_pairs(sh_ds, threshold: float,
+                           hot: "np.ndarray | None" = None):
     """EXACT-recall candidate pairs for Jaccard ≥ threshold by prefix
     filtering (the PPJoin family): order each doc's shingle hashes
     ascending (a global total order on the shingle universe) and emit only
@@ -671,13 +711,16 @@ def prefix_candidate_pairs(sh_ds, threshold: float):
     Empty shingle sets (docs shorter than k) pair with each other
     (J(∅,∅)=1) via a sentinel hash.
 
-    Scale caveat: a hash that lands in MANY prefixes makes a quadratic
-    bucket; production PPJoin orders the universe by ascending global
-    frequency so prefixes hold the RAREST shingles. With sha1-hash order
-    the order is random — fine until a corpus has near-identical
-    boilerplate; the frequency ordering drops in here as a pre-pass that
-    remaps hash → frequency rank."""
+    ``hot`` (from :func:`hot_shingles`) is the scale path for
+    boilerplate-heavy corpora: a hash in MANY prefixes makes a quadratic
+    bucket, so production PPJoin orders the universe rare-first. Passing
+    the hot set switches the global order to (is_hot, hash) — still ONE
+    total order used by every doc, so exactness is untouched, but
+    prefixes now hold the rarest shingles and hot hashes only appear in
+    prefixes of docs made almost entirely of boilerplate."""
     from recon_ray.functions.relational import bucketed_group_apply, distinct
+
+    hot_sorted = np.sort(np.asarray(hot, dtype=np.uint64)) if hot is not None and len(hot) else None
 
     def prefixes(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -692,6 +735,9 @@ def prefix_candidate_pairs(sh_ds, threshold: float):
                 out_h.append(np.array([0], dtype=np.uint64))  # sentinel
                 out_d.append(np.array([ids[i]], dtype=np.int64))
                 continue
+            if hot_sorted is not None:
+                is_hot = np.isin(s, hot_sorted, assume_unique=True)
+                s = np.concatenate([s[~is_hot], s[is_hot]])  # rare-first
             p = len(s) - int(math.ceil(threshold * len(s))) + 1
             out_h.append(s[:p])
             out_d.append(np.full(p, ids[i], dtype=np.int64))
@@ -721,20 +767,26 @@ def prefix_candidate_pairs(sh_ds, threshold: float):
 
 
 def ngram_jaccard_dedup(
-    docs_ds, threshold: float = 0.8, k: int = 3
+    docs_ds, threshold: float = 0.8, k: int = 3,
+    freq_order_df: "int | None" = None,
 ) -> dict:
     """Exact n-gram-Jaccard near-dup join: prefix-filtered candidates
     (EXACT recall — see prefix_candidate_pairs) → exact Jaccard verify in
     map_batches over broadcast candidate shingle sets → min-label
     clustering. Same return shape as minhash_lsh_dedup; use this when the
-    threshold contract must be exact, MinHash-LSH when the corpus is too
-    boilerplate-heavy for hash-order prefixes."""
+    threshold contract must be exact. ``freq_order_df`` enables the
+    rare-first prefix ordering (hot = shingles with document frequency ≥
+    the value) for boilerplate-heavy corpora — identical output, bounded
+    buckets."""
     from recon_ray.functions.relational import semi_join
 
     sh_all = docs_ds.map_batches(
         make_shingle_batch(k), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # reused: prefix emit + verify fetch
-    cand_ds = prefix_candidate_pairs(sh_all, threshold).materialize()
+    hot = hot_shingles(sh_all, freq_order_df) if freq_order_df else None
+    cand_ds = prefix_candidate_pairs(
+        sh_all, threshold, hot=hot
+    ).materialize()
     cand_ids = set(
         np.unique(
             cand_ds.map_batches(

@@ -626,3 +626,23 @@ def test_kmeans_distributed(emb):
         assigned["cluster"].value_counts().reindex(range(6), fill_value=0)
     )
     np.testing.assert_array_equal(got_sizes.to_numpy(), r1["sizes"])
+
+
+def test_ngram_jaccard_freq_order_identical(docs):
+    """Rare-first prefix ordering (hot_shingles pre-pass) is a pure
+    bucket-shape optimization: the verified pair set must be IDENTICAL to
+    hash-order prefixes, and the hot set must be non-empty on this corpus
+    (else the test exercises nothing)."""
+    from recon_ray.functions.dedup import (
+        ShingleSets, hot_shingles, ngram_jaccard_dedup)
+
+    base = ngram_jaccard_dedup(docs, threshold=0.5, k=3)
+    sh = docs.map_batches(
+        ShingleSets(k=3), batch_format="pyarrow", zero_copy_batch=True
+    )
+    hot = hot_shingles(sh, df_threshold=5)
+    assert len(hot) > 0
+    freq = ngram_jaccard_dedup(docs, threshold=0.5, k=3, freq_order_df=5)
+    a = base["pairs"][["a", "b", "jaccard"]].reset_index(drop=True)
+    b = freq["pairs"][["a", "b", "jaccard"]].reset_index(drop=True)
+    assert a.equals(b)
