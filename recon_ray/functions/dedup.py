@@ -819,3 +819,88 @@ def ngram_jaccard_dedup(
     clusters = connected_components(verified_ds)
     n_dup = int((clusters["doc_id"] != clusters["cluster"]).sum()) if len(clusters) else 0
     return {"pairs": verified, "clusters": clusters, "n_duplicates": n_dup}
+
+
+# ---------------------------------------------------------------------------
+# keep-best dedup policy
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(docs_ds, clusters: pd.DataFrame,
+                    quality_batch_fn=None) -> dict:
+    """Turn a near-dup clustering (minhash/simhash/ngram — the
+    ``clusters`` frame of their results: doc_id → cluster) into a
+    keep/drop decision: per cluster keep the HIGHEST-quality member
+    (default quality = whitespace token count; ties → smallest doc_id),
+    drop the rest.
+
+    Quality scores compute DISTRIBUTED over only the cluster members
+    (semi-join → map_batches); the argmax itself runs on the driver
+    because the dup graph is a small fraction of the corpus by
+    construction — the same contract as connected_components, and the
+    same swap (shuffle join + grouped max) applies if it ever outgrows
+    the driver. The returned ``filtered`` Dataset streams the corpus
+    through a broadcast drop-set filter — no shuffle, no
+    materialization.
+
+    Returns {"keep": DataFrame(doc_id, cluster, quality, keep),
+    "drop_ids": ndarray, "filtered": Dataset}."""
+    from recon_ray.functions.relational import semi_join
+
+    if len(clusters) == 0:
+        return {
+            "keep": pd.DataFrame(
+                columns=["doc_id", "cluster", "quality", "keep"]
+            ),
+            "drop_ids": np.zeros(0, np.int64),
+            "filtered": docs_ds,
+        }
+    if quality_batch_fn is None:
+        def quality_batch_fn(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            q = np.fromiter(
+                (len(t.split()) for t in texts), dtype=np.int64,
+                count=len(texts),
+            )
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "quality": pa.array(q, pa.int64()),
+                }
+            )
+
+    member_ids = set(int(d) for d in clusters["doc_id"])
+    q = (
+        semi_join(docs_ds, member_ids, "doc_id")
+        .map_batches(
+            quality_batch_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+    )
+    merged = clusters.merge(q, on="doc_id", how="left")
+    merged["quality"] = merged["quality"].fillna(0)
+    merged = merged.sort_values(
+        ["cluster", "quality", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    merged["keep"] = ~merged.duplicated("cluster", keep="first")
+    drop_ids = merged.loc[~merged["keep"], "doc_id"].to_numpy(np.int64)
+    drop_ref = ray.put(set(int(d) for d in drop_ids))
+
+    def drop_filter(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref) if isinstance(
+            drop_ref, ray.ObjectRef) else drop_ref
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (int(i) not in drop for i in ids), dtype=bool, count=len(ids)
+        )
+        return batch.filter(pa.array(mask))
+
+    filtered = docs_ds.map_batches(
+        drop_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = merged[["doc_id", "cluster", "quality", "keep"]].reset_index(
+        drop=True
+    )
+    return {"keep": out, "drop_ids": drop_ids, "filtered": filtered}

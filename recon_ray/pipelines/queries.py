@@ -1204,6 +1204,23 @@ ORDER BY a, b
 """
 
 
+def doc_dedup_keep_best(sf_dir: str):
+    """Near-dup clusters (minhash) → keep-best policy: one keeper per
+    cluster by (max token count, min doc_id) — functions.dedup.
+    dedup_keep_best. Cluster membership comes from LSH so no SQL oracle;
+    the policy invariants are pinned in tests/test_functions.py."""
+    from recon_ray.functions.dedup import dedup_keep_best, minhash_lsh_dedup
+
+    docs = _t(sf_dir, "documents").repartition(8)
+    res = minhash_lsh_dedup(docs, threshold=0.7)
+    kb = dedup_keep_best(docs, res["clusters"])
+    out = kb["keep"].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["quality"] = out["quality"].astype("int64")
+    return out.sort_values(["cluster", "doc_id"]).reset_index(drop=True)
+
+
 def doc_simhash_dedup(sf_dir: str):
     from recon_ray.functions.dedup import simhash_dedup
 
@@ -1403,6 +1420,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
     "doc_simhash_dedup": doc_simhash_dedup,
     # embeddings

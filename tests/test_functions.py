@@ -646,3 +646,29 @@ def test_ngram_jaccard_freq_order_identical(docs):
     a = base["pairs"][["a", "b", "jaccard"]].reset_index(drop=True)
     b = freq["pairs"][["a", "b", "jaccard"]].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dedup_keep_best(docs):
+    """keep-best policy over minhash clusters: exactly one keeper per
+    cluster, the keeper maximizes quality (token count, tie -> min
+    doc_id), and the filtered corpus drops exactly the losers."""
+    import numpy as np
+
+    from recon_ray.functions.dedup import dedup_keep_best, minhash_lsh_dedup
+
+    res = minhash_lsh_dedup(docs, threshold=0.7)
+    clusters = res["clusters"]
+    assert len(clusters) > 0
+    kb = dedup_keep_best(docs, clusters)
+    keep = kb["keep"]
+    per = keep.groupby("cluster")["keep"].sum()
+    assert (per == 1).all()
+    for _, g in keep.groupby("cluster"):
+        best = g.sort_values(["quality", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        assert bool(best["keep"])
+    n_total = docs.count()
+    assert kb["filtered"].count() == n_total - len(kb["drop_ids"])
+    assert set(kb["drop_ids"]).isdisjoint(
+        set(keep.loc[keep["keep"], "doc_id"])
+    )
