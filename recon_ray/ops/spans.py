@@ -108,22 +108,56 @@ def strip_annotations(batch: pa.Table, strip_chars: Optional[list] = None) -> pa
     text, start, end, label, source = _fields(child)
     start = start.cast(pa.int64())
     end = end.cast(pa.int64())
-    for ch in strip_chars:
-        ln = pc.utf8_length(text)
-        nonempty = pc.greater(ln, 0)
-        starts = pc.and_(nonempty, pc.starts_with(text, ch))
-        # reference while-loop == lstrip over the whole strip set
-        lstripped = pc.utf8_ltrim(text, strip_set)
-        ldelta = pc.subtract(ln, pc.utf8_length(lstripped))
-        text = pc.if_else(starts, lstripped, text)
-        start = pc.add(start, pc.if_else(starts, ldelta, pa.scalar(0, pa.int64())))
-        ends = pc.and_(
-            pc.and_(nonempty, pc.invert(starts)), pc.ends_with(text, ch)
-        )
-        rstripped = pc.utf8_rtrim(text, strip_set)
-        rdelta = pc.subtract(pc.utf8_length(text), pc.utf8_length(rstripped))
-        text = pc.if_else(ends, rstripped, text)
-        end = pc.subtract(end, pc.if_else(ends, rdelta, pa.scalar(0, pa.int64())))
+    # Closed form of the reference's per-char loop (recon/corrections.py
+    # elif quirk): each span lstrips at most once (at the iteration of its
+    # ORIGINAL first char, position L in strip_chars) and rstrips at most
+    # once (original last char, position R) — the elif means R == L never
+    # rstrips, and whichever of L/R is smaller fires first (the deltas of
+    # the second operation are computed on the first's output, which only
+    # matters when the span is entirely strip chars and the first trim
+    # consumed everything). Equivalence with the iterative form is pinned
+    # by the reference-table + hypothesis parity tests.
+    cs = pa.array(list(strip_chars))
+    first = pc.utf8_slice_codeunits(text, 0, 1)
+    last = pc.utf8_slice_codeunits(text, -1, None)
+    L = pc.fill_null(pc.index_in(first, value_set=cs), -1)
+    R = pc.fill_null(pc.index_in(last, value_set=cs), -1)
+    has_l = pc.greater_equal(L, 0)
+    has_r = pc.greater_equal(R, 0)
+    do_r = pc.and_(has_r, pc.or_(pc.invert(has_l), pc.not_equal(L, R)))
+    both = pc.and_(has_l, do_r)
+    l_first = pc.less(L, R)
+
+    i64 = pa.int64()
+    ln = pc.utf8_length(text).cast(i64)
+    lt = pc.utf8_ltrim(text, strip_set)
+    ln_lt = pc.utf8_length(lt).cast(i64)
+    rt = pc.utf8_rtrim(text, strip_set)
+    ln_rt = pc.utf8_length(rt).cast(i64)
+    tr = pc.utf8_trim(text, strip_set)
+    ln_tr = pc.utf8_length(tr).cast(i64)
+    zero = pa.scalar(0, i64)
+    ldelta = pc.if_else(
+        has_l,
+        pc.if_else(
+            pc.and_(both, pc.invert(l_first)),
+            pc.subtract(ln_rt, ln_tr),  # lstrip ran second, on the rstripped
+            pc.subtract(ln, ln_lt),
+        ),
+        zero,
+    )
+    rdelta = pc.if_else(
+        do_r,
+        pc.if_else(
+            pc.and_(both, l_first),
+            pc.subtract(ln_lt, ln_tr),  # rstrip ran second, on the lstripped
+            pc.subtract(ln, ln_rt),
+        ),
+        zero,
+    )
+    text = pc.if_else(both, tr, pc.if_else(has_l, lt, pc.if_else(do_r, rt, text)))
+    start = pc.add(start, ldelta)
+    end = pc.subtract(end, rdelta)
     keep = pc.greater(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
     child = _struct(text, start, end, label, source)
     if not keep.all():
