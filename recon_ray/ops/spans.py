@@ -258,25 +258,67 @@ def fix_annotations(
     if len(child) == 0 or not corrections:
         return batch
     text, start, end, label, source = _fields(child)
-    orig_label = label
     keys = text if case_sensitive else pc.utf8_lower(text)
-    keep = np.ones(len(child), dtype=bool)
     # reference puts corrections in a dict keyed by annotation — a later
     # entry with the same text wins (recon/corrections.py:58); matching
-    # always tests the ORIGINAL span label (single dict lookup per span)
+    # always tests the ORIGINAL span label (single dict lookup per span).
+    # Single-pass form: ONE index_in against the annotation dictionary
+    # replaces an equal+is_in+if_else sweep per entry (22 entries in the
+    # spec); the from_labels test is an is_in over packed
+    # (entry, label) pair codes.
     cmap: dict[str, tuple[list, Optional[str]]] = {}
     for annotation, from_labels, to_label in corrections:
         akey = annotation if case_sensitive else annotation.lower()
         cmap[akey] = (list(from_labels), to_label)
-    for akey, (from_labels, to_label) in cmap.items():
-        m = pc.equal(keys, akey)
-        if "ANY" not in from_labels:
-            lbl_m = pc.is_in(orig_label, value_set=pa.array(list(from_labels)))
-            m = pc.and_(m, lbl_m)
-        if to_label is None:
-            keep &= pc.invert(m).to_numpy(zero_copy_only=False)
+    annots = list(cmap.keys())
+    lab_universe = sorted(
+        {lbl for fl, _ in cmap.values() for lbl in fl if lbl != "ANY"}
+    )
+    nlab = len(lab_universe) + 1  # slot 0 = "label not referenced"
+    any_entries, del_entries, pair_codes, to_labels = [], [], [], []
+    for ei, (fl, tl) in enumerate(cmap.values()):
+        if "ANY" in fl:
+            any_entries.append(ei)
         else:
-            label = pc.if_else(m, pa.scalar(to_label, pa.string()), label)
+            for lbl in fl:
+                pair_codes.append(
+                    ei * nlab + lab_universe.index(lbl) + 1
+                )
+        if tl is None:
+            del_entries.append(ei)
+        to_labels.append(tl)
+
+    midx = pc.fill_null(
+        pc.index_in(keys, value_set=pa.array(annots)), -1
+    ).cast(pa.int64())
+    lidx = pc.fill_null(
+        pc.index_in(label, value_set=pa.array(lab_universe, pa.string())), -1
+    ).cast(pa.int64())
+    pair = pc.add(
+        pc.multiply(midx, pa.scalar(nlab, pa.int64())),
+        pc.add(lidx, pa.scalar(1, pa.int64())),
+    )
+    cond = pc.and_(
+        pc.greater_equal(midx, 0),
+        pc.or_(
+            pc.is_in(pair, value_set=pa.array(pair_codes, pa.int64())),
+            pc.is_in(midx, value_set=pa.array(any_entries, pa.int64()))
+            if any_entries
+            else pa.scalar(False),
+        ),
+    )
+    # relabel: gather each entry's to_label (null → keep original)
+    to_arr = pa.array(to_labels, pa.string())
+    gathered = pc.take(to_arr, pc.if_else(cond, midx, pa.scalar(0, pa.int64())))
+    relabel = pc.and_(cond, pc.is_valid(gathered))
+    label = pc.if_else(relabel, gathered, label)
+    if del_entries:
+        drop = pc.and_(
+            cond, pc.is_in(midx, value_set=pa.array(del_entries, pa.int64()))
+        )
+        keep = pc.invert(drop).to_numpy(zero_copy_only=False)
+    else:
+        keep = np.ones(len(child), dtype=bool)
     child = _struct(text, start, end, label, source)
     if not keep.all():
         lengths, child = _filter_child(child, keep, lengths)
