@@ -1354,6 +1354,60 @@ def emb_label_centroid_norms(sf_dir: str):
     return df
 
 
+def doc_media_features(sf_dir: str):
+    """Multimodal plumbing under the driver gate: documents re-shaped as
+    opaque binary payloads (MEDIA_SCHEMA) → the ImageFeatureExtractor
+    stage (byte-budgeted MM_BATCH_SIZE batches) → payload size + sha256.
+    The fake-decode channel stats are not SQL-expressible, but the
+    payload provenance IS — DuckDB recomputes octet_length + sha256 over
+    the same utf8 bytes, so the oracle proves the binary column survived
+    the stage byte-exact."""
+    from recon_ray.functions.multimodal import (MM_BATCH_SIZE,
+                                                ImageFeatureExtractor)
+
+    docs = _t(sf_dir, "documents")
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "kind": pa.array(["image"] * n),
+                "format": pa.array(["raw"] * n),
+                "payload": batch.column("text").cast(pa.binary()),
+                "width": pa.array([8] * n, pa.int32()),
+                "height": pa.array([8] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    fx = ImageFeatureExtractor()
+
+    def feats(batch: pa.Table) -> pa.Table:
+        out = fx(batch)
+        return out.append_column(
+            "payload_bytes",
+            pc.binary_length(batch.column("payload")).cast(pa.int64()),
+        )
+
+    out = media.map_batches(
+        feats, batch_format="pyarrow", batch_size=MM_BATCH_SIZE
+    ).to_pandas()
+    out = out[["media_id", "payload_bytes", "payload_sha256"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS payload_bytes,
+       sha256(text) AS payload_sha256
+FROM documents ORDER BY doc_id
+"""
+
+
 def emb_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means (Lloyd's, streaming partial-sum
     passes — functions.similarity.kmeans) → per-cluster size and mean
@@ -1430,6 +1484,7 @@ QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_label_centroid_norms": emb_label_centroid_norms,
     "emb_kmeans_clusters": emb_kmeans_clusters,
+    "doc_media_features": doc_media_features,
 }
 
 
@@ -1524,6 +1579,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
         "doc_repetition": ORACLE_DOC_REPETITION,
+        "doc_media_features": ORACLE_MEDIA_FEATURES,
         "knn_exact_top10": ORACLE_KNN,
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
