@@ -74,6 +74,30 @@ def _cents(series, factor: int = 100) -> "pd.Series":
     return pd.Series(np.floor(a + 0.5).astype("int64"), index=getattr(series, "index", None))
 
 
+def _cents_arrow(col, factor: float = 100.0):
+    """Arrow-kernel _cents: floor(v·factor + 0.5) as int64 — keeps the
+    monetary stages zero-copy pyarrow instead of a pandas conversion."""
+    return pc.cast(
+        pc.floor(
+            pc.add(
+                pc.multiply(pc.cast(col, pa.float64()), pa.scalar(factor)),
+                pa.scalar(0.5),
+            )
+        ),
+        pa.int64(),
+    )
+
+
+def _add_revenue_part(t: pa.Table) -> pa.Table:
+    """revenue_part = price_cents · (100 − discount_bp), exact int64."""
+    price_c = _cents_arrow(t.column("l_extendedprice"))
+    disc_bp = _cents_arrow(t.column("l_discount"))
+    rev = pc.multiply(
+        price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp)
+    )
+    return t.append_column("revenue_part", rev)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational queries
 # ---------------------------------------------------------------------------
@@ -90,25 +114,31 @@ def q1_pricing_summary(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+    def add_cents(t: pa.Table) -> pa.Table:
         # integer-cent/basis-point arithmetic: double summation order differs
         # between engines, so monetary aggregates are computed EXACTLY in
-        # int64 and divided once at the end (both here and in the oracle)
-        out = pd.DataFrame()
-        out["l_returnflag"] = df["l_returnflag"]
-        out["l_linestatus"] = df["l_linestatus"]
-        price_c = _cents(df["l_extendedprice"])
-        disc_bp = _cents(df["l_discount"])
-        tax_bp = _cents(df["l_tax"])
-        out["qty"] = df["l_quantity"]
-        out["price_c"] = price_c
-        out["disc_c"] = price_c * (100 - disc_bp)
-        out["charge_c"] = price_c * (100 - disc_bp) * (100 + tax_bp)
-        out["disc_bp"] = disc_bp
-        return out
+        # int64 and divided once at the end (both here and in the oracle);
+        # all Arrow kernels — no pandas conversion on the 6M-row table
+        price_c = _cents_arrow(t.column("l_extendedprice"))
+        disc_bp = _cents_arrow(t.column("l_discount"))
+        tax_bp = _cents_arrow(t.column("l_tax"))
+        hundred = pa.scalar(100, pa.int64())
+        disc_c = pc.multiply(price_c, pc.subtract(hundred, disc_bp))
+        charge_c = pc.multiply(disc_c, pc.add(hundred, tax_bp))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": t.column("l_quantity"),
+                "price_c": price_c,
+                "disc_c": disc_c,
+                "charge_c": charge_c,
+                "disc_bp": disc_bp,
+            }
+        )
 
     g = grouped_agg(
-        li.map_batches(add_cents, batch_format="pandas"),
+        li.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True),
         ["l_returnflag", "l_linestatus"],
         {
             "qty": ["sum", "count"],
@@ -169,14 +199,9 @@ def q3_top_orders(sf_dir: str):
     )[["o_orderkey", "o_orderdate"]]
     joined = broadcast_join(li, sel_orders, on="l_orderkey", small_on="o_orderkey")
 
-    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["revenue_part"] = _cents(df["l_extendedprice"]).values * (
-            100 - _cents(df["l_discount"]).values
-        )
-        return df
-
-    joined = joined.map_batches(add_rev, batch_format="pandas")
+    joined = joined.map_batches(
+        _add_revenue_part, batch_format="pyarrow", zero_copy_batch=True
+    )
     g = grouped_agg(joined, ["l_orderkey", "o_orderdate"], {"revenue_part": ["sum"]})
     g["revenue"] = _round_away((g["revenue_part_sum"] / 10000.0), 2)
     g = g.drop(columns=["revenue_part_sum"])
@@ -213,15 +238,10 @@ def q5_nation_revenue(sf_dir: str):
     )[["o_orderkey", "n_name", "r_name"]]
     joined = broadcast_join(li, dim, on="l_orderkey", small_on="o_orderkey")
 
-    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["revenue_part"] = _cents(df["l_extendedprice"]).values * (
-            100 - _cents(df["l_discount"]).values
-        )
-        return df
-
     g = grouped_agg(
-        joined.map_batches(add_rev, batch_format="pandas"),
+        joined.map_batches(
+            _add_revenue_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
         ["r_name", "n_name"],
         {"revenue_part": ["sum"], "l_orderkey": ["count"]},
     )
@@ -262,12 +282,11 @@ def q6_revenue_forecast(sf_dir: str):
             pc.less(t["l_quantity"], pa.scalar(24.0)),
         )
         t = t.filter(m)
-        import numpy as np
-
-        price_c = _cents(t["l_extendedprice"].to_numpy()).values
-        disc_bp = _cents(t["l_discount"].to_numpy()).values
+        rev = pc.multiply(
+            _cents_arrow(t["l_extendedprice"]), _cents_arrow(t["l_discount"])
+        )
         return pa.table(
-            {"rev": [int((price_c * disc_bp).sum())], "n": [t.num_rows]}
+            {"rev": [int(pc.sum(rev).as_py() or 0)], "n": [t.num_rows]}
         )
 
     parts = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
@@ -291,15 +310,10 @@ def q_top_suppliers(sf_dir: str):
     li = _t(sf_dir, "lineitem")
     supp = _pdf(sf_dir, "supplier")[["s_suppkey", "s_name"]]
 
-    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["revenue_part"] = _cents(df["l_extendedprice"]).values * (
-            100 - _cents(df["l_discount"]).values
-        )
-        return df
-
     g = grouped_agg(
-        li.map_batches(add_rev, batch_format="pandas"),
+        li.map_batches(
+            _add_revenue_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
         "l_suppkey",
         {"revenue_part": ["sum"]},
     )
@@ -722,14 +736,9 @@ def q_priority_revenue_shuffle_join(sf_dir: str):
     from recon_ray.functions.relational import shuffle_join
 
     li = _t(sf_dir, "lineitem").map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "l_orderkey": df["l_orderkey"],
-                "revenue_part": _cents(df["l_extendedprice"]).values
-                * (100 - _cents(df["l_discount"]).values),
-            }
-        ),
-        batch_format="pandas",
+        lambda t: _add_revenue_part(t).select(["l_orderkey", "revenue_part"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     orders = _t(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
     joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
