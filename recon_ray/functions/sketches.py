@@ -1,0 +1,219 @@
+"""Mergeable sketches — the approximate-aggregate toolkit a 100-TB table
+needs when exact answers would shuffle the world:
+
+- ``hll_distinct``: HyperLogLog distinct count. Each batch emits one
+  2^p-byte register row; registers merge by elementwise max (order-free),
+  so the reduce is a tiny driver fold no matter the input size.
+- ``exact_quantiles``: EXACT distributed quantiles in two streaming
+  passes — a per-batch histogram (order-free int64 partial sums) locates
+  the bucket holding each quantile, then one filtered pass collects only
+  those buckets' values (≈ n/n_buckets rows) and picks the exact order
+  statistic. No global sort, no full materialization.
+- ``heavy_hitters``: Misra-Gries candidates (pass 1, mergeable summaries
+  with the frequency > n/capacity survival guarantee) + an exact count of
+  the candidate set (pass 2, broadcast membership) → exact top-k with
+  exact counts, without ever shuffling the full key universe.
+
+All results are deterministic under any execution order: partials are
+integers (max / sum), so the reduce is associative-commutative exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _hash64(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64 finalizer) of an int64/uint64
+    array; strings must be pre-hashed by the caller."""
+    h = arr.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _hash_strings(values) -> np.ndarray:
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.sha1(str(v).encode()).digest()[:8], "little"
+        )
+    return out
+
+
+def _col_hashes(batch: pd.DataFrame, col: str) -> np.ndarray:
+    v = batch[col]
+    if pd.api.types.is_integer_dtype(v):
+        return _hash64(v.to_numpy())
+    return _hash_strings(v.to_numpy())
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> dict:
+    """HyperLogLog distinct count of ``ds[col]`` (standard bias-corrected
+    estimator, 2^p registers → ~1.04/√2^p relative error). One streaming
+    pass; each batch contributes a register row, merged by max."""
+    m = 1 << p
+
+    def registers(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"regs": []})
+        h = _col_hashes(batch, col)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # remaining bits, MSB-aligned
+        # rank = position of first set bit in the remaining 64-p bits + 1
+        nbits = 64 - p
+        lz = np.full(len(h), nbits, dtype=np.int64)
+        cur = rest.copy()
+        found = np.zeros(len(h), dtype=bool)
+        for b in range(nbits):
+            top = (cur >> np.uint64(63)) & np.uint64(1)
+            hit = (~found) & (top == 1)
+            lz[hit] = b
+            found |= hit
+            cur = cur << np.uint64(1)
+        rank = lz + 1
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, idx, rank.astype(np.int8))
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(registers, batch_format="pandas").to_pandas()
+    regs = np.zeros(m, dtype=np.int8)
+    for b in parts["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
+    r = regs.astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -r))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return {"estimate": float(est), "registers": regs, "p": p}
+
+
+def exact_quantiles(ds, col: str, qs: list, n_buckets: int = 4096) -> list:
+    """EXACT ``quantile_disc``-style order statistics in two streaming
+    passes. For each q the result is the element at (0-based) rank
+    ``ceil(q·n) - 1`` (clamped) of the sorted column — DuckDB's
+    ``quantile_disc`` definition, so a SQL oracle can verify it.
+
+    Pass 1: global [min, max] + a fixed-width int64 histogram (per-batch
+    partial sums → order-free reduce). Pass 2: only rows falling in the
+    buckets that contain requested ranks are collected (≈ n/n_buckets
+    values per quantile), and the exact order statistic is read off. NaNs
+    are ignored, matching SQL aggregate semantics."""
+    stat = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "lo": [np.nanmin(b[col].to_numpy(np.float64))]
+                if len(b) else [np.inf],
+                "hi": [np.nanmax(b[col].to_numpy(np.float64))]
+                if len(b) else [-np.inf],
+                "n": [int(b[col].notna().sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi, n = float(stat["lo"].min()), float(stat["hi"].max()), int(stat["n"].sum())
+    if n == 0:
+        return [None] * len(qs)
+    if lo == hi:
+        return [lo] * len(qs)
+    width = (hi - lo) / n_buckets
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        counts = np.bincount(idx, minlength=n_buckets).astype(np.int64)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for b in parts["counts"]:
+        counts += np.frombuffer(b, dtype=np.int64)
+    cum = np.cumsum(counts)
+    ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+    need = sorted({int(np.searchsorted(cum, r + 1)) for r in ranks})
+    need_set = set(need)
+    ref = ray.put(need_set)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        v = batch[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        mask = np.isin(idx, list(want))
+        return pd.DataFrame({"v": v[mask], "bucket": idx[mask]})
+
+    picked = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    out = []
+    for q, r in zip(qs, ranks):
+        b = int(np.searchsorted(cum, r + 1))
+        before = int(cum[b - 1]) if b > 0 else 0
+        vals = np.sort(picked.loc[picked["bucket"] == b, "v"].to_numpy())
+        out.append(float(vals[r - before]))
+    return out
+
+
+def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096) -> pd.DataFrame:
+    """Exact top-k (value, count) without shuffling the key universe:
+    Misra-Gries summaries per batch (pass 1) merge into a candidate set —
+    any value with true frequency > n/capacity is guaranteed present —
+    then pass 2 exact-counts ONLY the candidates via broadcast membership.
+    Deterministic tie-break: count desc, value asc. Correct whenever the
+    true k-th count exceeds n/capacity (loudly asserted)."""
+
+    def mg(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].astype(str).to_numpy()
+        u, c = np.unique(v, return_counts=True)
+        if len(u) > capacity:  # per-batch truncation keeps summaries small;
+            top = np.argsort(-c, kind="stable")[:capacity]
+            # the decrement step of classic MG — subtracting the (cap+1)-th
+            # count keeps the survival guarantee
+            cut = np.sort(c)[::-1][capacity]
+            u, c = u[top], np.maximum(c[top] - cut, 0)
+            keep = c > 0
+            u, c = u[keep], c[keep]
+        return pd.DataFrame({"value": u, "cnt": c.astype(np.int64)})
+
+    summaries = ds.map_batches(mg, batch_format="pandas").to_pandas()
+    # every value surviving ANY batch summary is a candidate (≤
+    # n_batches × capacity rows — bounded, broadcastable); the per-batch
+    # guarantee (freq > n_batch/capacity survives) then sums to the
+    # global freq > n/capacity guarantee
+    cand = set(summaries["value"].unique())
+    ref = ray.put(cand)
+
+    def exact(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        v = batch[col].astype(str).to_numpy()
+        n_total = len(v)
+        mask = np.fromiter((x in want for x in v), dtype=bool, count=len(v))
+        u, c = np.unique(v[mask], return_counts=True)
+        return pd.DataFrame(
+            {"value": np.append(u, "\x00total"),
+             "cnt": np.append(c, n_total).astype(np.int64)}
+        )
+
+    counts = ds.map_batches(exact, batch_format="pandas").to_pandas()
+    agg2 = counts.groupby("value", sort=False)["cnt"].sum()
+    n = int(agg2.pop("\x00total"))
+    out = (
+        agg2.reset_index()
+        .rename(columns={"cnt": "count"})
+        .sort_values(["count", "value"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    if len(out) == k and int(out["count"].iloc[-1]) * capacity <= n:
+        raise AssertionError(
+            "heavy_hitters guarantee violated: k-th count ≤ n/capacity — "
+            "raise capacity"
+        )
+    out["count"] = out["count"].astype("int64")
+    return out

@@ -1019,6 +1019,74 @@ GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 50
 """
 
 
+def doc_word_top20_mg(sf_dir: str):
+    """Exact top-20 words WITHOUT a full-vocabulary shuffle: Misra-Gries
+    candidate summaries + an exact broadcast-membership count —
+    functions.sketches.heavy_hitters. The oracle recomputes the same
+    top-20 with a plain GROUP BY, so the hash compare proves the sketch
+    path is exact on this corpus."""
+    from recon_ray.functions.sketches import heavy_hitters
+
+    docs = _t(sf_dir, "documents")
+
+    def words(t: pa.Table) -> pa.Table:
+        import re
+
+        out = []
+        for s in t.column("text").to_pylist():
+            out += re.findall(r"\w+", s.lower())
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    w = docs.map_batches(words, batch_format="pyarrow", zero_copy_batch=True)
+    out = heavy_hitters(w, "word", k=20, capacity=4096)
+    out = out.rename(columns={"value": "word", "count": "n_occurrences"})
+    return out[["word", "n_occurrences"]]
+
+
+ORACLE_WORD_TOP20_MG = """
+SELECT lower(w) AS word, count(*)::BIGINT AS n_occurrences
+FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS w FROM documents)
+GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 20
+"""
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (2-pass histogram refinement, no
+    global sort) — functions.sketches.exact_quantiles, verified against
+    DuckDB's quantile_disc (same nearest-rank element semantics)."""
+    from recon_ray.functions.sketches import exact_quantiles
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = exact_quantiles(_t(sf_dir, "events"), "value", qs)
+    return pd.DataFrame(
+        {
+            "q": np.asarray(qs, dtype=np.float64),
+            "value": np.asarray(vals, dtype=np.float64),
+        }
+    )
+
+
+ORACLE_EVENTS_QUANTILES = """
+SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events
+UNION ALL SELECT 0.25, quantile_disc(value, 0.25) FROM events
+UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
+UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events
+UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
+ORDER BY q
+"""
+
+
+def q_events_user_hll(sf_dir: str):
+    """HyperLogLog distinct users (rows-only: the estimate is
+    approximate by design; the ±2% accuracy bound vs exact COUNT
+    DISTINCT is pinned in tests/test_functions.py)."""
+    from recon_ray.functions.sketches import hll_distinct
+
+    res = hll_distinct(_t(sf_dir, "events"), "user_id", p=12)
+    return pd.DataFrame({"distinct_users_est": [round(res["estimate"], 1)]})
+
+
 def doc_search(sf_dir: str):
     """Dataset.search port: case-insensitive substring match, streaming
     Arrow filter (recon/dataset.py:291-311 semantics)."""
@@ -1453,6 +1521,8 @@ QUERIES = {
     "q_events_by_type": q_events_by_type,
     "q_events_daily": q_events_daily,
     "q_events_sessions": q_events_sessions,
+    "q_events_value_quantiles": q_events_value_quantiles,
+    "q_events_user_hll": q_events_user_hll,
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
@@ -1476,6 +1546,7 @@ QUERIES = {
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_word_freq_top50": doc_word_freq_top50,
+    "doc_word_top20_mg": doc_word_top20_mg,
     "doc_search": doc_search,
     "doc_dedup_groups": doc_dedup_groups,
     "doc_quality": doc_quality,
@@ -1589,6 +1660,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_quality": ORACLE_DOC_QUALITY,
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
+        "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
+        "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,

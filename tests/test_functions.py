@@ -672,3 +672,62 @@ def test_dedup_keep_best(docs):
     assert set(kb["drop_ids"]).isdisjoint(
         set(keep.loc[keep["keep"], "doc_id"])
     )
+
+
+def test_hll_distinct_accuracy(events):
+    """HLL estimate within 3% of exact distinct (p=12 → σ≈1.6%)."""
+    from recon_ray.functions.sketches import hll_distinct
+
+    exact = events.to_pandas()["user_id"].nunique()
+    est = hll_distinct(events, "user_id", p=12)["estimate"]
+    assert abs(est - exact) / exact < 0.03
+    # determinism: registers merge order-free
+    est2 = hll_distinct(events, "user_id", p=12)["estimate"]
+    assert est == est2
+
+
+def test_exact_quantiles_vs_numpy(events):
+    """Two-pass histogram quantiles return the EXACT nearest-rank element
+    (incl. q=0/1 edges and an all-equal column)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.sketches import exact_quantiles
+
+    vals = np.sort(events.to_pandas()["value"].to_numpy())
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = exact_quantiles(events, "value", qs)
+    n = len(vals)
+    for q, g in zip(qs, got):
+        want = vals[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)]
+        assert g == want, (q, g, want)
+    const = rd.from_pandas(pd.DataFrame({"value": [3.5] * 100}))
+    assert exact_quantiles(const, "value", [0.5]) == [3.5]
+
+
+def test_heavy_hitters_guarantee(events):
+    """MG + exact recount equals the full-groupby top-k, and the
+    guarantee violation raises instead of silently returning wrong
+    counts."""
+    import pytest
+
+    from recon_ray.functions.sketches import heavy_hitters
+
+    df = events.to_pandas()
+    exact = (
+        df["event_type"].astype(str).value_counts().reset_index()
+    )
+    exact.columns = ["value", "count"]
+    exact = exact.sort_values(["count", "value"], ascending=[False, True],
+                              kind="mergesort").head(3).reset_index(drop=True)
+    got = heavy_hitters(events, "event_type", k=3, capacity=512)
+    assert got.equals(exact.astype({"count": "int64"}))
+    with pytest.raises(AssertionError):
+        # capacity 1 cannot guarantee a top-3 over 5 event types
+        heavy_hitters(events, "event_type", k=3, capacity=1)
+
+
+@pytest.fixture(scope="module")
+def events():
+    return rd.read_parquet(f"{SF}/events.parquet").repartition(4)
