@@ -1050,6 +1050,81 @@ GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 20
 """
 
 
+#: packing parameters pinned for the oracled queries (the SQL below bakes
+#: the same constants)
+PACK_MAX_TOKENS = 512
+PACK_N_BUCKETS = 16
+
+# Greedy packing is a linear recurrence, so the oracle is a recursive CTE:
+# all buckets advance one rank per iteration (depth = largest bucket), which
+# is exactly the partition-parallel shape of the Ray operator.
+_PACK_CTE = f"""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, doc_id % {PACK_N_BUCKETS} AS bucket,
+         CASE WHEN trim(text)='' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_N_BUCKETS} ORDER BY doc_id) AS rk
+  FROM documents
+),
+packed AS (
+  SELECT bucket, rk, doc_id, n_tokens, 0::BIGINT AS seq_id, n_tokens AS acc
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.bucket, r.rk, r.doc_id, r.n_tokens,
+         CASE WHEN p.acc + r.n_tokens > {PACK_MAX_TOKENS}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + r.n_tokens > {PACK_MAX_TOKENS}
+              THEN r.n_tokens ELSE p.acc + r.n_tokens END
+  FROM packed p JOIN ranked r ON r.bucket = p.bucket AND r.rk = p.rk + 1
+)
+"""
+
+
+def doc_pack_sequences(sf_dir: str):
+    """Per-doc training-sequence assignment — functions.pack.pack_sequences
+    (greedy ≤512-token packs within doc_id%16 buckets, docs never split)."""
+    from recon_ray.functions.pack import pack_sequences
+
+    out = pack_sequences(
+        _t(sf_dir, "documents"),
+        max_tokens=PACK_MAX_TOKENS,
+        n_buckets=PACK_N_BUCKETS,
+    ).to_pandas()
+    out = out[["doc_id", "bucket", "n_tokens", "seq_id"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_PACK = (
+    _PACK_CTE
+    + "SELECT doc_id, bucket, n_tokens, seq_id FROM packed ORDER BY doc_id"
+)
+
+
+def doc_pack_stats(sf_dir: str):
+    """Per-pack rollup (the tokenized-shard manifest): n_docs + token total
+    per (bucket, seq_id), as a distributed grouped aggregate."""
+    from recon_ray.functions.pack import pack_sequences, pack_stats
+
+    packed = pack_sequences(
+        _t(sf_dir, "documents"),
+        max_tokens=PACK_MAX_TOKENS,
+        n_buckets=PACK_N_BUCKETS,
+    )
+    out = pack_stats(packed)
+    return out.astype(
+        {"bucket": "int64", "seq_id": "int64", "n_docs": "int64",
+         "pack_tokens": "int64"}
+    )
+
+
+ORACLE_DOC_PACK_STATS = (
+    _PACK_CTE
+    + """SELECT bucket, seq_id, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens
+FROM packed GROUP BY bucket, seq_id ORDER BY bucket, seq_id"""
+)
+
+
 def q_events_value_quantiles(sf_dir: str):
     """EXACT distributed quantiles (2-pass histogram refinement, no
     global sort) — functions.sketches.exact_quantiles, verified against
@@ -1557,6 +1632,8 @@ QUERIES = {
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
     "doc_simhash_dedup": doc_simhash_dedup,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_pack_stats": doc_pack_stats,
     # embeddings
     "knn_exact_top10": knn_exact_top10,
     "knn_lsh_top10": knn_lsh_top10,
@@ -1665,6 +1742,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "knn_exact_top10": ORACLE_KNN,
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
+        "doc_pack_sequences": ORACLE_DOC_PACK,
+        "doc_pack_stats": ORACLE_DOC_PACK_STATS,
         # rows-only (non-SQL-expressible): kg_triple_score, doc_langid,
         # doc_fingerprints, doc_minhash_dedup, doc_simhash_dedup,
         # knn_lsh_top10, emb_label_centroid_norms

@@ -731,3 +731,55 @@ def test_heavy_hitters_guarantee(events):
 @pytest.fixture(scope="module")
 def events():
     return rd.read_parquet(f"{SF}/events.parquet").repartition(4)
+
+
+def test_pack_sequences_vs_duckdb(docs, con):
+    from recon_ray.pipelines.queries import (ORACLE_DOC_PACK,
+                                             PACK_MAX_TOKENS, PACK_N_BUCKETS)
+    from recon_ray.functions.pack import pack_sequences
+
+    got = (
+        pack_sequences(docs, max_tokens=PACK_MAX_TOKENS,
+                       n_buckets=PACK_N_BUCKETS)
+        .to_pandas()[["doc_id", "bucket", "n_tokens", "seq_id"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(ORACLE_DOC_PACK).df().astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_sequences_semantics():
+    """Greedy edge cases: budget boundary, oversized doc, empty doc."""
+    from recon_ray.functions.pack import pack_sequences, pack_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            # budget 10, one bucket: [4,6] fill pack 0 exactly; the 12-token
+            # doc is oversized -> its own pack; 0-token doc joins pack 2
+            "text": [
+                "a b c d",            # 4 tokens
+                "a b c d e f",        # 6 -> closes pack 0 at exactly 10
+                "x " * 12,            # 12 > budget -> singleton pack 1
+                "p q r",              # 3 -> pack 2
+                "   ",                # 0 tokens -> stays in pack 2
+                "s t u v w x y z",    # 8 -> 3+0+8 > 10 -> pack 3
+            ],
+        }
+    )
+    out = (
+        pack_sequences(rd.from_pandas(df).repartition(3), max_tokens=10,
+                       n_buckets=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["seq_id"].tolist() == [0, 0, 1, 2, 2, 3]
+    assert out["n_tokens"].tolist() == [4, 6, 12, 3, 0, 8]
+    st = pack_stats(
+        pack_sequences(rd.from_pandas(df), max_tokens=10, n_buckets=1)
+    )
+    assert st["n_docs"].tolist() == [2, 1, 2, 1]
+    assert st["pack_tokens"].tolist() == [10, 12, 3, 8]
