@@ -783,3 +783,19 @@ def test_pack_sequences_semantics():
     )
     assert st["n_docs"].tolist() == [2, 1, 2, 1]
     assert st["pack_tokens"].tolist() == [10, 12, 3, 8]
+
+
+def test_langid_vs_duckdb_oracle(docs, con):
+    """The stopword-argmax heuristic must match its generated SQL oracle
+    row-exactly (tie-break = dict order, min_score -> unknown)."""
+    from recon_ray.functions.text import make_langid_batch
+    from recon_ray.pipelines.queries import _langid_oracle_sql
+
+    got = (
+        docs.map_batches(make_langid_batch(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(_langid_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, want)
