@@ -1510,19 +1510,32 @@ ORDER BY a, b
 """
 
 
+#: centroid quantization scale — ×2^20 is EXACT in floating point (power
+#: of two), so floor(e*2^20) yields identical int64 in numpy and DuckDB
+EMB_Q = 1 << 20
+
+
 def emb_label_centroid_norms(sf_dir: str):
-    """Grouped vector aggregate: mean embedding per label → L2 norm."""
+    """Grouped vector aggregate: mean embedding per label → L2 norm.
+
+    Determinism (the kmeans int64-quantization pattern, and what makes
+    this SQL-oracle-able): elements quantize to floor(e·2^20) int64, the
+    per-dimension sums are EXACT integers (order-free across any batch
+    partitioning), the squared norm is exact arbitrary-precision integer
+    arithmetic, and the only float ops — one sqrt, one division by the
+    exactly-representable 2^20·n — are bit-identical on both sides."""
     emb = _t(sf_dir, "embeddings")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        mats = np.stack(df["embedding"].to_numpy())
+        mats = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mats * EMB_Q).astype(np.int64)
         g = df.groupby("label", sort=False)
         rows = []
         for lbl, idx in g.indices.items():
             rows.append(
                 {
-                    "label": lbl,
-                    "vsum": mats[idx].sum(axis=0).tolist(),
+                    "label": int(lbl),
+                    "vsum": q[idx].sum(axis=0).tolist(),
                     "n": len(idx),
                 }
             )
@@ -1531,19 +1544,45 @@ def emb_label_centroid_norms(sf_dir: str):
     parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
     out = []
     for lbl, g in parts.groupby("label"):
-        vsum = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+        vsum = [int(x) for x in np.sum(
+            np.stack(g["vsum"].to_numpy()).astype(object), axis=0
+        )]
         n = int(g["n"].sum())
+        norm2 = sum(s * s for s in vsum)  # exact python ints
         out.append(
             {
                 "label": int(lbl),
                 "n_vectors": n,
-                "centroid_norm": round(float(np.linalg.norm(vsum / n)), 6),
+                "centroid_norm": float(np.sqrt(float(norm2))) / (EMB_Q * n),
             }
         )
     df = pd.DataFrame(out).sort_values("label").reset_index(drop=True)
     df["label"] = df["label"].astype("int64")
     df["n_vectors"] = df["n_vectors"].astype("int64")
     return df
+
+
+ORACLE_EMB_CENTROID_NORMS = f"""
+WITH n AS (
+  SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vectors
+  FROM embeddings GROUP BY 1
+),
+u AS (
+  SELECT label::BIGINT AS label,
+         unnest(embedding) AS e,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+s AS (
+  SELECT label, idx,
+         sum(floor(e::DOUBLE * {EMB_Q})::BIGINT)::HUGEINT AS sd
+  FROM u GROUP BY 1, 2
+),
+n2 AS (SELECT label, sum(sd * sd) AS norm2 FROM s GROUP BY 1)
+SELECT n.label, n.n_vectors,
+       sqrt(norm2::DOUBLE) / ({EMB_Q}.0 * n.n_vectors) AS centroid_norm
+FROM n JOIN n2 USING (label) ORDER BY n.label
+"""
 
 
 def doc_media_features(sf_dir: str):
@@ -1785,7 +1824,9 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_pack_sequences": ORACLE_DOC_PACK,
         "doc_pack_stats": ORACLE_DOC_PACK_STATS,
         "doc_langid": _langid_oracle_sql(),
+        "emb_label_centroid_norms": ORACLE_EMB_CENTROID_NORMS,
         # rows-only (non-SQL-expressible): kg_triple_score,
         # doc_fingerprints, doc_minhash_dedup, doc_simhash_dedup,
-        # knn_lsh_top10, emb_label_centroid_norms
+        # knn_lsh_top10, knn_ivf_top10, emb_kmeans_clusters,
+        # doc_dedup_keep_best, q_events_user_hll
     }

@@ -799,3 +799,16 @@ def test_langid_vs_duckdb_oracle(docs, con):
     )
     want = con.execute(_langid_oracle_sql()).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_centroid_norms_vs_duckdb(con):
+    """Quantized centroid norms must be bit-identical to SQL regardless of
+    batch partitioning (exact int64 partial sums)."""
+    from recon_ray.pipelines.queries import (ORACLE_EMB_CENTROID_NORMS,
+                                             emb_label_centroid_norms)
+
+    got = emb_label_centroid_norms(SF)
+    want = con.execute(ORACLE_EMB_CENTROID_NORMS).df().astype(
+        {"label": "int64", "n_vectors": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want)
