@@ -65,6 +65,15 @@ class DecodeBackend:
         img = self.decode_image(payload, fmt, 1, max(1, (n_samples + 2) // 3))
         return (img.reshape(-1)[:n_samples].astype(np.float32) - 127.5) / 127.5
 
+    def decode_video_frame(self, payload: bytes, fmt: str, h: int, w: int,
+                           frame_idx: int) -> np.ndarray:
+        """One (h, w, 3) frame. The fake salts the keystream with the frame
+        index so frames differ deterministically; a real backend (pyav)
+        seeks+decodes instead."""
+        return self.decode_image(
+            payload + int(frame_idx).to_bytes(4, "big"), fmt, h, w
+        )
+
 
 class ImageFeatureExtractor:
     """Actor-pool stage: decode → per-channel mean/std + payload sha —
@@ -159,22 +168,66 @@ class AudioFrameSampler:
         )
 
 
-def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
+class VideoFrameSampler:
+    """Actor-pool stage: fixed-stride frame sampling from video payloads —
+    decode only every ``stride``-th frame (the scale-critical property: a
+    sampler must never decode all frames), emit per-sampled-frame channel
+    means. ``duration_ms`` × ``fps`` derives the frame count."""
+
+    def __init__(self, stride: int = 5, fps: int = 30,
+                 backend: Optional[DecodeBackend] = None):
+        self.stride = stride
+        self.fps = fps
+        self.backend = backend or DecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        fmts = batch.column("format").to_pylist()
+        hs = batch.column("height").to_pylist()
+        ws = batch.column("width").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        sampled_idx, frame_means = [], []
+        for p, f, h, w, d in zip(payloads, fmts, hs, ws, durs):
+            n_frames = max(1, int(d) * self.fps // 1000)
+            idxs = list(range(0, n_frames, self.stride))
+            means = [
+                float(self.backend.decode_video_frame(p, f, h, w, i).mean())
+                for i in idxs
+            ]
+            sampled_idx.append(idxs)
+            frame_means.append(means)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(sampled_idx, pa.list_(pa.int32())),
+                "frame_mean": pa.array(frame_means, pa.list_(pa.float64())),
+            }
+        )
+
+
+def synthetic_media_table(n: int, seed: int = 0,
+                          kinds: tuple = ("image", "audio")) -> pa.Table:
     """Deterministic media fixture rows (binary payloads + metadata)."""
     import random
 
     rng = random.Random(seed)
     rows = {k.name: [] for k in MEDIA_SCHEMA}
+    formats = {"image": "jpeg", "audio": "wav", "video": "mp4"}
     for i in range(n):
-        kind = ["image", "audio"][i % 2]
+        kind = kinds[i % len(kinds)]
         payload = hashlib.sha256(f"media{i}-{seed}".encode()).digest() * (
             4 + rng.randint(0, 4)
         )
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["format"].append("jpeg" if kind == "image" else "wav")
+        rows["format"].append(formats[kind])
         rows["payload"].append(payload)
-        rows["width"].append(rng.choice([16, 32, 64]) if kind == "image" else -1)
-        rows["height"].append(rng.choice([16, 32]) if kind == "image" else -1)
-        rows["duration_ms"].append(rng.randint(10, 100) if kind == "audio" else -1)
+        rows["width"].append(
+            rng.choice([16, 32, 64]) if kind != "audio" else -1
+        )
+        rows["height"].append(rng.choice([16, 32]) if kind != "audio" else -1)
+        rows["duration_ms"].append(
+            rng.randint(10, 100) if kind != "image" else -1
+        )
     return pa.table(rows, schema=MEDIA_SCHEMA)

@@ -812,3 +812,40 @@ def test_centroid_norms_vs_duckdb(con):
         {"label": "int64", "n_vectors": "int64"}
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_video_frame_sampler():
+    """Frame-sample plumbing: stride sampling decodes ceil(n_frames/stride)
+    frames, deterministic across runs, distinct frames differ."""
+    from recon_ray.functions.multimodal import (MM_BATCH_SIZE,
+                                                VideoFrameSampler,
+                                                synthetic_media_table)
+
+    media = synthetic_media_table(12, seed=3, kinds=("image", "audio", "video"))
+    ds = rd.from_arrow(media).filter(lambda r: r["kind"] == "video")
+    got = (
+        ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                       batch_size=MM_BATCH_SIZE, concurrency=1,
+                       fn_constructor_kwargs={"stride": 4, "fps": 30})
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    meta = media.to_pandas().query("kind == 'video'").set_index("media_id")
+    assert len(got) == len(meta)
+    for _, row in got.iterrows():
+        n_frames = max(1, int(meta.loc[row.media_id, "duration_ms"]) * 30 // 1000)
+        expect_idx = list(range(0, n_frames, 4))
+        assert list(row.frame_idx) == expect_idx
+        assert len(row.frame_mean) == len(expect_idx)
+        if len(row.frame_mean) > 1:  # salted keystream -> frames differ
+            assert len(set(row.frame_mean)) > 1
+    # determinism
+    again = (
+        rd.from_arrow(media).filter(lambda r: r["kind"] == "video")
+        .map_batches(VideoFrameSampler, batch_format="pyarrow",
+                     batch_size=MM_BATCH_SIZE, concurrency=1,
+                     fn_constructor_kwargs={"stride": 4, "fps": 30})
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
