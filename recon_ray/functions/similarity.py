@@ -308,7 +308,14 @@ def kmeans(
     "mean_cosine": (k,) float64 per-cell mean similarity to its centroid,
     "inertia": float mean (1 - cosine) over the corpus, "n": int}.
     """
-    sample = _det_sample(emb_ds, sample_size, id_col, emb_col)
+    # Materialize the (quantization-ready) blocks ONCE: an iterative
+    # algorithm must not pay a full Dataset-executor startup + parquet
+    # decode per pass. Blocks live in the object store across iterations
+    # (spill-managed); every pass is then a plain round of Ray tasks over
+    # the same refs — per-pass overhead drops from seconds to milliseconds.
+    # Same pattern as canonicalize's explicit reduce tasks.
+    refs = emb_ds.to_arrow_refs()
+    sample = _det_sample_refs(refs, sample_size, id_col, emb_col)
     if len(sample) == 0:
         return {
             "centroids": np.zeros((0, 0)),
@@ -331,47 +338,18 @@ def kmeans(
     # exactly with a subsequent assign_clusters)
     for it in range(n_iter + 1):
         ref = ray.put(centroids)
-
-        def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(ref)
-            if len(batch) == 0:
-                return pd.DataFrame(
-                    {
-                        "cell": pd.Series(dtype="int64"),
-                        "count": pd.Series(dtype="int64"),
-                        "sim_sum_q": pd.Series(dtype="int64"),
-                        "vec_sum_q": pd.Series(dtype="object"),
-                    }
-                )
-            m = _normalize(
-                np.stack(batch[emb_col].to_numpy()).astype(np.float64)
-            )
-            a = np.argmax(m @ c.T, axis=1)
-            mq = np.rint(m * Q).astype(np.int64)
-            sums = np.zeros((len(c), m.shape[1]), np.int64)
-            np.add.at(sums, a, mq)
-            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            simq = np.rint((m * c[a]).sum(axis=1) * Q).astype(np.int64)
-            ssum = np.zeros(len(c), np.int64)
-            np.add.at(ssum, a, simq)
-            return pd.DataFrame(
-                {
-                    "cell": np.arange(len(c), dtype=np.int64),
-                    "count": counts,
-                    "sim_sum_q": ssum,
-                    "vec_sum_q": list(sums),
-                }
-            )
-
-        parts = emb_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = ray.get(
+            [_kmeans_partial_task.remote(b, ref, Q, emb_col) for b in refs]
+        )
         sums_i = np.zeros((k_eff, dim), np.int64)
         sizes = np.zeros(k_eff, np.int64)
         sim_sums_i = np.zeros(k_eff, np.int64)
-        cells = parts["cell"].to_numpy()
-        np.add.at(sizes, cells, parts["count"].to_numpy())
-        np.add.at(sim_sums_i, cells, parts["sim_sum_q"].to_numpy())
-        for c, v in zip(cells, parts["vec_sum_q"]):
-            sums_i[c] += np.asarray(v, dtype=np.int64)
+        for p_sums, p_counts, p_ssum in parts:
+            if p_sums is None:
+                continue
+            sums_i += p_sums
+            sizes += p_counts
+            sim_sums_i += p_ssum
         n_total = int(sizes.sum())
         if it == n_iter:  # stats-only pass: keep the returned centroids
             break
@@ -391,6 +369,56 @@ def kmeans(
         "inertia": inertia,
         "n": n_total,
     }
+
+
+@ray.remote
+def _kmeans_partial_task(block, centroids, Q, emb_col):
+    """One quantized partial-sum pass over one materialized block — the
+    same math as the map_batches form, minus per-iteration executor cost.
+    Returns (k×d int64 sums, k counts, k sim-sums) or Nones when empty."""
+    df = block.to_pandas()
+    if len(df) == 0:
+        return (None, None, None)
+    c = centroids
+    m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+    a = np.argmax(m @ c.T, axis=1)
+    mq = np.rint(m * Q).astype(np.int64)
+    sums = np.zeros((len(c), m.shape[1]), np.int64)
+    np.add.at(sums, a, mq)
+    counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+    simq = np.rint((m * c[a]).sum(axis=1) * Q).astype(np.int64)
+    ssum = np.zeros(len(c), np.int64)
+    np.add.at(ssum, a, simq)
+    return (sums, counts, ssum)
+
+
+@ray.remote
+def _sample_block_task(block, n, id_col, emb_col):
+    df = block.to_pandas()
+    if len(df) == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, object))
+    ids = df[id_col].to_numpy().astype(np.uint64)
+    h = ids * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    take = np.argsort(h, kind="stable")[:n]
+    return (h[take], df[emb_col].to_numpy()[take])
+
+
+def _det_sample_refs(refs, n: int, id_col: str, emb_col: str) -> np.ndarray:
+    """_det_sample over pre-materialized block refs (local lowest-n per
+    block + driver merge — same global result as the Dataset form for any
+    partitioning, since the merge is a global sort on the 64-bit hash)."""
+    parts = ray.get(
+        [_sample_block_task.remote(b, n, id_col, emb_col) for b in refs]
+    )
+    hs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0)
+    if len(hs) == 0:
+        return np.zeros((0, 0))
+    es = np.concatenate([np.asarray(p[1], dtype=object) for p in parts])
+    order = np.argsort(hs, kind="stable")[:n]
+    return np.stack(es[order]).astype(np.float64)
 
 
 def _det_sample(
