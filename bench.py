@@ -153,6 +153,12 @@ def run_bench() -> dict:
     emb_kmeans_clusters(SF_DIR)
     queries["emb_kmeans"] = round(time.time() - t0, 3)
 
+    from recon_ray.pipelines.queries import doc_pack_sequences
+
+    t0 = time.time()
+    doc_pack_sequences(SF_DIR)
+    queries["doc_pack_sequences"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,

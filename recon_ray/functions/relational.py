@@ -275,6 +275,49 @@ def distinct(ds, cols: Union[str, list[str]]):
     return bucketed_group_apply(pre, cols_, lambda g: g.drop_duplicates(cols_))
 
 
+def _set_op(a_ds, b_ds, cols: Union[str, list[str]], op: str,
+            n_buckets: int = N_HASH_BUCKETS):
+    """SQL INTERSECT / EXCEPT (distinct set semantics) in ONE hash shuffle:
+    per-batch distinct combiners slim each side, a side tag rides the
+    union, and each hash bucket resolves membership vectorized (min/max of
+    the 0/1 side flag per key). No driver collection, no per-key callback."""
+    cols_ = [cols] if isinstance(cols, str) else list(cols)
+
+    def pre(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[cols_].drop_duplicates()
+            return out.assign(__side=np.int64(side))
+
+        return f
+
+    u = a_ds.map_batches(pre(0), batch_format="pandas").union(
+        b_ds.map_batches(pre(1), batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.groupby(cols_, sort=False)["__side"].agg(["min", "max"])
+        if op == "intersect":
+            keep = piv[(piv["min"] == 0) & (piv["max"] == 1)]
+        else:  # except: in a, absent from b
+            keep = piv[piv["max"] == 0]
+        return keep.reset_index()[cols_]
+
+    return bucketed_group_apply(u, cols_, per_bucket, n_buckets=n_buckets)
+
+
+def intersect(a_ds, b_ds, cols: Union[str, list[str]]):
+    """Distinct rows (over ``cols``) present in BOTH datasets — SQL
+    INTERSECT (SURVEY §2.8; the reference's set ops are in-memory list
+    intersections, e.g. label_disparities' span-set overlap)."""
+    return _set_op(a_ds, b_ds, cols, "intersect")
+
+
+def difference(a_ds, b_ds, cols: Union[str, list[str]]):
+    """Distinct rows (over ``cols``) in ``a_ds`` and NOT in ``b_ds`` —
+    SQL EXCEPT."""
+    return _set_op(a_ds, b_ds, cols, "except")
+
+
 def asof_join(
     left_ds,
     right_ds,

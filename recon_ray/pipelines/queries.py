@@ -572,6 +572,70 @@ FROM daily ORDER BY day
 """
 
 
+def _events_user_days(sf_dir: str, event_type: str):
+    """(user_id, day) pairs for one event type — map-side filter +
+    projection (no full-row shuffle; the set op dedups)."""
+    ev = _t(sf_dir, "events")
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"] == event_type]
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "day": b["ts"].dt.floor("D")}
+        )
+
+    return ev.map_batches(proj, batch_format="pandas")
+
+
+def q_events_user_day_intersect(sf_dir: str):
+    """(user, day) pairs with BOTH a purchase and a click — SQL INTERSECT
+    via functions.relational.intersect (single hash shuffle)."""
+    from recon_ray.functions.relational import intersect
+
+    out = intersect(
+        _events_user_days(sf_dir, "purchase"),
+        _events_user_days(sf_dir, "click"),
+        ["user_id", "day"],
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+ORACLE_EVENTS_INTERSECT = """
+SELECT user_id, day FROM (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type='purchase'
+  INTERSECT
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type='click'
+) ORDER BY user_id, day
+"""
+
+
+def q_events_user_day_except(sf_dir: str):
+    """(user, day) purchase pairs with NO click that day — SQL EXCEPT via
+    functions.relational.difference."""
+    from recon_ray.functions.relational import difference
+
+    out = difference(
+        _events_user_days(sf_dir, "purchase"),
+        _events_user_days(sf_dir, "click"),
+        ["user_id", "day"],
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+ORACLE_EVENTS_EXCEPT = """
+SELECT user_id, day FROM (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type='purchase'
+  EXCEPT
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type='click'
+) ORDER BY user_id, day
+"""
+
+
 def q_events_asof_purchase_click(sf_dir: str):
     """As-of join: each purchase event matched to the SAME user's latest
     click at-or-before it (inner — purchases with no prior click drop).
@@ -1680,6 +1744,8 @@ QUERIES = {
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
+    "q_events_user_day_intersect": q_events_user_day_intersect,
+    "q_events_user_day_except": q_events_user_day_except,
     "q_orders_range_join_bands": q_orders_range_join_bands,
     "q_union_price_bands": q_union_price_bands,
     "q_part_type_stats": q_part_type_stats,
@@ -1748,6 +1814,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
+        "q_events_user_day_intersect": ORACLE_EVENTS_INTERSECT,
+        "q_events_user_day_except": ORACLE_EVENTS_EXCEPT,
         "q_orders_range_join_bands": ORACLE_ORDERS_RANGE_JOIN,
         "q_union_price_bands": ORACLE_UNION_BANDS,
         "q_part_type_stats": ORACLE_PART_TYPE,

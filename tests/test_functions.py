@@ -849,3 +849,53 @@ def test_video_frame_sampler():
         .to_pandas().sort_values("media_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_intersect_difference_vs_duckdb(events, con):
+    from recon_ray.functions.relational import difference, intersect
+
+    def side(et):
+        def proj(b):
+            s = b[b["event_type"] == et]
+            return pd.DataFrame(
+                {"user_id": s["user_id"], "day": s["ts"].dt.floor("D")}
+            )
+        return events.map_batches(proj, batch_format="pandas")
+
+    got_i = (
+        intersect(side("purchase"), side("click"), ["user_id", "day"])
+        .to_pandas().astype({"user_id": "int64"})
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    )
+    want_i = con.execute(
+        """SELECT user_id, day FROM (
+             SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+             FROM events WHERE event_type='purchase'
+             INTERSECT
+             SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+             FROM events WHERE event_type='click')
+           ORDER BY user_id, day"""
+    ).df()
+    pd.testing.assert_frame_equal(got_i, want_i)
+
+    got_d = (
+        difference(side("purchase"), side("click"), ["user_id", "day"])
+        .to_pandas().astype({"user_id": "int64"})
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    )
+    want_d = con.execute(
+        """SELECT user_id, day FROM (
+             SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+             FROM events WHERE event_type='purchase'
+             EXCEPT
+             SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+             FROM events WHERE event_type='click')
+           ORDER BY user_id, day"""
+    ).df()
+    pd.testing.assert_frame_equal(got_d, want_d)
+    # sanity: intersect + except partition the purchase side
+    n_purchase = con.execute(
+        """SELECT count(*) FROM (SELECT DISTINCT user_id,
+           date_trunc('day', ts) FROM events WHERE event_type='purchase')"""
+    ).df().iloc[0, 0]
+    assert len(got_i) + len(got_d) == n_purchase
