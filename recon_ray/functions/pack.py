@@ -40,11 +40,17 @@ import pyarrow as pa
 
 def _tag_tokens_bucket(n_buckets: int):
     def tag(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tokens = np.fromiter(
-            (0 if not t.strip() else len(t.strip().split()) for t in texts),
-            dtype=np.int64, count=len(texts),
-        )
+        if "n_tokens" in batch.column_names:
+            # upstream already counted (e.g. the curation pipeline) — reuse
+            n_tokens = batch.column("n_tokens").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        else:
+            texts = batch.column("text").to_pylist()
+            n_tokens = np.fromiter(
+                (0 if not t.strip() else len(t.strip().split()) for t in texts),
+                dtype=np.int64, count=len(texts),
+            )
         doc_id = batch.column("doc_id")
         ids = doc_id.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(

@@ -1,0 +1,116 @@
+"""The composed training-data curation pipeline — the flow a 100-TB
+pre-training corpus runs between raw documents and tokenized shards:
+
+    documents
+      → annotate + filter            [ONE map_batches pass: quality,
+        (quality / repetition /       repetition, lang-ID masks combined
+         language gates)              per batch; text never leaves the
+                                      batch unfiltered]
+      → exact dedup                  [bucketed min-doc_id per content hash]
+      → (optional) MinHash near-dup  [functions.dedup.minhash_lsh_dedup +
+         keep-best                    dedup_keep_best; off by default so
+                                      the core path stays SQL-oracle-able]
+      → sequence packing             [functions.pack.pack_sequences —
+                                      reuses the n_tokens column computed
+                                      in the annotate pass]
+
+Everything stays a lazy streaming Dataset; the only shuffles are the
+dedup hash-bucket exchange and the pack's bucket groupby. The whole core
+path (filters → dedup → pack) has a composed DuckDB oracle
+(queries.ORACLE_DOC_CURATION) built from the same fragments that oracle
+each stage individually.
+
+Reference tie-in: this is the Corpus.apply/pipe_ composition pattern
+(recon/corpus.py:13, recon/operations.py:233-258) applied to corpus
+curation rather than span correction — operators chain over a stream and
+each stage's counts are observable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_MIN_WORDS = 25
+DEFAULT_MAX_DUP_WORD = 0.6
+
+
+def make_curation_filter(
+    min_words: int = DEFAULT_MIN_WORDS,
+    max_dup_word: float = DEFAULT_MAX_DUP_WORD,
+    drop_unknown_lang: bool = True,
+):
+    """One combined annotate+filter kernel: runs the existing quality /
+    repetition / lang-ID / token-count kernels on the batch, ANDs the
+    gates, and emits only surviving (doc_id, text, n_tokens) rows —
+    the corpus slims at the first stage, not after N passes."""
+    from recon_ray.functions.text import (
+        make_langid_batch,
+        quality_scores,
+        repetition_scores,
+        token_counts,
+    )
+
+    langid = make_langid_batch()
+
+    def f(batch: pa.Table) -> pa.Table:
+        q = quality_scores(batch)
+        r = repetition_scores(batch)
+        t = token_counts(batch)
+        keep = (
+            q.column("n_words").to_numpy(zero_copy_only=False) >= min_words
+        ) & (
+            r.column("dup_word_frac").to_numpy(zero_copy_only=False)
+            <= max_dup_word
+        )
+        if drop_unknown_lang:
+            preds = langid(batch).column("lang_pred").to_pylist()
+            keep &= np.fromiter(
+                (p != "unknown" for p in preds), dtype=bool, count=len(preds)
+            )
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return f
+
+
+def curate(
+    docs_ds,
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    max_dup_word: float = DEFAULT_MAX_DUP_WORD,
+    drop_unknown_lang: bool = True,
+    near_dedup: bool = False,
+    minhash_threshold: float = 0.7,
+    max_tokens: int = 512,
+    n_buckets: int = 16,
+) -> dict:
+    """Run the curation flow; returns {"curated": Dataset(doc_id, text,
+    n_tokens), "packed": Dataset(doc_id, bucket, n_tokens, seq_id),
+    "near_dedup": minhash result dict or None}. All lazy until consumed."""
+    from recon_ray.functions.dedup import exact_dedup
+    from recon_ray.functions.pack import pack_sequences
+
+    filtered = docs_ds.map_batches(
+        make_curation_filter(min_words, max_dup_word, drop_unknown_lang),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    curated = exact_dedup(filtered, text_col="text", id_col="doc_id")
+    nd = None
+    if near_dedup:
+        from recon_ray.functions.dedup import dedup_keep_best, minhash_lsh_dedup
+
+        res = minhash_lsh_dedup(curated, threshold=minhash_threshold)
+        nd = dedup_keep_best(curated, res["clusters"])
+        curated = nd["filtered"]
+    packed = pack_sequences(
+        curated, max_tokens=max_tokens, n_buckets=n_buckets
+    )
+    return {"curated": curated, "packed": packed, "near_dedup": nd}

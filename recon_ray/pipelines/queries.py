@@ -1122,13 +1122,14 @@ PACK_N_BUCKETS = 16
 # Greedy packing is a linear recurrence, so the oracle is a recursive CTE:
 # all buckets advance one rank per iteration (depth = largest bucket), which
 # is exactly the partition-parallel shape of the Ray operator.
-_PACK_CTE = f"""
-WITH RECURSIVE ranked AS (
+def _pack_cte_body(source: str) -> str:
+    """The ranked/packed CTE pair over any (doc_id, text) relation."""
+    return f"""ranked AS (
   SELECT doc_id, doc_id % {PACK_N_BUCKETS} AS bucket,
          CASE WHEN trim(text)='' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY doc_id % {PACK_N_BUCKETS} ORDER BY doc_id) AS rk
-  FROM documents
+  FROM {source}
 ),
 packed AS (
   SELECT bucket, rk, doc_id, n_tokens, 0::BIGINT AS seq_id, n_tokens AS acc
@@ -1142,6 +1143,9 @@ packed AS (
   FROM packed p JOIN ranked r ON r.bucket = p.bucket AND r.rk = p.rk + 1
 )
 """
+
+
+_PACK_CTE = "WITH RECURSIVE " + _pack_cte_body("documents")
 
 
 def doc_pack_sequences(sf_dir: str):
@@ -1162,6 +1166,57 @@ ORACLE_DOC_PACK = (
     _PACK_CTE
     + "SELECT doc_id, bucket, n_tokens, seq_id FROM packed ORDER BY doc_id"
 )
+
+
+def doc_curation_pack(sf_dir: str):
+    """The composed curation pipeline end-to-end (pipelines.curate):
+    quality + repetition + lang gates → exact dedup → sequence packing,
+    verified against ONE composed SQL oracle built from the same
+    fragments that oracle each stage individually."""
+    from recon_ray.pipelines.curate import curate
+
+    res = curate(_t(sf_dir, "documents"))
+    out = res["packed"].to_pandas()
+    out = out[["doc_id", "bucket", "n_tokens", "seq_id"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _curation_oracle_sql() -> str:
+    from recon_ray.pipelines.curate import (DEFAULT_MAX_DUP_WORD,
+                                            DEFAULT_MIN_WORDS)
+
+    return f"""WITH RECURSIVE qual AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_words
+  FROM documents
+),
+wl AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\\w+'), x -> lower(x)) AS ws
+  FROM documents
+),
+wordrows AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+wc AS (SELECT doc_id, word, count(*) AS c FROM wordrows GROUP BY 1, 2),
+wstats AS (SELECT doc_id, sum(c) AS n, count(*) AS d FROM wc GROUP BY 1),
+rep AS (
+  SELECT wl.doc_id,
+         CASE WHEN coalesce(wstats.n, 0) > 0
+              THEN (wstats.n - wstats.d) * 1.0 / wstats.n ELSE 0 END
+           AS dup_word_frac
+  FROM wl LEFT JOIN wstats USING (doc_id)
+),
+lang AS ({_langid_oracle_sql()}),
+keepdocs AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN lang USING (doc_id)
+  WHERE qual.n_words >= {DEFAULT_MIN_WORDS}
+    AND rep.dup_word_frac <= {DEFAULT_MAX_DUP_WORD}
+    AND lang.lang_pred <> 'unknown'
+),
+rep_keep AS (SELECT min(doc_id) AS doc_id FROM keepdocs GROUP BY text),
+curated AS (SELECT k.doc_id, k.text FROM keepdocs k JOIN rep_keep USING (doc_id)),
+{_pack_cte_body("curated")}
+SELECT doc_id, bucket, n_tokens, seq_id FROM packed ORDER BY doc_id"""
 
 
 def doc_pack_stats(sf_dir: str):
@@ -1779,6 +1834,7 @@ QUERIES = {
     "doc_simhash_dedup": doc_simhash_dedup,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_stats": doc_pack_stats,
+    "doc_curation_pack": doc_curation_pack,
     # embeddings
     "knn_exact_top10": knn_exact_top10,
     "knn_lsh_top10": knn_lsh_top10,
@@ -1891,6 +1947,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
         "doc_pack_sequences": ORACLE_DOC_PACK,
         "doc_pack_stats": ORACLE_DOC_PACK_STATS,
+        "doc_curation_pack": _curation_oracle_sql(),
         "doc_langid": _langid_oracle_sql(),
         "emb_label_centroid_norms": ORACLE_EMB_CENTROID_NORMS,
         # rows-only (non-SQL-expressible): kg_triple_score,

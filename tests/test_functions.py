@@ -899,3 +899,31 @@ def test_intersect_difference_vs_duckdb(events, con):
            date_trunc('day', ts) FROM events WHERE event_type='purchase')"""
     ).df().iloc[0, 0]
     assert len(got_i) + len(got_d) == n_purchase
+
+
+def test_curate_pipeline(docs, con):
+    """Composed curation (filters -> exact dedup -> pack) vs its composed
+    SQL oracle at sf0.001, plus the near-dedup variant's invariants."""
+    from recon_ray.pipelines.curate import curate
+    from recon_ray.pipelines.queries import _curation_oracle_sql
+
+    res = curate(docs)
+    got = (
+        res["packed"].to_pandas()[["doc_id", "bucket", "n_tokens", "seq_id"]]
+        .astype("int64").sort_values("doc_id").reset_index(drop=True)
+    )
+    want = con.execute(_curation_oracle_sql()).df().astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert 0 < len(got) < 500  # every gate bites, none annihilates
+
+    # near-dedup variant: survivors are a subset, packs stay within budget
+    res_nd = curate(docs, near_dedup=True, minhash_threshold=0.5)
+    nd = (
+        res_nd["packed"].to_pandas()
+        .astype({"doc_id": "int64"}).sort_values("doc_id")
+    )
+    assert set(nd["doc_id"]) <= set(got["doc_id"])
+    grp = nd.groupby(["bucket", "seq_id"])
+    singleton_max = nd["n_tokens"].max()
+    for (_, _), g in grp:
+        assert g["n_tokens"].sum() <= max(512, singleton_max)
