@@ -10,6 +10,8 @@ Commands:
                                  (Dataset.search analogue)
   track  init|apply|log|rollback|gc   op-log verbs over a tracked workdir
                                  (apply_/rollback analogue)
+  curate <documents> <out_dir>   curation flow (quality/repetition/lang
+                                 gates → dedup → packed sequences)
   bench                          delegate to bench.py
 
 On a real cluster each command is submitted via ``ray job submit -- python
@@ -116,6 +118,36 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Curation flow over a documents parquet → packed-sequence parquet
+    (doc_id, bucket, n_tokens, seq_id) + a JSON summary on stdout."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.pipelines.curate import curate
+
+    docs = rd.read_parquet(args.documents)
+    res = curate(
+        docs,
+        min_words=args.min_words,
+        max_dup_word=args.max_dup_word,
+        near_dedup=args.near_dedup,
+        max_tokens=args.max_tokens,
+        n_buckets=args.n_buckets,
+    )
+    res["packed"].write_parquet(args.out_dir)
+    import pyarrow.parquet as pq
+    import os
+
+    n_kept = sum(
+        pq.ParquetFile(os.path.join(args.out_dir, f)).metadata.num_rows
+        for f in os.listdir(args.out_dir)
+        if f.endswith(".parquet")
+    )
+    print(json.dumps({"n_docs_packed": n_kept, "out_dir": args.out_dir}))
+    return 0
+
+
 def cmd_track(args) -> int:
     """Op-log verbs over a TrackedDataset workdir (the CLI face of the
     reference's apply_/rollback contract, recon/dataset.py:176-289)."""
@@ -186,6 +218,17 @@ def main(argv=None) -> int:
     pse.add_argument("-i", "--ignore-case", action="store_true")
     pse.add_argument("--text-col", default="content")
     pse.set_defaults(fn=cmd_search)
+
+    pcu = sub.add_parser("curate", help="curation flow → packed sequences")
+    pcu.add_argument("documents")
+    pcu.add_argument("out_dir")
+    pcu.add_argument("--min-words", type=int, default=25, dest="min_words")
+    pcu.add_argument("--max-dup-word", type=float, default=0.6,
+                     dest="max_dup_word")
+    pcu.add_argument("--near-dedup", action="store_true", dest="near_dedup")
+    pcu.add_argument("--max-tokens", type=int, default=512, dest="max_tokens")
+    pcu.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
+    pcu.set_defaults(fn=cmd_curate)
 
     pt = sub.add_parser("track", help="op-log verbs over a tracked workdir")
     tsub = pt.add_subparsers(dest="verb", required=True)

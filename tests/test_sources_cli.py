@@ -140,3 +140,22 @@ def test_cli_search(unit_corpus_dir):
     )
     assert r3.returncode == 0
     assert len([ln for ln in r3.stdout.splitlines() if ln.strip()]) == len(lines)
+
+
+def test_cli_curate(tmp_path):
+    """curate verb: documents parquet → packed-sequence parquet, budget
+    respected, JSON summary on stdout."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = tmp_path / "packed"
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "curate",
+         "/root/testdata/sf0.001/documents.parquet", str(out)],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    df = pd.concat(
+        pd.read_parquet(p) for p in out.glob("*.parquet")
+    )
+    assert summary["n_docs_packed"] == len(df) > 0
+    assert df.groupby(["bucket", "seq_id"]).n_tokens.sum().max() <= 512
