@@ -234,3 +234,42 @@ def test_full_extraction_path_parity(doc_specs):
         assert _spans_of(out, d) == [
             (m.text, m.start, m.end, m.label) for m in seq
         ], (lang, content)
+
+
+# ---------------------------------------------------------------------------
+# sequence-packing properties (pure-kernel: the per-bucket greedy)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), max_size=60),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_greedy_properties(token_counts, budget):
+    """Greedy invariants for any token sequence and budget: packs are
+    contiguous runs in doc order, every pack fits the budget unless it is
+    an oversized singleton, and no doc could move to the previous pack."""
+    import pandas as pd
+
+    from recon_ray.functions.pack import _pack_bucket
+
+    g = pd.DataFrame(
+        {"doc_id": range(len(token_counts)), "n_tokens": token_counts}
+    )
+    out = _pack_bucket(budget)(g)
+    if len(out) == 0:
+        return
+    seq = out["seq_id"].to_numpy()
+    tok = out["n_tokens"].to_numpy()
+    # contiguous, starting at 0, non-decreasing by ≤1
+    assert seq[0] == 0
+    assert ((seq[1:] - seq[:-1] >= 0) & (seq[1:] - seq[:-1] <= 1)).all()
+    sums = out.groupby("seq_id")["n_tokens"].sum()
+    counts = out.groupby("seq_id")["n_tokens"].size()
+    for sid, s in sums.items():
+        assert s <= budget or counts[sid] == 1  # oversized -> singleton
+    # maximality: first doc of pack k+1 would not have fit in pack k
+    for i in range(1, len(out)):
+        if seq[i] != seq[i - 1]:
+            prev_sum = sums[seq[i - 1]]
+            assert prev_sum + tok[i] > budget
