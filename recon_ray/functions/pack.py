@@ -101,6 +101,59 @@ def pack_sequences(ds, max_tokens: int = 512, n_buckets: int = 16):
     )
 
 
+def pack_texts(ds, max_tokens: int = 512, n_buckets: int = 16,
+               sep: str = "\n\n"):
+    """Tokenizer-ready training sequences: one row per pack with the
+    member texts concatenated in doc_id order — what a tokenizing shard
+    writer consumes. Emits (bucket, seq_id, seq_text, n_docs,
+    pack_tokens); same greedy assignment as ``pack_sequences``, and the
+    concat happens INSIDE the bucket callback (texts ride the one pack
+    shuffle, never a second join)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if "n_tokens" in batch.column_names:
+            n_tokens = batch.column("n_tokens").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        else:
+            n_tokens = np.fromiter(
+                (0 if not t.strip() else len(t.strip().split()) for t in texts),
+                dtype=np.int64, count=len(texts),
+            )
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "text": batch.column("text"),
+            }
+        )
+
+    greedy = _pack_bucket(max_tokens)
+
+    def pack_concat(g: pd.DataFrame) -> pd.DataFrame:
+        assigned = greedy(g)
+        out = (
+            assigned.groupby(["bucket", "seq_id"], sort=True)
+            .agg(
+                seq_text=("text", sep.join),
+                n_docs=("doc_id", "size"),
+                pack_tokens=("n_tokens", "sum"),
+            )
+            .reset_index()
+        )
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("bucket").map_groups(
+        pack_concat, batch_format="pandas"
+    )
+
+
 def pack_stats(packed_ds) -> pd.DataFrame:
     """Per-pack rollup (bucket, seq_id, n_docs, pack_tokens) — the shard
     manifest a tokenizing writer would record. Small result (≈ corpus

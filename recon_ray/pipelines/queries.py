@@ -1168,6 +1168,39 @@ ORACLE_DOC_PACK = (
 )
 
 
+def doc_pack_texts(sf_dir: str):
+    """Tokenizer-ready packed sequences (concatenated member texts) —
+    functions.pack.pack_texts; the oracle rebuilds each sequence with
+    string_agg ordered by doc_id, so the hash compare proves both the
+    assignment AND the concatenation order."""
+    from recon_ray.functions.pack import pack_texts
+
+    out = pack_texts(
+        _t(sf_dir, "documents"),
+        max_tokens=PACK_MAX_TOKENS,
+        n_buckets=PACK_N_BUCKETS,
+    ).to_pandas()
+    out = out.astype(
+        {"bucket": "int64", "seq_id": "int64", "n_docs": "int64",
+         "pack_tokens": "int64"}
+    )
+    return (
+        out[["bucket", "seq_id", "seq_text", "n_docs", "pack_tokens"]]
+        .sort_values(["bucket", "seq_id"])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_DOC_PACK_TEXTS = (
+    _PACK_CTE
+    + """SELECT p.bucket, p.seq_id,
+       string_agg(d.text, chr(10)||chr(10) ORDER BY p.doc_id) AS seq_text,
+       count(*)::BIGINT AS n_docs, sum(p.n_tokens)::BIGINT AS pack_tokens
+FROM packed p JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+)
+
+
 def doc_curation_pack(sf_dir: str):
     """The composed curation pipeline end-to-end (pipelines.curate):
     quality + repetition + lang gates → exact dedup → sequence packing,
@@ -1834,6 +1867,7 @@ QUERIES = {
     "doc_simhash_dedup": doc_simhash_dedup,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_stats": doc_pack_stats,
+    "doc_pack_texts": doc_pack_texts,
     "doc_curation_pack": doc_curation_pack,
     # embeddings
     "knn_exact_top10": knn_exact_top10,
@@ -1947,6 +1981,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
         "doc_pack_sequences": ORACLE_DOC_PACK,
         "doc_pack_stats": ORACLE_DOC_PACK_STATS,
+        "doc_pack_texts": ORACLE_DOC_PACK_TEXTS,
         "doc_curation_pack": _curation_oracle_sql(),
         "doc_langid": _langid_oracle_sql(),
         "emb_label_centroid_norms": ORACLE_EMB_CENTROID_NORMS,

@@ -927,3 +927,21 @@ def test_curate_pipeline(docs, con):
     singleton_max = nd["n_tokens"].max()
     for (_, _), g in grp:
         assert g["n_tokens"].sum() <= max(512, singleton_max)
+
+
+def test_pack_texts_vs_duckdb(docs, con):
+    """Concatenated pack texts match string_agg-ordered SQL exactly."""
+    from recon_ray.functions.pack import pack_texts
+    from recon_ray.pipelines.queries import (ORACLE_DOC_PACK_TEXTS,
+                                             PACK_MAX_TOKENS, PACK_N_BUCKETS)
+
+    got = (
+        pack_texts(docs, max_tokens=PACK_MAX_TOKENS, n_buckets=PACK_N_BUCKETS)
+        .to_pandas()
+        .astype({"bucket": "int64", "seq_id": "int64",
+                 "n_docs": "int64", "pack_tokens": "int64"})
+        [["bucket", "seq_id", "seq_text", "n_docs", "pack_tokens"]]
+        .sort_values(["bucket", "seq_id"]).reset_index(drop=True)
+    )
+    want = con.execute(ORACLE_DOC_PACK_TEXTS).df()
+    pd.testing.assert_frame_equal(got, want)
