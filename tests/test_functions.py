@@ -945,3 +945,17 @@ def test_pack_texts_vs_duckdb(docs, con):
     )
     want = con.execute(ORACLE_DOC_PACK_TEXTS).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_ivf_full_probe_equals_exact(emb):
+    """nprobe = n_cells disables pruning: IVF must return the exact
+    neighbor sets (recall 1.0) — isolates any correctness bug from the
+    recall/pruning trade-off."""
+    from recon_ray.functions.similarity import (knn_bruteforce, knn_ivf,
+                                                knn_recall)
+
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    queries = np.stack(full["embedding"].head(6).to_numpy())
+    exact = knn_bruteforce(emb, queries, k=5)
+    approx = knn_ivf(emb, queries, k=5, n_cells=8, nprobe=8)
+    assert knn_recall(approx, exact) == 1.0
