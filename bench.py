@@ -159,6 +159,14 @@ def run_bench() -> dict:
     doc_pack_sequences(SF_DIR)
     queries["doc_pack_sequences"] = round(time.time() - t0, 3)
 
+    from recon_ray.pipelines.curate import curate
+
+    t0 = time.time()
+    curate(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16)
+    )["packed"].count()
+    queries["doc_curation"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,

@@ -135,16 +135,26 @@ def cmd_curate(args) -> int:
         max_tokens=args.max_tokens,
         n_buckets=args.n_buckets,
     )
-    res["packed"].write_parquet(args.out_dir)
+    if args.texts:
+        # tokenizer-ready shards: one row per pack, texts concatenated
+        from recon_ray.functions.pack import pack_texts
+
+        pack_texts(
+            res["curated"], max_tokens=args.max_tokens,
+            n_buckets=args.n_buckets,
+        ).write_parquet(args.out_dir)
+    else:
+        res["packed"].write_parquet(args.out_dir)
     import pyarrow.parquet as pq
     import os
 
-    n_kept = sum(
+    n_rows = sum(
         pq.ParquetFile(os.path.join(args.out_dir, f)).metadata.num_rows
         for f in os.listdir(args.out_dir)
         if f.endswith(".parquet")
     )
-    print(json.dumps({"n_docs_packed": n_kept, "out_dir": args.out_dir}))
+    key = "n_packs" if args.texts else "n_docs_packed"
+    print(json.dumps({key: n_rows, "out_dir": args.out_dir}))
     return 0
 
 
@@ -228,6 +238,8 @@ def main(argv=None) -> int:
     pcu.add_argument("--near-dedup", action="store_true", dest="near_dedup")
     pcu.add_argument("--max-tokens", type=int, default=512, dest="max_tokens")
     pcu.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
+    pcu.add_argument("--texts", action="store_true",
+                     help="write concatenated pack texts, not assignments")
     pcu.set_defaults(fn=cmd_curate)
 
     pt = sub.add_parser("track", help="op-log verbs over a tracked workdir")
