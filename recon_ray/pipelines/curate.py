@@ -114,3 +114,61 @@ def curate(
         curated, max_tokens=max_tokens, n_buckets=n_buckets
     )
     return {"curated": curated, "packed": packed, "near_dedup": nd}
+
+
+def curate_incremental(
+    docs_ds,
+    store_root: str,
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    max_dup_word: float = DEFAULT_MAX_DUP_WORD,
+    drop_unknown_lang: bool = True,
+    max_tokens: int = 512,
+    n_buckets: int = 16,
+) -> dict:
+    """Resumable curation across RUNS: the exact-dedup step is the global
+    content-addressed ExampleStore (state/example_store.py), keyed by the
+    u64 hash of the text — each run filters its input, adds only novel
+    content to the store (per-bucket anti-join, work bounded per bucket),
+    and packs ONLY this run's novel docs into fresh sequences. Re-running
+    on already-seen input is a no-op (0 added, 0 packs); a crashed run
+    re-adds idempotently (content-addressed part files).
+
+    Returns {"n_new": int, "packed": Dataset | None (this run's packs),
+    "store": ExampleStore}."""
+    import ray.data as rd
+
+    from recon_ray.functions.pack import pack_sequences
+    from recon_ray.hashing import hash_u64_arrays
+    from recon_ray.state.example_store import ExampleStore
+
+    filtered = docs_ds.map_batches(
+        make_curation_filter(min_words, max_dup_word, drop_unknown_lang),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def key_by_content(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = hash_u64_arrays(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(keys, pa.uint64()),  # store key
+                "orig_doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "n_tokens": batch.column("n_tokens"),
+            }
+        )
+
+    keyed = filtered.map_batches(
+        key_by_content, batch_format="pyarrow", zero_copy_batch=True
+    )
+    store = ExampleStore(store_root)
+    n_new, parts = store.add_dataset(keyed, return_parts=True)
+    if not parts:
+        return {"n_new": 0, "packed": None, "store": store}
+    new_docs = rd.read_parquet(parts)
+    packed = pack_sequences(
+        new_docs, max_tokens=max_tokens, n_buckets=n_buckets
+    )
+    return {"n_new": n_new, "packed": packed, "store": store}

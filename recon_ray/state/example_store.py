@@ -62,19 +62,21 @@ def _part_ids(bucket_dir: str) -> set[int]:
 
 
 @ray.remote
-def _merge_bucket(staging_bucket: str, store_bucket: str) -> int:
+def _merge_bucket(staging_bucket: str, store_bucket: str):
     """Anti-join one staged bucket against the stored bucket and append the
-    novel rows as a content-addressed part. Returns rows added."""
+    novel rows as a content-addressed part. Returns (rows_added,
+    part_path | None) — the path lets incremental consumers (e.g.
+    curate_incremental) read back exactly this run's novel rows."""
     parts = [
         os.path.join(staging_bucket, n)
         for n in sorted(os.listdir(staging_bucket))
         if n.endswith(".parquet")
     ]
     if not parts:
-        return 0
+        return (0, None)
     staged = pa.concat_tables([pq.read_table(p) for p in parts])
     if staged.num_rows == 0:
-        return 0
+        return (0, None)
     # first occurrence per doc_id within the staged rows
     ids = staged.column("doc_id").to_pylist()
     existing = _part_ids(store_bucket)
@@ -85,7 +87,7 @@ def _merge_bucket(staging_bucket: str, store_bucket: str) -> int:
             seen.add(h)
             keep.append(i)
     if not keep:
-        return 0
+        return (0, None)
     novel = staged.take(pa.array(keep, pa.int64()))
     os.makedirs(store_bucket, exist_ok=True)
     sig = hashlib.sha256(
@@ -93,8 +95,9 @@ def _merge_bucket(staging_bucket: str, store_bucket: str) -> int:
     ).hexdigest()[:16]
     tmp = os.path.join(store_bucket, f".part-{sig}.tmp")
     pq.write_table(novel, tmp)
-    os.replace(tmp, os.path.join(store_bucket, f"part-{sig}.parquet"))
-    return novel.num_rows
+    final = os.path.join(store_bucket, f"part-{sig}.parquet")
+    os.replace(tmp, final)
+    return (novel.num_rows, final)
 
 
 class ExampleStore:
@@ -115,9 +118,12 @@ class ExampleStore:
 
     # -- write path ---------------------------------------------------------
 
-    def add_dataset(self, ds, staging_dir: Optional[str] = None) -> int:
+    def add_dataset(self, ds, staging_dir: Optional[str] = None,
+                    return_parts: bool = False):
         """Add every example of a docs Dataset (columns incl. ``doc_id``)
-        not already present. Returns the number of rows added."""
+        not already present. Returns the number of rows added — or, with
+        ``return_parts=True``, ``(added, [part paths written])`` so the
+        caller can stream back exactly this add's novel rows."""
         import tempfile
 
         n_buckets = self.num_buckets
@@ -152,11 +158,14 @@ class ExampleStore:
                     os.path.join(staging, name), _bucket_dir(self.root, b)
                 )
             )
-        added = sum(ray.get(refs))
+        results = ray.get(refs)
+        added = sum(n for (n, _) in results)
         import shutil
 
         if staging_dir is None:
             shutil.rmtree(staging, ignore_errors=True)
+        if return_parts:
+            return added, [p for (_, p) in results if p]
         return added
 
     def add_examples(self, records: list[dict]) -> int:

@@ -85,3 +85,36 @@ def test_store_reopen_persists(tmp_path):
     assert len(s2) == 3
     assert s2.add_dataset(
         rd.from_arrow(records_to_table(_recs("delta", 3)))) == 0
+
+
+def test_curate_incremental_across_runs(tmp_path):
+    """Run 1 curates and packs; run 2 on the SAME input is a no-op; run 3
+    on a superset packs only the novel docs. The store is the cross-run
+    exact-dedup boundary."""
+    import ray.data as rd
+
+    from recon_ray.pipelines.curate import curate, curate_incremental
+
+    store = str(tmp_path / "store")
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.filter(lambda r: r["doc_id"] < 250)
+
+    r1 = curate_incremental(half, store)
+    assert r1["n_new"] > 0
+    p1 = r1["packed"].to_pandas()
+    assert len(p1) == r1["n_new"]
+    # packs respect the budget (oversized docs are singletons)
+    sums = p1.groupby(["bucket", "seq_id"]).n_tokens.agg(["sum", "size"])
+    assert ((sums["sum"] <= 512) | (sums["size"] == 1)).all()
+
+    r2 = curate_incremental(half, store)
+    assert r2["n_new"] == 0 and r2["packed"] is None
+
+    r3 = curate_incremental(docs, store)
+    assert r3["n_new"] > 0
+    p3 = r3["packed"].to_pandas()
+    # novel docs only: no content key from run 1 reappears
+    assert not set(p3["doc_id"]) & set(p1["doc_id"])
+    # total survivors across runs == one-shot curation of the full input
+    one_shot = curate(docs)["curated"].count()
+    assert r1["n_new"] + r3["n_new"] == one_shot
