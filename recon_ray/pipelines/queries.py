@@ -1054,6 +1054,27 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (\\w+|[^\\w\\s] matches) —
+    functions.text.bpe_token_counts."""
+    from recon_ray.functions.text import bpe_token_counts
+
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(bpe_token_counts, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_BPE_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def doc_word_freq_top50(sf_dir: str):
     """Word-frequency coverage (entity_coverage shape over word tokens)."""
     docs = _t(sf_dir, "documents")
@@ -1853,6 +1874,7 @@ QUERIES = {
     "kg_triple_score": kg_triple_score,
     # documents
     "doc_token_counts": doc_token_counts,
+    "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_word_freq_top50": doc_word_freq_top50,
     "doc_word_top20_mg": doc_word_top20_mg,
     "doc_search": doc_search,
@@ -1968,6 +1990,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             "ORDER BY m.repo, m.path, m.start, m.\"end\", m.label"
         ),
         "doc_token_counts": ORACLE_DOC_TOKENS,
+        "doc_bpe_token_counts": ORACLE_DOC_BPE_TOKENS,
         "doc_word_freq_top50": ORACLE_WORD_FREQ,
         "doc_search": ORACLE_DOC_SEARCH,
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
