@@ -81,14 +81,17 @@ def run_bench() -> dict:
     # measurement; both raw times are reported alongside the best
     out_dir = "/tmp/recon_ray_bench/triples"
     headline_runs = []
+    run_cpu = []  # per-run /proc/stat busy/steal% over EXACTLY the timed span
     for _ in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
+        s0 = _cpu_stat()
         t0 = time.time()
         # symbol_source="mentions": one corpus read — symbols derive from
         # the detected (materialized) docs instead of a second DEF-scan pass
         res = run_kg(corpus, symbol_source="mentions")
         res["canonical"].write_parquet(out_dir)
         headline_runs.append(round(time.time() - t0, 3))
+        run_cpu.append(_stat_delta_pct(s0, _cpu_stat()))
     headline = min(headline_runs)
     queries["kg_pipeline"] = headline
 
@@ -122,6 +125,7 @@ def run_bench() -> dict:
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "headline_runs": headline_runs,
+            "headline_run_cpu": run_cpu,
             "n_files": n_files,
             "n_fragments": n_fragments,
             "n_raw_triples": int(n_raw),
@@ -229,6 +233,27 @@ def _machine_control(ncpu: int) -> float:
     return float(out.strip().splitlines()[-1])
 
 
+def _cpu_stat() -> list:
+    """First line of /proc/stat: aggregate jiffies
+    (user nice system idle iowait irq softirq steal ...)."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:9]]
+
+
+def _stat_delta_pct(a: list, b: list) -> dict:
+    """%-of-capacity spent busy / stolen / iowait between two samples.
+    Steal is the hypervisor giving our vCPUs to a co-tenant — the direct
+    measurement of the load spikes that the bracketing controls can miss
+    when they hit mid-phase."""
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d) or 1
+    return {
+        "busy_pct": round(100 * (d[0] + d[1] + d[2] + d[5] + d[6]) / total, 1),
+        "steal_pct": round(100 * d[7] / total, 1),
+        "iowait_pct": round(100 * d[4] / total, 1),
+    }
+
+
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
         env = dict(
@@ -255,10 +280,14 @@ def run_scaling() -> None:
     # best-of-2 in-process.
     lo_cpus, hi_cpus = 8, 32
     per_level = {}
+    stats = {}
     for ncpu in (lo_cpus, hi_cpus):
         c_before = _machine_control(ncpu)
+        s0 = _cpu_stat()
         r = one(ncpu)
+        s1 = _cpu_stat()
         c_after = _machine_control(ncpu)
+        stats[ncpu] = _stat_delta_pct(s0, s1)
         per_level[ncpu] = (r, min(c_before, c_after), [c_before, c_after])
     lo, ctrl_lo, ctrls_lo = per_level[lo_cpus]
     hi, ctrl_hi, ctrls_hi = per_level[hi_cpus]
@@ -281,6 +310,12 @@ def run_scaling() -> None:
                 "machine_controls_8": [round(c, 2) for c in ctrls_lo],
                 "machine_controls_32": [round(c, 2) for c in ctrls_hi],
                 "machine_parallel_efficiency": round(machine_eff, 3),
+                "phase_cpu_8": stats[lo_cpus],
+                "phase_cpu_32": stats[hi_cpus],
+                "headline_runs_8": lo.get("headline_runs"),
+                "headline_runs_32": hi.get("headline_runs"),
+                "headline_run_cpu_8": lo.get("headline_run_cpu"),
+                "headline_run_cpu_32": hi.get("headline_run_cpu"),
                 "pipeline_efficiency_vs_machine": round(
                     min(eff / machine_eff, 1.0), 3
                 ),

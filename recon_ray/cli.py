@@ -11,7 +11,9 @@ Commands:
   track  init|apply|log|rollback|gc   op-log verbs over a tracked workdir
                                  (apply_/rollback analogue)
   curate <documents> <out_dir>   curation flow (quality/repetition/lang
-                                 gates → dedup → packed sequences)
+                                 gates → dedup → packed sequences);
+                                 --store DIR makes it incremental over a
+                                 persistent content-addressed ExampleStore
   bench                          delegate to bench.py
 
 On a real cluster each command is submitted via ``ray job submit -- python
@@ -120,13 +122,63 @@ def cmd_search(args) -> int:
 
 def cmd_curate(args) -> int:
     """Curation flow over a documents parquet → packed-sequence parquet
-    (doc_id, bucket, n_tokens, seq_id) + a JSON summary on stdout."""
+    (doc_id, bucket, n_tokens, seq_id) + a JSON summary on stdout.
+
+    With ``--store DIR`` the run is INCREMENTAL: the exact-dedup step is
+    the persistent content-addressed ExampleStore at DIR, only
+    never-seen-before content is packed, and re-running on the same
+    input is a no-op (n_new=0)."""
     _ensure_ray()
+    import os
+
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from recon_ray.pipelines.curate import curate
+    from recon_ray.pipelines.curate import curate, curate_incremental
 
     docs = rd.read_parquet(args.documents)
+
+    def _count_rows(out_dir: str) -> int:
+        return sum(
+            pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+
+    if args.store:
+        if args.near_dedup:
+            print(
+                "--near-dedup is not supported with --store (the store IS "
+                "the dedup boundary)",
+                file=sys.stderr,
+            )
+            return 2
+        res = curate_incremental(
+            docs,
+            args.store,
+            min_words=args.min_words,
+            max_dup_word=args.max_dup_word,
+            max_tokens=args.max_tokens,
+            n_buckets=args.n_buckets,
+            texts=args.texts,
+        )
+        n_rows = 0
+        if res["packed"] is not None:
+            res["packed"].write_parquet(args.out_dir)
+            n_rows = _count_rows(args.out_dir)
+        key = "n_packs" if args.texts else "n_docs_packed"
+        print(
+            json.dumps(
+                {
+                    "n_new": res["n_new"],
+                    key: n_rows,
+                    "store_docs": len(res["store"]),
+                    "out_dir": args.out_dir,
+                }
+            )
+        )
+        return 0
+
     res = curate(
         docs,
         min_words=args.min_words,
@@ -145,14 +197,7 @@ def cmd_curate(args) -> int:
         ).write_parquet(args.out_dir)
     else:
         res["packed"].write_parquet(args.out_dir)
-    import pyarrow.parquet as pq
-    import os
-
-    n_rows = sum(
-        pq.ParquetFile(os.path.join(args.out_dir, f)).metadata.num_rows
-        for f in os.listdir(args.out_dir)
-        if f.endswith(".parquet")
-    )
+    n_rows = _count_rows(args.out_dir)
     key = "n_packs" if args.texts else "n_docs_packed"
     print(json.dumps({key: n_rows, "out_dir": args.out_dir}))
     return 0
@@ -240,6 +285,9 @@ def main(argv=None) -> int:
     pcu.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
     pcu.add_argument("--texts", action="store_true",
                      help="write concatenated pack texts, not assignments")
+    pcu.add_argument("--store", default=None, metavar="DIR",
+                     help="incremental mode: persistent ExampleStore root; "
+                          "only never-seen content is packed")
     pcu.set_defaults(fn=cmd_curate)
 
     pt = sub.add_parser("track", help="op-log verbs over a tracked workdir")

@@ -426,6 +426,65 @@ def asof_join(
     return bucketed_group_apply(tagged, by, bucket_fn, n_buckets=n_buckets)
 
 
+def window_over(
+    ds,
+    partition_by: Union[str, list[str]],
+    order_by: Union[str, list[str]],
+    specs: list[tuple],
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """Partitioned window functions — the ``OVER (PARTITION BY … ORDER BY
+    …)`` family Ray Data has no operator for. ``specs`` is a list of
+    ``(kind, value_col, out_name)`` with kind ∈ {"row_number",
+    "running_sum", "running_min", "running_max", "lag", "lead"}
+    (value_col is ignored for row_number).
+
+    Execution (SURVEY §2.5 custom-operator path (a)): ONE hash shuffle on
+    ``partition_by`` (every partition's rows land in one bucket), then per
+    BUCKET one vectorized pandas pass — mergesort by (partition, order),
+    grouped cumsum/cumcount/cummin/cummax/shift, all C kernels. Python
+    callbacks are bounded at n_buckets, never at distinct partitions.
+
+    Determinism: exact iff ``order_by`` is a total order within each
+    partition (pass a unique tie-break column). Float running_sum
+    accumulates IN ORDER — engines that use tree/segment accumulation
+    (DuckDB window SUM) can differ in last-ulp rounding; quantize to
+    int64 first when cross-engine exactness matters (the repo-wide
+    integer-cents pattern). lag/lead emit NaN/None at partition edges —
+    fillna at the consumer if the schema needs to stay integral.
+    """
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    kinds = {"row_number", "running_sum", "running_min", "running_max",
+             "lag", "lead"}
+    for kind, _col, _out in specs:
+        if kind not in kinds:
+            raise ValueError(f"unknown window kind {kind!r}")
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(part_cols + order_cols, kind="mergesort")
+        grp = g.groupby(part_cols, sort=False)
+        out = {}
+        for kind, col, name in specs:
+            if kind == "row_number":
+                out[name] = (grp.cumcount() + 1).astype("int64")
+            elif kind == "running_sum":
+                out[name] = grp[col].cumsum()
+            elif kind == "running_min":
+                out[name] = grp[col].cummin()
+            elif kind == "running_max":
+                out[name] = grp[col].cummax()
+            elif kind == "lag":
+                out[name] = grp[col].shift(1)
+            elif kind == "lead":
+                out[name] = grp[col].shift(-1)
+        return g.assign(**out)
+
+    return bucketed_group_apply(ds, part_cols, bucket_fn, n_buckets=n_buckets)
+
+
 def range_join(
     big_ds,
     ranges: Union[pd.DataFrame, pa.Table],

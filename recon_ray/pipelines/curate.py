@@ -125,6 +125,7 @@ def curate_incremental(
     drop_unknown_lang: bool = True,
     max_tokens: int = 512,
     n_buckets: int = 16,
+    texts: bool = False,
 ) -> dict:
     """Resumable curation across RUNS: the exact-dedup step is the global
     content-addressed ExampleStore (state/example_store.py), keyed by the
@@ -134,11 +135,14 @@ def curate_incremental(
     on already-seen input is a no-op (0 added, 0 packs); a crashed run
     re-adds idempotently (content-addressed part files).
 
+    ``texts=True`` emits tokenizer-ready concatenated pack texts
+    (``pack_texts``) instead of pack assignments.
+
     Returns {"n_new": int, "packed": Dataset | None (this run's packs),
     "store": ExampleStore}."""
     import ray.data as rd
 
-    from recon_ray.functions.pack import pack_sequences
+    from recon_ray.functions.pack import pack_sequences, pack_texts
     from recon_ray.hashing import hash_u64_arrays
     from recon_ray.state.example_store import ExampleStore
 
@@ -168,7 +172,6 @@ def curate_incremental(
     if not parts:
         return {"n_new": 0, "packed": None, "store": store}
     new_docs = rd.read_parquet(parts)
-    packed = pack_sequences(
-        new_docs, max_tokens=max_tokens, n_buckets=n_buckets
-    )
+    pack = pack_texts if texts else pack_sequences
+    packed = pack(new_docs, max_tokens=max_tokens, n_buckets=n_buckets)
     return {"n_new": n_new, "packed": packed, "store": store}
