@@ -168,6 +168,14 @@ def run_bench() -> dict:
     dup_groups(rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16))
     queries["doc_exact_dedup"] = round(time.time() - t0, 3)
 
+    from recon_ray.functions.dedup import cross_doc_ngram_dups
+
+    t0 = time.time()
+    cross_doc_ngram_dups(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16), n=50
+    )
+    queries["doc_common_ngram_pairs"] = round(time.time() - t0, 3)
+
     from recon_ray.pipelines.queries import doc_repetition, emb_kmeans_clusters
 
     t0 = time.time()

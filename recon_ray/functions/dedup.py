@@ -904,3 +904,125 @@ def dedup_keep_best(docs_ds, clusters: pd.DataFrame,
         drop=True
     )
     return {"keep": out, "drop_ids": drop_ids, "filtered": filtered}
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact n-gram duplication (the substring-level dedup signal
+# from "Deduplicating Training Data Makes Language Models Better", Lee et
+# al. 2022 — training corpora carry verbatim 50+-char runs repeated across
+# documents; reference analogue: the ExampleStore text-hash dedup
+# (recon/store.py) generalized from whole-doc to substring granularity)
+# ---------------------------------------------------------------------------
+
+_ROLL_B = np.uint64(1099511628211)  # FNV prime; ODD → invertible mod 2^64
+_ROLL_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def char_ngram_hashes(data: bytes, n: int) -> np.ndarray:
+    """Polynomial rolling hash of EVERY n-byte window, fully vectorized:
+    h_i = Σ_j (b[i+j]+1)·B^(n-1-j) mod 2^64. Uses the prefix-sum identity
+    h_i = B^(n-1+i) · (S[i+n-1] − S[i-1]) with S = cumsum((b+1)·B^(−j)) —
+    B is odd so B⁻¹ exists mod 2^64 and uint64 wraparound IS the modulus.
+    O(len) numpy work, no per-window Python loop."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    length = len(b)
+    if length < n:
+        return np.empty(0, np.uint64)
+    binv_pow = np.full(length, _ROLL_BINV, np.uint64)
+    binv_pow[0] = np.uint64(1)
+    np.cumprod(binv_pow, out=binv_pow)  # B^(−j), wrapping mod 2^64
+    s = np.cumsum(b * binv_pow)  # S[j], wrapping
+    win = s[n - 1:].copy()
+    win[1:] -= s[: length - n]
+    scale = np.full(length - n + 1, _ROLL_B, np.uint64)
+    scale[0] = np.uint64(pow(int(_ROLL_B), n - 1, 1 << 64))
+    np.cumprod(scale, out=scale)  # B^(n−1+i)
+    return win * scale
+
+
+def cross_doc_ngram_dups(
+    docs_ds,
+    n: int = 50,
+    stride: int = 1,
+    max_docs_per_gram: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Document pairs sharing ≥1 exact n-character substring, with the
+    count of distinct shared n-grams — the cross-doc duplicated-span
+    signal (Lee et al. 2022).
+
+    Flow: map_batches emits (gram_hash u64, doc_id) per-doc-unique; ONE
+    hash-bucket shuffle on gram_hash; each bucket self-joins its grams
+    vectorized (pairs bounded by max_docs_per_gram² per gram — hot
+    boilerplate grams above the cap are SKIPPED, the standard LSH-bucket
+    cap) and emits per-bucket partial pair counts; a grouped sum merges
+    partials (a pair's grams can land in many buckets). Only u64+id pairs
+    ride the shuffle — never text.
+
+    At 100 TB: stride>1 samples every stride-th window position (a
+    duplicated run of length ≥ n+stride−1 is still caught), cutting
+    shuffle volume by stride×; the pairs table is output-sized, not
+    corpus-sized.
+    """
+    from recon_ray.functions.relational import bucketed_group_apply, grouped_agg
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs_out, id_out = [], []
+        for did, txt in zip(ids, texts):
+            hs = char_ngram_hashes(txt.encode("utf-8"), n)[::stride]
+            if len(hs) == 0:
+                continue
+            hs = np.unique(hs)
+            hs_out.append(hs)
+            id_out.append(np.full(len(hs), did, np.int64))
+        if not hs_out:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"h": pa.array(np.concatenate(hs_out), pa.uint64()),
+             id_col: pa.array(np.concatenate(id_out), pa.int64())}
+        )
+
+    gram_ds = docs_ds.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("h")[id_col].transform("size")
+        g = g[(sz >= 2) & (sz <= max_docs_per_gram)]
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "n_shared": pd.Series(dtype="int64")}
+            )
+        m = g.merge(g, on="h")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        agg = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"])
+            .size().reset_index(name="n_shared")
+        )
+        agg.columns = ["doc_a", "doc_b", "n_shared"]
+        return agg
+
+    partial = bucketed_group_apply(gram_ds, "h", bucket_pairs)
+    out = grouped_agg(partial, ["doc_a", "doc_b"], {"n_shared": ["sum"]})
+    if out.empty:  # all-empty partials lose the schema through Aggregate
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "n_shared": pd.Series(dtype="int64")}
+        )
+    out = pd.DataFrame(
+        {
+            "doc_a": out["doc_a"].astype("int64"),
+            "doc_b": out["doc_b"].astype("int64"),
+            "n_shared": out["n_shared_sum"].astype("int64"),
+        }
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

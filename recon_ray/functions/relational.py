@@ -154,6 +154,13 @@ def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
         elif op == "max":
             ray_aggs.append(Max(pc_name, alias_name=pc_name))
     merged = partials.groupby(keys_).aggregate(*ray_aggs).to_pandas()
+    if merged.empty and not all(k in merged.columns for k in keys_):
+        # an all-empty input loses its schema through Ray's Aggregate;
+        # reconstruct the output columns (float64 — callers cast)
+        cols = keys_ + [
+            f"{col}_{op}" for col, ops in aggs.items() for op in ops
+        ]
+        return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
     out = merged[keys_].copy()
     for col, ops in aggs.items():
         for op in ops:

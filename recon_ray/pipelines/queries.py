@@ -572,6 +572,71 @@ FROM daily ORDER BY day
 """
 
 
+def q_events_window_running(sf_dir: str):
+    """Per-row window functions over every event — row_number, running
+    sum, previous value, and running max per user ordered by
+    (ts, event_id) — via relational.window_over (one hash shuffle on
+    user_id, per-bucket vectorized kernels, Python callbacks bounded at
+    bucket count). Value rides as integer cents (floor(v·100+0.5), the
+    repo-wide quantization) so the running sum is order-free int64 —
+    DuckDB's window SUM accumulates in segment-tree order and could
+    differ in float ulps otherwise."""
+    from recon_ray.functions.relational import window_over
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_cents": _cents_arrow(t.column("value")),
+            }
+        )
+
+    out = window_over(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("row_number", None, "rn"),
+            ("running_sum", "value_cents", "running_value_cents"),
+            ("lag", "value_cents", "prev_value_cents"),
+            ("running_max", "value_cents", "max_value_cents"),
+        ],
+    ).to_pandas()
+    out["prev_value_cents"] = (
+        out["prev_value_cents"].fillna(0).astype("int64")
+    )
+    out = out[
+        ["event_id", "user_id", "ts", "value_cents", "rn",
+         "running_value_cents", "prev_value_cents", "max_value_cents"]
+    ]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_WINDOW = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT event_id, user_id, ts, value_cents,
+       row_number() OVER w AS rn,
+       (sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING))::BIGINT AS running_value_cents,
+       COALESCE(lag(value_cents) OVER w, 0) AS prev_value_cents,
+       max(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS max_value_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 def _events_user_days(sf_dir: str, event_type: str):
     """(user_id, day) pairs for one event type — map-side filter +
     projection (no full-row shuffle; the set op dedups)."""
@@ -1388,6 +1453,60 @@ FROM w ORDER BY doc_id
 """
 
 
+def doc_top_words_per_lang(sf_dir: str):
+    """Group-wise top-k (the rank-then-filter window shape): 3 longest
+    docs per language tag by (n_words DESC, doc_id) — window_over rank in
+    one shuffle, filtered BEFORE any driver collection (the filter is a
+    map stage, so only k·n_groups rows ever leave the cluster)."""
+    from recon_ray.functions.relational import window_over
+    from recon_ray.functions.text import quality_scores
+
+    docs = _t(sf_dir, "documents")
+
+    def feat(t: pa.Table) -> pa.Table:
+        q = quality_scores(t)
+        n_words = q.column("n_words")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_words": n_words,
+                # window_over orders ascending; negate for a DESC rank
+                "__neg_words": pc.negate(n_words),
+            }
+        )
+
+    ranked = window_over(
+        docs.map_batches(feat, batch_format="pyarrow", zero_copy_batch=True),
+        "lang",
+        ["__neg_words", "doc_id"],
+        [("row_number", None, "rk")],
+    )
+    out = ranked.map_batches(
+        lambda df: df[df["rk"] <= 3].drop(columns="__neg_words"),
+        batch_format="pandas",
+    ).to_pandas()
+    out["rk"] = out["rk"].astype("int64")
+    out = out[["lang", "rk", "doc_id", "n_words"]]
+    return out.sort_values(["lang", "rk"]).reset_index(drop=True)
+
+
+ORACLE_DOC_TOP_PER_LANG = """
+WITH w AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_words
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, n_words,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_words DESC, doc_id) AS rk
+  FROM w
+)
+SELECT lang, rk, doc_id, n_words FROM r WHERE rk <= 3 ORDER BY lang, rk
+"""
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style within-doc repetition filters (dup word/2-gram/3-gram
     fractions, top-word share) — functions.text.repetition_scores."""
@@ -1522,6 +1641,38 @@ def doc_minhash_dedup(sf_dir: str):
     pairs["a"] = pairs["a"].astype("int64")
     pairs["b"] = pairs["b"].astype("int64")
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def doc_common_ngram_pairs(sf_dir: str):
+    """Cross-document exact 50-char-substring duplication (Lee et al.
+    2022's dedup signal): pairs of docs sharing ≥1 verbatim 50-gram plus
+    the count of DISTINCT shared grams. Ray side ships only (u64 rolling
+    hash, doc_id) through one hash-bucket shuffle
+    (functions.dedup.cross_doc_ngram_dups); the oracle recomputes over the
+    raw substrings — identical because distinct windows hash distinctly
+    (collision odds ~10⁻⁹ at this scale; the rolling-hash kernel itself
+    is brute-force-pinned in tests)."""
+    from recon_ray.functions.dedup import cross_doc_ngram_dups
+
+    return cross_doc_ngram_dups(
+        _t(sf_dir, "documents").repartition(8), n=50
+    )
+
+
+ORACLE_COMMON_NGRAM = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substring(text, i::INT, 50) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 49)) AS i) t
+),
+ok AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 50
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM grams a JOIN ok USING (g) JOIN grams b USING (g)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def doc_ngram_jaccard_dedup(sf_dir: str):
@@ -1852,6 +2003,7 @@ QUERIES = {
     "q_events_user_hll": q_events_user_hll,
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
+    "q_events_window_running": q_events_window_running,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_user_day_intersect": q_events_user_day_intersect,
     "q_events_user_day_except": q_events_user_day_except,
@@ -1880,12 +2032,14 @@ QUERIES = {
     "doc_search": doc_search,
     "doc_dedup_groups": doc_dedup_groups,
     "doc_quality": doc_quality,
+    "doc_top_words_per_lang": doc_top_words_per_lang,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
+    "doc_common_ngram_pairs": doc_common_ngram_pairs,
     "doc_simhash_dedup": doc_simhash_dedup,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_stats": doc_pack_stats,
@@ -1925,6 +2079,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
+        "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_user_day_intersect": ORACLE_EVENTS_INTERSECT,
         "q_events_user_day_except": ORACLE_EVENTS_EXCEPT,
@@ -1995,6 +2150,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_search": ORACLE_DOC_SEARCH,
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
+        "doc_top_words_per_lang": ORACLE_DOC_TOP_PER_LANG,
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
@@ -2002,6 +2158,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "knn_exact_top10": ORACLE_KNN,
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
+        "doc_common_ngram_pairs": ORACLE_COMMON_NGRAM,
         "doc_pack_sequences": ORACLE_DOC_PACK,
         "doc_pack_stats": ORACLE_DOC_PACK_STATS,
         "doc_pack_texts": ORACLE_DOC_PACK_TEXTS,

@@ -519,6 +519,64 @@ def test_asof_join_backward_and_forward(con):
     assert asof_join(l, empty_r, by="k", on="t").count() == 0
 
 
+def test_window_over_vs_duckdb(con):
+    """window_over vs DuckDB window functions: row_number / running
+    sum / lag / lead / running min over events, plus multi-column
+    partitions and single-row-partition edges on a tiny frame."""
+    from recon_ray.functions.relational import window_over
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    got = window_over(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("row_number", None, "rn"),
+            ("running_sum", "value", "rs"),
+            ("lag", "value", "prev_v"),
+            ("lead", "value", "next_v"),
+            ("running_min", "value", "min_v"),
+        ],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    gold = con.sql("""
+        SELECT event_id,
+               row_number() OVER w AS rn,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS rs,
+               lag(value) OVER w AS prev_v,
+               lead(value) OVER w AS next_v,
+               min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS min_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """).df()
+    assert got["rn"].tolist() == gold["rn"].tolist()
+    # float running sum: same order both sides; allow ulp-level slack
+    assert np.allclose(got["rs"], gold["rs"])
+    assert np.allclose(got["prev_v"], gold["prev_v"], equal_nan=True)
+    assert np.allclose(got["next_v"], gold["next_v"], equal_nan=True)
+    assert np.allclose(got["min_v"], gold["min_v"])
+
+    # multi-column partition + singleton partitions
+    tiny = rd.from_pandas(pd.DataFrame(
+        {"a": [1, 1, 1, 2], "b": ["x", "x", "y", "y"],
+         "t": [3, 1, 5, 5], "v": [10.0, 20.0, 30.0, 40.0]}))
+    out = window_over(
+        tiny, ["a", "b"], "t",
+        [("row_number", None, "rn"), ("lag", "v", "pv"),
+         ("lead", "v", "nv")],
+    ).to_pandas().sort_values(["a", "b", "t"]).reset_index(drop=True)
+    assert out["rn"].tolist() == [1, 2, 1, 1]
+    assert out["pv"].fillna(-1).tolist() == [-1.0, 20.0, -1.0, -1.0]
+    assert out["nv"].fillna(-1).tolist() == [10.0, -1.0, -1.0, -1.0]
+
+    with pytest.raises(ValueError):
+        window_over(tiny, "a", "t", [("median", "v", "m")])
+
+
 def test_range_join_overlap_and_edges(con):
     """range_join: overlapping bands multi-match; closed='both' includes
     the hi edge; rows outside every band drop."""
@@ -535,6 +593,63 @@ def test_range_join_overlap_and_edges(con):
     both = range_join(big, bands, on="v", closed="both").to_pandas()
     # closed='both': v=10 now also matches band a's hi edge
     assert len(both) == 7
+
+
+def test_char_ngram_rolling_hash_brute_force():
+    """The vectorized prefix-sum rolling hash equals direct polynomial
+    evaluation of every window (mod 2^64), and distinct windows hash
+    distinctly on random bytes."""
+    from recon_ray.functions.dedup import char_ngram_hashes
+
+    rng = np.random.default_rng(0)
+    data = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    n = 7
+    got = char_ngram_hashes(data, n)
+    B, M = 1099511628211, 1 << 64
+    exp = [
+        sum((data[i + j] + 1) * pow(B, n - 1 - j, M) for j in range(n)) % M
+        for i in range(len(data) - n + 1)
+    ]
+    assert (got == np.array(exp, dtype=np.uint64)).all()
+    assert len(np.unique(got)) == len(got)
+    assert len(char_ngram_hashes(b"abc", 7)) == 0  # shorter than n
+    # equal windows hash equal
+    rep = char_ngram_hashes(b"xyzxyzxyz", 3)
+    assert rep[0] == rep[3] == rep[6]
+
+
+def test_cross_doc_ngram_dups_semantics():
+    """Pairs sharing a verbatim n-gram are found with the exact distinct
+    shared-gram count; stride>1 still catches long runs; grams hotter
+    than the cap are skipped."""
+    from recon_ray.functions.dedup import cross_doc_ngram_dups
+
+    run = "A" * 30  # shared verbatim run, docs otherwise distinct
+    docs = rd.from_pandas(pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "left padding " + run + " one tail",
+                "other intro " + run + " two tails",
+                "completely unrelated content with no shared runs here",
+            ],
+        }
+    ))
+    out = cross_doc_ngram_dups(docs, n=20)
+    # 3 distinct shared 20-grams: 'A'*20, ' '+'A'*19 (space precedes the
+    # run in both docs), 'A'*19+' ' (space follows in both); windows
+    # reaching further into the differing padding don't match
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out["n_shared"].tolist() == [3]
+    # stride: the shared run (length 30 ≥ n+stride−1 = 24) is still caught
+    strided = cross_doc_ngram_dups(docs, n=20, stride=5)
+    assert strided[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    # hot-gram cap: a gram in all 3 docs with cap 2 drops every pair
+    hot = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["Z" * 25, "Z" * 25, "Z" * 25]}
+    ))
+    assert len(cross_doc_ngram_dups(hot, n=20, max_docs_per_gram=2)) == 0
+    assert len(cross_doc_ngram_dups(hot, n=20)) == 3  # all 3 pairs
 
 
 def test_ngram_jaccard_dedup_exact_recall(docs):
