@@ -284,6 +284,46 @@ def hardest_docs(
     ).reset_index(drop=True)
 
 
+_MIX_C = 0x9E3779B97F4A7C15  # golden-ratio multiplier (odd)
+
+
+def mixture_sample(ds, key_col: str, rates: dict, id_col: str = "doc_id"):
+    """Deterministic mixture sampling — the domain/language-mixing step of
+    training-corpus composition: keep each row of group k with probability
+    ``rates[k]``, decided by a pure function of the row id (multiplicative
+    hash vs a per-group threshold), NOT an RNG. No shuffle, no state, the
+    same rows survive on any cluster layout or rerun, and the rule is
+    exactly SQL-expressible (id·C mod 2⁶⁴ < ⌊rate·2⁶⁴⌋ — uint64 wraparound
+    IS the modulus). Rows whose key has no configured rate drop. Pure map
+    stage: composes with any pipeline at zero shuffle cost.
+
+    Reference tie-in: the reference's sampling (recon/sample.py) is an
+    unseeded random.shuffle; this is the distributed-reproducible form."""
+    thresholds = {k: int(float(r) * (1 << 64)) for k, r in rates.items()}
+    # rate ≥ 1.0 → threshold ≥ 2^64 → every row passes (kept exact, no
+    # uint64 overflow); rates < 1.0 compare in exact uint64 space
+    keep_all = frozenset(k for k, t in thresholds.items() if t >= (1 << 64))
+    thr_u64 = {
+        k: np.uint64(t) for k, t in thresholds.items() if t < (1 << 64)
+    }
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = ids * np.uint64(_MIX_C)  # wraps mod 2^64
+        keys = batch[key_col]
+        keep = keys.isin(keep_all).to_numpy()
+        m = keys.map(thr_u64)
+        has = m.notna().to_numpy()
+        if has.any():
+            tvals = np.fromiter(
+                (int(x) for x in m[has]), dtype=np.uint64, count=int(has.sum())
+            )
+            keep[has] = h[has] < tvals
+        return batch[keep]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 def sample_mentions_stratified(
     mentions_ds,
     bucket_cols: list[str],

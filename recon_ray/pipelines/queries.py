@@ -1507,6 +1507,40 @@ SELECT lang, rk, doc_id, n_words FROM r WHERE rk <= 3 ORDER BY lang, rk
 """
 
 
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.1}
+
+
+def doc_mixture_sample(sf_dir: str):
+    """Deterministic domain mixing: keep each doc with a per-language
+    rate, decided by a pure multiplicative hash of doc_id (no RNG, no
+    shuffle — functions.insights.mixture_sample). The oracle applies the
+    IDENTICAL integer rule in HUGEINT space, so the surviving set matches
+    row-for-row."""
+    from recon_ray.functions.insights import mixture_sample
+
+    out = mixture_sample(
+        _t(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        "lang",
+        _MIX_RATES,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _mixture_oracle_sql() -> str:
+    from recon_ray.functions.insights import _MIX_C
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(float(r) * (1 << 64))}::HUGEINT"
+        for k, r in _MIX_RATES.items()
+    )
+    return (
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE ((doc_id::HUGEINT * {_MIX_C}) % 18446744073709551616) "
+        f"< CASE lang {cases} ELSE -1::HUGEINT END "
+        "ORDER BY doc_id"
+    )
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style within-doc repetition filters (dup word/2-gram/3-gram
     fractions, top-word share) — functions.text.repetition_scores."""
@@ -2033,6 +2067,7 @@ QUERIES = {
     "doc_dedup_groups": doc_dedup_groups,
     "doc_quality": doc_quality,
     "doc_top_words_per_lang": doc_top_words_per_lang,
+    "doc_mixture_sample": doc_mixture_sample,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
@@ -2151,6 +2186,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
         "doc_top_words_per_lang": ORACLE_DOC_TOP_PER_LANG,
+        "doc_mixture_sample": _mixture_oracle_sql(),
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,

@@ -195,3 +195,37 @@ def test_sample_stratified(gold_mentions_ds):
         sampled.sort_values(list(sampled.columns)).reset_index(drop=True),
         again.sort_values(list(again.columns)).reset_index(drop=True),
     )
+
+
+def test_mixture_sample_deterministic_and_rate_bounded():
+    """mixture_sample keeps rate≈p of each group, identically across
+    reruns and partitionings; unknown keys drop; rate 1.0 keeps all."""
+    import numpy as np
+    import ray.data as rd
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "k": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        }
+    )
+    df.loc[::17, "k"] = "unconfigured"
+    rates = {"a": 1.0, "b": 0.25}
+    got = ins.mixture_sample(rd.from_pandas(df), "k", rates).to_pandas()
+    # rate 1.0 keeps every 'a'; unknown keys all drop
+    assert (got["k"] != "unconfigured").all()
+    n_a = (df["k"] == "a").sum()
+    assert (got["k"] == "a").sum() == n_a
+    # rate 0.25 binomial: expect p·n within 5 sigma
+    n_b = (df["k"] == "b").sum()
+    kept_b = (got["k"] == "b").sum()
+    assert abs(kept_b - 0.25 * n_b) < 5 * np.sqrt(n_b * 0.25 * 0.75)
+    # repartition-invariant and rerun-identical
+    again = ins.mixture_sample(
+        rd.from_pandas(df).repartition(7), "k", rates
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
