@@ -639,7 +639,9 @@ def embedding_neardup(
                     data_refs[i], data_refs[j], threshold, i == j
                 )
             )
-    parts = ray.get(tasks)
+    # drop empty parts pre-concat (pandas deprecates all-NA entries in
+    # concat dtype inference)
+    parts = [p for p in ray.get(tasks) if len(p)]
     df = (
         pd.concat(parts, ignore_index=True)
         if parts

@@ -442,9 +442,11 @@ def window_over(
 ):
     """Partitioned window functions — the ``OVER (PARTITION BY … ORDER BY
     …)`` family Ray Data has no operator for. ``specs`` is a list of
-    ``(kind, value_col, out_name)`` with kind ∈ {"row_number",
-    "running_sum", "running_min", "running_max", "lag", "lead"}
-    (value_col is ignored for row_number).
+    ``(kind, value_col, out_name)`` with kind ∈ {"row_number", "rank",
+    "dense_rank", "running_sum", "running_min", "running_max", "lag",
+    "lead"} (value_col is ignored for the three rank kinds; ties for
+    rank/dense_rank are rows equal on every order_by column — NaN order
+    keys each start their own run, unlike SQL's NULLs-are-equal).
 
     Execution (SURVEY §2.5 custom-operator path (a)): ONE hash shuffle on
     ``partition_by`` (every partition's rows land in one bucket), then per
@@ -464,8 +466,8 @@ def window_over(
         [partition_by] if isinstance(partition_by, str) else list(partition_by)
     )
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    kinds = {"row_number", "running_sum", "running_min", "running_max",
-             "lag", "lead"}
+    kinds = {"row_number", "rank", "dense_rank", "running_sum",
+             "running_min", "running_max", "lag", "lead"}
     for kind, _col, _out in specs:
         if kind not in kinds:
             raise ValueError(f"unknown window kind {kind!r}")
@@ -473,10 +475,26 @@ def window_over(
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(part_cols + order_cols, kind="mergesort")
         grp = g.groupby(part_cols, sort=False)
+        need_rank = any(k in ("rank", "dense_rank") for k, _c, _o in specs)
+        if need_rank:
+            # a tie run = consecutive rows equal on (partition, order)
+            keyed = g[part_cols + order_cols]
+            new_run = keyed.ne(keyed.shift()).any(axis=1)
+            run_id = new_run.cumsum()
+            rn = (grp.cumcount() + 1).astype("int64")
+            part_key = [g[c] for c in part_cols]
         out = {}
         for kind, col, name in specs:
             if kind == "row_number":
                 out[name] = (grp.cumcount() + 1).astype("int64")
+            elif kind == "rank":
+                # SQL RANK(): row_number of the tie run's first row
+                out[name] = rn.groupby(run_id).transform("first")
+            elif kind == "dense_rank":
+                # distinct tie runs so far within the partition
+                out[name] = (
+                    new_run.astype("int64").groupby(part_key).cumsum()
+                )
             elif kind == "running_sum":
                 out[name] = grp[col].cumsum()
             elif kind == "running_min":

@@ -576,6 +576,25 @@ def test_window_over_vs_duckdb(con):
     with pytest.raises(ValueError):
         window_over(tiny, "a", "t", [("median", "v", "m")])
 
+    # rank/dense_rank with heavy ties vs DuckDB: order by a coarse key
+    # (value bucket) so tie runs span many rows
+    ties = con.sql(
+        "SELECT event_id, user_id, floor(value/100)::BIGINT AS vb FROM events"
+    ).df()
+    got_r = window_over(
+        rd.from_pandas(ties), "user_id", ["vb"],
+        [("rank", None, "rk"), ("dense_rank", None, "drk")],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    gold_r = con.sql("""
+        SELECT event_id,
+               rank() OVER (PARTITION BY user_id ORDER BY floor(value/100)) AS rk,
+               dense_rank() OVER (PARTITION BY user_id
+                                  ORDER BY floor(value/100)) AS drk
+        FROM events ORDER BY event_id
+    """).df()
+    assert got_r["rk"].tolist() == gold_r["rk"].tolist()
+    assert got_r["drk"].tolist() == gold_r["drk"].tolist()
+
 
 def test_range_join_overlap_and_edges(con):
     """range_join: overlapping bands multi-match; closed='both' includes
