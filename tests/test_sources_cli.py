@@ -159,3 +159,90 @@ def test_cli_curate(tmp_path):
     )
     assert summary["n_docs_packed"] == len(df) > 0
     assert df.groupby(["bucket", "seq_id"]).n_tokens.sum().max() <= 512
+
+
+def test_docbin_roundtrip(tmp_path):
+    """write_docbin → read_docbin round-trips text and entity spans through
+    the spaCy DocBin byte format (zlib+msgpack, ORTH/ENT_IOB/ENT_TYPE),
+    including multi-space and tab whitespace that needs pseudo-tokens."""
+    from recon_ray.sources.jsonl import records_to_table
+    from recon_ray.sources.spacy_bin import (
+        hash_string,
+        read_docbin,
+        write_docbin,
+    )
+
+    records = [
+        {
+            "text": "Alice met Bob at ACME Corp yesterday.",
+            "spans": [
+                {"start": 0, "end": 5, "label": "PERSON"},
+                {"start": 10, "end": 13, "label": "PERSON"},
+                {"start": 17, "end": 26, "label": "ORG"},
+            ],
+        },
+        {"text": "no entities  double space\tand tab", "spans": []},
+        {
+            "text": "trailing span end",
+            "spans": [{"start": 9, "end": 17, "label": "X"}],
+        },
+    ]
+    docs = rd.from_arrow(records_to_table(records))
+    path = str(tmp_path / "out.spacy")
+    assert write_docbin(docs, path) == 3
+    back = read_docbin(path).to_pandas().sort_values("text").reset_index(drop=True)
+    want = pd.DataFrame(records).sort_values("text").reset_index(drop=True)
+    assert back["text"].tolist() == want["text"].tolist()
+    got_spans = [
+        [(s["start"], s["end"], s["label"]) for s in row]
+        for row in back["mentions"]
+    ]
+    want_spans = [
+        [(s["start"], s["end"], s["label"]) for s in row]
+        for row in want["spans"]
+    ]
+    assert got_spans == want_spans
+
+    # hash function invariants (spaCy StringStore contract)
+    assert hash_string("") == 0
+    assert hash_string("ACME") == hash_string("ACME") != hash_string("acme")
+
+
+def test_prodigy_jsonl_roundtrip(tmp_path):
+    """to_prodigy_jsonl/from_prodigy_jsonl: dataset-exists guard, hash
+    fields, answer filtering, and the missing-dataset error listing."""
+    from recon_ray.sources.jsonl import records_to_table
+    from recon_ray.sources.prodigy_io import (
+        from_prodigy_jsonl,
+        to_prodigy_jsonl,
+    )
+
+    root = str(tmp_path / "prodigy_db")
+    records = [
+        {"text": "Alice met Bob.", "spans": [
+            {"start": 0, "end": 5, "label": "PERSON"}]},
+        {"text": "plain text row", "spans": []},
+    ]
+    docs = rd.from_arrow(records_to_table(records))
+    assert to_prodigy_jsonl(docs, root, "train") == 2
+    with pytest.raises(ValueError, match="already exists"):
+        to_prodigy_jsonl(docs, root, "train")
+    assert to_prodigy_jsonl(docs, root, "train", overwrite_dataset=True) == 2
+
+    # hashes: same text different spans → same input hash, different task
+    lines = [json.loads(l) for l in open(
+        os.path.join(root, "train.jsonl"))]
+    assert all("_input_hash" in r and "_task_hash" in r for r in lines)
+
+    back = from_prodigy_jsonl(root, "train").to_pandas()
+    assert sorted(back["text"]) == sorted(r["text"] for r in records)
+
+    # answer filter: hand-add a rejected record
+    with open(os.path.join(root, "train.jsonl"), "a") as f:
+        f.write(json.dumps(
+            {"text": "rejected row", "spans": [], "answer": "reject"}) + "\n")
+    assert from_prodigy_jsonl(root, "train").count() == 2
+    assert from_prodigy_jsonl(root, "train", answers=None).count() == 3
+
+    with pytest.raises(ValueError, match="Available datasets"):
+        from_prodigy_jsonl(root, "nope")
