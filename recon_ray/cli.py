@@ -14,6 +14,8 @@ Commands:
                                  gates → dedup → packed sequences);
                                  --store DIR makes it incremental over a
                                  persistent content-addressed ExampleStore
+  convert <pair> <src> <dst>     JSONL Examples ↔ spaCy DocBin ↔
+                                 Prodigy-format datasets
   bench                          delegate to bench.py
 
 On a real cluster each command is submitted via ``ray job submit -- python
@@ -236,6 +238,40 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Annotation-format conversions (the loaders surface: JSONL Examples
+    ↔ spaCy DocBin ↔ Prodigy-format datasets)."""
+    _ensure_ray()
+    from recon_ray.sources.jsonl import read_jsonl_examples, write_jsonl_examples
+
+    if args.pair == "jsonl-to-spacy":
+        from recon_ray.sources.spacy_bin import write_docbin
+
+        n = write_docbin(read_jsonl_examples(args.src), args.dst)
+        print(json.dumps({"docs": n, "out": args.dst}))
+    elif args.pair == "spacy-to-jsonl":
+        from recon_ray.sources.spacy_bin import read_docbin
+
+        ds = read_docbin(args.src)
+        write_jsonl_examples(ds, args.dst)
+        print(json.dumps({"docs": ds.count(), "out": args.dst}))
+    elif args.pair == "jsonl-to-prodigy":
+        from recon_ray.sources.prodigy_io import to_prodigy_jsonl
+
+        n = to_prodigy_jsonl(
+            read_jsonl_examples(args.src), args.dst, args.dataset,
+            overwrite_dataset=args.overwrite,
+        )
+        print(json.dumps({"docs": n, "dataset": args.dataset}))
+    elif args.pair == "prodigy-to-jsonl":
+        from recon_ray.sources.prodigy_io import from_prodigy_jsonl
+
+        ds = from_prodigy_jsonl(args.src, args.dataset)
+        write_jsonl_examples(ds, args.dst)
+        print(json.dumps({"docs": ds.count(), "out": args.dst}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -308,6 +344,17 @@ def main(argv=None) -> int:
     tg.add_argument("workdir")
     for sp in (ti, ta, tl, tr, tg):
         sp.set_defaults(fn=cmd_track)
+
+    pcv = sub.add_parser("convert", help="annotation-format conversions")
+    pcv.add_argument("pair", choices=[
+        "jsonl-to-spacy", "spacy-to-jsonl",
+        "jsonl-to-prodigy", "prodigy-to-jsonl"])
+    pcv.add_argument("src")
+    pcv.add_argument("dst")
+    pcv.add_argument("--dataset", default="train",
+                     help="prodigy dataset name")
+    pcv.add_argument("--overwrite", action="store_true")
+    pcv.set_defaults(fn=cmd_convert)
 
     pb = sub.add_parser("bench", help="benchmark")
     pb.add_argument("--scaling", action="store_true")

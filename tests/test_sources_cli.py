@@ -246,3 +246,48 @@ def test_prodigy_jsonl_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="Available datasets"):
         from_prodigy_jsonl(root, "nope")
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """convert verb: JSONL → .spacy → JSONL and JSONL → prodigy → JSONL
+    preserve texts and spans."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    src = tmp_path / "in.jsonl"
+    recs = [
+        {"text": "Alice met Bob.", "spans": [
+            {"start": 0, "end": 5, "label": "PERSON"},
+            {"start": 10, "end": 13, "label": "PERSON"}]},
+        {"text": "nothing here", "spans": []},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "recon_ray", "convert", *argv],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    def read_out(d):
+        rows = []
+        for p in sorted(d.glob("*.jsonl")):
+            rows += [json.loads(l) for l in p.read_text().splitlines()]
+        return sorted(rows, key=lambda r: r["text"])
+
+    spacy_f = tmp_path / "out.spacy"
+    assert run("jsonl-to-spacy", str(src), str(spacy_f))["docs"] == 2
+    back1 = tmp_path / "back1"
+    run("spacy-to-jsonl", str(spacy_f), str(back1))
+    got = read_out(back1)
+    assert [r["text"] for r in got] == sorted(r["text"] for r in recs)
+    assert [(s["start"], s["end"], s["label"]) for s in got[0]["spans"]] == [
+        (0, 5, "PERSON"), (10, 13, "PERSON")]
+
+    pdir = tmp_path / "pdb"
+    run("jsonl-to-prodigy", str(src), str(pdir), "--dataset", "d1")
+    back2 = tmp_path / "back2"
+    run("prodigy-to-jsonl", str(pdir), str(back2), "--dataset", "d1")
+    assert [r["text"] for r in read_out(back2)] == sorted(
+        r["text"] for r in recs)
