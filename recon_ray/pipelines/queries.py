@@ -607,13 +607,34 @@ def q_events_window_running(sf_dir: str):
             ("lag", "value_cents", "prev_value_cents"),
             ("running_max", "value_cents", "max_value_cents"),
         ],
+    )
+    # tie-aware ranks on a coarse key (value bucket) — a second window
+    # pass ordered by a DIFFERENT key than the first
+    out = window_over(
+        out.map_batches(
+            lambda t: t.append_column(
+                "value_bucket",
+                pc.cast(
+                    pc.floor(pc.divide(pc.cast(t.column("value_cents"),
+                                               pa.float64()),
+                                       pa.scalar(1000.0))),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "user_id",
+        ["value_bucket"],
+        [("rank", None, "vrank"), ("dense_rank", None, "vdense")],
     ).to_pandas()
     out["prev_value_cents"] = (
         out["prev_value_cents"].fillna(0).astype("int64")
     )
     out = out[
         ["event_id", "user_id", "ts", "value_cents", "rn",
-         "running_value_cents", "prev_value_cents", "max_value_cents"]
+         "running_value_cents", "prev_value_cents", "max_value_cents",
+         "value_bucket", "vrank", "vdense"]
     ]
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -630,9 +651,13 @@ SELECT event_id, user_id, ts, value_cents,
           ROWS UNBOUNDED PRECEDING))::BIGINT AS running_value_cents,
        COALESCE(lag(value_cents) OVER w, 0) AS prev_value_cents,
        max(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS UNBOUNDED PRECEDING) AS max_value_cents
+          ROWS UNBOUNDED PRECEDING) AS max_value_cents,
+       floor(value_cents / 1000)::BIGINT AS value_bucket,
+       rank() OVER b AS vrank,
+       dense_rank() OVER b AS vdense
 FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       b AS (PARTITION BY user_id ORDER BY floor(value_cents / 1000))
 ORDER BY event_id
 """
 
