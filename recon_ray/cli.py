@@ -166,8 +166,19 @@ def cmd_curate(args) -> int:
         )
         n_rows = 0
         if res["packed"] is not None:
+            # count only THIS run's files: write_parquet appends new
+            # uniquely-named parts when out_dir is reused across runs
+            before = (
+                set(os.listdir(args.out_dir))
+                if os.path.isdir(args.out_dir)
+                else set()
+            )
             res["packed"].write_parquet(args.out_dir)
-            n_rows = _count_rows(args.out_dir)
+            n_rows = sum(
+                pq.ParquetFile(os.path.join(args.out_dir, f)).metadata.num_rows
+                for f in os.listdir(args.out_dir)
+                if f.endswith(".parquet") and f not in before
+            )
         key = "n_packs" if args.texts else "n_docs_packed"
         print(
             json.dumps(

@@ -920,13 +920,17 @@ _ROLL_B = np.uint64(1099511628211)  # FNV prime; ODD → invertible mod 2^64
 _ROLL_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
 
-def char_ngram_hashes(data: bytes, n: int) -> np.ndarray:
-    """Polynomial rolling hash of EVERY n-byte window, fully vectorized:
-    h_i = Σ_j (b[i+j]+1)·B^(n-1-j) mod 2^64. Uses the prefix-sum identity
-    h_i = B^(n-1+i) · (S[i+n-1] − S[i-1]) with S = cumsum((b+1)·B^(−j)) —
-    B is odd so B⁻¹ exists mod 2^64 and uint64 wraparound IS the modulus.
-    O(len) numpy work, no per-window Python loop."""
-    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+def char_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Polynomial rolling hash of EVERY n-CHARACTER window (codepoints via
+    UTF-32, so the window unit matches SQL's character substring — byte
+    windows would diverge from the oracle on non-ASCII text), fully
+    vectorized: h_i = Σ_j (c[i+j]+1)·B^(n-1-j) mod 2^64. Uses the
+    prefix-sum identity h_i = B^(n-1+i) · (S[i+n-1] − S[i-1]) with
+    S = cumsum((c+1)·B^(−j)) — B is odd so B⁻¹ exists mod 2^64 and uint64
+    wraparound IS the modulus. O(len) numpy work, no per-window loop."""
+    b = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64) + np.uint64(1)
     length = len(b)
     if length < n:
         return np.empty(0, np.uint64)
@@ -974,7 +978,7 @@ def cross_doc_ngram_dups(
         texts = batch.column(text_col).to_pylist()
         hs_out, id_out = [], []
         for did, txt in zip(ids, texts):
-            hs = char_ngram_hashes(txt.encode("utf-8"), n)[::stride]
+            hs = char_ngram_hashes(txt, n)[::stride]
             if len(hs) == 0:
                 continue
             hs = np.unique(hs)

@@ -1484,13 +1484,17 @@ def doc_top_words_per_lang(sf_dir: str):
     one shuffle, filtered BEFORE any driver collection (the filter is a
     map stage, so only k·n_groups rows ever leave the cluster)."""
     from recon_ray.functions.relational import window_over
-    from recon_ray.functions.text import quality_scores
+    from recon_ray.functions.text import WORD_RE
 
     docs = _t(sf_dir, "documents")
 
     def feat(t: pa.Table) -> pa.Table:
-        q = quality_scores(t)
-        n_words = q.column("n_words")
+        # only n_words is consumed — count WORD_RE matches directly
+        # instead of running the full quality kernel's per-char scans
+        texts = t.column("text").to_pylist()
+        n_words = pa.array(
+            [len(WORD_RE.findall(x)) for x in texts], pa.int64()
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

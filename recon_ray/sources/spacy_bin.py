@@ -109,6 +109,23 @@ def hash_string(s: str) -> int:
     return murmur3_x64_128_low(s.encode("utf-8"), seed=1)
 
 
+def _emit_gap(gap: str, out_words: list, out_spaces: list) -> None:
+    """Represent an inter-token gap: a single space folds into the
+    previous token's space bool; anything else becomes a whitespace
+    pseudo-token (with a leading space folded back and a trailing space
+    carried as its own bool)."""
+    if gap == " " and out_words:
+        out_spaces[-1] = True
+        return
+    if out_words and gap[0] == " ":
+        out_spaces[-1] = True
+        gap = gap[1:]
+    if gap:
+        trail = gap.endswith(" ")
+        out_words.append(gap[:-1] if trail else gap)
+        out_spaces.append(trail)
+
+
 def _words_and_spaces(text: str, starts, ends, words):
     """spacy.util.get_words_and_spaces semantics: align tokens to the raw
     text, inserting whitespace pseudo-tokens for inter-token gaps that are
@@ -118,32 +135,12 @@ def _words_and_spaces(text: str, starts, ends, words):
     pos = 0
     for s, e, w in zip(starts, ends, words):
         if s > pos:
-            gap = text[pos:s]
-            if gap == " " and out_words:
-                out_spaces[-1] = True
-            else:
-                if out_words and gap[0] == " ":
-                    out_spaces[-1] = True
-                    gap = gap[1:]
-                if gap:
-                    trail = gap.endswith(" ")
-                    out_words.append(gap[:-1] if trail else gap)
-                    out_spaces.append(trail)
+            _emit_gap(text[pos:s], out_words, out_spaces)
         out_words.append(w)
         out_spaces.append(False)
         pos = e
     if pos < len(text):
-        gap = text[pos:]
-        if gap == " " and out_words:
-            out_spaces[-1] = True
-        else:
-            if out_words and gap[0] == " ":
-                out_spaces[-1] = True
-                gap = gap[1:]
-            if gap:
-                trail = gap.endswith(" ")
-                out_words.append(gap[:-1] if trail else gap)
-                out_spaces.append(trail)
+        _emit_gap(text[pos:], out_words, out_spaces)
     return out_words, out_spaces
 
 

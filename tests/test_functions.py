@@ -621,20 +621,35 @@ def test_char_ngram_rolling_hash_brute_force():
     from recon_ray.functions.dedup import char_ngram_hashes
 
     rng = np.random.default_rng(0)
-    data = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    # mixed ASCII + multi-byte codepoints: windows are CHARACTERS, and the
+    # hash runs over codepoints so it agrees with SQL substring semantics
+    data = "".join(
+        chr(c) for c in rng.integers(32, 0x2FFF, 300)
+    )
     n = 7
     got = char_ngram_hashes(data, n)
     B, M = 1099511628211, 1 << 64
     exp = [
-        sum((data[i + j] + 1) * pow(B, n - 1 - j, M) for j in range(n)) % M
+        sum(
+            (ord(data[i + j]) + 1) * pow(B, n - 1 - j, M) for j in range(n)
+        ) % M
         for i in range(len(data) - n + 1)
     ]
     assert (got == np.array(exp, dtype=np.uint64)).all()
     assert len(np.unique(got)) == len(got)
-    assert len(char_ngram_hashes(b"abc", 7)) == 0  # shorter than n
+    assert len(char_ngram_hashes("abc", 7)) == 0  # shorter than n
     # equal windows hash equal
-    rep = char_ngram_hashes(b"xyzxyzxyz", 3)
+    rep = char_ngram_hashes("xyzxyzxyz", 3)
     assert rep[0] == rep[3] == rep[6]
+    # non-ASCII: an n-CHAR shared run is found (byte windows would need
+    # 2n bytes and miss it)
+    from recon_ray.functions.dedup import cross_doc_ngram_dups
+
+    run = "é" * 20
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["x " + run, "y " + run]}))
+    out = cross_doc_ngram_dups(docs, n=20)
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
 
 
 def test_cross_doc_ngram_dups_semantics():
