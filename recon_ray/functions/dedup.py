@@ -1032,3 +1032,104 @@ def cross_doc_ngram_dups(
         }
     )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_contamination(
+    corpus_ds,
+    probe_ds,
+    n: int = 50,
+    stride: int = 1,
+    max_docs_per_gram: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Benchmark decontamination: (corpus doc, probe doc) pairs sharing ≥1
+    exact n-character substring, with the count of distinct shared grams —
+    the eval-set-leakage scan a training corpus runs against its held-out
+    benchmarks before training. Same distributed shape as
+    ``cross_doc_ngram_dups`` (only u64+id rides the one hash shuffle), but
+    the per-bucket join is CROSS-SIDE only, so pairs are bounded by the
+    probe side's gram count; the hot-gram cap applies to the CORPUS side
+    (a boilerplate gram matching every corpus doc is noise, but a probe
+    gram must never be dropped).
+
+    Returns pandas (doc_id, probe_id, n_shared) sorted."""
+    from recon_ray.functions.relational import bucketed_group_apply, grouped_agg
+
+    def grams(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            hs_out, id_out = [], []
+            for did, txt in zip(ids, texts):
+                hs = char_ngram_hashes(txt, n)[::stride]
+                if len(hs) == 0:
+                    continue
+                hs = np.unique(hs)
+                hs_out.append(hs)
+                id_out.append(np.full(len(hs), did, np.int64))
+            h = (
+                np.concatenate(hs_out) if hs_out else np.empty(0, np.uint64)
+            )
+            i = (
+                np.concatenate(id_out) if id_out else np.empty(0, np.int64)
+            )
+            return pa.table(
+                {
+                    "h": pa.array(h, pa.uint64()),
+                    "rid": pa.array(i, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(h), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    gram_ds = corpus_ds.map_batches(
+        grams(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        probe_ds.map_batches(
+            grams(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        p = g[g["side"] == 1]
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "probe_id": pd.Series(dtype="int64"),
+             "n_shared": pd.Series(dtype="int64")}
+        )
+        if c.empty or p.empty:
+            return empty
+        sz = c.groupby("h")["rid"].transform("size")
+        c = c[sz <= max_docs_per_gram]
+        if c.empty:
+            return empty
+        m = c.merge(p, on="h", suffixes=("_c", "_p"))
+        if m.empty:
+            return empty
+        agg = (
+            m.groupby(["rid_c", "rid_p"]).size().reset_index(name="n_shared")
+        )
+        agg.columns = ["doc_id", "probe_id", "n_shared"]
+        return agg
+
+    partial = bucketed_group_apply(gram_ds, "h", bucket_pairs)
+    out = grouped_agg(partial, ["doc_id", "probe_id"], {"n_shared": ["sum"]})
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "probe_id": pd.Series(dtype="int64"),
+             "n_shared": pd.Series(dtype="int64")}
+        )
+    out = pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].astype("int64"),
+            "probe_id": out["probe_id"].astype("int64"),
+            "n_shared": out["n_shared_sum"].astype("int64"),
+        }
+    )
+    return out.sort_values(["doc_id", "probe_id"]).reset_index(drop=True)

@@ -1738,6 +1738,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def doc_contamination(sf_dir: str):
+    """Benchmark decontamination scan: corpus docs (doc_id % 20 != 0)
+    sharing a verbatim 50-gram with any probe doc (doc_id % 20 == 0 — the
+    stand-in held-out eval set), with distinct shared-gram counts —
+    functions.dedup.ngram_contamination (cross-side-only bucket join,
+    corpus-side hot-gram cap)."""
+    from recon_ray.functions.dedup import ngram_contamination
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def side(keep_probe: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 20 == 0) == keep_probe
+            return t.filter(pa.array(mask))
+
+        return f
+
+    corpus = docs.map_batches(
+        side(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    probe = docs.map_batches(
+        side(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ngram_contamination(corpus, probe, n=50)
+
+
+ORACLE_CONTAMINATION = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substring(text, i::INT, 50) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 49)) AS i) t
+),
+c AS (SELECT * FROM grams WHERE doc_id % 20 <> 0),
+p AS (SELECT * FROM grams WHERE doc_id % 20 = 0),
+ok AS (SELECT g FROM c GROUP BY g HAVING count(*) <= 50)
+SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+       count(*)::BIGINT AS n_shared
+FROM c JOIN ok USING (g) JOIN p USING (g)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def doc_ngram_jaccard_dedup(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs via prefix filtering (exact
     recall, unlike MinHash banding) — functions.dedup.ngram_jaccard_dedup.
@@ -2104,6 +2147,7 @@ QUERIES = {
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
     "doc_common_ngram_pairs": doc_common_ngram_pairs,
+    "doc_contamination": doc_contamination,
     "doc_simhash_dedup": doc_simhash_dedup,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_stats": doc_pack_stats,
@@ -2224,6 +2268,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
         "doc_ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
         "doc_common_ngram_pairs": ORACLE_COMMON_NGRAM,
+        "doc_contamination": ORACLE_CONTAMINATION,
         "doc_pack_sequences": ORACLE_DOC_PACK,
         "doc_pack_stats": ORACLE_DOC_PACK_STATS,
         "doc_pack_texts": ORACLE_DOC_PACK_TEXTS,

@@ -686,6 +686,37 @@ def test_cross_doc_ngram_dups_semantics():
     assert len(cross_doc_ngram_dups(hot, n=20)) == 3  # all 3 pairs
 
 
+def test_ngram_contamination_planted():
+    """Cross-side-only: corpus↔probe leaks are found, corpus-internal
+    duplication is NOT reported, and the hot-gram cap drops only
+    corpus-side boilerplate (probe grams always survive)."""
+    from recon_ray.functions.dedup import ngram_contamination
+
+    leak = "B" * 25
+    boiler = "C" * 25
+    corpus = rd.from_pandas(pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha " + leak + " text",     # leaks probe 100
+                "beta " + leak + " other",     # leaks probe 100
+                "gamma " + boiler + " pad",    # boilerplate (capped)
+                "delta " + boiler + " pad2",   # boilerplate (capped)
+            ],
+        }
+    ))
+    probe = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [100, 200],
+         "text": ["held out " + leak + " q", "clean probe text here x"]}
+    ))
+    out = ngram_contamination(corpus, probe, n=20)
+    assert set(map(tuple, out[["doc_id", "probe_id"]].values.tolist())) == {
+        (1, 100), (2, 100)}
+    # cap=1 drops the leak gram on the corpus side (2 corpus docs carry it)
+    capped = ngram_contamination(corpus, probe, n=20, max_docs_per_gram=1)
+    assert len(capped) == 0
+
+
 def test_ngram_jaccard_dedup_exact_recall(docs):
     """Prefix filtering is EXACT: the distributed join must return exactly
     the brute-force all-pairs Jaccard ≥ τ set (MinHash-LSH only promises
