@@ -1,0 +1,220 @@
+"""Graph analytics over the materialized triple table.
+
+The north star's KG tier ends in a "sort-based graph materialize into
+Parquet triple tables" — these operators are what a consumer of that
+graph runs next: entity degree profiles, PageRank centrality, and
+connected components over the (subj, obj) entity graph. The reference
+(kabirkhan/recon) has no graph module; the aggregate *shape* follows its
+stats utilities (recon/stats.py:24-63 get_ner_stats — per-key counts
+over an exploded column), re-expressed as combiner-first Ray aggregates.
+
+Determinism contract (same as functions/similarity.kmeans): every
+iterative quantity is INTEGER fixed-point, so results are bit-identical
+under any Ray block order/batching — and exactly reproducible by a SQL
+oracle doing the same integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data.aggregate import Sum
+
+__all__ = ["degree_table", "pagerank", "pagerank_oracle_sql", "graph_components"]
+
+
+def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
+    """Per-entity out/in/total degree of the directed multigraph whose
+    edges are the triple rows. Combiner-first: each batch emits one
+    partial-count row per locally-distinct entity (value_counts, no
+    Python loop), then ONE groupby shuffle over the (tiny) partials —
+    the same pre-aggregation shape as relational.group_count."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        od = batch[subj_col].value_counts()
+        idg = batch[obj_col].value_counts()
+        out = pd.DataFrame({"__out": od, "__in": idg}).fillna(0)
+        out.index.name = "entity"
+        return out.reset_index()
+
+    merged = (
+        triples_ds.map_batches(partial, batch_format="pandas")
+        .groupby("entity")
+        .aggregate(Sum("__out", alias_name="out_degree"),
+                   Sum("__in", alias_name="in_degree"))
+        .to_pandas()
+    )
+    merged["out_degree"] = merged["out_degree"].astype("int64")
+    merged["in_degree"] = merged["in_degree"].astype("int64")
+    merged["degree"] = merged["out_degree"] + merged["in_degree"]
+    return merged.sort_values("entity").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# PageRank — integer fixed-point, exactly SQL-reproducible
+# --------------------------------------------------------------------------
+#
+# Recurrence (all integer, floor division; damping d = dp/100):
+#   r0[v]   = SCALE
+#   share_i[u] = (r_i[u] * dp) // (100 * outdeg[u])          (outdeg>0)
+#   dang_i     = sum over outdeg==0 of (r_i[u] * dp) // 100
+#   r_{i+1}[v] = (T_i * (100-dp)) // (100 * N)                (teleport)
+#              + dang_i // N
+#              + sum over edges (u,v) of share_i[u]
+#   with T_i = sum(r_i), N = |nodes|.
+# Floors leak a little mass per step — irrelevant for ranking, and the
+# price of bit-exact order-free reduction (int64 partial sums commute;
+# float ones don't). Overflow headroom: with SCALE=2^36 total mass is
+# N·2^36; ·dp(=85) stays under 2^63 for N up to ~1.5e9 nodes.
+
+_SCALE = 2 ** 36
+
+
+@ray.remote
+def _index_edges(block, nodes_ref, subj_col, obj_col):
+    """Map one triple block's (subj, obj) to node indices via searchsorted
+    over the broadcast sorted node array. Stays in the object store."""
+    t = block.to_pandas()
+    nodes = nodes_ref
+    src = np.searchsorted(nodes, t[subj_col].to_numpy())
+    dst = np.searchsorted(nodes, t[obj_col].to_numpy())
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+@ray.remote
+def _distinct_nodes(block, subj_col, obj_col):
+    t = block.to_pandas()
+    return np.unique(np.concatenate([t[subj_col].to_numpy(),
+                                     t[obj_col].to_numpy()]))
+
+
+@ray.remote
+def _outdeg_partial(idx_pair, n):
+    src, _ = idx_pair
+    return np.bincount(src, minlength=n).astype(np.int64)
+
+
+@ray.remote
+def _contrib_partial(idx_pair, share_ref, n):
+    src, dst = idx_pair
+    out = np.zeros(n, np.int64)
+    np.add.at(out, dst, share_ref[src])
+    return out
+
+
+def pagerank(
+    triples_ds,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = _SCALE,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> pd.DataFrame:
+    """Distributed PageRank over the triple multigraph, as task rounds
+    over ONCE-materialized edge-index blocks (the kmeans pattern:
+    iterative algorithms must not pay executor startup per pass).
+
+    Per iteration: the driver broadcasts the per-node share vector
+    (``ray.put`` once); each edge block task scatter-adds int64 partial
+    contribution vectors; the driver reduces. The corpus never collects —
+    only O(N_nodes) vectors live on the driver. At 100-TB node counts the
+    rank vector itself outgrows the driver; the upgrade path (same loop)
+    is rank as a Dataset hash-joined onto edges with a groupby(dst).sum,
+    exactly the swap documented on dedup.connected_components.
+
+    Returns (entity, rank_q) with rank_q the int64 fixed-point rank —
+    bit-identical to the unrolled SQL from :func:`pagerank_oracle_sql`.
+    """
+    refs = triples_ds.select_columns([subj_col, obj_col]).to_arrow_refs()
+    parts = ray.get([_distinct_nodes.remote(b, subj_col, obj_col) for b in refs])
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "rank_q": pd.Series([], dtype="int64")})
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+    idx_refs = [_index_edges.remote(b, nodes_ref, subj_col, obj_col) for b in refs]
+    outdeg = np.zeros(n, np.int64)
+    for p in ray.get([_outdeg_partial.remote(i, n) for i in idx_refs]):
+        outdeg += p
+    dangling = outdeg == 0
+    dp = int(damping_pct)
+    r = np.full(n, int(scale), np.int64)
+    for _ in range(n_iter):
+        t_total = int(r.sum())
+        share = np.zeros(n, np.int64)
+        nz = ~dangling
+        share[nz] = (r[nz] * dp) // (100 * outdeg[nz])
+        dang = int(((r[dangling] * dp) // 100).sum())
+        share_ref = ray.put(share)
+        nxt = np.full(
+            n,
+            (t_total * (100 - dp)) // (100 * n) + dang // n,
+            np.int64,
+        )
+        for p in ray.get([_contrib_partial.remote(i, share_ref, n)
+                          for i in idx_refs]):
+            nxt += p
+        r = nxt
+    return pd.DataFrame({"entity": nodes, "rank_q": r})
+
+
+def pagerank_oracle_sql(
+    edges_select: str,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = _SCALE,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`pagerank` — one CTE per
+    iteration doing the identical integer recurrence (DuckDB ``//`` on
+    BIGINT is integer division; sums promote to HUGEINT, cast back at the
+    end). ``edges_select`` must yield columns (subj, obj)."""
+    dp = int(damping_pct)
+    ctes = [
+        f"e AS ({edges_select})",
+        "nodes AS (SELECT DISTINCT entity FROM "
+        "(SELECT subj AS entity FROM e UNION ALL SELECT obj AS entity FROM e))",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "outd AS (SELECT subj AS entity, count(*)::BIGINT AS d FROM e GROUP BY subj)",
+        f"r0 AS (SELECT entity, CAST({int(scale)} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"r{i} AS (SELECT n.entity, CAST("
+            f"((SELECT sum(r) FROM {p}) * {100 - dp}) // (100 * (SELECT n FROM nn))"
+            f" + (SELECT coalesce(sum((p.r * {dp}) // 100), 0) FROM {p} p"
+            f"    LEFT JOIN outd o ON o.entity = p.entity WHERE o.d IS NULL)"
+            f"   // (SELECT n FROM nn)"
+            f" + coalesce(c.contrib, 0) AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.obj AS entity, sum((p.r * {dp}) // (100 * o.d)) AS contrib"
+            f"   FROM e JOIN {p} p ON p.entity = e.subj"
+            f"   JOIN outd o ON o.entity = e.subj GROUP BY e.obj"
+            f" ) c ON c.entity = n.entity)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT entity, r AS rank_q FROM r{n_iter} ORDER BY entity"
+    )
+
+
+def graph_components(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
+    """Connected components of the UNDIRECTED entity graph, reusing the
+    iterative min-label propagation from dedup.connected_components
+    (one distributed edge pass + small driver merge per round; converges
+    in O(diameter) — KG graphs are hub-shaped, so a handful). Labels are
+    lexicographic-min entity names: deterministic, order-free.
+
+    Returns (entity, component)."""
+    from recon_ray.functions.dedup import connected_components
+
+    edges = triples_ds.select_columns([subj_col, obj_col]).map_batches(
+        lambda df: pd.DataFrame({"a": df[subj_col], "b": df[obj_col]}),
+        batch_format="pandas",
+    )
+    out = connected_components(edges)
+    out = out.rename(columns={"doc_id": "entity", "cluster": "component"})
+    return out.sort_values("entity").reset_index(drop=True)

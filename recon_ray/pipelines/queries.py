@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from recon_ray import fixtures
+from recon_ray.functions import graph as _graph
 from recon_ray.functions import insights as ins
 from recon_ray.functions import stats as st
 from recon_ray.functions.dedup import dup_groups, embedding_neardup, minhash_lsh_dedup
@@ -1121,6 +1122,35 @@ def kg_triple_score(sf_dir: str):
     )
 
 
+def kg_degrees(sf_dir: str):
+    """Entity degree profile of the triple graph (out/in/total, multigraph
+    counting) — combiner partials + one groupby shuffle."""
+    from recon_ray.functions.graph import degree_table
+
+    return degree_table(_kg(sf_dir)["canonical_ds"])
+
+
+def kg_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the canonical triple graph (5
+    iterations, damping 85/100) as task rounds over once-materialized
+    edge-index blocks. Bit-identical to the unrolled-CTE SQL oracle: every
+    step is int64 floor arithmetic, so block order/batching can't move a
+    single bit."""
+    from recon_ray.functions.graph import pagerank
+
+    return pagerank(_kg(sf_dir)["canonical_ds"], n_iter=5)
+
+
+def kg_components(sf_dir: str):
+    """Connected components of the undirected entity graph by iterative
+    min-label propagation (no SQL oracle — fixpoint iteration isn't
+    expressible without recursive aggregates; pinned against a sequential
+    union-find in tests)."""
+    from recon_ray.functions.graph import graph_components
+
+    return graph_components(_kg(sf_dir)["canonical_ds"])
+
+
 # ---------------------------------------------------------------------------
 # documents-table queries (text analysis + dedup)
 # ---------------------------------------------------------------------------
@@ -2130,6 +2160,9 @@ QUERIES = {
     "kg_label_disparities": kg_label_disparities,
     "kg_token_alignment": kg_token_alignment,
     "kg_triple_score": kg_triple_score,
+    "kg_degrees": kg_degrees,
+    "kg_pagerank": kg_pagerank,
+    "kg_components": kg_components,
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_bpe_token_counts": doc_bpe_token_counts,
@@ -2251,6 +2284,20 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             "USING (repo, path) "
             "WHERE length(f.content) < 8192 "
             "ORDER BY m.repo, m.path, m.start, m.\"end\", m.label"
+        ),
+        "kg_degrees": (
+            f"WITH e AS (SELECT subj, obj FROM read_parquet('{g_can}')), "
+            "outd AS (SELECT subj AS entity, count(*)::BIGINT AS out_degree "
+            "FROM e GROUP BY subj), "
+            "ind AS (SELECT obj AS entity, count(*)::BIGINT AS in_degree "
+            "FROM e GROUP BY obj) "
+            "SELECT entity, coalesce(out_degree, 0)::BIGINT AS out_degree, "
+            "coalesce(in_degree, 0)::BIGINT AS in_degree, "
+            "(coalesce(out_degree, 0) + coalesce(in_degree, 0))::BIGINT AS degree "
+            "FROM outd FULL OUTER JOIN ind USING (entity) ORDER BY entity"
+        ),
+        "kg_pagerank": _graph.pagerank_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}')", n_iter=5
         ),
         "doc_token_counts": ORACLE_DOC_TOKENS,
         "doc_bpe_token_counts": ORACLE_DOC_BPE_TOKENS,

@@ -1,0 +1,134 @@
+"""Graph analytics over triple tables — degree/PageRank/components parity
+against independent sequential implementations (and the DuckDB unrolled-CTE
+PageRank oracle used by the driver gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from recon_ray.functions.graph import (
+    degree_table,
+    graph_components,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def triples():
+    """Random directed multigraph with a hub, a dangling sink, and an
+    isolated 2-cycle — the shapes that break naive PageRank/CC code."""
+    rng = np.random.RandomState(11)
+    names = [f"n{i:03d}" for i in range(60)]
+    subj = [names[i] for i in rng.randint(0, 50, 400)]
+    obj = [names[i] for i in rng.randint(0, 50, 400)]
+    subj += ["n000"] * 30  # hub fan-out
+    obj += [names[i] for i in rng.randint(1, 50, 30)]
+    subj += ["n055"]  # n056 is a dangling sink
+    obj += ["n056"]
+    subj += ["n058", "n059"]  # isolated 2-cycle
+    obj += ["n059", "n058"]
+    df = pd.DataFrame({"subj": subj, "pred": "p", "obj": obj})
+    return df, rd.from_pandas(df).repartition(6)
+
+
+def _seq_pagerank(df: pd.DataFrame, n_iter: int, dp: int = 85, scale: int = 2**36):
+    """Independent sequential reference: plain dict/int arithmetic."""
+    nodes = sorted(set(df["subj"]) | set(df["obj"]))
+    outdeg = df["subj"].value_counts().to_dict()
+    r = {v: scale for v in nodes}
+    n = len(nodes)
+    for _ in range(n_iter):
+        t = sum(r.values())
+        dang = sum((r[v] * dp) // 100 for v in nodes if v not in outdeg)
+        base = (t * (100 - dp)) // (100 * n) + dang // n
+        nxt = {v: base for v in nodes}
+        for s, o in zip(df["subj"], df["obj"]):
+            nxt[o] += (r[s] * dp) // (100 * outdeg[s])
+        r = nxt
+    return pd.DataFrame({"entity": nodes, "rank_q": [r[v] for v in nodes]})
+
+
+def test_pagerank_matches_sequential_and_sql(triples):
+    df, ds = triples
+    got = pagerank(ds, n_iter=4)
+    want = _seq_pagerank(df, n_iter=4)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    con = duckdb.connect()
+    con.register("tt", df)
+    ora = con.execute(
+        pagerank_oracle_sql("SELECT subj, obj FROM tt", n_iter=4)
+    ).df()
+    m = got.merge(ora, on="entity", suffixes=("_ray", "_sql"))
+    assert len(m) == len(got) == len(ora)
+    assert (m["rank_q_ray"] == m["rank_q_sql"]).all()
+
+
+def test_pagerank_hub_ranks_high(triples):
+    df, ds = triples
+    got = pagerank(ds, n_iter=5).set_index("entity")["rank_q"]
+    # nodes the hub points at 30 extra times outrank the median
+    assert got.drop("n000").max() > got.median()
+    assert (got > 0).all()
+
+
+def test_pagerank_empty():
+    ds = rd.from_pandas(pd.DataFrame({"subj": [], "pred": [], "obj": []}))
+    out = pagerank(ds, n_iter=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["entity", "rank_q"]
+
+
+def test_degree_table(triples):
+    df, ds = triples
+    got = degree_table(ds)
+    outd = df["subj"].value_counts()
+    ind = df["obj"].value_counts()
+    want = (
+        pd.DataFrame({"out_degree": outd, "in_degree": ind})
+        .fillna(0)
+        .astype("int64")
+    )
+    want.index.name = "entity"
+    want = want.reset_index().sort_values("entity").reset_index(drop=True)
+    want["degree"] = want["out_degree"] + want["in_degree"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_graph_components_vs_union_find(triples):
+    df, ds = triples
+    got = graph_components(ds)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, o in zip(df["subj"], df["obj"]):
+        union(s, o)
+    # normalize: every component labeled by its lexicographic-min member
+    want = pd.DataFrame(
+        sorted((v, find(v)) for v in parent), columns=["entity", "component"]
+    )
+    # path compression may leave stale parents; re-resolve
+    want["component"] = [find(v) for v in want["entity"]]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # the isolated 2-cycle is its own component
+    cc = got.set_index("entity")["component"]
+    assert cc["n058"] == cc["n059"] == "n058"
