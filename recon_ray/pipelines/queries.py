@@ -776,6 +776,57 @@ ORDER BY purchase_id
 """
 
 
+def q_events_props_scrub(sf_dir: str):
+    """PII-style redaction over the raw event payloads: every digit run in
+    ``props`` replaced with a ``<number>`` token. Pure streaming Arrow
+    kernel (functions.pii.scrub) — no shuffle, no state; the oracle is
+    DuckDB's regexp_replace with the identical RE2 pattern."""
+    from recon_ray.functions.pii import scrub
+
+    ev = _t(sf_dir, "events").select_columns(["event_id", "props"])
+    return scrub(ev, "props", kinds=("number",), out_col="props_redacted")
+
+
+ORACLE_EVENTS_PROPS_SCRUB = r"""
+SELECT event_id, props,
+       regexp_replace(props, '\d+', '<number>', 'g') AS props_redacted
+FROM events ORDER BY event_id
+"""
+
+
+def q_events_pii_audit(sf_dir: str):
+    """PII audit rollup: per event_type, how many digit-run matches live in
+    the payloads (counted independently, unmasked — functions.pii.pii_counts)
+    plus the count of events carrying at least one. Combiner grouped agg."""
+    from recon_ray.functions.pii import pii_counts
+    from recon_ray.functions.relational import grouped_agg
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "props"])
+    counted = pii_counts(ev, "props", kinds=("number",)).map_batches(
+        lambda t: t.append_column(
+            "has_pii",
+            pc.cast(pc.greater(t["n_number"], pa.scalar(0)), pa.int64()),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = grouped_agg(counted, "event_type",
+                      {"n_number": ["sum"], "has_pii": ["sum"]})
+    out = out.rename(columns={"n_number_sum": "n_matches",
+                              "has_pii_sum": "n_events_with_pii"})
+    out["n_matches"] = out["n_matches"].astype("int64")
+    out["n_events_with_pii"] = out["n_events_with_pii"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_PII_AUDIT = r"""
+SELECT event_type,
+       sum(len(regexp_extract_all(props, '\d+')))::BIGINT AS n_matches,
+       sum(CASE WHEN regexp_matches(props, '\d+') THEN 1 ELSE 0 END)::BIGINT
+           AS n_events_with_pii
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 #: price bands for the range-join showcase — deliberately OVERLAPPING
 #: ('huge' ⊂ 'large'), so rows multi-match and the interval semantics
 #: (not just a CASE bucketing) are what the oracle checks.
@@ -2141,6 +2192,8 @@ QUERIES = {
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
+    "q_events_props_scrub": q_events_props_scrub,
+    "q_events_pii_audit": q_events_pii_audit,
     "q_events_user_day_intersect": q_events_user_day_intersect,
     "q_events_user_day_except": q_events_user_day_except,
     "q_orders_range_join_bands": q_orders_range_join_bands,
@@ -2222,6 +2275,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
+        "q_events_props_scrub": ORACLE_EVENTS_PROPS_SCRUB,
+        "q_events_pii_audit": ORACLE_EVENTS_PII_AUDIT,
         "q_events_user_day_intersect": ORACLE_EVENTS_INTERSECT,
         "q_events_user_day_except": ORACLE_EVENTS_EXCEPT,
         "q_orders_range_join_bands": ORACLE_ORDERS_RANGE_JOIN,
