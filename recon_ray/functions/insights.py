@@ -324,6 +324,62 @@ def mixture_sample(ds, key_col: str, rates: dict, id_col: str = "doc_id"):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def deterministic_shuffle(ds, id_col: str = "doc_id", n_buckets: int = 256,
+                          pos_col: str = "shuffle_pos"):
+    """Deterministic global shuffle — the training-order pass of corpus
+    prep. Every row gets ``pos_col`` = its rank under the u64
+    multiplicative hash h(id) = id·C mod 2⁶⁴ (C odd ⇒ bijection ⇒ with
+    unique ids the order is a total permutation), so the "shuffled" order
+    is a pure function of the data: reproducible across reruns, cluster
+    sizes, and block layouts — unlike ``Dataset.random_shuffle``, whose
+    output depends on the run. Exactly SQL-expressible
+    (row_number() OVER (ORDER BY id·C mod 2⁶⁴)).
+
+    Two passes, neither driver-heavy:
+    1. per-bucket histogram (bucket = top log2(n_buckets) bits of h — a
+       RANGE partition of hash space, so bucket order = hash order):
+       combiner counts, driver prefix-sums n_buckets ints.
+    2. one hash shuffle on bucket id; inside each shuffle group rows sort
+       by h and positions are offset[bucket] + within-bucket cumcount —
+       vectorized, bounded Python callbacks.
+
+    Requires ``id_col`` unique (duplicate ids would tie on h; ties break
+    by input order, which is not layout-stable)."""
+    from recon_ray.functions.relational import bucketed_group_apply, group_count
+
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    if (1 << (64 - int(shift))) != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = ids * np.uint64(_MIX_C)
+        return batch.assign(
+            __h=h, __dbucket=(h >> shift).astype(np.int64)
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    hist = group_count(
+        tagged.select_columns(["__dbucket"]), "__dbucket", alias="n"
+    ).sort_values("__dbucket")
+    offsets = np.zeros(n_buckets, np.int64)
+    if len(hist):
+        counts = np.zeros(n_buckets, np.int64)
+        counts[hist["__dbucket"].to_numpy()] = hist["n"].to_numpy()
+        offsets[1:] = np.cumsum(counts)[:-1]
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        # the shuffle group may hold several logical buckets (internal
+        # hash collisions); sorting by h orders within each — bucket is
+        # h's high bits, so (bucket, h) order == h order
+        g = g.sort_values("__h", kind="mergesort")
+        b = g["__dbucket"].to_numpy()
+        pos = offsets[b] + g.groupby("__dbucket", sort=False).cumcount().to_numpy()
+        return g.drop(columns=["__h", "__dbucket"]).assign(**{pos_col: pos})
+
+    return bucketed_group_apply(tagged, "__dbucket", assign)
+
+
 def sample_mentions_stratified(
     mentions_ds,
     bucket_cols: list[str],

@@ -190,6 +190,13 @@ def group_count(ds, keys: Union[str, list[str]], alias: str = "count") -> pd.Dat
         .aggregate(Sum("__partial", alias_name=alias))
         .to_pandas()
     )
+    if merged.empty and alias not in merged.columns:
+        # an all-empty input loses its schema through Ray's Aggregate
+        # (same reconstruction as grouped_agg)
+        return pd.DataFrame(
+            {**{k: pd.Series(dtype="object") for k in keys_},
+             alias: pd.Series(dtype="int64")}
+        )
     merged[alias] = merged[alias].astype("int64")
     return merged
 

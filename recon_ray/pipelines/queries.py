@@ -1620,6 +1620,29 @@ SELECT lang, rk, doc_id, n_words FROM r WHERE rk <= 3 ORDER BY lang, rk
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.1}
 
 
+def doc_shuffle(sf_dir: str):
+    """Deterministic global shuffle order for training: shuffle_pos = rank
+    of doc_id's multiplicative u64 hash (functions.insights.
+    deterministic_shuffle — histogram pass + one hash shuffle; reproducible
+    on any cluster layout, unlike random_shuffle)."""
+    from recon_ray.functions.insights import deterministic_shuffle
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id"])
+    out = deterministic_shuffle(docs, "doc_id").to_pandas()
+    out["shuffle_pos"] = out["shuffle_pos"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _shuffle_oracle_sql() -> str:
+    from recon_ray.functions.insights import _MIX_C
+
+    return (
+        "SELECT doc_id, (row_number() OVER (ORDER BY "
+        f"(doc_id::HUGEINT * {_MIX_C}) % 18446744073709551616"
+        ") - 1)::BIGINT AS shuffle_pos FROM documents ORDER BY doc_id"
+    )
+
+
 def doc_mixture_sample(sf_dir: str):
     """Deterministic domain mixing: keep each doc with a per-language
     rate, decided by a pure multiplicative hash of doc_id (no RNG, no
@@ -2226,6 +2249,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_top_words_per_lang": doc_top_words_per_lang,
     "doc_mixture_sample": doc_mixture_sample,
+    "doc_shuffle": doc_shuffle,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
@@ -2362,6 +2386,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_quality": ORACLE_DOC_QUALITY,
         "doc_top_words_per_lang": ORACLE_DOC_TOP_PER_LANG,
         "doc_mixture_sample": _mixture_oracle_sql(),
+        "doc_shuffle": _shuffle_oracle_sql(),
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
