@@ -1559,6 +1559,42 @@ FROM w ORDER BY doc_id
 """
 
 
+def doc_length_gate(sf_dir: str):
+    """Quantile-gated curation filter (the Gopher length-gate shape): keep
+    documents whose word count is at or above the corpus 25th percentile.
+    The threshold comes from functions.sketches.exact_quantiles (2-pass
+    histogram refinement, quantile_disc semantics — no global sort), then
+    the gate itself is a pure streaming filter. All-integer metric, so the
+    boundary comparison is exact on both engines."""
+    from recon_ray.functions.sketches import exact_quantiles
+
+    scored = (
+        _t(sf_dir, "documents")
+        .map_batches(quality_scores, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .select_columns(["doc_id", "n_words"])
+    )
+    thr = exact_quantiles(scored, "n_words", [0.25])[0]
+    thr = -1 if thr is None else int(thr)
+    out = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_words"], pa.scalar(thr))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_LENGTH_GATE = r"""
+WITH w AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words
+  FROM documents
+)
+SELECT doc_id, n_words FROM w
+WHERE n_words >= (SELECT quantile_disc(n_words, 0.25) FROM w)
+ORDER BY doc_id
+"""
+
+
 def doc_top_words_per_lang(sf_dir: str):
     """Group-wise top-k (the rank-then-filter window shape): 3 longest
     docs per language tag by (n_words DESC, doc_id) — window_over rank in
@@ -2250,6 +2286,7 @@ QUERIES = {
     "doc_top_words_per_lang": doc_top_words_per_lang,
     "doc_mixture_sample": doc_mixture_sample,
     "doc_shuffle": doc_shuffle,
+    "doc_length_gate": doc_length_gate,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
@@ -2387,6 +2424,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_top_words_per_lang": ORACLE_DOC_TOP_PER_LANG,
         "doc_mixture_sample": _mixture_oracle_sql(),
         "doc_shuffle": _shuffle_oracle_sql(),
+        "doc_length_gate": ORACLE_DOC_LENGTH_GATE,
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
