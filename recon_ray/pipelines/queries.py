@@ -1275,6 +1275,79 @@ GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 50
 """
 
 
+def doc_distinctive_terms(sf_dir: str):
+    """Per-doc distinctive terms — the TF-IDF shape with an all-integer
+    ordering (tf DESC, then rarer-corpus-wide first via df ASC, then word)
+    so the oracle comparison is exact, no float idf at the boundary.
+
+    Stage 1 (df): per-batch DISTINCT (doc, word) pairs slim the explode,
+    then ONE vocab-sized combiner shuffle (group_count). Stage 2: the df
+    map broadcasts (ray.put once — vocabulary, not corpus, sized) and each
+    batch ranks its own docs' term counts locally — no second shuffle, no
+    window over the exploded table."""
+    import re
+    from collections import Counter
+
+    import ray
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        words: list[str] = []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            ws = set(re.findall(r"\w+", s.lower()))
+            ids += [d] * len(ws)
+            words += list(ws)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "word": pa.array(words, pa.string())})
+
+    df_tbl = group_count(
+        docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        "word", alias="df",
+    )
+    df_ref = ray.put(dict(zip(df_tbl["word"], df_tbl["df"].astype(int))))
+
+    def topk(t: pa.Table) -> pd.DataFrame:
+        dfm = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        rows = []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            cnt = Counter(re.findall(r"\w+", s.lower()))
+            best = sorted(
+                cnt.items(), key=lambda kv: (-kv[1], dfm[kv[0]], kv[0])
+            )[:3]
+            rows += [(d, i + 1, w, tf, dfm[w])
+                     for i, (w, tf) in enumerate(best)]
+        return pd.DataFrame(
+            rows, columns=["doc_id", "rk", "word", "tf", "df"]
+        ).astype({"doc_id": "int64", "rk": "int64",
+                  "tf": "int64", "df": "int64"})
+
+    out = docs.map_batches(topk, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "rk"]).reset_index(drop=True)
+
+
+ORACLE_DOC_DISTINCTIVE = r"""
+WITH tw AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS w
+        FROM documents)
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM tw GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM tw GROUP BY word
+)
+SELECT doc_id, rk, word, tf, df FROM (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.word)::BIGINT AS rk
+  FROM tf t JOIN df d USING (word)
+) WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def doc_word_top20_mg(sf_dir: str):
     """Exact top-20 words WITHOUT a full-vocabulary shuffle: Misra-Gries
     candidate summaries + an exact broadcast-membership count —
@@ -2279,6 +2352,7 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_word_freq_top50": doc_word_freq_top50,
+    "doc_distinctive_terms": doc_distinctive_terms,
     "doc_word_top20_mg": doc_word_top20_mg,
     "doc_search": doc_search,
     "doc_dedup_groups": doc_dedup_groups,
@@ -2418,6 +2492,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_token_counts": ORACLE_DOC_TOKENS,
         "doc_bpe_token_counts": ORACLE_DOC_BPE_TOKENS,
         "doc_word_freq_top50": ORACLE_WORD_FREQ,
+        "doc_distinctive_terms": ORACLE_DOC_DISTINCTIVE,
         "doc_search": ORACLE_DOC_SEARCH,
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
