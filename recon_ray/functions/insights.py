@@ -380,6 +380,59 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", n_buckets: int = 256,
     return bucketed_group_apply(tagged, "__dbucket", assign)
 
 
+def funnel(ds, stages: list, user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> pd.DataFrame:
+    """Conversion funnel with first-touch semantics: a user reaches stage i
+    iff they have a ``stages[i]`` event STRICTLY after their first
+    qualifying ``stages[i-1]`` event (stage 0 = first event of that type).
+    Returns (stage_idx, stage, n_users) — one row per stage.
+
+    Shape: ONE hash shuffle on the user key (every user's events land in
+    one bucket), then the whole stage chain runs vectorized inside each
+    bucket (merge + groupby-min per stage, no per-user Python); buckets
+    emit per-stage partial counts that sum on the driver (n_buckets ×
+    n_stages ints). Ordered sequence matching is exactly what a plain
+    groupby can't express — this is the sessionization pattern
+    (pipelines/queries.q_events_sessions) generalized to staged chains."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    stages = list(stages)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # Series: user -> first qualifying ts at current stage
+        for i, st in enumerate(stages):
+            ev = g[g[type_col] == st][[user_col, ts_col]]
+            if cur is None:
+                cur = ev.groupby(user_col)[ts_col].min()
+            else:
+                m = ev.merge(
+                    cur.rename("__prev"), left_on=user_col, right_index=True
+                ).reset_index(drop=True)
+                m = m[m[ts_col] > m["__prev"]]
+                cur = m.groupby(user_col)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {"stage_idx": np.arange(len(stages), dtype=np.int64),
+             "n_users": np.asarray(counts, np.int64)}
+        )
+
+    parts = bucketed_group_apply(
+        ds.select_columns([user_col, ts_col, type_col]), user_col, bucket_fn
+    ).to_pandas()
+    out = (
+        parts.groupby("stage_idx", sort=True)["n_users"].sum().reset_index()
+        if len(parts)
+        else pd.DataFrame({"stage_idx": np.arange(len(stages), dtype=np.int64),
+                           "n_users": np.zeros(len(stages), np.int64)})
+    )
+    full = pd.DataFrame({"stage_idx": np.arange(len(stages), dtype=np.int64)})
+    out = full.merge(out, on="stage_idx", how="left").fillna({"n_users": 0})
+    out["stage"] = [stages[i] for i in out["stage_idx"]]
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["stage_idx", "stage", "n_users"]]
+
+
 def sample_mentions_stratified(
     mentions_ds,
     bucket_cols: list[str],

@@ -776,6 +776,38 @@ ORDER BY purchase_id
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """view → click → purchase conversion funnel, first-touch semantics
+    (stage i needs a stage-i event strictly after the user's first
+    qualifying stage-(i-1) event). functions.insights.funnel: one hash
+    shuffle on user_id, stage chain vectorized per bucket, per-stage
+    partial counts summed on the driver."""
+    from recon_ray.functions.insights import funnel
+
+    return funnel(_t(sf_dir, "events"), ["view", "click", "purchase"])
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+)
+SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM s0)::BIGINT AS n_users
+UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+ORDER BY stage_idx
+"""
+
+
 def q_events_props_scrub(sf_dir: str):
     """PII-style redaction over the raw event payloads: every digit run in
     ``props`` replaced with a ``<number>`` token. Pure streaming Arrow
@@ -2324,6 +2356,7 @@ QUERIES = {
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
+    "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
     "q_events_pii_audit": q_events_pii_audit,
     "q_events_user_day_intersect": q_events_user_day_intersect,
@@ -2410,6 +2443,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
+        "q_events_funnel": ORACLE_EVENTS_FUNNEL,
         "q_events_props_scrub": ORACLE_EVENTS_PROPS_SCRUB,
         "q_events_pii_audit": ORACLE_EVENTS_PII_AUDIT,
         "q_events_user_day_intersect": ORACLE_EVENTS_INTERSECT,
