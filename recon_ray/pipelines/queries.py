@@ -1784,6 +1784,40 @@ def _shuffle_oracle_sql() -> str:
     )
 
 
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 3 lowest-hash docs per lang
+    (multiplicative u64 hash of doc_id — a layout/run-invariant "random"
+    pick, same rule as doc_shuffle). Combiner shape: each batch emits its
+    LOCAL 3-per-lang, the driver merges ≤ 3·n_langs·n_batches rows — no
+    shuffle, no global sort."""
+    from recon_ray.functions.insights import _MIX_C
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "lang"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_MIX_C)
+        return df.assign(__h=h).sort_values("__h").groupby(
+            "lang", sort=False
+        ).head(3)
+
+    parts = docs.map_batches(local, batch_format="pandas").to_pandas()
+    top = parts.sort_values("__h").groupby("lang", sort=False).head(3)
+    top = top.sort_values(["lang", "__h"]).reset_index(drop=True)
+    top["rk"] = (top.groupby("lang", sort=False).cumcount() + 1).astype("int64")
+    return top[["lang", "rk", "doc_id"]]
+
+
+def _stratified_oracle_sql() -> str:
+    from recon_ray.functions.insights import _MIX_C
+
+    return (
+        "SELECT lang, rk, doc_id FROM ("
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        f"ORDER BY (doc_id::HUGEINT * {_MIX_C}) % 18446744073709551616"
+        ")::BIGINT AS rk FROM documents) WHERE rk <= 3 ORDER BY lang, rk"
+    )
+
+
 def doc_mixture_sample(sf_dir: str):
     """Deterministic domain mixing: keep each doc with a per-language
     rate, decided by a pure multiplicative hash of doc_id (no RNG, no
@@ -2394,6 +2428,7 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "doc_shuffle": doc_shuffle,
     "doc_length_gate": doc_length_gate,
+    "doc_stratified_sample": doc_stratified_sample,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_fingerprints": doc_fingerprints,
@@ -2534,6 +2569,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_mixture_sample": _mixture_oracle_sql(),
         "doc_shuffle": _shuffle_oracle_sql(),
         "doc_length_gate": ORACLE_DOC_LENGTH_GATE,
+        "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
