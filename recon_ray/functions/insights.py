@@ -433,6 +433,54 @@ def funnel(ds, stages: list, user_col: str = "user_id", ts_col: str = "ts",
     return out[["stage_idx", "stage", "n_users"]]
 
 
+def retention(ds, user_col: str = "user_id", ts_col: str = "ts",
+              period_days: int = 7) -> pd.DataFrame:
+    """Cohort retention: users grouped by their first-activity period
+    (fixed-width ``period_days`` windows anchored at the Unix epoch — no
+    calendar-week convention to disagree on), counted once per (cohort,
+    offset) they were active in. Returns
+    (cohort_idx, week_offset, n_users), all int64 — exact on any engine.
+
+    Same distribution shape as :func:`funnel`: ONE hash shuffle on the
+    user key, per-bucket vectorized resolution (period index → per-user
+    min → distinct (user, period) — all numpy/pandas kernels), buckets
+    emit per-(cohort, offset) partial counts that sum on the driver."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    period_us = np.int64(period_days) * 86_400_000_000
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // period_us
+        )
+        g = pd.DataFrame({user_col: g[user_col].to_numpy(), "__p": p})
+        first = g.groupby(user_col)["__p"].min()
+        pairs = g.drop_duplicates()
+        m = pairs.merge(
+            first.rename("__c"), left_on=user_col, right_index=True
+        ).reset_index(drop=True)
+        m["__k"] = m["__p"] - m["__c"]
+        part = m.groupby(["__c", "__k"]).size().rename("n").reset_index()
+        return part.rename(columns={"__c": "cohort_idx",
+                                    "__k": "week_offset"})
+
+    parts = bucketed_group_apply(
+        ds.select_columns([user_col, ts_col]), user_col, bucket_fn
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"cohort_idx": pd.Series(dtype="int64"),
+                             "week_offset": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (
+        parts.groupby(["cohort_idx", "week_offset"], sort=True)["n"]
+        .sum().rename("n_users").reset_index()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def sample_mentions_stratified(
     mentions_ds,
     bucket_cols: list[str],

@@ -159,6 +159,50 @@ def exact_quantiles(ds, col: str, qs: list, n_buckets: int = 4096) -> list:
     return out
 
 
+def grouped_quantiles(ds, key: str, col: str, qs: list) -> pd.DataFrame:
+    """EXACT per-group order statistics (``quantile_disc`` semantics —
+    element at 0-based rank ceil(q·n)−1 of each group's sorted column).
+    One hash shuffle on the group key, then each bucket resolves ALL its
+    groups vectorized: one sort, per-group offsets via cumsum, one fancy
+    index per q — no per-group Python.
+
+    Partitioning assumption: a group's rows fit one bucket frame (groups
+    hash-spread across buckets). A single object-store-sized group would
+    need the histogram-refinement path (:func:`exact_quantiles`) run
+    per hot group instead.
+
+    Returns (key, q, value) sorted by (key, q); NaNs ignored per SQL
+    aggregate semantics; empty groups (all-NaN) drop."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    qs = [float(q) for q in qs]
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[col]).sort_values([key, col], kind="mergesort")
+        if g.empty:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "q": pd.Series(dtype="float64"),
+                                 "value": pd.Series(dtype="float64")})
+        sizes = g.groupby(key, sort=True).size()
+        n = sizes.to_numpy()
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        vals = g[col].to_numpy(np.float64)
+        keys_out, q_out, v_out = [], [], []
+        for q in qs:
+            ranks = np.clip(np.ceil(q * n).astype(np.int64) - 1, 0, n - 1)
+            keys_out.append(sizes.index.to_numpy())
+            q_out.append(np.full(len(n), q))
+            v_out.append(vals[starts + ranks])
+        return pd.DataFrame({key: np.concatenate(keys_out),
+                             "q": np.concatenate(q_out),
+                             "value": np.concatenate(v_out)})
+
+    out = bucketed_group_apply(
+        ds.select_columns([key, col]), key, bucket_fn
+    ).to_pandas()
+    return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
 def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096) -> pd.DataFrame:
     """Exact top-k (value, count) without shuffling the key universe:
     Misra-Gries summaries per batch (pass 1) merge into a candidate set —

@@ -776,6 +776,57 @@ ORDER BY purchase_id
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention (epoch-anchored 7-day windows): users
+    bucketed by first-activity week, counted once per (cohort, offset)
+    they were active in — functions.insights.retention, one user-key
+    shuffle + per-bucket vectorized resolution. All-integer output."""
+    from recon_ray.functions.insights import retention
+
+    return retention(_t(sf_dir, "events"))
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS pi FROM events
+), f AS (
+  SELECT user_id, min(pi) AS c FROM p GROUP BY user_id
+), a AS (
+  SELECT DISTINCT p.user_id, f.c, p.pi - f.c AS k
+  FROM p JOIN f USING (user_id)
+)
+SELECT c::BIGINT AS cohort_idx, k::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM a GROUP BY c, k ORDER BY c, k
+"""
+
+
+def q_events_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles (quantile_disc element semantics) of the
+    event value by event_type — functions.sketches.grouped_quantiles: one
+    key shuffle, all groups of a bucket resolved in one vectorized pass.
+    The picked values are actual data elements, so floats compare exactly."""
+    from recon_ray.functions.sketches import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(sf_dir, "events"), "event_type", "value", [0.25, 0.5, 0.9]
+    )
+
+
+ORACLE_EVENTS_GROUPED_QUANTILES = """
+SELECT event_type, q, value FROM (
+  SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.5, quantile_disc(value, 0.5)
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.9, quantile_disc(value, 0.9)
+  FROM events GROUP BY event_type
+) ORDER BY event_type, q
+"""
+
+
 def q_events_funnel(sf_dir: str):
     """view → click → purchase conversion funnel, first-touch semantics
     (stage i needs a stage-i event strictly after the user's first
@@ -2390,6 +2441,8 @@ QUERIES = {
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
+    "q_events_retention": q_events_retention,
+    "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
     "q_events_pii_audit": q_events_pii_audit,
@@ -2478,6 +2531,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
+        "q_events_retention": ORACLE_EVENTS_RETENTION,
+        "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,
         "q_events_funnel": ORACLE_EVENTS_FUNNEL,
         "q_events_props_scrub": ORACLE_EVENTS_PROPS_SCRUB,
         "q_events_pii_audit": ORACLE_EVENTS_PII_AUDIT,
