@@ -192,6 +192,16 @@ def run_bench() -> dict:
     doc_pack_sequences(SF_DIR)
     queries["doc_pack_sequences"] = round(time.time() - t0, 3)
 
+    from recon_ray.pipelines.queries import doc_shuffle, q_events_props_scrub
+
+    t0 = time.time()
+    doc_shuffle(SF_DIR)
+    queries["doc_shuffle"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q_events_props_scrub(SF_DIR).count()
+    queries["events_pii_scrub"] = round(time.time() - t0, 3)
+
     from recon_ray.pipelines.curate import curate
 
     t0 = time.time()

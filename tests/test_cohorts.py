@@ -53,6 +53,35 @@ def test_retention_offsets():
     assert out["n_users"].sum() == 3
 
 
+def test_retention_random_vs_sequential():
+    rng = np.random.RandomState(9)
+    n = 1500
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 80, n),
+        "ts": (np.datetime64("2024-02-01T00:00:00", "us")
+               + rng.randint(0, 45 * 86_400, n).astype("timedelta64[s]")),
+    })
+    got = retention(rd.from_pandas(df).repartition(6))
+
+    wk = 7 * 86_400_000_000
+    p = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // wk
+    sim: dict = {}
+    tmp = pd.DataFrame({"u": df["user_id"], "p": p})
+    for _, g in tmp.groupby("u"):
+        c = g["p"].min()
+        for k in sorted(set(g["p"] - c)):
+            sim[(c, k)] = sim.get((c, k), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(c, k, v) for (c, k), v in sim.items()],
+            columns=["cohort_idx", "week_offset", "n_users"],
+        )
+        .sort_values(["cohort_idx", "week_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_retention_empty():
     ds = rd.from_pandas(pd.DataFrame({
         "user_id": pd.Series([], dtype="int64"),

@@ -56,6 +56,37 @@ def test_funnel_second_event_rescues_chain():
     assert out["n_users"].tolist() == [1, 1, 1]
 
 
+def test_funnel_random_vs_sequential():
+    """2000 random events, 60 users — distributed funnel must equal a
+    plain per-user sequential scan."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 60, n),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(["view", "click", "purchase", "other"], n),
+    })
+    stages = ["view", "click", "purchase"]
+    got = funnel(rd.from_pandas(df).repartition(7), stages)
+
+    want = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        cur = None
+        for i, st in enumerate(stages):
+            ev = g[g["event_type"] == st]
+            nxt = ev["ts"].min() if cur is None else (
+                ev.loc[ev["ts"] > cur, "ts"].min()
+            )
+            if pd.isna(nxt):
+                break
+            cur = nxt
+            want[i] += 1
+    assert got["n_users"].tolist() == want
+
+
 def test_funnel_empty():
     ds = rd.from_pandas(
         pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
