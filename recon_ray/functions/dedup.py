@@ -1133,3 +1133,111 @@ def ngram_contamination(
         }
     )
     return out.sort_values(["doc_id", "probe_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact line dedup (C4 §2.3 / RefinedWeb-style cleanup)
+# ---------------------------------------------------------------------------
+
+_LINE_BITS = 20  # lines-per-doc cap (2^20); leaves 44 bits for doc_id
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n"):
+    """Corpus-wide exact line dedup: every distinct line keeps only its
+    FIRST occurrence — lowest ``(doc_id, line_no)`` — and all later
+    occurrences are deleted from their documents (the C4 "discard
+    duplicated lines across the corpus" rule; RefinedWeb does the same at
+    span grain). Returns a lazy Dataset ``(doc_id, n_lines, n_kept,
+    text_clean)``; a doc whose every line was removed keeps
+    ``text_clean = ""``.
+
+    Distributed shape — the heavy text column NEVER rides a shuffle:
+      1. explode docs → narrow ``(h, pos)`` rows (16 B each): ``h`` is the
+         sha256-u64 of the line, ``pos = doc_id·2^20 | line_no`` so a
+         single vectorized min resolves the global first occurrence;
+      2. ONE hash-bucket shuffle of the narrow rows; inside each bucket
+         (all rows of a hash land together) a vectorized groupby-transform
+         emits exactly the occurrences to DROP (count > 1, pos ≠ min pos);
+      3. the drop table — proportional to *removed* occurrences, not the
+         corpus — is broadcast (``ray.put`` once, zero-copy read per
+         worker) and each doc is rewritten in place in ``map_batches``.
+         If the duplicate mass itself outgrew worker memory, step 3 would
+         flip to a doc_id-keyed shuffle join (one corpus shuffle); the
+         broadcast path is the fast default for real-world dup rates.
+
+    Docs with more than 2^20 lines are rejected (pos packing).
+    """
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        hs: list[int] = []
+        poss: list[int] = []
+        for did, t in zip(batch[id_col].to_numpy(), batch[text_col]):
+            lines = t.split(sep)
+            if len(lines) >= (1 << _LINE_BITS):
+                raise ValueError(
+                    f"doc {did} has {len(lines)} lines (cap 2^{_LINE_BITS})"
+                )
+            base = int(did) << _LINE_BITS
+            for i, ln in enumerate(lines):
+                hs.append(
+                    int.from_bytes(
+                        hashlib.sha256(ln.encode()).digest()[:8], "little"
+                    )
+                )
+                poss.append(base | i)
+        # int64 views (equality-only on h; pos is non-negative): Ray's
+        # hash aggregate + Acero join coerce uint64 → int64 inconsistently
+        return pd.DataFrame(
+            {"h": np.array(hs, dtype=np.uint64).view(np.int64),
+             "pos": np.array(poss, dtype=np.int64)}
+        )
+
+    lines_ds = ds.map_batches(explode, batch_format="pandas")
+
+    def bucket_drops(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("h", sort=False)["pos"]
+        first = grp.transform("min").to_numpy()
+        n = grp.transform("size").to_numpy()
+        pos = g["pos"].to_numpy()
+        drop_pos = pos[(n > 1) & (pos != first)]
+        return pd.DataFrame(
+            {id_col: drop_pos >> _LINE_BITS,
+             "line_no": drop_pos & ((1 << _LINE_BITS) - 1)}
+        )
+
+    drops = bucketed_group_apply(lines_ds, "h", bucket_drops).to_pandas()
+    drop_map = (
+        {}
+        if drops.empty or id_col not in drops.columns
+        else {
+            int(did): set(g["line_no"].tolist())
+            for did, g in drops.groupby(id_col)
+        }
+    )
+    drops_ref = ray.put(drop_map)
+
+    def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+        dm = _get(drops_ref)
+        n_lines = np.empty(len(batch), dtype=np.int64)
+        n_kept = np.empty(len(batch), dtype=np.int64)
+        cleaned: list[str] = []
+        for j, (did, t) in enumerate(
+            zip(batch[id_col].to_numpy(), batch[text_col])
+        ):
+            lines = t.split(sep)
+            n_lines[j] = len(lines)
+            drop = dm.get(int(did))
+            if not drop:
+                kept = lines
+            else:
+                kept = [ln for i, ln in enumerate(lines) if i not in drop]
+            n_kept[j] = len(kept)
+            cleaned.append(sep.join(kept))
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), "n_lines": n_lines,
+             "n_kept": n_kept, "text_clean": cleaned}
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")

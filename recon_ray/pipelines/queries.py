@@ -1961,6 +1961,66 @@ ORDER BY w.doc_id
 """
 
 
+def doc_line_dedup(sf_dir: str):
+    """C4-style corpus-wide exact line dedup (keep-first). The synthetic
+    docs are single-line, so the query first segments each doc into
+    3-word "lines" (the shared vocab gives real cross-doc duplicate
+    signal) and then runs functions.dedup.line_dedup: every non-first
+    occurrence of a line is deleted corpus-wide; the heavy text column
+    never rides a shuffle (narrow (hash, pos) rows + a broadcast drop
+    table). Oracle mirrors the segmentation with list slicing and the
+    keep-first rule with a row_number window over (doc_id, line_no)."""
+    from recon_ray.functions.dedup import line_dedup
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for t in batch["text"]:
+            ws = t.split()
+            texts.append(
+                "\n".join(
+                    " ".join(ws[i:i + 3]) for i in range(0, len(ws), 3)
+                )
+            )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "text": texts}
+        )
+
+    ds = (
+        _t(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(chunk, batch_format="pandas")
+    )
+    out = line_dedup(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_LINE_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ') AS ln
+  FROM w, LATERAL (SELECT unnest(generate_series(1,
+       cast(ceil(len(ws)/3.0) AS BIGINT))) AS i) t
+),
+marked AS (
+  SELECT doc_id, line_no, ln,
+         count(*) OVER (PARTITION BY ln) AS c,
+         row_number() OVER (PARTITION BY ln ORDER BY doc_id, line_no) AS rn
+  FROM chunks
+),
+kept AS (SELECT doc_id, line_no, ln FROM marked WHERE c = 1 OR rn = 1),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM chunks GROUP BY 1),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(ln, chr(10) ORDER BY line_no) AS text_clean
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def doc_langid(sf_dir: str):
     from recon_ray.functions.text import make_langid_batch
 
@@ -2484,6 +2544,7 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
+    "doc_line_dedup": doc_line_dedup,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -2626,6 +2687,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_length_gate": ORACLE_DOC_LENGTH_GATE,
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_repetition": ORACLE_DOC_REPETITION,
+        "doc_line_dedup": ORACLE_DOC_LINE_DEDUP,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
