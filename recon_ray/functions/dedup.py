@@ -1241,3 +1241,86 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) dedup, Abbas et al. 2023
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    emb_ds,
+    k: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_iter: int = 10,
+    seed: int = 99,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding table, then *within each cluster* greedily drop every point
+    whose cosine similarity to an already-KEPT point is ≥ ``threshold``.
+    Greedy order is ``id_col`` ascending, so the survivor of a duplicate
+    set is always its lowest id — deterministic under any block layout.
+
+    Scale shape: the O(m²) pairwise work is confined to single clusters —
+    exactly the paper's trick (pick k so n/k keeps m² per-cluster matmuls
+    cheap; they use ~100k clusters for LAION-scale). Clustering is the
+    repo's streaming quantized k-means (corpus never materializes); the
+    per-cluster pass co-locates each cluster with ONE hash-bucket shuffle
+    (`bucketed_group_apply` keyed on cluster id, vectorized per bucket).
+
+    Returns pandas ``(vec_id, cluster, keep)`` sorted by id — at 100 TB
+    you'd keep the same pipeline lazy and `write_parquet` it instead.
+    """
+    from recon_ray.functions.relational import bucketed_group_apply
+    from recon_ray.functions.similarity import (
+        _normalize,
+        assign_clusters,
+        kmeans,
+    )
+
+    model = kmeans(emb_ds, k=k, n_iter=n_iter, seed=seed,
+                   emb_col=emb_col, id_col=id_col)
+    if model["n"] == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "cluster": pd.Series(dtype="int64"),
+             "keep": pd.Series(dtype="bool")}
+        )
+    assigned = assign_clusters(emb_ds, model["centroids"], emb_col=emb_col)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            embs = grp[emb_col].to_numpy()
+            m = _normalize(np.stack(embs).astype(np.float64))
+            n = len(grp)
+            keep = np.ones(n, dtype=bool)
+            if n > 1:
+                sims = m @ m.T
+                for i in range(1, n):
+                    if sims[i, :i][keep[:i]].max(initial=-np.inf) >= threshold:
+                        keep[i] = False
+            outs.append(
+                pd.DataFrame(
+                    {id_col: grp[id_col].to_numpy(),
+                     "cluster": np.full(n, cl, dtype=np.int64),
+                     "keep": keep}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "cluster": pd.Series(dtype="int64"),
+                 "keep": pd.Series(dtype="bool")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(
+        assigned.select_columns([id_col, emb_col, "cluster"]),
+        "cluster",
+        bucket_fn,
+    ).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

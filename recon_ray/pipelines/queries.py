@@ -2477,6 +2477,25 @@ def emb_kmeans_clusters(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means buckets + within-cluster
+    greedy cosine dedup at τ=0.99, keep-lowest-id
+    (functions.dedup.semdedup). k-means is iterative → no SQL oracle; the
+    greedy rule, planted-dup recall and layout invariance are pinned in
+    tests/test_semdedup.py. Returns per-cluster (n, n_kept)."""
+    from recon_ray.functions.dedup import semdedup
+
+    flags = semdedup(_t(sf_dir, "embeddings"), k=8, threshold=0.99, seed=99)
+    out = (
+        flags.groupby("cluster")
+        .agg(n=("vec_id", "size"), n_kept=("keep", "sum"))
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2563,6 +2582,7 @@ QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_label_centroid_norms": emb_label_centroid_norms,
     "emb_kmeans_clusters": emb_kmeans_clusters,
+    "emb_semdedup": emb_semdedup,
     "doc_media_features": doc_media_features,
 }
 
