@@ -202,6 +202,12 @@ def run_bench() -> dict:
     q_events_props_scrub(SF_DIR).count()
     queries["events_pii_scrub"] = round(time.time() - t0, 3)
 
+    from recon_ray.pipelines.queries import doc_line_dedup
+
+    t0 = time.time()
+    doc_line_dedup(SF_DIR)
+    queries["doc_line_dedup"] = round(time.time() - t0, 3)
+
     from recon_ray.pipelines.curate import curate
 
     t0 = time.time()
