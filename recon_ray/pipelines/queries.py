@@ -2477,6 +2477,31 @@ def emb_kmeans_clusters(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def emb_logreg_train(sf_dir: str):
+    """Distributed multinomial logistic regression on (embedding → label)
+    via deterministic quantized full-batch GD (functions.ml.fit_logreg),
+    then a broadcast-weights scoring pass. Iterative training → no SQL
+    oracle; bit-identity to the sequential math is pinned in
+    tests/test_ml.py. Returns per-class prediction counts + accuracy."""
+    from recon_ray.functions.ml import fit_logreg, predict_proba
+
+    emb = _t(sf_dir, "embeddings")
+    res = fit_logreg(emb, label_col="label", emb_col="embedding", n_iter=15)
+    scored = predict_proba(emb, res["weights"]).to_pandas()
+    out = (
+        scored.assign(correct=(scored["pred"] == scored["label"]).astype(int))
+        .groupby("pred")
+        .agg(n=("vec_id", "size"), n_correct=("correct", "sum"))
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    out["train_accuracy"] = _round_away(
+        np.full(len(out), res["accuracy"]), 6
+    )
+    return out.sort_values("pred").reset_index(drop=True)
+
+
 def emb_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means buckets + within-cluster
     greedy cosine dedup at τ=0.99, keep-lowest-id
@@ -2583,6 +2608,7 @@ QUERIES = {
     "emb_label_centroid_norms": emb_label_centroid_norms,
     "emb_kmeans_clusters": emb_kmeans_clusters,
     "emb_semdedup": emb_semdedup,
+    "emb_logreg_train": emb_logreg_train,
     "doc_media_features": doc_media_features,
 }
 

@@ -1,0 +1,100 @@
+"""Distributed logistic regression — bit-identical to a single-process
+NumPy run of the same quantized math, layout-invariant, and actually
+learns a separable problem."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from recon_ray.functions.ml import (
+    _feats,
+    _grad_rows_quantized,
+    _Q,
+    fit_logreg,
+    predict_proba,
+)
+
+
+def _fixture(n=600, k=3, d=8, seed=2):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 3
+    y = rng.randint(0, k, n)
+    x = centers[y] + rng.randn(n, d)
+    return pd.DataFrame(
+        {"vec_id": np.arange(n),
+         "embedding": [row.astype(np.float32) for row in x],
+         "label": y.astype(np.int32)}
+    )
+
+
+def _fit_sequential(df, n_classes, lr, n_iter, l2):
+    x = _feats(df, "embedding")
+    y = df["label"].to_numpy().astype(np.int64)
+    w = np.zeros((n_classes, x.shape[1]), np.float64)
+    losses = []
+    for it in range(n_iter + 1):
+        gq, loss_q, correct = _grad_rows_quantized(x, y, w, n_classes)
+        losses.append(loss_q / _Q / len(x))
+        if it == n_iter:
+            break
+        g = gq.astype(np.float64) / _Q / len(x)
+        w = w - lr * (g + l2 * w)
+    return w, losses, correct / len(x)
+
+
+def test_logreg_matches_sequential_bit_identical():
+    df = _fixture()
+    got = fit_logreg(rd.from_pandas(df).repartition(7), n_iter=10)
+    w, losses, acc = _fit_sequential(df, 3, 1.0, 10, 1e-4)
+    np.testing.assert_array_equal(got["weights"], w)  # EXACT, not allclose
+    assert got["loss"] == losses
+    assert got["accuracy"] == acc
+
+
+def test_logreg_layout_invariant():
+    df = _fixture(seed=5)
+    a = fit_logreg(rd.from_pandas(df).repartition(3), n_iter=6)
+    b = fit_logreg(rd.from_pandas(df).repartition(11), n_iter=6)
+    np.testing.assert_array_equal(a["weights"], b["weights"])
+    assert a["loss"] == b["loss"]
+
+
+def test_logreg_learns_separable_data():
+    df = _fixture()
+    res = fit_logreg(rd.from_pandas(df).repartition(4), n_iter=25)
+    assert res["n"] == len(df)
+    assert res["n_classes"] == 3
+    assert res["loss"][-1] < res["loss"][0]
+    assert res["accuracy"] > 0.85
+
+
+def test_predict_proba_matches_driver_math():
+    df = _fixture(n=120, seed=9)
+    res = fit_logreg(rd.from_pandas(df).repartition(4), n_iter=5)
+    scored = (
+        predict_proba(rd.from_pandas(df).repartition(3), res["weights"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = _feats(df, "embedding")
+    z = x @ res["weights"].T
+    z -= z.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    np.testing.assert_array_equal(scored["pred"].to_numpy(), p.argmax(axis=1))
+    np.testing.assert_allclose(scored["prob"].to_numpy(), p.max(axis=1))
+
+
+def test_logreg_empty():
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "embedding": pd.Series([], dtype="object"),
+             "label": pd.Series([], dtype="int32")}
+        )
+    )
+    res = fit_logreg(ds)
+    assert res["n"] == 0
