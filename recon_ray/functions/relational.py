@@ -561,3 +561,64 @@ def range_join(
         return pd.concat(parts, ignore_index=True)
 
     return big_ds.map_batches(join_batch, batch_format="pandas")
+
+
+def dataset_diff(a_ds, b_ds, id_col: str = "doc_id",
+                 content_cols: Union[str, list[str]] = "text"):
+    """Content-addressed diff between two VERSIONS of a table — the
+    distributed analogue of the reference's per-op Transformation records
+    (recon/types.py:211-221: EXAMPLE_ADDED/REMOVED/CHANGED): rows are
+    matched by ``id_col``, equality is a sha256-u64 over ``content_cols``.
+
+    Returns a lazy Dataset ``(id_col, status)`` with status ∈
+    {'added', 'removed', 'changed'} — unchanged rows are dropped (at
+    100 TB the diff is the small output; never materialize the equal
+    mass). Shape: each side maps to narrow ``(id, content_hash, side)``
+    rows (16 B + flag — payloads never shuffle), both ride ONE shared
+    hash-bucket shuffle on ``id``, and each bucket resolves its ids with
+    a vectorized pandas groupby (ids land whole in one bucket).
+    """
+    cols_ = (
+        [content_cols] if isinstance(content_cols, str) else list(content_cols)
+    )
+
+    def prep(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            hs = np.empty(len(b), dtype=np.int64)
+            packed = zip(*(b[c].astype(str) for c in cols_)) if cols_ else []
+            for i, parts in enumerate(packed):
+                m = hashlib.sha256()
+                for p in parts:
+                    m.update(p.encode())
+                    m.update(b"\x00")
+                hs[i] = int.from_bytes(m.digest()[:8], "little", signed=True)
+            return pd.DataFrame(
+                {id_col: b[id_col].to_numpy(), "__h": hs,
+                 "__side": np.full(len(b), side, dtype=np.int8)}
+            )
+
+        return f
+
+    tagged = a_ds.map_batches(prep(0), batch_format="pandas").union(
+        b_ds.map_batches(prep(1), batch_format="pandas")
+    )
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(
+            index=id_col, columns="__side", values="__h", aggfunc="first"
+        )
+        for side in (0, 1):
+            if side not in piv.columns:
+                piv[side] = np.nan
+        a, b = piv[0], piv[1]
+        status = np.where(
+            a.isna(), "added",
+            np.where(b.isna(), "removed",
+                     np.where(a != b, "changed", "")),
+        )
+        out = pd.DataFrame({id_col: piv.index.to_numpy(), "status": status})
+        return out[out["status"] != ""]
+
+    return bucketed_group_apply(tagged, id_col, bucket_fn)

@@ -2021,6 +2021,53 @@ FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def doc_version_diff(sf_dir: str):
+    """Content-addressed version diff (functions.relational.dataset_diff —
+    the distributed analogue of the reference's Transformation records,
+    recon/types.py:211-221). v2 is a deterministic mutation of documents:
+    doc_id%17==0 removed, else %13==0 text-changed, plus a new row per
+    %19==0 doc. Narrow (id, hash, side) rows ride one shared bucket
+    shuffle; the oracle mirrors the mutation and a FULL OUTER JOIN."""
+    from recon_ray.functions.relational import dataset_diff
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 17 != 0].copy()
+        ch = keep["doc_id"] % 13 == 0
+        keep.loc[ch, "text"] = keep.loc[ch, "text"] + " v2"
+        new = b[b["doc_id"] % 19 == 0]
+        added = pd.DataFrame(
+            {"doc_id": new["doc_id"] + 10_000_000,
+             "text": "new doc " + new["doc_id"].astype(str)}
+        )
+        return pd.concat([keep, added], ignore_index=True)
+
+    v2 = docs.map_batches(mutate, batch_format="pandas")
+    out = dataset_diff(docs, v2, id_col="doc_id", content_cols="text")
+    out = out.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_VERSION_DIFF = r"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new doc ' || doc_id::VARCHAR AS text
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+ORDER BY doc_id
+"""
+
+
 def doc_langid(sf_dir: str):
     from recon_ray.functions.text import make_langid_batch
 
@@ -2589,6 +2636,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_line_dedup": doc_line_dedup,
+    "doc_version_diff": doc_version_diff,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -2734,6 +2782,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_line_dedup": ORACLE_DOC_LINE_DEDUP,
+        "doc_version_diff": ORACLE_DOC_VERSION_DIFF,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
