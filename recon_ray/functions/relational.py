@@ -622,3 +622,61 @@ def dataset_diff(a_ds, b_ds, id_col: str = "doc_id",
         return out[out["status"] != ""]
 
     return bucketed_group_apply(tagged, id_col, bucket_fn)
+
+
+def rollup_agg(ds, keys: list[str], aggs: AggSpec,
+               total_label: str = "__all__") -> pd.DataFrame:
+    """GROUP BY ROLLUP over ``keys``: the finest level runs as ONE
+    distributed pre-aggregated groupby (`grouped_agg` — per-batch
+    combiners, a single key shuffle); every coarser level (prefixes of
+    ``keys``, down to the grand total) derives from the finest partials
+    with driver-side pandas re-aggregation — sums/counts/mins/maxes
+    compose exactly, means recompose from sum+count, so no second pass
+    over the data. Rolled-up key slots carry ``total_label``.
+
+    Supported aggs: sum / count / min / max / mean. Output columns are
+    ``{col}_{agg}`` like grouped_agg.
+    """
+    # finest level needs raw partials (mean → sum+count for recomposition)
+    need: dict[str, list[str]] = {}
+    for col, ops in aggs.items():
+        s = set()
+        for op in ops:
+            s.update(("sum", "count") if op == "mean" else (op,))
+        need[col] = sorted(s)
+    finest = grouped_agg(ds, keys, need)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy() if len(df) else pd.DataFrame(columns=keys)
+        for col, ops in aggs.items():
+            for op in ops:
+                if op == "mean":
+                    out[f"{col}_mean"] = (
+                        df[f"{col}_sum"] / df[f"{col}_count"]
+                    )
+                else:
+                    out[f"{col}_{op}"] = df[f"{col}_{op}"]
+        return out
+
+    levels = [finish(finest)]
+    how = {}
+    for col, ops in need.items():
+        for op in ops:
+            how[f"{col}_{op}"] = "sum" if op in ("sum", "count") else op
+    for depth in range(len(keys) - 1, -1, -1):
+        gkeys = keys[:depth]
+        # every coarser level derives from the FINEST partials: sums and
+        # counts add, mins/maxes nest, means recompose from sum+count
+        if gkeys:
+            rolled = finest.groupby(
+                gkeys, as_index=False, dropna=False
+            ).agg(how)
+        else:
+            rolled = finest[list(how)].agg(how).to_frame().T.reset_index(
+                drop=True
+            )
+        for k in keys[depth:]:
+            rolled[k] = total_label
+        levels.append(finish(rolled))
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)

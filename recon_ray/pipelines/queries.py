@@ -2021,6 +2021,39 @@ FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def doc_rollup_stats(sf_dir: str):
+    """GROUP BY ROLLUP (lang, source) over documents — OLAP grouping
+    sets (functions.relational.rollup_agg): the finest level is ONE
+    distributed pre-aggregated groupby; coarser levels recompose from its
+    partials on the driver (sums add, means = sum/count). Oracle is the
+    native DuckDB ROLLUP."""
+    from recon_ray.functions.relational import rollup_agg
+
+    out = rollup_agg(
+        _t(sf_dir, "documents").select_columns(["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        {"n_chars": ["sum", "count", "mean"]},
+    )
+    out["n_chars_sum"] = out["n_chars_sum"].astype("int64")
+    out["n_chars_count"] = out["n_chars_count"].astype("int64")
+    out["n_chars_mean"] = _round_away(
+        out["n_chars_mean"].astype("float64"), 6
+    )
+    return out.reset_index(drop=True)
+
+
+ORACLE_DOC_ROLLUP = """
+SELECT coalesce(lang, '__all__') AS lang,
+       coalesce(source, '__all__') AS source,
+       sum(n_chars) AS n_chars_sum,
+       count(n_chars) AS n_chars_count,
+       round(sum(n_chars)::DOUBLE / count(n_chars), 6) AS n_chars_mean
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY 1, 2
+"""
+
+
 def doc_version_diff(sf_dir: str):
     """Content-addressed version diff (functions.relational.dataset_diff —
     the distributed analogue of the reference's Transformation records,
@@ -2637,6 +2670,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_line_dedup": doc_line_dedup,
     "doc_version_diff": doc_version_diff,
+    "doc_rollup_stats": doc_rollup_stats,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -2783,6 +2817,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_line_dedup": ORACLE_DOC_LINE_DEDUP,
         "doc_version_diff": ORACLE_DOC_VERSION_DIFF,
+        "doc_rollup_stats": ORACLE_DOC_ROLLUP,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
