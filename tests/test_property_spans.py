@@ -273,3 +273,60 @@ def test_pack_greedy_properties(token_counts, budget):
         if seq[i] != seq[i - 1]:
             prev_sum = sums[seq[i - 1]]
             assert prev_sum + tok[i] > budget
+
+
+# ---------------------------------------------------------------------------
+# FULL link-path parity: detect → correction chain → DEF scan → symbol
+# dict → TripleLinker, all as pure local kernels, vs the sequential
+# reference extractor's extract_corpus — raw triple-for-triple, including
+# cross-doc resolution inside a repo (round-2 growth of the shared-spec
+# oracle mitigation: now the LINKER semantics are input-fuzzed too).
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["r0", "r1"]),
+            st.sampled_from(_langs()),
+            st.lists(st.sampled_from(CODE_FRAGS), max_size=30),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_full_link_path_parity(doc_specs):
+    from recon_ray.ops.spans import rename_labels
+    from recon_ray.stages.detect import detect_batch, scan_symbols_batch
+    from recon_ray.stages.link import TripleLinker, _symbols_from_rows
+
+    rows = [
+        {"repo": repo, "path": f"p{i}.x", "commit": "c", "lang": lang,
+         "content": "".join(frags)}
+        for i, (repo, lang, frags) in enumerate(doc_specs)
+    ]
+    table = pa.table(
+        {k: pa.array([r[k] for r in rows]) for k in
+         ("repo", "path", "commit", "lang", "content")}
+    )
+
+    sym_t = scan_symbols_batch(table)
+    symbols = _symbols_from_rows(
+        sym_t.column("repo").to_pylist(),
+        sym_t.column("module").to_pylist(),
+        sym_t.column("name").to_pylist(),
+    )
+    out = detect_batch(table)
+    for kernel in (upcase_labels, rename_labels, strip_annotations,
+                   filter_overlaps, fix_annotations):
+        out = kernel(out)
+    triples = TripleLinker(symbols)(out.drop_columns(["content"]))
+
+    cols = ["subj", "pred", "obj", "subj_type", "obj_type", "repo",
+            "path", "commit", "content_sha256", "extractor"]
+    got = sorted(
+        tuple(t) for t in zip(*(triples.column(c).to_pylist() for c in cols))
+    ) if triples.num_rows else []
+    want = sorted(tuple(t[c] for c in cols)
+                  for t in rx.extract_corpus(rows)["triples"])
+    assert got == want, rows
