@@ -261,3 +261,54 @@ def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096) -> pd.DataFra
         )
     out["count"] = out["count"].astype("int64")
     return out
+
+
+def approx_quantiles(ds, col: str, qs: list, k: int = 2048) -> list:
+    """ONE-pass mergeable approximate quantiles via a deterministic
+    bottom-k (KMV) sample: every batch keeps its k values with the
+    LOWEST splitmix64 hash of (value, tie-salt); partials merge by
+    re-taking the global bottom-k (associative, commutative, exact —
+    the same rows survive under any layout), and quantiles read off the
+    sorted sample. A hash-ordered bottom-k is a uniform sample without
+    RNG, so the estimate is deterministic AND layout-invariant, with
+    standard KMV error ~1/√k. Use `exact_quantiles` when two passes are
+    affordable; this is the single-pass 100-TB fallback (e.g. feeding
+    `window_over` bounds or curation gates where ±1% is fine).
+
+    Duplicate values hash identically, so without a tie-breaker heavy
+    duplicates are under-represented; pass ``col=(value_col, id_col)``
+    to salt each row with its globally-unique id (still deterministic
+    and layout-invariant — the salt must be a ROW property, never a
+    batch-local counter).
+    """
+    id_col = None
+    if isinstance(col, tuple):
+        col, id_col = col
+
+    def bottomk(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"__h": np.array([], np.uint64),
+                                 "__v": np.array([], np.float64)})
+        if id_col is not None:
+            h = _hash64(
+                _hash64(np.asarray(v, np.float64).view(np.int64))
+                ^ _hash64(batch[id_col].to_numpy().astype(np.int64))
+            )
+        else:
+            h = _hash64(np.asarray(v, np.float64).view(np.int64))
+        take = np.argsort(h, kind="stable")[:k]
+        return pd.DataFrame({"__h": h[take],
+                             "__v": np.asarray(v, np.float64)[take]})
+
+    parts = ds.map_batches(bottomk, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return [float("nan")] * len(qs)
+    # global bottom-k: exact same survivors under any batching
+    parts = parts.sort_values(["__h", "__v"], kind="mergesort").head(k)
+    sample = np.sort(parts["__v"].to_numpy())
+    idx = np.minimum(
+        (np.asarray(qs, np.float64) * (len(sample) - 1)).round().astype(int),
+        len(sample) - 1,
+    )
+    return [float(sample[i]) for i in idx]

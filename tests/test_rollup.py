@@ -55,3 +55,42 @@ def test_rollup_single_key():
     total = got[got["b"] == "__all__"].iloc[0]
     assert total["v_min"] == df["v"].min()
     assert total["v_max"] == df["v"].max()
+
+
+# ---------------------------------------------------------------------------
+# approx_quantiles (KMV bottom-k) — determinism, layout invariance, error
+# ---------------------------------------------------------------------------
+
+
+def test_approx_quantiles_layout_invariant_and_accurate():
+    from recon_ray.functions.sketches import approx_quantiles, exact_quantiles
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"doc_id": np.arange(20000),
+                       "v": rng.gamma(2.0, 10.0, 20000)})
+    qs = [0.1, 0.5, 0.9]
+    a = approx_quantiles(rd.from_pandas(df).repartition(3), ("v", "doc_id"), qs)
+    b = approx_quantiles(rd.from_pandas(df).repartition(17), ("v", "doc_id"), qs)
+    assert a == b  # layout-invariant, bit-exact
+    exact = exact_quantiles(rd.from_pandas(df).repartition(5), "v", qs)
+    for approx, ex, q in zip(a, exact, qs):
+        # KMV with k=2048 on 20k rows: generous 10%-of-value tolerance
+        assert abs(approx - ex) <= 0.1 * max(ex, 1.0), (q, approx, ex)
+
+
+def test_approx_quantiles_small_input_is_exact():
+    from recon_ray.functions.sketches import approx_quantiles
+
+    df = pd.DataFrame({"doc_id": np.arange(100), "v": np.arange(100.0)})
+    got = approx_quantiles(rd.from_pandas(df).repartition(4),
+                           ("v", "doc_id"), [0.0, 0.5, 1.0])
+    # n < k → the "sample" is the whole column → exact order statistics
+    assert got == [0.0, 50.0, 99.0]
+
+
+def test_approx_quantiles_empty():
+    from recon_ray.functions.sketches import approx_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="float64")}))
+    got = approx_quantiles(ds, "v", [0.5])
+    assert len(got) == 1 and np.isnan(got[0])
