@@ -637,7 +637,17 @@ def rollup_agg(ds, keys: list[str], aggs: AggSpec,
     Supported aggs: sum / count / min / max / mean. Output columns are
     ``{col}_{agg}`` like grouped_agg.
     """
-    # finest level needs raw partials (mean → sum+count for recomposition)
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, aggs, total_label)
+
+
+def grouping_sets_agg(ds, keys: list[str], sets: list[tuple],
+                      aggs: AggSpec, total_label: str = "__all__"
+                      ) -> pd.DataFrame:
+    """GROUPING SETS over ``keys``: like `rollup_agg` but with explicit
+    sets (each a tuple of key-subset names). Same execution shape — ONE
+    distributed finest-level groupby, every set recomposed from those
+    partials on the driver."""
     need: dict[str, list[str]] = {}
     for col, ops in aggs.items():
         s = set()
@@ -645,28 +655,27 @@ def rollup_agg(ds, keys: list[str], aggs: AggSpec,
             s.update(("sum", "count") if op == "mean" else (op,))
         need[col] = sorted(s)
     finest = grouped_agg(ds, keys, need)
+    how = {}
+    for col, ops in need.items():
+        for op in ops:
+            how[f"{col}_{op}"] = "sum" if op in ("sum", "count") else op
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = df[keys].copy() if len(df) else pd.DataFrame(columns=keys)
         for col, ops in aggs.items():
             for op in ops:
                 if op == "mean":
-                    out[f"{col}_mean"] = (
-                        df[f"{col}_sum"] / df[f"{col}_count"]
-                    )
+                    out[f"{col}_mean"] = df[f"{col}_sum"] / df[f"{col}_count"]
                 else:
                     out[f"{col}_{op}"] = df[f"{col}_{op}"]
         return out
 
-    levels = [finish(finest)]
-    how = {}
-    for col, ops in need.items():
-        for op in ops:
-            how[f"{col}_{op}"] = "sum" if op in ("sum", "count") else op
-    for depth in range(len(keys) - 1, -1, -1):
-        gkeys = keys[:depth]
-        # every coarser level derives from the FINEST partials: sums and
-        # counts add, mins/maxes nest, means recompose from sum+count
+    levels = []
+    for gset in sets:
+        gkeys = [k for k in keys if k in set(gset)]
+        if gkeys == keys:
+            levels.append(finish(finest))
+            continue
         if gkeys:
             rolled = finest.groupby(
                 gkeys, as_index=False, dropna=False
@@ -675,8 +684,22 @@ def rollup_agg(ds, keys: list[str], aggs: AggSpec,
             rolled = finest[list(how)].agg(how).to_frame().T.reset_index(
                 drop=True
             )
-        for k in keys[depth:]:
-            rolled[k] = total_label
+        for k in keys:
+            if k not in gkeys:
+                rolled[k] = total_label
         levels.append(finish(rolled))
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def cube_agg(ds, keys: list[str], aggs: AggSpec,
+             total_label: str = "__all__") -> pd.DataFrame:
+    """GROUP BY CUBE: every subset of ``keys`` as a grouping set."""
+    from itertools import combinations
+
+    sets = [
+        tuple(c)
+        for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return grouping_sets_agg(ds, keys, sets, aggs, total_label)

@@ -94,3 +94,19 @@ def test_approx_quantiles_empty():
     ds = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="float64")}))
     got = approx_quantiles(ds, "v", [0.5])
     assert len(got) == 1 and np.isnan(got[0])
+
+
+def test_cube_matches_pandas_all_subsets():
+    from recon_ray.functions.relational import cube_agg
+
+    df = _fixture()
+    got = cube_agg(rd.from_pandas(df).repartition(4), ["a", "b"],
+                   {"v": ["sum"]})
+    # 4 grouping sets: (a,b), (a), (b), ()
+    n_fine = df.groupby(["a", "b"]).ngroups
+    assert len(got) == n_fine + df["a"].nunique() + df["b"].nunique() + 1
+    b_only = got[(got["a"] == "__all__") & (got["b"] != "__all__")]
+    want = df.groupby("b")["v"].sum()
+    assert {r["b"]: r["v_sum"] for _, r in b_only.iterrows()} == want.to_dict()
+    total = got[(got["a"] == "__all__") & (got["b"] == "__all__")]
+    assert total["v_sum"].item() == df["v"].sum()
