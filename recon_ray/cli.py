@@ -122,6 +122,38 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Content-addressed diff of two table versions (added/removed/changed
+    counts + optional per-row statuses) — functions.relational.dataset_diff."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.functions.relational import dataset_diff
+
+    out = dataset_diff(
+        rd.read_parquet(args.old),
+        rd.read_parquet(args.new),
+        id_col=args.id_col,
+        content_cols=args.content_cols.split(","),
+    ).to_pandas()
+    if out.empty:
+        print("# identical: 0 added, 0 removed, 0 changed", file=sys.stderr)
+        return 0
+    counts = out["status"].value_counts()
+    if args.rows:
+        for _, row in out.sort_values(args.id_col).iterrows():
+            print(f"{row[args.id_col]}\t{row['status']}")
+    print(
+        "# {} added, {} removed, {} changed".format(
+            int(counts.get("added", 0)),
+            int(counts.get("removed", 0)),
+            int(counts.get("changed", 0)),
+        ),
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Curation flow over a documents parquet → packed-sequence parquet
     (doc_id, bucket, n_tokens, seq_id) + a JSON summary on stdout.
@@ -366,6 +398,16 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    pdf = sub.add_parser("diff", help="content diff of two table versions")
+    pdf.add_argument("old")
+    pdf.add_argument("new")
+    pdf.add_argument("--id-col", default="doc_id")
+    pdf.add_argument("--content-cols", default="text",
+                     help="comma-separated columns defining row content")
+    pdf.add_argument("--rows", action="store_true",
+                     help="print per-row statuses, not just counts")
+    pdf.set_defaults(fn=cmd_diff)
 
     pb = sub.add_parser("bench", help="benchmark")
     pb.add_argument("--scaling", action="store_true")

@@ -291,3 +291,27 @@ def test_cli_convert_roundtrip(tmp_path):
     run("prodigy-to-jsonl", str(pdir), str(back2), "--dataset", "d1")
     assert [r["text"] for r in read_out(back2)] == sorted(
         r["text"] for r in recs)
+
+
+def test_cli_diff(tmp_path):
+    """diff verb: content-addressed version diff counts + --rows."""
+    import pandas as pd
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4], "text": ["b", "C", "d"]})
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    os.makedirs(old_p), os.makedirs(new_p)
+    old.to_parquet(f"{old_p}/part.parquet", index=False)
+    new.to_parquet(f"{new_p}/part.parquet", index=False)
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "diff", old_p, new_p, "--rows"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "# 1 added, 1 removed, 1 changed" in r.stderr
+    rows = dict(
+        ln.split("\t") for ln in r.stdout.splitlines() if "\t" in ln
+    )
+    assert rows == {"1": "removed", "3": "changed", "4": "added"}
