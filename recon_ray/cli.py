@@ -122,6 +122,31 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_show(args) -> int:
+    """Console-render detected mentions inline (the Example.pretty_print
+    analogue, recon/types.py:161-188) for files matching a path substring."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.ops.render import render_doc_row
+    from recon_ray.stages.detect import detect_batch
+
+    ds = rd.read_parquet(args.files_dir)
+    if args.path:
+        needle = args.path
+        ds = ds.filter(lambda r: needle in r["path"])
+    ds = ds.limit(args.limit).map_batches(
+        detect_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n = 0
+    for row in ds.iter_rows():
+        print(f"=== {row['repo']}/{row['path']} [{row['lang']}]")
+        print(render_doc_row(row, ansi=not args.no_color))
+        n += 1
+    print(f"# {n} files rendered", file=sys.stderr)
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Content-addressed diff of two table versions (added/removed/changed
     counts + optional per-row statuses) — functions.relational.dataset_diff."""
@@ -398,6 +423,13 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    psh = sub.add_parser("show", help="render detected mentions inline")
+    psh.add_argument("files_dir")
+    psh.add_argument("--path", default=None, help="path substring filter")
+    psh.add_argument("--limit", type=int, default=5)
+    psh.add_argument("--no-color", action="store_true")
+    psh.set_defaults(fn=cmd_show)
 
     pdf = sub.add_parser("diff", help="content diff of two table versions")
     pdf.add_argument("old")

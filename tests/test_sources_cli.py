@@ -315,3 +315,27 @@ def test_cli_diff(tmp_path):
         ln.split("\t") for ln in r.stdout.splitlines() if "\t" in ln
     )
     assert rows == {"1": "removed", "3": "changed", "4": "added"}
+
+
+def test_render_mentions_matches_reference_walk():
+    """render semantics = the reference's offset walk
+    (recon/types.py:174-188), including the empty-label skip."""
+    from recon_ray.ops.render import render_mentions
+
+    text = "import os\ndef foo():"
+    ms = [(0, 9, "IMPORT"), (10, 17, ""), (17, 20, "CALL")]
+    out = render_mentions(text, ms)
+    # empty label → highlighted but no label group, like the reference
+    assert out == "[import os](IMPORT)\n[def foo][():](CALL)"
+
+
+def test_cli_show(unit_corpus_dir):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "show", unit_corpus_dir,
+         "--limit", "2", "--no-color"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "# 2 files rendered" in r.stderr
+    assert "===" in r.stdout and "[" in r.stdout and "(" in r.stdout
