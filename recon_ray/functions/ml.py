@@ -175,3 +175,97 @@ def predict_proba(ds, weights: np.ndarray, emb_col: str = "embedding"):
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+@ray.remote
+def _cov_partial_task(block, emb_col):
+    """Quantized second-moment partials for PCA: Σxᵀx (d×d), Σx (d), n.
+    Quantization is PER ROW (rint of each row's outer product ×2^30,
+    like the logreg gradients), so the global integer sum is identical
+    under ANY batching/layout, not merely any reduce order. Rows are
+    L2-normalized, so every per-row entry is bounded by 1 and int64
+    cells have ~2^32 rows of headroom."""
+    df = block.to_pandas()
+    if len(df) == 0:
+        return (None, None, 0)
+    m = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    d = m.shape[1]
+    qc = np.zeros((d, d), np.int64)
+    step = 512  # bound the (chunk, d, d) intermediate
+    for i in range(0, len(m), step):
+        outer = m[i:i + step, :, None] * m[i:i + step, None, :]
+        qc += np.rint(outer * _PCA_Q).astype(np.int64).sum(axis=0)
+    qs = np.rint(m * _PCA_Q).astype(np.int64).sum(axis=0)
+    return (qc, qs, len(m))
+
+
+_PCA_Q = float(2**30)
+
+
+def fit_pca(ds, n_components: int = 8, emb_col: str = "embedding") -> dict:
+    """Distributed PCA over an embedding column: ONE streaming pass emits
+    per-block quantized (Σxᵀx, Σx, n) partials (a few KB each — the
+    corpus never materializes), the driver assembles the exact covariance
+    and eigendecomposes it (d×d, trivial for embedding dims). Components
+    get a deterministic sign (largest-|coeff| entry made positive);
+    partials quantize PER ROW, so the assembled covariance — and hence
+    the whole result — is bit-identical under any layout or reduce order.
+
+    Returns {"components": (k, d), "explained_variance": (k,),
+    "explained_ratio": (k,), "mean": (d,), "n": int}.
+    """
+    refs = ds.to_arrow_refs()
+    parts = ray.get([_cov_partial_task.remote(b, emb_col) for b in refs])
+    qc = None
+    qs = None
+    n = 0
+    for p_c, p_s, p_n in parts:
+        if p_c is None:
+            continue
+        qc = p_c if qc is None else qc + p_c
+        qs = p_s if qs is None else qs + p_s
+        n += p_n
+    if n == 0:
+        return {"components": np.zeros((0, 0)), "explained_variance":
+                np.zeros(0), "explained_ratio": np.zeros(0),
+                "mean": np.zeros(0), "n": 0}
+    second = qc.astype(np.float64) / _PCA_Q
+    mean = qs.astype(np.float64) / _PCA_Q / n
+    cov = second / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # deterministic sign: the largest-|coeff| entry of each component > 0
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = evals[order]
+    total = float(evals.sum())
+    return {"components": comps, "explained_variance": ev,
+            "explained_ratio": ev / total if total > 0 else ev * 0.0,
+            "mean": mean, "n": n}
+
+
+def project_pca(ds, model: dict, emb_col: str = "embedding",
+                out_col: str = "pca"):
+    """Broadcast-projection pass: appends ``out_col`` = (x−mean)·Wᵀ over
+    L2-normalized rows. Lazy map_batches — the dimensionality-reduction
+    stage before ANN / clustering at scale."""
+    ref = ray.put((np.asarray(model["components"], np.float64),
+                   np.asarray(model["mean"], np.float64)))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        w, mu = ray.get(ref)
+        if len(batch) == 0:
+            batch[out_col] = pd.Series(dtype="object")
+            return batch
+        m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        proj = (m - mu) @ w.T
+        batch = batch.copy()
+        batch[out_col] = list(proj)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -2582,6 +2582,24 @@ def emb_logreg_train(sf_dir: str):
     return out.sort_values("pred").reset_index(drop=True)
 
 
+def emb_pca_variance(sf_dir: str):
+    """Distributed PCA over the embeddings table (functions.ml.fit_pca):
+    one streaming pass of per-row-quantized covariance partials → driver
+    eigendecomposition. Bit-identical under any layout (tests/test_ml.py);
+    eigendecomposition is iterative → no SQL oracle. Returns per-component
+    explained variance."""
+    from recon_ray.functions.ml import fit_pca
+
+    res = fit_pca(_t(sf_dir, "embeddings"), n_components=8)
+    out = pd.DataFrame(
+        {"component": np.arange(len(res["explained_variance"]),
+                                dtype=np.int64),
+         "explained_variance": _round_away(res["explained_variance"], 9),
+         "explained_ratio": _round_away(res["explained_ratio"], 9)}
+    )
+    return out
+
+
 def emb_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means buckets + within-cluster
     greedy cosine dedup at τ=0.99, keep-lowest-id
@@ -2691,6 +2709,7 @@ QUERIES = {
     "emb_kmeans_clusters": emb_kmeans_clusters,
     "emb_semdedup": emb_semdedup,
     "emb_logreg_train": emb_logreg_train,
+    "emb_pca_variance": emb_pca_variance,
     "doc_media_features": doc_media_features,
 }
 

@@ -98,3 +98,63 @@ def test_logreg_empty():
     )
     res = fit_logreg(ds)
     assert res["n"] == 0
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_layout_invariant_bit_identical():
+    from recon_ray.functions.ml import fit_pca
+
+    df = _fixture(n=500, d=12, seed=11)
+    a = fit_pca(rd.from_pandas(df).repartition(3), n_components=4)
+    b = fit_pca(rd.from_pandas(df).repartition(13), n_components=4)
+    np.testing.assert_array_equal(a["components"], b["components"])
+    np.testing.assert_array_equal(a["explained_variance"],
+                                  b["explained_variance"])
+
+
+def test_pca_matches_numpy_covariance():
+    from recon_ray.functions.ml import fit_pca
+
+    df = _fixture(n=400, d=10, seed=12)
+    res = fit_pca(rd.from_pandas(df).repartition(5), n_components=10)
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cov = (m.T @ m) / len(m) - np.outer(m.mean(0), m.mean(0))
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    # quantization error ~2^-30 per row → covariance agrees to ~1e-8
+    np.testing.assert_allclose(res["explained_variance"], evals, atol=1e-7)
+    assert abs(res["explained_ratio"].sum() - 1.0) < 1e-9
+    # components are orthonormal
+    wwt = res["components"] @ res["components"].T
+    np.testing.assert_allclose(wwt, np.eye(10), atol=1e-9)
+
+
+def test_pca_projection_reduces_reconstruction_error():
+    from recon_ray.functions.ml import fit_pca, project_pca
+
+    df = _fixture(n=300, k=3, d=10, seed=13)
+    model = fit_pca(rd.from_pandas(df).repartition(4), n_components=3)
+    out = (
+        project_pca(rd.from_pandas(df).repartition(4), model)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    proj = np.stack(out["pca"].to_numpy())
+    assert proj.shape == (300, 3)
+    # 3 gaussian clusters in d=10: top-3 PCs carry most of the variance
+    assert model["explained_ratio"][:3].sum() > 0.5
+
+
+def test_pca_empty():
+    from recon_ray.functions.ml import fit_pca
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                      "embedding": pd.Series([], dtype="object")})
+    )
+    assert fit_pca(ds)["n"] == 0
