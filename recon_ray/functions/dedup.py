@@ -1171,27 +1171,33 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     from recon_ray.functions.relational import bucketed_group_apply
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        hs: list[int] = []
-        poss: list[int] = []
-        for did, t in zip(batch[id_col].to_numpy(), batch[text_col]):
-            lines = t.split(sep)
-            if len(lines) >= (1 << _LINE_BITS):
-                raise ValueError(
-                    f"doc {did} has {len(lines)} lines (cap 2^{_LINE_BITS})"
-                )
-            base = int(did) << _LINE_BITS
-            for i, ln in enumerate(lines):
-                hs.append(
-                    int.from_bytes(
-                        hashlib.sha256(ln.encode()).digest()[:8], "little"
-                    )
-                )
-                poss.append(base | i)
+        # vectorized split (one C pass) + vectorized 64-bit line hashing
+        # (pandas' siphash over the object array — equality-only keys, the
+        # same primitive the bucket router uses at relational.py)
+        split = batch[text_col].str.split(sep)
+        lens = split.str.len().to_numpy(dtype=np.int64)
+        if (lens >= (1 << _LINE_BITS)).any():
+            bad = batch[id_col].to_numpy()[lens >= (1 << _LINE_BITS)][0]
+            raise ValueError(f"doc {bad} exceeds 2^{_LINE_BITS} lines")
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"h": np.array([], np.int64), "pos": np.array([], np.int64)}
+            )
+        lines = np.concatenate(split.to_numpy())
+        # per-doc 0-based line numbers without a Python loop
+        ends = np.cumsum(lens)
+        line_no = np.arange(ends[-1], dtype=np.int64) - np.repeat(
+            ends - lens, lens
+        )
+        didx = np.repeat(batch[id_col].to_numpy(np.int64), lens)
+        h = pd.util.hash_pandas_object(
+            pd.Series(lines), index=False
+        ).to_numpy()
         # int64 views (equality-only on h; pos is non-negative): Ray's
         # hash aggregate + Acero join coerce uint64 → int64 inconsistently
         return pd.DataFrame(
-            {"h": np.array(hs, dtype=np.uint64).view(np.int64),
-             "pos": np.array(poss, dtype=np.int64)}
+            {"h": h.view(np.int64),
+             "pos": (didx << _LINE_BITS) | line_no}
         )
 
     lines_ds = ds.map_batches(explode, batch_format="pandas")
@@ -1220,23 +1226,25 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
         dm = _get(drops_ref)
-        n_lines = np.empty(len(batch), dtype=np.int64)
-        n_kept = np.empty(len(batch), dtype=np.int64)
-        cleaned: list[str] = []
-        for j, (did, t) in enumerate(
-            zip(batch[id_col].to_numpy(), batch[text_col])
-        ):
-            lines = t.split(sep)
-            n_lines[j] = len(lines)
+        # untouched docs pass through WITHOUT splitting: n_lines is a
+        # vectorized separator count, text_clean is the original string —
+        # only docs with drops (the small set) pay the split+rebuild
+        n_lines = (
+            batch[text_col].str.count(re.escape(sep)).to_numpy(np.int64) + 1
+        )
+        ids = batch[id_col].to_numpy()
+        n_kept = n_lines.copy()
+        cleaned = batch[text_col].tolist()
+        for j, did in enumerate(ids):
             drop = dm.get(int(did))
             if not drop:
-                kept = lines
-            else:
-                kept = [ln for i, ln in enumerate(lines) if i not in drop]
+                continue
+            lines = cleaned[j].split(sep)
+            kept = [ln for i, ln in enumerate(lines) if i not in drop]
             n_kept[j] = len(kept)
-            cleaned.append(sep.join(kept))
+            cleaned[j] = sep.join(kept)
         return pd.DataFrame(
-            {id_col: batch[id_col].to_numpy(), "n_lines": n_lines,
+            {id_col: ids, "n_lines": n_lines,
              "n_kept": n_kept, "text_clean": cleaned}
         )
 
