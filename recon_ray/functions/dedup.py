@@ -1174,7 +1174,7 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         # vectorized split (one C pass) + vectorized 64-bit line hashing
         # (pandas' siphash over the object array — equality-only keys, the
         # same primitive the bucket router uses at relational.py)
-        split = batch[text_col].str.split(sep)
+        split = batch[text_col].str.split(sep, regex=False)
         lens = split.str.len().to_numpy(dtype=np.int64)
         if (lens >= (1 << _LINE_BITS)).any():
             bad = batch[id_col].to_numpy()[lens >= (1 << _LINE_BITS)][0]

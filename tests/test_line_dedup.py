@@ -89,3 +89,21 @@ def test_line_dedup_empty_input():
     )
     out = line_dedup(ds).to_pandas()
     assert len(out) == 0
+
+
+def test_line_dedup_multichar_separator_literal():
+    """Multi-char separators are literal, never regex ('||' would be a
+    regex alternation)."""
+    docs = [(1, "a||b||a"), (2, "b||c")]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    out = (
+        line_dedup(rd.from_pandas(df), sep="||")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus-wide firsts: doc1 keeps a, b (second a is a within-corpus dup);
+    # doc2's b is a dup, keeps c
+    assert out["text_clean"].tolist() == ["a||b", "c"]
+    assert out["n_lines"].tolist() == [3, 2]
+    assert out["n_kept"].tolist() == [2, 1]
