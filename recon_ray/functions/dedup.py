@@ -1153,9 +1153,13 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     ``text_clean = ""``.
 
     Distributed shape — the heavy text column NEVER rides a shuffle:
-      1. explode docs → narrow ``(h, pos)`` rows (16 B each): ``h`` is the
-         sha256-u64 of the line, ``pos = doc_id·2^20 | line_no`` so a
-         single vectorized min resolves the global first occurrence;
+      1. explode docs → narrow ``(h, pos)`` rows (16 B each): ``h`` is a
+         vectorized 64-bit content hash of the line (pandas' siphash —
+         an equality-only shuffle key, same primitive as the bucket
+         router; NOT cryptographic, so an adversarial corpus could force
+         collisions — swap in sha256-u64 per line if that matters),
+         ``pos = doc_id·2^20 | line_no`` so a single vectorized min
+         resolves the global first occurrence;
       2. ONE hash-bucket shuffle of the narrow rows; inside each bucket
          (all rows of a hash land together) a vectorized groupby-transform
          emits exactly the occurrences to DROP (count > 1, pos ≠ min pos);
@@ -1225,7 +1229,12 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     drops_ref = ray.put(drop_map)
 
     def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
-        dm = _get(drops_ref)
+        # per-worker-process cache: ray.get of a pickled dict re-deserializes
+        # per call otherwise (zero-copy only holds for numpy buffers)
+        key = ("line_dedup_drops", drops_ref.hex())
+        dm = _PROCESS_KERNELS.get(key)
+        if dm is None:
+            dm = _PROCESS_KERNELS[key] = _get(drops_ref)
         # untouched docs pass through WITHOUT splitting: n_lines is a
         # vectorized separator count, text_clean is the original string —
         # only docs with drops (the small set) pay the split+rebuild

@@ -55,6 +55,10 @@ def _grad_rows_quantized(x: np.ndarray, y: np.ndarray, w: np.ndarray,
     # (k, d+1) int64 sum of per-row outer products, quantized per row:
     # einsum over pre-quantized per-row terms would round the PRODUCT, so
     # quantize the product itself row by row via the outer-product matmul
+    # int64 is safe within one block: per-row cell magnitude ≤ 2^40, so
+    # the in-task sum stays exact to ~2^23 rows — far above any Arrow
+    # block (the cross-block reduce is arbitrary-precision on the driver)
+    assert len(x) < (1 << 23), "block too large for int64 gradient partials"
     gq = np.zeros((n_classes, x.shape[1]), np.int64)
     # process in chunks to bound the (chunk, k, d+1) intermediate
     step = 4096
@@ -62,7 +66,9 @@ def _grad_rows_quantized(x: np.ndarray, y: np.ndarray, w: np.ndarray,
         outer = diff[i:i + step, :, None] * x[i:i + step, None, :]
         gq += np.rint(outer * _Q).astype(np.int64).sum(axis=0)
     ll = np.log(np.maximum(p[np.arange(len(y)), y], 1e-300))
-    loss_q = int(np.rint(-ll * _Q).astype(np.int64).sum())
+    # object-dtype sum = exact Python-int addition: a pathological block
+    # (every row near -log(1e-300)·2^40 ≈ 2^49) would wrap an int64 sum
+    loss_q = int(np.rint(-ll * _Q).astype(np.int64).astype(object).sum())
     correct = int((p.argmax(axis=1) == y).sum())
     return gq, loss_q, correct
 
@@ -124,15 +130,20 @@ def fit_logreg(
             [_logreg_partial_task.remote(b, w, label_col, emb_col, n_classes)
              for b in refs]
         )
-        gq = np.zeros((n_classes, dim), np.int64)
+        # driver-side reduce in OBJECT dtype = arbitrary-precision Python
+        # ints: per-block partials are int64-safe (a block is ≤ ~2^21 rows,
+        # per-row cell magnitude ≤ 2^40), but the GLOBAL sum over a 100-TB
+        # corpus would wrap int64 silently — k×(d+1) object cells cost
+        # microseconds and make the reduce exact at any n
+        gq = np.zeros((n_classes, dim), dtype=object)
         loss_q = 0
         correct = 0
         n_total = 0
         for p_g, p_l, p_c, p_n in parts:
             if p_g is None:
                 continue
-            gq += p_g
-            loss_q += p_l
+            gq += p_g.astype(object)
+            loss_q += int(p_l)
             correct += p_c
             n_total += p_n
         if n_total == 0:
@@ -217,14 +228,17 @@ def fit_pca(ds, n_components: int = 8, emb_col: str = "embedding") -> dict:
     """
     refs = ds.to_arrow_refs()
     parts = ray.get([_cov_partial_task.remote(b, emb_col) for b in refs])
+    # object-dtype reduce = exact Python-int sums (per-row cell magnitude
+    # ≤ 2^30 → int64 would wrap past ~2^33 rows; a 100-TB embedding table
+    # has more)
     qc = None
     qs = None
     n = 0
     for p_c, p_s, p_n in parts:
         if p_c is None:
             continue
-        qc = p_c if qc is None else qc + p_c
-        qs = p_s if qs is None else qs + p_s
+        qc = p_c.astype(object) if qc is None else qc + p_c.astype(object)
+        qs = p_s.astype(object) if qs is None else qs + p_s.astype(object)
         n += p_n
     if n == 0:
         return {"components": np.zeros((0, 0)), "explained_variance":

@@ -305,12 +305,19 @@ def _parse_pnm_header(payload: bytes, magic: bytes):
     while len(fields) < 3:
         while payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
         if payload[pos : pos + 1] == b"#":
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated netpbm header comment")
+            pos = nl + 1
             continue
         end = pos
-        while not payload[end : end + 1].isspace():
+        while end < len(payload) and not payload[end : end + 1].isspace():
             end += 1
+        if end >= len(payload):
+            raise ValueError("truncated netpbm header")
         fields.append(int(payload[pos:end]))
         pos = end
     w, h, maxval = fields

@@ -689,7 +689,12 @@ def grouping_sets_agg(ds, keys: list[str], sets: list[tuple],
                 rolled[k] = total_label
         levels.append(finish(rolled))
     out = pd.concat(levels, ignore_index=True)
-    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    # key columns mix native values with the string total_label after the
+    # concat, so sort on the string form (numeric keys would otherwise
+    # raise TypeError: '<' between str and int); content is unaffected
+    return out.sort_values(
+        keys, kind="mergesort", key=lambda s: s.astype(str)
+    ).reset_index(drop=True)
 
 
 def cube_agg(ds, keys: list[str], aggs: AggSpec,

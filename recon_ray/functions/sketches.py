@@ -286,6 +286,8 @@ def approx_quantiles(ds, col: str, qs: list, k: int = 2048) -> list:
         col, id_col = col
 
     def bottomk(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = ~pd.isna(batch[col].to_numpy())
+        batch = batch.loc[keep]  # NaNs ignored, like exact_quantiles
         v = batch[col].to_numpy()
         if len(v) == 0:
             return pd.DataFrame({"__h": np.array([], np.uint64),

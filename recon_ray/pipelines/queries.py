@@ -2003,6 +2003,10 @@ chunks AS (
          array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ') AS ln
   FROM w, LATERAL (SELECT unnest(generate_series(1,
        cast(ceil(len(ws)/3.0) AS BIGINT))) AS i) t
+  UNION ALL
+  -- a zero-word doc is ONE empty line on the Ray side (''.split → ['']),
+  -- participating in corpus-wide dedup like any other line
+  SELECT doc_id, 1 AS line_no, '' AS ln FROM w WHERE len(ws) = 0
 ),
 marked AS (
   SELECT doc_id, line_no, ln,

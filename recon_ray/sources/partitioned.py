@@ -34,7 +34,11 @@ from recon_ray.state.lineage import COMPLETED, args_hash_for
 
 
 def _part_dir(out_dir: str, col: str, value) -> str:
-    return os.path.join(out_dir, f"{col}={value}")
+    # hive-style percent-encoding: a value containing '/', '..' or '=' must
+    # not nest/escape directories or break the `col=` prefix scan
+    from urllib.parse import quote
+
+    return os.path.join(out_dir, f"{col}={quote(str(value), safe='')}")
 
 
 def _manifest(part_dir: str) -> dict | None:

@@ -130,3 +130,9 @@ def test_stages_over_real_payloads():
     )
     assert len(rms) == (meta["kind"] == "audio").sum()
     assert all(len(e) >= 1 for e in rms["frame_rms"])
+
+
+def test_truncated_netpbm_raises_not_hangs():
+    for bad in (b"P6\n12", b"P6\n# only a comment", b"P6\n3 2", b"P6"):
+        with pytest.raises(ValueError):
+            B.decode_image(bad, "ppm", -1, -1)

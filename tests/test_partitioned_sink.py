@@ -86,3 +86,16 @@ def test_empty_dataset(tmp_path):
     )
     res = write_partitioned(ds, str(tmp_path / "o"), "lang")
     assert res == {"written": [], "skipped": [], "n_rows": 0}
+
+
+def test_partition_values_with_slash_are_safe(tmp_path):
+    df = pd.DataFrame({"lang": ["zh/TW", "en", "zh/TW"],
+                       "doc_id": [1, 2, 3], "v": [1, 2, 3]})
+    out = str(tmp_path / "o")
+    res = write_partitioned(rd.from_pandas(df), out, "lang")
+    assert sorted(res["written"]) == ["en", "zh/TW"]
+    back = read_partitioned(out, "lang").to_pandas()
+    assert sorted(back["lang"].tolist()) == ["en", "zh/TW", "zh/TW"]
+    # second run skips both
+    res2 = write_partitioned(rd.from_pandas(df), out, "lang")
+    assert res2["written"] == [] and sorted(res2["skipped"]) == ["en", "zh/TW"]

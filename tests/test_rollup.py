@@ -110,3 +110,24 @@ def test_cube_matches_pandas_all_subsets():
     assert {r["b"]: r["v_sum"] for _, r in b_only.iterrows()} == want.to_dict()
     total = got[(got["a"] == "__all__") & (got["b"] == "__all__")]
     assert total["v_sum"].item() == df["v"].sum()
+
+
+def test_rollup_numeric_key():
+    from recon_ray.functions.relational import rollup_agg
+
+    df = pd.DataFrame({"year": [2023, 2023, 2024], "v": [1, 2, 4]})
+    got = rollup_agg(rd.from_pandas(df), ["year"], {"v": ["sum"]})
+    as_map = {str(r["year"]): r["v_sum"] for _, r in got.iterrows()}
+    assert as_map == {"2023": 3, "2024": 4, "__all__": 7}
+
+
+def test_approx_quantiles_ignores_nans():
+    from recon_ray.functions.sketches import approx_quantiles
+
+    df = pd.DataFrame({"doc_id": np.arange(1000),
+                       "v": np.arange(1000.0)})
+    df.loc[df.index % 3 == 0, "v"] = np.nan
+    got = approx_quantiles(rd.from_pandas(df).repartition(4),
+                           ("v", "doc_id"), [0.5, 1.0])
+    assert not any(np.isnan(got))
+    assert got[1] == df["v"].max()
