@@ -2058,6 +2058,42 @@ ORDER BY 1, 2
 """
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, day) over events — all four grouping
+    sets from ONE distributed finest-level groupby
+    (functions.relational.cube_agg). Values aggregate as int cents so the
+    recomposed sums are exact at every level; oracle is native DuckDB
+    CUBE."""
+    from recon_ray.functions.relational import cube_agg
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"],
+             "day": b["ts"].dt.strftime("%Y-%m-%d"),
+             "value_c": _cents(b["value"]).to_numpy()}
+        )
+
+    ds = _t(sf_dir, "events").select_columns(
+        ["event_type", "ts", "value"]
+    ).map_batches(prep, batch_format="pandas")
+    out = cube_agg(ds, ["event_type", "day"],
+                   {"value_c": ["sum", "count"]})
+    out["value_c_sum"] = out["value_c_sum"].astype("int64")
+    out["value_c_count"] = out["value_c_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT coalesce(event_type, '__all__') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), '__all__') AS day,
+       sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS value_c_sum,
+       count(*) AS value_c_count
+FROM events
+GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY 1, 2
+"""
+
+
 def doc_version_diff(sf_dir: str):
     """Content-addressed version diff (functions.relational.dataset_diff —
     the distributed analogue of the reference's Transformation records,
@@ -2648,6 +2684,7 @@ QUERIES = {
     "q_events_window_running": q_events_window_running,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
+    "q_events_cube": q_events_cube,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
@@ -2841,6 +2878,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_line_dedup": ORACLE_DOC_LINE_DEDUP,
         "doc_version_diff": ORACLE_DOC_VERSION_DIFF,
         "doc_rollup_stats": ORACLE_DOC_ROLLUP,
+        "q_events_cube": ORACLE_EVENTS_CUBE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,

@@ -59,3 +59,35 @@ def test_diff_layout_invariant():
     x = _run(a, b, parts=(1, 1))
     y = _run(a, b, parts=(9, 4))
     pd.testing.assert_frame_equal(x, y)
+
+
+def test_diff_fuzz_vs_pandas():
+    """Randomized parity against a pandas outer-merge reference."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    for trial in range(10):
+        ids_a = rng.choice(300, rng.randint(1, 120), replace=False)
+        ids_b = rng.choice(300, rng.randint(1, 120), replace=False)
+        a = pd.DataFrame(
+            {"doc_id": ids_a,
+             "text": [f"t{rng.randint(0, 5)}" for _ in ids_a]}
+        )
+        b = pd.DataFrame(
+            {"doc_id": ids_b,
+             "text": [f"t{rng.randint(0, 5)}" for _ in ids_b]}
+        )
+        got = _run(a, b, parts=(2, 3))
+
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        want = []
+        for _, r in m.iterrows():
+            if r["_merge"] == "right_only":
+                want.append((r["doc_id"], "added"))
+            elif r["_merge"] == "left_only":
+                want.append((r["doc_id"], "removed"))
+            elif r["text_a"] != r["text_b"]:
+                want.append((r["doc_id"], "changed"))
+        want = sorted(want)
+        assert [tuple(x) for x in got.values.tolist()] == want, trial

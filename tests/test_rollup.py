@@ -131,3 +131,33 @@ def test_approx_quantiles_ignores_nans():
                            ("v", "doc_id"), [0.5, 1.0])
     assert not any(np.isnan(got))
     assert got[1] == df["v"].max()
+
+
+def test_grouping_sets_fuzz_vs_pandas():
+    from recon_ray.functions.relational import grouping_sets_agg
+
+    rng = np.random.RandomState(31)
+    for trial in range(5):
+        df = pd.DataFrame(
+            {"a": rng.choice(["x", "y", "z", "w"], 200),
+             "b": rng.choice(["p", "q", "r"], 200),
+             "v": rng.randint(-50, 50, 200)}
+        )
+        sets = [("a", "b"), ("b",), ()]
+        got = grouping_sets_agg(
+            rd.from_pandas(df).repartition(4), ["a", "b"], sets,
+            {"v": ["sum", "min", "max"]},
+        )
+        rows = set()
+        fine = df.groupby(["a", "b"])["v"]
+        for (a, b), g in fine:
+            rows.add((a, b, g.sum(), g.min(), g.max()))
+        for b, g in df.groupby("b")["v"]:
+            rows.add(("__all__", b, g.sum(), g.min(), g.max()))
+        rows.add(("__all__", "__all__", df["v"].sum(), df["v"].min(),
+                  df["v"].max()))
+        got_rows = {
+            (r["a"], r["b"], r["v_sum"], r["v_min"], r["v_max"])
+            for _, r in got.iterrows()
+        }
+        assert got_rows == rows, trial
