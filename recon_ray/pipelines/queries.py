@@ -2058,6 +2058,61 @@ ORDER BY 1, 2
 """
 
 
+def q_orders_exists_discount(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join): orders per priority having at
+    least one line item with discount ≥ 0.06. The inner side reduces to
+    DISTINCT order keys (per-batch combiner + one bucket shuffle —
+    functions.relational.distinct), then a broadcast semi-join gates the
+    orders scan; no row ever widens."""
+    from recon_ray.functions.relational import distinct, group_count, semi_join
+
+    keys = distinct(
+        _t(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_discount"])
+        .filter(lambda r: r["l_discount"] >= 0.06),
+        "l_orderkey",
+    ).to_pandas()
+    gated = semi_join(
+        _t(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"]),
+        set(keys["l_orderkey"].tolist()),
+        on="o_orderkey",
+    )
+    out = group_count(gated, "o_orderpriority", alias="order_count")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_ORDERS_EXISTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.06
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct users per event type: per-batch distinct pairs
+    (combiner) + one bucket shuffle (functions.relational.distinct), then
+    a tiny count — the exact companion to the HLL sketch query."""
+    from recon_ray.functions.relational import distinct, group_count
+
+    pairs = distinct(
+        _t(sf_dir, "events").select_columns(["event_type", "user_id"]),
+        ["event_type", "user_id"],
+    )
+    out = group_count(pairs, "event_type", alias="n_users")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_cube(sf_dir: str):
     """GROUP BY CUBE (event_type, day) over events — all four grouping
     sets from ONE distributed finest-level groupby
@@ -2685,6 +2740,8 @@ QUERIES = {
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
+    "q_orders_exists_discount": q_orders_exists_discount,
+    "q_events_distinct_users": q_events_distinct_users,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
@@ -2879,6 +2936,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_version_diff": ORACLE_DOC_VERSION_DIFF,
         "doc_rollup_stats": ORACLE_DOC_ROLLUP,
         "q_events_cube": ORACLE_EVENTS_CUBE,
+        "q_orders_exists_discount": ORACLE_ORDERS_EXISTS,
+        "q_events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
