@@ -2149,6 +2149,27 @@ ORDER BY 1, 2
 """
 
 
+def doc_bpe_trained_tokens(sf_dir: str):
+    """Corpus-trained BPE (functions/bpe.py: distributed word count →
+    driver merges over the vocabulary-sized table, Sennrich 2016) then a
+    token-count encode pass under the learned merges. Iterative training
+    → no SQL oracle; hand-computed merges, layout invariance and the
+    lossless/monotone encode properties are pinned in tests/test_bpe.py."""
+    from recon_ray.functions.bpe import make_bpe_encoder, train_bpe
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    model = train_bpe(docs, n_merges=100)
+    out = (
+        docs.map_batches(
+            make_bpe_encoder(model["merges"]), batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def doc_version_diff(sf_dir: str):
     """Content-addressed version diff (functions.relational.dataset_diff —
     the distributed analogue of the reference's Transformation records,
@@ -2787,6 +2808,7 @@ QUERIES = {
     "doc_line_dedup": doc_line_dedup,
     "doc_version_diff": doc_version_diff,
     "doc_rollup_stats": doc_rollup_stats,
+    "doc_bpe_trained_tokens": doc_bpe_trained_tokens,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
