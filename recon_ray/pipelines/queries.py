@@ -2170,6 +2170,60 @@ def doc_bpe_trained_tokens(sf_dir: str):
     return out
 
 
+def doc_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring (functions/lm.py): bigram model
+    trained on the corpus (two distributed counts), docs scored by mean
+    add-1-smoothed bigram log-likelihood via a broadcast count table.
+    The oracle reproduces the exact smoothing rule in SQL."""
+    import ray as _ray
+
+    from recon_ray.functions.lm import make_lm_scorer, train_bigram_lm
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    model = train_bigram_lm(docs)
+    out = (
+        docs.map_batches(
+            make_lm_scorer(_ray.put(model), k=1.0), batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["lm_score"] = _round_away(out["lm_score"], 6)
+    return out
+
+
+ORACLE_DOC_LM_SCORE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x)) AS ws
+  FROM documents
+),
+unic AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM unic),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+),
+bic AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+doc AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(ln((bc.c + 1.0) / (uc.c + (SELECT v FROM v)))) / count(*)
+           AS lm
+  FROM big b
+  JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN unic uc ON uc.w = b.w1
+  GROUP BY 1
+)
+SELECT w.doc_id, coalesce(d.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(d.lm, 0), 6) AS lm_score
+FROM w LEFT JOIN doc d ON d.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 def doc_version_diff(sf_dir: str):
     """Content-addressed version diff (functions.relational.dataset_diff —
     the distributed analogue of the reference's Transformation records,
@@ -2809,6 +2863,7 @@ QUERIES = {
     "doc_version_diff": doc_version_diff,
     "doc_rollup_stats": doc_rollup_stats,
     "doc_bpe_trained_tokens": doc_bpe_trained_tokens,
+    "doc_lm_score": doc_lm_score,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -2960,6 +3015,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_cube": ORACLE_EVENTS_CUBE,
         "q_orders_exists_discount": ORACLE_ORDERS_EXISTS,
         "q_events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
+        "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
