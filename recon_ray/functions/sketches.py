@@ -314,3 +314,37 @@ def approx_quantiles(ds, col: str, qs: list, k: int = 2048) -> list:
         len(sample) - 1,
     )
     return [float(sample[i]) for i in idx]
+
+
+def histogram(ds, col: str, lo: float, hi: float, n_bins: int = 32
+              ) -> pd.DataFrame:
+    """Fixed-width histogram over [lo, hi): per-batch int64 bin counts
+    (np.bincount) summed across blocks — one combiner pass, no shuffle,
+    exact under any layout. Out-of-range and NaN values land in the
+    underflow/overflow bins (-1 and n_bins). Returns (bin, lo, hi, count)
+    with every bin present, zero or not."""
+    width = (hi - lo) / n_bins
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.floor((v - lo) / width).astype(np.int64)
+        idx = np.clip(idx, -1, n_bins)  # under/overflow sentinels
+        c = np.bincount(idx + 1, minlength=n_bins + 2).astype(np.int64)
+        return pd.DataFrame({"bin": np.arange(-1, n_bins + 1), "n": c})
+
+    parts = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        agg = pd.Series(0, index=np.arange(-1, n_bins + 1), dtype="int64")
+    else:
+        agg = parts.groupby("bin")["n"].sum().reindex(
+            np.arange(-1, n_bins + 1), fill_value=0
+        )
+    out = pd.DataFrame(
+        {"bin": agg.index.to_numpy(np.int64),
+         "count": agg.to_numpy(np.int64)}
+    )
+    out["lo"] = np.where(out["bin"] < 0, -np.inf, lo + out["bin"] * width)
+    out["hi"] = np.where(out["bin"] >= n_bins, np.inf,
+                         lo + (out["bin"] + 1) * width)
+    return out[["bin", "lo", "hi", "count"]].reset_index(drop=True)

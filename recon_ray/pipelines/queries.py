@@ -2113,6 +2113,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-width histogram over events.value (functions.sketches
+    .histogram): per-batch int64 bincounts, combiner-summed, no shuffle.
+    lo/hi/width are exactly-representable doubles so the bin assignment
+    floor((v-lo)/width) is bit-identical between numpy and the DuckDB
+    oracle."""
+    from recon_ray.functions.sketches import histogram
+
+    out = histogram(_t(sf_dir, "events"), "value", lo=0.0, hi=500.0,
+                    n_bins=20)
+    out = out[["bin", "count"]].copy()
+    out["count"] = out["count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+ORACLE_EVENTS_HISTOGRAM = """
+WITH bins AS (SELECT unnest(generate_series(-1, 20)) AS bin),
+hits AS (
+  SELECT least(greatest(cast(floor((value - 0.0) / 25.0) AS BIGINT), -1),
+               20) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1
+)
+SELECT b.bin, coalesce(h.c, 0) AS count
+FROM bins b LEFT JOIN hits h ON h.bin = b.bin
+ORDER BY b.bin
+"""
+
+
 def q_events_cube(sf_dir: str):
     """GROUP BY CUBE (event_type, day) over events — all four grouping
     sets from ONE distributed finest-level groupby
@@ -2817,6 +2846,7 @@ QUERIES = {
     "q_events_cube": q_events_cube,
     "q_orders_exists_discount": q_orders_exists_discount,
     "q_events_distinct_users": q_events_distinct_users,
+    "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
@@ -3016,6 +3046,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_orders_exists_discount": ORACLE_ORDERS_EXISTS,
         "q_events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
+        "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,

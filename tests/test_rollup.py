@@ -161,3 +161,22 @@ def test_grouping_sets_fuzz_vs_pandas():
             for _, r in got.iterrows()
         }
         assert got_rows == rows, trial
+
+
+def test_histogram_exact_and_layout_invariant():
+    from recon_ray.functions.sketches import histogram
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame({"v": rng.uniform(-10, 110, 5000)})
+    df.loc[df.index % 100 == 0, "v"] = np.nan
+    a = histogram(rd.from_pandas(df).repartition(3), "v", 0.0, 100.0, 10)
+    b = histogram(rd.from_pandas(df).repartition(17), "v", 0.0, 100.0, 10)
+    pd.testing.assert_frame_equal(a, b)
+    v = df["v"].dropna().to_numpy()
+    assert a["count"].sum() == len(v)
+    assert a.loc[a["bin"] == -1, "count"].item() == (v < 0).sum()
+    assert a.loc[a["bin"] == 10, "count"].item() == (v >= 100).sum()
+    mid = a[(a["bin"] >= 0) & (a["bin"] < 10)]
+    want = np.histogram(v[(v >= 0) & (v < 100)], bins=10,
+                        range=(0, 100))[0]
+    assert mid["count"].tolist() == want.tolist()
