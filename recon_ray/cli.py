@@ -122,6 +122,24 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Corpus release report: volume, language mix, quality quantiles,
+    exact-dup rate, top terms — all streaming passes (pipelines/report.py)."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.pipelines.report import corpus_report, format_report
+
+    rep = corpus_report(
+        rd.read_parquet(args.docs_path),
+        text_col=args.text_col,
+        id_col=args.id_col,
+        lang_col=args.lang_col,
+    )
+    print(format_report(rep))
+    return 0
+
+
 def cmd_show(args) -> int:
     """Console-render detected mentions inline (the Example.pretty_print
     analogue, recon/types.py:161-188) for files matching a path substring."""
@@ -423,6 +441,13 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    prp = sub.add_parser("report", help="corpus release report")
+    prp.add_argument("docs_path")
+    prp.add_argument("--text-col", default="text")
+    prp.add_argument("--id-col", default="doc_id")
+    prp.add_argument("--lang-col", default="lang")
+    prp.set_defaults(fn=cmd_report)
 
     psh = sub.add_parser("show", help="render detected mentions inline")
     psh.add_argument("files_dir")

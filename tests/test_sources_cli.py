@@ -339,3 +339,16 @@ def test_cli_show(unit_corpus_dir):
     assert r.returncode == 0, r.stderr[-500:]
     assert "# 2 files rendered" in r.stderr
     assert "===" in r.stdout and "[" in r.stdout and "(" in r.stdout
+
+
+def test_cli_report():
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "report",
+         "/root/testdata/sf0.001/documents.parquet"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "docs: 500" in r.stdout
+    assert "languages:" in r.stdout and "top terms:" in r.stdout
+    assert "quality quantiles" in r.stdout
