@@ -90,10 +90,17 @@ def curate(
     minhash_threshold: float = 0.7,
     max_tokens: int = 512,
     n_buckets: int = 16,
+    lm_gate: float | None = None,
 ) -> dict:
     """Run the curation flow; returns {"curated": Dataset(doc_id, text,
     n_tokens), "packed": Dataset(doc_id, bucket, n_tokens, seq_id),
-    "near_dedup": minhash result dict or None}. All lazy until consumed."""
+    "near_dedup": minhash result dict or None}. All lazy until consumed.
+
+    ``lm_gate``: optional CCNet-style perplexity gate — train the bigram
+    LM on the already-gated corpus (two count passes, functions/lm.py)
+    and drop docs whose mean bigram log-likelihood is below the given
+    threshold (e.g. -7.0). Off by default; the composed SQL oracle
+    covers the default path, the gate has its own tests."""
     from recon_ray.functions.dedup import exact_dedup
     from recon_ray.functions.pack import pack_sequences
 
@@ -102,6 +109,24 @@ def curate(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if lm_gate is not None:
+        import ray as _ray
+
+        from recon_ray.functions.lm import make_lm_scorer, train_bigram_lm
+        from recon_ray.functions.relational import semi_join
+
+        filtered = filtered.materialize()  # LM trains on the gated docs
+        model_ref = _ray.put(train_bigram_lm(filtered))
+        scored = filtered.map_batches(
+            make_lm_scorer(model_ref), batch_format="pandas"
+        )
+        keep = scored.map_batches(
+            lambda b: b.loc[b["lm_score"] >= lm_gate, ["doc_id"]],
+            batch_format="pandas",
+        ).to_pandas()
+        filtered = semi_join(
+            filtered, set(keep["doc_id"].tolist()), on="doc_id"
+        )
     curated = exact_dedup(filtered, text_col="text", id_col="doc_id")
     nd = None
     if near_dedup:

@@ -60,3 +60,39 @@ def test_lm_short_docs_score_zero():
     assert out["lm_score"].iloc[0] == 0.0
     assert out["lm_score"].iloc[1] == 0.0
     assert out["n_bigrams"].tolist() == [0, 0, 1]
+
+
+def test_curate_lm_gate():
+    """The optional LM gate drops exactly the docs scoring below the
+    threshold; lm_gate=None leaves the default path untouched."""
+    from recon_ray.functions.lm import make_lm_scorer, train_bigram_lm
+    from recon_ray.pipelines.curate import curate
+
+    rng = np.random.RandomState(23)
+    common = ["the", "cat", "sat", "on", "the", "mat"]
+    rare = ["zx", "qv", "jj", "ww", "kk", "pp"]
+    texts = [" ".join(rng.choice(common, 12)) for _ in range(30)]
+    texts += [" ".join(rng.permutation(rare)) for _ in range(3)]
+    # make every text distinct so exact-dedup keeps all
+    texts = [f"{t} tail{i}" for i, t in enumerate(texts)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                       "lang": ["en"] * len(texts)})
+    ds = rd.from_pandas(df).repartition(3)
+
+    base = curate(ds, min_words=1, max_dup_word=1.1, drop_unknown_lang=False)
+    n_base = base["curated"].count()
+    assert n_base == len(texts)
+
+    # expected survivors under the gate, computed with the same model
+    model = train_bigram_lm(ds.select_columns(["doc_id", "text"]))
+    scored = (
+        ds.map_batches(make_lm_scorer(model), batch_format="pandas")
+        .to_pandas()
+    )
+    thr = float(scored["lm_score"].quantile(0.2))
+    want = set(scored.loc[scored["lm_score"] >= thr, "doc_id"])
+
+    gated = curate(ds, min_words=1, max_dup_word=1.1, drop_unknown_lang=False, lm_gate=thr)
+    got = set(gated["curated"].to_pandas()["doc_id"])
+    assert got == want
+    assert len(got) < n_base
