@@ -107,3 +107,24 @@ def test_line_dedup_multichar_separator_literal():
     assert out["text_clean"].tolist() == ["a||b", "c"]
     assert out["n_lines"].tolist() == [3, 2]
     assert out["n_kept"].tolist() == [2, 1]
+
+
+def test_line_dedup_idempotent_on_nonempty_output():
+    """Re-running line_dedup on its own cleaned output removes nothing —
+    for docs that still have content. (Fully-erased docs become "", and
+    those empty lines ARE mutual duplicates on a second pass, so the
+    fixpoint property is stated over the non-empty survivors.)"""
+    rng = np.random.RandomState(19)
+    vocab = ["l1", "l2", "l3", "l4"]
+    docs = [
+        (did, "\n".join(rng.choice(vocab, rng.randint(1, 5))))
+        for did in range(40)
+    ]
+    first = _run(docs, 4)
+    nonempty = first[first["text_clean"] != ""]
+    assert len(nonempty) > 0
+    second = _run(
+        list(zip(nonempty["doc_id"], nonempty["text_clean"])), 3
+    )
+    assert (second["n_kept"] == second["n_lines"]).all()
+    assert second["text_clean"].tolist() == nonempty["text_clean"].tolist()

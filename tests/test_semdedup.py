@@ -75,3 +75,15 @@ def test_semdedup_empty():
     )
     out = semdedup(ds, k=4)
     assert len(out) == 0
+
+
+def test_semdedup_threshold_monotone():
+    """A stricter (higher) threshold never keeps fewer points."""
+    df = _fixture()
+    low = semdedup(rd.from_pandas(df).repartition(4), k=4, threshold=0.9)
+    high = semdedup(rd.from_pandas(df).repartition(4), k=4, threshold=0.999)
+    assert high["keep"].sum() >= low["keep"].sum()
+    # and every id kept at the low threshold is kept at the high one
+    assert set(low.loc[low["keep"], "vec_id"]) <= set(
+        high.loc[high["keep"], "vec_id"]
+    )
