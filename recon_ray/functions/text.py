@@ -332,3 +332,34 @@ class Fingerprinter:
                 "n_grams": pa.array(ng, pa.int64()),
             }
         )
+
+
+_WS_RUN_RE = re.compile(r"\s+")
+
+
+def normalize_text(ds, text_col: str = "text", lowercase: bool = True,
+                   squash_whitespace: bool = True, nfkc: bool = True):
+    """Standard curation text normalization — NFKC unicode fold,
+    lowercase, whitespace-run squash + strip — as a streaming
+    ``map_batches`` stage (appends ``text_norm`` + ``norm_changed``).
+    NFKC runs via ``unicodedata`` (C speed); case/whitespace are
+    vectorized where pandas has the kernel."""
+    import unicodedata
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col]
+        if nfkc:
+            s = pd.Series(
+                [unicodedata.normalize("NFKC", t) for t in s],
+                index=s.index,
+            )
+        if lowercase:
+            s = s.str.lower()
+        if squash_whitespace:
+            s = s.str.replace(_WS_RUN_RE, " ", regex=True).str.strip()
+        batch = batch.copy()
+        batch["text_norm"] = s
+        batch["norm_changed"] = (s != batch[text_col]).to_numpy()
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")

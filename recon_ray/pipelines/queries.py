@@ -2199,6 +2199,33 @@ def doc_bpe_trained_tokens(sf_dir: str):
     return out
 
 
+def doc_normalize(sf_dir: str):
+    """Curation text normalization (functions.text.normalize_text):
+    lowercase + whitespace-run squash + strip (NFKC off here so the SQL
+    oracle is exact — DuckDB has no NFKC fold). Streaming map_batches."""
+    from recon_ray.functions.text import normalize_text
+
+    out = (
+        normalize_text(
+            _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            nfkc=False,
+        )
+        .to_pandas()[["doc_id", "text_norm", "norm_changed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+ORACLE_DOC_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
+       (trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text)
+         AS norm_changed
+FROM documents ORDER BY doc_id
+"""
+
+
 def doc_lm_score(sf_dir: str):
     """CCNet-style LM quality scoring (functions/lm.py): bigram model
     trained on the corpus (two distributed counts), docs scored by mean
@@ -2894,6 +2921,7 @@ QUERIES = {
     "doc_rollup_stats": doc_rollup_stats,
     "doc_bpe_trained_tokens": doc_bpe_trained_tokens,
     "doc_lm_score": doc_lm_score,
+    "doc_normalize": doc_normalize,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -3047,6 +3075,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
+        "doc_normalize": ORACLE_DOC_NORMALIZE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,

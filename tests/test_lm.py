@@ -96,3 +96,21 @@ def test_curate_lm_gate():
     got = set(gated["curated"].to_pandas()["doc_id"])
     assert got == want
     assert len(got) < n_base
+
+
+def test_normalize_text_nfkc_and_whitespace():
+    from recon_ray.functions.text import normalize_text
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["  Hello\t\tWORLD \n", "ﬁne ﬀ", "already clean"]}
+    )
+    out = (
+        normalize_text(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_norm"].tolist() == ["hello world", "fine ff",
+                                         "already clean"]
+    assert out["norm_changed"].tolist() == [True, True, False]
