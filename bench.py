@@ -226,6 +226,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline_runs": headline_runs,
+        "headline_run_cpu": run_cpu,
         "n_files": n_files,
         "n_fragments": n_fragments,
         "n_raw_triples": int(n_raw),
