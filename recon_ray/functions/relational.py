@@ -708,3 +708,148 @@ def cube_agg(ds, keys: list[str], aggs: AggSpec,
         for c in combinations(keys, r)
     ]
     return grouping_sets_agg(ds, keys, sets, aggs, total_label)
+
+
+def pivot_agg(
+    ds,
+    index_keys: Union[str, list[str]],
+    pivot_col: str,
+    value_col: Optional[str] = None,
+    agg: str = "count",
+    categories: Optional[list] = None,
+    fill=0,
+) -> pd.DataFrame:
+    """Distributed pivot / crosstab: one row per ``index_keys`` group, one
+    column per distinct ``pivot_col`` value, cells aggregated by ``agg``
+    (count, or sum/min/max/mean of ``value_col``).
+
+    Scale shape: the only pass that touches data is a pre-aggregated
+    groupby on (index_keys + pivot_col) — per-batch combiners, one key
+    shuffle. The reshape runs over the (groups × categories)-sized result,
+    which IS the pivot's output, so no extra materialization. Pass
+    ``categories`` to pin the output schema (a category absent from this
+    input still gets its ``fill`` column — required for stable schemas
+    across shards/scales)."""
+    keys_ = [index_keys] if isinstance(index_keys, str) else list(index_keys)
+    if agg == "count":
+        flat = group_count(ds, keys_ + [pivot_col], alias="__v")
+    else:
+        if value_col is None:
+            raise ValueError("value_col required for agg != 'count'")
+        flat = grouped_agg(ds, keys_ + [pivot_col], {value_col: [agg]})
+        flat = flat.rename(columns={f"{value_col}_{agg}": "__v"})
+    piv = flat.pivot_table(
+        index=keys_, columns=pivot_col, values="__v",
+        aggfunc="first", fill_value=fill,
+    )
+    if categories is not None:
+        piv = piv.reindex(columns=list(categories), fill_value=fill)
+    piv.columns = [str(c) for c in piv.columns]
+    out = piv.reset_index()
+    out.columns.name = None
+    return out
+
+
+def grouped_mode(
+    ds,
+    key: Union[str, list[str]],
+    col: str,
+    alias: Optional[str] = None,
+    count_alias: str = "mode_count",
+):
+    """Per-group mode (argmax-by-frequency) with a deterministic
+    tie-break: highest count wins, ties broken by the smallest ``col``
+    value. Returns a lazy Dataset of (key..., mode, count).
+
+    Scale shape: per-batch (key, col) combiner counts → one key shuffle
+    into pair counts (a distinct-pairs-sized table, never the raw rows) →
+    ``bucketed_group_apply`` resolves the argmax vectorized per hash
+    bucket (bounded Python calls, not one per distinct key)."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+    pair_keys = keys_ + [col]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(pair_keys, sort=False, dropna=False)
+            .size()
+            .rename("__c")
+            .reset_index()
+        )
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(pair_keys)
+        .aggregate(Sum("__c", alias_name="__c"))
+    )
+    out_col = alias or f"{col}_mode"
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            keys_ + ["__c", col],
+            ascending=[True] * len(keys_) + [False, True],
+            kind="mergesort",
+        )
+        g = g.drop_duplicates(subset=keys_)
+        g = g.rename(columns={col: out_col, "__c": count_alias})
+        g[count_alias] = g[count_alias].astype("int64")
+        return g[keys_ + [out_col, count_alias]]
+
+    return bucketed_group_apply(pairs, keys_, pick)
+
+
+def key_profile(
+    ds, key: Union[str, list[str]], k: int = 10
+) -> dict:
+    """Key-skew profiler — the pre-flight check before keying a shuffle on
+    ``key`` at scale: per-key counts (combiner + one key shuffle over the
+    distinct-keys-sized table), then {n_rows, n_keys, top-k keys with
+    exact integer ppm shares}. Shares are ``count * 1e6 // n_rows`` so the
+    result is layout-invariant and hashable."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(keys_, sort=False, dropna=False)
+            .size()
+            .rename("__c")
+            .reset_index()
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys_)
+        .aggregate(Sum("__c", alias_name="__c"))
+        .materialize()
+    )
+    summary = counts.aggregate(
+        Sum("__c", alias_name="n_rows"), Count(alias_name="n_keys")
+    ) or {}
+    n_rows = int(summary.get("n_rows") or 0)
+    n_keys = int(summary.get("n_keys") or 0)
+    # local top-k per block then driver merge, under the exact final total
+    # order (count desc, key asc — via a negated count column, so the
+    # boundary tie-break is identical at both levels)
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__negc"] = -batch["__c"].astype("int64")
+        return batch.sort_values(
+            ["__negc"] + keys_, kind="mergesort"
+        ).head(k)
+
+    top = counts.map_batches(local, batch_format="pandas").to_pandas()
+    if top.empty:
+        top = pd.DataFrame(
+            {**{c: pd.Series(dtype="object") for c in keys_},
+             "__c": pd.Series(dtype="int64"),
+             "__negc": pd.Series(dtype="int64")}
+        )
+    top = (
+        top.sort_values(["__negc"] + keys_, kind="mergesort")
+        .head(k)
+        .drop(columns="__negc")
+        .reset_index(drop=True)
+    )
+    top = top.rename(columns={"__c": "count"})
+    top["count"] = top["count"].astype("int64")
+    top["share_ppm"] = top["count"] * 1_000_000 // max(n_rows, 1)
+    return {"n_rows": n_rows, "n_keys": n_keys, "top": top}

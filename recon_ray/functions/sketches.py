@@ -348,3 +348,63 @@ def histogram(ds, col: str, lo: float, hi: float, n_bins: int = 32
     out["hi"] = np.where(out["bin"] >= n_bins, np.inf,
                          lo + (out["bin"] + 1) * width)
     return out[["bin", "lo", "hi", "count"]].reset_index(drop=True)
+
+
+def count_min_partials(ds, col: str, depth: int = 4, width: int = 2048):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of ``ds[col]`` as a
+    mergeable partial: each batch emits ONE depth×width int64 matrix row
+    (frequencies of the batch's values under ``depth`` independent hash
+    rows); matrices merge by elementwise SUM, so the reduce is exact,
+    order-free, and sized by (depth·width), never by the input.
+
+    Returns the merged ``depth×width`` numpy matrix plus ``n`` (total
+    rows). Point estimates overcount by at most εn with probability
+    1-δ, ε = e/width, δ = e^-depth."""
+    shape = (depth, width)
+    # row seeds: fixed odd multipliers (deterministic across runs/layouts)
+    seeds = (_hash64(np.arange(1, depth + 1, dtype=np.uint64))
+             | np.uint64(1))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"cms": [], "n": []})
+        h = _col_hashes(batch, col)
+        mat = np.zeros(shape, dtype=np.int64)
+        for d in range(depth):
+            idx = ((h * seeds[d]) % np.uint64(width)).astype(np.int64)
+            np.add.at(mat[d], idx, 1)
+        return pd.DataFrame({"cms": [mat.tobytes()], "n": [len(batch)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    mat = np.zeros(shape, dtype=np.int64)
+    n = 0
+    for b, bn in zip(parts["cms"], parts["n"]):
+        mat += np.frombuffer(b, dtype=np.int64).reshape(shape)
+        n += int(bn)
+    return {"cms": mat, "n": n, "depth": depth, "width": width,
+            "seeds": seeds}
+
+
+def count_min_estimate(sketch: dict, values) -> pd.DataFrame:
+    """Point-frequency estimates for ``values`` from a merged Count-Min
+    sketch: min over the depth rows (never underestimates)."""
+    import hashlib
+
+    vals = list(values)
+    if not vals:
+        return pd.DataFrame({"value": [], "estimate": []})
+    if all(isinstance(v, (int, np.integer)) for v in vals):
+        h = _hash64(np.asarray(vals, dtype=np.int64))
+    else:
+        h = np.empty(len(vals), dtype=np.uint64)
+        for i, v in enumerate(vals):
+            h[i] = int.from_bytes(
+                hashlib.sha1(str(v).encode()).digest()[:8], "little"
+            )
+    mat, seeds = sketch["cms"], sketch["seeds"]
+    width = np.uint64(sketch["width"])
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(sketch["depth"]):
+        idx = ((h * seeds[d]) % width).astype(np.int64)
+        est = np.minimum(est, mat[d, idx])
+    return pd.DataFrame({"value": vals, "estimate": est})

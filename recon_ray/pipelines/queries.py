@@ -2845,6 +2845,231 @@ def emb_semdedup(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_day_type(sf_dir: str):
+    """Pivot / crosstab (functions.relational.pivot_agg): one row per day,
+    one count column per event type. The only data pass is a combiner
+    groupby on (day, type); categories pinned so the schema is stable at
+    every scale. Oracle = conditional aggregation (count FILTER)."""
+    from recon_ray.functions.relational import pivot_agg
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": b["ts"].dt.strftime("%Y-%m-%d"),
+             "event_type": b["event_type"]}
+        )
+
+    ds = _t(sf_dir, "events").select_columns(["ts", "event_type"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    out = pivot_agg(ds, "day", "event_type", agg="count",
+                    categories=EVENT_TYPES)
+    for c in EVENT_TYPES:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_user_top_type(sf_dir: str):
+    """Per-group mode (functions.relational.grouped_mode): each user's
+    most frequent event type, ties to the lexicographically smallest
+    type. Combiner (user, type) counts → one key shuffle → vectorized
+    argmax per hash bucket. Oracle = row_number window."""
+    from recon_ray.functions.relational import grouped_mode
+
+    out = grouped_mode(
+        _t(sf_dir, "events").select_columns(["user_id", "event_type"]),
+        "user_id", "event_type", alias="top_type",
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_USER_TOP_TYPE = """
+SELECT user_id, event_type AS top_type, c AS mode_count FROM (
+  SELECT user_id, event_type, count(*) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_customer_order_counts_outer(sf_dir: str):
+    """LEFT OUTER hash join (functions.relational.shuffle_join →
+    Dataset.join left_outer): every customer with its order count,
+    zero-order customers preserved with count 0. The per-customer counts
+    pre-aggregate (combiner) before the join, so the join's right side is
+    keys-sized."""
+    from ray.data.aggregate import Sum
+
+    from recon_ray.functions.relational import shuffle_join
+
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"]
+    )
+    counts = (
+        _t(sf_dir, "orders")
+        .select_columns(["o_custkey"])
+        .map_batches(
+            lambda b: b.groupby("o_custkey", sort=False)
+            .size()
+            .rename("__c")
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("__c", alias_name="__c"))
+    )
+    out = shuffle_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", how="left_outer"
+    ).to_pandas()
+    out["order_count"] = out["__c"].fillna(0).astype("int64")
+    out = out[["c_custkey", "c_mktsegment", "order_count"]]
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ORACLE_CUSTOMER_ORDER_COUNTS_OUTER = """
+SELECT c.c_custkey, c.c_mktsegment,
+       coalesce(o.cnt, 0) AS order_count
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+def q_events_type_cms(sf_dir: str):
+    """Count-Min sketch (functions.sketches.count_min_partials, Cormode &
+    Muthukrishnan 2005): per-batch depth×width int64 partial matrices,
+    merged by elementwise sum. event_type has 5 distinct values and the
+    fixed seeds give them collision-free cells at width 2048, so the
+    point estimates are EXACT and the oracle is a plain GROUP BY count —
+    a sketch query under the full hash gate (unlike HLL, whose estimate
+    is inherently approximate)."""
+    from recon_ray.functions.sketches import (
+        count_min_estimate,
+        count_min_partials,
+    )
+
+    sk = count_min_partials(
+        _t(sf_dir, "events").select_columns(["event_type"]), "event_type"
+    )
+    out = count_min_estimate(sk, EVENT_TYPES)
+    out = out.rename(columns={"value": "event_type"})
+    out["estimate"] = out["estimate"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_TYPE_CMS = """
+SELECT event_type, count(*) AS estimate
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_user_skew(sf_dir: str):
+    """Key-skew profile (functions.relational.key_profile) on user_id —
+    the pre-flight check before keying a shuffle on a column at scale:
+    exact top-10 heavy keys with integer-ppm shares, plus global
+    n_rows/n_keys stamped on every row. Counts pre-aggregate per batch;
+    the top-k merge never moves the full key table to one place out of
+    order (local top-k under the exact final total order)."""
+    from recon_ray.functions.relational import key_profile
+
+    prof = key_profile(
+        _t(sf_dir, "events").select_columns(["user_id"]), "user_id", k=10
+    )
+    out = prof["top"].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_rows"] = np.int64(prof["n_rows"])
+    out["n_keys"] = np.int64(prof["n_keys"])
+    return out[["user_id", "count", "share_ppm", "n_rows", "n_keys"]]
+
+
+ORACLE_EVENTS_USER_SKEW = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c)
+SELECT user_id, cnt AS count,
+       cnt * 1000000 // t.n_rows AS share_ppm,
+       t.n_rows AS n_rows, t.n_keys AS n_keys
+FROM c, tot t
+ORDER BY cnt DESC, user_id ASC
+LIMIT 10
+"""
+
+
+def doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (functions/dsir.py, Xie et al. 2023):
+    target = lang='en' documents, features = unigram words; weight(doc) =
+    Σ ln(p_target(w)/p_raw(w)) with add-1 smoothing over the raw vocab.
+    Two distributed count passes + one broadcast scoring pass; the oracle
+    replays the exact smoothing rule in SQL."""
+    from recon_ray.functions.dsir import make_dsir_scorer, train_dsir
+
+    docs = _t(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"]
+    )
+    model = train_dsir(docs, lambda b: b["lang"] == "en")
+    import ray as _ray
+
+    ref = _ray.put(model)
+    out = (
+        docs.map_batches(make_dsir_scorer(ref), batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out
+
+
+ORACLE_DOC_DSIR = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x)) AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+tgt AS (SELECT doc_id, unnest(ws) AS w FROM w WHERE lang = 'en'),
+rc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tc AS (SELECT w, count(*) AS c FROM tgt GROUP BY 1),
+nv AS (
+  SELECT (SELECT count(*) FROM rc) AS v,
+         (SELECT count(*) FROM tok) AS n_raw,
+         (SELECT count(*) FROM tgt) AS n_tgt
+),
+lr AS (
+  SELECT rc.w,
+         ln((coalesce(tc.c, 0) + 1.0) / (nv.n_tgt + nv.v))
+           - ln((rc.c + 1.0) / (nv.n_raw + nv.v)) AS lr
+  FROM rc LEFT JOIN tc USING (w), nv
+),
+doc AS (
+  SELECT t.doc_id, count(*) AS n_words, sum(l.lr) AS s
+  FROM tok t JOIN lr l ON l.w = t.w
+  GROUP BY 1
+)
+SELECT w.doc_id, coalesce(d.n_words, 0) AS n_words,
+       round(coalesce(d.s, 0), 6) AS dsir_weight
+FROM w LEFT JOIN doc d USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2873,6 +3098,12 @@ QUERIES = {
     "q_events_cube": q_events_cube,
     "q_orders_exists_discount": q_orders_exists_discount,
     "q_events_distinct_users": q_events_distinct_users,
+    "q_events_pivot_day_type": q_events_pivot_day_type,
+    "q_events_user_top_type": q_events_user_top_type,
+    "q_customer_order_counts_outer": q_customer_order_counts_outer,
+    "q_events_type_cms": q_events_type_cms,
+    "q_events_user_skew": q_events_user_skew,
+    "doc_dsir_weights": doc_dsir_weights,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3073,6 +3304,12 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_cube": ORACLE_EVENTS_CUBE,
         "q_orders_exists_discount": ORACLE_ORDERS_EXISTS,
         "q_events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
+        "q_events_pivot_day_type": ORACLE_EVENTS_PIVOT,
+        "q_events_user_top_type": ORACLE_EVENTS_USER_TOP_TYPE,
+        "q_customer_order_counts_outer": ORACLE_CUSTOMER_ORDER_COUNTS_OUTER,
+        "q_events_type_cms": ORACLE_EVENTS_TYPE_CMS,
+        "q_events_user_skew": ORACLE_EVENTS_USER_SKEW,
+        "doc_dsir_weights": ORACLE_DOC_DSIR,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

@@ -1139,3 +1139,134 @@ def test_knn_ivf_full_probe_equals_exact(emb):
     exact = knn_bruteforce(emb, queries, k=5)
     approx = knn_ivf(emb, queries, k=5, n_cells=8, nprobe=8)
     assert knn_recall(approx, exact) == 1.0
+
+
+def test_count_min_never_underestimates(events):
+    """CMS guarantee: estimate >= exact count for every queried value;
+    at width 2048 with 5 distinct keys the rows are collision-free so the
+    estimates are EXACT; merge order is free (elementwise sum)."""
+    from recon_ray.functions.sketches import (count_min_estimate,
+                                              count_min_partials)
+
+    exact = (
+        events.to_pandas()["event_type"].value_counts().sort_index()
+    )
+    sk = count_min_partials(events, "event_type", depth=4, width=2048)
+    got = count_min_estimate(sk, list(exact.index)).set_index("value")[
+        "estimate"
+    ]
+    assert (got == exact).all()
+    assert sk["n"] == int(exact.sum())
+    # narrow sketch: still never underestimates
+    sk2 = count_min_partials(events, "event_type", depth=2, width=2)
+    got2 = count_min_estimate(sk2, list(exact.index)).set_index("value")[
+        "estimate"
+    ]
+    assert (got2 >= exact).all()
+
+
+def test_pivot_agg_pinned_categories(events, con):
+    """pivot_agg vs DuckDB conditional aggregation; a category absent from
+    the input still yields a fill column (stable schema across shards)."""
+    from recon_ray.functions.relational import pivot_agg
+
+    got = pivot_agg(
+        events.select_columns(["user_id", "event_type", "value"]),
+        "user_id", "event_type", value_col="value", agg="sum",
+        categories=["click", "view", "never_seen"], fill=0,
+    ).sort_values("user_id").reset_index(drop=True)
+    assert "never_seen" in got.columns and (got["never_seen"] == 0).all()
+    want = con.execute(
+        """SELECT user_id,
+                  coalesce(sum(value) FILTER (event_type='click'), 0) AS click,
+                  coalesce(sum(value) FILTER (event_type='view'), 0) AS view
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert list(got["user_id"]) == list(want["user_id"])
+    for t in ["click", "view"]:
+        np.testing.assert_allclose(got[t].to_numpy(), want[t].to_numpy())
+
+
+def test_grouped_mode_tiebreak():
+    """Deterministic mode: highest count wins, ties break to the smallest
+    value — regardless of row order or partitioning."""
+    from recon_ray.functions.relational import grouped_mode
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 1, 1, 2, 2, 2, 2],
+         "v": ["b", "b", "a", "a", "z", "y", "z", "y"]}
+    )
+    for parts in (1, 4):
+        got = (
+            grouped_mode(rd.from_pandas(df).repartition(parts), "k", "v")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(got["v_mode"]) == ["a", "y"]
+        assert list(got["mode_count"]) == [2, 2]
+
+
+def test_key_profile_exact(events):
+    """key_profile totals and top-k match a pandas ground truth, including
+    the count-desc/key-asc boundary tie-break."""
+    from recon_ray.functions.relational import key_profile
+
+    pdf = events.to_pandas()
+    prof = key_profile(events.select_columns(["user_id"]), "user_id", k=7)
+    assert prof["n_rows"] == len(pdf)
+    assert prof["n_keys"] == pdf["user_id"].nunique()
+    want = (
+        pdf.groupby("user_id").size().rename("count").reset_index()
+        .sort_values(["count", "user_id"], ascending=[False, True],
+                     kind="mergesort").head(7).reset_index(drop=True)
+    )
+    assert list(prof["top"]["user_id"]) == list(want["user_id"])
+    assert list(prof["top"]["count"]) == list(want["count"])
+    assert (prof["top"]["share_ppm"]
+            == prof["top"]["count"] * 1_000_000 // len(pdf)).all()
+
+
+def test_dsir_weights_semantics(docs):
+    """DSIR: (a) weights match a hand computation of the add-1 smoothed
+    log-ratio rule on a tiny corpus; (b) on real docs, the mean weight of
+    target-language docs exceeds the mean weight of the rest."""
+    import math
+
+    from recon_ray.functions.dsir import make_dsir_scorer, train_dsir
+
+    tiny = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["apple apple pie", "apple tart", "rust iron ore"],
+         "lang": ["en", "en", "xx"]}
+    )
+    model = train_dsir(
+        rd.from_pandas(tiny).repartition(2), lambda b: b["lang"] == "en"
+    )
+    v, n_raw, n_tgt = model["V"], model["n_raw"], model["n_target"]
+    assert (v, n_raw, n_tgt) == (6, 8, 5)
+
+    def lr(w, ct, cr):
+        return math.log((ct + 1) / (n_tgt + v)) - math.log(
+            (cr + 1) / (n_raw + v))
+
+    np.testing.assert_allclose(model["lr"]["apple"], lr("apple", 3, 3))
+    np.testing.assert_allclose(model["lr"]["rust"], lr("rust", 0, 1))
+    got = (
+        rd.from_pandas(tiny)
+        .map_batches(make_dsir_scorer(model), batch_format="pandas")
+        .to_pandas().sort_values("doc_id")
+    )
+    # doc 0 = "apple apple pie"
+    w0 = 2 * model["lr"]["apple"] + model["lr"]["pie"]
+    np.testing.assert_allclose(got["dsir_weight"].iloc[0], round(w0, 6))
+    assert list(got["n_words"]) == [3, 2, 3]
+
+    real = rd.read_parquet(f"{SF}/documents.parquet")
+    m = train_dsir(real, lambda b: b["lang"] == "en")
+    scored = (
+        real.map_batches(make_dsir_scorer(m), batch_format="pandas")
+        .to_pandas()
+        .merge(real.to_pandas()[["doc_id", "lang"]], on="doc_id")
+    )
+    en = scored.loc[scored["lang"] == "en", "dsir_weight"].mean()
+    rest = scored.loc[scored["lang"] != "en", "dsir_weight"].mean()
+    assert en > rest
