@@ -408,3 +408,58 @@ def count_min_estimate(sketch: dict, values) -> pd.DataFrame:
         idx = ((h * seeds[d]) % width).astype(np.int64)
         est = np.minimum(est, mat[d, idx])
     return pd.DataFrame({"value": vals, "estimate": est})
+
+
+def _bloom_positions(h: np.ndarray, k: int, m: int) -> np.ndarray:
+    """k bit positions per input hash via double hashing (Kirsch &
+    Mitzenmacher 2006): pos_i = (h1 + i·h2) mod m — shape (len(h), k)."""
+    h1 = h
+    h2 = _hash64(h ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m)).astype(np.int64)
+
+
+def bloom_partials(ds, col: str, m_bits: int = 1 << 20, k: int = 7) -> dict:
+    """Bloom filter of ``ds[col]`` as a mergeable partial: each batch
+    emits ONE packed bit array (m_bits/8 bytes); partials merge by
+    bitwise OR, so the reduce is exact, order-free, and sized by the
+    filter, never by the input. Guarantee: NO false negatives; false
+    positives at rate ≈ (1 - e^{-kn/m})^k. Use m_bits ≈ 10·n and k=7 for
+    ~1% FPR. The filter ships to workers via ``ray.put`` for membership
+    stages (decontamination / semi-join pre-filters at scale)."""
+    m = int(m_bits)
+    nbytes = (m + 7) // 8
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"bits": [], "n": []})
+        pos = _bloom_positions(_col_hashes(batch, col), k, m).ravel()
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+        return pd.DataFrame({"bits": [bits.tobytes()], "n": [len(batch)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    n = 0
+    for b, bn in zip(parts["bits"], parts["n"]):
+        bits |= np.frombuffer(b, dtype=np.uint8)
+        n += int(bn)
+    return {"bits": bits, "m": m, "k": k, "n": n}
+
+
+def bloom_contains(sketch: dict, values) -> pd.DataFrame:
+    """Membership probe: True ⇒ maybe present (FP possible), False ⇒
+    DEFINITELY absent. Vectorized over the probe list."""
+    vals = list(values)
+    if not vals:
+        return pd.DataFrame({"value": [], "present": []})
+    if all(isinstance(v, (int, np.integer)) for v in vals):
+        h = _hash64(np.asarray(vals, dtype=np.int64))
+    else:
+        h = _hash_strings(vals)
+    pos = _bloom_positions(h, sketch["k"], sketch["m"])
+    bits = sketch["bits"]
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return pd.DataFrame({"value": vals, "present": hit.all(axis=1)})

@@ -3070,6 +3070,221 @@ ORDER BY w.doc_id
 """
 
 
+
+def q_events_props_k_by_type(sf_dir: str):
+    """JSON column extraction (functions/jsonx.py): parse the props JSON
+    string into a typed int column in a streaming stage, then a combiner
+    groupby. Oracle = DuckDB json_extract over the same payloads."""
+    from recon_ray.functions.jsonx import json_extract_cols
+
+    ev = json_extract_cols(
+        _t(sf_dir, "events").select_columns(["event_type", "props"]),
+        "props", {"k": "int64"},
+    )
+    g = grouped_agg(ev, "event_type", {"k": ["sum", "max", "count"]})
+    out = pd.DataFrame(
+        {"event_type": g["event_type"],
+         "k_sum": g["k_sum"].astype("int64"),
+         "k_max": g["k_max"].astype("int64"),
+         "n": g["k_count"].astype("int64")}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_PROPS_K = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_max,
+       count(json_extract_string(props, '$.k'))::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q12_priority_by_linestatus(sf_dir: str):
+    """TPC-H Q12 shape: per-(orderkey, linestatus) lineitem counts
+    pre-aggregate in a combiner (keys-sized table), THEN the large-large
+    hash join with orders, then conditional high/low-priority sums — the
+    join never moves raw lineitem rows, only pair counts."""
+    from ray.data.aggregate import Sum
+
+    from recon_ray.functions.relational import shuffle_join
+
+    li = (
+        _t(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_linestatus"])
+        .map_batches(
+            lambda b: b.groupby(["l_orderkey", "l_linestatus"], sort=False)
+            .size().rename("__c").reset_index(),
+            batch_format="pandas",
+        )
+        .groupby(["l_orderkey", "l_linestatus"])
+        .aggregate(Sum("__c", alias_name="__c"))
+    )
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"]
+    )
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame(
+            {"l_linestatus": b["l_linestatus"],
+             "high_count": b["__c"].where(hi, 0),
+             "low_count": b["__c"].where(~hi, 0)}
+        )
+
+    g = grouped_agg(
+        j.map_batches(split, batch_format="pandas"),
+        "l_linestatus", {"high_count": ["sum"], "low_count": ["sum"]},
+    )
+    out = pd.DataFrame(
+        {"l_linestatus": g["l_linestatus"],
+         "high_count": g["high_count_sum"].astype("int64"),
+         "low_count": g["low_count_sum"].astype("int64")}
+    )
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       count(*) FILTER (o_orderpriority IN ('1-URGENT','2-HIGH'))::BIGINT
+         AS high_count,
+       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT','2-HIGH'))::BIGINT
+         AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q14_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: broadcast the part dimension into lineitem,
+    integer-cent revenue split by p_type = 'PROMO'; the share divides two
+    exact int64 sums, so the ratio is bit-identical to the oracle."""
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    part = _pdf(sf_dir, "part")[["p_partkey", "p_type"]]
+    j = broadcast_join(li, part, on="l_partkey", small_on="p_partkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = _add_revenue_part(t)
+        promo = pc.equal(t.column("p_type"), pa.scalar("PROMO"))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {"promo_part": pc.if_else(promo, t.column("revenue_part"), zero),
+             "revenue_part": t.column("revenue_part")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    g = j.map_batches(rev, batch_format="pyarrow").aggregate(
+        Sum("promo_part", alias_name="promo_part_sum"),
+        Sum("revenue_part", alias_name="revenue_part_sum"),
+    )
+    promo_c = int(g["promo_part_sum"])
+    total_c = int(g["revenue_part_sum"])
+    return pd.DataFrame(
+        {"promo_revenue": [round(promo_c / 10000.0, 2)],
+         "total_revenue": [round(total_c / 10000.0, 2)],
+         "promo_share_pct": [round(100.0 * promo_c / total_c, 6)]}
+    )
+
+
+ORACLE_Q14 = """
+WITH r AS (
+  SELECT CASE WHEN p_type = 'PROMO'
+              THEN round(l_extendedprice * 100)::BIGINT
+                   * (100 - round(l_discount * 100)::BIGINT) ELSE 0 END
+           AS promo_part,
+         round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT) AS revenue_part
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT round(sum(promo_part) / 10000.0, 2) AS promo_revenue,
+       round(sum(revenue_part) / 10000.0, 2) AS total_revenue,
+       round(100.0 * sum(promo_part) / sum(revenue_part), 6)
+         AS promo_share_pct
+FROM r
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (group-HAVING + join chain): per-order quantity
+    sums pre-aggregate in a combiner, the HAVING filter prunes to the
+    few large orders BEFORE any join, then the orders/customer dims
+    broadcast in. Top-100 by (o_totalprice desc, o_orderkey asc)."""
+    from ray.data.aggregate import Sum
+
+    qty = (
+        _t(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda b: b.groupby("l_orderkey", sort=False)["l_quantity"]
+            .sum().rename("sum_qty").reset_index(),
+            batch_format="pandas",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .filter(expr="sum_qty > 200")
+    )
+    dim = (
+        _pdf(sf_dir, "orders")[
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ]
+        .merge(
+            _pdf(sf_dir, "customer")[["c_custkey", "c_name"]],
+            left_on="o_custkey", right_on="c_custkey",
+        )
+    )
+    j = broadcast_join(qty, dim, on="l_orderkey", small_on="o_orderkey")
+    out = j.to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(100)
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+         "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(l_quantity) > 200
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_events_user_bloom(sf_dir: str):
+    """Bloom membership (functions.sketches.bloom_partials, OR-merged
+    per-batch bit arrays): probe user_ids 0-9, all present in every
+    scale's events table — the no-false-negative guarantee makes every
+    answer exactly True, so the probe IS hash-oracled (the FPR side is
+    pytest-bounded on absent probes)."""
+    from recon_ray.functions.sketches import bloom_contains, bloom_partials
+
+    sk = bloom_partials(
+        _t(sf_dir, "events").select_columns(["user_id"]), "user_id"
+    )
+    out = bloom_contains(sk, list(range(10)))
+    out = out.rename(columns={"value": "user_id"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["present"] = out["present"].astype(bool)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_USER_BLOOM = """
+SELECT DISTINCT user_id, true AS present
+FROM events WHERE user_id BETWEEN 0 AND 9 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3104,6 +3319,11 @@ QUERIES = {
     "q_events_type_cms": q_events_type_cms,
     "q_events_user_skew": q_events_user_skew,
     "doc_dsir_weights": doc_dsir_weights,
+    "q_events_props_k_by_type": q_events_props_k_by_type,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q18_large_orders": q18_large_orders,
+    "q_events_user_bloom": q_events_user_bloom,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3310,6 +3530,11 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_type_cms": ORACLE_EVENTS_TYPE_CMS,
         "q_events_user_skew": ORACLE_EVENTS_USER_SKEW,
         "doc_dsir_weights": ORACLE_DOC_DSIR,
+        "q_events_props_k_by_type": ORACLE_EVENTS_PROPS_K,
+        "q12_priority_by_linestatus": ORACLE_Q12,
+        "q14_promo_revenue_share": ORACLE_Q14,
+        "q18_large_orders": ORACLE_Q18,
+        "q_events_user_bloom": ORACLE_EVENTS_USER_BLOOM,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

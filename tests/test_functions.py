@@ -1270,3 +1270,47 @@ def test_dsir_weights_semantics(docs):
     en = scored.loc[scored["lang"] == "en", "dsir_weight"].mean()
     rest = scored.loc[scored["lang"] != "en", "dsir_weight"].mean()
     assert en > rest
+
+
+def test_json_extract_dirty_payloads():
+    """Malformed JSON, missing fields, nulls, and wrong-typed values all
+    degrade to NULL — never a task failure."""
+    from recon_ray.functions.jsonx import json_extract_cols
+
+    df = pd.DataFrame(
+        {"id": [0, 1, 2, 3, 4, 5],
+         "props": ['{"k": 7, "s": "x"}', '{"s": "y"}', "not json",
+                   None, '{"k": "12"}', '[1,2]']}
+    )
+    got = (
+        json_extract_cols(
+            rd.from_pandas(df).repartition(3), "props",
+            {"k": "int64", "s": "string"},
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["k"].tolist()[0] == 7
+    assert got["k"].tolist()[4] == 12          # "12" coerces
+    assert got["k"].isna().tolist() == [False, True, True, True, False, True]
+    assert got["s"].tolist()[:2] == ["x", "y"]
+    assert "props" not in got.columns
+
+
+def test_bloom_guarantees(events):
+    """No false negatives ever; FPR on absent probes under 4× the design
+    bound; OR-merge is layout-invariant."""
+    from recon_ray.functions.sketches import bloom_contains, bloom_partials
+
+    present = events.to_pandas()["user_id"].unique()
+    sk = bloom_partials(events, "user_id", m_bits=1 << 14, k=7)
+    assert sk["n"] == events.count()
+    got = bloom_contains(sk, list(present))
+    assert got["present"].all()                 # guarantee, not luck
+    absent = np.arange(1_000_000, 1_010_000)
+    fp = bloom_contains(sk, list(absent))["present"].mean()
+    n, m, k = len(present), 1 << 14, 7
+    bound = (1 - np.exp(-k * n / m)) ** k
+    assert fp <= max(4 * bound, 0.004)
+    sk2 = bloom_partials(events.repartition(13), "user_id",
+                         m_bits=1 << 14, k=7)
+    assert (sk["bits"] == sk2["bits"]).all()
