@@ -853,3 +853,145 @@ def key_profile(
     top["count"] = top["count"].astype("int64")
     top["share_ppm"] = top["count"] * 1_000_000 // max(n_rows, 1)
     return {"n_rows": n_rows, "n_keys": n_keys, "top": top}
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    on: Union[str, list[str]],
+    right_on: Optional[Union[str, list[str]]] = None,
+    how: str = "inner",
+    hot_share_ppm: int = 50_000,
+    max_hot_keys: int = 64,
+    num_partitions: Optional[int] = None,
+):
+    """Skew-aware large-large join. A plain hash join sends every row of
+    a hot key to ONE partition — at 100 TB one worker gets the mega-key
+    while the rest idle. This operator:
+
+    1. profiles the LEFT key histogram (`key_profile`: combiner pass,
+       shuffle sized by distinct keys) and takes as HOT the top
+       ``max_hot_keys`` keys holding ≥ ``hot_share_ppm`` of rows;
+    2. routes hot-key left rows through a BROADCAST join against the
+       hot slice of the right side (hot slice ships via ``ray.put``
+       once; hot left rows never shuffle, they stay where they are);
+    3. routes the cold remainder through the ordinary hash
+       `shuffle_join`, now free of the stragglers;
+    4. unions the two outputs (same column convention: right-side
+       collisions suffixed ``_r``).
+
+    Partitioning assumption (documented per SURVEY §2.5(c)): each hot
+    key's RIGHT-side match set is broadcastable — true for dimension
+    or pre-aggregated right sides, the shapes where skew joins apply.
+    ``how`` ∈ {"inner", "left_outer"}. With no hot keys this is exactly
+    `shuffle_join`.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"skew_join supports inner/left_outer, got {how!r}")
+    on_ = [on] if isinstance(on, str) else list(on)
+    r_on = (
+        on_ if right_on is None
+        else [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    prof = key_profile(left_ds.select_columns(on_), on_, k=max_hot_keys)
+    top = prof["top"]
+    hot = top[top["share_ppm"] >= hot_share_ppm]
+    if hot.empty:
+        return shuffle_join(left_ds, right_ds, on=on, right_on=right_on,
+                            how=how, num_partitions=num_partitions)
+    hot_keys = set(map(tuple, hot[on_].itertuples(index=False)))
+    ref = ray.put(hot_keys)
+
+    def side(keep: bool, cols: list[str]):
+        # Arrow-native filter: a 0-row Arrow table KEEPS its schema, so
+        # an all-hot (or all-cold) corpus still presents typed blocks to
+        # the downstream hash join.
+        def f(t: pa.Table) -> pa.Table:
+            ks = _get_broadcast(ref)
+            key_rows = zip(*(t.column(c).to_pylist() for c in cols))
+            mask = np.fromiter(
+                (row in ks for row in key_rows), dtype=bool, count=len(t)
+            )
+            return t.filter(pa.array(mask if keep else ~mask))
+        return f
+
+    left_hot = left_ds.map_batches(
+        side(True, on_), batch_format="pyarrow")
+    left_cold = left_ds.map_batches(
+        side(False, on_), batch_format="pyarrow")
+    right_hot_slice = right_ds.map_batches(
+        side(True, r_on), batch_format="pyarrow").to_pandas()
+
+    pandas_how = "inner" if how == "inner" else "left"
+    hot_ref = ray.put(right_hot_slice)
+
+    def hot_join(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = _get_broadcast(hot_ref)
+        return batch.merge(sm, left_on=on_, right_on=r_on,
+                           how=pandas_how, suffixes=("", "_r"))
+
+    hot_out = left_hot.map_batches(hot_join, batch_format="pandas")
+    if int(hot["count"].sum()) >= prof["n_rows"]:
+        # the profile proves every left row is hot — no cold side exists
+        # (Ray's hash join cannot take a fully-empty left input anyway)
+        return hot_out
+    cold_out = shuffle_join(left_cold, right_ds, on=on, right_on=right_on,
+                            how=how, num_partitions=num_partitions)
+    return hot_out.union(cold_out)
+
+
+def bloom_semi_join(
+    big_ds,
+    key_ds,
+    on: Union[str, list[str]],
+    key_on: Optional[str] = None,
+    m_bits: int = 1 << 22,
+    k: int = 7,
+    exact: bool = True,
+    num_partitions: Optional[int] = None,
+):
+    """Semi-join ``big_ds`` against a key set that is itself a Dataset too
+    large for an exact driver-side set. Two stages:
+
+    1. build a Bloom filter of the keys (distributed per-batch bit
+       arrays, OR-merged — the driver holds m_bits/8 bytes, never the
+       keys) and pre-filter ``big_ds`` inside `map_batches`: definite
+       non-members drop immediately, so only the ~match-sized survivor
+       stream continues;
+    2. ``exact=True`` (default) removes the Bloom false positives with a
+       hash semi-join of the survivors against the distinct keys — the
+       shuffle now moves the survivor slice, not the full input.
+       ``exact=False`` keeps the superset (documented FPR
+       ≈ (1-e^{-kn/m})^k) for pipelines that tolerate it.
+
+    Single-column keys only (compose a struct/concat column upstream for
+    multi-key semantics)."""
+    from recon_ray.functions.sketches import bloom_partials, _bloom_positions, _col_hashes
+
+    on_col = on if isinstance(on, str) else on[0]
+    if not isinstance(on, str) and len(on) > 1:
+        raise ValueError("bloom_semi_join takes a single key column")
+    kc = key_on or on_col
+    sk = bloom_partials(key_ds.select_columns([kc]), kc, m_bits=m_bits, k=k)
+    bits_ref = ray.put(sk["bits"])
+    m = sk["m"]
+
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = _get_broadcast(bits_ref)
+        if len(batch) == 0:
+            return batch
+        pos = _bloom_positions(_col_hashes(batch, on_col), k, m)
+        hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        return batch[hit]
+
+    maybe = big_ds.map_batches(prefilter, batch_format="pandas")
+    if not exact:
+        return maybe
+    keys = distinct(key_ds.select_columns([kc]), kc)
+    if kc != on_col:
+        keys = keys.map_batches(
+            lambda b: b.rename(columns={kc: on_col}), batch_format="pandas"
+        )
+    out = shuffle_join(maybe, keys, on=on_col, how="inner",
+                       num_partitions=num_partitions)
+    return out

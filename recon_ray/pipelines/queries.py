@@ -1285,6 +1285,40 @@ def kg_components(sf_dir: str):
     return graph_components(_kg(sf_dir)["canonical_ds"])
 
 
+
+def kg_calls_2hop(sf_dir: str):
+    """2-hop call closure over the canonical triple graph: (f, g) and
+    (g, h) call edges compose into (f, calls2, h) with the number of
+    distinct middle functions as the path count. Executed as the edge
+    table hash-joined with itself on the middle key (one shuffle keyed
+    by function id), then a pre-aggregated pair count — the standard
+    distributed shape for bounded-depth closures (each extra hop is one
+    more self-join, never a driver loop over rows)."""
+    from recon_ray.functions.relational import shuffle_join
+
+    edges = (
+        _kg(sf_dir)["canonical_ds"]
+        .filter(expr="pred == 'calls'")
+        .select_columns(["subj", "obj"])
+    )
+    right = edges.map_batches(
+        lambda b: b.rename(columns={"subj": "mid", "obj": "callee"}),
+        batch_format="pandas",
+    )
+    paths = shuffle_join(edges, right, on="obj", right_on="mid")
+    out = group_count(
+        paths.map_batches(
+            lambda b: b.rename(columns={"subj": "caller"})[
+                ["caller", "callee"]
+            ],
+            batch_format="pandas",
+        ),
+        ["caller", "callee"], alias="n_paths",
+    )
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values(["caller", "callee"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents-table queries (text analysis + dedup)
 # ---------------------------------------------------------------------------
@@ -3285,6 +3319,103 @@ FROM events WHERE user_id BETWEEN 0 AND 9 ORDER BY 1
 """
 
 
+
+def q_events_above_type_mean(sf_dir: str):
+    """Skew-aware join (functions.relational.skew_join): every event_type
+    holds ~20% of rows, so ALL keys profile as hot and the join runs
+    entirely on the broadcast path — no hot key ever crosses a shuffle
+    (the cold path handles the long tail when one exists). Above-mean is
+    decided by the exact integer rule value_cents·n > sum_cents, so the
+    boundary can't flip between engines."""
+    from ray.data.aggregate import Count, Sum
+
+    from recon_ray.functions.relational import skew_join
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("value_c", _cents_arrow(t.column("value")))
+
+    evc = ev.map_batches(cents, batch_format="pyarrow")
+    stats = (
+        evc.groupby("event_type")
+        .aggregate(Sum("value_c", alias_name="sum_c"),
+                   Count(alias_name="n"))
+        .map_batches(
+            lambda b: b.rename(columns={"event_type": "t_type"}),
+            batch_format="pandas",
+        )
+    )
+    j = skew_join(evc, stats, on="event_type", right_on="t_type",
+                  hot_share_ppm=50_000)
+
+    def above(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["value_c"].astype("int64") * b["n"].astype("int64") \
+             > b["sum_c"].astype("int64")
+        return pd.DataFrame(
+            {"event_type": b["event_type"],
+             "above": hi.astype("int64"),
+             "one": np.ones(len(b), dtype="int64")}
+        )
+
+    g = grouped_agg(j.map_batches(above, batch_format="pandas"),
+                    "event_type", {"above": ["sum"], "one": ["sum"]})
+    out = pd.DataFrame(
+        {"event_type": g["event_type"],
+         "n_above_mean": g["above_sum"].astype("int64"),
+         "n_events": g["one_sum"].astype("int64")}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_ABOVE_TYPE_MEAN = """
+WITH c AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS value_c
+  FROM events
+),
+s AS (
+  SELECT event_type, sum(value_c) AS sum_c, count(*) AS n
+  FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       count(*) FILTER (c.value_c * s.n > s.sum_c)::BIGINT AS n_above_mean,
+       count(*)::BIGINT AS n_events
+FROM c JOIN s USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+
+def doc_editdist_pairs(sf_dir: str):
+    """Fuzzy (edit-distance) near-duplicate pairs
+    (functions.dedup.edit_distance_pairs): bounded byte-level Levenshtein
+    over 48-char text keys, blocked by (lang, 8-char prefix) — the
+    blocking rule is exact and replayed verbatim by the SQL oracle, and
+    the DP is byte-identical to DuckDB's levenshtein."""
+    from recon_ray.functions.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text", "lang"]),
+        text_col="text", id_col="doc_id", group_col="lang",
+        key_len=48, block_len=8, max_dist=5,
+    )
+
+
+ORACLE_DOC_EDITDIST = """
+WITH k AS (
+  SELECT doc_id, lang, substr(text, 1, 48) AS key,
+         substr(text, 1, 8) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key)::BIGINT AS dist
+FROM k a JOIN k b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 5
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3324,6 +3455,8 @@ QUERIES = {
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q18_large_orders": q18_large_orders,
     "q_events_user_bloom": q_events_user_bloom,
+    "q_events_above_type_mean": q_events_above_type_mean,
+    "doc_editdist_pairs": doc_editdist_pairs,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3349,6 +3482,7 @@ QUERIES = {
     "kg_token_alignment": kg_token_alignment,
     "kg_triple_score": kg_triple_score,
     "kg_degrees": kg_degrees,
+    "kg_calls_2hop": kg_calls_2hop,
     "kg_pagerank": kg_pagerank,
     "kg_components": kg_components,
     # documents
@@ -3443,6 +3577,14 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             f"SELECT subj AS caller, obj AS callee, n_mentions FROM "
             f"read_parquet('{g_can}') WHERE pred='calls' ORDER BY caller, callee"
         ),
+        "kg_calls_2hop": (
+            f"WITH e AS (SELECT subj, obj FROM read_parquet('{g_can}') "
+            f"WHERE pred='calls') "
+            f"SELECT a.subj AS caller, b.obj AS callee, "
+            f"count(*)::BIGINT AS n_paths "
+            f"FROM e a JOIN e b ON a.obj = b.subj "
+            f"GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "kg_defines": (
             f"SELECT subj AS file, obj AS function FROM read_parquet('{g_can}') "
             f"WHERE pred='defines' ORDER BY file, function"
@@ -3535,6 +3677,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q14_promo_revenue_share": ORACLE_Q14,
         "q18_large_orders": ORACLE_Q18,
         "q_events_user_bloom": ORACLE_EVENTS_USER_BLOOM,
+        "q_events_above_type_mean": ORACLE_EVENTS_ABOVE_TYPE_MEAN,
+        "doc_editdist_pairs": ORACLE_DOC_EDITDIST,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

@@ -1314,3 +1314,81 @@ def test_bloom_guarantees(events):
     sk2 = bloom_partials(events.repartition(13), "user_id",
                          m_bits=1 << 14, k=7)
     assert (sk["bits"] == sk2["bits"]).all()
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_skew_join_equals_pandas(how):
+    """skew_join on a zipf-skewed key (one key = 60% of rows) returns
+    exactly the pandas merge, for inner and left_outer, with hot AND
+    cold paths both populated; and with no hot keys it degrades to the
+    plain shuffle join."""
+    from recon_ray.functions.relational import skew_join
+
+    rng = np.random.RandomState(7)
+    keys = np.concatenate(
+        [np.zeros(600, dtype=np.int64),                  # hot key 0
+         rng.randint(1, 50, size=400).astype(np.int64)]  # cold tail
+    )
+    left = pd.DataFrame({"k": keys, "x": np.arange(1000, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 40, dtype=np.int64),
+         "y": np.arange(0, 40, dtype=np.int64) * 10}
+    )
+    got = (
+        skew_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            on="k", right_on="rk", how=how,
+            hot_share_ppm=100_000, max_hot_keys=4,
+        )
+        .to_pandas()
+    )
+    want = left.merge(
+        right, left_on="k", right_on="rk",
+        how="inner" if how == "inner" else "left",
+    )
+    key = lambda df: df.sort_values(["k", "x"]).reset_index(drop=True)
+    got = key(got[["k", "x", "y"]])
+    want = key(want[["k", "x", "y"]])
+    pd.testing.assert_frame_equal(
+        got.astype({"y": "float64"}), want.astype({"y": "float64"})
+    )
+
+
+def test_bloom_semi_join_equals_exact(events):
+    """bloom_semi_join(exact=True) returns exactly the rows whose key is
+    in the key Dataset; exact=False returns a superset of them."""
+    from recon_ray.functions.relational import bloom_semi_join
+
+    keys = rd.from_pandas(
+        pd.DataFrame({"user_id": np.array([1, 3, 5, 7, 1], dtype=np.int64)})
+    ).repartition(2)
+    got = bloom_semi_join(events, keys, on="user_id").to_pandas()
+    pdf = events.to_pandas()
+    want = pdf[pdf["user_id"].isin([1, 3, 5, 7])]
+    assert len(got) == len(want)
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
+    loose = bloom_semi_join(events, keys, on="user_id",
+                            exact=False).to_pandas()
+    assert set(want["event_id"]) <= set(loose["event_id"])
+
+
+def test_edit_distance_pairs_vs_duckdb(docs, con):
+    """Distributed fuzzy pairs == DuckDB self-join replaying the exact
+    blocking + byte-level levenshtein rule."""
+    from recon_ray.functions.dedup import edit_distance_pairs
+
+    got = edit_distance_pairs(docs, group_col="lang")
+    want = con.execute(
+        """WITH k AS (SELECT doc_id, lang, substr(text,1,48) AS key,
+                             substr(text,1,8) AS blk FROM documents)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  levenshtein(a.key, b.key)::BIGINT AS dist
+           FROM k a JOIN k b ON a.lang=b.lang AND a.blk=b.blk
+                            AND a.doc_id < b.doc_id
+           WHERE levenshtein(a.key, b.key) <= 5 ORDER BY 1, 2"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"}),
+        want.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"}),
+    )
