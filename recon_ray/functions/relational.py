@@ -474,7 +474,8 @@ def window_over(
     )
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     kinds = {"row_number", "rank", "dense_rank", "running_sum",
-             "running_min", "running_max", "lag", "lead"}
+             "running_min", "running_max", "lag", "lead", "percent_rank",
+             "ntile"}
     for kind, _col, _out in specs:
         if kind not in kinds:
             raise ValueError(f"unknown window kind {kind!r}")
@@ -482,7 +483,9 @@ def window_over(
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(part_cols + order_cols, kind="mergesort")
         grp = g.groupby(part_cols, sort=False)
-        need_rank = any(k in ("rank", "dense_rank") for k, _c, _o in specs)
+        need_rank = any(
+            k in ("rank", "dense_rank", "percent_rank") for k, _c, _o in specs
+        )
         if need_rank:
             # a tie run = consecutive rows equal on (partition, order)
             keyed = g[part_cols + order_cols]
@@ -512,6 +515,27 @@ def window_over(
                 out[name] = grp[col].shift(1)
             elif kind == "lead":
                 out[name] = grp[col].shift(-1)
+            elif kind == "percent_rank":
+                # SQL PERCENT_RANK(): (rank-1)/(n-1), 0.0 for n == 1
+                r = rn.groupby(run_id).transform("first")
+                n = grp[order_cols[0]].transform("size").astype("int64")
+                out[name] = np.where(n > 1, (r - 1) / (n - 1).clip(lower=1),
+                                     0.0)
+            elif kind == "ntile":
+                # SQL NTILE(col): col is the tile count; the first
+                # (n mod t) tiles get the extra row
+                t = int(col)
+                idx = grp.cumcount().astype("int64")
+                n = grp[order_cols[0]].transform("size").astype("int64")
+                base_sz, extra = n // t, n % t
+                big_span = (base_sz + 1) * extra
+                in_big = idx < big_span
+                out[name] = np.where(
+                    in_big,
+                    idx // np.maximum(base_sz + 1, 1) + 1,
+                    extra + (idx - big_span)
+                    // np.maximum(base_sz, 1) + 1,
+                ).astype("int64")
         return g.assign(**out)
 
     return bucketed_group_apply(ds, part_cols, bucket_fn, n_buckets=n_buckets)
@@ -995,3 +1019,46 @@ def bloom_semi_join(
     out = shuffle_join(maybe, keys, on=on_col, how="inner",
                        num_partitions=num_partitions)
     return out
+
+
+def merge_upsert(
+    base_ds,
+    updates_ds,
+    key: Union[str, list[str]],
+    version_col: Optional[str] = None,
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """Warehouse MERGE / upsert: one output row per key — an update row
+    replaces the base row with the same key; unmatched updates insert;
+    unmatched base rows survive. With ``version_col``, the highest
+    version wins WITHIN each side first (dup-tolerant inputs); updates
+    always beat base at equal key (ties inside a side break by highest
+    version, then the side tag).
+
+    Scale shape: tag each side (base=0, updates=1), union — one hash
+    shuffle on the key — then a vectorized per-bucket argmax
+    (`bucketed_group_apply`: Python calls bounded by n_buckets, never by
+    distinct keys). Nothing materializes on the driver."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+
+    def tag(v: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__src"] = np.int8(v)
+            return batch
+        return f
+
+    both = base_ds.map_batches(tag(0), batch_format="pandas").union(
+        updates_ds.map_batches(tag(1), batch_format="pandas")
+    )
+    order_cols = ["__src"] + ([version_col] if version_col else [])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            keys_ + order_cols,
+            ascending=[True] * len(keys_) + [False] * len(order_cols),
+            kind="mergesort",
+        )
+        return g.drop_duplicates(subset=keys_).drop(columns="__src")
+
+    return bucketed_group_apply(both, keys_, pick, n_buckets=n_buckets)

@@ -363,3 +363,48 @@ def normalize_text(ds, text_col: str = "text", lowercase: bool = True,
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def dictionary_tag(
+    ds,
+    keywords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dictionary / gazetteer tagging — the EntityRecognizer-family
+    pattern (reference recon/recognizer.py predicts spans from a model;
+    here the "model" is a keyword dictionary): per (doc, keyword)
+    non-overlapping occurrence counts, rows only where count > 0.
+
+    Scale shape: the dictionary broadcasts once (``ray.put``, cached per
+    worker); each batch runs one C-speed vectorized ``str.count`` pass
+    per keyword (keywords are column-parallel, documents are
+    row-parallel — fine for dictionaries up to ~10⁴ entries; beyond
+    that, swap the inner loop for an Aho-Corasick automaton without
+    touching the stage contract). Counting is per-keyword independent
+    substring matching (no cross-keyword shadowing) — the exact rule a
+    SQL replace-length oracle replays."""
+    import re as _re
+
+    import ray as _ray
+
+    kw_ref = _ray.put(sorted(set(keywords)))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        kws = _ray.get(kw_ref) if isinstance(kw_ref, _ray.ObjectRef) else kw_ref
+        texts = batch[text_col].astype(str)
+        ids, out_kw, counts = [], [], []
+        for kw in kws:
+            c = texts.str.count(_re.escape(kw)).astype("int64")
+            hit = c > 0
+            if hit.any():
+                ids.extend(batch[id_col][hit].tolist())
+                out_kw.extend([kw] * int(hit.sum()))
+                counts.extend(c[hit].tolist())
+        return pd.DataFrame(
+            {id_col: pd.Series(ids, dtype="int64"),
+             "keyword": pd.Series(out_kw, dtype="object"),
+             "n_hits": pd.Series(counts, dtype="int64")}
+        )
+
+    return ds.map_batches(tag, batch_format="pandas")

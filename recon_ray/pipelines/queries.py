@@ -3416,6 +3416,154 @@ ORDER BY 1, 2
 """
 
 
+
+def q_orders_merge_upsert(sf_dir: str):
+    """MERGE / upsert (functions.relational.merge_upsert): updates
+    replace matched base rows, unmatched updates insert, survivors pass
+    through — derived deterministically from orders (keys %7 update with
+    +1000 price, keys %13 insert under key+10M), then a grouped checksum
+    of the merged table. One key shuffle + bucketed argmax; the oracle
+    replays the precedence with a row_number window over the union."""
+    from recon_ray.functions.relational import merge_upsert
+
+    base = _t(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def mk_updates(b: pd.DataFrame) -> pd.DataFrame:
+        upd = b[b["o_orderkey"] % 7 == 0].copy()
+        upd["o_totalprice"] = upd["o_totalprice"] + 1000.0
+        ins = b[b["o_orderkey"] % 13 == 0].copy()
+        ins["o_orderkey"] = ins["o_orderkey"] + 10_000_000
+        return pd.concat([upd, ins], ignore_index=True)
+
+    updates = base.map_batches(mk_updates, batch_format="pandas")
+    merged = merge_upsert(base, updates, key="o_orderkey")
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderstatus": b["o_orderstatus"],
+             "price_c": _cents(b["o_totalprice"])}
+        )
+
+    g = grouped_agg(merged.map_batches(cents, batch_format="pandas"),
+                    "o_orderstatus", {"price_c": ["sum", "count"]})
+    out = pd.DataFrame(
+        {"o_orderstatus": g["o_orderstatus"],
+         "n_orders": g["price_c_count"].astype("int64"),
+         "total_price": (g["price_c_sum"] / 100.0).round(2)}
+    )
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+ORACLE_ORDERS_MERGE_UPSERT = """
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+u AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS src FROM updates
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+),
+m AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY src DESC) AS rn
+  FROM u
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2)
+         AS total_price
+FROM m WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_lineitem_price_tiles(sf_dir: str):
+    """NTILE + PERCENT_RANK window kinds (functions.relational.
+    window_over): quartile tiles of extended price within each return
+    flag under a total order, summarized per (flag, tile). One hash
+    shuffle, vectorized per-bucket kernels."""
+    from recon_ray.functions.relational import window_over
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    w = window_over(
+        li, "l_returnflag",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [("ntile", "4", "tile"), ("percent_rank", None, "pr")],
+    )
+    g = grouped_agg(w, ["l_returnflag", "tile"],
+                    {"pr": ["max", "count"]})
+    out = pd.DataFrame(
+        {"l_returnflag": g["l_returnflag"],
+         "tile": g["tile"].astype("int64"),
+         "n_rows": g["pr_count"].astype("int64"),
+         "max_pr": g["pr_max"].round(6)}
+    )
+    return out.sort_values(["l_returnflag", "tile"]).reset_index(drop=True)
+
+
+ORACLE_LINEITEM_PRICE_TILES = """
+WITH w AS (
+  SELECT l_returnflag,
+         ntile(4) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey,
+                                 l_linenumber) AS tile,
+         percent_rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey,
+                                       l_linenumber) AS pr
+  FROM lineitem
+)
+SELECT l_returnflag, tile, count(*)::BIGINT AS n_rows,
+       round(max(pr), 6) AS max_pr
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+KEYWORD_DICT = ["batch", "data", "merge", "spark window", "vector"]
+
+
+def doc_keyword_tags(sf_dir: str):
+    """Dictionary / gazetteer tagging (functions.text.dictionary_tag):
+    broadcast keyword list, one C-speed vectorized count pass per
+    keyword per batch (multi-word keywords included), per-keyword
+    independent non-overlapping counts — the exact rule the SQL
+    replace-length oracle replays."""
+    from recon_ray.functions.text import dictionary_tag
+
+    tags = dictionary_tag(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        KEYWORD_DICT,
+    )
+    g = grouped_agg(tags, "keyword", {"n_hits": ["sum", "count"]})
+    out = pd.DataFrame(
+        {"keyword": g["keyword"],
+         "n_hits": g["n_hits_sum"].astype("int64"),
+         "n_docs": g["n_hits_count"].astype("int64")}
+    )
+    return out.sort_values("keyword").reset_index(drop=True)
+
+
+ORACLE_DOC_KEYWORD_TAGS = """
+WITH kws(kw) AS (
+  VALUES ('batch'), ('data'), ('merge'), ('spark window'), ('vector')
+),
+c AS (
+  SELECT kw,
+         (length(text) - length(replace(text, kw, ''))) / length(kw)
+           AS cnt
+  FROM documents, kws
+)
+SELECT kw AS keyword, sum(cnt)::BIGINT AS n_hits,
+       (count(*) FILTER (cnt > 0))::BIGINT AS n_docs
+FROM c GROUP BY 1 HAVING sum(cnt) > 0 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3457,6 +3605,9 @@ QUERIES = {
     "q_events_user_bloom": q_events_user_bloom,
     "q_events_above_type_mean": q_events_above_type_mean,
     "doc_editdist_pairs": doc_editdist_pairs,
+    "q_orders_merge_upsert": q_orders_merge_upsert,
+    "q_lineitem_price_tiles": q_lineitem_price_tiles,
+    "doc_keyword_tags": doc_keyword_tags,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3679,6 +3830,9 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_user_bloom": ORACLE_EVENTS_USER_BLOOM,
         "q_events_above_type_mean": ORACLE_EVENTS_ABOVE_TYPE_MEAN,
         "doc_editdist_pairs": ORACLE_DOC_EDITDIST,
+        "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
+        "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
+        "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

@@ -1392,3 +1392,73 @@ def test_edit_distance_pairs_vs_duckdb(docs, con):
         got.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"}),
         want.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"}),
     )
+
+
+def test_merge_upsert_semantics():
+    """Update replaces, insert appends, unmatched base survives; within a
+    side the highest version wins; updates beat base at equal key."""
+    from recon_ray.functions.relational import merge_upsert
+
+    base = pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["b1", "b2", "b3"],
+         "ver": np.array([1, 1, 1], dtype=np.int64)}
+    )
+    updates = pd.DataFrame(
+        {"k": [2, 2, 4], "v": ["u2a", "u2b", "u4"],
+         "ver": np.array([5, 9, 1], dtype=np.int64)}
+    )
+    got = (
+        merge_upsert(
+            rd.from_pandas(base).repartition(2),
+            rd.from_pandas(updates).repartition(2),
+            key="k", version_col="ver",
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got["v"].tolist() == ["b1", "u2b", "b3", "u4"]
+
+
+def test_window_ntile_percent_rank_vs_duckdb(lineitem, con):
+    from recon_ray.functions.relational import window_over
+
+    w = window_over(
+        lineitem.select_columns(
+            ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"]
+        ),
+        "l_returnflag",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [("ntile", "3", "tile"), ("percent_rank", None, "pr")],
+    ).to_pandas().sort_values(
+        ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"]
+    ).reset_index(drop=True)
+    want = con.execute(
+        """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                  ntile(3) OVER w AS tile, percent_rank() OVER w AS pr
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber"""
+    ).df()
+    assert w["tile"].astype("int64").tolist() == want["tile"].astype("int64").tolist()
+    np.testing.assert_allclose(w["pr"].to_numpy(), want["pr"].to_numpy(),
+                               atol=1e-12)
+
+
+def test_dictionary_tag_pinned():
+    from recon_ray.functions.text import dictionary_tag
+
+    df = pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": ["aaa data data", "no hits here except data"]}
+    )
+    got = (
+        dictionary_tag(rd.from_pandas(df).repartition(2),
+                       ["aa", "data", "zzz"])
+        .to_pandas().sort_values(["doc_id", "keyword"])
+        .reset_index(drop=True)
+    )
+    # "aa" in "aaa" counts non-overlapping → 1
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (0, "aa", 1), (0, "data", 2), (1, "data", 1),
+    ]
