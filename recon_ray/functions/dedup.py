@@ -1389,7 +1389,8 @@ def edit_distance_pairs(
     — EXACT and SQL-replicable, the operator's documented recall
     trade-off: candidates share ``group_col`` and the first ``block_len``
     characters of the key; pairs farther than ``max_dist`` are dropped
-    after an exact banded DP verify.
+    after an exact banded DP verify. Returns a lazy Dataset of
+    (id_a, id_b, dist) — the pair table never lands on the driver.
 
     Scale shape: keys (never full texts) ride ONE hash shuffle on the
     block id; each hash bucket verifies its blocks vectorized+banded.
@@ -1433,5 +1434,4 @@ def edit_distance_pairs(
              "dist": pd.Series(dists, dtype="int64")}
         )
 
-    out = bucketed_group_apply(keyed, block_cols, verify).to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return bucketed_group_apply(keyed, block_cols, verify)

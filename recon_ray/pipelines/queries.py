@@ -3394,11 +3394,12 @@ def doc_editdist_pairs(sf_dir: str):
     the DP is byte-identical to DuckDB's levenshtein."""
     from recon_ray.functions.dedup import edit_distance_pairs
 
-    return edit_distance_pairs(
+    out = edit_distance_pairs(
         _t(sf_dir, "documents").select_columns(["doc_id", "text", "lang"]),
         text_col="text", id_col="doc_id", group_col="lang",
         key_len=48, block_len=8, max_dist=5,
-    )
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 ORACLE_DOC_EDITDIST = """

@@ -1378,7 +1378,10 @@ def test_edit_distance_pairs_vs_duckdb(docs, con):
     blocking + byte-level levenshtein rule."""
     from recon_ray.functions.dedup import edit_distance_pairs
 
-    got = edit_distance_pairs(docs, group_col="lang")
+    got = (
+        edit_distance_pairs(docs, group_col="lang")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
     want = con.execute(
         """WITH k AS (SELECT doc_id, lang, substr(text,1,48) AS key,
                              substr(text,1,8) AS blk FROM documents)
