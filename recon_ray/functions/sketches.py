@@ -463,3 +463,84 @@ def bloom_contains(sketch: dict, values) -> pd.DataFrame:
     bits = sketch["bits"]
     hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return pd.DataFrame({"value": vals, "present": hit.all(axis=1)})
+
+
+def _hll_rank_idx(h: np.ndarray, p: int):
+    """(register index, rank) per hash — shared by the global and grouped
+    HLL builders."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    nbits = 64 - p
+    lz = np.full(len(h), nbits, dtype=np.int64)
+    cur = rest.copy()
+    found = np.zeros(len(h), dtype=bool)
+    for b in range(nbits):
+        top = (cur >> np.uint64(63)) & np.uint64(1)
+        hit = (~found) & (top == 1)
+        lz[hit] = b
+        found |= hit
+        cur = cur << np.uint64(1)
+    return idx, (lz + 1).astype(np.int8), m
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    r = regs.astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -r))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def grouped_hll_distinct(ds, key, col: str, p: int = 12):
+    """Per-GROUP approximate distinct count (HLL registers per group).
+    Each batch emits one 2^p-byte register row per group it saw; rows
+    merge per group by elementwise max in a bucketed vectorized pass
+    (Python calls bounded by hash buckets, not by distinct groups), then
+    the estimator runs per group. The shuffle moves register rows —
+    (groups-in-batch × 2^p bytes) — never the raw values. Returns a lazy
+    Dataset of (key..., estimate). Use a smaller ``p`` (e.g. 10 → 1 KiB
+    per group-row, ~3% error) when groups are numerous."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    keys_ = [key] if isinstance(key, str) else list(key)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype="object") for k in keys_},
+                 "__regs": pd.Series(dtype="object")}
+            )
+        h = _col_hashes(batch, col)
+        idx, rank, m = _hll_rank_idx(h, p)
+        codes, uniques = pd.factorize(
+            pd.Series(list(zip(*(batch[k] for k in keys_))))
+            if len(keys_) > 1 else batch[keys_[0]], sort=False
+        )
+        regs = np.zeros((len(uniques), m), dtype=np.int8)
+        np.maximum.at(regs, (codes, idx), rank)
+        out = pd.DataFrame({"__regs": [r.tobytes() for r in regs]})
+        if len(keys_) > 1:
+            for i, k in enumerate(keys_):
+                out[k] = [u[i] for u in uniques]
+        else:
+            out[keys_[0]] = uniques
+        return out[keys_ + ["__regs"]]
+
+    rows = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for kv, grp in bucket.groupby(keys_, sort=False):
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.int8) for b in grp["__regs"]]
+            )
+            est = _hll_estimate(stack.max(axis=0))
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            recs.append((*kv, est))
+        return pd.DataFrame(recs, columns=keys_ + ["estimate"])
+
+    return bucketed_group_apply(rows, keys_, merge)

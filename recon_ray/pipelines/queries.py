@@ -3565,6 +3565,27 @@ FROM c GROUP BY 1 HAVING sum(cnt) > 0 ORDER BY 1
 """
 
 
+
+def q_events_type_user_hll(sf_dir: str):
+    """Per-group approximate distinct (functions.sketches.
+    grouped_hll_distinct): distinct users per event type from per-group
+    HLL register rows merged by elementwise max — register rows ride the
+    shuffle, never raw user ids. No SQL oracle (HLL estimates aren't
+    SQL-expressible); pytest bounds the error vs exact and pins layout
+    invariance. The exact companion is q_events_distinct_users."""
+    from recon_ray.functions.sketches import grouped_hll_distinct
+
+    out = (
+        grouped_hll_distinct(
+            _t(sf_dir, "events").select_columns(["event_type", "user_id"]),
+            "event_type", "user_id", p=12,
+        )
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    out["estimate"] = out["estimate"].round(2)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3609,6 +3630,7 @@ QUERIES = {
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
     "doc_keyword_tags": doc_keyword_tags,
+    "q_events_type_user_hll": q_events_type_user_hll,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,

@@ -1465,3 +1465,33 @@ def test_dictionary_tag_pinned():
     assert list(map(tuple, got.itertuples(index=False))) == [
         (0, "aa", 1), (0, "data", 2), (1, "data", 1),
     ]
+
+
+def test_grouped_hll_vs_exact(events):
+    """Per-group HLL estimates within 5% of exact distinct per group
+    (p=12 → σ≈1.6%), deterministic across layouts; matches the global
+    hll_distinct when there is one group."""
+    from recon_ray.functions.sketches import grouped_hll_distinct, hll_distinct
+
+    got = (
+        grouped_hll_distinct(events, "event_type", "user_id", p=12)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pdf = events.to_pandas()
+    exact = pdf.groupby("event_type")["user_id"].nunique()
+    assert len(got) == len(exact)
+    for _, row in got.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["estimate"] - e) / e < 0.05
+    again = (
+        grouped_hll_distinct(events.repartition(11), "event_type",
+                             "user_id", p=12)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    one = events.map_batches(
+        lambda b: b.assign(g="all"), batch_format="pandas"
+    )
+    g1 = grouped_hll_distinct(one, "g", "user_id", p=12).to_pandas()
+    glob = hll_distinct(events, "user_id", p=12)["estimate"]
+    np.testing.assert_allclose(g1["estimate"].iloc[0], glob)
