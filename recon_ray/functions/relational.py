@@ -1062,3 +1062,45 @@ def merge_upsert(
         return g.drop_duplicates(subset=keys_).drop(columns="__src")
 
     return bucketed_group_apply(both, keys_, pick, n_buckets=n_buckets)
+
+
+def grouped_topk(
+    ds,
+    key: Union[str, list[str]],
+    by: str,
+    k: int,
+    ascending: bool = False,
+    tie_cols: Optional[list[str]] = None,
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """Per-group top-k rows by ``by`` under a deterministic total order
+    (``by`` ± then ``tie_cols`` ascending). Combiner shape: each batch
+    keeps its local per-group top-k FIRST (so at most k rows per group
+    per batch ride the shuffle), then one hash shuffle on the key and a
+    vectorized per-bucket head-k under the identical order — local and
+    global orders match, so the boundary is exact. Returns a lazy
+    Dataset."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+    ties = tie_cols or []
+    sort_cols = keys_ + [by] + ties
+    asc = [True] * len(keys_) + [ascending] + [True] * len(ties)
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        return (
+            batch.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            .groupby(keys_, sort=False)
+            .head(k)
+        )
+
+    pre = ds.map_batches(local, batch_format="pandas")
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            .groupby(keys_, sort=False)
+            .head(k)
+        )
+
+    return bucketed_group_apply(pre, keys_, final, n_buckets=n_buckets)

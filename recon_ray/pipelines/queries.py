@@ -3586,6 +3586,43 @@ def q_events_type_user_hll(sf_dir: str):
     return out
 
 
+
+def q_orders_top3_per_priority(sf_dir: str):
+    """Per-group top-k (functions.relational.grouped_topk): 3 priciest
+    orders per priority under the total order (price desc, orderkey
+    asc). Local per-group top-k per batch means at most k rows per
+    group per batch ride the shuffle. Oracle = row_number window."""
+    from recon_ray.functions.relational import grouped_topk
+
+    out = (
+        grouped_topk(
+            _t(sf_dir, "orders").select_columns(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"]
+            ),
+            "o_orderpriority", "o_totalprice", k=3,
+            ascending=False, tie_cols=["o_orderkey"],
+        )
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                     ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+
+
+ORACLE_ORDERS_TOP3_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3631,6 +3668,7 @@ QUERIES = {
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
     "doc_keyword_tags": doc_keyword_tags,
     "q_events_type_user_hll": q_events_type_user_hll,
+    "q_orders_top3_per_priority": q_orders_top3_per_priority,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3856,6 +3894,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
+        "q_orders_top3_per_priority": ORACLE_ORDERS_TOP3_PER_PRIORITY,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

@@ -1495,3 +1495,23 @@ def test_grouped_hll_vs_exact(events):
     g1 = grouped_hll_distinct(one, "g", "user_id", p=12).to_pandas()
     glob = hll_distinct(events, "user_id", p=12)["estimate"]
     np.testing.assert_allclose(g1["estimate"].iloc[0], glob)
+
+
+def test_grouped_topk_boundary_ties(con):
+    """grouped_topk boundary: ties at the k-th slot resolve by the
+    deterministic tie column identically to the SQL window, across
+    layouts."""
+    from recon_ray.functions.relational import grouped_topk
+
+    df = pd.DataFrame(
+        {"g": [0, 0, 0, 0, 1, 1, 1],
+         "v": [5.0, 5.0, 5.0, 1.0, 2.0, 2.0, 2.0],
+         "id": np.arange(7, dtype=np.int64)}
+    )
+    for parts in (1, 5):
+        got = (
+            grouped_topk(rd.from_pandas(df).repartition(parts), "g", "v",
+                         k=2, ascending=False, tie_cols=["id"])
+            .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+        )
+        assert got["id"].tolist() == [0, 1, 4, 5]
