@@ -1277,9 +1277,9 @@ def kg_pagerank(sf_dir: str):
 
 def kg_components(sf_dir: str):
     """Connected components of the undirected entity graph by iterative
-    min-label propagation (no SQL oracle — fixpoint iteration isn't
-    expressible without recursive aggregates; pinned against a sequential
-    union-find in tests)."""
+    min-label propagation. Oracled: DuckDB recursive-CTE transitive
+    closure + min reached label per node gives the identical
+    lexicographic-min-entity component labels."""
     from recon_ray.functions.graph import graph_components
 
     return graph_components(_kg(sf_dir)["canonical_ds"])
@@ -3858,6 +3858,21 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         ),
         "kg_pagerank": _graph.pagerank_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}')", n_iter=5
+        ),
+        # connected components ARE SQL-expressible in DuckDB: recursive-CTE
+        # transitive closure over the undirected edge set, then min reached
+        # label per node — exact, since the Ray side's label is also the
+        # lexicographic-min entity of the component
+        "kg_components": (
+            f"WITH RECURSIVE "
+            f"e AS (SELECT subj AS a, obj AS b FROM read_parquet('{g_can}') "
+            f"UNION SELECT obj, subj FROM read_parquet('{g_can}')), "
+            f"reach(node, lbl) AS ("
+            f"  SELECT a, a FROM e "
+            f"  UNION "
+            f"  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node) "
+            f"SELECT node AS entity, min(lbl) AS component FROM reach "
+            f"GROUP BY node ORDER BY entity"
         ),
         "doc_token_counts": ORACLE_DOC_TOKENS,
         "doc_bpe_token_counts": ORACLE_DOC_BPE_TOKENS,
