@@ -24,6 +24,7 @@ from typing import Optional, Sequence, Union
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -1104,3 +1105,53 @@ def grouped_topk(
         )
 
     return bucketed_group_apply(pre, keys_, final, n_buckets=n_buckets)
+
+
+def explode_list(
+    ds,
+    list_col: str,
+    value_name: str = "value",
+    pos_name: Optional[str] = None,
+    keep_cols: Optional[list[str]] = None,
+):
+    """UNNEST / explode a ``list<T>`` column: one output row per list
+    element, scalar columns repeated per element (SQL ``UNNEST``, with
+    ``pos_name`` as the 0-based ``WITH ORDINALITY`` index). Null and
+    empty lists emit no rows, matching SQL UNNEST.
+
+    Pure per-batch Arrow kernels — ``list_flatten`` for the values,
+    ``list_parent_indices`` + ``take`` for the repeats — so it stays an
+    embarrassingly parallel map with zero-copy inputs; no shuffle, no
+    Python per row. Positions are derived from the run structure of the
+    (non-decreasing) parent index vector, which stays correct when the
+    column has null/empty lists (unlike raw offset arithmetic, which
+    mis-aligns once flatten has skipped a null)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parent = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        out = {}
+        for name in keep_cols if keep_cols is not None else [
+            c for c in t.column_names if c != list_col
+        ]:
+            out[name] = pc.take(t[name], parent)
+        out[value_name] = flat
+        if pos_name is not None:
+            par = np.asarray(parent, dtype=np.int64)
+            idx = np.arange(len(par), dtype=np.int64)
+            if len(par):
+                run_start = np.where(
+                    np.r_[True, par[1:] != par[:-1]], idx, 0
+                )
+                out[pos_name] = pa.array(
+                    idx - np.maximum.accumulate(run_start),
+                    type=pa.int64(),
+                )
+            else:
+                out[pos_name] = pa.array([], type=pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

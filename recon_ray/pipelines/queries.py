@@ -3587,6 +3587,46 @@ def q_events_type_user_hll(sf_dir: str):
 
 
 
+def emb_unnest_dims(sf_dir: str):
+    """UNNEST a ``list<float>`` column (functions.relational.explode_list):
+    every 50th vector explodes to (vec_id, dim, val) rows via per-batch
+    ``list_flatten`` / ``list_parent_indices`` Arrow kernels — an
+    embarrassingly parallel map, no shuffle. val upcast float32→float64
+    (exact) so both engines hash identical bits."""
+    from recon_ray.functions.relational import explode_list
+
+    def pick(t: pa.Table) -> pa.Table:
+        # arrow filter (NOT pandas — a pandas round-trip would rewrite the
+        # list<float> column as Ray's tensor extension type); int divide
+        # truncates, so v - (v/50)*50 is v % 50
+        v = t["vec_id"]
+        fifty = pa.scalar(50, pa.int64())
+        mask = pc.equal(v, pc.multiply(pc.divide(v, fifty), fifty))
+        return t.filter(mask).select(["vec_id", "embedding"])
+
+    sel = _t(sf_dir, "embeddings").map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        explode_list(sel, "embedding", value_name="val", pos_name="dim")
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    out["val"] = out["val"].astype("float64")
+    return out[["vec_id", "dim", "val"]]
+
+
+ORACLE_EMB_UNNEST = """
+SELECT vec_id, dim, CAST(val AS DOUBLE) AS val FROM (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings WHERE vec_id % 50 = 0
+) ORDER BY vec_id, dim
+"""
+
+
 def q_orders_top3_per_priority(sf_dir: str):
     """Per-group top-k (functions.relational.grouped_topk): 3 priciest
     orders per priority under the total order (price desc, orderkey
@@ -3669,6 +3709,7 @@ QUERIES = {
     "doc_keyword_tags": doc_keyword_tags,
     "q_events_type_user_hll": q_events_type_user_hll,
     "q_orders_top3_per_priority": q_orders_top3_per_priority,
+    "emb_unnest_dims": emb_unnest_dims,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3910,6 +3951,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
         "q_orders_top3_per_priority": ORACLE_ORDERS_TOP3_PER_PRIORITY,
+        "emb_unnest_dims": ORACLE_EMB_UNNEST,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

@@ -1515,3 +1515,26 @@ def test_grouped_topk_boundary_ties(con):
             .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
         )
         assert got["id"].tolist() == [0, 1, 4, 5]
+
+
+def test_explode_list_nulls_empties_positions():
+    """explode_list: null and empty lists emit no rows; positions restart
+    per parent and survive both — the offset-skew case raw offset
+    arithmetic gets wrong."""
+    import pyarrow as pa
+    from recon_ray.functions.relational import explode_list
+
+    t = pa.table(
+        {"id": [1, 2, 3, 4, 5],
+         "v": pa.array([[10, 11], [], None, [12], [13, 14, 15]],
+                       type=pa.list_(pa.int64()))}
+    )
+    for parts in (1, 3):
+        out = (
+            explode_list(rd.from_arrow(t).repartition(parts), "v",
+                         value_name="x", pos_name="pos")
+            .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+        )
+        assert out["id"].tolist() == [1, 1, 4, 5, 5, 5]
+        assert out["x"].tolist() == [10, 11, 12, 13, 14, 15]
+        assert out["pos"].tolist() == [0, 1, 0, 0, 1, 2]
