@@ -1155,3 +1155,45 @@ def explode_list(
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_concat(
+    ds,
+    key: Union[str, list[str]],
+    col: str,
+    sep: str = ",",
+    distinct: bool = False,
+    alias: str = "concat",
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """SQL ``string_agg(col, sep ORDER BY col)`` per group (GROUP_CONCAT).
+    Elements are joined in ascending ``col`` order — the only ordering
+    that is layout-invariant without a secondary sort key.
+
+    Combiner shape: project to (key, col) first, and when ``distinct``
+    drop per-batch duplicates BEFORE the shuffle (a hot group whose
+    values repeat in every block ships once per distinct value per
+    block, not once per row). Then ONE hash shuffle on the key and a
+    per-bucket mergesort + C-level ``str.join`` — Python callbacks are
+    bounded at n_buckets, never at distinct groups. Returns a lazy
+    Dataset with columns key… + alias."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[keys_ + [col]]
+        return b.drop_duplicates() if distinct else b
+
+    slim = ds.map_batches(pre, batch_format="pandas")
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if distinct:
+            g = g.drop_duplicates()
+        g = g.sort_values(keys_ + [col], kind="mergesort")
+        return (
+            g.groupby(keys_, sort=False)[col]
+            .agg(sep.join)
+            .rename(alias)
+            .reset_index()
+        )
+
+    return bucketed_group_apply(slim, keys_, bucket_fn, n_buckets=n_buckets)

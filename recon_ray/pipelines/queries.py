@@ -3627,6 +3627,184 @@ SELECT vec_id, dim, CAST(val AS DOUBLE) AS val FROM (
 """
 
 
+def q_orders_status_concat(sf_dir: str):
+    """Grouped ordered string concatenation (functions.relational
+    .group_concat): per order priority the distinct statuses joined
+    ascending — SQL string_agg(DISTINCT … ORDER BY …). Per-batch
+    distinct runs BEFORE the shuffle, so only unique (priority, status)
+    pairs ride it."""
+    from recon_ray.functions.relational import group_concat
+
+    out = (
+        group_concat(
+            _t(sf_dir, "orders").select_columns(
+                ["o_orderpriority", "o_orderstatus"]
+            ),
+            "o_orderpriority", "o_orderstatus",
+            sep=",", distinct=True, alias="statuses",
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+ORACLE_ORDERS_STATUS_CONCAT = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated per-group aggregate: revenue from
+    Brand#1 lineitems whose quantity is below 20% of that part's average
+    quantity. Distributed form: brand partkeys broadcast as a semi-join
+    filter, per-part (sum_qty, count) via the combiner grouped_agg, the
+    resulting per-part threshold table broadcast back over the lineitem
+    stream, and the comparison done in exact int64 cents
+    (qc·5·cnt < sum_qc ⟺ q < 0.2·avg) so both engines agree bit-for-bit.
+    Only one small-side collect (per-part aggregates of ONE brand —
+    |parts|/|brands| rows); lineitem is never materialized."""
+    parts = _pdf(sf_dir, "part")
+    pks = set(parts.loc[parts["p_brand"] == "Brand#1", "p_partkey"])
+    li = semi_join(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"]
+        ),
+        pks, "l_partkey",
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qc": _cents_arrow(t.column("l_quantity")),
+                "pc_": _cents_arrow(t.column("l_extendedprice")),
+            }
+        )
+
+    slim = li.map_batches(add_cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    per_part = grouped_agg(slim, "l_partkey", {"qc": ["sum", "count"]})
+    per_part = per_part.rename(columns={"qc_sum": "sqc", "qc_count": "cnt"})
+    per_part["sqc"] = per_part["sqc"].astype("int64")
+    per_part["cnt"] = per_part["cnt"].astype("int64")
+    joined = broadcast_join(slim, per_part, on="l_partkey")
+
+    def below(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["qc"] * 5 * b["cnt"] < b["sqc"]]
+        return pd.DataFrame({"pc_": keep["pc_"]})
+
+    total = joined.map_batches(below, batch_format="pandas").sum("pc_")
+    return pd.DataFrame(
+        {"avg_yearly": [_round_away(pd.Series([total / 700.0]), 2).iloc[0]]}
+    )
+
+
+ORACLE_Q17 = """
+WITH t AS (
+  SELECT l_partkey,
+         round(l_quantity * 100)::BIGINT      AS qc,
+         round(l_extendedprice * 100)::BIGINT AS pc_
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+), a AS (
+  SELECT l_partkey, sum(qc)::BIGINT AS sqc, count(*)::BIGINT AS cnt
+  FROM t GROUP BY 1
+)
+SELECT round(sum(t.pc_)::BIGINT / 700.0, 2) AS avg_yearly
+FROM t JOIN a USING (l_partkey)
+WHERE t.qc * 5 * a.cnt < a.sqc
+"""
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — scalar correlated subquery + NOT EXISTS:
+    customers in nation set {1,3,5,7,9} whose balance beats the positive
+    average of that set and who placed no URGENT order, counted per
+    nation.
+    Distributed form: the scalar threshold is a 2-number global combiner
+    aggregate; the NOT EXISTS is an anti-join against the distinct
+    orderer set (distinct keys broadcast — at 100 TB swap in the Bloom
+    prefilter + shuffle anti-join, the compare stays identical); all
+    balance math in int64 cents (bc·cnt > sum_c ⟺ bal > avg)."""
+    from recon_ray.functions.relational import anti_join
+
+    nations = {1, 3, 5, 9, 7}
+    cust = _t(sf_dir, "customer")
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.is_in(t["c_nationkey"],
+                     value_set=pa.array(sorted(nations), pa.int32()))
+        )
+        return pa.table(
+            {
+                "c_custkey": keep.column("c_custkey"),
+                "c_nationkey": keep.column("c_nationkey"),
+                "bc": _cents_arrow(keep.column("c_acctbal")),
+            }
+        )
+
+    slim = cust.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pos_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.loc[b["bc"] > 0, "bc"]
+        return pd.DataFrame({"s": [int(p.sum())], "n": [int(len(p))]})
+
+    partials = slim.map_batches(pos_partial, batch_format="pandas")
+    sum_c, cnt = int(partials.sum("s")), int(partials.sum("n"))
+
+    orderers = distinct(
+        _t(sf_dir, "orders")
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"]),
+        "o_custkey",
+    ).to_pandas()
+    rich = slim.map_batches(
+        lambda b: b[b["bc"] * cnt > sum_c], batch_format="pandas"
+    )
+    no_orders = anti_join(
+        rich, set(orderers["o_custkey"]), "c_custkey"
+    ).to_pandas()
+    g = (
+        no_orders.groupby("c_nationkey", sort=True)
+        .agg(numcust=("c_custkey", "size"), tot_c=("bc", "sum"))
+        .reset_index()
+    )
+    out = pd.DataFrame(
+        {
+            "c_nationkey": g["c_nationkey"].astype("int32"),
+            "numcust": g["numcust"].astype("int64"),
+            "totacctbal": _round_away(g["tot_c"] / 100.0, 2),
+        }
+    )
+    return out
+
+
+ORACLE_Q22 = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         round(c_acctbal * 100)::BIGINT AS bc
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+), thresh AS (
+  SELECT sum(bc)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM c WHERE bc > 0
+)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(bc)::BIGINT / 100.0, 2) AS totacctbal
+FROM c, thresh
+WHERE bc * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def q_orders_top3_per_priority(sf_dir: str):
     """Per-group top-k (functions.relational.grouped_topk): 3 priciest
     orders per priority under the total order (price desc, orderkey
@@ -3710,6 +3888,9 @@ QUERIES = {
     "q_events_type_user_hll": q_events_type_user_hll,
     "q_orders_top3_per_priority": q_orders_top3_per_priority,
     "emb_unnest_dims": emb_unnest_dims,
+    "q_orders_status_concat": q_orders_status_concat,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
@@ -3952,6 +4133,9 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
         "q_orders_top3_per_priority": ORACLE_ORDERS_TOP3_PER_PRIORITY,
         "emb_unnest_dims": ORACLE_EMB_UNNEST,
+        "q_orders_status_concat": ORACLE_ORDERS_STATUS_CONCAT,
+        "q17_small_quantity_revenue": ORACLE_Q17,
+        "q22_global_sales_opportunity": ORACLE_Q22,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,

@@ -1538,3 +1538,22 @@ def test_explode_list_nulls_empties_positions():
         assert out["id"].tolist() == [1, 1, 4, 5, 5, 5]
         assert out["x"].tolist() == [10, 11, 12, 13, 14, 15]
         assert out["pos"].tolist() == [0, 1, 0, 0, 1, 2]
+
+
+def test_group_concat_layout_invariant():
+    """group_concat: same joined string under any partitioning; distinct
+    collapses repeats before the shuffle without changing the result."""
+    from recon_ray.functions.relational import group_concat
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b", "a", "b", "a"],
+         "v": ["z", "x", "q", "x", "q", "y"]}
+    )
+    want = {"a": "x,x,y,z", "b": "q,q"}
+    want_d = {"a": "x,y,z", "b": "q"}
+    for parts in (1, 4):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = group_concat(ds, "g", "v").to_pandas()
+        assert dict(zip(got["g"], got["concat"])) == want
+        got_d = group_concat(ds, "g", "v", distinct=True).to_pandas()
+        assert dict(zip(got_d["g"], got_d["concat"])) == want_d
