@@ -452,7 +452,10 @@ def window_over(
     …)`` family Ray Data has no operator for. ``specs`` is a list of
     ``(kind, value_col, out_name)`` with kind ∈ {"row_number", "rank",
     "dense_rank", "running_sum", "running_min", "running_max", "lag",
-    "lead"} (value_col is ignored for the three rank kinds; ties for
+    "lead", "percent_rank", "ntile", "cume_dist", "first_value",
+    "last_value" (whole-partition frame), "partition_sum" (no ORDER —
+    ratio-to-report totals)} (value_col is ignored for the rank-family
+    kinds; ties for
     rank/dense_rank are rows equal on every order_by column — NaN order
     keys each start their own run, unlike SQL's NULLs-are-equal).
 
@@ -476,7 +479,8 @@ def window_over(
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     kinds = {"row_number", "rank", "dense_rank", "running_sum",
              "running_min", "running_max", "lag", "lead", "percent_rank",
-             "ntile"}
+             "ntile", "cume_dist", "first_value", "last_value",
+             "partition_sum"}
     for kind, _col, _out in specs:
         if kind not in kinds:
             raise ValueError(f"unknown window kind {kind!r}")
@@ -485,7 +489,8 @@ def window_over(
         g = g.sort_values(part_cols + order_cols, kind="mergesort")
         grp = g.groupby(part_cols, sort=False)
         need_rank = any(
-            k in ("rank", "dense_rank", "percent_rank") for k, _c, _o in specs
+            k in ("rank", "dense_rank", "percent_rank", "cume_dist")
+            for k, _c, _o in specs
         )
         if need_rank:
             # a tie run = consecutive rows equal on (partition, order)
@@ -522,6 +527,26 @@ def window_over(
                 n = grp[order_cols[0]].transform("size").astype("int64")
                 out[name] = np.where(n > 1, (r - 1) / (n - 1).clip(lower=1),
                                      0.0)
+            elif kind == "cume_dist":
+                # SQL CUME_DIST(): rows with order key ≤ current over n —
+                # the tie run's LAST row_number / partition size; the one
+                # float op is a single int/int division (IEEE-exact both
+                # engines)
+                r_last = rn.groupby(run_id).transform("last")
+                n = grp[order_cols[0]].transform("size").astype("int64")
+                out[name] = r_last / n
+            elif kind == "first_value":
+                out[name] = grp[col].transform("first")
+            elif kind == "last_value":
+                # partition-final value, i.e. SQL last_value(...) with the
+                # ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                # frame (the default CURRENT ROW frame makes last_value a
+                # no-op; nobody wants that)
+                out[name] = grp[col].transform("last")
+            elif kind == "partition_sum":
+                # sum(x) OVER (PARTITION BY g) — no ORDER, whole-partition
+                # total; the ratio-to-report building block
+                out[name] = grp[col].transform("sum")
             elif kind == "ntile":
                 # SQL NTILE(col): col is the tile count; the first
                 # (n mod t) tiles get the extra row

@@ -3627,6 +3627,83 @@ SELECT vec_id, dim, CAST(val AS DOUBLE) AS val FROM (
 """
 
 
+def q_events_window_dist(sf_dir: str):
+    """Second window-family query: CUME_DIST (with and without ties),
+    FIRST_VALUE / LAST_VALUE (whole-partition frame), and partition-total
+    SUM (the ratio-to-report shape) per user. cume_dist's single int/int
+    float division is IEEE-exact in both engines; everything else is
+    int64."""
+    from recon_ray.functions.relational import window_over
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = _cents_arrow(t.column("value"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_cents": vc,
+                "value_bucket": pc.cast(
+                    pc.floor(pc.divide(pc.cast(vc, pa.float64()),
+                                       pa.scalar(1000.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    w1 = window_over(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        ["value_cents", "event_id"],
+        [
+            ("cume_dist", None, "cd"),
+            ("first_value", "value_cents", "fv"),
+            ("last_value", "value_cents", "lv"),
+            ("partition_sum", "value_cents", "total_cents"),
+        ],
+    )
+    # tie-heavy second pass: order by the coarse bucket alone — cume_dist
+    # is tie-run-invariant, so the output is deterministic without a
+    # total order
+    out = window_over(
+        w1, "user_id", ["value_bucket"], [("cume_dist", None, "cd_bucket")]
+    ).to_pandas()
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out = out[
+        ["event_id", "user_id", "value_cents", "cd", "fv", "lv",
+         "total_cents", "cd_bucket"]
+    ]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_WINDOW_DIST = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT) / 1000.0)
+              AS BIGINT) AS value_bucket
+  FROM events
+)
+SELECT event_id, user_id, value_cents,
+       cume_dist() OVER (PARTITION BY user_id
+                         ORDER BY value_cents, event_id) AS cd,
+       first_value(value_cents) OVER (PARTITION BY user_id
+                         ORDER BY value_cents, event_id) AS fv,
+       last_value(value_cents) OVER (PARTITION BY user_id
+                         ORDER BY value_cents, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS lv,
+       (sum(value_cents) OVER (PARTITION BY user_id))::BIGINT
+         AS total_cents,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value_bucket)
+         AS cd_bucket
+FROM e ORDER BY event_id
+"""
+
+
 def q_orders_status_concat(sf_dir: str):
     """Grouped ordered string concatenation (functions.relational
     .group_concat): per order priority the distinct statuses joined
@@ -3889,6 +3966,7 @@ QUERIES = {
     "q_orders_top3_per_priority": q_orders_top3_per_priority,
     "emb_unnest_dims": emb_unnest_dims,
     "q_orders_status_concat": q_orders_status_concat,
+    "q_events_window_dist": q_events_window_dist,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q_events_value_histogram": q_events_value_histogram,
@@ -4134,6 +4212,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_orders_top3_per_priority": ORACLE_ORDERS_TOP3_PER_PRIORITY,
         "emb_unnest_dims": ORACLE_EMB_UNNEST,
         "q_orders_status_concat": ORACLE_ORDERS_STATUS_CONCAT,
+        "q_events_window_dist": ORACLE_EVENTS_WINDOW_DIST,
         "q17_small_quantity_revenue": ORACLE_Q17,
         "q22_global_sales_opportunity": ORACLE_Q22,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,

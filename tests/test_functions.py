@@ -1557,3 +1557,36 @@ def test_group_concat_layout_invariant():
         assert dict(zip(got["g"], got["concat"])) == want
         got_d = group_concat(ds, "g", "v", distinct=True).to_pandas()
         assert dict(zip(got_d["g"], got_d["concat"])) == want_d
+
+
+def test_window_cume_dist_first_last_partition_sum():
+    """cume_dist ties get the tie run's LAST row_number / n; first/last
+    value use the whole-partition frame; partition_sum ignores order."""
+    from recon_ray.functions.relational import window_over
+
+    df = pd.DataFrame(
+        {"g": [0, 0, 0, 0, 1, 1],
+         "k": [5, 5, 7, 9, 1, 1],
+         "v": [10, 20, 30, 40, 50, 60],
+         "id": np.arange(6, dtype=np.int64)}
+    )
+    for parts in (1, 3):
+        got = (
+            window_over(
+                rd.from_pandas(df).repartition(parts), "g", ["k"],
+                [("cume_dist", None, "cd"),
+                 ("partition_sum", "v", "tot")],
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert got["cd"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0, 1.0]
+        assert got["tot"].tolist() == [100, 100, 100, 100, 110, 110]
+        got2 = (
+            window_over(
+                rd.from_pandas(df).repartition(parts), "g", ["k", "id"],
+                [("first_value", "v", "fv"), ("last_value", "v", "lv")],
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert got2["fv"].tolist() == [10, 10, 10, 10, 50, 50]
+        assert got2["lv"].tolist() == [40, 40, 40, 40, 60, 60]
