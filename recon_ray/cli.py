@@ -324,6 +324,21 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_store(args) -> int:
+    """ExampleStore maintenance: ``compact`` merges each bucket's
+    accumulated delta part files into one (crash-safe marker protocol —
+    see state/example_store.py), ``len`` prints the store size."""
+    _ensure_ray()
+    from recon_ray.state.example_store import ExampleStore
+
+    store = ExampleStore(args.root)
+    if args.verb == "compact":
+        print(json.dumps(store.compact()))
+    elif args.verb == "len":
+        print(json.dumps({"n_examples": len(store)}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Annotation-format conversions (the loaders surface: JSONL Examples
     ↔ spaCy DocBin ↔ Prodigy-format datasets)."""
@@ -430,6 +445,14 @@ def main(argv=None) -> int:
     tg.add_argument("workdir")
     for sp in (ti, ta, tl, tr, tg):
         sp.set_defaults(fn=cmd_track)
+
+    pst = sub.add_parser("store", help="ExampleStore maintenance")
+    stsub = pst.add_subparsers(dest="verb", required=True)
+    for verb, h in (("compact", "merge delta part files per bucket"),
+                    ("len", "count stored examples")):
+        sv = stsub.add_parser(verb, help=h)
+        sv.add_argument("root", help="store root directory")
+        sv.set_defaults(fn=cmd_store)
 
     pcv = sub.add_parser("convert", help="annotation-format conversions")
     pcv.add_argument("pair", choices=[

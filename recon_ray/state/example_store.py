@@ -47,18 +47,96 @@ def _bucket_dir(root: str, b: int) -> str:
     return os.path.join(root, f"bucket={b:04d}")
 
 
+_OBSOLETE = ".obsolete.json"
+
+
+def _live_parts(bucket_dir: str) -> list[str]:
+    """Part filenames that are LIVE under the compaction protocol. A
+    compaction marker lists parts superseded by a merged part — but it
+    only takes effect once the merged part actually exists (a crash
+    between writing the marker and publishing the merged part must not
+    lose the old parts), so visibility flips atomically with the merged
+    part's rename."""
+    if not os.path.isdir(bucket_dir):
+        return []
+    names = sorted(
+        n for n in os.listdir(bucket_dir) if n.endswith(".parquet")
+    )
+    marker = os.path.join(bucket_dir, _OBSOLETE)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        if m.get("merged") in names:
+            dead = set(m.get("obsolete", []))
+            names = [n for n in names if n not in dead]
+    return names
+
+
 def _part_ids(bucket_dir: str) -> set[int]:
     """All doc_ids already stored in a bucket (doc_id column only)."""
     ids: set[int] = set()
-    if not os.path.isdir(bucket_dir):
-        return ids
-    for name in sorted(os.listdir(bucket_dir)):
-        if name.endswith(".parquet"):
-            col = pq.read_table(
-                os.path.join(bucket_dir, name), columns=["doc_id"]
-            ).column("doc_id")
-            ids.update(col.to_pylist())
+    for name in _live_parts(bucket_dir):
+        col = pq.read_table(
+            os.path.join(bucket_dir, name), columns=["doc_id"]
+        ).column("doc_id")
+        ids.update(col.to_pylist())
     return ids
+
+
+@ray.remote
+def _compact_bucket(bucket_dir: str) -> tuple[int, int, int]:
+    """Merge a bucket's live part files into ONE content-addressed part.
+    Crash-safe ordering: (1) finish any interrupted previous compaction,
+    (2) write the merged part to a tmp name, (3) write the obsolete
+    marker naming the merged file, (4) publish the merged part with one
+    atomic rename — the moment it appears, the marker retires the old
+    parts — then (5) delete the old parts and the marker. A crash at any
+    point leaves either the old parts live (merged absent) or exactly
+    the merged part live (marker + merged present): never loss, never
+    duplicates. Returns (parts_before, parts_after, rows)."""
+    marker_path = os.path.join(bucket_dir, _OBSOLETE)
+    # finish an interrupted run first
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            m = json.load(f)
+        on_disk = {
+            n for n in os.listdir(bucket_dir) if n.endswith(".parquet")
+        }
+        if m.get("merged") in on_disk:
+            # previous run published its merged part: the olds are dead
+            for n in m.get("obsolete", []):
+                p = os.path.join(bucket_dir, n)
+                if os.path.exists(p):
+                    os.unlink(p)
+        # else: died before publishing — the olds are still the truth
+        os.unlink(marker_path)
+    live = _live_parts(bucket_dir)
+    if len(live) <= 1:
+        n_rows = sum(
+            pq.read_metadata(os.path.join(bucket_dir, n)).num_rows
+            for n in live
+        )
+        return (len(live), len(live), n_rows)
+    merged = pa.concat_tables(
+        [pq.read_table(os.path.join(bucket_dir, n)) for n in live]
+    ).sort_by("doc_id")
+    ids = merged.column("doc_id").to_pylist()
+    sig = hashlib.sha256(
+        b"".join(int(h).to_bytes(8, "little") for h in sorted(ids))
+    ).hexdigest()[:16]
+    final_name = f"part-{sig}.parquet"
+    tmp = os.path.join(bucket_dir, f".part-{sig}.tmp")
+    pq.write_table(merged, tmp)
+    obsolete = [n for n in live if n != final_name]
+    mtmp = marker_path + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"merged": final_name, "obsolete": obsolete}, f)
+    os.replace(mtmp, marker_path)
+    os.replace(tmp, os.path.join(bucket_dir, final_name))  # publish
+    for n in obsolete:
+        os.unlink(os.path.join(bucket_dir, n))
+    os.unlink(marker_path)
+    return (len(live), 1, merged.num_rows)
 
 
 @ray.remote
@@ -168,6 +246,31 @@ class ExampleStore:
             return added, [p for (_, p) in results if p]
         return added
 
+    def compact(self) -> dict:
+        """Merge each bucket's accumulated part files into one — the
+        small-file maintenance pass a long-lived incremental store needs
+        (every ``add_dataset`` run appends one part per touched bucket;
+        after N delta runs a 100-TB store is N× the file count and every
+        membership probe pays N opens). One Ray task per multi-part
+        bucket, bounded by bucket size; crash-safe via the marker
+        protocol on ``_compact_bucket``. Returns
+        {"buckets": touched, "parts_before": int, "parts_after": int}."""
+        refs = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("bucket="):
+                continue
+            bdir = os.path.join(self.root, name)
+            if len(_live_parts(bdir)) > 1 or os.path.exists(
+                os.path.join(bdir, _OBSOLETE)
+            ):
+                refs.append(_compact_bucket.remote(bdir))
+        results = ray.get(refs)
+        return {
+            "buckets": len(results),
+            "parts_before": sum(b for (b, _, _) in results),
+            "parts_after": sum(a for (_, a, _) in results),
+        }
+
     def add_examples(self, records: list[dict]) -> int:
         """Driver-side convenience for a handful of raw example dicts
         (reference ExampleStore.add); bulk adds go through add_dataset."""
@@ -201,11 +304,7 @@ class ExampleStore:
         """Fetch one example row by hash (reference __getitem__); None when
         absent. Reads only the one bucket."""
         bdir = _bucket_dir(self.root, self._bucket_of(doc_id))
-        if not os.path.isdir(bdir):
-            return None
-        for name in sorted(os.listdir(bdir)):
-            if not name.endswith(".parquet"):
-                continue
+        for name in _live_parts(bdir):
             t = pq.read_table(os.path.join(bdir, name))
             mask = pc.equal(t.column("doc_id"), pa.scalar(int(doc_id), pa.uint64()))
             hit = t.filter(mask)
@@ -231,8 +330,7 @@ class ExampleStore:
             os.path.join(self.root, name, fn)
             for name in sorted(os.listdir(self.root))
             if name.startswith("bucket=")
-            for fn in sorted(os.listdir(os.path.join(self.root, name)))
-            if fn.endswith(".parquet")
+            for fn in _live_parts(os.path.join(self.root, name))
         ]
         if not parts:
             return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.uint64())}))

@@ -118,3 +118,79 @@ def test_curate_incremental_across_runs(tmp_path):
     # total survivors across runs == one-shot curation of the full input
     one_shot = curate(docs)["curated"].count()
     assert r1["n_new"] + r3["n_new"] == one_shot
+
+
+def _all_parts(root: str) -> dict[str, list[str]]:
+    return {
+        name: sorted(
+            f for f in os.listdir(os.path.join(root, name))
+            if f.endswith(".parquet")
+        )
+        for name in sorted(os.listdir(root))
+        if name.startswith("bucket=")
+    }
+
+
+def test_compact_merges_parts_preserving_content(tmp_path):
+    root = str(tmp_path / "store")
+    store = ExampleStore(root, num_buckets=4)
+    for tag in ("a", "b", "c"):
+        store.add_examples(_recs(tag, 12))
+    before = store.to_dataset().to_pandas().sort_values("doc_id")
+    assert any(len(v) > 1 for v in _all_parts(root).values())
+    stats = store.compact()
+    assert stats["parts_after"] <= stats["parts_before"]
+    assert all(len(v) <= 1 for v in _all_parts(root).values())
+    after = store.to_dataset().to_pandas().sort_values("doc_id")
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    assert before["text"].tolist() == after["text"].tolist()
+    assert len(store) == len(before)
+    # second compact is a no-op
+    stats2 = store.compact()
+    assert stats2["buckets"] == 0
+
+
+def test_compact_crash_before_publish_keeps_old_parts(tmp_path):
+    """Marker written but merged part never published: the old parts are
+    still the truth — no data loss, and the next compact recovers."""
+    root = str(tmp_path / "store")
+    store = ExampleStore(root, num_buckets=1)
+    store.add_examples(_recs("x", 5))
+    store.add_examples(_recs("y", 5))
+    n = len(store)
+    bdir = os.path.join(root, "bucket=0000")
+    with open(os.path.join(bdir, ".obsolete.json"), "w") as f:
+        json.dump({"merged": "part-deadbeef.parquet",
+                   "obsolete": _all_parts(root)["bucket=0000"]}, f)
+    assert len(store) == n          # reads ignore the ineffective marker
+    store.compact()                 # recovers + merges
+    assert len(store) == n
+    assert len(_all_parts(root)["bucket=0000"]) == 1
+
+
+def test_compact_crash_after_publish_hides_old_parts(tmp_path):
+    """Merged part published, olds not yet deleted: marker retires them —
+    no duplicates — and the next compact finishes the cleanup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "store")
+    store = ExampleStore(root, num_buckets=1)
+    store.add_examples(_recs("x", 5))
+    store.add_examples(_recs("y", 5))
+    n = len(store)
+    bdir = os.path.join(root, "bucket=0000")
+    olds = _all_parts(root)["bucket=0000"]
+    merged = pa.concat_tables(
+        [pq.read_table(os.path.join(bdir, p)) for p in olds]
+    ).sort_by("doc_id")
+    pq.write_table(merged, os.path.join(bdir, "part-cafef00d.parquet"))
+    with open(os.path.join(bdir, ".obsolete.json"), "w") as f:
+        json.dump({"merged": "part-cafef00d.parquet", "obsolete": olds}, f)
+    assert len(store) == n                      # no double counting
+    df = store.to_dataset().to_pandas()
+    assert df["doc_id"].is_unique and len(df) == n
+    store.compact()                             # cleanup finishes
+    assert _all_parts(root)["bucket=0000"] == ["part-cafef00d.parquet"]
+    assert not os.path.exists(os.path.join(bdir, ".obsolete.json"))
+    assert len(store) == n
