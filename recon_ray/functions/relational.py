@@ -1222,3 +1222,101 @@ def group_concat(
         )
 
     return bucketed_group_apply(slim, keys_, bucket_fn, n_buckets=n_buckets)
+
+
+def grouped_moments(
+    ds,
+    key: Union[str, list[str]],
+    cols: list[str],
+    cross: Optional[tuple[str, str]] = None,
+):
+    """Exact per-group second moments over int64-quantized columns: for
+    each col, (n, Σx, Σx²), plus Σxy for one ``cross`` pair. Per-batch
+    int64 partials (a batch's Σx² is bounded by batch size · max²), then
+    the TINY partial table (n_blocks × n_groups rows) collects and
+    merges in arbitrary-precision Python ints — so the global moments
+    are exact at any scale and any layout, with no int64 overflow in the
+    merge and no float order-dependence anywhere. The variance/corr
+    consumers do ONE float conversion at the end, matching what the SQL
+    engine does with its HUGEINT accumulators."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys_, sort=False, dropna=False)
+        out = g[cols[0]].size().rename("__n").reset_index()
+        for c in cols:
+            out[f"__s_{c}"] = g[c].sum().to_numpy()
+            out[f"__ss_{c}"] = g[c].apply(
+                lambda x: int(np.dot(x.to_numpy(), x.to_numpy()))
+            ).to_numpy()
+        if cross is not None:
+            a, bcol = cross
+            out["__sxy"] = g.apply(
+                lambda x: int(np.dot(x[a].to_numpy(), x[bcol].to_numpy())),
+                include_groups=False,
+            ).to_numpy()
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    vals = [c for c in parts.columns if c.startswith("__")]
+    merged = (
+        parts.astype({c: object for c in vals})
+        .groupby(keys_, sort=True, dropna=False)[vals]
+        .sum()
+        .reset_index()
+    )
+    return merged.rename(columns={c: c.lstrip("_") for c in vals})
+
+
+def grouped_variance(
+    ds,
+    key: Union[str, list[str]],
+    col: str,
+    sample: bool = True,
+):
+    """Per-group variance and stddev of an int64-quantized column,
+    bit-identical to SQL ``var_samp``/``stddev_samp`` written in moment
+    form: (n·Σx² − (Σx)²) is computed EXACTLY in big ints, converted to
+    float once, and divided by n·(n−1) — and sqrt is IEEE-correctly
+    rounded, so the engines can't diverge. Groups with n ≤ ddof get
+    NaN (SQL NULL)."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+    m = grouped_moments(ds, key, [col])
+    ddof = 1 if sample else 0
+    out = m[keys_].copy()
+    n = m["n"]
+    num = n * m[f"ss_{col}"] - m[f"s_{col}"] * m[f"s_{col}"]
+    den = n * (n - ddof)
+    var = np.array(
+        [float(a) / float(b) if b > 0 else np.nan
+         for a, b in zip(num, den)],
+        dtype=np.float64,
+    )
+    out["n"] = n.astype("int64")
+    out["var"] = var
+    out["std"] = np.sqrt(var)
+    return out
+
+
+def grouped_corr(ds, key: Union[str, list[str]], x: str, y: str):
+    """Per-group Pearson correlation of two int64-quantized columns in
+    exact moment form (same determinism argument as grouped_variance);
+    NaN when either column is constant."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+    m = grouped_moments(ds, key, [x, y], cross=(x, y))
+    out = m[keys_].copy()
+    n = m["n"]
+    num = n * m["sxy"] - m[f"s_{x}"] * m[f"s_{y}"]
+    vx = n * m[f"ss_{x}"] - m[f"s_{x}"] * m[f"s_{x}"]
+    vy = n * m[f"ss_{y}"] - m[f"s_{y}"] * m[f"s_{y}"]
+    corr = np.array(
+        [
+            float(a) / (np.sqrt(float(b)) * np.sqrt(float(c)))
+            if b > 0 and c > 0 else np.nan
+            for a, b, c in zip(num, vx, vy)
+        ],
+        dtype=np.float64,
+    )
+    out["n"] = n.astype("int64")
+    out["corr"] = corr
+    return out

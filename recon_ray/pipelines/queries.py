@@ -3627,6 +3627,89 @@ SELECT vec_id, dim, CAST(val AS DOUBLE) AS val FROM (
 """
 
 
+def q_events_value_variance(sf_dir: str):
+    """Grouped variance/stddev (functions.relational.grouped_variance):
+    per event type over integer cents, in exact moment form — n·Σx²−(Σx)²
+    merged as arbitrary-precision ints, ONE float conversion, IEEE sqrt —
+    bit-identical to the HUGEINT moment form in SQL, immune to summation
+    order."""
+    from recon_ray.functions.relational import grouped_variance
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "vc": _cents_arrow(t.column("value")),
+            }
+        )
+
+    out = grouped_variance(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "vc", sample=True,
+    )
+    return (
+        out.rename(columns={"var": "var_c2", "std": "std_c"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_VARIANCE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       ((count(*) * sum(vc * vc) - sum(vc) * sum(vc))::DOUBLE
+        / (count(*) * (count(*) - 1))::DOUBLE)        AS var_c2,
+       sqrt((count(*) * sum(vc * vc) - sum(vc) * sum(vc))::DOUBLE
+        / (count(*) * (count(*) - 1))::DOUBLE)        AS std_c
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_value_hour_corr(sf_dir: str):
+    """Grouped Pearson correlation (functions.relational.grouped_corr):
+    value cents vs hour-of-day per event type, exact moment form (see
+    q_events_value_variance for the determinism argument)."""
+    from recon_ray.functions.relational import grouped_corr
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "vc": _cents(b["value"]),
+                "hr": b["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    out = grouped_corr(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_type", "vc", "hr",
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_HOUR_CORR = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         hour(ts)::BIGINT AS hr
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       ((count(*) * sum(vc * hr) - sum(vc) * sum(hr))::DOUBLE
+        / (sqrt((count(*) * sum(vc * vc) - sum(vc) * sum(vc))::DOUBLE)
+           * sqrt((count(*) * sum(hr * hr) - sum(hr) * sum(hr))::DOUBLE)))
+         AS corr
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_window_dist(sf_dir: str):
     """Second window-family query: CUME_DIST (with and without ties),
     FIRST_VALUE / LAST_VALUE (whole-partition frame), and partition-total
@@ -3967,6 +4050,8 @@ QUERIES = {
     "emb_unnest_dims": emb_unnest_dims,
     "q_orders_status_concat": q_orders_status_concat,
     "q_events_window_dist": q_events_window_dist,
+    "q_events_value_variance": q_events_value_variance,
+    "q_events_value_hour_corr": q_events_value_hour_corr,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q_events_value_histogram": q_events_value_histogram,
@@ -4213,6 +4298,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "emb_unnest_dims": ORACLE_EMB_UNNEST,
         "q_orders_status_concat": ORACLE_ORDERS_STATUS_CONCAT,
         "q_events_window_dist": ORACLE_EVENTS_WINDOW_DIST,
+        "q_events_value_variance": ORACLE_EVENTS_VARIANCE,
+        "q_events_value_hour_corr": ORACLE_EVENTS_HOUR_CORR,
         "q17_small_quantity_revenue": ORACLE_Q17,
         "q22_global_sales_opportunity": ORACLE_Q22,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,

@@ -1590,3 +1590,41 @@ def test_window_cume_dist_first_last_partition_sum():
         )
         assert got2["fv"].tolist() == [10, 10, 10, 10, 50, 50]
         assert got2["lv"].tolist() == [40, 40, 40, 40, 60, 60]
+
+
+def test_grouped_variance_and_corr_exact():
+    """Moment-form variance/corr: matches numpy exactly (same float ops),
+    layout-invariant, NaN for n==1 (var) and constant columns (corr)."""
+    from recon_ray.functions.relational import grouped_corr, grouped_variance
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {"g": rng.randint(0, 3, 60),
+         "x": rng.randint(-1000, 1000, 60).astype("int64"),
+         "y": rng.randint(0, 24, 60).astype("int64")}
+    )
+    df = pd.concat(
+        [df, pd.DataFrame({"g": [9, 8, 8], "x": [5, 3, 7], "y": [2, 2, 2]})],
+        ignore_index=True,
+    )
+    for parts in (1, 5):
+        ds = rd.from_pandas(df).repartition(parts)
+        v = grouped_variance(ds, "g", "x").set_index("g")
+        c = grouped_corr(ds, "g", "x", "y").set_index("g")
+        for g, sub in df.groupby("g"):
+            x = sub["x"].to_numpy()
+            n = len(x)
+            if n > 1:
+                num = n * int(np.dot(x, x)) - int(x.sum()) ** 2
+                want = float(num) / float(n * (n - 1))
+                assert v.loc[g, "var"] == want
+                assert v.loc[g, "std"] == np.sqrt(want)
+            else:
+                assert np.isnan(v.loc[g, "var"])
+        assert np.isnan(c.loc[9, "corr"])   # n == 1
+        assert np.isnan(c.loc[8, "corr"])   # y constant
+        got = c.loc[0, "corr"]
+        ref = np.corrcoef(
+            df.loc[df.g == 0, "x"], df.loc[df.g == 0, "y"]
+        )[0, 1]
+        assert abs(got - ref) < 1e-12
