@@ -408,3 +408,59 @@ def dictionary_tag(
         )
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def chunk_texts(
+    ds,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+):
+    """Sliding-window document chunking — the long-document splitter a
+    training pipeline runs before packing (context window ≫ tokenizer
+    max): one chunk per window start 0, stride, 2·stride, … while the
+    start is inside the text; the final chunk may be short. Returns a
+    lazy Dataset of (id_col, chunk_idx, chunk).
+
+    Embarrassingly parallel map, no shuffle: window starts are derived
+    per batch with the same run-structure arithmetic as explode_list
+    (repeat + offset-subtract, all numpy), and only the per-chunk slice
+    is a Python-level loop (C string slicing; bounded by chunks, not
+    chars). Docs shorter than ``min_chars`` are dropped before
+    chunking — pass size to keep single-window docs out of the output
+    when only long docs need splitting."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].to_numpy()
+        lens = b[text_col].str.len().to_numpy(dtype=np.int64)
+        keep = lens > min_chars
+        texts, lens = texts[keep], lens[keep]
+        ids = b[id_col].to_numpy()[keep]
+        if len(texts) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=b[id_col].dtype),
+                 "chunk_idx": pd.Series(dtype="int64"),
+                 "chunk": pd.Series(dtype="object")}
+            )
+        counts = (lens + stride - 1) // stride  # ceil(len/stride) ≥ 1
+        parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        idx = np.arange(len(parent), dtype=np.int64)
+        first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        chunk_idx = idx - first[parent]
+        off = chunk_idx * stride
+        return pd.DataFrame(
+            {
+                id_col: ids[parent],
+                "chunk_idx": chunk_idx,
+                "chunk": [
+                    texts[p][o:o + size]
+                    for p, o in zip(parent, off)
+                ],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

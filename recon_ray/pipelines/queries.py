@@ -3627,6 +3627,38 @@ SELECT vec_id, dim, CAST(val AS DOUBLE) AS val FROM (
 """
 
 
+def doc_chunks(sf_dir: str):
+    """Sliding-window chunking (functions.text.chunk_texts): docs over
+    400 chars split into 300-char windows at stride 200 — the
+    long-document splitter that runs before sequence packing. No
+    shuffle; window starts are numpy run arithmetic per batch."""
+    from recon_ray.functions.text import chunk_texts
+
+    out = (
+        chunk_texts(
+            _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            size=300, stride=200, min_chars=400,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+ORACLE_DOC_CHUNKS = """
+SELECT doc_id, (off / 200)::BIGINT AS chunk_idx,
+       substr(text, (off + 1)::INT, 300) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, length(text)::BIGINT, 200)) AS off
+  FROM documents WHERE length(text) > 400
+)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_events_value_variance(sf_dir: str):
     """Grouped variance/stddev (functions.relational.grouped_variance):
     per event type over integer cents, in exact moment form — n·Σx²−(Σx)²
@@ -4051,6 +4083,7 @@ QUERIES = {
     "q_orders_status_concat": q_orders_status_concat,
     "q_events_window_dist": q_events_window_dist,
     "q_events_value_variance": q_events_value_variance,
+    "doc_chunks": doc_chunks,
     "q_events_value_hour_corr": q_events_value_hour_corr,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -4299,6 +4332,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_orders_status_concat": ORACLE_ORDERS_STATUS_CONCAT,
         "q_events_window_dist": ORACLE_EVENTS_WINDOW_DIST,
         "q_events_value_variance": ORACLE_EVENTS_VARIANCE,
+        "doc_chunks": ORACLE_DOC_CHUNKS,
         "q_events_value_hour_corr": ORACLE_EVENTS_HOUR_CORR,
         "q17_small_quantity_revenue": ORACLE_Q17,
         "q22_global_sales_opportunity": ORACLE_Q22,

@@ -1628,3 +1628,32 @@ def test_grouped_variance_and_corr_exact():
             df.loc[df.g == 0, "x"], df.loc[df.g == 0, "y"]
         )[0, 1]
         assert abs(got - ref) < 1e-12
+
+
+def test_chunk_texts_boundaries():
+    """chunk_texts: exact window starts (0, stride, ...), short final
+    chunk, min_chars gate, unicode lengths counted in codepoints, layout
+    invariant."""
+    from recon_ray.functions.text import chunk_texts
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["abcdefghij",        # 10 chars → starts 0,4,8
+                  "xy",                # dropped by min_chars=3
+                  "áéíóú" * 2]}        # 10 codepoints
+    )
+    for parts in (1, 3):
+        got = (
+            chunk_texts(rd.from_pandas(df).repartition(parts),
+                        size=5, stride=4, min_chars=3)
+            .to_pandas().sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        assert got[got.doc_id == 1]["chunk"].tolist() == [
+            "abcde", "efghi", "ij"
+        ]
+        assert 2 not in set(got["doc_id"])
+        u = "áéíóú" * 2
+        assert got[got.doc_id == 3]["chunk"].tolist() == [
+            u[0:5], u[4:9], u[8:10]
+        ]
