@@ -1383,7 +1383,7 @@ def edit_distance_pairs(
     key_len: int = 48,
     block_len: int = 8,
     max_dist: int = 5,
-) -> pd.DataFrame:
+):
     """Fuzzy near-duplicate pairs by bounded Levenshtein over a derived
     key (the first ``key_len`` characters of ``text_col``). Blocking rule
     — EXACT and SQL-replicable, the operator's documented recall

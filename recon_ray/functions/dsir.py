@@ -82,13 +82,15 @@ def make_dsir_scorer(model_ref, text_col: str = "text",
     is ``ray.put(model)`` (or the model dict itself for local use)."""
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        key = id(model_ref)
-        if key not in _PROCESS_DSIR:
-            m = (ray.get(model_ref)
-                 if isinstance(model_ref, ray.ObjectRef) else model_ref)
-            _PROCESS_DSIR.clear()
-            _PROCESS_DSIR[key] = m["lr"]
-        lr = _PROCESS_DSIR[key]
+        if isinstance(model_ref, ray.ObjectRef):
+            # stable content key (lm.py's pattern) — id() can be reused
+            # after GC and would silently serve a stale model
+            key = ("dsir", model_ref.hex())
+            lr = _PROCESS_DSIR.get(key)
+            if lr is None:
+                lr = _PROCESS_DSIR[key] = ray.get(model_ref)["lr"]
+        else:
+            lr = model_ref["lr"]
         ids, n_words, weights = [], [], []
         for i, t in zip(batch[id_col], batch[text_col]):
             ws = _tokens(t)

@@ -536,13 +536,33 @@ def window_over(
                 n = grp[order_cols[0]].transform("size").astype("int64")
                 out[name] = r_last / n
             elif kind == "first_value":
-                out[name] = grp[col].transform("first")
+                # positional, NOT transform("first"): SQL FIRST_VALUE
+                # respects NULLs (a NULL in the partition's first row IS
+                # the answer), while pandas "first" skips NaN
+                v = g[col].to_numpy()
+                pos = np.arange(len(g))
+                starts = (grp.cumcount() == 0).to_numpy()
+                out[name] = pd.Series(
+                    v[np.maximum.accumulate(np.where(starts, pos, -1))],
+                    index=g.index,
+                )
             elif kind == "last_value":
                 # partition-final value, i.e. SQL last_value(...) with the
                 # ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                 # frame (the default CURRENT ROW frame makes last_value a
-                # no-op; nobody wants that)
-                out[name] = grp[col].transform("last")
+                # no-op; nobody wants that); positional for NULL-respect
+                v = g[col].to_numpy()
+                pos = np.arange(len(g))
+                starts = (grp.cumcount() == 0).to_numpy()
+                ends = np.empty(len(g), dtype=bool)
+                if len(g):
+                    ends[:-1] = starts[1:]
+                    ends[-1] = True
+                arr = np.where(ends, pos, len(g))
+                out[name] = pd.Series(
+                    v[np.minimum.accumulate(arr[::-1])[::-1]],
+                    index=g.index,
+                )
             elif kind == "partition_sum":
                 # sum(x) OVER (PARTITION BY g) — no ORDER, whole-partition
                 # total; the ratio-to-report building block
@@ -791,6 +811,8 @@ def pivot_agg(
     piv = flat.pivot_table(
         index=keys_, columns=pivot_col, values="__v",
         aggfunc="first", fill_value=fill,
+        dropna=False,  # keep NULL-keyed groups — SQL GROUP BY semantics,
+        # and the combiner above already counts them (dropna=False there)
     )
     if categories is not None:
         piv = piv.reindex(columns=list(categories), fill_value=fill)
@@ -949,20 +971,37 @@ def skew_join(
     if hot.empty:
         return shuffle_join(left_ds, right_ds, on=on, right_on=right_on,
                             how=how, num_partitions=num_partitions)
-    hot_keys = set(map(tuple, hot[on_].itertuples(index=False)))
-    ref = ray.put(hot_keys)
+    # prepare the hot-key value set ONCE driver-side as Arrow arrays so the
+    # per-batch split is a C-speed pc.is_in kernel, not a Python per-row
+    # tuple probe (3 full-data passes ride through side())
+    _SEP = "\x1f"
+    if len(on_) == 1:
+        hot_set = pa.array(hot[on_[0]].tolist())
+    else:
+        hot_cols = [pa.array(hot[c].tolist()) for c in on_]
+        hot_set = pc.binary_join_element_wise(
+            *[pc.cast(c, pa.string()) for c in hot_cols], _SEP
+        )
+    ref = ray.put(hot_set)
 
     def side(keep: bool, cols: list[str]):
         # Arrow-native filter: a 0-row Arrow table KEEPS its schema, so
         # an all-hot (or all-cold) corpus still presents typed blocks to
         # the downstream hash join.
         def f(t: pa.Table) -> pa.Table:
-            ks = _get_broadcast(ref)
-            key_rows = zip(*(t.column(c).to_pylist() for c in cols))
-            mask = np.fromiter(
-                (row in ks for row in key_rows), dtype=bool, count=len(t)
-            )
-            return t.filter(pa.array(mask if keep else ~mask))
+            vs = _get_broadcast(ref)
+            if len(cols) == 1:
+                col = t.column(cols[0]).combine_chunks()
+                mask = pc.is_in(col, value_set=vs.cast(col.type))
+            else:
+                comp = pc.binary_join_element_wise(
+                    *[pc.cast(t.column(c), pa.string()) for c in cols],
+                    _SEP,
+                )
+                mask = pc.is_in(comp, value_set=vs)
+            if not keep:
+                mask = pc.invert(mask)
+            return t.filter(mask)
         return f
 
     left_hot = left_ds.map_batches(

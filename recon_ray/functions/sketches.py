@@ -320,16 +320,23 @@ def histogram(ds, col: str, lo: float, hi: float, n_bins: int = 32
               ) -> pd.DataFrame:
     """Fixed-width histogram over [lo, hi): per-batch int64 bin counts
     (np.bincount) summed across blocks — one combiner pass, no shuffle,
-    exact under any layout. Out-of-range and NaN values land in the
-    underflow/overflow bins (-1 and n_bins). Returns (bin, lo, hi, count)
-    with every bin present, zero or not."""
+    exact under any layout. Out-of-range values land in the
+    underflow/overflow bins (-1 and n_bins, including -inf/+inf); NaN rows
+    are dropped. Returns (bin, lo, hi, count) with every bin present,
+    zero or not."""
     width = (hi - lo) / n_bins
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch[col].to_numpy(np.float64)
         v = v[~np.isnan(v)]
-        idx = np.floor((v - lo) / width).astype(np.int64)
-        idx = np.clip(idx, -1, n_bins)  # under/overflow sentinels
+        # branch on range FIRST so ±inf never feeds the float->int64 cast
+        # (which is undefined for non-finite inputs)
+        idx = np.full(len(v), -1, dtype=np.int64)
+        mid = (v >= lo) & (v < hi)
+        idx[mid] = np.minimum(
+            np.floor((v[mid] - lo) / width).astype(np.int64), n_bins - 1
+        )
+        idx[v >= hi] = n_bins
         c = np.bincount(idx + 1, minlength=n_bins + 2).astype(np.int64)
         return pd.DataFrame({"bin": np.arange(-1, n_bins + 1), "n": c})
 
@@ -361,9 +368,11 @@ def count_min_partials(ds, col: str, depth: int = 4, width: int = 2048):
     rows). Point estimates overcount by at most εn with probability
     1-δ, ε = e/width, δ = e^-depth."""
     shape = (depth, width)
-    # row seeds: fixed odd multipliers (deterministic across runs/layouts)
-    seeds = (_hash64(np.arange(1, depth + 1, dtype=np.uint64))
-             | np.uint64(1))
+    # row seeds: fixed xor masks (deterministic across runs/layouts). Each
+    # row REMIXES the value hash through _hash64(h ^ seed) — an odd
+    # multiplier mod a power-of-two width would make every row a function
+    # of h mod width alone (all rows collide together, effective depth 1)
+    seeds = _hash64(np.arange(1, depth + 1, dtype=np.uint64))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -371,7 +380,7 @@ def count_min_partials(ds, col: str, depth: int = 4, width: int = 2048):
         h = _col_hashes(batch, col)
         mat = np.zeros(shape, dtype=np.int64)
         for d in range(depth):
-            idx = ((h * seeds[d]) % np.uint64(width)).astype(np.int64)
+            idx = (_hash64(h ^ seeds[d]) % np.uint64(width)).astype(np.int64)
             np.add.at(mat[d], idx, 1)
         return pd.DataFrame({"cms": [mat.tobytes()], "n": [len(batch)]})
 
@@ -405,7 +414,7 @@ def count_min_estimate(sketch: dict, values) -> pd.DataFrame:
     width = np.uint64(sketch["width"])
     est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(sketch["depth"]):
-        idx = ((h * seeds[d]) % width).astype(np.int64)
+        idx = (_hash64(h ^ seeds[d]) % width).astype(np.int64)
         est = np.minimum(est, mat[d, idx])
     return pd.DataFrame({"value": vals, "estimate": est})
 

@@ -3218,9 +3218,9 @@ def q14_promo_revenue_share(sf_dir: str):
     promo_c = int(g["promo_part_sum"])
     total_c = int(g["revenue_part_sum"])
     return pd.DataFrame(
-        {"promo_revenue": [round(promo_c / 10000.0, 2)],
-         "total_revenue": [round(total_c / 10000.0, 2)],
-         "promo_share_pct": [round(100.0 * promo_c / total_c, 6)]}
+        {"promo_revenue": [float(_round_away(promo_c / 10000.0, 2))],
+         "total_revenue": [float(_round_away(total_c / 10000.0, 2))],
+         "promo_share_pct": [float(_round_away(100.0 * promo_c / total_c, 6))]}
     )
 
 
@@ -3272,7 +3272,7 @@ def q18_large_orders(sf_dir: str):
     )
     j = broadcast_join(qty, dim, on="l_orderkey", small_on="o_orderkey")
     out = j.to_pandas()
-    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_qty"] = _round_away(out["sum_qty"], 2)
     out = out.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True],
         kind="mergesort",
@@ -3452,7 +3452,7 @@ def q_orders_merge_upsert(sf_dir: str):
     out = pd.DataFrame(
         {"o_orderstatus": g["o_orderstatus"],
          "n_orders": g["price_c_count"].astype("int64"),
-         "total_price": (g["price_c_sum"] / 100.0).round(2)}
+         "total_price": _round_away(g["price_c_sum"] / 100.0, 2)}
     )
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
@@ -3503,7 +3503,7 @@ def q_lineitem_price_tiles(sf_dir: str):
         {"l_returnflag": g["l_returnflag"],
          "tile": g["tile"].astype("int64"),
          "n_rows": g["pr_count"].astype("int64"),
-         "max_pr": g["pr_max"].round(6)}
+         "max_pr": _round_away(g["pr_max"], 6)}
     )
     return out.sort_values(["l_returnflag", "tile"]).reset_index(drop=True)
 
@@ -3582,7 +3582,7 @@ def q_events_type_user_hll(sf_dir: str):
         )
         .to_pandas().sort_values("event_type").reset_index(drop=True)
     )
-    out["estimate"] = out["estimate"].round(2)
+    out["estimate"] = _round_away(out["estimate"], 2)
     return out
 
 

@@ -50,6 +50,13 @@ def _bucket_dir(root: str, b: int) -> str:
 _OBSOLETE = ".obsolete.json"
 
 
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+
+
 def _live_parts(bucket_dir: str) -> list[str]:
     """Part filenames that are LIVE under the compaction protocol. A
     compaction marker lists parts superseded by a merged part — but it
@@ -93,7 +100,14 @@ def _compact_bucket(bucket_dir: str) -> tuple[int, int, int]:
     parts — then (5) delete the old parts and the marker. A crash at any
     point leaves either the old parts live (merged absent) or exactly
     the merged part live (marker + merged present): never loss, never
-    duplicates. Returns (parts_before, parts_after, rows)."""
+    duplicates. Returns (parts_before, parts_after, rows).
+
+    Single-compactor contract: at most ONE compact() may run against a
+    store root at a time (the CLI verb is that one process). Readers and
+    appenders are safe concurrently; a SECOND concurrent compactor could
+    retire the first one's marker mid-protocol. Unlinks are tolerant
+    (missing_ok) so even that misuse degrades to extra work, not a
+    crash."""
     marker_path = os.path.join(bucket_dir, _OBSOLETE)
     # finish an interrupted run first
     if os.path.exists(marker_path):
@@ -105,11 +119,14 @@ def _compact_bucket(bucket_dir: str) -> tuple[int, int, int]:
         if m.get("merged") in on_disk:
             # previous run published its merged part: the olds are dead
             for n in m.get("obsolete", []):
-                p = os.path.join(bucket_dir, n)
-                if os.path.exists(p):
-                    os.unlink(p)
+                _unlink_quiet(os.path.join(bucket_dir, n))
         # else: died before publishing — the olds are still the truth
-        os.unlink(marker_path)
+        _unlink_quiet(marker_path)
+    # a crash between tmp-write and publish orphans .part-<sig>.tmp;
+    # recovery is the only writer of those names, so sweep them here
+    for n in os.listdir(bucket_dir):
+        if n.startswith(".part-") and n.endswith(".tmp"):
+            _unlink_quiet(os.path.join(bucket_dir, n))
     live = _live_parts(bucket_dir)
     if len(live) <= 1:
         n_rows = sum(
@@ -134,8 +151,8 @@ def _compact_bucket(bucket_dir: str) -> tuple[int, int, int]:
     os.replace(mtmp, marker_path)
     os.replace(tmp, os.path.join(bucket_dir, final_name))  # publish
     for n in obsolete:
-        os.unlink(os.path.join(bucket_dir, n))
-    os.unlink(marker_path)
+        _unlink_quiet(os.path.join(bucket_dir, n))
+    _unlink_quiet(marker_path)
     return (len(live), 1, merged.num_rows)
 
 

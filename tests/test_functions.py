@@ -1165,6 +1165,26 @@ def test_count_min_never_underestimates(events):
     assert (got2 >= exact).all()
 
 
+def test_count_min_rows_are_independent():
+    """Regression: values 40 and 68 have _hash64 collisions mod 2048, so
+    under the old (h * odd_seed) % width row scheme they shared ALL depth
+    cells (effective depth 1 — both estimates read c(40)+c(68)). With
+    per-row remixing the min over depth separates them exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.sketches import (count_min_estimate,
+                                              count_min_partials)
+
+    df = pd.DataFrame({"v": [40] * 100 + [68] * 7})
+    sk = count_min_partials(
+        rd.from_pandas(df).repartition(3), "v", depth=4, width=2048
+    )
+    got = count_min_estimate(sk, [40, 68]).set_index("value")["estimate"]
+    assert int(got[40]) == 100
+    assert int(got[68]) == 7
+
+
 def test_pivot_agg_pinned_categories(events, con):
     """pivot_agg vs DuckDB conditional aggregation; a category absent from
     the input still yields a fill column (stable schema across shards)."""

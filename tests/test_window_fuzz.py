@@ -95,3 +95,63 @@ def test_window_over_matches_duckdb(rows, parts):
             np.asarray(w, dtype="float64"),
             err_msg=name,
         )
+
+
+NULL_SPECS = [
+    ("first_value", "v", "fv"),
+    ("last_value", "v", "lv"),
+    ("lag", "v", "lg"),
+    ("lead", "v", "ld"),
+]
+
+NULL_SQL = """
+SELECT id,
+  first_value(v) OVER w AS fv,
+  last_value(v)  OVER (PARTITION BY g ORDER BY k, id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+  lag(v)  OVER w AS lg,
+  lead(v) OVER w AS ld
+FROM df
+WINDOW w AS (PARTITION BY g ORDER BY k, id)
+ORDER BY id
+"""
+
+null_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                    # g
+        st.integers(min_value=-5, max_value=5),                   # k
+        st.one_of(st.none(),
+                  st.integers(min_value=-100, max_value=100)),    # v
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(null_rows_st, st.integers(min_value=1, max_value=5))
+def test_window_value_kinds_respect_nulls(rows, parts):
+    """SQL FIRST_VALUE/LAST_VALUE/LAG/LEAD respect NULLs: a NULL in the
+    partition's boundary row IS the answer (regression for the pandas
+    transform('first')/'last' skip-NaN divergence)."""
+    df = pd.DataFrame(rows, columns=["g", "k", "v"])
+    df["v"] = df["v"].astype("float64")  # None -> NaN
+    df["id"] = np.arange(len(df), dtype=np.int64)
+
+    got = (
+        window_over(rd.from_pandas(df).repartition(parts), "g", ["k", "id"],
+                    NULL_SPECS)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(NULL_SQL).fetchdf()
+
+    for _, _, name in NULL_SPECS:
+        g, w = got[name], want[name]
+        assert list(g.isna()) == list(w.isna()), name
+        np.testing.assert_array_equal(
+            np.asarray(g.dropna(), dtype="float64"),
+            np.asarray(w.dropna(), dtype="float64"),
+            err_msg=name,
+        )
