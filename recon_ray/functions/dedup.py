@@ -486,59 +486,86 @@ def _hamming64_vec(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return np.unpackbits(as_bytes, axis=1).sum(axis=1).astype(np.int64)
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency: int = 4) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: 4 bands of 16 bits (any pair within
-    Hamming ≤3 of 64 bits shares at least one exact band), Hamming verify.
-    Pair enumeration + verify run once per hash bucket of band keys (one
-    vectorized self-merge + popcount per bucket), not once per band key."""
+def hash64_neardup_pairs(
+    sig_ds,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> pd.DataFrame:
+    """Near-dup pairs over ANY 64-bit hash column by banded Hamming LSH:
+    ``n_bands`` equal bit-slices of the hash (pigeonhole: a pair within
+    Hamming ≤ n_bands-1 shares at least one exact band), then exact
+    popcount verify. Pair enumeration + verify run once per HASH BUCKET
+    of band keys (one vectorized self-merge + popcount per bucket), not
+    once per band key. Returns (a, b, hamming) with a < b.
+
+    The signature dataset is the only thing that shuffles (id + banded
+    key + hash — tens of bytes/row); payloads/text never ride it. Shared
+    by :func:`simhash_dedup` (text) and multimodal.image_neardup_pairs
+    (perceptual hashes)."""
     from recon_ray.functions.relational import bucketed_group_apply
 
-    sigs_ds = docs_ds.map_batches(
-        make_simhash_batch(), batch_format="pyarrow", zero_copy_batch=True
-    )
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    bits = 64 // n_bands
+    mask = np.uint64((1 << bits) - 1)
 
     def bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        band_idx = np.arange(4, dtype=np.uint64)
-        keys = (sh[:, None] >> (band_idx * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+        sh = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        band_idx = np.arange(n_bands, dtype=np.uint64)
+        keys = (sh[:, None] >> (band_idx * np.uint64(bits))[None, :]) & mask
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
-                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n),
-                                 pa.int32()),
+                "__id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                ),
                 "key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
-                "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
+                "__h": pa.array(np.repeat(sh, n_bands), pa.uint64()),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["band", "key", "doc_id"])
+        d = g.drop_duplicates(["band", "key", "__id"])
         m = d.merge(d, on=["band", "key"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m[m["__id_x"] < m["__id_y"]]
         if len(m) == 0:
             return pd.DataFrame(
                 {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                  "hamming": pd.Series(dtype="int64")}
             )
         ham = _hamming64_vec(
-            m["simhash_x"].to_numpy().astype(np.uint64),
-            m["simhash_y"].to_numpy().astype(np.uint64),
+            m["__h_x"].to_numpy().astype(np.uint64),
+            m["__h_y"].to_numpy().astype(np.uint64),
         )
         out = pd.DataFrame(
-            {"a": m["doc_id_x"].values, "b": m["doc_id_y"].values,
-             "hamming": ham}
+            {"a": m["__id_x"].values, "b": m["__id_y"].values, "hamming": ham}
         )
         return out[out["hamming"] <= max_hamming].drop_duplicates(["a", "b"])
 
-    banded = sigs_ds.map_batches(bands, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+    banded = sig_ds.map_batches(bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
     df = bucketed_group_apply(banded, ["band", "key"], bucket_pairs).to_pandas()
     if len(df) == 0:
         return pd.DataFrame(columns=["a", "b", "hamming"])
     return (
         df.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency: int = 4) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: 4 bands of 16 bits (any pair within
+    Hamming ≤3 of 64 bits shares at least one exact band), Hamming verify
+    — the generic :func:`hash64_neardup_pairs` over the simhash column."""
+    sigs_ds = docs_ds.map_batches(
+        make_simhash_batch(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash64_neardup_pairs(
+        sigs_ds, "simhash", id_col="doc_id",
+        max_hamming=max_hamming, n_bands=4,
     )
 
 

@@ -21,7 +21,8 @@ import pandas as pd
 import ray
 from ray.data.aggregate import Sum
 
-__all__ = ["degree_table", "pagerank", "pagerank_oracle_sql", "graph_components"]
+__all__ = ["degree_table", "pagerank", "pagerank_oracle_sql",
+           "graph_components", "triangle_stats"]
 
 
 def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
@@ -218,3 +219,99 @@ def graph_components(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -
     out = connected_components(edges)
     out = out.rename(columns={"doc_id": "entity", "cluster": "component"})
     return out.sort_values("entity").reset_index(drop=True)
+
+
+def triangle_stats(triples_ds, subj_col: str = "subj",
+                   obj_col: str = "obj") -> pd.DataFrame:
+    """Undirected triangle census of the entity graph — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+
+    Distributed shape (the standard two-join triangle count, e.g.
+    Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    Last Reducer"):
+
+    1. canonical edge table: per-batch (u,v) normalize with u < v +
+       local dedup (combiner), then the bucketed global `distinct` —
+       self-loops dropped, multi-edges collapsed; materialized ONCE
+       because three downstream consumers read it;
+    2. wedges keyed at the triangle's MIN vertex: edges self-joined on
+       ``u`` (one hash shuffle) and filtered to v1 < v2, so each
+       triangle {x<y<z} is generated exactly once (center x);
+    3. closure: wedge (y,z) hash-joined against the edge table on the
+       composite key (second shuffle); the match count IS n_triangles;
+    4. n_wedges = sum C(d,2) from the total-degree table (combiner
+       groupby, no join) — the denominator of the global clustering
+       coefficient 3·T / W (one IEEE division, oracle-exact).
+
+    Never a driver loop; the only driver-sized object is the one-row
+    result. Skew note: a hub node h makes step 2 emit C(d_h, 2) wedges —
+    at web scale cap or sample hub wedges; here the census is exact."""
+    from recon_ray.functions.relational import distinct, shuffle_join
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, o = b[subj_col], b[obj_col]
+        lo = s.where(s <= o, o)
+        hi = o.where(s <= o, s)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[lo != hi].drop_duplicates()
+
+    edges = distinct(
+        triples_ds.map_batches(canon, batch_format="pandas"), ["u", "v"]
+    ).materialize()
+    n_edges = edges.count()
+
+    # total degree per node -> n_nodes, n_wedges (combiner pass)
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([b["u"], b["v"]]).value_counts()
+        return pd.DataFrame({"node": c.index, "d": c.to_numpy(np.int64)})
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+    )
+    n_nodes = len(deg)
+    d = deg["d"].to_numpy(np.int64)
+    n_wedges = int((d * (d - 1) // 2).sum())
+
+    # --- wedges + closure without Dataset.join -------------------------
+    # ray 2.49's hash-join aggregator chokes on the zero-column empty
+    # blocks that map_batches emits for 0-row inputs; the bucketed-shuffle
+    # primitives (same machinery as relational._set_op) are robust to
+    # them and need one shuffle per stage anyway.
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all co-centered edge pairs with v1 < v2: each triangle {x<y<z}
+        # appears exactly once, at center x (both edges carry u = x)
+        m = g.merge(g, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        return pd.DataFrame({"a": m["v_x"], "b": m["v_y"]})
+
+    wedges = bucketed_group_apply(edges, "u", wedge_bucket)
+    tag_w = wedges.map_batches(
+        lambda b: b.assign(side=np.int64(0)), batch_format="pandas"
+    )
+    tag_e = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b["u"], "b": b["v"], "side": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["side"] == 0][["a", "b"]]
+        e = g[g["side"] == 1][["a", "b"]].drop_duplicates()
+        return pd.DataFrame({"n": [int(len(w.merge(e, on=["a", "b"])))]})
+
+    counts = bucketed_group_apply(
+        tag_w.union(tag_e), ["a", "b"], close_bucket
+    ).to_pandas()
+    n_triangles = int(counts["n"].sum()) if len(counts) else 0
+    clustering = (3.0 * n_triangles / n_wedges) if n_wedges else 0.0
+    return pd.DataFrame(
+        {"n_nodes": [n_nodes], "n_edges": [n_edges],
+         "n_wedges": [n_wedges], "n_triangles": [n_triangles],
+         "global_clustering": [clustering]}
+    )

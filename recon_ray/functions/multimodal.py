@@ -434,3 +434,128 @@ def synthetic_real_media_table(n: int, seed: int = 0) -> pa.Table:
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioSpectrogram:
+    """Actor-pool stage: decode audio → Hann-windowed non-overlapping
+    frames → |rfft|² power spectrum averaged over frames (real numpy DSP,
+    not a stub). Emits a fixed-size ``spectrum`` (frame//2+1 bins, mean
+    power per bin) plus the dominant bin index — the feature a
+    downstream audio-dedup / language-ID / quality model consumes.
+
+    Scale shape: one actor holds the window (built once in __init__);
+    batches stay payload-budgeted (MM_BATCH_SIZE); the output is
+    O(frame) floats per clip regardless of clip length."""
+
+    def __init__(self, frame: int = 256,
+                 backend: Optional[DecodeBackend] = None):
+        self.frame = frame
+        # periodic Hann window, built once per actor
+        self.window = 0.5 - 0.5 * np.cos(
+            2.0 * np.pi * np.arange(frame) / frame
+        )
+        self.backend = backend or DecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        fmts = batch.column("format").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        spectra, dom = [], []
+        for p, f, d in zip(payloads, fmts, durs):
+            wave = self.backend.decode_audio(
+                p, f, max(int(d) * 16, self.frame)
+            )
+            if len(wave) < self.frame:
+                wave = np.pad(wave, (0, self.frame - len(wave)))
+            n_frames = len(wave) // self.frame
+            fr = wave[: n_frames * self.frame].reshape(n_frames, self.frame)
+            power = np.abs(np.fft.rfft(fr * self.window, axis=1)) ** 2
+            mean_power = power.mean(axis=0)
+            spectra.append([float(x) for x in mean_power])
+            dom.append(int(np.argmax(mean_power)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "spectrum": pa.array(spectra, pa.list_(pa.float64())),
+                "dominant_bin": pa.array(dom, pa.int32()),
+            }
+        )
+
+
+class ImagePHash:
+    """Actor-pool stage: decode → ITU-R 601 luma → 9×8 nearest-neighbor
+    downsample → 64-bit dHash (horizontal gradient sign bits). Real
+    numpy end to end for the self-describing formats (NetpbmBackend);
+    robust to brightness/contrast shifts, which is why perceptual-hash
+    dedup uses gradients rather than raw pixels."""
+
+    def __init__(self, backend: Optional[DecodeBackend] = None):
+        self.backend = backend or DecodeBackend()
+
+    @staticmethod
+    def _dhash(img: np.ndarray) -> int:
+        # luma; img is (h, w, 3) uint8
+        luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+        h, w = luma.shape
+        yi = (np.arange(8) * h // 8).clip(0, h - 1)
+        xi = (np.arange(9) * w // 9).clip(0, w - 1)
+        small = luma[yi][:, xi]  # 8 rows × 9 cols
+        bits = (small[:, 1:] > small[:, :-1]).reshape(-1)  # 64 bits
+        return int(
+            np.packbits(bits).view(">u8")[0]  # big-endian 8 bytes → uint64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        fmts = batch.column("format").to_pylist()
+        hs = batch.column("height").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hashes = []
+        for p, f, h, w in zip(payloads, fmts, hs, ws):
+            img = self.backend.decode_image(p, f, h, w)
+            hashes.append(self._dhash(img))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(
+                    np.array(hashes, dtype=np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+
+def image_neardup_pairs(
+    media_ds,
+    max_hamming: int = 6,
+    backend: Optional[DecodeBackend] = None,
+    concurrency: int = 2,
+) -> "pd.DataFrame":
+    """Image near-duplicate pairs: perceptual dHash per image (actor
+    pool — decode state per actor, payload-budgeted batches), then the
+    generic banded Hamming LSH (dedup.hash64_neardup_pairs, 8 bands of
+    8 bits → guaranteed recall for Hamming ≤ 7 ≥ the default 6).
+
+    Payloads never ride a shuffle: only (media_id, phash) leaves the
+    hashing stage. Returns (a, b, hamming) with a < b."""
+    from recon_ray.functions.dedup import hash64_neardup_pairs
+
+    def only_images(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("kind"), "image"))
+
+    imgs = media_ds.map_batches(only_images, batch_format="pyarrow")
+    sigs = imgs.map_batches(
+        ImagePHash,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"backend": backend},
+    )
+    return hash64_neardup_pairs(
+        sigs, "phash", id_col="media_id",
+        max_hamming=max_hamming, n_bands=8,
+    )

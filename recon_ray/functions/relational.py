@@ -91,6 +91,19 @@ def _membership_join(big_ds, keys, on, keep: bool):
     return big_ds.map_batches(filter_batch, batch_format="pandas")
 
 
+def arrow_filter(ds, predicate):
+    """Schema-preserving row filter. ``Dataset.filter(expr=...)`` emits
+    ZERO-COLUMN blocks for empty inputs (observed on ray 2.49), which
+    poisons any downstream hash join ("No match for FieldRef on left
+    side") or pandas merge. ``pa.Table.filter`` keeps the schema on
+    0-row output, so this is safe to feed into joins at any scale.
+
+    ``predicate``: pa.Table -> boolean Array/ChunkedArray."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+    )
+
+
 def shuffle_join(
     left_ds,
     right_ds,
@@ -102,8 +115,22 @@ def shuffle_join(
     """Both-sides-large hash join: each side shuffles on the key into
     ``num_partitions`` hash partitions and matching partitions join
     pairwise (Ray's ``Dataset.join``). Use when neither side fits a
-    broadcast; keys should be pre-salted upstream if one key is hot."""
+    broadcast; keys should be pre-salted upstream if one key is hot.
+
+    Both sides are first re-batched with an explicit batch_size: Ray
+    synthesizes ZERO-COLUMN empty blocks (repartition of small inputs,
+    ``filter(expr=...)``) and passes them through map_batches without
+    calling the UDF; if such a shard reaches a join partition builder
+    first, the build-side schema is empty and the join dies with "No
+    match for FieldRef on left side". The explicit-batch_size batcher
+    consumes blocks into batches, where empties vanish."""
     on_ = (on,) if isinstance(on, str) else tuple(on)
+    left_ds = left_ds.map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=65536
+    )
+    right_ds = right_ds.map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=65536
+    )
     r_on = (
         None if right_on is None
         else (right_on,) if isinstance(right_on, str) else tuple(right_on)

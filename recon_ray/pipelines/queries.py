@@ -31,6 +31,7 @@ from recon_ray.functions import insights as ins
 from recon_ray.functions import stats as st
 from recon_ray.functions.dedup import dup_groups, embedding_neardup, minhash_lsh_dedup
 from recon_ray.functions.relational import (
+    arrow_filter,
     broadcast_join,
     distinct,
     grouped_agg,
@@ -1286,6 +1287,24 @@ def kg_components(sf_dir: str):
 
 
 
+def kg_call_triangles(sf_dir: str):
+    """Undirected triangle census of the call graph
+    (functions.graph.triangle_stats): canonical u<v edge table (bucketed
+    distinct), wedges keyed at each triangle's min vertex (one edge
+    self-join shuffle), closure via a composite-key hash join, wedge
+    denominator from the combiner degree table. Exact one-row census —
+    SQL-oracled by the identical three-way self-join over the gold
+    triples (the clustering coefficient is a single IEEE division, so
+    it hashes exactly)."""
+    from recon_ray.functions.graph import triangle_stats
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
+    return triangle_stats(edges)
+
+
 def kg_calls_2hop(sf_dir: str):
     """2-hop call closure over the canonical triple graph: (f, g) and
     (g, h) call edges compose into (f, calls2, h) with the number of
@@ -1296,11 +1315,12 @@ def kg_calls_2hop(sf_dir: str):
     more self-join, never a driver loop over rows)."""
     from recon_ray.functions.relational import shuffle_join
 
-    edges = (
-        _kg(sf_dir)["canonical_ds"]
-        .filter(expr="pred == 'calls'")
-        .select_columns(["subj", "obj"])
-    )
+    # arrow_filter, not filter(expr=...): expr-filter emits zero-column
+    # empty blocks that crash the downstream hash-join aggregator
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
     right = edges.map_batches(
         lambda b: b.rename(columns={"subj": "mid", "obj": "callee"}),
         batch_format="pandas",
@@ -2799,6 +2819,96 @@ FROM documents ORDER BY doc_id
 """
 
 
+def media_audio_dominant_bins(sf_dir: str):
+    """REAL audio DSP under the oracle gate: 24 deterministic PCM16 WAV
+    clips (pure tones at 250·(i+1) Hz, rate 16 kHz), decoded by the
+    pure-numpy WAV codec and pushed through the AudioSpectrogram actor
+    stage (Hann window, |rfft|², per-bin mean). A bin-aligned tone's
+    dominant bin is freq·frame/rate = 4·(i+1) in closed form, so DuckDB
+    can oracle the whole decode→FFT→argmax chain without an FFT: the
+    SQL computes the physics, the pipeline computes the signal."""
+    from recon_ray.functions.multimodal import (MM_BATCH_SIZE,
+                                                AudioSpectrogram,
+                                                NetpbmBackend, encode_wav)
+
+    rate, frame, n = 16000, 256, 24
+    rows = {"media_id": [], "kind": [], "format": [], "payload": [],
+            "width": [], "height": [], "duration_ms": []}
+    t = np.arange(rate // 2) / rate  # 0.5 s per clip
+    for i in range(n):
+        wave = np.sin(2 * np.pi * (250 * (i + 1)) * t).astype(np.float32)
+        rows["media_id"].append(i)
+        rows["kind"].append("audio")
+        rows["format"].append("wav")
+        rows["payload"].append(encode_wav(wave * 0.5, rate))
+        rows["width"].append(-1)
+        rows["height"].append(-1)
+        rows["duration_ms"].append(len(t) // 16)
+    tbl = pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"]), "format": pa.array(rows["format"]),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = ds.map_batches(
+        AudioSpectrogram,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=2,
+        fn_constructor_kwargs={"frame": frame, "backend": NetpbmBackend()},
+    ).to_pandas()
+    out["dominant_bin"] = out["dominant_bin"].astype("int64")
+    out = out[["media_id", "dominant_bin"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_DOMINANT_BINS = """
+SELECT i::BIGINT AS media_id, (4 * (i + 1))::BIGINT AS dominant_bin
+FROM generate_series(0, 23) AS s(i) ORDER BY 1
+"""
+
+
+def media_image_neardup(sf_dir: str):
+    """Image near-duplicate pairs over REAL encoded PPM payloads:
+    deterministic base images plus planted one-pixel perturbations →
+    per-image 64-bit perceptual dHash (ImagePHash actor pool, pure-numpy
+    decode) → banded Hamming LSH (dedup.hash64_neardup_pairs — only
+    (media_id, phash) rides the shuffle, payloads never do). Each planted
+    pair (2i, 2i+1) must surface; unrelated random images must not. The
+    hash itself is not SQL-expressible (rows-only gate); the planted-pair
+    recovery is asserted exactly in tests/test_codecs.py."""
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA, NetpbmBackend,
+                                                encode_ppm,
+                                                image_neardup_pairs)
+
+    rng = np.random.RandomState(1234)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    mid = 0
+    for i in range(12):
+        base = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        near = base.copy()
+        near[(i * 3) % 24, (i * 7) % 24] ^= 0xFF
+        for img in (base, near):
+            rows["media_id"].append(mid)
+            mid += 1
+            rows["kind"].append("image")
+            rows["format"].append("ppm")
+            rows["payload"].append(encode_ppm(img))
+            rows["width"].append(24)
+            rows["height"].append(24)
+            rows["duration_ms"].append(-1)
+    tbl = pa.table(rows, schema=MEDIA_SCHEMA)
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = image_neardup_pairs(ds, max_hamming=6, backend=NetpbmBackend())
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def emb_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means (Lloyd's, streaming partial-sum
     passes — functions.similarity.kmeans) → per-cluster size and mean
@@ -3259,8 +3369,8 @@ def q18_large_orders(sf_dir: str):
         )
         .groupby("l_orderkey")
         .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .filter(expr="sum_qty > 200")
     )
+    qty = arrow_filter(qty, lambda t: pc.greater(t.column("sum_qty"), 200))
     dim = (
         _pdf(sf_dir, "orders")[
             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
@@ -3951,9 +4061,10 @@ def q22_global_sales_opportunity(sf_dir: str):
     sum_c, cnt = int(partials.sum("s")), int(partials.sum("n"))
 
     orderers = distinct(
-        _t(sf_dir, "orders")
-        .filter(expr="o_orderpriority == '1-URGENT'")
-        .select_columns(["o_custkey"]),
+        arrow_filter(
+            _t(sf_dir, "orders"),
+            lambda t: pc.equal(t.column("o_orderpriority"), "1-URGENT"),
+        ).select_columns(["o_custkey"]),
         "o_custkey",
     ).to_pandas()
     rich = slim.map_batches(
@@ -4115,6 +4226,7 @@ QUERIES = {
     "kg_calls_2hop": kg_calls_2hop,
     "kg_pagerank": kg_pagerank,
     "kg_components": kg_components,
+    "kg_call_triangles": kg_call_triangles,
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_bpe_token_counts": doc_bpe_token_counts,
@@ -4159,6 +4271,8 @@ QUERIES = {
     "emb_logreg_train": emb_logreg_train,
     "emb_pca_variance": emb_pca_variance,
     "doc_media_features": doc_media_features,
+    "media_audio_dominant_bins": media_audio_dominant_bins,
+    "media_image_neardup": media_image_neardup,
 }
 
 
@@ -4206,6 +4320,25 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "kg_calls": (
             f"SELECT subj AS caller, obj AS callee, n_mentions FROM "
             f"read_parquet('{g_can}') WHERE pred='calls' ORDER BY caller, callee"
+        ),
+        "kg_call_triangles": (
+            f"WITH raw AS (SELECT subj, obj FROM read_parquet('{g_can}') "
+            f"WHERE pred='calls' AND subj <> obj), "
+            f"e AS (SELECT DISTINCT least(subj, obj) AS u, "
+            f"greatest(subj, obj) AS v FROM raw), "
+            f"deg AS (SELECT node, count(*)::BIGINT AS d FROM "
+            f"(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+            f"GROUP BY 1), "
+            f"tri AS (SELECT count(*)::BIGINT AS c FROM e a "
+            f"JOIN e b ON a.u = b.u AND a.v < b.v "
+            f"JOIN e cl ON cl.u = a.v AND cl.v = b.v) "
+            f"SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes, "
+            f"(SELECT count(*) FROM e)::BIGINT AS n_edges, "
+            f"(SELECT coalesce(sum(d*(d-1)//2), 0) FROM deg)::BIGINT AS n_wedges, "
+            f"(SELECT c FROM tri)::BIGINT AS n_triangles, "
+            f"CASE WHEN (SELECT sum(d*(d-1)//2) FROM deg) > 0 THEN "
+            f"3.0 * (SELECT c FROM tri) / (SELECT sum(d*(d-1)//2) FROM deg) "
+            f"ELSE 0.0 END AS global_clustering"
         ),
         "kg_calls_2hop": (
             f"WITH e AS (SELECT subj, obj FROM read_parquet('{g_can}') "
@@ -4340,6 +4473,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "doc_normalize": ORACLE_DOC_NORMALIZE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
+        "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,

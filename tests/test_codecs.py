@@ -136,3 +136,81 @@ def test_truncated_netpbm_raises_not_hangs():
     for bad in (b"P6\n12", b"P6\n# only a comment", b"P6\n3 2", b"P6"):
         with pytest.raises(ValueError):
             B.decode_image(bad, "ppm", -1, -1)
+
+
+def test_audio_spectrogram_pure_tone():
+    """A pure sine at bin-aligned frequency concentrates power in that
+    rfft bin: f = 1000 Hz at rate 16000 with frame 256 → bin 16."""
+    from recon_ray.functions.multimodal import (AudioSpectrogram,
+                                                NetpbmBackend, encode_wav)
+    import pyarrow as pa
+
+    rate, frame, freq = 16000, 256, 1000
+    t = np.arange(rate) / rate  # 1 second
+    wave = np.sin(2 * np.pi * freq * t).astype(np.float32) * 0.5
+    tbl = pa.table(
+        {"media_id": pa.array([0], pa.int64()),
+         "kind": ["audio"], "format": ["wav"],
+         "payload": pa.array([encode_wav(wave, rate)], pa.binary()),
+         "width": pa.array([-1], pa.int32()),
+         "height": pa.array([-1], pa.int32()),
+         # duration_ms * 16 must cover the full second of samples
+         "duration_ms": pa.array([rate // 16], pa.int32())}
+    )
+    stage = AudioSpectrogram(frame=frame, backend=NetpbmBackend())
+    out = stage(tbl)
+    assert out.column("dominant_bin").to_pylist() == [freq * frame // rate]
+    spec = np.array(out.column("spectrum").to_pylist()[0])
+    assert len(spec) == frame // 2 + 1
+    # the tone bin dominates; the Hann window leaks ~25% power into the
+    # two ADJACENT bins, so exclude 15..17 from the leakage check
+    assert spec[16] > spec[15] > 0 and spec[16] > spec[17] > 0
+    assert spec[16] > 100 * np.delete(spec, [15, 16, 17]).max()
+
+
+def test_image_phash_neardup_pairs_distributed():
+    """dHash near-dup: a one-pixel perturbation keeps Hamming small, a
+    different random image lands far; banded LSH over partitions finds
+    exactly the near pair."""
+    from recon_ray.functions.multimodal import (ImagePHash, MEDIA_SCHEMA,
+                                                NetpbmBackend, encode_ppm,
+                                                image_neardup_pairs)
+    import pyarrow as pa
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    near = base.copy()
+    near[5, 5] = 255 - near[5, 5]  # one pixel flipped
+    far = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i, img in enumerate([base, near, far]):
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("ppm")
+        rows["payload"].append(encode_ppm(img))
+        rows["width"].append(24)
+        rows["height"].append(24)
+        rows["duration_ms"].append(-1)
+    # plus an audio row that must be filtered out, not crash the decode
+    rows["media_id"].append(3)
+    rows["kind"].append("audio")
+    rows["format"].append("wav")
+    rows["payload"].append(b"RIFFxxxxWAVE")
+    rows["width"].append(-1)
+    rows["height"].append(-1)
+    rows["duration_ms"].append(10)
+    tbl = pa.table(rows, schema=MEDIA_SCHEMA)
+
+    # sanity: direct hash distances
+    st = ImagePHash(backend=NetpbmBackend())
+    hashes = st(tbl.slice(0, 3)).column("phash").to_pylist()
+    from recon_ray.functions.dedup import hamming64
+    assert hamming64(hashes[0], hashes[1]) <= 6
+    assert hamming64(hashes[0], hashes[2]) > 6
+
+    ds = rd.from_arrow(tbl).repartition(3)
+    pairs = image_neardup_pairs(ds, max_hamming=6, backend=NetpbmBackend())
+    assert list(map(tuple, pairs[["a", "b"]].itertuples(index=False))) == [
+        (0, 1)
+    ]

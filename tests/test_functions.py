@@ -1677,3 +1677,24 @@ def test_chunk_texts_boundaries():
         assert got[got.doc_id == 3]["chunk"].tolist() == [
             u[0:5], u[4:9], u[8:10]
         ]
+
+
+def test_arrow_filter_preserves_schema_into_join():
+    """Regression: Dataset.filter(expr=...) emits zero-column empty
+    blocks which crash the hash-join aggregator ("No match for FieldRef
+    ... on left side"); arrow_filter keeps the schema, so a tiny/sparse
+    input (empty blocks guaranteed) joins fine."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from recon_ray.functions.relational import arrow_filter, shuffle_join
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": ["a", "b", "c"], "x": [1, 2, 3]})
+    ).repartition(5)
+    left = arrow_filter(left, lambda t: pc.greater(t.column("x"), 1))
+    right = rd.from_pandas(pd.DataFrame({"k": ["b", "c"], "y": [20, 30]}))
+    out = shuffle_join(left, right, on="k").to_pandas()
+    assert sorted(map(tuple, out[["k", "x", "y"]].itertuples(index=False))) \
+        == [("b", 2, 20), ("c", 3, 30)]

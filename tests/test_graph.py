@@ -132,3 +132,39 @@ def test_graph_components_vs_union_find(triples):
     # the isolated 2-cycle is its own component
     cc = got.set_index("entity")["component"]
     assert cc["n058"] == cc["n059"] == "n058"
+
+
+def test_triangle_stats_known_graph():
+    """K4 plus a pendant edge: K4 has 4 triangles, 4+1=5 edges... check
+    exact census against hand counts, at several partitionings."""
+    from recon_ray.functions.graph import triangle_stats
+
+    # K4 on a,b,c,d (6 edges, 4 triangles, wedges = 4*C(3,2)=12) plus
+    # pendant d-e (adds edge, d's degree 4 -> wedges C(4,2)-C(3,2)=+3,
+    # e degree 1 -> +0) => nodes 5, edges 7, wedges 15, triangles 4.
+    # edges given DIRECTED with duplicates and a self-loop to exercise
+    # canonicalization
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("d", "b"), ("c", "d"), ("d", "e"), ("e", "d"), ("c", "c")]
+    df = pd.DataFrame(pairs, columns=["subj", "obj"])
+    for parts in (1, 3):
+        got = triangle_stats(rd.from_pandas(df).repartition(parts))
+        assert got.iloc[0].to_dict() == {
+            "n_nodes": 5, "n_edges": 7, "n_wedges": 15, "n_triangles": 4,
+            "global_clustering": 3.0 * 4 / 15,
+        }
+
+
+def test_triangle_stats_no_triangles():
+    """Bipartite graph (imports-shaped): zero triangles, zero division
+    guarded."""
+    from recon_ray.functions.graph import triangle_stats
+
+    df = pd.DataFrame(
+        [("r1", "p1"), ("r1", "p2"), ("r2", "p1")], columns=["subj", "obj"]
+    )
+    got = triangle_stats(rd.from_pandas(df))
+    assert int(got["n_triangles"][0]) == 0
+    assert float(got["global_clustering"][0]) == 0.0
+    # degrees r1=2, r2=1, p1=2, p2=1 -> C(2,2 picks): 1 + 0 + 1 + 0
+    assert int(got["n_wedges"][0]) == 2
