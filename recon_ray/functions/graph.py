@@ -16,13 +16,15 @@ oracle doing the same integer arithmetic.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import ray
 from ray.data.aggregate import Sum
 
 __all__ = ["degree_table", "pagerank", "pagerank_oracle_sql",
-           "graph_components", "triangle_stats"]
+           "graph_components", "triangle_stats", "bfs_levels"]
 
 
 def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
@@ -315,3 +317,93 @@ def triangle_stats(triples_ds, subj_col: str = "subj",
          "n_wedges": [n_wedges], "n_triangles": [n_triangles],
          "global_clustering": [clustering]}
     )
+
+
+@ray.remote
+def _frontier_step(idx_pair, frontier_ref, n):
+    """One BFS expansion over one edge block: dst nodes whose src is in
+    the frontier, as a dense bool vector (merge = OR, order-free)."""
+    src, dst = idx_pair
+    hit = frontier_ref[src]
+    out = np.zeros(n, dtype=bool)
+    out[dst[hit]] = True
+    return out
+
+
+def bfs_levels(
+    triples_ds,
+    root: Optional[str] = None,
+    max_depth: int = 20,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> pd.DataFrame:
+    """Single-source shortest-path levels (directed BFS) over the triple
+    graph — (entity, level) for every node reachable from ``root``
+    within ``max_depth`` hops. ``root=None`` picks the lexicographic-min
+    subject (deterministic, SQL-replicable).
+
+    Distributed shape (the pagerank pattern): edge blocks are indexed
+    ONCE against the broadcast sorted node array and stay in the object
+    store; each BFS round broadcasts the frontier bool vector
+    (``ray.put`` once) and every edge block task emits the nodes it
+    newly reaches (dense bool, merged by OR — order-free, exact). Rounds
+    = graph diameter (bounded by ``max_depth``); per-round driver state
+    is O(N_nodes) bits, never the edges. Levels are exact integers, so
+    the recursive-CTE SQL oracle (min level per reached node, depth
+    capped) reproduces them bit-for-bit."""
+    refs = triples_ds.select_columns([subj_col, obj_col]).to_arrow_refs()
+    parts = ray.get(
+        [_distinct_nodes.remote(b, subj_col, obj_col) for b in refs]
+    )
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "level": pd.Series([], dtype="int64")})
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+    idx_refs = [
+        _index_edges.remote(b, nodes_ref, subj_col, obj_col) for b in refs
+    ]
+    if root is None:
+        # lexicographic-min SUBJECT (must have an outgoing edge):
+        # per-block min subjects, reduced on the driver
+        subj_mins = [
+            p for p in ray.get(
+                [_min_subject.remote(b, subj_col) for b in refs]
+            ) if p is not None
+        ]
+        if not subj_mins:
+            return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                                 "level": pd.Series([], dtype="int64")})
+        root = min(subj_mins)
+    ri = int(np.searchsorted(nodes, root))
+    if ri >= n or nodes[ri] != root:
+        raise ValueError(f"root {root!r} not in graph")
+    level = np.full(n, -1, dtype=np.int64)
+    level[ri] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[ri] = True
+    for depth in range(1, max_depth + 1):
+        f_ref = ray.put(frontier)
+        reached = np.zeros(n, dtype=bool)
+        for part in ray.get(
+            [_frontier_step.remote(i, f_ref, n) for i in idx_refs]
+        ):
+            reached |= part
+        frontier = reached & (level < 0)
+        if not frontier.any():
+            break
+        level[frontier] = depth
+    mask = level >= 0
+    return (
+        pd.DataFrame({"entity": nodes[mask], "level": level[mask]})
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+
+
+@ray.remote
+def _min_subject(block, subj_col):
+    t = block.to_pandas()
+    return None if len(t) == 0 else str(t[subj_col].min())

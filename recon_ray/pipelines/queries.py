@@ -1305,6 +1305,31 @@ def kg_call_triangles(sf_dir: str):
     return triangle_stats(edges)
 
 
+def kg_call_bfs_levels(sf_dir: str):
+    """Single-source BFS shortest-path levels over the directed call
+    graph (functions.graph.bfs_levels): edge blocks indexed once against
+    the broadcast node array, frontier bool vector re-broadcast per
+    round, OR-merged reach sets — O(diameter) rounds, driver state is
+    bits per node, edges never leave the object store. Root is the
+    highest-out-degree caller, ties broken to the lexicographic min
+    (deterministic and SQL-replicable, and it reaches a real tree rather
+    than the min-name leaf's). Oracled by a DuckDB recursive CTE taking
+    min(level) per reached node at the same depth cap — exact integer
+    levels, full hash gate."""
+    from recon_ray.functions.graph import bfs_levels
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
+    deg = group_count(edges, "subj", alias="d")
+    root = deg.sort_values(["d", "subj"], ascending=[False, True],
+                           kind="mergesort")["subj"].iloc[0]
+    out = bfs_levels(edges, root=str(root), max_depth=20)
+    out["level"] = out["level"].astype("int64")
+    return out
+
+
 def kg_calls_2hop(sf_dir: str):
     """2-hop call closure over the canonical triple graph: (f, g) and
     (g, h) call edges compose into (f, calls2, h) with the number of
@@ -4227,6 +4252,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_components": kg_components,
     "kg_call_triangles": kg_call_triangles,
+    "kg_call_bfs_levels": kg_call_bfs_levels,
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_bpe_token_counts": doc_bpe_token_counts,
@@ -4320,6 +4346,18 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "kg_calls": (
             f"SELECT subj AS caller, obj AS callee, n_mentions FROM "
             f"read_parquet('{g_can}') WHERE pred='calls' ORDER BY caller, callee"
+        ),
+        "kg_call_bfs_levels": (
+            f"WITH RECURSIVE e AS (SELECT subj, obj FROM "
+            f"read_parquet('{g_can}') WHERE pred='calls'), "
+            f"walk(entity, level) AS ("
+            f"  SELECT (SELECT subj FROM e GROUP BY subj "
+            f"          ORDER BY count(*) DESC, subj LIMIT 1), 0 "
+            f"  UNION "
+            f"  SELECT e.obj, w.level + 1 FROM walk w "
+            f"  JOIN e ON e.subj = w.entity WHERE w.level < 20) "
+            f"SELECT entity, min(level)::BIGINT AS level FROM walk "
+            f"GROUP BY entity ORDER BY entity"
         ),
         "kg_call_triangles": (
             f"WITH raw AS (SELECT subj, obj FROM read_parquet('{g_can}') "

@@ -168,3 +168,28 @@ def test_triangle_stats_no_triangles():
     assert float(got["global_clustering"][0]) == 0.0
     # degrees r1=2, r2=1, p1=2, p2=1 -> C(2,2 picks): 1 + 0 + 1 + 0
     assert int(got["n_wedges"][0]) == 2
+
+
+def test_bfs_levels_chain_cycle_unreachable():
+    """BFS levels on a hand graph: chain with a shortcut, a cycle back to
+    the root, and an unreachable island; exact shortest-path levels at
+    several partitionings, capped depth excludes the deep tail."""
+    from recon_ray.functions.graph import bfs_levels
+
+    edges = [
+        ("r", "a"), ("a", "b"), ("b", "c"), ("c", "d"),  # chain r->d
+        ("r", "c"),              # shortcut: c at level 1, d at level 2
+        ("d", "r"),              # cycle back: r stays level 0
+        ("x", "y"),              # unreachable island
+    ]
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    want = {"r": 0, "a": 1, "c": 1, "b": 2, "d": 2}
+    for parts in (1, 4):
+        got = bfs_levels(rd.from_pandas(df).repartition(parts), root="r")
+        assert dict(zip(got["entity"], got["level"])) == want
+    # depth cap: max_depth=1 keeps only root + direct callees
+    got = bfs_levels(rd.from_pandas(df), root="r", max_depth=1)
+    assert dict(zip(got["entity"], got["level"])) == {"r": 0, "a": 1, "c": 1}
+    # default root = lexicographic-min subject ("a") reaches b,c,d,r...
+    got = bfs_levels(rd.from_pandas(df))
+    assert dict(zip(got["entity"], got["level"]))["a"] == 0
