@@ -324,6 +324,39 @@ def mixture_sample(ds, key_col: str, rates: dict, id_col: str = "doc_id"):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def assign_split(ds, fractions: dict, id_col: str = "doc_id",
+                 split_col: str = "split"):
+    """Deterministic train/val/test assignment — every row gets a split
+    label from its id's multiplicative u64 hash against cumulative
+    fraction thresholds (first bucket whose cumulative share exceeds the
+    hash). Pure map stage: no RNG, no shuffle, layout/rerun-invariant,
+    and membership survives corpus growth (a doc's split never changes
+    when other docs are added — the property an eval holdout needs).
+    Exactly SQL-expressible as a CASE over id·C mod 2⁶⁴ thresholds.
+
+    ``fractions``: ordered {label: fraction}; must sum to ≤ 1.0, the
+    remainder (if any) falls into the LAST label."""
+    labels = list(fractions)
+    if not labels:
+        raise ValueError("fractions must be non-empty")
+    cum, thresholds = 0.0, []
+    for lb in labels[:-1]:
+        cum += float(fractions[lb])
+        thresholds.append(np.uint64(min(int(cum * (1 << 64)), (1 << 64) - 1)))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = ids * np.uint64(_MIX_C)  # wraps mod 2^64
+        idx = np.zeros(len(batch), dtype=np.int64)
+        for t in thresholds:
+            idx += (h >= t).astype(np.int64)
+        out = batch.copy()
+        out[split_col] = np.array(labels, dtype=object)[idx]
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
 def deterministic_shuffle(ds, id_col: str = "doc_id", n_buckets: int = 256,
                           pos_col: str = "shuffle_pos"):
     """Deterministic global shuffle — the training-order pass of corpus

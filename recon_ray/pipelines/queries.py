@@ -1979,6 +1979,42 @@ def _mixture_oracle_sql() -> str:
     )
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test holdout assignment
+    (functions.insights.assign_split): split = first cumulative-fraction
+    bucket past the id's multiplicative u64 hash. No RNG, no shuffle; a
+    doc's split never changes as the corpus grows. Oracle: the identical
+    integer CASE in HUGEINT space — full hash gate over every row."""
+    from recon_ray.functions.insights import assign_split
+
+    out = assign_split(
+        _t(sf_dir, "documents").select_columns(["doc_id"]),
+        _SPLIT_FRACTIONS,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _split_oracle_sql() -> str:
+    from recon_ray.functions.insights import _MIX_C
+
+    labels = list(_SPLIT_FRACTIONS)
+    cum, whens = 0.0, []
+    for lb in labels[:-1]:
+        cum += float(_SPLIT_FRACTIONS[lb])
+        t = min(int(cum * (1 << 64)), (1 << 64) - 1)
+        whens.append(
+            f"WHEN ((doc_id::HUGEINT * {_MIX_C}) % 18446744073709551616) "
+            f"< {t}::HUGEINT THEN '{lb}'"
+        )
+    return (
+        "SELECT doc_id, CASE " + " ".join(whens) +
+        f" ELSE '{labels[-1]}' END AS split FROM documents ORDER BY doc_id"
+    )
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style within-doc repetition filters (dup word/2-gram/3-gram
     fractions, top-word share) — functions.text.repetition_scores."""
@@ -4264,6 +4300,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_top_words_per_lang": doc_top_words_per_lang,
     "doc_mixture_sample": doc_mixture_sample,
+    "doc_split_assign": doc_split_assign,
     "doc_shuffle": doc_shuffle,
     "doc_length_gate": doc_length_gate,
     "doc_stratified_sample": doc_stratified_sample,
@@ -4472,6 +4509,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_quality": ORACLE_DOC_QUALITY,
         "doc_top_words_per_lang": ORACLE_DOC_TOP_PER_LANG,
         "doc_mixture_sample": _mixture_oracle_sql(),
+        "doc_split_assign": _split_oracle_sql(),
         "doc_shuffle": _shuffle_oracle_sql(),
         "doc_length_gate": ORACLE_DOC_LENGTH_GATE,
         "doc_stratified_sample": _stratified_oracle_sql(),

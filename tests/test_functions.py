@@ -1698,3 +1698,27 @@ def test_arrow_filter_preserves_schema_into_join():
     out = shuffle_join(left, right, on="k").to_pandas()
     assert sorted(map(tuple, out[["k", "x", "y"]].itertuples(index=False))) \
         == [("b", 2, 20), ("c", 3, 30)]
+
+
+def test_assign_split_stable_under_growth():
+    """Holdout contract: fractions roughly hold, every row is labeled,
+    and a doc's split NEVER changes when the corpus grows (pure function
+    of the id)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.insights import assign_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = pd.DataFrame({"doc_id": range(2000)})
+    big = pd.DataFrame({"doc_id": range(6000)})
+    a = assign_split(rd.from_pandas(small).repartition(4), fr).to_pandas()
+    b = assign_split(rd.from_pandas(big).repartition(7), fr).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert list(a["split"]) == list(b["split"][:2000])
+    share = a["split"].value_counts(normalize=True)
+    assert abs(share["train"] - 0.8) < 0.05
+    assert abs(share["val"] - 0.1) < 0.03
+    assert abs(share["test"] - 0.1) < 0.03
+    assert set(b["split"]) == {"train", "val", "test"}
