@@ -373,6 +373,24 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Triple-table interchange: Parquet triples ↔ N-Triples lines."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.sources.ntriples import read_ntriples, write_ntriples
+
+    if args.direction == "to-ntriples":
+        n = write_ntriples(rd.read_parquet(args.src), args.dst,
+                           base=args.base)
+        print(json.dumps({"statements": n, "out": args.dst}))
+    else:  # from-ntriples
+        ds = read_ntriples(args.src, base=args.base)
+        ds.write_parquet(args.dst)
+        print(json.dumps({"statements": ds.count(), "out": args.dst}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -464,6 +482,14 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    pex = sub.add_parser("export", help="triples Parquet ↔ N-Triples")
+    pex.add_argument("direction", choices=["to-ntriples", "from-ntriples"])
+    pex.add_argument("src")
+    pex.add_argument("dst")
+    pex.add_argument("--base", default="urn:recon:",
+                     help="IRI base prefix for entity terms")
+    pex.set_defaults(fn=cmd_export)
 
     prp = sub.add_parser("report", help="corpus release report")
     prp.add_argument("docs_path")

@@ -54,6 +54,34 @@ def search(ds, query: str, case_sensitive: bool = True, text_col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def regex_extract_all(ds, pattern: str, text_col: str = "text",
+                      id_col: str = "doc_id", match_col: str = "match"):
+    """All non-overlapping regex matches per row, in order —
+    SQL ``UNNEST(regexp_extract_all(...))`` with ordinality as a
+    distributed flat-map: (id, ord, match) rows, ord 1-based per doc.
+    Pattern is compiled once per call (closure state; the worker reuses
+    it across batches). Engine-parity contract (same as pii.py): keep
+    the pattern RE2-safe (no lookarounds/backrefs) so Python ``re`` and
+    DuckDB's RE2 find identical spans. Embarrassingly parallel; no
+    shuffle; output rows ≈ total matches, never the corpus."""
+    rx = re.compile(pattern)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ords, ms = [], [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            for j, m in enumerate(rx.finditer(t or ""), 1):
+                ids.append(i)
+                ords.append(j)
+                ms.append(m.group(0))
+        return pd.DataFrame(
+            {id_col: pd.Series(ids, dtype=batch[id_col].dtype),
+             "ord": pd.Series(ords, dtype="int64"),
+             match_col: pd.Series(ms, dtype=object)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def bpe_token_counts(batch: pa.Table) -> pa.Table:
     """(doc_id, n_bpe_tokens): count of \\w+|[^\\w\\s] matches — the
     pre-tokenization a BPE vocab would see."""

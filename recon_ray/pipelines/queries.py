@@ -3798,6 +3798,36 @@ SELECT vec_id, dim, CAST(val AS DOUBLE) AS val FROM (
 """
 
 
+def doc_regex_extract(sf_dir: str):
+    """All 5+-letter word matches per document with ordinality
+    (functions.text.regex_extract_all) — the SQL
+    UNNEST(regexp_extract_all(...)) table function as a distributed
+    flat-map. RE2-safe pattern, so DuckDB finds byte-identical spans;
+    full hash gate over every (doc_id, ord, match) row."""
+    from recon_ray.functions.text import regex_extract_all
+
+    out = (
+        regex_extract_all(
+            _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            r"[a-z]{5,}",
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "ord"])
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "ord", "match"]]
+
+
+ORACLE_DOC_REGEX_EXTRACT = """
+SELECT doc_id, (generate_subscripts(l, 1))::BIGINT AS ord,
+       unnest(l) AS match
+FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS l
+      FROM documents)
+ORDER BY doc_id, ord
+"""
+
+
 def doc_chunks(sf_dir: str):
     """Sliding-window chunking (functions.text.chunk_texts): docs over
     400 chars split into 300-char windows at stride 200 — the
@@ -4256,6 +4286,7 @@ QUERIES = {
     "q_events_window_dist": q_events_window_dist,
     "q_events_value_variance": q_events_value_variance,
     "doc_chunks": doc_chunks,
+    "doc_regex_extract": doc_regex_extract,
     "q_events_value_hour_corr": q_events_value_hour_corr,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -4542,6 +4573,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_window_dist": ORACLE_EVENTS_WINDOW_DIST,
         "q_events_value_variance": ORACLE_EVENTS_VARIANCE,
         "doc_chunks": ORACLE_DOC_CHUNKS,
+        "doc_regex_extract": ORACLE_DOC_REGEX_EXTRACT,
         "q_events_value_hour_corr": ORACLE_EVENTS_HOUR_CORR,
         "q17_small_quantity_revenue": ORACLE_Q17,
         "q22_global_sales_opportunity": ORACLE_Q22,

@@ -352,3 +352,49 @@ def test_cli_report():
     assert "docs: 500" in r.stdout
     assert "languages:" in r.stdout and "top terms:" in r.stdout
     assert "quality quantiles" in r.stdout
+
+
+def test_ntriples_round_trip(tmp_path):
+    """write_ntriples → read_ntriples is byte-exact for hostile entity
+    strings (spaces, angle brackets, unicode, percent signs, dots)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.sources.ntriples import read_ntriples, write_ntriples
+
+    df = pd.DataFrame(
+        {
+            "subj": ["repo/a b", "pkg.mod", "wäird<>", "100%"],
+            "pred": ["imports", "calls", "defines", "imports"],
+            "obj": ["numpy", "os.path join", "x\ty", "a.b."],
+        }
+    )
+    out = str(tmp_path / "nt")
+    n = write_ntriples(rd.from_pandas(df).repartition(2), out)
+    assert n == 4
+    files = [f for f in os.listdir(out) if f.endswith(".nt")]
+    assert files and not any(f.startswith(".") for f in files)
+    # every statement line terminates with ' .'
+    for f in files:
+        for line in open(os.path.join(out, f)):
+            assert line.rstrip("\n").endswith(" .")
+    got = (
+        read_ntriples(out)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ntriples_malformed_raises(tmp_path):
+    import ray.data as rd  # noqa: F401  (ray session from conftest)
+
+    from recon_ray.sources.ntriples import read_ntriples
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-x.nt").write_text("<urn:recon:a> <urn:recon:b> .\n")
+    with pytest.raises(Exception):
+        read_ntriples(str(p)).to_pandas()
