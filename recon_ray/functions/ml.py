@@ -283,3 +283,36 @@ def project_pca(ds, model: dict, emb_col: str = "embedding",
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def quantize_embeddings(ds, emb_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    memory reduction for embedding tables before ANN at corpus scale:
+    scale = max|v| / 127 (float64), q_i = round-half-away(v_i / scale)
+    ∈ [-127, 127]. Pure map stage, no shuffle; the quantization rule is
+    exact IEEE-double arithmetic (cast-up from float32 is exact, one
+    division, trunc(x + 0.5·sign(x))), so a SQL oracle doing the same
+    list arithmetic reproduces every code bit-for-bit. An all-zero
+    vector quantizes to zeros (scale 0 guarded identically both sides).
+
+    Returns (id, scale float64, qvec list<int8>)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out_ids, scales, qvecs = [], [], []
+        for i, v in zip(batch[id_col], batch[emb_col]):
+            x = np.asarray(v, dtype=np.float64)
+            s = float(np.abs(x).max()) / 127.0 if len(x) else 0.0
+            if s == 0.0:
+                q = np.zeros(len(x), dtype=np.int8)
+            else:
+                r = x / s
+                q = np.trunc(r + 0.5 * np.sign(r)).astype(np.int8)
+            out_ids.append(i)
+            scales.append(s)
+            qvecs.append(q)
+        return pd.DataFrame(
+            {id_col: out_ids, "scale": scales, "qvec": qvecs}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

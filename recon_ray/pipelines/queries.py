@@ -574,6 +574,53 @@ FROM daily ORDER BY day
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """Event-type transition matrix (first-order Markov counts): per-user
+    event streams ordered by (ts, event_id), adjacent (prev → next) type
+    pairs counted corpus-wide with an integer-ppm share of each source
+    type's outgoing mass. One hash shuffle (window_over lag on user_id),
+    then a combiner group count — the behavioral-analytics staple
+    composed from the engine's own window + aggregate ops. Oracled by
+    DuckDB's lag() window."""
+    from recon_ray.functions.relational import window_over
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    )
+    w = window_over(
+        ev, "user_id", ["ts", "event_id"],
+        [("lag", "event_type", "prev_type")],
+    )
+    pairs = w.map_batches(
+        lambda b: b[b["prev_type"].notna()][["prev_type", "event_type"]],
+        batch_format="pandas",
+    )
+    out = group_count(pairs, ["prev_type", "event_type"], alias="n")
+    out["n"] = out["n"].astype("int64")
+    tot = out.groupby("prev_type")["n"].transform("sum")
+    out["share_ppm"] = (out["n"] * 1_000_000 // tot).astype("int64")
+    return (
+        out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       (n * 1000000 // sum(n) OVER (PARTITION BY prev_type))::BIGINT
+         AS share_ppm
+FROM pairs ORDER BY prev_type, event_type
+"""
+
+
 def q_events_window_running(sf_dir: str):
     """Per-row window functions over every event — row_number, running
     sum, previous value, and running max per user ordered by
@@ -3828,6 +3875,58 @@ ORDER BY doc_id, ord
 """
 
 
+def emb_quantize_int8(sf_dir: str):
+    """Per-vector symmetric int8 quantization (functions.ml
+    .quantize_embeddings) flattened to (vec_id, dim, q) for every 50th
+    vector — the memory-scale path for 100-TB embedding tables. The
+    quantization rule is exact IEEE-double arithmetic, so DuckDB's
+    identical list expression reproduces every int8 code: full hash
+    gate."""
+    from recon_ray.functions.ml import quantize_embeddings
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t["vec_id"]
+        fifty = pa.scalar(50, pa.int64())
+        mask = pc.equal(v, pc.multiply(pc.divide(v, fifty), fifty))
+        return t.filter(mask).select(["vec_id", "embedding"])
+
+    sel = _t(sf_dir, "embeddings").map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    q = quantize_embeddings(sel).to_pandas()
+    rows = []
+    for vid, qv in zip(q["vec_id"], q["qvec"]):
+        arr = np.asarray(qv, dtype=np.int64)
+        rows.append(pd.DataFrame(
+            {"vec_id": np.int64(vid), "dim": np.arange(len(arr)),
+             "q": arr}
+        ))
+    out = pd.concat(rows, ignore_index=True)
+    out["dim"] = out["dim"].astype("int64")
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH sel AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 50 = 0
+), m AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM sel
+), flat AS (
+  SELECT vec_id, generate_subscripts(e, 1) - 1 AS dim,
+         unnest(e) AS val, scale
+  FROM m
+)
+SELECT vec_id, dim::BIGINT AS dim,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(trunc(val / scale + 0.5 * sign(val / scale)) AS BIGINT)
+       END AS q
+FROM flat ORDER BY vec_id, dim
+"""
+
+
 def doc_chunks(sf_dir: str):
     """Sliding-window chunking (functions.text.chunk_texts): docs over
     400 chars split into 300-char windows at stride 200 — the
@@ -4258,6 +4357,7 @@ QUERIES = {
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
+    "q_events_transitions": q_events_transitions,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
@@ -4287,6 +4387,7 @@ QUERIES = {
     "q_events_value_variance": q_events_value_variance,
     "doc_chunks": doc_chunks,
     "doc_regex_extract": doc_regex_extract,
+    "emb_quantize_int8": emb_quantize_int8,
     "q_events_value_hour_corr": q_events_value_hour_corr,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -4394,6 +4495,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
+        "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_retention": ORACLE_EVENTS_RETENTION,
         "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,
@@ -4574,6 +4676,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_value_variance": ORACLE_EVENTS_VARIANCE,
         "doc_chunks": ORACLE_DOC_CHUNKS,
         "doc_regex_extract": ORACLE_DOC_REGEX_EXTRACT,
+        "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
         "q_events_value_hour_corr": ORACLE_EVENTS_HOUR_CORR,
         "q17_small_quantity_revenue": ORACLE_Q17,
         "q22_global_sales_opportunity": ORACLE_Q22,

@@ -158,3 +158,30 @@ def test_pca_empty():
                       "embedding": pd.Series([], dtype="object")})
     )
     assert fit_pca(ds)["n"] == 0
+
+
+def test_quantize_embeddings_bounds_and_zero():
+    """int8 codes stay in [-127, 127], dequantized reconstruction error
+    is within scale/2 per element, and an all-zero vector quantizes to
+    zeros without dividing by zero."""
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.ml import quantize_embeddings
+
+    rng = np.random.RandomState(5)
+    vecs = [rng.randn(16).astype(np.float32) for _ in range(40)]
+    vecs.append(np.zeros(16, dtype=np.float32))
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    out = (
+        quantize_embeddings(rd.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    for vid, s, q in zip(out["vec_id"], out["scale"], out["qvec"]):
+        q = np.asarray(q, dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        x = np.asarray(vecs[vid], dtype=np.float64)
+        if s == 0.0:
+            assert (q == 0).all()
+        else:
+            assert np.abs(q * s - x).max() <= s / 2 + 1e-12
