@@ -507,10 +507,20 @@ def window_over(
     kinds = {"row_number", "rank", "dense_rank", "running_sum",
              "running_min", "running_max", "lag", "lead", "percent_rank",
              "ntile", "cume_dist", "first_value", "last_value",
-             "partition_sum"}
+             "partition_sum", "rolling_sum", "rolling_min", "rolling_max"}
     for kind, _col, _out in specs:
-        if kind not in kinds:
+        # bounded-frame kinds carry the frame length in the kind string:
+        # "rolling_sum:3" = ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        base = kind.split(":", 1)[0]
+        if base not in kinds:
             raise ValueError(f"unknown window kind {kind!r}")
+        if base.startswith("rolling_") and (
+            ":" not in kind or not kind.split(":", 1)[1].isdigit()
+            or int(kind.split(":", 1)[1]) < 1
+        ):
+            raise ValueError(
+                f"{base} needs a positive frame length, e.g. '{base}:3'"
+            )
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(part_cols + order_cols, kind="mergesort")
@@ -609,6 +619,18 @@ def window_over(
                     extra + (idx - big_span)
                     // np.maximum(base_sz, 1) + 1,
                 ).astype("int64")
+            elif kind.startswith("rolling_"):
+                # bounded frame: ROWS BETWEEN k-1 PRECEDING AND CURRENT
+                # ROW; frame length rides in the kind ("rolling_sum:3")
+                base_k, k_str = kind.split(":", 1)
+                roll = grp[col].rolling(window=int(k_str), min_periods=1)
+                res = getattr(roll, base_k[len("rolling_"):])()
+                res.index = res.index.get_level_values(-1)
+                res = res.reindex(g.index)
+                if pd.api.types.is_integer_dtype(g[col]):
+                    # rolling promotes to float64; exact for |sum| < 2^53
+                    res = res.astype("int64")
+                out[name] = res
         return g.assign(**out)
 
     return bucketed_group_apply(ds, part_cols, bucket_fn, n_buckets=n_buckets)

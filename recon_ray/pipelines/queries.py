@@ -621,6 +621,54 @@ FROM pairs ORDER BY prev_type, event_type
 """
 
 
+def q_events_rolling_value(sf_dir: str):
+    """Bounded-frame window: per-user 5-row rolling sum and 3-row rolling
+    max of integer event cents ordered by (ts, event_id) —
+    relational.window_over's ROWS-BETWEEN frames ("rolling_sum:5"), one
+    hash shuffle, vectorized pandas rolling kernels per bucket. Integer
+    cents make the rolling sum order-free, so DuckDB's frame engine
+    reproduces it exactly."""
+    from recon_ray.functions.relational import window_over
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_cents": _cents_arrow(t.column("value")),
+            }
+        )
+
+    out = window_over(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"],
+        [("rolling_sum:5", "value_cents", "roll5_sum"),
+         ("rolling_max:3", "value_cents", "roll3_max")],
+    ).to_pandas()
+    out = out[["event_id", "roll5_sum", "roll3_max"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_ROLLING = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT event_id,
+  sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_sum,
+  max(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_max
+FROM c ORDER BY event_id
+"""
+
+
 def q_events_window_running(sf_dir: str):
     """Per-row window functions over every event — row_number, running
     sum, previous value, and running max per user ordered by
@@ -4358,6 +4406,7 @@ QUERIES = {
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
+    "q_events_rolling_value": q_events_rolling_value,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
@@ -4496,6 +4545,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
+        "q_events_rolling_value": ORACLE_EVENTS_ROLLING,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_retention": ORACLE_EVENTS_RETENTION,
         "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,

@@ -155,3 +155,41 @@ def test_window_value_kinds_respect_nulls(rows, parts):
             np.asarray(w.dropna(), dtype="float64"),
             err_msg=name,
         )
+
+
+ROLL_SPECS = [
+    ("rolling_sum:3", "v", "r3s"),
+    ("rolling_min:2", "v", "r2m"),
+    ("rolling_max:4", "v", "r4x"),
+]
+
+ROLL_SQL = """
+SELECT id,
+  sum(v) OVER (PARTITION BY g ORDER BY k, id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS r3s,
+  min(v) OVER (PARTITION BY g ORDER BY k, id
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r2m,
+  max(v) OVER (PARTITION BY g ORDER BY k, id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS r4x
+FROM df ORDER BY id
+"""
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows_st, st.integers(min_value=1, max_value=5))
+def test_window_rolling_frames_match_duckdb(rows, parts):
+    """Bounded ROWS frames (rolling_sum/min/max:k) vs DuckDB."""
+    df = pd.DataFrame(rows, columns=["g", "k", "v"])
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    got = (
+        window_over(rd.from_pandas(df).repartition(parts), "g", ["k", "id"],
+                    ROLL_SPECS)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(ROLL_SQL).fetchdf()
+    for _, _, name in ROLL_SPECS:
+        np.testing.assert_array_equal(
+            np.asarray(got[name], dtype="float64"),
+            np.asarray(want[name], dtype="float64"),
+            err_msg=name,
+        )
