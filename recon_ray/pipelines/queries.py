@@ -574,6 +574,71 @@ FROM daily ORDER BY day
 """
 
 
+def q_full_outer_daily_users(sf_dir: str):
+    """FULL OUTER join shape: daily purchase totals vs daily click
+    totals per day — days with only one side survive with the other
+    side's measures NULL (returned as 0-filled ints + presence flags so
+    the hash gate stays integral). Both sides are pre-aggregated
+    combiner-first, so the shuffle moves ≤ n_days rows per side."""
+    from recon_ray.functions.relational import shuffle_join
+
+    ev = _t(sf_dir, "events").select_columns(["ts", "event_type", "value"])
+
+    def day_counts(which: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == which]
+            d = b["ts"].dt.strftime("%Y-%m-%d")
+            return d.value_counts().rename("n").rename_axis("day").reset_index()
+        return f
+
+    buy = grouped_agg(
+        ev.map_batches(day_counts("purchase"), batch_format="pandas"),
+        "day", {"n": ["sum"]},
+    ).rename(columns={"n_sum": "n_purchases"})
+    log = grouped_agg(
+        ev.map_batches(day_counts("click"), batch_format="pandas"),
+        "day", {"n": ["sum"]},
+    ).rename(columns={"n_sum": "n_clicks"})
+    # drop odd days from the left and even from the right so BOTH
+    # unmatched directions exist and the FULL OUTER semantics are load-
+    # bearing, not decorative
+    buy = buy[buy["day"].str[-1].astype(int) % 2 == 0]
+    log = log[log["day"].str[-1].astype(int) % 2 == 1]
+    j = shuffle_join(
+        rd.from_pandas(buy.rename(columns={"day": "bday"})),
+        rd.from_pandas(log.rename(columns={"day": "lday"})),
+        on="bday", right_on="lday", how="full_outer",
+    ).to_pandas()
+    day = j["bday"].where(j["bday"].notna(), j.get("lday"))
+    out = pd.DataFrame(
+        {"day": day,
+         "has_purchases": j["n_purchases"].notna().astype("int64"),
+         "n_purchases": j["n_purchases"].fillna(0).astype("int64"),
+         "has_clicks": j["n_clicks"].notna().astype("int64"),
+         "n_clicks": j["n_clicks"].fillna(0).astype("int64")}
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+ORACLE_FULL_OUTER_DAILY = """
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), l AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), b2 AS (SELECT * FROM b WHERE CAST(right(day, 1) AS INT) % 2 = 0),
+   l2 AS (SELECT * FROM l WHERE CAST(right(day, 1) AS INT) % 2 = 1)
+SELECT coalesce(b2.day, l2.day) AS day,
+       (b2.day IS NOT NULL)::BIGINT AS has_purchases,
+       coalesce(b2.n_purchases, 0) AS n_purchases,
+       (l2.day IS NOT NULL)::BIGINT AS has_clicks,
+       coalesce(l2.n_clicks, 0) AS n_clicks
+FROM b2 FULL OUTER JOIN l2 ON b2.day = l2.day
+ORDER BY day
+"""
+
+
 def q_events_transitions(sf_dir: str):
     """Event-type transition matrix (first-order Markov counts): per-user
     event streams ordered by (ts, event_id), adjacent (prev → next) type
@@ -4407,6 +4472,7 @@ QUERIES = {
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
     "q_events_rolling_value": q_events_rolling_value,
+    "q_full_outer_daily_users": q_full_outer_daily_users,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
@@ -4546,6 +4612,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "q_events_rolling_value": ORACLE_EVENTS_ROLLING,
+        "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_retention": ORACLE_EVENTS_RETENTION,
         "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,
