@@ -871,6 +871,24 @@ def pivot_agg(
     return out
 
 
+def unpivot(ds, id_cols: Union[str, list[str]], value_cols: list[str],
+            var_name: str = "name", value_name: str = "value"):
+    """SQL UNPIVOT / pandas melt: wide columns → (id..., name, value)
+    long rows. Embarrassingly parallel per-batch melt — no shuffle, no
+    state; output rows = input rows × len(value_cols). The inverse of
+    :func:`pivot_agg` (modulo aggregation). Column order in
+    ``value_cols`` fixes the within-row emit order."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.melt(
+            id_vars=ids, value_vars=list(value_cols),
+            var_name=var_name, value_name=value_name,
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def grouped_mode(
     ds,
     key: Union[str, list[str]],

@@ -639,6 +639,65 @@ ORDER BY day
 """
 
 
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT (functions.relational.unpivot): every 500th order's
+    lineitem measures (quantity/discount/tax as integer cents) melt to
+    (orderkey, linenumber, name, cents) long rows — per-batch pandas
+    melt, no shuffle. Oracle: the equivalent UNION ALL."""
+    from recon_ray.functions.relational import unpivot
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey")
+        m = pa.scalar(500, pa.int64())
+        t = t.filter(pc.equal(k, pc.multiply(pc.divide(k, m), m)))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "quantity_c": _cents_arrow(t.column("l_quantity")),
+                "discount_c": _cents_arrow(t.column("l_discount")),
+                "tax_c": _cents_arrow(t.column("l_tax")),
+            }
+        )
+
+    out = (
+        unpivot(
+            li.map_batches(slim, batch_format="pyarrow"),
+            ["l_orderkey", "l_linenumber"],
+            ["quantity_c", "discount_c", "tax_c"],
+            var_name="measure", value_name="cents",
+        )
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber", "measure"])
+        .reset_index(drop=True)
+    )
+    out["cents"] = out["cents"].astype("int64")
+    return out
+
+
+ORACLE_LINEITEM_UNPIVOT = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS quantity_c,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_c,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_orderkey % 500 = 0
+)
+SELECT l_orderkey, l_linenumber, measure, cents FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity_c' AS measure,
+         quantity_c AS cents FROM s
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount_c', discount_c FROM s
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax_c', tax_c FROM s
+) ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
 def q_events_transitions(sf_dir: str):
     """Event-type transition matrix (first-order Markov counts): per-user
     event streams ordered by (ts, event_id), adjacent (prev → next) type
@@ -4473,6 +4532,7 @@ QUERIES = {
     "q_events_transitions": q_events_transitions,
     "q_events_rolling_value": q_events_rolling_value,
     "q_full_outer_daily_users": q_full_outer_daily_users,
+    "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
@@ -4613,6 +4673,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "q_events_rolling_value": ORACLE_EVENTS_ROLLING,
         "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
+        "q_lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_retention": ORACLE_EVENTS_RETENTION,
         "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,
