@@ -79,6 +79,9 @@ def _index_edges(block, nodes_ref, subj_col, obj_col):
     """Map one triple block's (subj, obj) to node indices via searchsorted
     over the broadcast sorted node array. Stays in the object store."""
     t = block.to_pandas()
+    if len(t) == 0 or subj_col not in t.columns:  # Ray's empty blocks drop columns
+        z = np.zeros(0, np.int64)
+        return z, z
     nodes = nodes_ref
     src = np.searchsorted(nodes, t[subj_col].to_numpy())
     dst = np.searchsorted(nodes, t[obj_col].to_numpy())
@@ -88,6 +91,8 @@ def _index_edges(block, nodes_ref, subj_col, obj_col):
 @ray.remote
 def _distinct_nodes(block, subj_col, obj_col):
     t = block.to_pandas()
+    if len(t) == 0 or subj_col not in t.columns:  # empty blocks drop columns
+        return np.array([], dtype=object)
     return np.unique(np.concatenate([t[subj_col].to_numpy(),
                                      t[obj_col].to_numpy()]))
 
@@ -274,6 +279,13 @@ def triangle_stats(triples_ds, subj_col: str = "subj",
         .to_pandas()
     )
     n_nodes = len(deg)
+    if n_nodes == 0:
+        # fully self-loop/empty input: the canonical edge table is empty
+        # and Ray's empty frames drop their columns — short-circuit
+        return pd.DataFrame(
+            {"n_nodes": [0], "n_edges": [0], "n_wedges": [0],
+             "n_triangles": [0], "global_clustering": [0.0]}
+        )
     d = deg["d"].to_numpy(np.int64)
     n_wedges = int((d * (d - 1) // 2).sum())
 
@@ -406,4 +418,6 @@ def bfs_levels(
 @ray.remote
 def _min_subject(block, subj_col):
     t = block.to_pandas()
-    return None if len(t) == 0 else str(t[subj_col].min())
+    if len(t) == 0 or subj_col not in t.columns:
+        return None
+    return str(t[subj_col].min())

@@ -1,0 +1,77 @@
+"""triangle_stats and bfs_levels fuzzed against DuckDB on random small
+digraphs — tiny alphabets force self-loops, multi-edges, cycles, hubs,
+and disconnected islands; DuckDB's join/recursive-CTE engines are the
+independent oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+from recon_ray.functions.graph import bfs_levels, triangle_stats
+
+NODES = list("abcdefg")
+
+edges_st = st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)),
+    min_size=1,
+    max_size=30,
+)
+
+TRI_SQL = """
+WITH raw AS (SELECT subj, obj FROM df WHERE subj <> obj),
+e AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+      FROM raw),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+tri AS (SELECT count(*)::BIGINT AS c FROM e a
+        JOIN e b ON a.u = b.u AND a.v < b.v
+        JOIN e cl ON cl.u = a.v AND cl.v = b.v)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT coalesce(sum(d*(d-1)//2), 0) FROM deg) AS n_wedges,
+       (SELECT c FROM tri) AS n_triangles
+"""
+
+BFS_SQL = """
+WITH RECURSIVE e AS (SELECT subj, obj FROM df),
+walk(entity, level) AS (
+  SELECT 'a', 0
+  UNION
+  SELECT e.obj, w.level + 1 FROM walk w
+  JOIN e ON e.subj = w.entity WHERE w.level < 10
+)
+SELECT entity, min(level)::BIGINT AS level FROM walk
+GROUP BY entity ORDER BY entity
+"""
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges_st, st.integers(min_value=1, max_value=4))
+def test_triangle_stats_fuzz_vs_duckdb(edges, parts):
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    got = triangle_stats(rd.from_pandas(df).repartition(parts))
+    want = duckdb.connect().execute(TRI_SQL).fetchdf()
+    for c in ("n_nodes", "n_edges", "n_wedges", "n_triangles"):
+        # an all-self-loop input leaves the edge table empty: our operator
+        # still reports the loop endpoints as (degree-0) nodes? No — nodes
+        # derive from the EDGE table both sides, so counts agree exactly.
+        assert int(got[c][0]) == int(want[c][0]), (c, edges)
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges_st, st.integers(min_value=1, max_value=4))
+def test_bfs_levels_fuzz_vs_duckdb(edges, parts):
+    # guarantee the root exists as a subject
+    edges = edges + [("a", edges[0][1])]
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    got = bfs_levels(
+        rd.from_pandas(df).repartition(parts), root="a", max_depth=10
+    )
+    want = duckdb.connect().execute(BFS_SQL).fetchdf()
+    assert dict(zip(got["entity"], got["level"])) == dict(
+        zip(want["entity"], want["level"])
+    ), edges
