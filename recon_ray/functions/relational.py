@@ -1096,6 +1096,40 @@ def skew_join(
     return hot_out.union(cold_out)
 
 
+def shuffle_semi_join(left_ds, right_ds, on, right_on=None,
+                      anti: bool = False,
+                      num_partitions: Optional[int] = None):
+    """Large-large EXISTS / NOT EXISTS: keep left rows with (semi) or
+    without (anti) a key match on the right, via Ray's hash-partitioned
+    left_semi/left_anti join — BOTH sides shuffle, so the right side may
+    be arbitrarily large (the broadcast :func:`semi_join` collects its
+    key set; this one never does). Same empty-block re-batching guard as
+    :func:`shuffle_join`. Output columns = left columns only."""
+    on_ = (on,) if isinstance(on, str) else tuple(on)
+    r_on = (
+        None if right_on is None
+        else (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 8
+    left_ds = left_ds.map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=65536
+    )
+    right_ds = right_ds.map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=65536
+    )
+    return left_ds.join(
+        right_ds,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=on_,
+        right_on=r_on,
+    )
+
+
 def bloom_semi_join(
     big_ds,
     key_ds,

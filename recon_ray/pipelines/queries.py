@@ -639,6 +639,74 @@ ORDER BY day
 """
 
 
+def q_semi_anti_shuffle(sf_dir: str):
+    """Large-large EXISTS + NOT EXISTS via hash-partitioned
+    left_semi/left_anti joins (relational.shuffle_semi_join — neither
+    side is collected or broadcast, unlike the key-set semi_join). Left:
+    customers; right: orders over $150k. Per-segment counts plus
+    min/max custkey of each class keep the result small while pinning
+    the exact membership."""
+    from recon_ray.functions.relational import (arrow_filter,
+                                                shuffle_semi_join)
+
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"]
+    )
+    big = arrow_filter(
+        _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
+        lambda t: pc.greater(t.column("o_totalprice"), 150000.0),
+    )
+
+    def profile(ds, flag: str) -> pd.DataFrame:
+        df = grouped_agg(ds, "c_mktsegment",
+                         {"c_custkey": ["count", "min", "max"]})
+        df = df.rename(columns={
+            "c_custkey_count": f"n_{flag}",
+            "c_custkey_min": f"min_key_{flag}",
+            "c_custkey_max": f"max_key_{flag}",
+        })
+        for c in df.columns:
+            if c != "c_mktsegment":
+                df[c] = df[c].astype("int64")
+        return df
+
+    has = profile(
+        shuffle_semi_join(cust, big, on="c_custkey", right_on="o_custkey"),
+        "with",
+    )
+    not_has = profile(
+        shuffle_semi_join(cust, big, on="c_custkey", right_on="o_custkey",
+                          anti=True),
+        "without",
+    )
+    out = has.merge(not_has, on="c_mktsegment", how="outer")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORACLE_SEMI_ANTI_SHUFFLE = """
+WITH big AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_totalprice > 150000.0),
+w AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_with,
+         min(c_custkey)::BIGINT AS min_key_with,
+         max(c_custkey)::BIGINT AS max_key_with
+  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM big)
+  GROUP BY 1
+), wo AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_without,
+         min(c_custkey)::BIGINT AS min_key_without,
+         max(c_custkey)::BIGINT AS max_key_without
+  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+  GROUP BY 1
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       n_with, min_key_with, max_key_with,
+       n_without, min_key_without, max_key_without
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_lineitem_unpivot(sf_dir: str):
     """UNPIVOT (functions.relational.unpivot): every 500th order's
     lineitem measures (quantity/discount/tax as integer cents) melt to
@@ -4533,6 +4601,7 @@ QUERIES = {
     "q_events_rolling_value": q_events_rolling_value,
     "q_full_outer_daily_users": q_full_outer_daily_users,
     "q_lineitem_unpivot": q_lineitem_unpivot,
+    "q_semi_anti_shuffle": q_semi_anti_shuffle,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
@@ -4674,6 +4743,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_rolling_value": ORACLE_EVENTS_ROLLING,
         "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
         "q_lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
+        "q_semi_anti_shuffle": ORACLE_SEMI_ANTI_SHUFFLE,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_retention": ORACLE_EVENTS_RETENTION,
         "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,
