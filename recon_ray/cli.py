@@ -373,6 +373,20 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column-level data-quality profile of any Parquet table."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.functions.stats import profile_columns
+
+    ds = rd.read_parquet(args.path)
+    cols = args.columns or ds.schema().names
+    out = profile_columns(ds.select_columns(cols), cols)
+    print(out.to_string(index=False))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Triple-table interchange: Parquet triples ↔ N-Triples lines."""
     _ensure_ray()
@@ -482,6 +496,11 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    ppf = sub.add_parser("profile", help="column data-quality profile")
+    ppf.add_argument("path", help="parquet file or directory")
+    ppf.add_argument("columns", nargs="*", help="columns (default: all)")
+    ppf.set_defaults(fn=cmd_profile)
 
     pex = sub.add_parser("export", help="triples Parquet ↔ N-Triples")
     pex.add_argument("direction", choices=["to-ntriples", "from-ntriples"])

@@ -213,3 +213,85 @@ def detect_outliers(values, use_log: bool = False) -> dict:
         "fence_low": fence_low,
         "fence_high": fence_high,
     }
+
+
+def profile_columns(ds, cols: list) -> "pd.DataFrame":
+    """Data-quality column profiler — one row per column: n_rows,
+    n_null, exact n_distinct, min and max (stringified for the
+    cross-type output frame; integral numerics print as ints).
+
+    Scale shape: counts/nulls/min/max are a pure combiner pass (one
+    tiny typed partial row per column per batch, reduced driver-side);
+    exact distinct counts shuffle per-batch-DISTINCT (column, repr)
+    pairs through the bucketed distinct — the only all-to-all, sized by
+    the distinct value set, never the row count. The profiler never
+    collects data rows."""
+    import pandas as pd
+
+    from recon_ray.functions.relational import distinct, group_count
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = batch[c]
+            sv = s[s.notna()]
+            is_num = pd.api.types.is_numeric_dtype(s)
+            rows.append({
+                "column": c,
+                "n": int(len(s)),
+                "n_null": int(len(s) - len(sv)),
+                "is_num": bool(is_num),
+                "min_num": float(sv.min()) if is_num and len(sv) else None,
+                "max_num": float(sv.max()) if is_num and len(sv) else None,
+                "min_str": None if is_num or sv.empty else str(sv.min()),
+                "max_str": None if is_num or sv.empty else str(sv.max()),
+            })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("column").agg(
+        n_rows=("n", "sum"), n_null=("n_null", "sum"),
+        is_num=("is_num", "max"),
+        min_num=("min_num", "min"), max_num=("max_num", "max"),
+        min_str=("min_str", "min"), max_str=("max_str", "max"),
+    )
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            sv = batch[c].dropna().drop_duplicates()
+            frames.append(
+                pd.DataFrame({"column": c, "value": sv.astype(str)})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    dpairs = distinct(
+        ds.map_batches(pairs, batch_format="pandas"), ["column", "value"]
+    )
+    ndist = group_count(dpairs, "column", alias="n_distinct")
+
+    out = agg.join(ndist.set_index("column")).reset_index()
+    fmt_min, fmt_max = [], []
+    for _, r in out.iterrows():
+        if r["is_num"]:
+            # integral numerics print as ints (int64 column profiles)
+            for src_v, dst in ((r["min_num"], fmt_min),
+                               (r["max_num"], fmt_max)):
+                dst.append(
+                    None if src_v is None
+                    else str(int(src_v)) if float(src_v).is_integer()
+                    else str(src_v)
+                )
+        else:
+            fmt_min.append(r["min_str"])
+            fmt_max.append(r["max_str"])
+    out["min_value"] = fmt_min
+    out["max_value"] = fmt_max
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["column", "n_rows", "n_null", "n_distinct",
+             "min_value", "max_value"]]
+        .sort_values("column")
+        .reset_index(drop=True)
+    )

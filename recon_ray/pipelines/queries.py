@@ -639,6 +639,48 @@ ORDER BY day
 """
 
 
+def q_orders_profile(sf_dir: str):
+    """Column profiler (functions.stats.profile_columns) over four
+    orders columns: exact per-column row/null/distinct counts + min/max
+    (combiner pass + one distinct-pair shuffle; no row collection).
+    Floats are excluded from min/max stringification parity; the int
+    and varchar columns are byte-exact against DuckDB."""
+    from recon_ray.functions.stats import profile_columns
+
+    return profile_columns(
+        _t(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderpriority", "o_orderstatus", "o_orderkey"]
+        ),
+        ["o_custkey", "o_orderpriority", "o_orderstatus", "o_orderkey"],
+    )
+
+
+ORACLE_ORDERS_PROFILE = """
+WITH p AS (
+  SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n_rows,
+         (count(*) - count(o_custkey))::BIGINT AS n_null,
+         count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+         CAST(min(o_custkey) AS VARCHAR) AS min_value,
+         CAST(max(o_custkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+         count(DISTINCT o_orderkey),
+         CAST(min(o_orderkey) AS VARCHAR),
+         CAST(max(o_orderkey) AS VARCHAR) FROM orders
+)
+SELECT * FROM p ORDER BY "column"
+"""
+
+
 def q_semi_anti_shuffle(sf_dir: str):
     """Large-large EXISTS + NOT EXISTS via hash-partitioned
     left_semi/left_anti joins (relational.shuffle_semi_join — neither
@@ -4602,6 +4644,7 @@ QUERIES = {
     "q_full_outer_daily_users": q_full_outer_daily_users,
     "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_semi_anti_shuffle": q_semi_anti_shuffle,
+    "q_orders_profile": q_orders_profile,
     "q_events_asof_purchase_click": q_events_asof_purchase_click,
     "q_events_retention": q_events_retention,
     "q_events_cube": q_events_cube,
@@ -4744,6 +4787,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
         "q_lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
         "q_semi_anti_shuffle": ORACLE_SEMI_ANTI_SHUFFLE,
+        "q_orders_profile": ORACLE_ORDERS_PROFILE,
         "q_events_asof_purchase_click": ORACLE_EVENTS_ASOF,
         "q_events_retention": ORACLE_EVENTS_RETENTION,
         "q_events_grouped_quantiles": ORACLE_EVENTS_GROUPED_QUANTILES,

@@ -229,3 +229,32 @@ def test_mixture_sample_deterministic_and_rate_bounded():
         got.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_profile_columns_nulls_and_types():
+    """Profiler over a frame with nulls, strings, ints and floats —
+    exact counts and min/max; float column keeps decimal repr, integral
+    ints print as ints."""
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.stats import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "i": [3, 1, None, 2, 1],
+            "s": ["b", None, "a", "c", "a"],
+            "f": [1.5, 2.5, 2.5, None, -0.5],
+        }
+    )
+    out = profile_columns(
+        rd.from_pandas(df).repartition(3), ["i", "s", "f"]
+    ).set_index("column")
+    assert out.loc["i", "n_rows"] == 5 and out.loc["i", "n_null"] == 1
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_value"] == "1" and out.loc["i", "max_value"] == "3"
+    assert out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_value"] == "a" and out.loc["s", "max_value"] == "c"
+    assert out.loc["f", "n_null"] == 1
+    assert out.loc["f", "min_value"] == "-0.5"
+    assert out.loc["f", "max_value"] == "2.5"
