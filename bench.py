@@ -218,6 +218,22 @@ def run_bench() -> dict:
     )["packed"].count()
     queries["doc_curation"] = round(time.time() - t0, 3)
 
+    # graph analytics over the headline run's OWN canonical triples
+    import pyarrow.compute as pc_
+
+    from recon_ray.functions.graph import triangle_stats
+
+    t0 = time.time()
+    calls = rd.read_parquet(out_dir).map_batches(
+        lambda t: t.filter(pc_.equal(t.column("pred"), "calls")).select(
+            ["subj", "obj"]
+        ),
+        batch_format="pyarrow",
+    )
+    tri = triangle_stats(calls)
+    queries["kg_call_triangles"] = round(time.time() - t0, 3)
+    assert int(tri["n_triangles"][0]) >= 0  # consume → executes
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,
