@@ -75,17 +75,23 @@ _SCALE = 2 ** 36
 
 
 @ray.remote
-def _index_edges(block, nodes_ref, subj_col, obj_col):
+def _index_edges(block, nodes_ref, subj_col, obj_col, weight_col=None):
     """Map one triple block's (subj, obj) to node indices via searchsorted
-    over the broadcast sorted node array. Stays in the object store."""
+    over the broadcast sorted node array (plus int64 edge weights — all
+    ones when unweighted). Stays in the object store."""
     t = block.to_pandas()
     if len(t) == 0 or subj_col not in t.columns:  # Ray's empty blocks drop columns
         z = np.zeros(0, np.int64)
-        return z, z
+        return z, z, z
     nodes = nodes_ref
     src = np.searchsorted(nodes, t[subj_col].to_numpy())
     dst = np.searchsorted(nodes, t[obj_col].to_numpy())
-    return src.astype(np.int64), dst.astype(np.int64)
+    w = (
+        t[weight_col].to_numpy().astype(np.int64)
+        if weight_col is not None
+        else np.ones(len(t), np.int64)
+    )
+    return src.astype(np.int64), dst.astype(np.int64), w
 
 
 @ray.remote
@@ -99,15 +105,16 @@ def _distinct_nodes(block, subj_col, obj_col):
 
 @ray.remote
 def _outdeg_partial(idx_pair, n):
-    src, _ = idx_pair
-    return np.bincount(src, minlength=n).astype(np.int64)
+    src, _, w = idx_pair
+    return np.bincount(src, weights=w, minlength=n).astype(np.int64)
 
 
 @ray.remote
 def _contrib_partial(idx_pair, share_ref, n):
-    src, dst = idx_pair
+    src, dst, w = idx_pair
     out = np.zeros(n, np.int64)
-    np.add.at(out, dst, share_ref[src])
+    # per-edge contribution = per-unit-weight share × edge weight
+    np.add.at(out, dst, share_ref[src] * w)
     return out
 
 
@@ -118,6 +125,7 @@ def pagerank(
     scale: int = _SCALE,
     subj_col: str = "subj",
     obj_col: str = "obj",
+    weight_col: Optional[str] = None,
 ) -> pd.DataFrame:
     """Distributed PageRank over the triple multigraph, as task rounds
     over ONCE-materialized edge-index blocks (the kmeans pattern:
@@ -131,10 +139,17 @@ def pagerank(
     is rank as a Dataset hash-joined onto edges with a groupby(dst).sum,
     exactly the swap documented on dedup.connected_components.
 
+    ``weight_col`` (optional, integer — e.g. the canonical triple's
+    n_mentions): mass leaves a node proportional to edge weight — the
+    per-unit-weight share is (r·dp) // (100·W_u) with W_u the node's
+    total outgoing weight, each edge contributing share × w. With all
+    weights 1 this is EXACTLY the unweighted recurrence.
+
     Returns (entity, rank_q) with rank_q the int64 fixed-point rank —
     bit-identical to the unrolled SQL from :func:`pagerank_oracle_sql`.
     """
-    refs = triples_ds.select_columns([subj_col, obj_col]).to_arrow_refs()
+    sel = [subj_col, obj_col] + ([weight_col] if weight_col else [])
+    refs = triples_ds.select_columns(sel).to_arrow_refs()
     parts = ray.get([_distinct_nodes.remote(b, subj_col, obj_col) for b in refs])
     parts = [p for p in parts if len(p)]
     if not parts:
@@ -143,7 +158,10 @@ def pagerank(
     nodes = np.unique(np.concatenate(parts))
     n = len(nodes)
     nodes_ref = ray.put(nodes)
-    idx_refs = [_index_edges.remote(b, nodes_ref, subj_col, obj_col) for b in refs]
+    idx_refs = [
+        _index_edges.remote(b, nodes_ref, subj_col, obj_col, weight_col)
+        for b in refs
+    ]
     outdeg = np.zeros(n, np.int64)
     for p in ray.get([_outdeg_partial.remote(i, n) for i in idx_refs]):
         outdeg += p
@@ -174,18 +192,31 @@ def pagerank_oracle_sql(
     n_iter: int = 5,
     damping_pct: int = 85,
     scale: int = _SCALE,
+    weighted: bool = False,
 ) -> str:
     """Unrolled-CTE DuckDB oracle for :func:`pagerank` — one CTE per
     iteration doing the identical integer recurrence (DuckDB ``//`` on
     BIGINT is integer division; sums promote to HUGEINT, cast back at the
-    end). ``edges_select`` must yield columns (subj, obj)."""
+    end). ``edges_select`` must yield columns (subj, obj) — plus ``w``
+    (integer edge weight) when ``weighted`` is set, which switches the
+    out-degree to sum(w) and each edge's contribution to the
+    per-unit-weight share × w (exactly :func:`pagerank`'s rule)."""
     dp = int(damping_pct)
+    outd = (
+        "outd AS (SELECT subj AS entity, sum(w)::BIGINT AS d FROM e GROUP BY subj)"
+        if weighted else
+        "outd AS (SELECT subj AS entity, count(*)::BIGINT AS d FROM e GROUP BY subj)"
+    )
+    per_edge = (
+        f"((p.r * {dp}) // (100 * o.d)) * e.w" if weighted
+        else f"(p.r * {dp}) // (100 * o.d)"
+    )
     ctes = [
         f"e AS ({edges_select})",
         "nodes AS (SELECT DISTINCT entity FROM "
         "(SELECT subj AS entity FROM e UNION ALL SELECT obj AS entity FROM e))",
         "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
-        "outd AS (SELECT subj AS entity, count(*)::BIGINT AS d FROM e GROUP BY subj)",
+        outd,
         f"r0 AS (SELECT entity, CAST({int(scale)} AS BIGINT) AS r FROM nodes)",
     ]
     for i in range(1, n_iter + 1):
@@ -198,7 +229,7 @@ def pagerank_oracle_sql(
             f"   // (SELECT n FROM nn)"
             f" + coalesce(c.contrib, 0) AS BIGINT) AS r"
             f" FROM nodes n LEFT JOIN ("
-            f"   SELECT e.obj AS entity, sum((p.r * {dp}) // (100 * o.d)) AS contrib"
+            f"   SELECT e.obj AS entity, sum({per_edge}) AS contrib"
             f"   FROM e JOIN {p} p ON p.entity = e.subj"
             f"   JOIN outd o ON o.entity = e.subj GROUP BY e.obj"
             f" ) c ON c.entity = n.entity)"
@@ -335,7 +366,7 @@ def triangle_stats(triples_ds, subj_col: str = "subj",
 def _frontier_step(idx_pair, frontier_ref, n):
     """One BFS expansion over one edge block: dst nodes whose src is in
     the frontier, as a dense bool vector (merge = OR, order-free)."""
-    src, dst = idx_pair
+    src, dst, _w = idx_pair
     hit = frontier_ref[src]
     out = np.zeros(n, dtype=bool)
     out[dst[hit]] = True

@@ -1605,6 +1605,20 @@ def kg_pagerank(sf_dir: str):
     return pagerank(_kg(sf_dir)["canonical_ds"], n_iter=5)
 
 
+def kg_pagerank_weighted(sf_dir: str):
+    """Mention-weighted PageRank: rank mass leaves each entity in
+    proportion to each canonical edge's n_mentions (a triple observed
+    1,000× pulls 1,000 unit shares, not one). Same int64 fixed-point
+    task rounds as kg_pagerank — the per-unit-weight share is one floor
+    division, each edge contributes share × weight, so the weighted
+    unrolled-CTE oracle is still bit-exact."""
+    from recon_ray.functions.graph import pagerank
+
+    return pagerank(
+        _kg(sf_dir)["canonical_ds"], n_iter=5, weight_col="n_mentions"
+    )
+
+
 def kg_components(sf_dir: str):
     """Connected components of the undirected entity graph by iterative
     min-label propagation. Oracled: DuckDB recursive-CTE transitive
@@ -4705,6 +4719,7 @@ QUERIES = {
     "kg_degrees": kg_degrees,
     "kg_calls_2hop": kg_calls_2hop,
     "kg_pagerank": kg_pagerank,
+    "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_components": kg_components,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
@@ -4909,6 +4924,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         ),
         "kg_pagerank": _graph.pagerank_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}')", n_iter=5
+        ),
+        "kg_pagerank_weighted": _graph.pagerank_oracle_sql(
+            f"SELECT subj, obj, n_mentions AS w FROM read_parquet('{g_can}')",
+            n_iter=5, weighted=True,
         ),
         # connected components ARE SQL-expressible in DuckDB: recursive-CTE
         # transitive closure over the undirected edge set, then min reached

@@ -193,3 +193,31 @@ def test_bfs_levels_chain_cycle_unreachable():
     # default root = lexicographic-min subject ("a") reaches b,c,d,r...
     got = bfs_levels(rd.from_pandas(df))
     assert dict(zip(got["entity"], got["level"]))["a"] == 0
+
+
+def test_pagerank_weighted(triples):
+    """Weighted PageRank: all-ones weights reproduce the unweighted
+    ranks bit-for-bit; a real weight column matches the weighted
+    unrolled-CTE DuckDB oracle exactly."""
+    df, _ = triples
+    dfw = df.copy()
+    rng = np.random.RandomState(3)
+    dfw["w"] = rng.randint(1, 9, len(dfw)).astype("int64")
+    dsw = rd.from_pandas(dfw).repartition(5)
+
+    ones = dfw.assign(w=1)
+    got_ones = pagerank(rd.from_pandas(ones).repartition(4), n_iter=4,
+                        weight_col="w")
+    want_unweighted = pagerank(rd.from_pandas(df).repartition(4), n_iter=4)
+    pd.testing.assert_frame_equal(got_ones, want_unweighted)
+
+    got = pagerank(dsw, n_iter=3, weight_col="w")
+    con = duckdb.connect()
+    con.register("tt", dfw)
+    ora = con.execute(
+        pagerank_oracle_sql("SELECT subj, obj, w FROM tt", n_iter=3,
+                            weighted=True)
+    ).df()
+    m = got.merge(ora, on="entity", suffixes=("_ray", "_sql"))
+    assert len(m) == len(got) == len(ora)
+    assert (m["rank_q_ray"] == m["rank_q_sql"]).all()
