@@ -126,6 +126,7 @@ def pagerank(
     subj_col: str = "subj",
     obj_col: str = "obj",
     weight_col: Optional[str] = None,
+    seeds: Optional[list] = None,
 ) -> pd.DataFrame:
     """Distributed PageRank over the triple multigraph, as task rounds
     over ONCE-materialized edge-index blocks (the kmeans pattern:
@@ -144,6 +145,12 @@ def pagerank(
     per-unit-weight share is (r·dp) // (100·W_u) with W_u the node's
     total outgoing weight, each edge contributing share × w. With all
     weights 1 this is EXACTLY the unweighted recurrence.
+
+    ``seeds`` (optional): PERSONALIZED PageRank — teleport and dangling
+    mass return only to the seed entities (split by floor division over
+    the seed count) and r0 starts with all mass on the seeds, so rank_q
+    measures relatedness TO the seed set instead of global centrality.
+    Seeds absent from the graph raise.
 
     Returns (entity, rank_q) with rank_q the int64 fixed-point rank —
     bit-identical to the unrolled SQL from :func:`pagerank_oracle_sql`.
@@ -167,7 +174,19 @@ def pagerank(
         outdeg += p
     dangling = outdeg == 0
     dp = int(damping_pct)
-    r = np.full(n, int(scale), np.int64)
+    if seeds is None:
+        seed_mask = None
+        r = np.full(n, int(scale), np.int64)
+    else:
+        si = np.searchsorted(nodes, np.asarray(sorted(set(seeds))))
+        bad = [s for j, s in enumerate(sorted(set(seeds)))
+               if si[j] >= n or nodes[si[j]] != s]
+        if bad:
+            raise ValueError(f"seeds not in graph: {bad}")
+        seed_mask = np.zeros(n, dtype=bool)
+        seed_mask[si] = True
+        n_seeds = int(seed_mask.sum())
+        r = np.where(seed_mask, int(scale), 0).astype(np.int64)
     for _ in range(n_iter):
         t_total = int(r.sum())
         share = np.zeros(n, np.int64)
@@ -175,11 +194,15 @@ def pagerank(
         share[nz] = (r[nz] * dp) // (100 * outdeg[nz])
         dang = int(((r[dangling] * dp) // 100).sum())
         share_ref = ray.put(share)
-        nxt = np.full(
-            n,
-            (t_total * (100 - dp)) // (100 * n) + dang // n,
-            np.int64,
-        )
+        if seed_mask is None:
+            base = (t_total * (100 - dp)) // (100 * n) + dang // n
+            nxt = np.full(n, base, np.int64)
+        else:
+            base = (
+                (t_total * (100 - dp)) // (100 * n_seeds)
+                + dang // n_seeds
+            )
+            nxt = np.where(seed_mask, base, 0).astype(np.int64)
         for p in ray.get([_contrib_partial.remote(i, share_ref, n)
                           for i in idx_refs]):
             nxt += p
@@ -193,6 +216,7 @@ def pagerank_oracle_sql(
     damping_pct: int = 85,
     scale: int = _SCALE,
     weighted: bool = False,
+    seeds: Optional[list] = None,
 ) -> str:
     """Unrolled-CTE DuckDB oracle for :func:`pagerank` — one CTE per
     iteration doing the identical integer recurrence (DuckDB ``//`` on
@@ -217,16 +241,40 @@ def pagerank_oracle_sql(
         "(SELECT subj AS entity FROM e UNION ALL SELECT obj AS entity FROM e))",
         "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
         outd,
-        f"r0 AS (SELECT entity, CAST({int(scale)} AS BIGINT) AS r FROM nodes)",
     ]
+    if seeds is None:
+        ctes.append(
+            f"r0 AS (SELECT entity, CAST({int(scale)} AS BIGINT) AS r "
+            f"FROM nodes)"
+        )
+        tele_n = "(SELECT n FROM nn)"
+        is_seed = None
+    else:
+        lits = ", ".join(
+            "'" + str(s).replace("'", "''") + "'" for s in sorted(set(seeds))
+        )
+        ctes.append(f"seeds AS (SELECT unnest([{lits}]) AS entity)")
+        ctes.append("ns AS (SELECT count(*)::BIGINT AS n FROM seeds)")
+        ctes.append(
+            f"r0 AS (SELECT n.entity, CAST(CASE WHEN n.entity IN "
+            f"(SELECT entity FROM seeds) THEN {int(scale)} ELSE 0 END "
+            f"AS BIGINT) AS r FROM nodes n)"
+        )
+        tele_n = "(SELECT n FROM ns)"
+        is_seed = "n.entity IN (SELECT entity FROM seeds)"
     for i in range(1, n_iter + 1):
         p = f"r{i - 1}"
-        ctes.append(
-            f"r{i} AS (SELECT n.entity, CAST("
-            f"((SELECT sum(r) FROM {p}) * {100 - dp}) // (100 * (SELECT n FROM nn))"
+        base = (
+            f"((SELECT sum(r) FROM {p}) * {100 - dp}) // (100 * {tele_n})"
             f" + (SELECT coalesce(sum((p.r * {dp}) // 100), 0) FROM {p} p"
             f"    LEFT JOIN outd o ON o.entity = p.entity WHERE o.d IS NULL)"
-            f"   // (SELECT n FROM nn)"
+            f"   // {tele_n}"
+        )
+        if is_seed is not None:
+            base = f"CASE WHEN {is_seed} THEN {base} ELSE 0 END"
+        ctes.append(
+            f"r{i} AS (SELECT n.entity, CAST("
+            f"{base}"
             f" + coalesce(c.contrib, 0) AS BIGINT) AS r"
             f" FROM nodes n LEFT JOIN ("
             f"   SELECT e.obj AS entity, sum({per_edge}) AS contrib"

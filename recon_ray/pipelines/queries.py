@@ -1619,6 +1619,30 @@ def kg_pagerank_weighted(sf_dir: str):
     )
 
 
+def kg_pagerank_personalized(sf_dir: str):
+    """Personalized (seed-restart) PageRank: teleport + dangling mass
+    return only to the seed entity — the lexicographic-min repo among
+    import subjects (deterministic and SQL-replicable) — so rank_q
+    measures relatedness to THAT repo's neighborhood, not global
+    centrality. Same int64 recurrence, oracled by the seeded
+    unrolled-CTE form; entities the seed cannot reach hold rank 0."""
+    from recon_ray.functions.graph import pagerank
+
+    ds = _kg(sf_dir)["canonical_ds"]
+
+    def subj_min(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["pred"], pa.scalar("imports")))
+        if sel.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.string())})
+        return pa.table({"s": pa.array([pc.min(sel["subj"]).as_py()])})
+
+    mins = ds.map_batches(
+        subj_min, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    seed = mins["s"].min()
+    return pagerank(ds, n_iter=5, seeds=[seed])
+
+
 def kg_components(sf_dir: str):
     """Connected components of the undirected entity graph by iterative
     min-label propagation. Oracled: DuckDB recursive-CTE transitive
@@ -4720,6 +4744,7 @@ QUERIES = {
     "kg_calls_2hop": kg_calls_2hop,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_weighted": kg_pagerank_weighted,
+    "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_components": kg_components,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
@@ -4771,6 +4796,17 @@ QUERIES = {
     "media_audio_dominant_bins": media_audio_dominant_bins,
     "media_image_neardup": media_image_neardup,
 }
+
+
+def _ppr_seed(g_can: str) -> str:
+    """The personalized-PageRank seed both engines agree on: the
+    lexicographic-min subject among 'imports' triples of the gold
+    parquet (== the pipeline's canonical output, P/R = 1)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(g_can, columns=["subj", "pred"])
+    sel = t.filter(pc.equal(t["pred"], pa.scalar("imports")))
+    return pc.min(sel["subj"]).as_py()
 
 
 def oracles_for(sf_dir: str) -> dict[str, str]:
@@ -4928,6 +4964,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank_weighted": _graph.pagerank_oracle_sql(
             f"SELECT subj, obj, n_mentions AS w FROM read_parquet('{g_can}')",
             n_iter=5, weighted=True,
+        ),
+        "kg_pagerank_personalized": _graph.pagerank_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}')",
+            n_iter=5, seeds=[_ppr_seed(g_can)],
         ),
         # connected components ARE SQL-expressible in DuckDB: recursive-CTE
         # transitive closure over the undirected edge set, then min reached

@@ -221,3 +221,26 @@ def test_pagerank_weighted(triples):
     m = got.merge(ora, on="entity", suffixes=("_ray", "_sql"))
     assert len(m) == len(got) == len(ora)
     assert (m["rank_q_ray"] == m["rank_q_sql"]).all()
+
+
+def test_pagerank_personalized(triples):
+    """Seeded PageRank matches the seeded CTE oracle bit-for-bit; nodes
+    unreachable from the seed hold rank 0; unknown seeds raise."""
+    df, ds = triples
+    seeds = ["n000", "n001"]
+    got = pagerank(ds, n_iter=3, seeds=seeds)
+    con = duckdb.connect()
+    con.register("tt", df)
+    ora = con.execute(
+        pagerank_oracle_sql("SELECT subj, obj FROM tt", n_iter=3,
+                            seeds=seeds)
+    ).df()
+    m = got.merge(ora, on="entity", suffixes=("_ray", "_sql"))
+    assert len(m) == len(got) == len(ora)
+    assert (m["rank_q_ray"] == m["rank_q_sql"]).all()
+    # the isolated 2-cycle n058/n059 is unreachable from the seeds
+    byent = got.set_index("entity")["rank_q"]
+    assert byent["n058"] == byent["n059"] == 0
+    assert byent["n000"] > 0
+    with pytest.raises(ValueError):
+        pagerank(ds, n_iter=2, seeds=["not_a_node"])
