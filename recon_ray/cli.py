@@ -373,6 +373,41 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Graph analytics over a (subj, pred, obj) triples Parquet table."""
+    _ensure_ray()
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from recon_ray.functions import graph as g
+    from recon_ray.functions.relational import arrow_filter
+
+    ds = rd.read_parquet(args.path)
+    if args.pred:
+        ds = arrow_filter(
+            ds, lambda t, p=args.pred: pc.equal(t.column("pred"), p)
+        )
+    if args.analysis == "degrees":
+        out = g.degree_table(ds).head(args.limit)
+    elif args.analysis == "pagerank":
+        out = (
+            g.pagerank(ds, n_iter=args.iters,
+                       weight_col="n_mentions" if args.weighted else None)
+            .sort_values("rank_q", ascending=False)
+            .head(args.limit)
+        )
+    elif args.analysis == "components":
+        out = g.graph_components(ds).head(args.limit)
+    elif args.analysis == "triangles":
+        out = g.triangle_stats(ds)
+    elif args.analysis == "bfs":
+        out = g.bfs_levels(ds, root=args.root).head(args.limit)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown analysis {args.analysis}")
+    print(out.to_string(index=False))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Column-level data-quality profile of any Parquet table."""
     _ensure_ray()
@@ -496,6 +531,19 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    pgr = sub.add_parser("graph", help="analytics over a triples parquet")
+    pgr.add_argument("analysis", choices=[
+        "degrees", "pagerank", "components", "triangles", "bfs"])
+    pgr.add_argument("path", help="triples parquet file or directory")
+    pgr.add_argument("--pred", default=None,
+                     help="filter to one predicate (e.g. calls)")
+    pgr.add_argument("--weighted", action="store_true",
+                     help="pagerank: weight by n_mentions")
+    pgr.add_argument("--iters", type=int, default=5)
+    pgr.add_argument("--root", default=None, help="bfs root entity")
+    pgr.add_argument("--limit", type=int, default=20)
+    pgr.set_defaults(fn=cmd_graph)
 
     ppf = sub.add_parser("profile", help="column data-quality profile")
     ppf.add_argument("path", help="parquet file or directory")
