@@ -500,3 +500,131 @@ def _min_subject(block, subj_col):
     if len(t) == 0 or subj_col not in t.columns:
         return None
     return str(t[subj_col].min())
+
+
+@ray.remote
+def _hits_pass(idx_pair, vec_ref, n, direction):
+    """One HITS half-step over one edge block: scatter-add the broadcast
+    vector along edges ('auth': h[src] -> dst; 'hub': a[dst] -> src).
+    int64 partials, merge = sum (order-free)."""
+    src, dst, _w = idx_pair
+    out = np.zeros(n, np.int64)
+    if direction == "auth":
+        np.add.at(out, dst, vec_ref[src])
+    else:
+        np.add.at(out, src, vec_ref[dst])
+    return out
+
+
+_HITS_SCALE = 2 ** 30
+
+
+def hits(
+    triples_ds,
+    n_iter: int = 5,
+    scale: int = _HITS_SCALE,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the directed triple
+    graph, integer fixed-point: a'_v = Σ h_u over in-edges, h'_u = Σ a_v
+    over out-edges, each half-step renormalized by QUOTIENT norm —
+    divide by max(total // (n·scale), 1) — so every quantity is an int64
+    floor expression and the unrolled SQL from :func:`hits_oracle_sql`
+    reproduces both vectors bit-for-bit under any block layout.
+
+    Distributed shape: the pagerank pattern — edge blocks indexed once
+    into the object store, per-round broadcast of the current vector,
+    scatter-add partials merged on the driver (O(N_nodes) driver state).
+
+    Returns (entity, hub_q, auth_q)."""
+    refs = triples_ds.select_columns([subj_col, obj_col]).to_arrow_refs()
+    parts = ray.get(
+        [_distinct_nodes.remote(b, subj_col, obj_col) for b in refs]
+    )
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "hub_q": pd.Series([], dtype="int64"),
+                             "auth_q": pd.Series([], dtype="int64")})
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+    idx_refs = [
+        _index_edges.remote(b, nodes_ref, subj_col, obj_col) for b in refs
+    ]
+    mass = n * int(scale)
+    h = np.full(n, int(scale), np.int64)
+    a = np.zeros(n, np.int64)
+
+    def _norm(v: np.ndarray) -> np.ndarray:
+        t = int(v.sum())
+        return v // max(t // mass, 1)
+
+    for _ in range(n_iter):
+        v_ref = ray.put(h)
+        raw = np.zeros(n, np.int64)
+        for p in ray.get([_hits_pass.remote(i, v_ref, n, "auth")
+                          for i in idx_refs]):
+            raw += p
+        a = _norm(raw)
+        v_ref = ray.put(a)
+        raw = np.zeros(n, np.int64)
+        for p in ray.get([_hits_pass.remote(i, v_ref, n, "hub")
+                          for i in idx_refs]):
+            raw += p
+        h = _norm(raw)
+    return pd.DataFrame({"entity": nodes, "hub_q": h, "auth_q": a})
+
+
+def hits_oracle_sql(
+    edges_select: str,
+    n_iter: int = 5,
+    scale: int = _HITS_SCALE,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`hits` — per iteration one
+    authority half-step then one hub half-step, both with the identical
+    integer quotient-norm. ``edges_select`` must yield (subj, obj).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs and the two
+    references per norm step double the expression tree per iteration —
+    3 inlined iterations already cost ~17 s where the materialized form
+    runs in 0.07 s."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_select})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT entity FROM "
+        "(SELECT subj AS entity FROM e UNION ALL SELECT obj AS entity FROM e))",
+        f"mass AS MATERIALIZED (SELECT count(*)::BIGINT * {int(scale)} AS m FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT entity, CAST({int(scale)} AS BIGINT) AS v FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        hp = f"h{i - 1}"
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT n.entity, coalesce(s.t, 0)::BIGINT AS v "
+            f"FROM nodes n LEFT JOIN ("
+            f"  SELECT e.obj AS entity, sum(p.v) AS t FROM e "
+            f"  JOIN {hp} p ON p.entity = e.subj GROUP BY e.obj"
+            f") s ON s.entity = n.entity)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT entity, CAST(v // greatest("
+            f"(SELECT sum(v) FROM ar{i}) // (SELECT m FROM mass), 1) "
+            f"AS BIGINT) AS v FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.entity, coalesce(s.t, 0)::BIGINT AS v "
+            f"FROM nodes n LEFT JOIN ("
+            f"  SELECT e.subj AS entity, sum(p.v) AS t FROM e "
+            f"  JOIN a{i} p ON p.entity = e.obj GROUP BY e.subj"
+            f") s ON s.entity = n.entity)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT entity, CAST(v // greatest("
+            f"(SELECT sum(v) FROM hr{i}) // (SELECT m FROM mass), 1) "
+            f"AS BIGINT) AS v FROM hr{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.entity, h.v AS hub_q, a.v AS auth_q "
+        f"FROM h{n_iter} h JOIN a{n_iter} a USING (entity) ORDER BY entity"
+    )

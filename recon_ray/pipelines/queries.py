@@ -888,7 +888,7 @@ def q_events_rolling_value(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-ORACLE_EVENTS_ROLLING = """
+ORACLE_EVENTS_ROLLING_VALUE = """
 WITH c AS (
   SELECT event_id, user_id, ts,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
@@ -1641,6 +1641,21 @@ def kg_pagerank_personalized(sf_dir: str):
     ).to_pandas()
     seed = mins["s"].min()
     return pagerank(ds, n_iter=5, seeds=[seed])
+
+
+def kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the canonical call graph — hub =
+    functions that call many good callees, authority = functions called
+    by many good callers. Integer quotient-norm recurrence (task rounds
+    over once-indexed edge blocks), bit-exact against the MATERIALIZED
+    unrolled-CTE oracle."""
+    from recon_ray.functions.graph import hits
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
+    return hits(edges, n_iter=5)
 
 
 def kg_components(sf_dir: str):
@@ -4745,6 +4760,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_pagerank_personalized": kg_pagerank_personalized,
+    "kg_hits": kg_hits,
     "kg_components": kg_components,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
@@ -4834,7 +4850,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
-        "q_events_rolling_value": ORACLE_EVENTS_ROLLING,
+        "q_events_rolling_value": ORACLE_EVENTS_ROLLING_VALUE,
         "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
         "q_lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
         "q_semi_anti_shuffle": ORACLE_SEMI_ANTI_SHUFFLE,
@@ -4968,6 +4984,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank_personalized": _graph.pagerank_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}')",
             n_iter=5, seeds=[_ppr_seed(g_can)],
+        ),
+        "kg_hits": _graph.hits_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}') "
+            f"WHERE pred='calls'", n_iter=5,
         ),
         # connected components ARE SQL-expressible in DuckDB: recursive-CTE
         # transitive closure over the undirected edge set, then min reached

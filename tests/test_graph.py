@@ -244,3 +244,32 @@ def test_pagerank_personalized(triples):
     assert byent["n000"] > 0
     with pytest.raises(ValueError):
         pagerank(ds, n_iter=2, seeds=["not_a_node"])
+
+
+def test_hits_matches_sql_oracle(triples):
+    """HITS hubs/authorities: quotient-norm integer recurrence matches
+    the unrolled-CTE oracle bit-for-bit; the fan-out hub node scores a
+    top hub value."""
+    from recon_ray.functions.graph import hits, hits_oracle_sql
+
+    df, ds = triples
+    got = hits(ds, n_iter=4)
+    con = duckdb.connect()
+    con.register("tt", df)
+    ora = con.execute(
+        hits_oracle_sql("SELECT subj, obj FROM tt", n_iter=4)
+    ).df()
+    m = got.merge(ora, on="entity", suffixes=("_ray", "_sql"))
+    assert len(m) == len(got) == len(ora)
+    assert (m["hub_q_ray"] == m["hub_q_sql"]).all()
+    assert (m["auth_q_ray"] == m["auth_q_sql"]).all()
+    byent = got.set_index("entity")
+    # n000 has 30 extra fan-out edges: top-3 hub score
+    assert (byent["hub_q"] >= byent.loc["n000", "hub_q"]).sum() <= 3
+
+
+def test_hits_empty():
+    from recon_ray.functions.graph import hits
+
+    out = hits(rd.from_pandas(pd.DataFrame({"subj": [], "obj": []})))
+    assert len(out) == 0 and list(out.columns) == ["entity", "hub_q", "auth_q"]
