@@ -109,3 +109,40 @@ def test_explode_list_matches_duckdb(lists, parts):
         return
     got = got.sort_values(["id", "pos"]).reset_index(drop=True)
     assert got[["id", "pos", "x"]].values.tolist() == want.values.tolist()
+
+
+semi_rows_st = st.lists(
+    st.integers(min_value=0, max_value=8), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(semi_rows_st, semi_rows_st, st.integers(min_value=1, max_value=4))
+def test_shuffle_semi_anti_matches_duckdb(lk, rk, parts):
+    """Large-large left_semi/left_anti (shuffle_semi_join) vs DuckDB
+    IN / NOT IN — duplicate keys on both sides, empty blocks from
+    repartition, disjoint and overlapping key sets."""
+    from recon_ray.functions.relational import shuffle_semi_join
+
+    left = pd.DataFrame({"k": lk, "x": np.arange(len(lk), dtype=np.int64)})
+    right = pd.DataFrame({"rk": rk})
+    lds = rd.from_pandas(left).repartition(parts)
+    rds = rd.from_pandas(right).repartition(parts)
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for anti, op in ((False, "IN"), (True, "NOT IN")):
+        got = (
+            shuffle_semi_join(lds, rds, on="k", right_on="rk", anti=anti)
+            .to_pandas()
+        )
+        want = con.execute(
+            f"SELECT k, x FROM l WHERE k {op} (SELECT rk FROM r) ORDER BY x"
+        ).fetchdf()
+        if len(got) == 0:
+            # an all-empty Ray result collects as a column-less frame
+            assert len(want) == 0, (anti, lk, rk)
+            continue
+        got = got.sort_values("x").reset_index(drop=True)
+        assert list(got["x"]) == list(want["x"]), (anti, lk, rk)
