@@ -1460,3 +1460,56 @@ def grouped_corr(ds, key: Union[str, list[str]], x: str, y: str):
     out["n"] = n.astype("int64")
     out["corr"] = corr
     return out
+
+
+def time_rolling_sum(
+    ds,
+    partition_by: Union[str, list[str]],
+    ts_col: str,
+    value_col: str,
+    horizon,
+    out_name: str = "rolling_sum",
+    tie_cols: Optional[list[str]] = None,
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """Trailing TIME-horizon running sum per partition: for each row, the
+    sum of ``value_col`` over partition rows with ts in
+    [row.ts - horizon, row.ts], counting ts-ties only up to the current
+    row in (ts, *tie_cols) order — the value-based window (SQL RANGE
+    frame) that ROWS-BETWEEN frames can't express.
+
+    One hash shuffle (bucketed_group_apply on the partition key), then
+    per bucket a vectorized pass: sort, prefix-sum, and one
+    ``searchsorted`` of (ts - horizon) per partition — O(n log n), no
+    per-row Python. ``horizon`` is a pandas Timedelta / offset string
+    ("7D"). int64 values stay exact."""
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    ties = list(tie_cols or [])
+    delta = pd.Timedelta(horizon)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        g = g.sort_values(part_cols + [ts_col] + ties, kind="mergesort")
+        out = np.empty(len(g), dtype=np.int64)
+        vals = g[value_col].to_numpy(np.int64)
+        ts = g[ts_col].to_numpy()
+        # partition boundaries within the sorted bucket
+        key = g[part_cols]
+        new_part = key.ne(key.shift()).any(axis=1).to_numpy()
+        starts = np.flatnonzero(new_part)
+        bounds = np.append(starts, len(g))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg_ts = ts[s:e]
+            pref = np.concatenate(
+                ([0], np.cumsum(vals[s:e], dtype=np.int64))
+            )
+            lo = np.searchsorted(seg_ts, seg_ts - delta, side="left")
+            out[s:e] = pref[1 + np.arange(e - s)] - pref[lo]
+        return g.assign(**{out_name: out})
+
+    return bucketed_group_apply(ds, part_cols, bucket_fn,
+                                n_buckets=n_buckets)

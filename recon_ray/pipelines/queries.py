@@ -903,6 +903,52 @@ FROM c ORDER BY event_id
 """
 
 
+def q_events_user_spend_7d(sf_dir: str):
+    """Trailing 7-DAY per-user spend at every event
+    (relational.time_rolling_sum): a value-based window (SQL RANGE
+    frame) — one hash shuffle on user_id, then per-partition prefix-sum
+    + one searchsorted of (ts - 7d); integer cents keep it exact. Ties
+    on ts count up to the current row in (ts, event_id) order, which the
+    self-join oracle encodes explicitly."""
+    from recon_ray.functions.relational import time_rolling_sum
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_cents": _cents_arrow(t.column("value")),
+            }
+        )
+
+    out = time_rolling_sum(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "ts", "value_cents", "7D",
+        out_name="spend_7d", tie_cols=["event_id"],
+    ).to_pandas()
+    out = out[["event_id", "spend_7d"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_SPEND_7D = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT a.event_id, sum(b.value_cents) AS spend_7d
+FROM c a JOIN c b ON b.user_id = a.user_id
+ AND b.ts >= a.ts - INTERVAL 7 DAY
+ AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
+GROUP BY a.event_id ORDER BY a.event_id
+"""
+
+
 def q_events_window_running(sf_dir: str):
     """Per-row window functions over every event — row_number, running
     sum, previous value, and running max per user ordered by
@@ -4694,6 +4740,7 @@ QUERIES = {
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
     "q_events_rolling_value": q_events_rolling_value,
+    "q_events_user_spend_7d": q_events_user_spend_7d,
     "q_full_outer_daily_users": q_full_outer_daily_users,
     "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_semi_anti_shuffle": q_semi_anti_shuffle,
@@ -4851,6 +4898,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "q_events_rolling_value": ORACLE_EVENTS_ROLLING_VALUE,
+        "q_events_user_spend_7d": ORACLE_EVENTS_SPEND_7D,
         "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
         "q_lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
         "q_semi_anti_shuffle": ORACLE_SEMI_ANTI_SHUFFLE,
