@@ -194,3 +194,21 @@ def test_compact_crash_after_publish_hides_old_parts(tmp_path):
     assert _all_parts(root)["bucket=0000"] == ["part-cafef00d.parquet"]
     assert not os.path.exists(os.path.join(bdir, ".obsolete.json"))
     assert len(store) == n
+
+
+def test_compact_sweeps_orphaned_tmp(tmp_path):
+    """A crash between tmp-write and publish orphans .part-<sig>.tmp;
+    the next compact's recovery sweeps it (and merges normally)."""
+    root = str(tmp_path / "store")
+    store = ExampleStore(root, num_buckets=1)
+    store.add_examples(_recs("x", 4))
+    store.add_examples(_recs("y", 4))
+    n = len(store)
+    bdir = os.path.join(root, "bucket=0000")
+    orphan = os.path.join(bdir, ".part-0123abcd.tmp")
+    with open(orphan, "wb") as f:
+        f.write(b"partial parquet bytes")
+    store.compact()
+    assert not os.path.exists(orphan)
+    assert len(store) == n
+    assert len(_all_parts(root)["bucket=0000"]) == 1
