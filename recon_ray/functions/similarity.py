@@ -474,3 +474,49 @@ def assign_clusters(
         return batch
 
     return emb_ds.map_batches(f, batch_format="pandas")
+
+
+def knn_int8(
+    emb_ds,
+    queries: np.ndarray,
+    k: int = 10,
+    query_ids: list | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_scores: int = 6,
+) -> pd.DataFrame:
+    """Brute-force kNN over the int8-QUANTIZED corpus
+    (ml.quantize_embeddings inline): each batch dequantizes its codes
+    (q·scale — 4× less corpus memory in flight than float32, the scale
+    path for 100-TB embedding tables) and scores against the broadcast
+    float queries; local top-k rows merge on the driver exactly like
+    :func:`knn_bruteforce`. Approximation error is bounded by the
+    per-element quantization step (scale/2), so recall vs the exact
+    search stays high — pinned by test."""
+    from recon_ray.functions.ml import quantize_embeddings
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    sigs = quantize_embeddings(emb_ds, emb_col=emb_col, id_col=id_col)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        mat = np.stack(
+            [np.asarray(v, np.float64) * s
+             for v, s in zip(batch["qvec"], batch["scale"])]
+        )
+        m = _normalize(mat)
+        sims = qm @ m.T
+        ids = batch[id_col].to_numpy()
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q += [qi] * kk
+            out_id += ids[idx].tolist()
+            out_s += sims[qi, idx].tolist()
+        return pd.DataFrame({"qi": out_q, id_col: out_id, "cosine": out_s})
+
+    parts = sigs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return _merge_local_topk(parts, qids, k, id_col, round_scores)

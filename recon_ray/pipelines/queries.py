@@ -3115,6 +3115,24 @@ def knn_exact_top10(sf_dir: str):
     return out
 
 
+def knn_int8_top10(sf_dir: str):
+    """Brute-force kNN over the int8-QUANTIZED corpus
+    (functions.similarity.knn_int8 — 4× less embedding memory in
+    flight). Quantization perturbs cosine in the last decimals, so no
+    SQL hash oracle; recall ≥0.9 vs the oracled exact search is pinned
+    in tests/test_functions.py."""
+    from recon_ray.functions.similarity import knn_int8
+
+    q, qids = _query_vectors(sf_dir, 5)
+    out = knn_int8(
+        _t(sf_dir, "embeddings").repartition(8), q, k=10, query_ids=qids
+    )
+    out = out[["query_id", "rank", "vec_id"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 ORACLE_KNN = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe
@@ -4847,6 +4865,7 @@ QUERIES = {
     "doc_curation_pack": doc_curation_pack,
     # embeddings
     "knn_exact_top10": knn_exact_top10,
+    "knn_int8_top10": knn_int8_top10,
     "knn_lsh_top10": knn_lsh_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "emb_neardup_pairs": emb_neardup_pairs,

@@ -1722,3 +1722,20 @@ def test_assign_split_stable_under_growth():
     assert abs(share["val"] - 0.1) < 0.03
     assert abs(share["test"] - 0.1) < 0.03
     assert set(b["split"]) == {"train", "val", "test"}
+
+
+def test_knn_int8_recall(emb):
+    """kNN over the int8-quantized corpus: recall@5 vs the exact float
+    search stays >= 0.9 (quantization error is bounded by scale/2 per
+    element)."""
+    from recon_ray.functions.similarity import (knn_bruteforce, knn_int8,
+                                                knn_recall)
+
+    # deterministic queries: first 4 corpus vectors
+    rows = emb.take(4)
+    queries = np.stack([np.asarray(r["embedding"]) for r in rows])
+    exact = knn_bruteforce(emb, queries, k=5)
+    approx = knn_int8(emb, queries, k=5)
+    assert knn_recall(approx, exact) >= 0.9
+    # the self-match (rank 1, cosine 1.0) survives quantization
+    assert (approx[approx["rank"] == 1]["cosine"] > 0.999).all()
