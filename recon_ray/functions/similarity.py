@@ -484,6 +484,7 @@ def knn_int8(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_scores: int = 6,
+    rerank_factor: int | None = None,
 ) -> pd.DataFrame:
     """Brute-force kNN over the int8-QUANTIZED corpus
     (ml.quantize_embeddings inline): each batch dequantizes its codes
@@ -492,12 +493,20 @@ def knn_int8(
     float queries; local top-k rows merge on the driver exactly like
     :func:`knn_bruteforce`. Approximation error is bounded by the
     per-element quantization step (scale/2), so recall vs the exact
-    search stays high — pinned by test."""
+    search stays high — pinned by test.
+
+    ``rerank_factor``: two-stage retrieval — the quantized scan keeps
+    the top k·factor candidate ids per query, then ONE narrow exact
+    pass re-scores only those candidates in float (semi-join filter on
+    the broadcast candidate-id set; the float corpus is touched for
+    |candidates| rows, never scanned). With a sufficient factor the
+    result EQUALS the exact search — asserted in tests at factor 3."""
     from recon_ray.functions.ml import quantize_embeddings
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(q)
     qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    k_scan = k * rerank_factor if rerank_factor else k
     sigs = quantize_embeddings(emb_ds, emb_col=emb_col, id_col=id_col)
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -509,7 +518,7 @@ def knn_int8(
         m = _normalize(mat)
         sims = qm @ m.T
         ids = batch[id_col].to_numpy()
-        kk = min(k, sims.shape[1])
+        kk = min(k_scan, sims.shape[1])
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[0]):
             idx = np.argpartition(-sims[qi], kk - 1)[:kk]
@@ -519,4 +528,20 @@ def knn_int8(
         return pd.DataFrame({"qi": out_q, id_col: out_id, "cosine": out_s})
 
     parts = sigs.map_batches(local_topk, batch_format="pandas").to_pandas()
-    return _merge_local_topk(parts, qids, k, id_col, round_scores)
+    if not rerank_factor:
+        return _merge_local_topk(parts, qids, k, id_col, round_scores)
+
+    # --- stage 2: exact float rerank of the candidate union ------------
+    from recon_ray.functions.relational import semi_join
+
+    cand = _merge_local_topk(parts, qids, k_scan, id_col, round_scores)
+    cand_ids = set(cand[id_col].tolist())
+    narrow = semi_join(
+        emb_ds.map_batches(
+            lambda b: b[[id_col, emb_col]], batch_format="pandas"
+        ),
+        cand_ids, on=id_col,
+    )
+    return knn_bruteforce(narrow, queries, k=k, query_ids=qids,
+                          id_col=id_col, emb_col=emb_col,
+                          round_scores=round_scores)

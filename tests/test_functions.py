@@ -1739,3 +1739,19 @@ def test_knn_int8_recall(emb):
     assert knn_recall(approx, exact) >= 0.9
     # the self-match (rank 1, cosine 1.0) survives quantization
     assert (approx[approx["rank"] == 1]["cosine"] > 0.999).all()
+
+
+def test_knn_int8_rerank_equals_exact(emb):
+    """Two-stage retrieval: quantized scan keeping k*3 candidates + exact
+    float rerank returns EXACTLY the exact search's top-k."""
+    import pandas as pd
+
+    from recon_ray.functions.similarity import knn_bruteforce, knn_int8
+
+    rows = emb.take(4)
+    queries = np.stack([np.asarray(r["embedding"]) for r in rows])
+    exact = knn_bruteforce(emb, queries, k=5)
+    two_stage = knn_int8(emb, queries, k=5, rerank_factor=3)
+    pd.testing.assert_frame_equal(
+        two_stage.reset_index(drop=True), exact.reset_index(drop=True)
+    )
