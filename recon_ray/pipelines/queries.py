@@ -4326,6 +4326,25 @@ FROM flat ORDER BY vec_id, dim
 """
 
 
+def doc_compression_signals(sf_dir: str):
+    """Compressibility + encoding-health quality signals
+    (functions.text.compression_signals): zlib-6 ratio (low-entropy
+    boilerplate detector — the FineWeb/CCNet-style filter), non-printable
+    and U+FFFD rates, all integer ppm. zlib output bytes are
+    deterministic for a pinned level but not SQL-expressible, so this is
+    a rows-only gate; determinism and the planted-boilerplate ordering
+    are pinned in tests/test_functions.py."""
+    from recon_ray.functions.text import compression_signals
+
+    out = (
+        _t(sf_dir, "documents")
+        .map_batches(compression_signals, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_chunks(sf_dir: str):
     """Sliding-window chunking (functions.text.chunk_texts): docs over
     400 chars split into 300-char windows at stride 200 — the
@@ -4791,6 +4810,7 @@ QUERIES = {
     "q_events_window_dist": q_events_window_dist,
     "q_events_value_variance": q_events_value_variance,
     "doc_chunks": doc_chunks,
+    "doc_compression_signals": doc_compression_signals,
     "doc_regex_extract": doc_regex_extract,
     "emb_quantize_int8": emb_quantize_int8,
     "q_events_value_hour_corr": q_events_value_hour_corr,

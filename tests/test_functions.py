@@ -1755,3 +1755,36 @@ def test_knn_int8_rerank_equals_exact(emb):
     pd.testing.assert_frame_equal(
         two_stage.reset_index(drop=True), exact.reset_index(drop=True)
     )
+
+
+def test_compression_signals_deterministic_and_ordering():
+    """zlib-6 ratios are run-deterministic; pasted boilerplate compresses
+    far better than random text; decode damage counts exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from recon_ray.functions.text import compression_signals
+
+    rng = np.random.RandomState(0)
+    random_text = " ".join(
+        "".join(chr(rng.randint(97, 123)) for _ in range(8))
+        for _ in range(200)
+    )
+    boiler = "copy paste boilerplate line\n" * 200
+    damaged = "ok text \x01\x02 with breakage ��"
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [random_text, boiler, damaged]})
+    t = pa.table(df)
+    a = compression_signals(t).to_pandas()
+    b = (
+        rd.from_pandas(df).repartition(2)
+        .map_batches(compression_signals, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # layout-invariant
+    byid = a.set_index("doc_id")
+    assert byid.loc[1, "compress_ppm"] < byid.loc[0, "compress_ppm"] // 10
+    assert byid.loc[2, "replacement_ppm"] > 0
+    assert byid.loc[2, "nonprint_ppm"] > 0
+    assert byid.loc[0, "nonprint_ppm"] == 0
