@@ -305,15 +305,22 @@ def run_scaling() -> None:
             RAY_GRAFT_HEADLINE_ONLY="1",  # keep phases short: the level's
             # control must sample the same co-tenant load window
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the child's tail — a bare CalledProcessError hides
+            # the actual Ray/python traceback
+            sys.stderr.write(proc.stderr[-2000:])
+            raise RuntimeError(
+                f"bench child (num_cpus={ncpu}) exited "
+                f"{proc.returncode}; stderr tail above"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # Per level: control → headline → control, all back-to-back. The box's
     # co-tenant load oscillates on a few-minute period, so a control

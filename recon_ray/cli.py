@@ -400,6 +400,12 @@ def cmd_graph(args) -> int:
         out = g.graph_components(ds).head(args.limit)
     elif args.analysis == "triangles":
         out = g.triangle_stats(ds)
+    elif args.analysis == "hits":
+        out = (
+            g.hits(ds, n_iter=args.iters)
+            .sort_values("auth_q", ascending=False)
+            .head(args.limit)
+        )
     elif args.analysis == "bfs":
         out = g.bfs_levels(ds, root=args.root).head(args.limit)
     else:  # pragma: no cover
@@ -534,7 +540,7 @@ def main(argv=None) -> int:
 
     pgr = sub.add_parser("graph", help="analytics over a triples parquet")
     pgr.add_argument("analysis", choices=[
-        "degrees", "pagerank", "components", "triangles", "bfs"])
+        "degrees", "pagerank", "hits", "components", "triangles", "bfs"])
     pgr.add_argument("path", help="triples parquet file or directory")
     pgr.add_argument("--pred", default=None,
                      help="filter to one predicate (e.g. calls)")
