@@ -505,14 +505,15 @@ def _min_subject(block, subj_col):
 @ray.remote
 def _hits_pass(idx_pair, vec_ref, n, direction):
     """One HITS half-step over one edge block: scatter-add the broadcast
-    vector along edges ('auth': h[src] -> dst; 'hub': a[dst] -> src).
-    int64 partials, merge = sum (order-free)."""
-    src, dst, _w = idx_pair
+    vector along edges, scaled by edge weight ('auth': h[src]·w -> dst;
+    'hub': a[dst]·w -> src). int64 partials, merge = sum (order-free);
+    unweighted edges carry w = 1."""
+    src, dst, w = idx_pair
     out = np.zeros(n, np.int64)
     if direction == "auth":
-        np.add.at(out, dst, vec_ref[src])
+        np.add.at(out, dst, vec_ref[src] * w)
     else:
-        np.add.at(out, src, vec_ref[dst])
+        np.add.at(out, src, vec_ref[dst] * w)
     return out
 
 
@@ -525,6 +526,7 @@ def hits(
     scale: int = _HITS_SCALE,
     subj_col: str = "subj",
     obj_col: str = "obj",
+    weight_col: Optional[str] = None,
 ) -> pd.DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over the directed triple
     graph, integer fixed-point: a'_v = Σ h_u over in-edges, h'_u = Σ a_v
@@ -537,8 +539,13 @@ def hits(
     into the object store, per-round broadcast of the current vector,
     scatter-add partials merged on the driver (O(N_nodes) driver state).
 
+    ``weight_col`` (optional int, e.g. n_mentions): each edge carries
+    its weight into both half-steps (h·w into authorities, a·w into
+    hubs) — all-ones weights reproduce the unweighted scores exactly.
+
     Returns (entity, hub_q, auth_q)."""
-    refs = triples_ds.select_columns([subj_col, obj_col]).to_arrow_refs()
+    sel = [subj_col, obj_col] + ([weight_col] if weight_col else [])
+    refs = triples_ds.select_columns(sel).to_arrow_refs()
     parts = ray.get(
         [_distinct_nodes.remote(b, subj_col, obj_col) for b in refs]
     )
@@ -551,7 +558,8 @@ def hits(
     n = len(nodes)
     nodes_ref = ray.put(nodes)
     idx_refs = [
-        _index_edges.remote(b, nodes_ref, subj_col, obj_col) for b in refs
+        _index_edges.remote(b, nodes_ref, subj_col, obj_col, weight_col)
+        for b in refs
     ]
     mass = n * int(scale)
     h = np.full(n, int(scale), np.int64)
@@ -581,6 +589,7 @@ def hits_oracle_sql(
     edges_select: str,
     n_iter: int = 5,
     scale: int = _HITS_SCALE,
+    weighted: bool = False,
 ) -> str:
     """Unrolled-CTE DuckDB oracle for :func:`hits` — per iteration one
     authority half-step then one hub half-step, both with the identical
@@ -589,7 +598,9 @@ def hits_oracle_sql(
     Every CTE is MATERIALIZED: DuckDB inlines plain CTEs and the two
     references per norm step double the expression tree per iteration —
     3 inlined iterations already cost ~17 s where the materialized form
-    runs in 0.07 s."""
+    runs in 0.07 s. ``weighted``: edges_select must also yield ``w``;
+    contributions become sum(v·w) (exactly :func:`hits`'s rule)."""
+    wmul = " * e.w" if weighted else ""
     ctes = [
         f"e AS MATERIALIZED ({edges_select})",
         "nodes AS MATERIALIZED (SELECT DISTINCT entity FROM "
@@ -602,7 +613,7 @@ def hits_oracle_sql(
         ctes.append(
             f"ar{i} AS MATERIALIZED (SELECT n.entity, coalesce(s.t, 0)::BIGINT AS v "
             f"FROM nodes n LEFT JOIN ("
-            f"  SELECT e.obj AS entity, sum(p.v) AS t FROM e "
+            f"  SELECT e.obj AS entity, sum(p.v{wmul}) AS t FROM e "
             f"  JOIN {hp} p ON p.entity = e.subj GROUP BY e.obj"
             f") s ON s.entity = n.entity)"
         )
@@ -614,7 +625,7 @@ def hits_oracle_sql(
         ctes.append(
             f"hr{i} AS MATERIALIZED (SELECT n.entity, coalesce(s.t, 0)::BIGINT AS v "
             f"FROM nodes n LEFT JOIN ("
-            f"  SELECT e.subj AS entity, sum(p.v) AS t FROM e "
+            f"  SELECT e.subj AS entity, sum(p.v{wmul}) AS t FROM e "
             f"  JOIN a{i} p ON p.entity = e.obj GROUP BY e.subj"
             f") s ON s.entity = n.entity)"
         )

@@ -949,6 +949,47 @@ GROUP BY a.event_id ORDER BY a.event_id
 """
 
 
+def q_events_state_intervals(sf_dir: str):
+    """SCD2-style validity intervals: each event is the user's current
+    state from its own ts until the user's NEXT event (exclusive), the
+    last state open-ended (sentinel 9999-12-31) — the lead window
+    composed into the warehouse's slowly-changing-dimension shape. One
+    hash shuffle; timestamps serialize as strings so both engines hash
+    identical bytes."""
+    from recon_ray.functions.relational import window_over
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    )
+    w = window_over(
+        ev, "user_id", ["ts", "event_id"],
+        [("lead", "ts", "next_ts")],
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_id": w["event_id"].astype("int64"),
+            "user_id": w["user_id"].astype("int64"),
+            "state": w["event_type"],
+            "valid_from": w["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "valid_to": w["next_ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+            .fillna("9999-12-31 00:00:00"),
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_STATE_INTERVALS = """
+SELECT event_id, user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(
+         strftime(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  '%Y-%m-%d %H:%M:%S'),
+         '9999-12-31 00:00:00') AS valid_to
+FROM events ORDER BY event_id
+"""
+
+
 def q_events_window_running(sf_dir: str):
     """Per-row window functions over every event — row_number, running
     sum, previous value, and running max per user ordered by
@@ -4778,6 +4819,7 @@ QUERIES = {
     "q_events_transitions": q_events_transitions,
     "q_events_rolling_value": q_events_rolling_value,
     "q_events_user_spend_7d": q_events_user_spend_7d,
+    "q_events_state_intervals": q_events_state_intervals,
     "q_full_outer_daily_users": q_full_outer_daily_users,
     "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_semi_anti_shuffle": q_semi_anti_shuffle,
@@ -4938,6 +4980,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "q_events_rolling_value": ORACLE_EVENTS_ROLLING_VALUE,
         "q_events_user_spend_7d": ORACLE_EVENTS_SPEND_7D,
+        "q_events_state_intervals": ORACLE_EVENTS_STATE_INTERVALS,
         "q_full_outer_daily_users": ORACLE_FULL_OUTER_DAILY,
         "q_lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
         "q_semi_anti_shuffle": ORACLE_SEMI_ANTI_SHUFFLE,

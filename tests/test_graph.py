@@ -273,3 +273,32 @@ def test_hits_empty():
 
     out = hits(rd.from_pandas(pd.DataFrame({"subj": [], "obj": []})))
     assert len(out) == 0 and list(out.columns) == ["entity", "hub_q", "auth_q"]
+
+
+def test_hits_weighted(triples):
+    """Weighted HITS: all-ones weights reproduce unweighted bit-for-bit;
+    real weights match the weighted CTE oracle exactly."""
+    from recon_ray.functions.graph import hits, hits_oracle_sql
+
+    df, _ = triples
+    dfw = df.copy()
+    rng = np.random.RandomState(7)
+    dfw["w"] = rng.randint(1, 6, len(dfw)).astype("int64")
+
+    ones = dfw.assign(w=1)
+    got_ones = hits(rd.from_pandas(ones).repartition(4), n_iter=3,
+                    weight_col="w")
+    want_unw = hits(rd.from_pandas(df).repartition(4), n_iter=3)
+    pd.testing.assert_frame_equal(got_ones, want_unw)
+
+    got = hits(rd.from_pandas(dfw).repartition(5), n_iter=3, weight_col="w")
+    con = duckdb.connect()
+    con.register("tt", dfw)
+    ora = con.execute(
+        hits_oracle_sql("SELECT subj, obj, w FROM tt", n_iter=3,
+                        weighted=True)
+    ).df()
+    m = got.merge(ora, on="entity", suffixes=("_ray", "_sql"))
+    assert len(m) == len(got) == len(ora)
+    assert (m["hub_q_ray"] == m["hub_q_sql"]).all()
+    assert (m["auth_q_ray"] == m["auth_q_sql"]).all()
