@@ -1462,3 +1462,62 @@ def edit_distance_pairs(
         )
 
     return bucketed_group_apply(keyed, block_cols, verify)
+
+
+def fuzzy_join(
+    left_ds,
+    right_ds,
+    left_col: str,
+    right_col: str,
+    key_len: int = 48,
+    block_len: int = 8,
+    max_dist: int = 3,
+):
+    """Two-table record linkage by bounded Levenshtein — the ER "match a
+    dirty catalog against the clean one" join. Blocking rule (exact,
+    SQL-replicable, the recall knob every blocking-based ER system
+    exposes): candidates share the first ``block_len`` characters of the
+    comparison key (first ``key_len`` chars of the value); matches
+    beyond ``max_dist`` drop after the banded-DP verify.
+
+    Scale shape: only (value-key, side) rows ride ONE hash shuffle on
+    the block id; each bucket verifies LEFT × RIGHT within its blocks
+    (never left × left). Returns a lazy Dataset of
+    (left_value, right_value, dist)."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    def keyed(col: str, side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            keys = batch[col].astype(str).str.slice(0, key_len)
+            return pd.DataFrame(
+                {"__val": batch[col].astype(str), "__key": keys,
+                 "__block": keys.str.slice(0, block_len),
+                 "__side": np.int64(side)}
+            )
+        return f
+
+    tagged = left_ds.map_batches(
+        keyed(left_col, 0), batch_format="pandas"
+    ).union(right_ds.map_batches(keyed(right_col, 1), batch_format="pandas"))
+
+    def verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        la, rb, dists = [], [], []
+        for _, blk in bucket.groupby("__block", sort=False):
+            lrows = blk[blk["__side"] == 0]
+            rrows = blk[blk["__side"] == 1]
+            if lrows.empty or rrows.empty:
+                continue
+            for lv, lk in zip(lrows["__val"], lrows["__key"]):
+                for rv, rk in zip(rrows["__val"], rrows["__key"]):
+                    d = levenshtein(lk, rk, cap=max_dist)
+                    if d <= max_dist:
+                        la.append(lv)
+                        rb.append(rv)
+                        dists.append(d)
+        return pd.DataFrame(
+            {"left_value": pd.Series(la, dtype=object),
+             "right_value": pd.Series(rb, dtype=object),
+             "dist": pd.Series(dists, dtype="int64")}
+        )
+
+    return bucketed_group_apply(tagged, ["__block"], verify)

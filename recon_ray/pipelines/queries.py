@@ -4386,6 +4386,45 @@ def doc_compression_signals(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def part_fuzzy_catalog_link(sf_dir: str):
+    """Two-table record linkage (functions.dedup.fuzzy_join): the
+    distinct part names matched against a deterministically "dirtied"
+    catalog (each name pluralized) under blocking on the first 4 chars
+    and Levenshtein ≤ 2 — cross-name matches like 'hot gear' ↔ 'hot
+    gears' AND 'red widget' ↔ 'red widgets' surface; far names drop.
+    The dirty side is SQL-derivable, so DuckDB's levenshtein() replays
+    the whole linkage byte-exact under the hash gate."""
+    from recon_ray.functions.dedup import fuzzy_join
+    from recon_ray.functions.relational import distinct
+
+    names = distinct(
+        _t(sf_dir, "part").select_columns(["p_name"]), ["p_name"]
+    )
+    dirty = names.map_batches(
+        lambda b: pd.DataFrame({"rname": b["p_name"] + "s"}),
+        batch_format="pandas",
+    )
+    out = (
+        fuzzy_join(names, dirty, "p_name", "rname",
+                   block_len=4, max_dist=2)
+        .to_pandas()
+        .sort_values(["left_value", "right_value"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+ORACLE_PART_FUZZY_LINK = """
+WITH l AS (SELECT DISTINCT p_name AS lname FROM part),
+r AS (SELECT DISTINCT p_name || 's' AS rname FROM part)
+SELECT lname AS left_value, rname AS right_value,
+       levenshtein(lname, rname)::BIGINT AS dist
+FROM l JOIN r ON substr(lname, 1, 4) = substr(rname, 1, 4)
+WHERE levenshtein(lname, rname) <= 2
+ORDER BY left_value, right_value
+"""
+
+
 def doc_chunks(sf_dir: str):
     """Sliding-window chunking (functions.text.chunk_texts): docs over
     400 chars split into 300-char windows at stride 200 — the
@@ -4853,6 +4892,7 @@ QUERIES = {
     "q_events_value_variance": q_events_value_variance,
     "doc_chunks": doc_chunks,
     "doc_compression_signals": doc_compression_signals,
+    "part_fuzzy_catalog_link": part_fuzzy_catalog_link,
     "doc_regex_extract": doc_regex_extract,
     "emb_quantize_int8": emb_quantize_int8,
     "q_events_value_hour_corr": q_events_value_hour_corr,
@@ -5176,6 +5216,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_window_dist": ORACLE_EVENTS_WINDOW_DIST,
         "q_events_value_variance": ORACLE_EVENTS_VARIANCE,
         "doc_chunks": ORACLE_DOC_CHUNKS,
+        "part_fuzzy_catalog_link": ORACLE_PART_FUZZY_LINK,
         "doc_regex_extract": ORACLE_DOC_REGEX_EXTRACT,
         "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
         "q_events_value_hour_corr": ORACLE_EVENTS_HOUR_CORR,
