@@ -146,3 +146,76 @@ def test_shuffle_semi_anti_matches_duckdb(lk, rk, parts):
             continue
         got = got.sort_values("x").reset_index(drop=True)
         assert list(got["x"]) == list(want["x"]), (anti, lk, rk)
+
+
+trs_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user
+        st.integers(min_value=0, max_value=500),  # minutes offset
+        st.integers(min_value=-50, max_value=50),  # cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(trs_rows_st, st.integers(min_value=1, max_value=4))
+def test_time_rolling_sum_matches_self_join(rows, parts):
+    """time_rolling_sum vs the explicit self-join oracle: random minute
+    offsets (duplicate timestamps likely), 1-hour horizon, tie-break on
+    row id."""
+    from recon_ray.functions.relational import time_rolling_sum
+
+    df = pd.DataFrame(rows, columns=["u", "mins", "v"])
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        df["mins"], unit="m"
+    )
+    df = df[["id", "u", "ts", "v"]]
+
+    got = (
+        time_rolling_sum(
+            rd.from_pandas(df).repartition(parts), "u", "ts", "v", "1h",
+            out_name="s", tie_cols=["id"],
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("c", df)
+    want = con.execute("""
+        SELECT a.id, sum(b.v) AS s FROM c a JOIN c b ON b.u = a.u
+         AND b.ts >= a.ts - INTERVAL 1 HOUR
+         AND (b.ts < a.ts OR (b.ts = a.ts AND b.id <= a.id))
+        GROUP BY a.id ORDER BY a.id
+    """).fetchdf()
+    assert list(got["s"]) == list(want["s"]), rows
+
+
+unpivot_rows_st = st.lists(
+    st.tuples(st.integers(-9, 9), st.integers(-9, 9), st.integers(-9, 9)),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(unpivot_rows_st, st.integers(min_value=1, max_value=4))
+def test_unpivot_matches_union_all(rows, parts):
+    from recon_ray.functions.relational import unpivot
+
+    df = pd.DataFrame(rows, columns=["a", "b", "c"])
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    got = (
+        unpivot(rd.from_pandas(df).repartition(parts), "id", ["a", "b", "c"])
+        .to_pandas().sort_values(["id", "name"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT id, name, value FROM (
+          SELECT id, 'a' AS name, a AS value FROM t
+          UNION ALL SELECT id, 'b', b FROM t
+          UNION ALL SELECT id, 'c', c FROM t
+        ) ORDER BY id, name
+    """).fetchdf()
+    assert list(got["value"]) == list(want["value"]), rows
