@@ -219,3 +219,44 @@ def test_unpivot_matches_union_all(rows, parts):
         ) ORDER BY id, name
     """).fetchdf()
     assert list(got["value"]) == list(want["value"]), rows
+
+
+name_st = st.lists(
+    st.text(alphabet="abcde ", min_size=1, max_size=10),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(name_st, name_st, st.integers(min_value=1, max_value=3))
+def test_fuzzy_join_matches_duckdb(lnames, rnames, parts):
+    """Two-table fuzzy_join vs DuckDB levenshtein under the identical
+    2-char-prefix blocking rule (random short strings, duplicates and
+    shared prefixes likely)."""
+    from recon_ray.functions.dedup import fuzzy_join
+
+    left = pd.DataFrame({"a": sorted(set(lnames))})
+    right = pd.DataFrame({"b": sorted(set(rnames))})
+    got = (
+        fuzzy_join(
+            rd.from_pandas(left).repartition(parts),
+            rd.from_pandas(right).repartition(parts),
+            "a", "b", block_len=2, max_dist=2,
+        )
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT a AS left_value, b AS right_value,
+               levenshtein(a, b)::BIGINT AS dist
+        FROM l JOIN r ON substr(a, 1, 2) = substr(b, 1, 2)
+        WHERE levenshtein(a, b) <= 2
+        ORDER BY left_value, right_value
+    """).fetchdf()
+    if len(got) == 0:
+        assert len(want) == 0, (lnames, rnames)
+        return
+    got = got.sort_values(["left_value", "right_value"]).reset_index(drop=True)
+    assert got.values.tolist() == want.values.tolist(), (lnames, rnames)
