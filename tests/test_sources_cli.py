@@ -398,3 +398,67 @@ def test_ntriples_malformed_raises(tmp_path):
     (p / "part-x.nt").write_text("<urn:recon:a> <urn:recon:b> .\n")
     with pytest.raises(Exception):
         read_ntriples(str(p)).to_pandas()
+
+
+def test_cli_graph_and_profile(tmp_path, gold_extraction):
+    """graph + profile verbs over a triples parquet built from the unit
+    corpus's gold extraction."""
+    import pandas as pd
+
+    gold = pd.DataFrame(gold_extraction["canonical"])
+    p = tmp_path / "triples.parquet"
+    gold.to_parquet(p)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "graph", "triangles", str(p),
+         "--pred", "calls"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "n_triangles" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "graph", "hits", str(p),
+         "--limit", "3"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "auth_q" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "profile", str(p), "pred"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "n_distinct" in r.stdout
+
+
+def test_cli_export_roundtrip(tmp_path, gold_extraction):
+    """export to-ntriples → from-ntriples round-trips the gold triples."""
+    import pandas as pd
+
+    gold = pd.DataFrame(gold_extraction["canonical"])[
+        ["subj", "pred", "obj"]
+    ]
+    p = tmp_path / "triples.parquet"
+    gold.to_parquet(p)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    nt = tmp_path / "nt"
+    back = tmp_path / "back"
+    for args in (["export", "to-ntriples", str(p), str(nt)],
+                 ["export", "from-ntriples", str(nt), str(back)]):
+        r = subprocess.run(
+            [sys.executable, "-m", "recon_ray"] + args,
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        assert json.loads(r.stdout.strip().splitlines()[-1])["statements"] \
+            == len(gold)
+    got = pd.read_parquet(back).sort_values(["subj", "pred", "obj"])
+    want = gold.sort_values(["subj", "pred", "obj"])
+    assert got.values.tolist() == want.values.tolist()
