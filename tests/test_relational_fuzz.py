@@ -260,3 +260,41 @@ def test_fuzzy_join_matches_duckdb(lnames, rnames, parts):
         return
     got = got.sort_values(["left_value", "right_value"]).reset_index(drop=True)
     assert got.values.tolist() == want.values.tolist(), (lnames, rnames)
+
+
+rex_text_st = st.lists(
+    st.text(alphabet="ab1 .X", min_size=0, max_size=20),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rex_text_st, st.sampled_from([r"[a-z]+", r"[0-9]+", r"[aX]{2,}"]),
+       st.integers(min_value=1, max_value=3))
+def test_regex_extract_all_matches_duckdb(texts, pattern, parts):
+    """regex_extract_all vs UNNEST(regexp_extract_all(...)) — RE2-safe
+    patterns over adversarial short strings (empty docs, no matches,
+    adjacent matches)."""
+    from recon_ray.functions.text import regex_extract_all
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = (
+        regex_extract_all(rd.from_pandas(df).repartition(parts), pattern)
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute(f"""
+        SELECT doc_id, (generate_subscripts(l, 1))::BIGINT AS ord,
+               unnest(l) AS match
+        FROM (SELECT doc_id, regexp_extract_all(text, '{pattern}') AS l
+              FROM d)
+        ORDER BY doc_id, ord
+    """).fetchdf()
+    if len(got) == 0:
+        assert len(want) == 0, (texts, pattern)
+        return
+    got = got.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    assert got[["doc_id", "ord", "match"]].values.tolist() \
+        == want.values.tolist(), (texts, pattern)
