@@ -249,11 +249,20 @@ def profile_columns(ds, cols: list) -> "pd.DataFrame":
         return pd.DataFrame(rows)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def _nanmin(s):  # object-dtype min chokes on None-mixed groups
+        s = s.dropna()
+        return s.min() if len(s) else None
+
+    def _nanmax(s):
+        s = s.dropna()
+        return s.max() if len(s) else None
+
     agg = parts.groupby("column").agg(
         n_rows=("n", "sum"), n_null=("n_null", "sum"),
         is_num=("is_num", "max"),
-        min_num=("min_num", "min"), max_num=("max_num", "max"),
-        min_str=("min_str", "min"), max_str=("max_str", "max"),
+        min_num=("min_num", _nanmin), max_num=("max_num", _nanmax),
+        min_str=("min_str", _nanmin), max_str=("max_str", _nanmax),
     )
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -271,6 +280,9 @@ def profile_columns(ds, cols: list) -> "pd.DataFrame":
     ndist = group_count(dpairs, "column", alias="n_distinct")
 
     out = agg.join(ndist.set_index("column")).reset_index()
+    # a fully-NULL column contributes no distinct pairs → its n_distinct
+    # row is absent from the join: count is 0 (SQL count(DISTINCT) = 0)
+    out["n_distinct"] = out["n_distinct"].fillna(0)
     fmt_min, fmt_max = [], []
     for _, r in out.iterrows():
         if r["is_num"]:
@@ -278,7 +290,7 @@ def profile_columns(ds, cols: list) -> "pd.DataFrame":
             for src_v, dst in ((r["min_num"], fmt_min),
                                (r["max_num"], fmt_max)):
                 dst.append(
-                    None if src_v is None
+                    None if src_v is None or pd.isna(src_v)
                     else str(int(src_v)) if float(src_v).is_integer()
                     else str(src_v)
                 )

@@ -298,3 +298,38 @@ def test_regex_extract_all_matches_duckdb(texts, pattern, parts):
     got = got.sort_values(["doc_id", "ord"]).reset_index(drop=True)
     assert got[["doc_id", "ord", "match"]].values.tolist() \
         == want.values.tolist(), (texts, pattern)
+
+
+prof_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.one_of(st.none(), st.text(alphabet="xyz", min_size=0, max_size=2)),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(prof_rows_st, st.integers(min_value=1, max_value=4))
+def test_profile_columns_matches_duckdb(rows, parts):
+    """profile_columns vs per-column DuckDB aggregates on random
+    nullable int/str frames at several partitionings."""
+    from recon_ray.functions.stats import profile_columns
+
+    df = pd.DataFrame(rows, columns=["i", "s"])
+    df["i"] = df["i"].astype("float64")  # None -> NaN, int values
+    got = profile_columns(
+        rd.from_pandas(df).repartition(parts), ["i", "s"]
+    ).set_index("column")
+    con = duckdb.connect()
+    con.register("t", df)
+    for col in ("i", "s"):
+        w = con.execute(f"""
+            SELECT count(*)::BIGINT AS n_rows,
+                   (count(*) - count({col}))::BIGINT AS n_null,
+                   count(DISTINCT {col})::BIGINT AS n_distinct
+            FROM t
+        """).fetchone()
+        assert int(got.loc[col, "n_rows"]) == w[0], (col, rows)
+        assert int(got.loc[col, "n_null"]) == w[1], (col, rows)
+        assert int(got.loc[col, "n_distinct"]) == w[2], (col, rows)
