@@ -333,3 +333,77 @@ def test_profile_columns_matches_duckdb(rows, parts):
         assert int(got.loc[col, "n_rows"]) == w[0], (col, rows)
         assert int(got.loc[col, "n_null"]) == w[1], (col, rows)
         assert int(got.loc[col, "n_distinct"]) == w[2], (col, rows)
+
+
+piv_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),          # index key
+        st.sampled_from(["x", "y", "z"]),                  # pivot col
+        st.integers(-9, 9),                                # value
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(piv_rows_st, st.integers(min_value=1, max_value=4))
+def test_pivot_agg_null_keys_match_duckdb(rows, parts):
+    """pivot_agg keeps NULL index keys (SQL GROUP BY semantics) — vs
+    DuckDB conditional aggregation with pinned categories."""
+    from recon_ray.functions.relational import pivot_agg
+
+    df = pd.DataFrame(rows, columns=["k", "p", "v"])
+    df["k"] = df["k"].astype("float64")
+    got = pivot_agg(
+        rd.from_pandas(df).repartition(parts), "k", "p",
+        value_col="v", agg="sum", categories=["x", "y", "z"],
+    )
+    got = got.sort_values("k", na_position="last").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT k,
+               coalesce(sum(CASE WHEN p='x' THEN v END), 0) AS x,
+               coalesce(sum(CASE WHEN p='y' THEN v END), 0) AS y,
+               coalesce(sum(CASE WHEN p='z' THEN v END), 0) AS z
+        FROM t GROUP BY k ORDER BY k NULLS LAST
+    """).fetchdf()
+    assert len(got) == len(want), rows
+    for c in ("x", "y", "z"):
+        assert [int(v) for v in got[c]] == [int(v) for v in want[c]], (c, rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=30),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=4),
+)
+def test_assign_split_matches_sql_case(ids, tenths_a, tenths_b, parts):
+    """assign_split vs the HUGEINT CASE rule for random fraction pairs
+    (remainder to the last label)."""
+    from recon_ray.functions.insights import _MIX_C, assign_split
+
+    fa, fb = tenths_a / 20.0, tenths_b / 20.0  # up to 0.4 each
+    fr = {"train": fa, "val": fb, "test": max(1.0 - fa - fb, 0.0)}
+    df = pd.DataFrame({"doc_id": sorted(set(ids))})
+    got = (
+        assign_split(rd.from_pandas(df).repartition(parts), fr)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    t1 = min(int(fa * (1 << 64)), (1 << 64) - 1)
+    t2 = min(int((fa + fb) * (1 << 64)), (1 << 64) - 1)
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute(f"""
+        SELECT doc_id,
+          CASE WHEN ((doc_id::HUGEINT * {_MIX_C}) % 18446744073709551616)
+                 < {t1}::HUGEINT THEN 'train'
+               WHEN ((doc_id::HUGEINT * {_MIX_C}) % 18446744073709551616)
+                 < {t2}::HUGEINT THEN 'val'
+               ELSE 'test' END AS split
+        FROM d ORDER BY doc_id
+    """).fetchdf()
+    assert list(got["split"]) == list(want["split"]), (ids, fa, fb)
