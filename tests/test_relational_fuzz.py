@@ -407,3 +407,51 @@ def test_assign_split_matches_sql_case(ids, tenths_a, tenths_b, parts):
         FROM d ORDER BY doc_id
     """).fetchdf()
     assert list(got["split"]) == list(want["split"]), (ids, fa, fb)
+
+
+asof_rows_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-9, 9)),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_rows_st, asof_rows_st,
+       st.sampled_from(["backward", "forward"]),
+       st.integers(min_value=1, max_value=4))
+def test_asof_join_fuzz_vs_duckdb(lrows, rrows, direction, parts):
+    """asof_join vs DuckDB ASOF JOIN (backward) / the mirrored explicit
+    subquery (forward) — duplicate on-values and disjoint keys likely.
+    Right-side duplicate (by, on) pairs are collapsed (keep max value)
+    so 'the single matching row' is well-defined both sides."""
+    from recon_ray.functions.relational import asof_join
+
+    left = pd.DataFrame(lrows, columns=["k", "t", "lv"])
+    left["lid"] = np.arange(len(left), dtype=np.int64)
+    right = (
+        pd.DataFrame(rrows, columns=["k", "t", "rv"])
+        .groupby(["k", "t"], as_index=False)["rv"].max()
+    )
+    got = asof_join(
+        rd.from_pandas(left).repartition(parts),
+        rd.from_pandas(right).repartition(parts),
+        by="k", on="t", direction=direction,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    op, agg = ("<=", "max") if direction == "backward" else (">=", "min")
+    want = con.execute(f"""
+        SELECT l.lid, r.rv FROM l JOIN r ON r.k = l.k AND r.t = (
+          SELECT {agg}(r2.t) FROM r r2 WHERE r2.k = l.k AND r2.t {op} l.t)
+        ORDER BY l.lid
+    """).fetchdf()
+    if len(got) == 0:
+        assert len(want) == 0, (lrows, rrows, direction)
+        return
+    got = got.sort_values("lid").reset_index(drop=True)
+    assert list(got["lid"].astype("int64")) == list(want["lid"]), \
+        (lrows, rrows, direction)
+    # right value columns come back suffixed (asof_join's contract)
+    assert list(got["rv_r"].astype("int64")) == list(want["rv"]), \
+        (lrows, rrows, direction)
