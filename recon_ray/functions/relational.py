@@ -163,13 +163,27 @@ def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
                 partial_cols.append((col, op))
     partial_cols = sorted(set(partial_cols))
 
+    # Ray's sort-based groupby cannot order object keys that mix NaN
+    # (float) with strings — NULL groups in a string key crash the
+    # shuffle. Encode NA keys with a sentinel before the Ray groupby and
+    # decode after (SQL GROUP BY keeps NULL groups, so must we).
+    _NULLK = "\x00__NULL__"
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(keys_, sort=False, dropna=False)
         out = {}
         for col, op in partial_cols:
             s = getattr(g[col], op)()
             out[f"__{col}__{op}"] = s
-        return pd.DataFrame(out).reset_index()
+        res = pd.DataFrame(out).reset_index()
+        for k in keys_:
+            # an all-NULL batch slice degrades an object key to float64 —
+            # check the SOURCE column's dtype, not the partial's
+            if batch[k].dtype == object:
+                res[k] = res[k].astype(object).where(
+                    res[k].notna(), _NULLK
+                )
+        return res
 
     partials = ds.map_batches(partial, batch_format="pandas")
     ray_aggs = []
@@ -189,6 +203,9 @@ def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
             f"{col}_{op}" for col, ops in aggs.items() for op in ops
         ]
         return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+    for k in keys_:
+        if merged[k].dtype == object:
+            merged[k] = merged[k].replace({_NULLK: np.nan})
     out = merged[keys_].copy()
     for col, ops in aggs.items():
         for op in ops:

@@ -455,3 +455,39 @@ def test_asof_join_fuzz_vs_duckdb(lrows, rrows, direction, parts):
     # right value columns come back suffixed (asof_join's contract)
     assert list(got["rv_r"].astype("int64")) == list(want["rv"]), \
         (lrows, rrows, direction)
+
+
+ga_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["a", "b"])),
+        st.integers(-9, 9),
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ga_rows_st, st.integers(min_value=1, max_value=4))
+def test_grouped_agg_null_keys_match_duckdb(rows, parts):
+    """grouped_agg (the combiner backbone) keeps NULL groups — sum /
+    count / min / max vs SQL GROUP BY with nulls."""
+    from recon_ray.functions.relational import grouped_agg
+
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    got = grouped_agg(
+        rd.from_pandas(df).repartition(parts), "g",
+        {"v": ["sum", "count", "min", "max"]},
+    )
+    got = got.sort_values("g", na_position="last").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT g, sum(v)::BIGINT AS s, count(v)::BIGINT AS c,
+               min(v)::BIGINT AS mn, max(v)::BIGINT AS mx
+        FROM t GROUP BY g ORDER BY g NULLS LAST
+    """).fetchdf()
+    assert len(got) == len(want), rows
+    assert [int(x) for x in got["v_sum"]] == [int(x) for x in want["s"]]
+    assert [int(x) for x in got["v_count"]] == [int(x) for x in want["c"]]
+    assert [int(x) for x in got["v_min"]] == [int(x) for x in want["mn"]]
+    assert [int(x) for x in got["v_max"]] == [int(x) for x in want["mx"]]
