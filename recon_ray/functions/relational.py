@@ -220,14 +220,22 @@ def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
 
 def group_count(ds, keys: Union[str, list[str]], alias: str = "count") -> pd.DataFrame:
     keys_ = [keys] if isinstance(keys, str) else list(keys)
+    # NULL groups in object keys ride the shuffle as a sentinel (Ray's
+    # sort-based groupby can't order NaN-float/str mixes) — same rule as
+    # grouped_agg
+    _NULLK = "\x00__NULL__"
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
+        res = (
             batch.groupby(keys_, sort=False, dropna=False)
             .size()
             .rename("__partial")
             .reset_index()
         )
+        for k in keys_:
+            if batch[k].dtype == object:
+                res[k] = res[k].astype(object).where(res[k].notna(), _NULLK)
+        return res
 
     merged = (
         ds.map_batches(partial, batch_format="pandas")
@@ -235,6 +243,9 @@ def group_count(ds, keys: Union[str, list[str]], alias: str = "count") -> pd.Dat
         .aggregate(Sum("__partial", alias_name=alias))
         .to_pandas()
     )
+    for k in keys_:
+        if k in merged.columns and merged[k].dtype == object:
+            merged[k] = merged[k].replace({_NULLK: np.nan})
     if merged.empty and alias not in merged.columns:
         # an all-empty input loses its schema through Ray's Aggregate
         # (same reconstruction as grouped_agg)

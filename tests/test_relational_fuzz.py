@@ -491,3 +491,23 @@ def test_grouped_agg_null_keys_match_duckdb(rows, parts):
     assert [int(x) for x in got["v_count"]] == [int(x) for x in want["c"]]
     assert [int(x) for x in got["v_min"]] == [int(x) for x in want["mn"]]
     assert [int(x) for x in got["v_max"]] == [int(x) for x in want["mx"]]
+
+
+@settings(max_examples=10, deadline=None)
+@given(ga_rows_st, st.integers(min_value=1, max_value=4))
+def test_group_count_null_keys_match_duckdb(rows, parts):
+    """group_count keeps NULL groups (same sentinel rule as grouped_agg)."""
+    from recon_ray.functions.relational import group_count
+
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    got = group_count(rd.from_pandas(df).repartition(parts), "g", alias="n")
+    got = got.sort_values("g", na_position="last").reset_index(drop=True)
+    want = None
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT g, count(*)::BIGINT AS n FROM t GROUP BY g "
+        "ORDER BY g NULLS LAST"
+    ).fetchdf()
+    assert len(got) == len(want), rows
+    assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]], rows
