@@ -511,3 +511,76 @@ def test_group_count_null_keys_match_duckdb(rows, parts):
     ).fetchdf()
     assert len(got) == len(want), rows
     assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]], rows
+
+
+set_rows_st = st.lists(st.integers(0, 6), min_size=0, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(set_rows_st, set_rows_st, st.integers(min_value=1, max_value=4))
+def test_intersect_except_match_duckdb(a, b, parts):
+    """intersect / except_rows (distinct set semantics) vs SQL INTERSECT /
+    EXCEPT — duplicates, empty sides, disjoint and equal sets."""
+    from recon_ray.functions.relational import difference, intersect
+
+    if not a:
+        a = [0]  # from_pandas needs schema; empty-side covered by b
+    da = pd.DataFrame({"k": a})
+    db = pd.DataFrame({"k": b if b else []}, dtype="int64")
+    ra = rd.from_pandas(da).repartition(parts)
+    rb = rd.from_pandas(db).repartition(parts) if len(db) else \
+        rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+    con = duckdb.connect()
+    con.register("a", da)
+    con.register("b", db)
+    for fn, sqlop in ((intersect, "INTERSECT"), (difference, "EXCEPT")):
+        got = fn(ra, rb, "k").to_pandas()
+        want = con.execute(
+            f"SELECT k FROM a {sqlop} SELECT k FROM b ORDER BY k"
+        ).fetchdf()
+        if len(got) == 0:
+            assert len(want) == 0, (sqlop, a, b)
+            continue
+        assert sorted(got["k"].astype("int64")) == list(want["k"]), \
+            (sqlop, a, b)
+
+
+ups_rows_st = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 9), st.integers(-9, 9)),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ups_rows_st, ups_rows_st, st.integers(min_value=1, max_value=4))
+def test_merge_upsert_matches_duckdb(base, ups, parts):
+    """merge_upsert vs the explicit SQL precedence rule: per key the row
+    with (max side, then max version) wins; dup-tolerant inputs."""
+    from recon_ray.functions.relational import merge_upsert
+
+    bdf = pd.DataFrame(base, columns=["k", "ver", "v"])
+    udf = pd.DataFrame(ups, columns=["k", "ver", "v"])
+    got = (
+        merge_upsert(
+            rd.from_pandas(bdf).repartition(parts),
+            rd.from_pandas(udf).repartition(parts),
+            key="k", version_col="ver",
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("b", bdf)
+    con.register("u", udf)
+    want = con.execute("""
+        WITH all_rows AS (
+          SELECT k, ver, v, 0 AS src FROM b
+          UNION ALL SELECT k, ver, v, 1 FROM u
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY k
+            ORDER BY src DESC, ver DESC) AS rn
+          FROM all_rows
+        )
+        SELECT k, ver, v FROM ranked WHERE rn = 1 ORDER BY k
+    """).fetchdf()
+    assert list(got["k"].astype("int64")) == list(want["k"]), (base, ups)
+    assert list(got["ver"].astype("int64")) == list(want["ver"]), (base, ups)
