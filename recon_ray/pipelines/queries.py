@@ -4833,6 +4833,512 @@ ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# TPC-H second wave — the remaining join/EXISTS shapes expressible over this
+# corpus (no partsupp table and no commit/receipt dates exist, so Q2/Q9/Q11/
+# Q16/Q20 are out of reach and Q4/Q21's "late line" predicate is adapted to
+# l_returnflag = 'R'; every join/correlation SHAPE is the TPC-H one).
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — date-window + EXISTS semi-join + group count:
+    orders placed in 1996Q3 having at least one returned ('R') lineitem,
+    counted per priority. Distributed form: both sides stay Datasets and
+    the EXISTS runs as a hash-partitioned ``shuffle_semi_join`` (the
+    returned-lineitem side may be arbitrarily large — its key set is
+    never collected to the driver)."""
+    from recon_ray.functions.relational import shuffle_semi_join
+
+    ords = arrow_filter(
+        _t(sf_dir, "orders").select_columns(["o_orderkey", "o_orderdate",
+                                             "o_orderpriority"]),
+        lambda t: pc.and_(
+            pc.greater_equal(t.column("o_orderdate"),
+                             pa.scalar(pd.Timestamp("1996-07-01"))),
+            pc.less(t.column("o_orderdate"),
+                    pa.scalar(pd.Timestamp("1996-10-01"))),
+        ),
+    )
+    flagged = arrow_filter(
+        _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_returnflag"]),
+        lambda t: pc.equal(t.column("l_returnflag"), pa.scalar("R")),
+    )
+    kept = shuffle_semi_join(ords, flagged, on="o_orderkey",
+                             right_on="l_orderkey")
+    out = group_count(kept, "o_orderpriority", alias="order_count")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — two-nation volume shipping: revenue between
+    supplier-nation/customer-nation pairs (NATION_3 ↔ NATION_8) per ship
+    year, 1995–1996. Distributed form: lineitem streams once; the two
+    nation attributions broadcast in as small dicts (supplier→nation is
+    dim-sized; order→customer-nation is the orders dim PRE-FILTERED to
+    customers of the two nations, so the broadcast is a fraction of the
+    orders table); revenue in exact int64 cents."""
+    nat = _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]]
+    pair = {"NATION_3", "NATION_8"}
+    nat2 = nat[nat["n_name"].isin(pair)]
+    sup = _pdf(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]].merge(
+        nat2, left_on="s_nationkey", right_on="n_nationkey"
+    )[["s_suppkey", "n_name"]].rename(columns={"n_name": "supp_nation"})
+    cust = _pdf(sf_dir, "customer")[["c_custkey", "c_nationkey"]].merge(
+        nat2, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"n_name": "cust_nation"})
+    omap = _pdf(sf_dir, "orders")[["o_orderkey", "o_custkey"]].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )[["o_orderkey", "cust_nation"]]
+
+    li = arrow_filter(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"]
+        ),
+        lambda t: pc.and_(
+            pc.greater_equal(t.column("l_shipdate"),
+                             pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.less_equal(t.column("l_shipdate"),
+                          pa.scalar(pd.Timestamp("1996-12-31"))),
+        ),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _add_revenue_part(t)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"),
+             "l_suppkey": t.column("l_suppkey"),
+             "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+             "revenue_part": t.column("revenue_part")}
+        )
+
+    slim = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    j = broadcast_join(slim, sup, on="l_suppkey", small_on="s_suppkey")
+    j = broadcast_join(j, omap, on="l_orderkey", small_on="o_orderkey")
+    j = j.map_batches(
+        lambda b: b[b["supp_nation"] != b["cust_nation"]],
+        batch_format="pandas",
+    )
+    g = grouped_agg(j, ["supp_nation", "cust_nation", "l_year"],
+                    {"revenue_part": ["sum"]})
+    g["revenue"] = _round_away(
+        g["revenue_part_sum"].astype("int64") / 10000.0, 2
+    )
+    g = g.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return g[["supp_nation", "cust_nation", "l_year",
+              "revenue"]].reset_index(drop=True)
+
+
+ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2)
+         AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: NATION_2-suppliers' share
+    of PROMO-part revenue sold to ASIA customers, per order year
+    1996–1997. Distributed form: lineitem pre-prunes on a broadcast
+    PROMO-partkey semi-filter, the ASIA-orders dim (order→year) and the
+    supplier-nation flag broadcast in, then one grouped int64 sum of
+    (nation_part, revenue_part) per year — share is a single IEEE
+    division of exact ints, identical in both engines."""
+    parts = _pdf(sf_dir, "part")
+    promo_pks = set(parts.loc[parts["p_type"] == "PROMO", "p_partkey"])
+    nat = _pdf(sf_dir, "nation")
+    reg = _pdf(sf_dir, "region")
+    asia_nk = set(
+        nat.merge(reg[reg["r_name"] == "ASIA"],
+                  left_on="n_regionkey", right_on="r_regionkey")["n_nationkey"]
+    )
+    cust = _pdf(sf_dir, "customer")
+    asia_ck = set(cust.loc[cust["c_nationkey"].isin(asia_nk), "c_custkey"])
+    ords = _pdf(sf_dir, "orders")[["o_orderkey", "o_custkey", "o_orderdate"]]
+    ords = ords[
+        ords["o_custkey"].isin(asia_ck)
+        & (ords["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (ords["o_orderdate"] < pd.Timestamp("1998-01-01"))
+    ].copy()
+    ords["o_year"] = ords["o_orderdate"].dt.year.astype("int64")
+    omap = ords[["o_orderkey", "o_year"]]
+    sup = _pdf(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]]
+    nk2 = int(nat.loc[nat["n_name"] == "NATION_2", "n_nationkey"].iloc[0])
+    sup = sup.assign(is_target=(sup["s_nationkey"] == nk2))[
+        ["s_suppkey", "is_target"]
+    ]
+
+    li = semi_join(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_orderkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]
+        ),
+        promo_pks, "l_partkey",
+    )
+    slim = li.map_batches(
+        lambda t: _add_revenue_part(t).select(
+            ["l_orderkey", "l_suppkey", "revenue_part"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = broadcast_join(slim, omap, on="l_orderkey", small_on="o_orderkey")
+    j = broadcast_join(j, sup, on="l_suppkey", small_on="s_suppkey")
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_year": b["o_year"],
+             "nation_part": np.where(b["is_target"], b["revenue_part"], 0),
+             "revenue_part": b["revenue_part"]}
+        )
+
+    g = grouped_agg(j.map_batches(split, batch_format="pandas"), "o_year",
+                    {"nation_part": ["sum"], "revenue_part": ["sum"]})
+    g["mkt_share"] = _round_away(
+        g["nation_part_sum"].astype("int64")
+        / g["revenue_part_sum"].astype("int64"), 6
+    )
+    g = g.sort_values("o_year")
+    return g[["o_year", "mkt_share"]].reset_index(drop=True)
+
+
+ORACLE_Q8 = """
+WITH base AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT) AS revenue_part,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2'
+                      THEN revenue_part ELSE 0 END) * 1.0
+             / sum(revenue_part), 6) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    revenue lost to returns ('R' lines) on 1996Q1 orders. Distributed
+    form: lineitem filters to returns and streams; the in-window orders
+    dim broadcasts (1/26th of orders); revenue aggregates per customer
+    in exact cents via the combiner grouped_agg; only the ≤|customers|
+    aggregate rows reach the driver, where the top-20 and the
+    customer/nation dim decoration happen."""
+    ords = _pdf(sf_dir, "orders")[["o_orderkey", "o_custkey", "o_orderdate"]]
+    ords = ords[
+        (ords["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (ords["o_orderdate"] < pd.Timestamp("1996-04-01"))
+    ][["o_orderkey", "o_custkey"]]
+
+    li = arrow_filter(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+        ),
+        lambda t: pc.equal(t.column("l_returnflag"), pa.scalar("R")),
+    )
+    slim = li.map_batches(
+        lambda t: _add_revenue_part(t).select(["l_orderkey", "revenue_part"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = broadcast_join(slim, ords, on="l_orderkey", small_on="o_orderkey")
+    g = grouped_agg(j, "o_custkey", {"revenue_part": ["sum"]})
+    g["revenue"] = _round_away(
+        g["revenue_part_sum"].astype("int64") / 10000.0, 2
+    )
+    top = g.sort_values(["revenue", "o_custkey"],
+                        ascending=[False, True], kind="mergesort").head(20)
+    dim = _pdf(sf_dir, "customer").merge(
+        _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]],
+        left_on="c_nationkey", right_on="n_nationkey",
+    )
+    out = top.merge(dim, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+                "c_mktsegment"]].reset_index(drop=True)
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2)
+         AS revenue,
+       c_acctbal, n_name, c_mktsegment
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — LEFT OUTER join with an extra join predicate +
+    two-level aggregation: distribution of per-customer order counts,
+    orders restricted to non-URGENT priority INSIDE the join condition
+    (so filtered-out customers still appear with count 0). Distributed
+    form: non-urgent orders group-count per customer (combiner shuffle);
+    the zero-order customers come from one vectorized membership pass
+    over the customer key column — no driver row loop; the final
+    count-of-counts is dim-sized."""
+    cnt = group_count(
+        arrow_filter(
+            _t(sf_dir, "orders").select_columns(
+                ["o_custkey", "o_orderpriority"]
+            ),
+            lambda t: pc.invert(
+                pc.equal(t.column("o_orderpriority"), pa.scalar("1-URGENT"))
+            ),
+        ),
+        "o_custkey", alias="c_count",
+    )
+    cust = _pdf(sf_dir, "customer")[["c_custkey"]]
+    merged = cust.merge(cnt, left_on="c_custkey", right_on="o_custkey",
+                        how="left")
+    merged["c_count"] = merged["c_count"].fillna(0).astype("int64")
+    dist = (
+        merged.groupby("c_count", sort=False).size().rename("custdist")
+        .reset_index()
+    )
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — aggregate view + scalar-max selection: the
+    supplier(s) whose 1996Q1 shipment revenue equals the maximum over
+    all suppliers. Distributed form: per-supplier revenue via the
+    combiner grouped_agg in exact cents (the 'revenue view'); max and
+    the equality selection happen on the ≤|suppliers| aggregate rows —
+    ties ALL survive, exactly as the SQL does, because the comparison
+    is on exact int64 cents, never a rounded float."""
+    li = arrow_filter(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        ),
+        lambda t: pc.and_(
+            pc.greater_equal(t.column("l_shipdate"),
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t.column("l_shipdate"),
+                    pa.scalar(pd.Timestamp("1996-04-01"))),
+        ),
+    )
+    slim = li.map_batches(
+        lambda t: _add_revenue_part(t).select(["l_suppkey", "revenue_part"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    g = grouped_agg(slim, "l_suppkey", {"revenue_part": ["sum"]})
+    best = int(g["revenue_part_sum"].max())
+    win = g[g["revenue_part_sum"] == best].copy()
+    win["total_revenue"] = _round_away(
+        win["revenue_part_sum"].astype("int64") / 10000.0, 2
+    )
+    sup = _pdf(sf_dir, "supplier")[["s_suppkey", "s_name"]]
+    out = win.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
+
+
+ORACLE_Q15 = """
+WITH revenue AS MATERIALIZED (
+  SELECT l_suppkey AS supplier_no,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT)) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_c / 10000.0, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_c = (SELECT max(total_c) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+    ranges evaluated in one pass: revenue from three OR'd
+    (brand, p_size band, l_quantity band) branches. Distributed form:
+    the 3-brand part slice broadcasts; the branch predicate is one
+    vectorized numpy expression over the joined stream; the result is a
+    single global int64 sum."""
+    parts = _pdf(sf_dir, "part")
+    sel = parts[parts["p_brand"].isin(["Brand#1", "Brand#2", "Brand#3"])][
+        ["p_partkey", "p_brand", "p_size"]
+    ]
+    li = semi_join(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+        ),
+        set(sel["p_partkey"]), "l_partkey",
+    )
+    slim = li.map_batches(
+        lambda t: _add_revenue_part(
+            t.append_column("qc", _cents_arrow(t.column("l_quantity")))
+        ).select(["l_partkey", "qc", "revenue_part"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = broadcast_join(slim, sel, on="l_partkey", small_on="p_partkey")
+
+    def branch(b: pd.DataFrame) -> pd.DataFrame:
+        qty = b["qc"].to_numpy(np.int64)  # quantity in cents
+        size = b["p_size"].to_numpy()
+        brand = b["p_brand"].to_numpy()
+        m = (
+            ((brand == "Brand#1") & (size >= 1) & (size <= 10)
+             & (qty >= 100) & (qty <= 1500))
+            | ((brand == "Brand#2") & (size >= 11) & (size <= 25)
+               & (qty >= 1000) & (qty <= 2500))
+            | ((brand == "Brand#3") & (size >= 26) & (size <= 50)
+               & (qty >= 2000) & (qty <= 3500))
+        )
+        return pd.DataFrame({"revenue_part": b.loc[m, "revenue_part"]})
+
+    total = int(j.map_batches(branch, batch_format="pandas")
+                .sum("revenue_part"))
+    return pd.DataFrame(
+        {"revenue": [float(_round_away(total / 10000.0, 2))]}
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q21_suppliers_waiting(sf_dir: str):
+    """TPC-H Q21 shape — double-correlated EXISTS / NOT EXISTS: on
+    finished ('F') multi-supplier orders, count per supplier the
+    returned ('R') lines where that supplier is the ONLY one with a
+    returned line (the reference's "kept the order waiting" predicate
+    adapted to l_returnflag — this corpus has no commit/receipt dates).
+    Distributed form: the order-status filter is a shuffle semi-join;
+    the two correlated subqueries collapse into per-order supplier /
+    returned-supplier nunique aggregates computed inside ONE
+    bucketed_group_apply on l_orderkey (every row of an order lands in
+    one bucket; the bucket body is vectorized pandas, never a
+    per-order Python call); the qualifying rows group-count per
+    supplier and only supplier-sized aggregates reach the driver."""
+    from recon_ray.functions.relational import (
+        bucketed_group_apply, shuffle_semi_join,
+    )
+
+    f_orders = arrow_filter(
+        _t(sf_dir, "orders").select_columns(["o_orderkey", "o_orderstatus"]),
+        lambda t: pc.equal(t.column("o_orderstatus"), pa.scalar("F")),
+    )
+    li = shuffle_semi_join(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey", "l_returnflag"]
+        ),
+        f_orders, on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        nsupp = g.groupby("l_orderkey")["l_suppkey"].nunique()
+        r = g[g["l_returnflag"] == "R"]
+        if len(r) == 0:
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64")})
+        nr = r.groupby("l_orderkey")["l_suppkey"].nunique()
+        ok = nr[(nr == 1)].index.intersection(nsupp[nsupp > 1].index)
+        return pd.DataFrame(
+            {"l_suppkey": r.loc[r["l_orderkey"].isin(ok), "l_suppkey"]
+             .astype("int64")}
+        )
+
+    waiting = bucketed_group_apply(li, "l_orderkey", per_order)
+    cnt = group_count(waiting, "l_suppkey", alias="numwait")
+    sup = _pdf(sf_dir, "supplier")[["s_suppkey", "s_name"]]
+    out = cnt.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True],
+                          kind="mergesort").head(100)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+ORACLE_Q21 = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4878,6 +5384,14 @@ QUERIES = {
     "q12_priority_by_linestatus": q12_priority_by_linestatus,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q18_large_orders": q18_large_orders,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_suppliers_waiting": q21_suppliers_waiting,
     "q_events_user_bloom": q_events_user_bloom,
     "q_events_above_type_mean": q_events_above_type_mean,
     "doc_editdist_pairs": doc_editdist_pairs,
@@ -5204,6 +5718,14 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q12_priority_by_linestatus": ORACLE_Q12,
         "q14_promo_revenue_share": ORACLE_Q14,
         "q18_large_orders": ORACLE_Q18,
+        "q4_order_priority": ORACLE_Q4,
+        "q7_volume_shipping": ORACLE_Q7,
+        "q8_market_share": ORACLE_Q8,
+        "q10_returned_items": ORACLE_Q10,
+        "q13_customer_distribution": ORACLE_Q13,
+        "q15_top_supplier": ORACLE_Q15,
+        "q19_discounted_revenue": ORACLE_Q19,
+        "q21_suppliers_waiting": ORACLE_Q21,
         "q_events_user_bloom": ORACLE_EVENTS_USER_BLOOM,
         "q_events_above_type_mean": ORACLE_EVENTS_ABOVE_TYPE_MEAN,
         "doc_editdist_pairs": ORACLE_DOC_EDITDIST,
