@@ -24,7 +24,9 @@ import ray
 from ray.data.aggregate import Sum
 
 __all__ = ["degree_table", "pagerank", "pagerank_oracle_sql",
-           "graph_components", "triangle_stats", "bfs_levels"]
+           "graph_components", "triangle_stats", "bfs_levels",
+           "link_prediction", "link_prediction_oracle_sql",
+           "kcore", "kcore_oracle_sql"]
 
 
 def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
@@ -583,6 +585,306 @@ def hits(
             raw += p
         h = _norm(raw)
     return pd.DataFrame({"entity": nodes, "hub_q": h, "auth_q": a})
+
+
+def kcore(triples_ds, k: int = 2, n_rounds: int = 16,
+          subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
+    """k-core peeling over the UNDIRECTED distinct entity graph: run
+    EXACTLY ``n_rounds`` rounds of "drop nodes with degree < k, drop
+    their edges", then report the surviving (entity, core_degree)
+    table. Fixing the round count (instead of testing convergence)
+    makes the result a pure function of (edges, k, n_rounds) that the
+    unrolled-CTE SQL oracle reproduces verbatim — converged or not —
+    while 16 rounds is far past fixpoint for hub-shaped KG graphs
+    (peeling depth grows with graph diameter, not size).
+
+    Distributed shape: the edge table stays a Dataset throughout; each
+    round is one combiner degree pass (node-sized result) + one
+    broadcast-membership edge filter (alive set via ray.put, read
+    zero-copy per batch) — 2 passes over edge blocks per round, never
+    an edge collect. The alive set is node-sized driver state, the
+    same budget as pagerank's rank vector; at web scale swap it for a
+    Bloom filter + exact re-check."""
+    from recon_ray.functions.relational import distinct
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, o = b[subj_col], b[obj_col]
+        lo = s.where(s <= o, o)
+        hi = o.where(s <= o, s)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[lo != hi].drop_duplicates()
+
+    edges = distinct(
+        triples_ds.map_batches(canon, batch_format="pandas"), ["u", "v"]
+    ).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([b["u"], b["v"]]).value_counts()
+        return pd.DataFrame({"entity": c.index,
+                             "d": c.to_numpy(np.int64)})
+
+    def degrees(e) -> pd.DataFrame:
+        out = (
+            e.map_batches(deg_partial, batch_format="pandas")
+            .groupby("entity").aggregate(Sum("d", alias_name="d"))
+            .to_pandas()
+        )
+        if "entity" not in out.columns:   # fully peeled: empty Dataset
+            return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                                 "d": pd.Series([], dtype="int64")})
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    for _ in range(n_rounds):
+        deg = degrees(edges)
+        alive = set(deg.loc[deg["d"] >= k, "entity"])
+        if len(alive) == len(deg):
+            break                       # fixpoint: further rounds no-op
+        ref = ray.put(alive)
+
+        def keep_edges(b: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(ref)
+            return b[b["u"].isin(s) & b["v"].isin(s)]
+
+        edges = edges.map_batches(keep_edges,
+                                  batch_format="pandas").materialize()
+
+    out = degrees(edges)
+    out = out.rename(columns={"d": "core_degree"})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def kcore_oracle_sql(edges_select: str, k: int = 2,
+                     n_rounds: int = 16) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`kcore` — the identical
+    fixed-round peel (the early-exit in kcore fires only AT fixpoint,
+    where extra SQL rounds are no-ops, so fixed unrolling still matches
+    bit-for-bit). MATERIALIZED throughout: DuckDB inlines plain CTEs
+    and multi-referenced peel rounds blow up exponentially otherwise."""
+    ctes = [
+        f"raw AS MATERIALIZED ({edges_select})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS u, "
+        "greatest(subj, obj) AS v FROM raw WHERE subj <> obj)",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = f"e{r - 1}"
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT entity, count(*)::BIGINT AS d "
+            f"FROM (SELECT u AS entity FROM {p} "
+            f"UNION ALL SELECT v FROM {p}) GROUP BY entity)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT entity FROM d{r} "
+            f"WHERE d >= {int(k)})"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM {p} "
+            f"WHERE u IN (SELECT entity FROM a{r}) "
+            f"AND v IN (SELECT entity FROM a{r}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT entity, count(*)::BIGINT AS core_degree FROM "
+        f"(SELECT u AS entity FROM e{n_rounds} "
+        f"UNION ALL SELECT v FROM e{n_rounds}) "
+        f"GROUP BY entity ORDER BY entity"
+    )
+
+
+_RA_SCALE = 2 ** 40
+
+
+def link_prediction(triples_ds, subj_col: str = "subj",
+                    obj_col: str = "obj", k: int = 50,
+                    min_common: int = 1) -> pd.DataFrame:
+    """Neighborhood-based link prediction over the UNDIRECTED entity
+    graph: for every non-adjacent node pair sharing ≥ ``min_common``
+    neighbors, score with
+      - common_neighbors  (Newman 2001),
+      - Jaccard           |Γa∩Γb| / |Γa∪Γb| (one IEEE division of exact
+                          ints, rounded 6dp — oracle-identical),
+      - ra_fp             Resource-Allocation index (Zhou et al. 2009),
+                          Σ_z 1/deg(z) in integer fixed point
+                          (Σ SCALE // d_z) so partial sums commute and
+                          the score is bit-exact under any block order
+                          (Adamic-Adar's Σ 1/ln d would need a
+                          transcendental — RA is its rational twin).
+    Returns the top-``k`` by (common_neighbors desc, ra_fp desc, node1,
+    node2) — a total order, so the cut is deterministic.
+
+    Distributed shape (all pair generation stays off the driver):
+    1. canonical distinct edge table (u < v), as in triangle_stats;
+    2. incidence rows (z, nbr) both directions; bucketed_group_apply on
+       z emits each z's neighbor pairs with the per-z RA share — d_z is
+       computed inside the bucket (every row of z lands in one bucket),
+       so no degree broadcast is needed for generation. Hub caveat: a
+       degree-d hub emits C(d,2) pairs — cap or sample hub adjacency at
+       web scale (same note as triangle_stats wedges);
+    3. one groupby shuffle sums (cn, ra_fp) per candidate pair;
+    4. existing edges are removed by the tagged bucket anti-join (no
+       driver key set);
+    5. per-batch local top-k → driver merges ≤ k·n_batches rows; only
+       then do the two degree lookups (dim-sized) decorate Jaccard."""
+    from recon_ray.functions.relational import (
+        bucketed_group_apply, distinct,
+    )
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, o = b[subj_col], b[obj_col]
+        lo = s.where(s <= o, o)
+        hi = o.where(s <= o, s)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[lo != hi].drop_duplicates()
+
+    edges = distinct(
+        triples_ds.map_batches(canon, batch_format="pandas"), ["u", "v"]
+    ).materialize()
+
+    inc = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"z": pd.concat([b["u"], b["v"]], ignore_index=True),
+             "nbr": pd.concat([b["v"], b["u"]], ignore_index=True)}
+        ),
+        batch_format="pandas",
+    )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("z")["nbr"].transform("size").to_numpy(np.int64)
+        g = g.assign(__d=d)
+        m = g.merge(g[["z", "nbr"]], on="z")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        return pd.DataFrame(
+            {"a": m["nbr_x"], "b": m["nbr_y"],
+             "cn": np.ones(len(m), dtype=np.int64),
+             "ra_fp": (_RA_SCALE // m["__d"].to_numpy(np.int64))}
+        )
+
+    wedges = bucketed_group_apply(inc, "z", pairs_bucket)
+    cand = (
+        wedges.groupby(["a", "b"])
+        .aggregate(Sum("cn", alias_name="common_neighbors"),
+                   Sum("ra_fp", alias_name="ra_fp"))
+    )
+
+    # anti-join against the edge table WITHOUT collecting its keys: tag
+    # both sides, shuffle on (a, b), keep candidate rows whose bucket
+    # group has no edge row (same machinery as triangle_stats closure)
+    tag_c = cand.map_batches(
+        lambda b: b.assign(__side=np.int64(0)), batch_format="pandas"
+    )
+    tag_e = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b["u"], "b": b["v"],
+             "common_neighbors": np.int64(0), "ra_fp": np.int64(0),
+             "__side": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+
+    def drop_adjacent(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["__side"] == 1][["a", "b"]]
+        c = g[g["__side"] == 0]
+        keep = c.merge(e.assign(__hit=1), on=["a", "b"], how="left")
+        keep = keep[keep["__hit"].isna()]
+        return keep[["a", "b", "common_neighbors", "ra_fp"]]
+
+    nonadj = bucketed_group_apply(tag_c.union(tag_e), ["a", "b"],
+                                  drop_adjacent)
+    if min_common > 1:
+        nonadj = nonadj.map_batches(
+            lambda b: b[b["common_neighbors"] >= min_common],
+            batch_format="pandas",
+        )
+
+    order = ["common_neighbors", "ra_fp", "a", "b"]
+    asc = [False, False, True, True]
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        if not set(order) <= set(b.columns):
+            # fully-empty upstream (e.g. all-self-loop input): Ray 2.49
+            # synthesizes ZERO-COLUMN empty blocks — rebuild the schema
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
+                 "common_neighbors": pd.Series([], dtype="int64"),
+                 "ra_fp": pd.Series([], dtype="int64")}
+            )
+        return b.sort_values(order, ascending=asc, kind="mergesort").head(k)
+
+    top = nonadj.map_batches(local_top, batch_format="pandas").to_pandas()
+    # zero-column empty blocks skip the UDF entirely (Ray 2.49), so the
+    # collected frame may have no columns at all — treat as no candidates
+    if len(top) and set(order) <= set(top.columns):
+        top = top.sort_values(order, ascending=asc,
+                              kind="mergesort").head(k)
+    else:
+        top = top.iloc[0:0] if set(order) <= set(top.columns) else \
+            pd.DataFrame(columns=order)
+    if len(top) == 0:
+        return pd.DataFrame(
+            {"node1": pd.Series([], dtype=object),
+             "node2": pd.Series([], dtype=object),
+             "common_neighbors": pd.Series([], dtype="int64"),
+             "ra_fp": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+
+    deg = (
+        inc.map_batches(
+            lambda b: b["z"].value_counts().rename("d").rename_axis("z")
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .groupby("z").aggregate(Sum("d", alias_name="d")).to_pandas()
+    )
+    dmap = dict(zip(deg["z"], deg["d"].astype("int64")))
+    da = top["a"].map(dmap).to_numpy(np.int64)
+    db = top["b"].map(dmap).to_numpy(np.int64)
+    cn = top["common_neighbors"].to_numpy(np.int64)
+    jac = cn / (da + db - cn)
+    f = 10.0 ** 6
+    out = pd.DataFrame(
+        {"node1": top["a"].to_numpy(), "node2": top["b"].to_numpy(),
+         "common_neighbors": cn, "ra_fp": top["ra_fp"].to_numpy(np.int64),
+         "jaccard": np.floor(jac * f + 0.5) / f}
+    )
+    return out.reset_index(drop=True)
+
+
+def link_prediction_oracle_sql(edges_select: str, k: int = 50,
+                               min_common: int = 1) -> str:
+    """DuckDB oracle for :func:`link_prediction`. ``edges_select`` must
+    yield (subj, obj); the SQL mirrors the exact integer rules: RA in
+    fixed point (SCALE // d — pure integer, no transcendental), Jaccard
+    as one rounded division of exact ints, and the same total order."""
+    return f"""
+WITH raw AS MATERIALIZED ({edges_select}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM raw WHERE subj <> obj),
+adj AS MATERIALIZED (
+  SELECT u AS z, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (
+  SELECT z, count(*)::BIGINT AS d FROM adj GROUP BY z),
+wedge AS MATERIALIZED (
+  SELECT x.nbr AS a, y.nbr AS b, dz.d AS dz
+  FROM adj x JOIN adj y ON x.z = y.z AND x.nbr < y.nbr
+  JOIN deg dz ON dz.z = x.z),
+cand AS MATERIALIZED (
+  SELECT a, b, count(*)::BIGINT AS common_neighbors,
+         sum({_RA_SCALE} // dz)::BIGINT AS ra_fp
+  FROM wedge GROUP BY a, b
+  HAVING count(*) >= {int(min_common)}),
+nonadj AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b))
+SELECT n.a AS node1, n.b AS node2, n.common_neighbors, n.ra_fp,
+       round(n.common_neighbors * 1.0
+             / (da.d + db.d - n.common_neighbors), 6) AS jaccard
+FROM nonadj n JOIN deg da ON da.z = n.a JOIN deg db ON db.z = n.b
+ORDER BY n.common_neighbors DESC, n.ra_fp DESC, node1, node2
+LIMIT {int(k)}
+"""
 
 
 def hits_oracle_sql(

@@ -1799,6 +1799,40 @@ def kg_call_bfs_levels(sf_dir: str):
     return out
 
 
+def kg_link_prediction(sf_dir: str):
+    """Neighborhood link prediction over the undirected call graph
+    (functions.graph.link_prediction): top-50 non-adjacent pairs by
+    common-neighbor count, with exact-integer Resource-Allocation
+    (Σ SCALE//deg — the rational twin of Adamic-Adar, chosen so partial
+    sums commute bit-exactly) and 6dp Jaccard. All pair generation and
+    the existing-edge anti-join run as bucketed shuffles; the driver
+    only merges per-batch top-50s. SQL-oracled by the identical
+    wedge/NOT-EXISTS query over the gold triples."""
+    from recon_ray.functions.graph import link_prediction
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
+    return link_prediction(edges, k=50)
+
+
+def kg_kcore(sf_dir: str):
+    """2-core of the undirected call graph (functions.graph.kcore):
+    fixed-16-round degree peel — each round one combiner degree pass
+    plus one broadcast-membership edge filter, edges never collected.
+    Output is (entity, core_degree) of the surviving subgraph,
+    bit-matched by the unrolled MATERIALIZED-CTE oracle running the
+    identical peel."""
+    from recon_ray.functions.graph import kcore
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
+    return kcore(edges, k=2, n_rounds=16)
+
+
 def kg_calls_2hop(sf_dir: str):
     """2-hop call closure over the canonical triple graph: (f, g) and
     (g, h) call edges compose into (f, calls2, h) with the number of
@@ -5445,6 +5479,8 @@ QUERIES = {
     "kg_components": kg_components,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
+    "kg_link_prediction": kg_link_prediction,
+    "kg_kcore": kg_kcore,
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_bpe_token_counts": doc_bpe_token_counts,
@@ -5668,6 +5704,14 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank_personalized": _graph.pagerank_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}')",
             n_iter=5, seeds=[_ppr_seed(g_can)],
+        ),
+        "kg_link_prediction": _graph.link_prediction_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}') "
+            f"WHERE pred='calls'", k=50,
+        ),
+        "kg_kcore": _graph.kcore_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}') "
+            f"WHERE pred='calls'", k=2, n_rounds=16,
         ),
         "kg_hits": _graph.hits_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}') "

@@ -62,6 +62,44 @@ def test_triangle_stats_fuzz_vs_duckdb(edges, parts):
         assert int(got[c][0]) == int(want[c][0]), (c, edges)
 
 
+@settings(max_examples=8, deadline=None)
+@given(edges_st, st.integers(min_value=1, max_value=4))
+def test_link_prediction_fuzz_vs_duckdb(edges, parts):
+    from recon_ray.functions.graph import (
+        link_prediction, link_prediction_oracle_sql,
+    )
+
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    got = link_prediction(rd.from_pandas(df).repartition(parts), k=100)
+    con = duckdb.connect()
+    want = con.execute(
+        link_prediction_oracle_sql("SELECT subj, obj FROM df", k=100)
+    ).fetchdf()
+    assert len(got) == len(want), edges
+    g = got.sort_values(["node1", "node2"]).reset_index(drop=True)
+    w = want.sort_values(["node1", "node2"]).reset_index(drop=True)
+    for c in ("node1", "node2", "common_neighbors", "ra_fp"):
+        assert list(g[c]) == list(w[c]), (c, edges)
+    assert np.allclose(g["jaccard"], w["jaccard"], atol=1e-9), edges
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_st, st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=4))
+def test_kcore_fuzz_vs_duckdb(edges, k, parts):
+    from recon_ray.functions.graph import kcore, kcore_oracle_sql
+
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    got = kcore(rd.from_pandas(df).repartition(parts), k=k, n_rounds=8)
+    con = duckdb.connect()
+    want = con.execute(
+        kcore_oracle_sql("SELECT subj, obj FROM df", k=k, n_rounds=8)
+    ).fetchdf()
+    assert dict(zip(got["entity"], got["core_degree"])) == dict(
+        zip(want["entity"], want["core_degree"])
+    ), (k, edges)
+
+
 @settings(max_examples=10, deadline=None)
 @given(edges_st, st.integers(min_value=1, max_value=4))
 def test_bfs_levels_fuzz_vs_duckdb(edges, parts):
