@@ -77,6 +77,11 @@ class DecodeBackend:
             payload + int(frame_idx).to_bytes(4, "big"), fmt, h, w
         )
 
+    def video_frame_count(self, payload: bytes, fmt: str):
+        """Frame count when the container carries it (real backends probe
+        the payload); None = unknown, caller falls back to duration×fps."""
+        return None
+
 
 class ImageFeatureExtractor:
     """Actor-pool stage: decode → per-channel mean/std + payload sha —
@@ -192,7 +197,9 @@ class VideoFrameSampler:
         durs = batch.column("duration_ms").to_pylist()
         sampled_idx, frame_means = [], []
         for p, f, h, w, d in zip(payloads, fmts, hs, ws, durs):
-            n_frames = max(1, int(d) * self.fps // 1000)
+            n_frames = self.backend.video_frame_count(p, f)
+            if n_frames is None:  # container doesn't carry it: derive
+                n_frames = max(1, int(d) * self.fps // 1000)
             idxs = list(range(0, n_frames, self.stride))
             means = [
                 float(self.backend.decode_video_frame(p, f, h, w, i).mean())
@@ -433,6 +440,224 @@ def synthetic_real_media_table(n: int, seed: int = 0) -> pa.Table:
         rows["width"].append(w)
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real video container codec: Y4M (YUV4MPEG2) — plain-text header + raw
+# fixed-size YCbCr frames, the one video container a numpy-only environment
+# can decode honestly (no entropy coding). Crucially for a frame SAMPLER,
+# raw Y4M frames are fixed-size, so frame k is one O(1) seek — never a
+# sequential decode of frames 0..k-1.
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → full-range BT.601 YCbCr, integer rounded —
+    deterministic (pure int/float64 numpy, no libm table lookups)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`rgb_to_ycbcr` (same rounding rule)."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1,
+               colorspace: str = "C444") -> bytes:
+    """(n, h, w, 3) uint8 YCbCr frames → YUV4MPEG2 container bytes.
+    ``C444`` stores the three planes at full resolution (lossless w.r.t.
+    the input planes); ``C420jpeg`` subsamples Cb/Cr 2×2 by box mean
+    (the classic chroma layout; h and w must be even)."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 {colorspace}\n"
+    parts = [head.encode("ascii")]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        y, cb, cr = frames[i, ..., 0], frames[i, ..., 1], frames[i, ..., 2]
+        if colorspace == "C444":
+            parts += [y.tobytes(), cb.tobytes(), cr.tobytes()]
+        elif colorspace == "C420jpeg":
+            assert h % 2 == 0 and w % 2 == 0, "C420 needs even dims"
+            def sub(p):
+                q = p.astype(np.uint16).reshape(h // 2, 2, w // 2, 2)
+                return ((q.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+            parts += [y.tobytes(), sub(cb).tobytes(), sub(cr).tobytes()]
+        else:
+            raise ValueError(f"unsupported colorspace {colorspace}")
+    return b"".join(parts)
+
+
+def probe_y4m(payload: bytes) -> dict:
+    """Parse the YUV4MPEG2 stream header → dims/rate/colorspace plus the
+    derived fixed frame size and count (raw frames are fixed-size, so
+    the count is pure arithmetic — no scan)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    fps_num, fps_den, cs = 25, 1, "C420jpeg"  # spec defaults
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            fps_num, fps_den = (int(x) for x in t[1:].split(":"))
+        elif t.startswith("C"):
+            cs = t
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C444"):
+        frame_size = 3 * w * h
+    elif cs.startswith("C420"):
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    body = len(payload) - (nl + 1)
+    per = 6 + frame_size  # b"FRAME\n" + planes
+    if body % per:
+        raise ValueError("truncated Y4M frame data")
+    return {"width": w, "height": h, "fps_num": fps_num,
+            "fps_den": fps_den, "colorspace": cs,
+            "header_len": nl + 1, "frame_size": frame_size,
+            "n_frames": body // per}
+
+
+class Y4MBackend(NetpbmBackend):
+    """NetpbmBackend + REAL Y4M video decode. ``decode_video_planes``
+    seeks straight to frame k (fixed-size raw frames ⇒ one offset
+    multiply — the property that makes stride sampling O(sampled), not
+    O(total)); C420 chroma is box-upsampled to full res."""
+
+    def decode_video_planes(self, payload: bytes,
+                            frame_idx: int) -> np.ndarray:
+        """(h, w, 3) uint8 YCbCr planes of frame ``frame_idx``."""
+        p = probe_y4m(payload)
+        w, h = p["width"], p["height"]
+        if not 0 <= frame_idx < p["n_frames"]:
+            raise IndexError(
+                f"frame {frame_idx} out of range 0..{p['n_frames'] - 1}"
+            )
+        off = p["header_len"] + frame_idx * (6 + p["frame_size"])
+        if payload[off : off + 6] != b"FRAME\n":
+            raise ValueError("Y4M FRAME marker missing (corrupt stream)")
+        off += 6
+        y = np.frombuffer(payload, np.uint8, h * w, off).reshape(h, w)
+        if p["colorspace"].startswith("C444"):
+            cb = np.frombuffer(payload, np.uint8, h * w,
+                               off + h * w).reshape(h, w)
+            cr = np.frombuffer(payload, np.uint8, h * w,
+                               off + 2 * h * w).reshape(h, w)
+        else:  # C420: box-upsample chroma
+            hw = (h // 2) * (w // 2)
+            cb = np.frombuffer(payload, np.uint8, hw,
+                               off + h * w).reshape(h // 2, w // 2)
+            cr = np.frombuffer(payload, np.uint8, hw,
+                               off + h * w + hw).reshape(h // 2, w // 2)
+            cb = cb.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            cr = cr.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        return np.stack([y, cb, cr], axis=-1)
+
+    def decode_video_frame(self, payload: bytes, fmt: str, h: int, w: int,
+                           frame_idx: int) -> np.ndarray:
+        if (fmt or "").lower() != "y4m":
+            raise NotImplementedError(
+                f"Y4MBackend cannot decode {fmt!r} video (pyav needed)"
+            )
+        rgb = ycbcr_to_rgb(self.decode_video_planes(payload, frame_idx))
+        if (h >= 0 and rgb.shape[0] != h) or (w >= 0 and rgb.shape[1] != w):
+            raise ValueError(
+                f"metadata dims ({h}, {w}) != payload dims {rgb.shape[:2]}"
+            )
+        return rgb
+
+    def video_frame_count(self, payload: bytes, fmt: str):
+        if (fmt or "").lower() != "y4m":
+            return None
+        return probe_y4m(payload)["n_frames"]
+
+
+class VideoLumaStats:
+    """Actor-pool stage: stride-sample Y4M frames → per-sampled-frame
+    exact integer luma sum (Σ Y-plane, int64). Real codec end to end;
+    the exact-int output is what makes the stage SQL-oracle-able (the
+    fixture's planes are closed-form, so DuckDB can recompute every
+    pixel). One probe + one O(1) seek per sampled frame — never a
+    whole-payload decode."""
+
+    def __init__(self, stride: int = 3,
+                 backend: Optional[DecodeBackend] = None):
+        self.stride = stride
+        self.backend = backend or Y4MBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_sum = [], [], []
+        for mid, p in zip(ids, payloads):
+            n = self.backend.video_frame_count(p, "y4m")
+            for k in range(0, n, self.stride):
+                planes = self.backend.decode_video_planes(p, k)
+                out_id.append(mid)
+                out_idx.append(k)
+                out_sum.append(int(
+                    planes[..., 0].astype(np.int64).sum()
+                ))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "y_sum": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+
+def synthetic_video_table(n: int, seed: int = 0) -> pa.Table:
+    """Video fixture with REAL Y4M payloads. Video i has
+    ``8 + (i % 5)`` frames of 32×24; frame k's planes are closed-form —
+    Y[r, c] = (i·37 + k·11 + r + c) mod 256, Cb = (i·3 + k) mod 256,
+    Cr = (i·5 + 2k) mod 256 — so a SQL oracle can recompute any pixel
+    (and thus the exact per-frame luma sums) with pure arithmetic.
+    ``seed`` shifts the base pattern for test isolation."""
+    h, w = 24, 32
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    rr = np.arange(h, dtype=np.int64)[:, None]
+    cc = np.arange(w, dtype=np.int64)[None, :]
+    for i in range(n):
+        nf = 8 + (i % 5)
+        frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+        for k in range(nf):
+            base = (i * 37 + k * 11 + seed) % 256
+            frames[k, ..., 0] = ((base + rr + cc) % 256).astype(np.uint8)
+            frames[k, ..., 1] = (i * 3 + k + seed) % 256
+            frames[k, ..., 2] = (i * 5 + 2 * k + seed) % 256
+        payload = encode_y4m(frames, fps_num=25, colorspace="C444")
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["format"].append("y4m")
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(nf * 40)  # 25 fps
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 

@@ -3453,6 +3453,46 @@ FROM generate_series(0, 23) AS s(i) ORDER BY 1
 """
 
 
+def media_video_luma(sf_dir: str):
+    """REAL video container decode under the oracle gate: 20 Y4M
+    (YUV4MPEG2) payloads — plain-text header + fixed-size raw C444
+    frames, decoded by the pure-numpy Y4MBackend with one O(1) seek per
+    sampled frame (stride 3, never a sequential decode). The fixture's
+    planes are closed-form (Y[r,c] = (37i + 11k + r + c) mod 256), so
+    DuckDB recomputes every sampled frame's exact integer luma sum with
+    pure arithmetic: the SQL computes the pattern, the pipeline decodes
+    the actual container bytes."""
+    import ray.data as _rd
+
+    from recon_ray.functions.multimodal import (MM_BATCH_SIZE,
+                                                VideoLumaStats,
+                                                synthetic_video_table)
+
+    ds = _rd.from_arrow(synthetic_video_table(20, seed=0))
+    out = ds.map_batches(
+        VideoLumaStats,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=2,
+        fn_constructor_kwargs={"stride": 3},
+    ).to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+ORACLE_MEDIA_VIDEO_LUMA = """
+WITH f AS (
+  SELECT i, k
+  FROM generate_series(0, 19) s(i), generate_series(0, 12) t(k)
+  WHERE k < 8 + (i % 5) AND k % 3 = 0
+)
+SELECT i::BIGINT AS media_id, k::BIGINT AS frame_idx,
+       (SELECT sum((i * 37 + k * 11 + r + c) % 256)
+        FROM generate_series(0, 23) a(r),
+             generate_series(0, 31) b(c))::BIGINT AS y_sum
+FROM f ORDER BY 1, 2
+"""
+
+
 def media_image_neardup(sf_dir: str):
     """Image near-duplicate pairs over REAL encoded PPM payloads:
     deterministic base images plus planted one-pixel perturbations →
@@ -5528,6 +5568,7 @@ QUERIES = {
     "emb_pca_variance": emb_pca_variance,
     "doc_media_features": doc_media_features,
     "media_audio_dominant_bins": media_audio_dominant_bins,
+    "media_video_luma": media_video_luma,
     "media_image_neardup": media_image_neardup,
 }
 
@@ -5793,6 +5834,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_normalize": ORACLE_DOC_NORMALIZE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,
+        "media_video_luma": ORACLE_MEDIA_VIDEO_LUMA,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,

@@ -4,6 +4,7 @@ round-trips plus the actor-pool stages running over REAL payloads."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -214,3 +215,105 @@ def test_image_phash_neardup_pairs_distributed():
     assert list(map(tuple, pairs[["a", "b"]].itertuples(index=False))) == [
         (0, 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Y4M video container
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_c444_round_trip_and_seek():
+    """Planes survive C444 encode→decode exactly, and frame k is read by
+    direct seek (verified by decoding frames out of order)."""
+    from recon_ray.functions.multimodal import Y4MBackend, encode_y4m
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (5, 12, 16, 3)).astype(np.uint8)
+    payload = encode_y4m(frames, fps_num=30, colorspace="C444")
+    be = Y4MBackend()
+    assert be.video_frame_count(payload, "y4m") == 5
+    for k in (4, 0, 2):  # out-of-order access must not matter
+        got = be.decode_video_planes(payload, k)
+        assert np.array_equal(got, frames[k])
+
+
+def test_y4m_probe_header_fields():
+    from recon_ray.functions.multimodal import encode_y4m, probe_y4m
+
+    frames = np.zeros((2, 8, 10, 3), dtype=np.uint8)
+    p = probe_y4m(encode_y4m(frames, fps_num=24, fps_den=1,
+                             colorspace="C444"))
+    assert (p["width"], p["height"], p["n_frames"]) == (10, 8, 2)
+    assert p["fps_num"] == 24 and p["colorspace"] == "C444"
+
+
+def test_y4m_c420_chroma_subsample_upsample():
+    """C420: luma survives exactly; constant chroma survives the 2x2
+    box subsample/upsample exactly too."""
+    from recon_ray.functions.multimodal import Y4MBackend, encode_y4m
+
+    h, w = 8, 12
+    frames = np.zeros((1, h, w, 3), dtype=np.uint8)
+    frames[0, ..., 0] = np.arange(h * w).reshape(h, w) % 256
+    frames[0, ..., 1] = 77
+    frames[0, ..., 2] = 200
+    payload = encode_y4m(frames, colorspace="C420jpeg")
+    got = Y4MBackend().decode_video_planes(payload, 0)
+    assert np.array_equal(got[..., 0], frames[0, ..., 0])
+    assert (got[..., 1] == 77).all() and (got[..., 2] == 200).all()
+
+
+def test_y4m_rgb_conversion_and_frame_api():
+    """decode_video_frame returns RGB; rgb→ycbcr→rgb round-trips within
+    the conversion's quantization error (≤ 2 per channel)."""
+    from recon_ray.functions.multimodal import (Y4MBackend, encode_y4m,
+                                                rgb_to_ycbcr, ycbcr_to_rgb)
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (6, 9, 3)).astype(np.uint8)
+    back = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 2
+
+    payload = encode_y4m(rgb_to_ycbcr(rgb)[None, ...], colorspace="C444")
+    frame = Y4MBackend().decode_video_frame(payload, "y4m", 6, 9, 0)
+    assert np.abs(frame.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_y4m_corrupt_and_range_errors():
+    import pytest as _pytest
+
+    from recon_ray.functions.multimodal import Y4MBackend, encode_y4m
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    payload = encode_y4m(frames, colorspace="C444")
+    be = Y4MBackend()
+    with _pytest.raises(IndexError):
+        be.decode_video_planes(payload, 2)
+    with _pytest.raises(ValueError):
+        be.decode_video_planes(payload[:-5], 1)  # truncated frame data
+    with _pytest.raises(ValueError):
+        be.decode_video_frame(b"nope" + payload, "y4m", 4, 4, 0)
+
+
+def test_video_sampler_uses_container_frame_count():
+    """VideoFrameSampler must trust the Y4M-probed frame count over the
+    duration-derived guess (duration_ms deliberately lies here)."""
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA, Y4MBackend,
+                                                VideoFrameSampler,
+                                                encode_y4m)
+
+    frames = np.full((7, 6, 8, 3), 128, dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["video"]),
+            "format": pa.array(["y4m"]),
+            "payload": pa.array([encode_y4m(frames)], pa.binary()),
+            "width": pa.array([8], pa.int32()),
+            "height": pa.array([6], pa.int32()),
+            "duration_ms": pa.array([100000], pa.int32()),  # lies: 3000 frames
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = VideoFrameSampler(stride=2, backend=Y4MBackend())(tbl)
+    assert out.column("frame_idx").to_pylist() == [[0, 2, 4, 6]]
