@@ -26,7 +26,8 @@ from ray.data.aggregate import Sum
 __all__ = ["degree_table", "pagerank", "pagerank_oracle_sql",
            "graph_components", "triangle_stats", "bfs_levels",
            "link_prediction", "link_prediction_oracle_sql",
-           "kcore", "kcore_oracle_sql"]
+           "kcore", "kcore_oracle_sql",
+           "cheapest_paths", "cheapest_paths_oracle_sql"]
 
 
 def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
@@ -517,6 +518,119 @@ def _hits_pass(idx_pair, vec_ref, n, direction):
     else:
         np.add.at(out, src, vec_ref[dst] * w)
     return out
+
+
+_BF_INF = np.int64(2 ** 62)
+
+
+@ray.remote
+def _relax_step(idx_pair, dist_ref, n, inf):
+    """One Bellman-Ford relaxation over one edge block: candidate
+    distances dist[src] + w scattered to dst with minimum.at (merge =
+    elementwise min — order-free, exact int64)."""
+    src, dst, w = idx_pair
+    d = dist_ref[src]
+    ok = d < inf
+    cand = np.full(n, inf, np.int64)
+    np.minimum.at(cand, dst[ok], d[ok] + w[ok])
+    return cand
+
+
+def cheapest_paths(
+    triples_ds,
+    root: Optional[str] = None,
+    n_rounds: int = 8,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: Optional[str] = None,
+) -> pd.DataFrame:
+    """Single-source cheapest paths with positive integer edge weights
+    (``weight_col``, default all-ones = hop count): ``n_rounds`` of
+    Bellman-Ford relaxation, i.e. exact min-cost over all paths of at
+    most ``n_rounds`` edges. Fixed rounds (not convergence-tested) keep
+    the result a pure function the unrolled-CTE SQL oracle replays
+    verbatim; the early exit below fires only at fixpoint, where extra
+    rounds are no-ops both sides.
+
+    Distributed shape: the pagerank/BFS pattern — edge blocks indexed
+    once into the object store; per round the int64 distance vector is
+    broadcast (ray.put) and each block task emits candidate minima,
+    merged by elementwise min (commutative, exact). Driver state is
+    O(N_nodes) ints; edges never leave the store.
+
+    Returns (entity, cost) for nodes reachable within ``n_rounds``."""
+    sel = [subj_col, obj_col] + ([weight_col] if weight_col else [])
+    refs = triples_ds.select_columns(sel).to_arrow_refs()
+    parts = ray.get(
+        [_distinct_nodes.remote(b, subj_col, obj_col) for b in refs]
+    )
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "cost": pd.Series([], dtype="int64")})
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+    idx_refs = [
+        _index_edges.remote(b, nodes_ref, subj_col, obj_col, weight_col)
+        for b in refs
+    ]
+    if root is None:
+        subj_mins = [
+            p for p in ray.get(
+                [_min_subject.remote(b, subj_col) for b in refs]
+            ) if p is not None
+        ]
+        root = min(subj_mins)
+    ri = int(np.searchsorted(nodes, root))
+    if ri >= n or nodes[ri] != root:
+        raise ValueError(f"root {root!r} not in graph")
+    dist = np.full(n, _BF_INF, np.int64)
+    dist[ri] = 0
+    for _ in range(n_rounds):
+        d_ref = ray.put(dist)
+        merged = np.full(n, _BF_INF, np.int64)
+        for part in ray.get(
+            [_relax_step.remote(i, d_ref, n, _BF_INF) for i in idx_refs]
+        ):
+            np.minimum(merged, part, out=merged)
+        new = np.minimum(dist, merged)
+        if np.array_equal(new, dist):
+            break  # fixpoint — further rounds no-op (SQL ones too)
+        dist = new
+    mask = dist < _BF_INF
+    return (
+        pd.DataFrame({"entity": nodes[mask], "cost": dist[mask]})
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+
+
+def cheapest_paths_oracle_sql(edges_select: str, root_select: str,
+                              n_rounds: int = 8) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`cheapest_paths` — one
+    MATERIALIZED min-merge per relaxation round (a recursive CTE with
+    UNION ALL would enumerate every path and explode on cyclic graphs;
+    the per-round min table is node-sized like the Ray vector).
+    ``edges_select`` must yield (subj, obj, w); ``root_select`` a
+    one-value scalar subquery."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_select})",
+        f"d0 AS MATERIALIZED (SELECT ({root_select}) AS entity, "
+        f"0::BIGINT AS cost)",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = f"d{r - 1}"
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT entity, min(cost)::BIGINT AS cost "
+            f"FROM (SELECT entity, cost FROM {p} "
+            f"UNION ALL SELECT e.obj, d.cost + e.w FROM {p} d "
+            f"JOIN e ON e.subj = d.entity) GROUP BY entity)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT entity, cost FROM d{n_rounds} ORDER BY entity"
+    )
 
 
 _HITS_SCALE = 2 ** 30

@@ -1817,6 +1817,28 @@ def kg_link_prediction(sf_dir: str):
     return link_prediction(edges, k=50)
 
 
+def kg_call_cheapest(sf_dir: str):
+    """Single-source cheapest paths over the call graph with n_mentions
+    as the edge cost (functions.graph.cheapest_paths): 8 Bellman-Ford
+    relaxation rounds — edge blocks indexed once, int64 distance vector
+    broadcast per round, candidates merged by elementwise min. Root =
+    highest-out-degree caller (lexicographic tie-break), same rule as
+    the BFS query. Bit-matched by the unrolled per-round min-merge CTE
+    oracle (a recursive UNION ALL would enumerate every path and
+    explode on cycles)."""
+    from recon_ray.functions.graph import cheapest_paths
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj", "n_mentions"])
+    deg = group_count(edges, "subj", alias="d")
+    root = deg.sort_values(["d", "subj"], ascending=[False, True],
+                           kind="mergesort")["subj"].iloc[0]
+    return cheapest_paths(edges, root=str(root), n_rounds=8,
+                          weight_col="n_mentions")
+
+
 def kg_kcore(sf_dir: str):
     """2-core of the undirected call graph (functions.graph.kcore):
     fixed-16-round degree peel — each round one combiner degree pass
@@ -5521,6 +5543,7 @@ QUERIES = {
     "kg_call_bfs_levels": kg_call_bfs_levels,
     "kg_link_prediction": kg_link_prediction,
     "kg_kcore": kg_kcore,
+    "kg_call_cheapest": kg_call_cheapest,
     # documents
     "doc_token_counts": doc_token_counts,
     "doc_bpe_token_counts": doc_bpe_token_counts,
@@ -5749,6 +5772,13 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "kg_link_prediction": _graph.link_prediction_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}') "
             f"WHERE pred='calls'", k=50,
+        ),
+        "kg_call_cheapest": _graph.cheapest_paths_oracle_sql(
+            f"SELECT subj, obj, n_mentions AS w FROM "
+            f"read_parquet('{g_can}') WHERE pred='calls'",
+            "SELECT subj FROM e GROUP BY subj "
+            "ORDER BY count(*) DESC, subj LIMIT 1",
+            n_rounds=8,
         ),
         "kg_kcore": _graph.kcore_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}') "

@@ -100,6 +100,29 @@ def test_kcore_fuzz_vs_duckdb(edges, k, parts):
     ), (k, edges)
 
 
+@settings(max_examples=8, deadline=None)
+@given(edges_st, st.integers(min_value=1, max_value=4),
+       st.randoms(use_true_random=False))
+def test_cheapest_paths_fuzz_vs_duckdb(edges, parts, rnd):
+    from recon_ray.functions.graph import (
+        cheapest_paths, cheapest_paths_oracle_sql,
+    )
+
+    edges = edges + [("a", edges[0][1])]  # root must exist as a subject
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    df["w"] = [rnd.randint(1, 9) for _ in range(len(df))]
+    got = cheapest_paths(
+        rd.from_pandas(df).repartition(parts), root="a", n_rounds=6,
+        weight_col="w",
+    )
+    want = duckdb.connect().execute(cheapest_paths_oracle_sql(
+        "SELECT subj, obj, w FROM df", "SELECT 'a'", n_rounds=6,
+    )).fetchdf()
+    assert dict(zip(got["entity"], got["cost"])) == dict(
+        zip(want["entity"], want["cost"])
+    ), list(df.itertuples(index=False))
+
+
 @settings(max_examples=10, deadline=None)
 @given(edges_st, st.integers(min_value=1, max_value=4))
 def test_bfs_levels_fuzz_vs_duckdb(edges, parts):
