@@ -2753,6 +2753,79 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_impute_mean(sf_dir: str):
+    """Group-mean NULL imputation (the standard data-cleaning operator):
+    rows with event_id % 7 == 0 are treated as missing and receive their
+    event_type's mean value over the REMAINING rows, computed in exact
+    integer cents with floor division (sum_c // n) so the fill value is
+    bit-identical in both engines. One combiner grouped_agg over the
+    non-missing stream + one group count of the missing — the per-type
+    summary (n_missing, fill_value_c) is dim-sized; at scale the fill
+    itself is a broadcast-join map over the stream, never a shuffle."""
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "value"]
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        # pyarrow.compute has no mod kernel: x % 7 == x - (x // 7) * 7
+        # (event_id ≥ 0, so integer divide == floor divide)
+        eid = t.column("event_id")
+        seven = pa.scalar(7, pa.int64())
+        missing = pc.equal(
+            pc.subtract(eid, pc.multiply(pc.divide(eid, seven), seven)),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "value_c": _cents_arrow(t.column("value")),
+             "is_missing": pc.cast(missing, pa.int64())}
+        )
+
+    tagged = ev.map_batches(split, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        miss = b["is_missing"] == 1
+        keep = b[~miss]
+        g = keep.groupby("event_type", sort=False)["value_c"].agg(
+            ["sum", "count"]
+        )
+        m = b[miss].groupby("event_type", sort=False).size().rename("nm")
+        out = g.join(m, how="outer").fillna(0).reset_index()
+        return pd.DataFrame(
+            {"event_type": out["event_type"],
+             "s": out["sum"].astype("int64"),
+             "n": out["count"].astype("int64"),
+             "nm": out["nm"].astype("int64")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        tagged.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"),
+                   Sum("nm", alias_name="nm"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {"event_type": g["event_type"],
+         "n_missing": g["nm"].astype("int64"),
+         "fill_value_c": (g["s"].astype("int64")
+                          // g["n"].astype("int64"))}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_IMPUTE_MEAN = """
+SELECT event_type,
+       count(*) FILTER (event_id % 7 = 0)::BIGINT AS n_missing,
+       (sum(round(value * 100)::BIGINT) FILTER (event_id % 7 <> 0)
+        // count(*) FILTER (event_id % 7 <> 0))::BIGINT AS fill_value_c
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_value_histogram(sf_dir: str):
     """Fixed-width histogram over events.value (functions.sketches
     .histogram): per-batch int64 bincounts, combiner-summed, no shuffle.
@@ -5366,6 +5439,53 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q11_important_nations(sf_dir: str):
+    """TPC-H Q11 shape — HAVING against a global-total scalar subquery
+    (re-based onto supplier nations; this corpus has no partsupp):
+    nations whose supplier-side lineitem revenue exceeds 1/25 of the
+    global total. Distributed form: one combiner grouped sum per nation
+    (supplier→nation broadcasts as a dim dict); the comparison is the
+    exact integer cross-multiply s·25 > total (never a float
+    threshold), computed on the 25 aggregate rows."""
+    sup = _pdf(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]].merge(
+        _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey",
+    )[["s_suppkey", "n_name"]]
+    slim = _t(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: _add_revenue_part(t).select(["l_suppkey", "revenue_part"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = broadcast_join(slim, sup, on="l_suppkey", small_on="s_suppkey")
+    g = grouped_agg(j, "n_name", {"revenue_part": ["sum"]})
+    s = g["revenue_part_sum"].astype("int64")
+    total = int(s.sum())
+    keep = g[s * 25 > total].copy()
+    keep["value"] = _round_away(
+        keep["revenue_part_sum"].astype("int64") / 10000.0, 2
+    )
+    keep = keep.sort_values(["value", "n_name"], ascending=[False, True],
+                            kind="mergesort")
+    return keep[["n_name", "value"]].reset_index(drop=True)
+
+
+ORACLE_Q11 = """
+WITH r AS MATERIALIZED (
+  SELECT n_name,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT)) AS s
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(s / 10000.0, 2) AS value
+FROM r WHERE s * 25 > (SELECT sum(s) FROM r)
+ORDER BY value DESC, n_name
+"""
+
+
 def q21_suppliers_waiting(sf_dir: str):
     """TPC-H Q21 shape — double-correlated EXISTS / NOT EXISTS: on
     finished ('F') multi-supplier orders, count per supplier the
@@ -5485,6 +5605,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
     "q13_customer_distribution": q13_customer_distribution,
+    "q11_important_nations": q11_important_nations,
     "q15_top_supplier": q15_top_supplier,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_suppliers_waiting": q21_suppliers_waiting,
@@ -5509,6 +5630,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q_events_value_histogram": q_events_value_histogram,
+    "q_events_impute_mean": q_events_impute_mean,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
@@ -5838,6 +5960,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q8_market_share": ORACLE_Q8,
         "q10_returned_items": ORACLE_Q10,
         "q13_customer_distribution": ORACLE_Q13,
+        "q11_important_nations": ORACLE_Q11,
         "q15_top_supplier": ORACLE_Q15,
         "q19_discounted_revenue": ORACLE_Q19,
         "q21_suppliers_waiting": ORACLE_Q21,
@@ -5861,6 +5984,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q22_global_sales_opportunity": ORACLE_Q22,
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
+        "q_events_impute_mean": ORACLE_EVENTS_IMPUTE_MEAN,
         "doc_normalize": ORACLE_DOC_NORMALIZE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,
