@@ -408,6 +408,15 @@ def cmd_graph(args) -> int:
         )
     elif args.analysis == "bfs":
         out = g.bfs_levels(ds, root=args.root).head(args.limit)
+    elif args.analysis == "linkpred":
+        out = g.link_prediction(ds, k=args.limit)
+    elif args.analysis == "kcore":
+        out = g.kcore(ds, k=max(args.k, 1)).head(args.limit)
+    elif args.analysis == "cheapest":
+        out = g.cheapest_paths(
+            ds, root=args.root, n_rounds=args.iters,
+            weight_col="n_mentions" if args.weighted else None,
+        ).head(args.limit)
     else:  # pragma: no cover
         raise SystemExit(f"unknown analysis {args.analysis}")
     print(out.to_string(index=False))
@@ -540,14 +549,17 @@ def main(argv=None) -> int:
 
     pgr = sub.add_parser("graph", help="analytics over a triples parquet")
     pgr.add_argument("analysis", choices=[
-        "degrees", "pagerank", "hits", "components", "triangles", "bfs"])
+        "degrees", "pagerank", "hits", "components", "triangles", "bfs",
+        "linkpred", "kcore", "cheapest"])
     pgr.add_argument("path", help="triples parquet file or directory")
     pgr.add_argument("--pred", default=None,
                      help="filter to one predicate (e.g. calls)")
     pgr.add_argument("--weighted", action="store_true",
-                     help="pagerank: weight by n_mentions")
+                     help="pagerank/cheapest: weight by n_mentions")
     pgr.add_argument("--iters", type=int, default=5)
-    pgr.add_argument("--root", default=None, help="bfs root entity")
+    pgr.add_argument("--root", default=None,
+                     help="bfs/cheapest root entity")
+    pgr.add_argument("-k", type=int, default=2, help="kcore: minimum degree")
     pgr.add_argument("--limit", type=int, default=20)
     pgr.set_defaults(fn=cmd_graph)
 

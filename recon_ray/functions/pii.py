@@ -124,3 +124,33 @@ def pii_counts(ds, text_col: str = "text",
         make_counts_batch(text_col, kinds, prefix),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def pseudonymize_column(ds, col: str, salt: int,
+                        token_col: str = None):
+    """Consistent keyed token replacement for an integer identifier
+    column (GDPR-style pseudonymization: same id + same salt → same
+    token everywhere, so joins/sessionization still work after the
+    swap; rotate the salt to unlink datasets). token = (id + salt)·C
+    mod 2⁶⁴ with C the odd golden-ratio multiplier — a bijection, so
+    distinct ids never collide, and exactly SQL-replicable in HUGEINT.
+
+    NOT cryptographic anonymization: with the constant public the map
+    is invertible; a hostile-reader deployment swaps in a keyed PRF
+    (SipHash/HMAC) behind this same column contract — the distributed
+    shape (stateless zero-copy map, no shuffle) is unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    token_col = token_col or f"{col}_token"
+
+    def tok(t: "pa.Table") -> "pa.Table":
+        ids = t.column(col).to_numpy().astype(np.uint64)
+        h = (ids + np.uint64(salt)) * np.uint64(_PSEUDO_C)  # wraps mod 2^64
+        return t.append_column(token_col, pa.array(h, pa.uint64()))
+
+    return ds.map_batches(tok, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_PSEUDO_C = 0x9E3779B97F4A7C15  # odd ⇒ bijection mod 2^64

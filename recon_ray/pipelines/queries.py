@@ -2826,6 +2826,94 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_user_streaks(sf_dir: str):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user. The classic row_number anchor trick (day − rank collapses a
+    consecutive run to one constant), executed distributed: distinct
+    (user, day) pairs via the bucketed exact distinct, then one
+    bucketed_group_apply on user_id whose body is fully vectorized
+    pandas across every user in the bucket (sort → cumcount → anchor →
+    run sizes → max), never a per-user Python call."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    days = distinct(
+        _t(sf_dir, "events").select_columns(["user_id", "ts"]).map_batches(
+            lambda t: pa.table(
+                {"user_id": t.column("user_id"),
+                 "day": pc.floor_temporal(t.column("ts"), unit="day")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id", "day"],
+    )
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        rn = g.groupby("user_id", sort=False).cumcount()
+        anchor = g["day"] - pd.to_timedelta(rn, unit="D")
+        runs = (
+            g.assign(__a=anchor)
+            .groupby(["user_id", "__a"], sort=False).size()
+            .rename("len").reset_index()
+        )
+        out = runs.groupby("user_id", sort=False)["len"].max()
+        return pd.DataFrame({"user_id": out.index.to_numpy(),
+                             "max_streak": out.to_numpy(np.int64)})
+
+    out = bucketed_group_apply(days, "user_id", streaks).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["max_streak"] = out["max_streak"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), g AS (
+  SELECT user_id, day - rn * INTERVAL 1 DAY AS anchor FROM r
+)
+SELECT user_id, max(cnt)::BIGINT AS max_streak FROM (
+  SELECT user_id, anchor, count(*) AS cnt FROM g GROUP BY 1, 2
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_pseudonymize(sf_dir: str):
+    """Keyed pseudonymization of the user_id column
+    (functions.pii.pseudonymize_column): consistent token = (id+salt)·C
+    mod 2⁶⁴ — stateless zero-copy Arrow map, no shuffle, join-stable
+    tokens. The bijection means the distinct-token count must equal the
+    distinct-user count, and the oracle replays the exact HUGEINT
+    arithmetic; documented as pseudonymization (linkable tokens), with
+    the keyed-PRF seam for hostile-reader deployments."""
+    from recon_ray.functions.pii import pseudonymize_column
+
+    out = pseudonymize_column(
+        _t(sf_dir, "events").select_columns(["event_id", "user_id"]),
+        "user_id", salt=20260818,
+    ).to_pandas()
+    out = out[["event_id", "user_id_token"]]
+    # decimal-string tokens: DuckDB returns HUGEINT as lossy float64
+    # through pandas, so the comparable form on BOTH sides is VARCHAR
+    out["user_id_token"] = out["user_id_token"].astype("uint64").astype(str)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _pseudonymize_oracle_sql() -> str:
+    from recon_ray.functions.pii import _PSEUDO_C
+
+    return (
+        "SELECT event_id, "
+        f"(((user_id::HUGEINT + 20260818) * {_PSEUDO_C}) "
+        "% 18446744073709551616)::VARCHAR AS user_id_token "
+        "FROM events ORDER BY event_id"
+    )
+
+
 def q_events_value_histogram(sf_dir: str):
     """Fixed-width histogram over events.value (functions.sketches
     .histogram): per-batch int64 bincounts, combiner-summed, no shuffle.
@@ -5631,6 +5719,8 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q_events_value_histogram": q_events_value_histogram,
     "q_events_impute_mean": q_events_impute_mean,
+    "q_events_user_streaks": q_events_user_streaks,
+    "q_events_pseudonymize": q_events_pseudonymize,
     "q_events_grouped_quantiles": q_events_grouped_quantiles,
     "q_events_funnel": q_events_funnel,
     "q_events_props_scrub": q_events_props_scrub,
@@ -5985,6 +6075,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_lm_score": ORACLE_DOC_LM_SCORE,
         "q_events_value_histogram": ORACLE_EVENTS_HISTOGRAM,
         "q_events_impute_mean": ORACLE_EVENTS_IMPUTE_MEAN,
+        "q_events_user_streaks": ORACLE_EVENTS_USER_STREAKS,
+        "q_events_pseudonymize": _pseudonymize_oracle_sql(),
         "doc_normalize": ORACLE_DOC_NORMALIZE,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,

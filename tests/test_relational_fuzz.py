@@ -584,3 +584,59 @@ def test_merge_upsert_matches_duckdb(base, ups, parts):
     """).fetchdf()
     assert list(got["k"].astype("int64")) == list(want["k"]), (base, ups)
     assert list(got["ver"].astype("int64")) == list(want["ver"]), (base, ups)
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands streaks (the q_events_user_streaks kernel)
+# ---------------------------------------------------------------------------
+
+STREAK_SQL = """
+WITH d AS (SELECT DISTINCT user_id, day FROM df),
+r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+g AS (SELECT user_id, day - rn * INTERVAL 1 DAY AS anchor FROM r)
+SELECT user_id, max(cnt)::BIGINT AS max_streak FROM (
+  SELECT user_id, anchor, count(*) AS cnt FROM g GROUP BY 1, 2
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 15)),
+             min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=4),
+)
+def test_user_streaks_match_duckdb(pairs, parts):
+    """Longest consecutive-day run per user: the row_number anchor trick,
+    distributed via bucketed_group_apply, vs the identical SQL over
+    random sparse/duplicated (user, day) sets."""
+    from recon_ray.functions.relational import bucketed_group_apply, distinct
+
+    df = pd.DataFrame(
+        {"user_id": [p[0] for p in pairs],
+         "day": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta([p[1] for p in pairs], unit="D")}
+    )
+    days = distinct(rd.from_pandas(df).repartition(parts),
+                    ["user_id", "day"])
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        rn = g.groupby("user_id", sort=False).cumcount()
+        anchor = g["day"] - pd.to_timedelta(rn, unit="D")
+        runs = (
+            g.assign(__a=anchor)
+            .groupby(["user_id", "__a"], sort=False).size()
+            .rename("len").reset_index()
+        )
+        out = runs.groupby("user_id", sort=False)["len"].max()
+        return pd.DataFrame({"user_id": out.index.to_numpy(),
+                             "max_streak": out.to_numpy(np.int64)})
+
+    got = bucketed_group_apply(days, "user_id", streaks).to_pandas()
+    want = duckdb.connect().execute(STREAK_SQL).fetchdf()
+    assert dict(zip(got["user_id"], got["max_streak"])) == dict(
+        zip(want["user_id"], want["max_streak"])
+    ), pairs

@@ -436,6 +436,33 @@ def test_cli_graph_and_profile(tmp_path, gold_extraction):
     assert r.returncode == 0, r.stderr[-500:]
     assert "n_distinct" in r.stdout
 
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "graph", "kcore", str(p),
+         "--pred", "calls", "-k", "1", "--limit", "5"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "core_degree" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "graph", "cheapest", str(p),
+         "--pred", "calls", "--weighted", "--limit", "5"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "cost" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "graph", "linkpred", str(p),
+         "--pred", "calls", "--limit", "5"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "common_neighbors" in r.stdout
+
 
 def test_cli_export_roundtrip(tmp_path, gold_extraction):
     """export to-ntriples → from-ntriples round-trips the gold triples."""
