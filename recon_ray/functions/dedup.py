@@ -1521,3 +1521,56 @@ def fuzzy_join(
         )
 
     return bucketed_group_apply(tagged, ["__block"], verify)
+
+
+def entity_resolution(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "lang",
+    key_len: int = 48,
+    block_len: int = 8,
+    max_dist: int = 5,
+):
+    """Within-table entity resolution: fuzzy-duplicate rows collapse to a
+    canonical id (the min id of their match component). The classic ER
+    stack — blocking → bounded-Levenshtein pairwise verify
+    (edit_distance_pairs, blocking rule exact and SQL-replayable) →
+    connected components over the verified match graph → canonical-id
+    assignment — producing (id, canon, cluster_size) for EVERY input row
+    (singletons are their own canon with size 1).
+
+    Scale shape: keys (never texts) ride the one blocking shuffle; the
+    match graph holds only rows that verified as fuzzy duplicates — a
+    small fraction of the corpus by construction — so its labels travel
+    as a broadcast dict into the final stateless assignment map. If the
+    dup graph ever outgrows the driver, swap the broadcast for a shuffle
+    join of labels onto ids (same loop as connected_components' own
+    documented seam). Reference analogue: ExampleStore dedup-by-hash
+    (recon/store.py:39-47) generalized to fuzzy keys."""
+    pairs = edit_distance_pairs(
+        ds, text_col=text_col, id_col=id_col, group_col=group_col,
+        key_len=key_len, block_len=block_len, max_dist=max_dist,
+    )
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["id_a"], "b": df["id_b"]}),
+        batch_format="pandas",
+    )
+    labels = connected_components(edges)  # doc_id -> cluster (min id)
+    sizes = (
+        labels.groupby("cluster").size().to_dict() if len(labels) else {}
+    )
+    lab_ref = ray.put(dict(zip(labels["doc_id"], labels["cluster"])))
+    sz_ref = ray.put(sizes)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lab, sz = _get(lab_ref), _get(sz_ref)
+        ids = df[id_col]
+        canon = ids.map(lab).fillna(ids).astype("int64")
+        size = canon.map(sz).fillna(1).astype("int64")
+        return pd.DataFrame(
+            {id_col: ids.astype("int64"), "canon": canon,
+             "cluster_size": size}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

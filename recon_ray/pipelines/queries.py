@@ -4332,6 +4332,101 @@ ORDER BY 1, 2
 """
 
 
+def doc_entity_resolution(sf_dir: str):
+    """Within-table entity resolution (functions.dedup.entity_resolution):
+    blocking → bounded-Levenshtein verify → connected components over the
+    match graph → canonical min-id per cluster, emitted for EVERY row
+    (singletons canon to themselves, size 1). The oracle replays the
+    identical blocking + levenshtein pair rule and closes the match graph
+    with a recursive min-label CTE — so the component structure itself is
+    under the hash gate, not just the pair table."""
+    from recon_ray.functions.dedup import entity_resolution
+
+    out = entity_resolution(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text", "lang"]),
+        text_col="text", id_col="doc_id", group_col="lang",
+        key_len=48, block_len=8, max_dist=5,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_DOC_ENTITY_RESOLUTION = """
+WITH RECURSIVE k AS MATERIALIZED (
+  SELECT doc_id, lang, substr(text, 1, 48) AS key,
+         substr(text, 1, 8) AS blk
+  FROM documents
+), p AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM k a JOIN k b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.key, b.key) <= 5
+), edges AS MATERIALIZED (
+  SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+), lab(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, lab.lbl FROM lab JOIN edges e ON lab.node = e.a
+), canon AS (
+  SELECT node AS doc_id, min(lbl) AS canon FROM lab GROUP BY node
+)
+SELECT doc_id::BIGINT AS doc_id, canon::BIGINT AS canon,
+       count(*) OVER (PARTITION BY canon)::BIGINT AS cluster_size
+FROM canon ORDER BY doc_id
+"""
+
+
+def q_events_pruned_scan(sf_dir: str):
+    """Zone-map data skipping end to end (sources/zonemap.py): events are
+    rewritten as a Z-ORDER-clustered (user_id × day Morton key) zone-mapped
+    Parquet layout, then a box predicate (user_id 3–8, days 5–14 of the
+    month) is answered through the PRUNED reader — files whose min/max
+    window misses the box never leave disk, survivors get the exact
+    residual filter. The oracle is the plain full-table SQL, so the gate
+    proves pruning is invisible to results; the actual file skipping is
+    pinned in tests/test_zonemap.py."""
+    import tempfile
+
+    from recon_ray.sources.zonemap import read_zonemapped, write_zonemapped
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "day": b["ts"].to_numpy().astype("datetime64[D]")
+                          .astype("int64"),
+            "cents": _cents(b["value"]),
+        })
+
+    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    out_dir = tempfile.mkdtemp(prefix="zonemap_")
+    write_zonemapped(ds, out_dir, stat_cols=["user_id", "day"],
+                     zorder_cols=("user_id", "day"), rows_per_file=512)
+    box = {"user_id": (3, 8), "day": (19728, 19737)}
+    hits = read_zonemapped(out_dir, box).to_pandas()
+    if hits.empty:  # all-empty to_pandas drops columns (Ray quirk)
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "cents": pd.Series([], dtype="int64")})
+    out = (
+        hits.groupby("event_type", as_index=False)
+        .agg(n=("event_id", "size"), cents=("cents", "sum"))
+    )
+    out["n"] = out["n"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_PRUNED_SCAN = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+FROM events
+WHERE user_id BETWEEN 3 AND 8
+  AND date_diff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))
+      BETWEEN 19728 AND 19737
+GROUP BY event_type ORDER BY event_type
+"""
+
 
 def q_orders_merge_upsert(sf_dir: str):
     """MERGE / upsert (functions.relational.merge_upsert): updates
@@ -5700,6 +5795,8 @@ QUERIES = {
     "q_events_user_bloom": q_events_user_bloom,
     "q_events_above_type_mean": q_events_above_type_mean,
     "doc_editdist_pairs": doc_editdist_pairs,
+    "doc_entity_resolution": doc_entity_resolution,
+    "q_events_pruned_scan": q_events_pruned_scan,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
     "doc_keyword_tags": doc_keyword_tags,
@@ -6057,6 +6154,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_user_bloom": ORACLE_EVENTS_USER_BLOOM,
         "q_events_above_type_mean": ORACLE_EVENTS_ABOVE_TYPE_MEAN,
         "doc_editdist_pairs": ORACLE_DOC_EDITDIST,
+        "doc_entity_resolution": ORACLE_DOC_ENTITY_RESOLUTION,
+        "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

@@ -1,0 +1,224 @@
+"""Zone-map (min/max data-skipping) Parquet layout + predicate-pruned
+reader — the "don't scan 100 TB to answer a 1-repo question" layer that
+table formats (Iceberg/Delta zone maps, Parquet row-group stats) provide,
+rebuilt over plain directories so the engine controls it end to end.
+
+Writer: each write task emits ONE content-addressed Parquet file per
+batch and returns a tiny stats row (per tracked column: min / max /
+null_count, plus row count); the driver assembles `_zonemap.json` from
+the stats Dataset (files-sized, never rows-sized) and writes it LAST —
+crash before the manifest means the next run simply rewrites (same
+content hash → same filenames → idempotent under Ray task retries).
+
+Optional Z-ORDER clustering: interleaving the bits of two integer
+columns into one sort key makes BOTH columns' per-file ranges tight, so
+a box predicate on either (or both) skips most files — the standard
+multi-dimensional-locality trick (Morton curve). Clustering costs one
+distributed sort at write time; that is the documented trade every
+layout-optimizing writer (OPTIMIZE ZORDER BY) makes.
+
+Reader: `read_zonemapped(dir, intervals)` drops every file whose
+[min, max] window cannot intersect the requested box and applies the
+EXACT residual row filter to the survivors — pruning is a performance
+fact, never a correctness input. Oracled end-to-end by
+`q_events_pruned_scan` (the pruned scan must equal the full-table SQL);
+the skipping itself is pinned by tests/test_zonemap.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+MANIFEST = "_zonemap.json"
+
+
+def zvalue(x: np.ndarray, y: np.ndarray, bits: int = 21) -> np.ndarray:
+    """Morton interleave of two non-negative integer arrays into one
+    uint64 sort key (bit i of x → bit 2i, bit i of y → bit 2i+1).
+    ``bits`` caps each input at 2^bits (values clip); 21+21 bits keeps
+    the result inside the exactly-representable int range everywhere.
+    Vectorized; the per-row reference is pinned in tests."""
+    xs = np.clip(x.astype(np.int64), 0, (1 << bits) - 1).astype(np.uint64)
+    ys = np.clip(y.astype(np.int64), 0, (1 << bits) - 1).astype(np.uint64)
+    out = np.zeros(len(xs), dtype=np.uint64)
+    for i in range(bits):
+        out |= ((xs >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+        out |= ((ys >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+    return out
+
+
+def write_zonemapped(
+    ds,
+    out_dir: str,
+    stat_cols: list[str],
+    zorder_cols: tuple[str, str] | None = None,
+    rows_per_file: int = 65536,
+) -> dict:
+    """Write ``ds`` as zone-mapped Parquet under ``out_dir``. Tracks
+    min/max/null_count for every ``stat_cols`` entry per file; with
+    ``zorder_cols`` = (int_col_a, int_col_b) the rows are first
+    clustered on the Morton key (one distributed sort). Returns the
+    manifest dict. The dataset schema is recorded so an all-pruned read
+    stays schema-correct."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    if zorder_cols is not None:
+        ca, cb = zorder_cols
+
+        def add_z(t: pa.Table) -> pa.Table:
+            z = zvalue(t.column(ca).to_numpy(zero_copy_only=False),
+                       t.column(cb).to_numpy(zero_copy_only=False))
+            return t.append_column("__z", pa.array(z, pa.uint64()))
+
+        ds = ds.map_batches(add_z, batch_format="pyarrow").sort("__z")
+
+    def write_file(t: pa.Table) -> pa.Table:
+        if "__z" in t.column_names:
+            t = t.drop_columns(["__z"])
+        if t.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "stats": pa.array([], pa.string())})
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        h = hashlib.sha1(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        # content-addressed name: a retried task rewrites the same file.
+        # (Two bit-identical 65k-row batches would collide — give rows a
+        # unique id column if batch-level duplicates are possible.)
+        name = f"part-{h}.parquet"
+        stats = {}
+        for col in stat_cols:
+            arr = t.column(col)
+            nulls = arr.null_count
+            valid = arr.drop_null()
+            stats[col] = {
+                "min": _js(pc.min(valid).as_py()) if len(valid) else None,
+                "max": _js(pc.max(valid).as_py()) if len(valid) else None,
+                "null_count": int(nulls),
+            }
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))  # atomic, idempotent
+        return pa.table({"file": [name], "n_rows": [t.num_rows],
+                         "stats": [json.dumps(stats)]})
+
+    stats_rows = ds.map_batches(
+        write_file, batch_format="pyarrow", batch_size=rows_per_file
+    ).to_pandas()  # files-sized, not rows-sized
+
+    seen: dict[str, dict] = {}
+    for r in stats_rows.itertuples(index=False):
+        seen[r.file] = {"file": r.file, "n_rows": int(r.n_rows),
+                        "stats": json.loads(r.stats)}
+    files = sorted(seen.values(), key=lambda f: f["file"])
+    if files:  # schema from a written file: no pipeline re-execution
+        schema_cols = pq.read_schema(
+            os.path.join(out_dir, files[0]["file"])).names
+    else:
+        schema_cols = [c for c in ds.schema().names if c != "__z"]
+    manifest = {
+        "stat_cols": stat_cols,
+        "zorder_cols": list(zorder_cols) if zorder_cols else None,
+        "columns": schema_cols,
+        "files": files,
+        "n_rows": int(sum(f["n_rows"] for f in files)),
+    }
+    # sweep orphans BEFORE publishing the manifest: parts from a previous
+    # layout (different batching) or a crashed run must never linger — a
+    # reader trusts only the manifest, but stale files waste disk and a
+    # future manifest mix-up must have nothing to find
+    current = {f["file"] for f in files}
+    for fname in os.listdir(out_dir):
+        if (fname.endswith(".parquet") and fname not in current) or \
+                ".tmp" in fname:
+            os.remove(os.path.join(out_dir, fname))
+    tmp = tempfile.NamedTemporaryFile(
+        "w", dir=out_dir, delete=False, suffix=".tmp")
+    json.dump(manifest, tmp, indent=1)
+    tmp.close()
+    os.replace(tmp.name, os.path.join(out_dir, MANIFEST))  # manifest LAST
+    return manifest
+
+
+def _js(v):
+    """JSON-safe scalar (timestamps → isoformat strings)."""
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def prune_files(out_dir: str, intervals: dict) -> tuple[list[str], int]:
+    """File-level pruning decision only (exposed for tests / planning):
+    returns (kept file names, total file count). ``intervals`` maps
+    column → (lo, hi) inclusive; None bounds are open. A file survives
+    iff every interval can intersect its [min, max] window; files with
+    only NULLs in a filtered column never match a range predicate and
+    are skipped."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    kept = []
+    for entry in manifest["files"]:
+        ok = True
+        for col, (lo, hi) in intervals.items():
+            s = entry["stats"].get(col)
+            if s is None:  # untracked column: cannot prune on it
+                continue
+            if s["min"] is None:  # all-NULL file: no row can be in range
+                ok = False
+                break
+            if lo is not None and s["max"] < lo:
+                ok = False
+                break
+            if hi is not None and s["min"] > hi:
+                ok = False
+                break
+        if ok:
+            kept.append(entry["file"])
+    return kept, len(manifest["files"])
+
+
+def read_zonemapped(out_dir: str, intervals: dict | None = None):
+    """Predicate-pruned Dataset over a zone-mapped directory: skip files
+    the manifest proves empty for the box, then apply the exact residual
+    row filter to the survivors. Returns a lazy Dataset; with every file
+    pruned it returns an empty Dataset that still carries the schema
+    (read one file, filter all rows — never a zero-column block)."""
+    import ray.data
+
+    intervals = intervals or {}
+    kept, _total = prune_files(out_dir, intervals)
+    all_pruned = not kept
+    if all_pruned:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            manifest = json.load(f)
+        if not manifest["files"]:
+            raise FileNotFoundError(f"zone-mapped dir {out_dir} is empty")
+        kept = [manifest["files"][0]["file"]]  # schema donor
+    ds = ray.data.read_parquet([os.path.join(out_dir, f) for f in kept])
+    if not intervals and not all_pruned:
+        return ds
+
+    def residual(t: pa.Table) -> pa.Table:
+        mask = np.ones(t.num_rows, dtype=bool)
+        if all_pruned:
+            return t.filter(pa.array(np.zeros(t.num_rows, dtype=bool)))
+        for col, (lo, hi) in intervals.items():
+            vals = t.column(col)
+            ok = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+            if lo is not None:
+                ge = pc.greater_equal(vals, pa.scalar(lo))
+                ok &= ge.fill_null(False).to_numpy(zero_copy_only=False)
+            if hi is not None:
+                le = pc.less_equal(vals, pa.scalar(hi))
+                ok &= le.fill_null(False).to_numpy(zero_copy_only=False)
+            mask &= ok
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(residual, batch_format="pyarrow")

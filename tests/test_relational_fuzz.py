@@ -640,3 +640,58 @@ def test_user_streaks_match_duckdb(pairs, parts):
     assert dict(zip(got["user_id"], got["max_streak"])) == dict(
         zip(want["user_id"], want["max_streak"])
     ), pairs
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution (blocking -> levenshtein -> components -> canon)
+# ---------------------------------------------------------------------------
+
+ER_SQL = """
+WITH RECURSIVE k AS MATERIALIZED (
+  SELECT id, substr(txt, 1, 12) AS key, substr(txt, 1, 3) AS blk FROM df
+), p AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b FROM k a JOIN k b
+    ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.key, b.key) <= 2
+), edges AS MATERIALIZED (
+  SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+), lab(node, lbl) AS (
+  SELECT id, id FROM df
+  UNION
+  SELECT e.b, lab.lbl FROM lab JOIN edges e ON lab.node = e.a
+), canon AS (SELECT node AS id, min(lbl) AS canon FROM lab GROUP BY node)
+SELECT id, canon,
+       count(*) OVER (PARTITION BY canon) AS cluster_size
+FROM canon ORDER BY id
+"""
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["alpha", "bravo", "charli"]),
+                       st.integers(0, 2), st.integers(0, 9)),
+             min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=4),
+)
+def test_entity_resolution_matches_duckdb(specs, parts):
+    """Random corpora of base words with planted single-char mutations at
+    position `pos` and a numeric suffix — clusters form across mutations
+    that stay within edit distance 2 under the identical blocking rule.
+    The whole chain (pairs -> components -> canon/size) must match the
+    recursive-CTE closure regardless of block layout."""
+    from recon_ray.functions.dedup import entity_resolution
+
+    txts = [w[:pos] + str(d) + w[pos + 1:] for (w, pos, d) in specs]
+    df = pd.DataFrame({"id": np.arange(len(txts), dtype=np.int64),
+                       "txt": txts})
+    got = (
+        entity_resolution(rd.from_pandas(df).repartition(parts),
+                          text_col="txt", id_col="id", group_col=None,
+                          key_len=12, block_len=3, max_dist=2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(ER_SQL).fetchdf()
+    assert list(got["canon"].astype("int64")) == list(
+        want["canon"].astype("int64")), specs
+    assert list(got["cluster_size"].astype("int64")) == list(
+        want["cluster_size"].astype("int64")), specs
