@@ -370,6 +370,32 @@ def cmd_convert(args) -> int:
         ds = from_prodigy_jsonl(args.src, args.dataset)
         write_jsonl_examples(ds, args.dst)
         print(json.dumps({"docs": ds.count(), "out": args.dst}))
+    elif args.pair == "parquet-to-csv":
+        import ray.data as rd
+
+        from recon_ray.sources.interop import write_csv_shards
+
+        n = write_csv_shards(rd.read_parquet(args.src), args.dst)
+        print(json.dumps({"rows": n, "out": args.dst}))
+    elif args.pair == "csv-to-parquet":
+        from recon_ray.sources.interop import read_csv_shards
+
+        ds = read_csv_shards(args.src)
+        ds.write_parquet(args.dst)
+        print(json.dumps({"rows": ds.count(), "out": args.dst}))
+    elif args.pair == "parquet-to-ipc":
+        import ray.data as rd
+
+        from recon_ray.sources.interop import write_ipc_shards
+
+        n = write_ipc_shards(rd.read_parquet(args.src), args.dst)
+        print(json.dumps({"rows": n, "out": args.dst}))
+    elif args.pair == "ipc-to-parquet":
+        from recon_ray.sources.interop import read_ipc_shards
+
+        ds = read_ipc_shards(args.src)
+        ds.write_parquet(args.dst)
+        print(json.dumps({"rows": ds.count(), "out": args.dst}))
     return 0
 
 
@@ -536,10 +562,13 @@ def main(argv=None) -> int:
         sv.add_argument("root", help="store root directory")
         sv.set_defaults(fn=cmd_store)
 
-    pcv = sub.add_parser("convert", help="annotation-format conversions")
+    pcv = sub.add_parser("convert",
+                         help="annotation/table format conversions")
     pcv.add_argument("pair", choices=[
         "jsonl-to-spacy", "spacy-to-jsonl",
-        "jsonl-to-prodigy", "prodigy-to-jsonl"])
+        "jsonl-to-prodigy", "prodigy-to-jsonl",
+        "parquet-to-csv", "csv-to-parquet",
+        "parquet-to-ipc", "ipc-to-parquet"])
     pcv.add_argument("src")
     pcv.add_argument("dst")
     pcv.add_argument("--dataset", default="train",

@@ -4428,6 +4428,70 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def interop_roundtrip(sf_dir: str):
+    """CSV → Arrow-IPC interchange round-trip under the oracle gate
+    (sources/interop.py): events rows (props coalesced to '' — CSV cannot
+    tell NULL from empty, the documented lossy edge) are pushed through
+    the distributed CSV sink, Ray's parallel CSV reader with pinned
+    column types, then the IPC sink and stream-decoding IPC source, and
+    finally a combiner aggregate whose hash must equal the same aggregate
+    straight off the original parquet — any quoting, escaping, type
+    inference or schema drift in either codec breaks the gate (props are
+    JSON strings full of quotes/commas/braces)."""
+    import tempfile
+
+    from recon_ray.sources.interop import (
+        read_csv_shards, read_ipc_shards, write_csv_shards,
+        write_ipc_shards,
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "props": b["props"].fillna(""),
+            "cents": _cents(b["value"]),
+        })
+
+    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    d_csv = tempfile.mkdtemp(prefix="interop_csv_")
+    write_csv_shards(ds, d_csv)
+    back = read_csv_shards(d_csv, column_types={
+        "event_id": pa.int64(), "event_type": pa.string(),
+        "props": pa.string(), "cents": pa.int64()})
+    d_ipc = tempfile.mkdtemp(prefix="interop_ipc_")
+    write_ipc_shards(back, d_ipc)
+    final = read_ipc_shards(d_ipc)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["props"].fillna("")
+        g = b.assign(__len=p.str.len().astype("int64"), __p=p).groupby(
+            "event_type", as_index=False)
+        out = g.agg(n=("event_id", "size"), cents=("cents", "sum"),
+                    props_len=("__len", "sum"), props_min=("__p", "min"),
+                    props_max=("__p", "max"))
+        return out
+
+    parts = final.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"),
+        props_len=("props_len", "sum"), props_min=("props_min", "min"),
+        props_max=("props_max", "max"))
+    for c in ("n", "cents", "props_len"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_INTEROP_ROUNDTRIP = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents,
+       sum(length(coalesce(props, '')))::BIGINT AS props_len,
+       min(coalesce(props, '')) AS props_min,
+       max(coalesce(props, '')) AS props_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_orders_merge_upsert(sf_dir: str):
     """MERGE / upsert (functions.relational.merge_upsert): updates
     replace matched base rows, unmatched updates insert, survivors pass
@@ -5797,6 +5861,7 @@ QUERIES = {
     "doc_editdist_pairs": doc_editdist_pairs,
     "doc_entity_resolution": doc_entity_resolution,
     "q_events_pruned_scan": q_events_pruned_scan,
+    "interop_roundtrip": interop_roundtrip,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
     "doc_keyword_tags": doc_keyword_tags,
@@ -6156,6 +6221,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_editdist_pairs": ORACLE_DOC_EDITDIST,
         "doc_entity_resolution": ORACLE_DOC_ENTITY_RESOLUTION,
         "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
+        "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

@@ -1,0 +1,102 @@
+"""CSV / Arrow-IPC interchange (sources/interop.py): hostile-string
+round-trips, IPC schema exactness, the documented NULL→'' CSV edge, and
+the CLI convert verbs."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from recon_ray.sources.interop import (
+    read_csv_shards,
+    read_ipc_shards,
+    write_csv_shards,
+    write_ipc_shards,
+)
+
+NASTY = [
+    'plain',
+    'comma, inside',
+    'quote " inside',
+    'both ", and"" again',
+    'newline\ninside',
+    'tab\tinside',
+    'unicode — naïve 日本語 🚀',
+    '{"json": ["a,b", "c\\"d"]}',
+    '',
+]
+
+
+@pytest.fixture()
+def nasty_df():
+    return pd.DataFrame({
+        "id": range(len(NASTY)),
+        "txt": NASTY,
+        "val": [i * 1.5 for i in range(len(NASTY))],
+    })
+
+
+def test_csv_roundtrip_hostile_strings(tmp_path, ray_session, nasty_df):
+    d = str(tmp_path / "csv")
+    n = write_csv_shards(rd.from_pandas(nasty_df).repartition(3), d)
+    assert n == len(nasty_df)
+    got = read_csv_shards(d, column_types={
+        "id": pa.int64(), "txt": pa.string(), "val": pa.float64()}
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
+
+
+def test_ipc_roundtrip_schema_exact(tmp_path, ray_session, nasty_df):
+    d = str(tmp_path / "ipc")
+    n = write_ipc_shards(rd.from_pandas(nasty_df).repartition(3), d)
+    assert n == len(nasty_df)
+    back = read_ipc_shards(d)
+    assert [str(t) for t in back.schema().types] == [
+        "int64", "string", "double"]
+    got = back.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
+
+
+def test_csv_null_becomes_empty_string(tmp_path, ray_session):
+    """The documented CSV loss: NULL and '' both serialize as '' — a
+    pinned behavior, not a surprise."""
+    df = pd.DataFrame({"id": [0, 1], "txt": [None, ""]})
+    d = str(tmp_path / "csvnull")
+    write_csv_shards(rd.from_pandas(df), d)
+    got = read_csv_shards(d, column_types={
+        "id": pa.int64(), "txt": pa.string()}
+    ).to_pandas().sort_values("id")
+    assert list(got["txt"]) == ["", ""]
+
+
+def test_write_is_idempotent_per_content(tmp_path, ray_session, nasty_df):
+    d = str(tmp_path / "idem")
+    write_ipc_shards(rd.from_pandas(nasty_df), d)
+    first = sorted(os.listdir(d))
+    write_ipc_shards(rd.from_pandas(nasty_df), d)
+    assert sorted(os.listdir(d)) == first  # same bytes → same part names
+
+
+def test_cli_convert_parquet_csv_ipc(tmp_path, ray_session, nasty_df):
+    src = str(tmp_path / "src.parquet")
+    nasty_df.to_parquet(src)
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    d_csv, d_ipc, back = (str(tmp_path / x) for x in
+                          ("csv", "ipc", "back"))
+    for pair, s, dst in [("parquet-to-csv", src, d_csv),
+                         ("parquet-to-ipc", src, d_ipc),
+                         ("ipc-to-parquet", d_ipc, back)]:
+        r = subprocess.run(
+            [sys.executable, "-m", "recon_ray", "convert", pair, s, dst],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert '"rows"' in r.stdout
+    got = pd.read_parquet(back).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
