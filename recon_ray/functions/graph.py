@@ -30,12 +30,28 @@ __all__ = ["degree_table", "pagerank", "pagerank_oracle_sql",
            "cheapest_paths", "cheapest_paths_oracle_sql"]
 
 
+def _sum_partials(partials_ds, key, val_cols: list[str]) -> pd.DataFrame:
+    """Merge per-batch partial-sum rows on the driver. The partial table
+    is key-cardinality-sized (value_counts per batch, never raw rows),
+    and every caller consumes the grouped result on the driver anyway —
+    while Ray's sort-based groupby costs ~45 s on a 300k-row string-keyed
+    partial table (measured, sf0.1 call graph degree pass), this merge is
+    milliseconds and exact."""
+    parts = partials_ds.to_pandas()
+    keys = [key] if isinstance(key, str) else list(key)
+    if parts.empty:
+        return pd.DataFrame(
+            {**{k: pd.Series([], dtype=object) for k in keys},
+             **{v: pd.Series([], dtype="int64") for v in val_cols}})
+    return parts.groupby(keys, as_index=False, sort=False)[val_cols].sum()
+
+
 def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd.DataFrame:
     """Per-entity out/in/total degree of the directed multigraph whose
     edges are the triple rows. Combiner-first: each batch emits one
     partial-count row per locally-distinct entity (value_counts, no
-    Python loop), then ONE groupby shuffle over the (tiny) partials —
-    the same pre-aggregation shape as relational.group_count."""
+    Python loop); the entity-sized partials merge on the driver
+    (_sum_partials)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         od = batch[subj_col].value_counts()
@@ -44,13 +60,10 @@ def degree_table(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -> pd
         out.index.name = "entity"
         return out.reset_index()
 
-    merged = (
-        triples_ds.map_batches(partial, batch_format="pandas")
-        .groupby("entity")
-        .aggregate(Sum("__out", alias_name="out_degree"),
-                   Sum("__in", alias_name="in_degree"))
-        .to_pandas()
-    )
+    merged = _sum_partials(
+        triples_ds.map_batches(partial, batch_format="pandas"),
+        "entity", ["__out", "__in"],
+    ).rename(columns={"__out": "out_degree", "__in": "in_degree"})
     merged["out_degree"] = merged["out_degree"].astype("int64")
     merged["in_degree"] = merged["in_degree"].astype("int64")
     merged["degree"] = merged["out_degree"] + merged["in_degree"]
@@ -354,11 +367,9 @@ def triangle_stats(triples_ds, subj_col: str = "subj",
         c = pd.concat([b["u"], b["v"]]).value_counts()
         return pd.DataFrame({"node": c.index, "d": c.to_numpy(np.int64)})
 
-    deg = (
-        edges.map_batches(deg_partial, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Sum("d", alias_name="d"))
-        .to_pandas()
+    deg = _sum_partials(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        "node", ["d"],
     )
     n_nodes = len(deg)
     if n_nodes == 0:
@@ -376,16 +387,46 @@ def triangle_stats(triples_ds, subj_col: str = "subj",
     # blocks that map_batches emits for 0-row inputs; the bucketed-shuffle
     # primitives (same machinery as relational._set_op) are robust to
     # them and need one shuffle per stage anyway.
+    #
+    # Hub defense (the "curse of the last reducer"): wedges are centered
+    # at each triangle's MIN-DEGREE vertex, not its min-id vertex. Each
+    # undirected edge is oriented low-rank → high-rank (rank = (degree,
+    # node), a total order), and only OUT-neighbor pairs form wedges —
+    # so a degree-d hub contributes C(outdeg, 2) with outdeg bounded by
+    # O(√m) instead of C(d, 2): total wedge work O(m^1.5) worst case
+    # (Suri & Vassilvitskii 2011 §3). Measured on the sf0.1 call graph
+    # (174k edges, hubs ~2.4k): 81.5 s → see BASELINE.md. The rank map
+    # is node-count-sized and broadcast (the degree table is already
+    # driver-resident here); at larger scale ship it as a shuffle join.
     from recon_ray.functions.relational import bucketed_group_apply
 
-    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # all co-centered edge pairs with v1 < v2: each triangle {x<y<z}
-        # appears exactly once, at center x (both edges carry u = x)
-        m = g.merge(g, on="u")
-        m = m[m["v_x"] < m["v_y"]]
-        return pd.DataFrame({"a": m["v_x"], "b": m["v_y"]})
+    rank_order = deg.sort_values(["d", "node"], kind="mergesort")
+    rank = dict(zip(rank_order["node"], range(len(rank_order))))
+    rank_ref = ray.put(rank)
 
-    wedges = bucketed_group_apply(edges, "u", wedge_bucket)
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref) if isinstance(rank_ref, ray.ObjectRef) \
+            else rank_ref
+        ru = b["u"].map(r)
+        rv = b["v"].map(r)
+        low_first = ru < rv
+        return pd.DataFrame({
+            "c": b["u"].where(low_first, b["v"]),
+            "n": b["v"].where(low_first, b["u"]),
+        })
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # co-centered OUT-neighbor pairs, canonicalized a < b by node id
+        # to match the u < v edge table: each triangle appears exactly
+        # once, at its min-rank vertex (the only vertex with both
+        # triangle edges outgoing)
+        m = g.merge(g, on="c")
+        m = m[m["n_x"] < m["n_y"]]
+        return pd.DataFrame({"a": m["n_x"], "b": m["n_y"]})
+
+    wedges = bucketed_group_apply(oriented, "c", wedge_bucket)
     tag_w = wedges.map_batches(
         lambda b: b.assign(side=np.int64(0)), batch_format="pandas"
     )
@@ -738,14 +779,10 @@ def kcore(triples_ds, k: int = 2, n_rounds: int = 16,
                              "d": c.to_numpy(np.int64)})
 
     def degrees(e) -> pd.DataFrame:
-        out = (
-            e.map_batches(deg_partial, batch_format="pandas")
-            .groupby("entity").aggregate(Sum("d", alias_name="d"))
-            .to_pandas()
+        out = _sum_partials(
+            e.map_batches(deg_partial, batch_format="pandas"),
+            "entity", ["d"],
         )
-        if "entity" not in out.columns:   # fully peeled: empty Dataset
-            return pd.DataFrame({"entity": pd.Series([], dtype=object),
-                                 "d": pd.Series([], dtype="int64")})
         out["d"] = out["d"].astype("int64")
         return out
 
@@ -943,13 +980,13 @@ def link_prediction(triples_ds, subj_col: str = "subj",
              "jaccard": pd.Series([], dtype="float64")}
         )
 
-    deg = (
+    deg = _sum_partials(
         inc.map_batches(
             lambda b: b["z"].value_counts().rename("d").rename_axis("z")
             .reset_index(),
             batch_format="pandas",
-        )
-        .groupby("z").aggregate(Sum("d", alias_name="d")).to_pandas()
+        ),
+        "z", ["d"],
     )
     dmap = dict(zip(deg["z"], deg["d"].astype("int64")))
     da = top["a"].map(dmap).to_numpy(np.int64)

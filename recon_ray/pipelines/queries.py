@@ -4492,6 +4492,70 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_validate_suite(sf_dir: str):
+    """Declarative data-validation suite (functions/validate.py): seven
+    expectations over events — not_null / range / accepted-values / regex
+    in ONE combiner pyarrow pass, two exact-unique rules (one bucketed
+    distinct shuffle each) and a referential-integrity rule
+    (user_id ⊆ customer.c_custkey) as a hash-partition anti semi-join.
+    The oracle recomputes every rule's violation and denominator in SQL,
+    so both the happy counts (fk holds: 0 orphans, event_id unique) and
+    the violating ones (values outside [5, 95], the excluded 'error'
+    type, duplicated user_ids) sit under the hash gate."""
+    from recon_ray.functions.validate import check_expectations
+
+    rules = [
+        {"kind": "not_null", "col": "props"},
+        {"kind": "range", "col": "value", "lo": 5.0, "hi": 95.0},
+        {"kind": "accepted", "col": "event_type",
+         "values": ["view", "click", "purchase", "signup"]},
+        {"kind": "regex", "col": "props", "pattern": "^\\{"},
+        {"kind": "unique", "col": "event_id"},
+        {"kind": "unique", "col": "user_id"},
+        {"kind": "fk", "col": "user_id", "ref": "customer",
+         "ref_col": "c_custkey"},
+    ]
+    return check_expectations(
+        _t(sf_dir, "events"), rules,
+        refs={"customer": _t(sf_dir, "customer")},
+    )
+
+
+ORACLE_VALIDATE_SUITE = r"""
+SELECT rule, violations::BIGINT AS violations,
+       n_checked::BIGINT AS n_checked
+FROM (VALUES
+  ('accepted.event_type',
+   (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('view','click','purchase','signup')),
+   (SELECT count(event_type) FROM events)),
+  ('fk.user_id',
+   (SELECT count(*) FROM events e WHERE user_id IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id)),
+   (SELECT count(user_id) FROM events)),
+  ('not_null.props',
+   (SELECT count(*) FROM events WHERE props IS NULL),
+   (SELECT count(*) FROM events)),
+  ('range.value',
+   (SELECT count(*) FROM events WHERE value IS NOT NULL
+      AND (value < 5.0 OR value > 95.0)),
+   (SELECT count(value) FROM events)),
+  ('regex.props',
+   (SELECT count(*) FROM events WHERE props IS NOT NULL
+      AND NOT regexp_matches(props, '^\{')),
+   (SELECT count(props) FROM events)),
+  ('unique.event_id',
+   (SELECT count(event_id) - count(DISTINCT event_id) FROM events),
+   (SELECT count(event_id) FROM events)),
+  ('unique.user_id',
+   (SELECT count(user_id) - count(DISTINCT user_id) FROM events),
+   (SELECT count(user_id) FROM events))
+) AS t(rule, violations, n_checked)
+ORDER BY rule
+"""
+
+
 def q_orders_merge_upsert(sf_dir: str):
     """MERGE / upsert (functions.relational.merge_upsert): updates
     replace matched base rows, unmatched updates insert, survivors pass
@@ -5862,6 +5926,7 @@ QUERIES = {
     "doc_entity_resolution": doc_entity_resolution,
     "q_events_pruned_scan": q_events_pruned_scan,
     "interop_roundtrip": interop_roundtrip,
+    "q_validate_suite": q_validate_suite,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
     "doc_keyword_tags": doc_keyword_tags,
@@ -6222,6 +6287,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_entity_resolution": ORACLE_DOC_ENTITY_RESOLUTION,
         "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
         "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,
+        "q_validate_suite": ORACLE_VALIDATE_SUITE,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
