@@ -1258,6 +1258,57 @@ def merge_upsert(
     return bucketed_group_apply(both, keys_, pick, n_buckets=n_buckets)
 
 
+def apply_cdc(
+    base_ds,
+    log_ds,
+    key: Union[str, list[str]],
+    op_col: str = "op",
+    version_col: str = "version",
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """Change-data-capture apply: fold an I/U/D change log into a base
+    table (the Debezium-consumer / lakehouse-merge pattern). Per key the
+    HIGHEST-version log row decides: 'D' deletes the key (base row and
+    all earlier changes vanish), 'I'/'U' replace the payload (an insert
+    for unseen keys); keys untouched by the log pass through. Ties at
+    equal version break by op descending ('U' > 'I' > 'D') — supply
+    unique (key, version) pairs to avoid relying on it.
+
+    Scale shape: identical to :func:`merge_upsert` — tag sides, union,
+    ONE hash shuffle on the key, vectorized per-bucket argmax + delete
+    filter; nothing lands on the driver. Output columns = base payload
+    (op/version are consumed, not emitted)."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+
+    def tag_base(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__src"] = np.int8(0)
+        batch[op_col] = ""
+        batch[version_col] = np.int64(-1)
+        return batch
+
+    def tag_log(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__src"] = np.int8(1)
+        return batch
+
+    both = base_ds.map_batches(tag_base, batch_format="pandas").union(
+        log_ds.map_batches(tag_log, batch_format="pandas")
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            keys_ + ["__src", version_col, op_col],
+            ascending=[True] * len(keys_) + [False, False, False],
+            kind="mergesort",
+        )
+        top = g.drop_duplicates(subset=keys_)
+        top = top[top[op_col] != "D"]
+        return top.drop(columns=["__src", op_col, version_col])
+
+    return bucketed_group_apply(both, keys_, pick, n_buckets=n_buckets)
+
+
 def grouped_topk(
     ds,
     key: Union[str, list[str]],

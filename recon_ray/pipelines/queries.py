@@ -4492,6 +4492,79 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_orders_apply_cdc(sf_dir: str):
+    """Change-data-capture apply (functions.relational.apply_cdc): a
+    deterministic I/U/D log derived from orders — keys %5 get an Update
+    (price +500, version 2), keys %7 a Delete (version 3, so %35 keys
+    die even though they were also updated), keys %11 an Insert under
+    key+20M (version 1) — folds into the base in ONE key shuffle with a
+    per-bucket vectorized argmax; the oracle replays precedence with a
+    row_number window over the same log and a FULL OUTER JOIN."""
+    from recon_ray.functions.relational import apply_cdc
+
+    base = _t(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def mk_log(b: pd.DataFrame) -> pd.DataFrame:
+        upd = b[b["o_orderkey"] % 5 == 0].copy()
+        upd["o_totalprice"] = upd["o_totalprice"] + 500.0
+        upd["op"], upd["version"] = "U", np.int64(2)
+        dels = b[b["o_orderkey"] % 7 == 0].copy()
+        dels["op"], dels["version"] = "D", np.int64(3)
+        ins = b[b["o_orderkey"] % 11 == 0].copy()
+        ins["o_orderkey"] = ins["o_orderkey"] + 20_000_000
+        ins["op"], ins["version"] = "I", np.int64(1)
+        return pd.concat([upd, dels, ins], ignore_index=True)
+
+    log = base.map_batches(mk_log, batch_format="pandas")
+    merged = apply_cdc(base, log, key="o_orderkey")
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderstatus": b["o_orderstatus"],
+             "price_c": _cents(b["o_totalprice"])})
+
+    out = (
+        merged.map_batches(cents, batch_format="pandas")
+        .to_pandas().groupby("o_orderstatus", as_index=False)
+        .agg(n=("price_c", "size"), cents=("price_c", "sum"))
+    )
+    out["n"] = out["n"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+ORACLE_ORDERS_APPLY_CDC = """
+WITH log AS (
+  SELECT o_orderkey AS k, 'U' AS op, 2 AS ver, o_orderstatus,
+         o_totalprice + 500 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 3, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, 'I', 1, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k
+                                 ORDER BY ver DESC, op DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+), merged AS (
+  SELECT coalesce(l.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         coalesce(l.o_totalprice, b.o_totalprice) AS price,
+         l.op
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+  FULL OUTER JOIN latest l ON l.k = b.o_orderkey
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       sum(CAST(floor(price * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+FROM merged WHERE op IS NULL OR op <> 'D'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_validate_suite(sf_dir: str):
     """Declarative data-validation suite (functions/validate.py): seven
     expectations over events — not_null / range / accepted-values / regex
@@ -5927,6 +6000,7 @@ QUERIES = {
     "q_events_pruned_scan": q_events_pruned_scan,
     "interop_roundtrip": interop_roundtrip,
     "q_validate_suite": q_validate_suite,
+    "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
     "doc_keyword_tags": doc_keyword_tags,
@@ -6288,6 +6362,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
         "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,
         "q_validate_suite": ORACLE_VALIDATE_SUITE,
+        "q_orders_apply_cdc": ORACLE_ORDERS_APPLY_CDC,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

@@ -695,3 +695,65 @@ def test_entity_resolution_matches_duckdb(specs, parts):
         want["canon"].astype("int64")), specs
     assert list(got["cluster_size"].astype("int64")) == list(
         want["cluster_size"].astype("int64")), specs
+
+
+# ---------------------------------------------------------------------------
+# apply_cdc (I/U/D log fold with version precedence)
+# ---------------------------------------------------------------------------
+
+cdc_log_st = st.lists(
+    st.tuples(st.integers(0, 5),                      # k
+              st.integers(1, 6),                      # version
+              st.sampled_from(["I", "U", "D"]),       # op
+              st.integers(-9, 9)),                    # payload
+    min_size=0, max_size=18,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(-9, 9)),
+             min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    cdc_log_st,
+    st.integers(min_value=1, max_value=4),
+)
+def test_apply_cdc_matches_duckdb(base, log, parts):
+    """apply_cdc vs the explicit SQL rule: per key the (max version,
+    then op desc) log row decides — D deletes, I/U replaces, untouched
+    base keys survive."""
+    from recon_ray.functions.relational import apply_cdc
+
+    if not base and not log:
+        return
+    bdf = pd.DataFrame(base, columns=["k", "v"]).astype("int64")
+    ldf = pd.DataFrame(log, columns=["k", "version", "op", "v"])
+    if bdf.empty:
+        bdf = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                            "v": pd.Series([], dtype="int64")})
+    if ldf.empty:
+        return  # empty-log fold is identity; covered by the base path
+    got = (
+        apply_cdc(rd.from_pandas(bdf).repartition(parts),
+                  rd.from_pandas(ldf).repartition(parts), key="k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("b", bdf)
+    con.register("l", ldf)
+    want = con.execute("""
+        WITH latest AS (
+          SELECT * FROM (
+            SELECT k, op, v, row_number() OVER (PARTITION BY k
+              ORDER BY version DESC, op DESC) AS rn FROM l
+          ) WHERE rn = 1
+        )
+        SELECT coalesce(latest.k, b.k) AS k,
+               coalesce(latest.v, b.v) AS v
+        FROM b FULL OUTER JOIN latest ON latest.k = b.k
+        WHERE latest.op IS NULL OR latest.op <> 'D'
+        ORDER BY k
+    """).fetchdf()
+    assert list(got["k"].astype("int64")) == list(
+        want["k"].astype("int64")), (base, log)
+    assert list(got["v"].astype("int64")) == list(
+        want["v"].astype("int64")), (base, log)
