@@ -434,6 +434,8 @@ def cmd_graph(args) -> int:
         )
     elif args.analysis == "bfs":
         out = g.bfs_levels(ds, root=args.root).head(args.limit)
+    elif args.analysis == "communities":
+        out = g.label_propagation(ds, n_rounds=args.iters).head(args.limit)
     elif args.analysis == "linkpred":
         out = g.link_prediction(ds, k=args.limit)
     elif args.analysis == "kcore":
@@ -578,8 +580,8 @@ def main(argv=None) -> int:
 
     pgr = sub.add_parser("graph", help="analytics over a triples parquet")
     pgr.add_argument("analysis", choices=[
-        "degrees", "pagerank", "hits", "components", "triangles", "bfs",
-        "linkpred", "kcore", "cheapest"])
+        "degrees", "pagerank", "hits", "components", "communities",
+        "triangles", "bfs", "linkpred", "kcore", "cheapest"])
     pgr.add_argument("path", help="triples parquet file or directory")
     pgr.add_argument("--pred", default=None,
                      help="filter to one predicate (e.g. calls)")

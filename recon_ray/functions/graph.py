@@ -24,6 +24,7 @@ import ray
 from ray.data.aggregate import Sum
 
 __all__ = ["degree_table", "pagerank", "pagerank_oracle_sql",
+           "label_propagation", "lpa_oracle_sql",
            "graph_components", "triangle_stats", "bfs_levels",
            "link_prediction", "link_prediction_oracle_sql",
            "kcore", "kcore_oracle_sql",
@@ -321,6 +322,115 @@ def graph_components(triples_ds, subj_col: str = "subj", obj_col: str = "obj") -
     out = connected_components(edges)
     out = out.rename(columns={"doc_id": "entity", "cluster": "component"})
     return out.sort_values("entity").reset_index(drop=True)
+
+
+def label_propagation(triples_ds, subj_col: str = "subj",
+                      obj_col: str = "obj",
+                      n_rounds: int = 4) -> pd.DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, made deterministic): over the canonical undirected
+    simple graph, every node starts labeled with its own name; each
+    round, every node simultaneously takes the most frequent label among
+    its neighbors, ties to the lexicographic-min label. Fixed
+    ``n_rounds`` with an early stop only at an exact fixed point — both
+    make the result layout- and order-invariant (async LPA's
+    visit-order dependence is exactly what's being avoided), and the
+    same unrolled rule is SQL-replayable (:func:`lpa_oracle_sql`).
+
+    Scale shape: per round, ONE distributed pass over the edge Dataset
+    emits per-batch (node, neighbor-label) partial counts against the
+    broadcast label dict; the node-sized partials merge on the driver
+    (same seam as connected_components — swap broadcast for a shuffle
+    join when the node table outgrows it). Returns (entity, community)."""
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, o = b[subj_col], b[obj_col]
+        lo = s.where(s <= o, o)
+        hi = o.where(s <= o, s)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[lo != hi].drop_duplicates()
+
+    from recon_ray.functions.relational import distinct
+
+    edges = distinct(
+        triples_ds.map_batches(canon, batch_format="pandas"), ["u", "v"]
+    ).materialize()
+
+    ends = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": pd.concat([b["u"], b["v"]]).drop_duplicates()}),
+        batch_format="pandas",
+    ).to_pandas()
+    nodes = np.unique(ends["node"].to_numpy()) if len(ends) else np.array([])
+    if len(nodes) == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "community": pd.Series([], dtype=object)})
+    label = pd.Series(nodes, index=nodes)
+
+    for _ in range(n_rounds):
+        ref = ray.put(label.to_dict())
+
+        def votes(b: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            m = pd.DataFrame({
+                "node": pd.concat([b["u"], b["v"]], ignore_index=True),
+                "lbl": pd.concat([b["v"].map(lab), b["u"].map(lab)],
+                                 ignore_index=True),
+            })
+            return m.groupby(["node", "lbl"], as_index=False).size()
+
+        parts = edges.map_batches(votes, batch_format="pandas").to_pandas()
+        cnt = parts.groupby(["node", "lbl"], as_index=False)["size"].sum()
+        cnt = cnt.sort_values(["node", "size", "lbl"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        best = cnt.drop_duplicates("node").set_index("node")["lbl"]
+        new = best.reindex(label.index)
+        if new.equals(label):  # exact fixed point: further rounds no-op
+            break
+        label = new
+
+    return pd.DataFrame(
+        {"entity": label.index.to_numpy(), "community": label.to_numpy()}
+    ).sort_values("entity").reset_index(drop=True)
+
+
+def lpa_oracle_sql(edges_sql: str, n_rounds: int = 4) -> str:
+    """Unrolled-CTE DuckDB replay of :func:`label_propagation`: the same
+    canonical undirected simple edges, the same synchronous
+    most-frequent-neighbor-label-with-min-tie-break update, the same
+    fixed round count (a fixed point on the Ray side makes extra SQL
+    rounds no-ops, so early stopping cannot diverge)."""
+    ctes = [
+        f"raw AS MATERIALIZED (SELECT * FROM ({edges_sql}) t(a, b))",
+        "und AS MATERIALIZED ("
+        " SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw"
+        " WHERE a <> b GROUP BY 1, 2)",
+        "eb AS MATERIALIZED ("
+        " SELECT u AS node, v AS nbr FROM und"
+        " UNION ALL SELECT v, u FROM und)",
+        "l0 AS MATERIALIZED ("
+        " SELECT DISTINCT node, node AS lbl FROM eb)",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"c{r} AS MATERIALIZED ("
+            f" SELECT eb.node, l.lbl, count(*) AS c"
+            f" FROM eb JOIN l{r - 1} l ON l.node = eb.nbr"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{r} AS MATERIALIZED ("
+            f" SELECT node, lbl FROM ("
+            f"  SELECT node, lbl, row_number() OVER ("
+            f"   PARTITION BY node ORDER BY c DESC, lbl) AS rn"
+            f"  FROM c{r}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS entity, lbl AS community FROM l{n_rounds}"
+        " ORDER BY entity"
+    )
 
 
 def triangle_stats(triples_ds, subj_col: str = "subj",

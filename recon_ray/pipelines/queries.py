@@ -1756,6 +1756,19 @@ def kg_components(sf_dir: str):
 
 
 
+def kg_communities(sf_dir: str):
+    """Community detection over the undirected entity graph by
+    deterministic SYNCHRONOUS label propagation
+    (functions.graph.label_propagation): 4 fixed rounds of
+    most-frequent-neighbor-label with lexicographic-min tie-break —
+    layout-invariant by construction (synchronous update + exact counts),
+    and bit-matched by the unrolled-CTE oracle replaying the identical
+    rule over the gold triples."""
+    from recon_ray.functions.graph import label_propagation
+
+    return label_propagation(_kg(sf_dir)["canonical_ds"], n_rounds=4)
+
+
 def kg_call_triangles(sf_dir: str):
     """Undirected triangle census of the call graph
     (functions.graph.triangle_stats): canonical u<v edge table (bucketed
@@ -6052,6 +6065,7 @@ QUERIES = {
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_hits": kg_hits,
     "kg_components": kg_components,
+    "kg_communities": kg_communities,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
     "kg_link_prediction": kg_link_prediction,
@@ -6315,6 +6329,9 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             f"  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node) "
             f"SELECT node AS entity, min(lbl) AS component FROM reach "
             f"GROUP BY node ORDER BY entity"
+        ),
+        "kg_communities": _graph.lpa_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}')", n_rounds=4,
         ),
         "doc_token_counts": ORACLE_DOC_TOKENS,
         "doc_bpe_token_counts": ORACLE_DOC_BPE_TOKENS,

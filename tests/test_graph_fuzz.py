@@ -136,3 +136,26 @@ def test_bfs_levels_fuzz_vs_duckdb(edges, parts):
     assert dict(zip(got["entity"], got["level"])) == dict(
         zip(want["entity"], want["level"])
     ), edges
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_st, st.integers(min_value=1, max_value=4))
+def test_label_propagation_fuzz_vs_duckdb(edges, parts):
+    """Synchronous LPA communities: random multigraphs (self-loops,
+    multi-edges, islands) vs the unrolled-CTE replay of the identical
+    most-frequent-neighbor / min-tie-break rule at the same fixed round
+    count."""
+    from recon_ray.functions.graph import (
+        label_propagation, lpa_oracle_sql,
+    )
+
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    got = label_propagation(
+        rd.from_pandas(df).repartition(parts), n_rounds=4)
+    con = duckdb.connect()
+    want = con.execute(
+        lpa_oracle_sql("SELECT subj, obj FROM df", n_rounds=4)
+    ).fetchdf()
+    assert dict(zip(got["entity"], got["community"])) == dict(
+        zip(want["entity"], want["community"])
+    ), edges
