@@ -1309,6 +1309,66 @@ def apply_cdc(
     return bucketed_group_apply(both, keys_, pick, n_buckets=n_buckets)
 
 
+def fill_day_gaps(
+    ds,
+    key: Union[str, list[str]],
+    day_col: str = "day",
+    fill_cols: Optional[list[str]] = None,
+    n_buckets: int = N_HASH_BUCKETS,
+):
+    """Time-series densification (SQL ``generate_series`` resample): the
+    input has ONE row per (key, day) — the usual output of a daily
+    grouped aggregate — and the result has a row for EVERY day between
+    each key's first and last observation, with ``fill_cols`` zero-filled
+    on the gap days. ``day_col`` may be datetime64 (day-truncated) or an
+    integer day number.
+
+    Scale shape: rides on the (keys × active-days)-sized aggregate, not
+    the raw events; ONE hash shuffle on the key, then a fully vectorized
+    per-bucket expansion (cumsum/repeat index arithmetic across ALL keys
+    in the bucket — no per-key Python). Gap mass is bounded by span, the
+    same bound the SQL replay pays."""
+    keys_ = [key] if isinstance(key, str) else list(key)
+    if len(keys_) != 1:
+        raise ValueError("fill_day_gaps expects a single key column")
+    k = keys_[0]
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([k, day_col], kind="mergesort")
+        is_dt = np.issubdtype(g[day_col].dtype, np.datetime64)
+        day_i = (
+            g[day_col].to_numpy().astype("datetime64[D]").astype("int64")
+            if is_dt else g[day_col].to_numpy().astype("int64")
+        )
+        uk, starts_idx = np.unique(g[k].to_numpy(), return_index=True)
+        order = np.argsort(starts_idx)
+        uk, starts_idx = uk[order], starts_idx[order]
+        ends_idx = np.append(starts_idx[1:], len(g))
+        lo = day_i[starts_idx]
+        hi = day_i[ends_idx - 1]
+        lens = hi - lo + 1
+        total = int(lens.sum())
+        idx = np.arange(total, dtype=np.int64)
+        run_start = np.cumsum(lens) - lens
+        offs = idx - np.repeat(run_start, lens)
+        dense = pd.DataFrame({
+            k: np.repeat(uk, lens),
+            day_col: np.repeat(lo, lens) + offs,
+        })
+        obs = pd.DataFrame({k: g[k].to_numpy(), day_col: day_i})
+        for c in fill_cols or []:
+            obs[c] = g[c].to_numpy()
+        out = dense.merge(obs, on=[k, day_col], how="left")
+        for c in fill_cols or []:
+            out[c] = out[c].fillna(0).astype(g[c].dtype)
+        if is_dt:
+            out[day_col] = out[day_col].to_numpy().astype(
+                "datetime64[D]").astype("datetime64[us]")
+        return out
+
+    return bucketed_group_apply(ds, k, fill, n_buckets=n_buckets)
+
+
 def grouped_topk(
     ds,
     key: Union[str, list[str]],

@@ -4578,6 +4578,66 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_events_daily_filled(sf_dir: str):
+    """Time-series gap filling (functions.relational.fill_day_gaps):
+    per-user daily activity resampled to a DENSE calendar — every day
+    between a user's first and last active day appears, zero-filled
+    where nothing happened (the standard pre-step for rolling windows /
+    forecasting features). The heavy part is the per-(user, day) grouped
+    aggregate (combiner); the densification rides the aggregate through
+    one key shuffle with cumsum/repeat index arithmetic — no per-user
+    Python. Oracle: generate_series over the same spans."""
+    from recon_ray.functions.relational import fill_day_gaps
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "day": b["ts"].to_numpy().astype("datetime64[D]"),
+            "cents": _cents(b["value"]),
+        })
+
+    daily = (
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+        .map_batches(
+            lambda b: b.groupby(["user_id", "day"], as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum")),
+            batch_format="pandas",
+        )
+    )
+    # batch-local partials may split a (user, day): merge exactly once
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    merged = bucketed_group_apply(
+        daily, "user_id",
+        lambda g: g.groupby(["user_id", "day"], as_index=False)
+        .agg(n=("n", "sum"), cents=("cents", "sum")),
+    )
+    dense = fill_day_gaps(merged, "user_id", "day",
+                          fill_cols=["n", "cents"]).to_pandas()
+    dense["user_id"] = dense["user_id"].astype("int64")
+    dense["n"] = dense["n"].astype("int64")
+    dense["cents"] = dense["cents"].astype("int64")
+    return dense.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+ORACLE_EVENTS_DAILY_FILLED = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*)::BIGINT AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM span
+)
+SELECT grid.user_id, grid.day, coalesce(d.n, 0)::BIGINT AS n,
+       coalesce(d.cents, 0)::BIGINT AS cents
+FROM grid LEFT JOIN d ON d.user_id = grid.user_id AND d.day = grid.day
+ORDER BY 1, 2
+"""
+
+
 def q_validate_suite(sf_dir: str):
     """Declarative data-validation suite (functions/validate.py): seven
     expectations over events — not_null / range / accepted-values / regex
@@ -6013,6 +6073,7 @@ QUERIES = {
     "q_events_pruned_scan": q_events_pruned_scan,
     "interop_roundtrip": interop_roundtrip,
     "q_validate_suite": q_validate_suite,
+    "q_events_daily_filled": q_events_daily_filled,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6380,6 +6441,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,
         "q_validate_suite": ORACLE_VALIDATE_SUITE,
         "q_orders_apply_cdc": ORACLE_ORDERS_APPLY_CDC,
+        "q_events_daily_filled": ORACLE_EVENTS_DAILY_FILLED,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

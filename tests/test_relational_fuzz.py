@@ -757,3 +757,40 @@ def test_apply_cdc_matches_duckdb(base, log, parts):
         want["k"].astype("int64")), (base, log)
     assert list(got["v"].astype("int64")) == list(
         want["v"].astype("int64")), (base, log)
+
+
+# ---------------------------------------------------------------------------
+# fill_day_gaps (generate_series densification)
+# ---------------------------------------------------------------------------
+
+GAPS_SQL = """
+WITH span AS (SELECT k, min(day) AS lo, max(day) AS hi FROM df GROUP BY 1),
+grid AS (SELECT k, unnest(generate_series(lo, hi, 1)) AS day FROM span)
+SELECT grid.k, grid.day, coalesce(df.v, 0) AS v
+FROM grid LEFT JOIN df ON df.k = grid.k AND df.day = grid.day
+ORDER BY 1, 2
+"""
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20),
+                       st.integers(1, 9)),
+             min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1])),
+    st.integers(min_value=1, max_value=4),
+)
+def test_fill_day_gaps_matches_duckdb(rows, parts):
+    """Dense integer-day resample with zero fill vs generate_series on
+    random sparse per-key day sets."""
+    from recon_ray.functions.relational import fill_day_gaps
+
+    df = pd.DataFrame(rows, columns=["k", "day", "v"]).astype("int64")
+    got = (
+        fill_day_gaps(rd.from_pandas(df).repartition(parts), "k",
+                      day_col="day", fill_cols=["v"])
+        .to_pandas().sort_values(["k", "day"]).reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(GAPS_SQL).fetchdf()
+    for c in ("k", "day", "v"):
+        assert list(got[c].astype("int64")) == list(
+            want[c].astype("int64")), (c, rows)
