@@ -307,3 +307,62 @@ def profile_columns(ds, cols: list) -> "pd.DataFrame":
         .sort_values("column")
         .reset_index(drop=True)
     )
+
+
+def grouped_mad_outliers(ds, key: str, col: str, k: float = 3.0
+                         ) -> pd.DataFrame:
+    """Per-group ROBUST outlier detection — median / MAD instead of the
+    mean/σ that the outliers themselves corrupt (the standard robust
+    companion to :func:`detect_outliers`' IQR fence). A row is an
+    outlier iff |x − median(group)| > k · MAD(group), with median and
+    MAD in exact ``quantile_disc`` element semantics so the whole rule
+    is SQL-replayable bit-for-bit on integer columns.
+
+    Two :func:`~recon_ray.functions.sketches.grouped_quantiles` passes
+    (one key shuffle each: medians, then absolute-deviation medians),
+    then ONE combiner pass counts per-batch outliers against the
+    broadcast (median, MAD) maps — the raw column never lands on the
+    driver. Returns (key, med, mad, n, n_outliers)."""
+    import ray
+
+    from recon_ray.functions.sketches import grouped_quantiles
+
+    med = grouped_quantiles(ds, key, col, [0.5])
+    med_map = dict(zip(med[key], med["value"]))
+    med_ref = ray.put(med_map)
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref) if isinstance(med_ref, ray.ObjectRef) \
+            else med_ref
+        return pd.DataFrame(
+            {key: b[key], "__ad": (b[col] - b[key].map(m)).abs()})
+
+    mad = grouped_quantiles(
+        ds.map_batches(absdev, batch_format="pandas"), key, "__ad", [0.5])
+    mad_map = dict(zip(mad[key], mad["value"]))
+    mad_ref = ray.put(mad_map)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref) if isinstance(med_ref, ray.ObjectRef) \
+            else med_ref
+        s = ray.get(mad_ref) if isinstance(mad_ref, ray.ObjectRef) \
+            else mad_ref
+        v = b.dropna(subset=[col])
+        dev = (v[col] - v[key].map(m)).abs()
+        out = v.assign(
+            __o=(dev > k * v[key].map(s)).astype("int64"),
+            __n=np.int64(1),
+        ).groupby(key, as_index=False)[["__o", "__n"]].sum()
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(key, as_index=False)[["__o", "__n"]].sum()
+    out = agg.rename(columns={"__o": "n_outliers", "__n": "n"})
+    out["med"] = out[key].map(med_map)
+    out["mad"] = out[key].map(mad_map)
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[[key, "med", "mad", "n", "n_outliers"]]
+        .sort_values(key).reset_index(drop=True)
+    )

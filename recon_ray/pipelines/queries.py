@@ -4638,6 +4638,50 @@ ORDER BY 1, 2
 """
 
 
+def q_events_mad_outliers(sf_dir: str):
+    """Grouped robust outliers (functions.stats.grouped_mad_outliers):
+    per event_type, rows with |cents − median| > 3·MAD — median and MAD
+    in exact quantile_disc element semantics over integer cents, so the
+    whole robust fence replays bit-exact in SQL. Two grouped-quantile
+    shuffles + one combiner counting pass."""
+    from recon_ray.functions.stats import grouped_mad_outliers
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "cents": _cents(b["value"])})
+
+    out = grouped_mad_outliers(
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas"),
+        "event_type", "cents", k=3.0,
+    )
+    out["med"] = out["med"].astype("int64")
+    out["mad"] = out["mad"].astype("int64")
+    return out
+
+
+ORACLE_EVENTS_MAD_OUTLIERS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med
+  FROM e GROUP BY 1
+), d AS (
+  SELECT e.event_type, e.cents, m.med, abs(e.cents - m.med) AS ad
+  FROM e JOIN m USING (event_type)
+), s AS (
+  SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type, any_value(d.med)::BIGINT AS med,
+       any_value(s.mad)::BIGINT AS mad,
+       count(*)::BIGINT AS n,
+       count(*) FILTER (d.ad > 3 * s.mad)::BIGINT AS n_outliers
+FROM d JOIN s USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 def q_validate_suite(sf_dir: str):
     """Declarative data-validation suite (functions/validate.py): seven
     expectations over events — not_null / range / accepted-values / regex
@@ -6074,6 +6118,7 @@ QUERIES = {
     "interop_roundtrip": interop_roundtrip,
     "q_validate_suite": q_validate_suite,
     "q_events_daily_filled": q_events_daily_filled,
+    "q_events_mad_outliers": q_events_mad_outliers,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6442,6 +6487,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_validate_suite": ORACLE_VALIDATE_SUITE,
         "q_orders_apply_cdc": ORACLE_ORDERS_APPLY_CDC,
         "q_events_daily_filled": ORACLE_EVENTS_DAILY_FILLED,
+        "q_events_mad_outliers": ORACLE_EVENTS_MAD_OUTLIERS,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
