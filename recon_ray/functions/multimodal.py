@@ -113,6 +113,35 @@ class ImageFeatureExtractor:
         )
 
 
+class ImageChannelSums:
+    """Actor-pool stage: decode → EXACT integer per-channel pixel sums.
+    The all-integer feature makes real codec output hash-comparable to a
+    closed-form SQL oracle (media_image_png_channels) — any bit flipped
+    by the decode (filter math, zlib, palette) changes the sum."""
+
+    def __init__(self, backend: Optional[DecodeBackend] = None):
+        self.backend = backend or DecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        fmts = batch.column("format").to_pylist()
+        hs = batch.column("height").to_pylist()
+        ws = batch.column("width").to_pylist()
+        sums = np.empty((len(ids), 3), np.int64)
+        for j, (p, f, h, w) in enumerate(zip(payloads, fmts, hs, ws)):
+            img = self.backend.decode_image(p, f, h, w)
+            sums[j] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "r_sum": pa.array(sums[:, 0], pa.int64()),
+                "g_sum": pa.array(sums[:, 1], pa.int64()),
+                "b_sum": pa.array(sums[:, 2], pa.int64()),
+            }
+        )
+
+
 class ImageResizer:
     """Actor-pool stage: decode → nearest-neighbor resize → re-emit payload
     (raw RGB bytes) + updated dims. Resize math is real numpy; only the
@@ -289,6 +318,167 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return bytes(header) + bytes(body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (a=left, b=up, c=up-left)."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa_ = np.abs(p - a16)
+    pb = np.abs(p - b16)
+    pc = np.abs(p - c16)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_id: int = 4) -> bytes:
+    """(h, w, 3) uint8 RGB → real PNG (stdlib zlib DEFLATE; 8-bit
+    truecolor, no interlace). ``filter_id`` picks the scanline filter
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) — the encoder's predictors
+    read the RAW image (per the spec the previous scanline is the
+    decoded one, which equals raw here), so filtering is fully
+    vectorized."""
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8 and 0 <= filter_id <= 4
+    raw = img.reshape(h, w * 3).astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 3:] = raw[:-1, :-3]
+    if filter_id == 0:
+        filt = raw
+    elif filter_id == 1:
+        filt = raw - left
+    elif filter_id == 2:
+        filt = raw - up
+    elif filter_id == 3:
+        filt = raw - (left + up) // 2
+    else:
+        filt = raw - _paeth(
+            left.astype(np.uint8), up.astype(np.uint8),
+            upleft.astype(np.uint8)).astype(np.int16)
+    filt = (filt % 256).astype(np.uint8)
+    body = np.concatenate(
+        [np.full((h, 1), filter_id, np.uint8), filt], axis=1
+    ).tobytes()
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(body, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode (stdlib zlib + numpy): 8-bit gray / RGB /
+    palette / gray+alpha / RGBA, all five scanline filters, multi-IDAT,
+    CRC-verified critical chunks; Adam7 interlace and 16-bit depth are
+    rejected explicitly. Returns (h, w, 3) uint8 (alpha dropped,
+    gray/palette expanded). Unfiltering is sequential per scanline —
+    that dependency is the PNG spec itself, and each image decodes
+    inside one actor task, so the pipeline stays embarrassingly
+    parallel across images."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if typ in (b"IHDR", b"PLTE", b"IDAT", b"IEND"):
+            if zlib.crc32(typ + data) != crc:
+                raise ValueError(f"PNG CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    bpp = channels
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f = raw[y, 0]
+        line = raw[y, 1:].astype(np.int64)
+        above = out[y - 1].astype(np.int64) if y else np.zeros(
+            stride, np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = line + above
+        elif f == 1:
+            # recon[i] = line[i] + recon[i-bpp]: per-channel cumsum
+            rec = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1)
+        else:
+            rec = np.empty(stride, np.int64)
+            for x in range(0, stride, bpp):
+                left = rec[x - bpp:x] if x else np.zeros(bpp, np.int64)
+                ab = above[x:x + bpp]
+                if f == 3:
+                    pred = ((left % 256) + (ab % 256)) // 2
+                elif f == 4:
+                    pred = _paeth(
+                        (left % 256).astype(np.uint8),
+                        (ab % 256).astype(np.uint8),
+                        ((np.zeros(bpp, np.int64) if x == 0
+                          else above[x - bpp:x]) % 256).astype(np.uint8),
+                    ).astype(np.int64)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[x:x + bpp] = line[x:x + bpp] + pred
+        out[y] = (rec % 256).astype(np.uint8)
+    px = out.reshape(h, w, bpp)
+    if color == 2:
+        return np.ascontiguousarray(px)
+    if color == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    return np.ascontiguousarray(plte[px[:, :, 0]])
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """float32 in [-1, 1] → RIFF/WAVE PCM16 mono."""
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
@@ -335,7 +525,8 @@ def _parse_pnm_header(payload: bytes, magic: bytes):
 
 class NetpbmBackend(DecodeBackend):
     """REAL decoder for the self-describing formats a numpy-only container
-    can honestly handle: PPM (P6) / PGM (P5) / 24-bit BMP images and WAV
+    can honestly handle: PNG (8-bit, all filters, stdlib zlib), PPM (P6) /
+    PGM (P5) / 24-bit BMP images and WAV
     PCM16 audio. Anything else (jpeg/mp4/...) still raises — that seam
     needs PIL/pyav. Dimensions come from the payload itself; the h/w
     metadata arguments are verified when ≥ 0, not trusted."""
@@ -344,7 +535,9 @@ class NetpbmBackend(DecodeBackend):
 
     def decode_image(self, payload: bytes, fmt: str, h: int, w: int) -> np.ndarray:
         fmt = (fmt or "").lower()
-        if fmt == "ppm":
+        if fmt == "png":
+            img = decode_png(payload)
+        elif fmt == "ppm":
             pw, ph, off = _parse_pnm_header(payload, b"P6")
             img = np.frombuffer(
                 payload, np.uint8, ph * pw * 3, off

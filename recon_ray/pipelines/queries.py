@@ -3689,6 +3689,61 @@ FROM f ORDER BY 1, 2
 """
 
 
+def media_image_png_channels(sf_dir: str):
+    """REAL PNG decode under the oracle gate: 15 PNG payloads (stdlib
+    zlib DEFLATE, filter i%5 so ALL five scanline filters — None / Sub /
+    Up / Average / Paeth — sit under the hash), pixels closed-form
+    px[r,c,ch] = (7i + 3r + 5c + 11ch) mod 256, pushed through the
+    ImageChannelSums actor stage with the real NetpbmBackend. DuckDB
+    recomputes every channel sum by pure arithmetic: the SQL computes
+    the pattern, the pipeline decodes the actual compressed bytes."""
+    import ray.data as _rd
+
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA,
+                                                MM_BATCH_SIZE,
+                                                ImageChannelSums,
+                                                NetpbmBackend,
+                                                encode_png)
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(15):
+        h, w = 16 + (i % 3) * 8, 32
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((7 * i + 3 * r + 5 * c + 11 * ch) % 256).astype(np.uint8)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("png")
+        rows["payload"].append(encode_png(img, filter_id=i % 5))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(-1)
+    ds = _rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+    out = ds.map_batches(
+        ImageChannelSums,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=2,
+        fn_constructor_kwargs={"backend": NetpbmBackend()},
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_PNG_CHANNELS = """
+WITH img AS (
+  SELECT i, 16 + (i % 3) * 8 AS h FROM generate_series(0, 14) s(i)
+)
+SELECT i::BIGINT AS media_id,
+       sum((7 * i + 3 * r + 5 * c) % 256)::BIGINT AS r_sum,
+       sum((7 * i + 3 * r + 5 * c + 11) % 256)::BIGINT AS g_sum,
+       sum((7 * i + 3 * r + 5 * c + 22) % 256)::BIGINT AS b_sum
+FROM img, generate_series(0, 31) b(c), generate_series(0, 31) a(r)
+WHERE r < h
+GROUP BY i ORDER BY i
+"""
+
+
 def media_image_neardup(sf_dir: str):
     """Image near-duplicate pairs over REAL encoded PPM payloads:
     deterministic base images plus planted one-pixel perturbations →
@@ -6225,6 +6280,7 @@ QUERIES = {
     "doc_media_features": doc_media_features,
     "media_audio_dominant_bins": media_audio_dominant_bins,
     "media_video_luma": media_video_luma,
+    "media_image_png_channels": media_image_png_channels,
     "media_image_neardup": media_image_neardup,
 }
 
@@ -6512,6 +6568,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,
         "media_video_luma": ORACLE_MEDIA_VIDEO_LUMA,
+        "media_image_png_channels": ORACLE_MEDIA_PNG_CHANNELS,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,

@@ -317,3 +317,90 @@ def test_video_sampler_uses_container_frame_count():
     )
     out = VideoFrameSampler(stride=2, backend=Y4MBackend())(tbl)
     assert out.column("frame_idx").to_pylist() == [[0, 2, 4, 6]]
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy, all five scanline filters)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_id", [0, 1, 2, 3, 4])
+def test_png_round_trip_every_filter(filter_id):
+    from recon_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(10 + filter_id)
+    for h, w in [(1, 1), (3, 7), (33, 17)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, filter_id)), img)
+
+
+def test_png_gray_rgba_palette_paths():
+    """Hand-built color-type 0 / 6 / 3 payloads decode to the expected
+    RGB expansion (the encoder only writes type 2 — these exercise the
+    reader's other branches)."""
+    import zlib
+
+    from recon_ray.functions.multimodal import (_png_chunk, _PNG_SIG,
+                                                decode_png)
+
+    def build(w, h, color, raw_rows, extra=b""):
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, color, 0, 0, 0]))
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+                + _png_chunk(b"IDAT", zlib.compress(raw_rows))
+                + _png_chunk(b"IEND", b""))
+
+    # grayscale 2x2, filter 0
+    g = build(2, 2, 0, b"\x00\x05\x09" + b"\x00\x11\x22")
+    assert np.array_equal(decode_png(g)[:, :, 0], [[5, 9], [17, 34]])
+    assert np.array_equal(decode_png(g)[..., 0], decode_png(g)[..., 2])
+    # RGBA 1x2: alpha dropped
+    ra = build(2, 1, 6, b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0]))
+    assert decode_png(ra).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+    # palette 1x2
+    plte = _png_chunk(b"PLTE", bytes([10, 20, 30, 40, 50, 60]))
+    pal = build(2, 1, 3, b"\x00\x01\x00", extra=plte)
+    assert decode_png(pal).tolist() == [[[40, 50, 60], [10, 20, 30]]]
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from recon_ray.functions.multimodal import decode_png, encode_png
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    p = bytearray(encode_png(img, 2))
+    p[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(p))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + bytes(16))
+
+
+def test_png_backend_dispatch_and_channel_sums(ray_session):
+    """Real PNGs through the ImageChannelSums actor stage: sums equal
+    the source image's sums for every filter id."""
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA,
+                                                ImageChannelSums,
+                                                NetpbmBackend, encode_png)
+
+    rng = np.random.RandomState(3)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    want = []
+    for i in range(5):
+        img = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+        want.append(img.reshape(-1, 3).sum(axis=0))
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("png")
+        rows["payload"].append(encode_png(img, filter_id=i))
+        rows["width"].append(9)
+        rows["height"].append(12)
+        rows["duration_ms"].append(-1)
+    out = (
+        rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+        .map_batches(ImageChannelSums, batch_format="pyarrow",
+                     batch_size=4, concurrency=1,
+                     fn_constructor_kwargs={"backend": NetpbmBackend()})
+        .to_pandas().sort_values("media_id")
+    )
+    got = out[["r_sum", "g_sum", "b_sum"]].to_numpy()
+    assert np.array_equal(got, np.array(want))
