@@ -92,8 +92,23 @@ def records_to_table(records: list[dict]) -> pa.Table:
 
 def read_jsonl_examples(path: str):
     """JSONL file(s) → docs Dataset. The parse+validate runs distributed
-    (read_text → map_batches), not on the driver."""
-    lines = rd.read_text(path)
+    (read_text → map_batches), not on the driver. ``.jsonl.gz`` inputs
+    (a single file or a directory of gzip parts) decompress inside the
+    read tasks via Arrow's stream codec — the driver never sees bytes."""
+    import os
+
+    gz = str(path).endswith(".gz")
+    if not gz and os.path.isdir(path):
+        names = os.listdir(path)
+        gz_names = [n for n in names if n.endswith(".gz")]
+        if gz_names and len(gz_names) == len(
+                [n for n in names if not n.startswith(".")]):
+            gz = True
+    if gz:
+        lines = rd.read_text(
+            path, arrow_open_stream_args={"compression": "gzip"})
+    else:
+        lines = rd.read_text(path)
 
     def parse(batch: pa.Table) -> pa.Table:
         records = [json.loads(line) for line in batch.column("text").to_pylist()]
@@ -102,11 +117,15 @@ def read_jsonl_examples(path: str):
     return lines.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def write_jsonl_examples(docs_ds, path: str) -> None:
+def write_jsonl_examples(docs_ds, path: str, compress: bool = False) -> None:
     """docs Dataset → JSONL directory. Each map task writes its own
     content-addressed part file (idempotent under Ray task retries — a
     retried task rewrites the same bytes to the same name), so the write
-    is distributed; this Ray version has no Dataset.write_text sink."""
+    is distributed; this Ray version has no Dataset.write_text sink.
+    ``compress=True`` writes ``.jsonl.gz`` parts (gzip mtime pinned to 0
+    so identical content compresses to identical bytes — the
+    content-addressing survives)."""
+    import gzip
     import hashlib
     import os
 
@@ -144,10 +163,13 @@ def write_jsonl_examples(docs_ds, path: str) -> None:
             )
         payload = ("\n".join(out) + "\n").encode("utf-8")
         name = hashlib.sha256(payload).hexdigest()[:16]
+        ext = ".jsonl.gz" if compress else ".jsonl"
+        if compress:
+            payload = gzip.compress(payload, 6, mtime=0)
         tmp = os.path.join(path, f".{name}.tmp")
         with open(tmp, "wb") as f:
             f.write(payload)
-        os.replace(tmp, os.path.join(path, f"part-{name}.jsonl"))
+        os.replace(tmp, os.path.join(path, f"part-{name}{ext}"))
         return pa.table({"written": pa.array([len(out)], pa.int64())})
 
     docs_ds.map_batches(

@@ -489,3 +489,28 @@ def test_cli_export_roundtrip(tmp_path, gold_extraction):
     got = pd.read_parquet(back).sort_values(["subj", "pred", "obj"])
     want = gold.sort_values(["subj", "pred", "obj"])
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_jsonl_gzip_roundtrip(tmp_path):
+    """.jsonl.gz in and out: decompression happens in the read tasks
+    (Arrow stream codec), the gzip sink pins mtime=0 so identical
+    content → identical part bytes (content-addressing survives)."""
+    import gzip
+
+    from recon_ray.sources.jsonl import (read_jsonl_examples,
+                                         write_jsonl_examples)
+
+    records = [{"text": f"doc {i} body text", "spans": [],
+                "meta": {"i": str(i)}} for i in range(12)]
+    src = tmp_path / "in.jsonl.gz"
+    with gzip.open(src, "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in records))
+    docs = read_jsonl_examples(str(src))
+    df = docs.to_pandas()
+    assert len(df) == 12
+    out = tmp_path / "gzout"
+    write_jsonl_examples(docs, str(out), compress=True)
+    names = sorted(p.name for p in out.iterdir())
+    assert names and all(n.endswith(".jsonl.gz") for n in names)
+    back = read_jsonl_examples(str(out)).to_pandas()
+    assert sorted(back["doc_id"]) == sorted(df["doc_id"])
