@@ -507,7 +507,8 @@ def window_over(
     …)`` family Ray Data has no operator for. ``specs`` is a list of
     ``(kind, value_col, out_name)`` with kind ∈ {"row_number", "rank",
     "dense_rank", "running_sum", "running_min", "running_max", "lag",
-    "lead", "percent_rank", "ntile", "cume_dist", "first_value",
+    "lead", "ffill" (LOCF), "percent_rank", "ntile", "cume_dist",
+    "first_value",
     "last_value" (whole-partition frame), "partition_sum" (no ORDER —
     ratio-to-report totals)} (value_col is ignored for the rank-family
     kinds; ties for
@@ -533,9 +534,10 @@ def window_over(
     )
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     kinds = {"row_number", "rank", "dense_rank", "running_sum",
-             "running_min", "running_max", "lag", "lead", "percent_rank",
-             "ntile", "cume_dist", "first_value", "last_value",
-             "partition_sum", "rolling_sum", "rolling_min", "rolling_max"}
+             "running_min", "running_max", "lag", "lead", "ffill",
+             "percent_rank", "ntile", "cume_dist", "first_value",
+             "last_value", "partition_sum", "rolling_sum", "rolling_min",
+             "rolling_max"}
     for kind, _col, _out in specs:
         # bounded-frame kinds carry the frame length in the kind string:
         # "rolling_sum:3" = ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -586,6 +588,11 @@ def window_over(
                 out[name] = grp[col].shift(1)
             elif kind == "lead":
                 out[name] = grp[col].shift(-1)
+            elif kind == "ffill":
+                # LOCF: last non-NULL value up to the current row — SQL's
+                # last_value(col IGNORE NULLS) OVER (... ROWS UNBOUNDED
+                # PRECEDING); leading NULLs stay NULL
+                out[name] = grp[col].ffill()
             elif kind == "percent_rank":
                 # SQL PERCENT_RANK(): (rank-1)/(n-1), 0.0 for n == 1
                 r = rn.groupby(run_id).transform("first")

@@ -4693,6 +4693,49 @@ ORDER BY 1, 2
 """
 
 
+def q_events_ffill_value(sf_dir: str):
+    """Forward-fill imputation (LOCF) as a window kind
+    (relational.window_over "ffill"): rows with event_id % 7 == 0 are
+    treated as missing and take the user's last observed cents value in
+    (ts, event_id) order; leading missings stay NULL. One user-key
+    shuffle, per-bucket grouped ffill — the oracle is DuckDB's
+    last_value(... IGNORE NULLS) running frame."""
+    from recon_ray.functions.relational import window_over
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["value"]).astype("float64")
+        cents[b["event_id"] % 7 == 0] = np.nan
+        return pd.DataFrame({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts": b["ts"], "cents": cents,
+        })
+
+    out = window_over(
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas"),
+        partition_by="user_id", order_by=["ts", "event_id"],
+        specs=[("ffill", "cents", "filled")],
+    ).to_pandas()
+    out = out[["event_id", "filled"]]
+    out["filled"] = out["filled"].astype("Int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_FFILL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+)
+SELECT event_id,
+       last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS filled
+FROM e ORDER BY event_id
+"""
+
+
 def q_events_mad_outliers(sf_dir: str):
     """Grouped robust outliers (functions.stats.grouped_mad_outliers):
     per event_type, rows with |cents − median| > 3·MAD — median and MAD
@@ -6174,6 +6217,7 @@ QUERIES = {
     "q_validate_suite": q_validate_suite,
     "q_events_daily_filled": q_events_daily_filled,
     "q_events_mad_outliers": q_events_mad_outliers,
+    "q_events_ffill_value": q_events_ffill_value,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6544,6 +6588,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_orders_apply_cdc": ORACLE_ORDERS_APPLY_CDC,
         "q_events_daily_filled": ORACLE_EVENTS_DAILY_FILLED,
         "q_events_mad_outliers": ORACLE_EVENTS_MAD_OUTLIERS,
+        "q_events_ffill_value": ORACLE_EVENTS_FFILL,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

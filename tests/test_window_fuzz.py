@@ -102,6 +102,7 @@ NULL_SPECS = [
     ("last_value", "v", "lv"),
     ("lag", "v", "lg"),
     ("lead", "v", "ld"),
+    ("ffill", "v", "ff"),
 ]
 
 NULL_SQL = """
@@ -110,7 +111,9 @@ SELECT id,
   last_value(v)  OVER (PARTITION BY g ORDER BY k, id
      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
   lag(v)  OVER w AS lg,
-  lead(v) OVER w AS ld
+  lead(v) OVER w AS ld,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY k, id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
 FROM df
 WINDOW w AS (PARTITION BY g ORDER BY k, id)
 ORDER BY id
