@@ -9,6 +9,7 @@ actor pools; the pure-arithmetic ones are stateless kernels.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -538,4 +539,87 @@ def compression_signals(batch: pa.Table) -> pa.Table:
                 repl * 1_000_000 // safe_chars, pa.int64()
             ),
         }
+    )
+
+
+def bm25_search(docs_ds, query_terms, k: int = 10, k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> "pd.DataFrame":
+    """Full-text BM25 (Robertson/Spärck Jones) top-k search over a text
+    column — terms are the corpus-standard lowercase ``\\w+`` matches
+    (identical to doc_word_freq's SQL-parity tokenization), idf the
+    ln((N − df + ½)/(df + ½) + 1) form, scores rounded to 6 dp on BOTH
+    engines (the repo's float-at-the-boundary convention, same as
+    doc_lm_score).
+
+    Scale shape: pass 1 is a combiner emitting ONE stats row per batch
+    (doc count, total term count, per-query-term document frequencies —
+    the whole posting index is never materialized, only the q query
+    terms' df); pass 2 broadcasts the tiny (idf, avgdl) model, scores
+    each doc batch-locally and keeps a LOCAL top-k, so the driver merges
+    at most k × n_batches candidate rows. No shuffle at all."""
+    import re as _re
+
+    import ray as _ray
+
+    q = sorted({t.lower() for t in query_terms})
+    if not q:
+        raise ValueError("bm25_search needs at least one query term")
+    word = _re.compile(r"\w+")
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        n, sum_dl = 0, 0
+        df = dict.fromkeys(q, 0)
+        for t in batch[text_col].astype(str):
+            toks = word.findall(t.lower())
+            n += 1
+            sum_dl += len(toks)
+            seen = set(toks)
+            for term in q:
+                if term in seen:
+                    df[term] += 1
+        row = {"n": [n], "sum_dl": [sum_dl]}
+        for i, term in enumerate(q):
+            row[f"df{i}"] = [df[term]]
+        return pd.DataFrame(row)
+
+    sp = docs_ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = int(sp["n"])
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    avgdl = float(sp["sum_dl"]) / n_docs
+    idf = {
+        term: math.log((n_docs - int(sp[f"df{i}"]) + 0.5)
+                       / (int(sp[f"df{i}"]) + 0.5) + 1.0)
+        for i, term in enumerate(q)
+    }
+    model_ref = _ray.put((idf, avgdl))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(model_ref) if isinstance(model_ref, _ray.ObjectRef) \
+            else model_ref
+        idf_, avgdl_ = m
+        ids, scores = [], []
+        for i, t in zip(batch[id_col], batch[text_col].astype(str)):
+            toks = word.findall(t.lower())
+            dl = len(toks)
+            s = 0.0
+            for term in q:  # sorted: deterministic float sum order
+                tf = toks.count(term)
+                if tf:
+                    s += idf_[term] * tf * (k1 + 1) / (
+                        tf + k1 * (1 - b + b * dl / avgdl_))
+            if s > 0.0:
+                ids.append(i)
+                scores.append(round(s, 6))
+        out = pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                            "score": pd.Series(scores, dtype="float64")})
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]).head(k)
+
+    parts = docs_ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["score", id_col], ascending=[False, True])
+        .head(k).reset_index(drop=True)
     )

@@ -3094,6 +3094,54 @@ ORDER BY w.doc_id
 """
 
 
+def doc_bm25_search(sf_dir: str):
+    """BM25 full-text top-10 (functions.text.bm25_search) for the query
+    {hash, merge, window}: one combiner stats pass (N, total terms, the
+    three query terms' df — never a full posting index), then a
+    broadcast-model scoring pass with batch-local top-k. The oracle
+    replays the exact BM25 form (k1=1.2, b=0.75, ln idf) over the same
+    \\w+ tokenization; scores round to 6 dp on both engines."""
+    from recon_ray.functions.text import bm25_search
+
+    return bm25_search(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        ["hash", "merge", "window"], k=10,
+    )
+
+
+ORACLE_DOC_BM25 = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM t GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), q AS (
+  SELECT unnest(['hash', 'merge', 'window']) AS term
+), df AS (
+  SELECT q.term, (SELECT count(DISTINCT t.doc_id) FROM t
+                  WHERE t.term = q.term) AS df
+  FROM q
+), tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM t JOIN q USING (term) GROUP BY 1, 2
+), sc AS (
+  SELECT tf.doc_id,
+         sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS score
+FROM sc WHERE s > 0
+ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+"""
+
+
 def doc_version_diff(sf_dir: str):
     """Content-addressed version diff (functions.relational.dataset_diff —
     the distributed analogue of the reference's Transformation records,
@@ -6283,6 +6331,7 @@ QUERIES = {
     "doc_distinctive_terms": doc_distinctive_terms,
     "doc_word_top20_mg": doc_word_top20_mg,
     "doc_search": doc_search,
+    "doc_bm25_search": doc_bm25_search,
     "doc_dedup_groups": doc_dedup_groups,
     "doc_quality": doc_quality,
     "doc_top_words_per_lang": doc_top_words_per_lang,
@@ -6544,6 +6593,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_word_freq_top50": ORACLE_WORD_FREQ,
         "doc_distinctive_terms": ORACLE_DOC_DISTINCTIVE,
         "doc_search": ORACLE_DOC_SEARCH,
+        "doc_bm25_search": ORACLE_DOC_BM25,
         "doc_dedup_groups": ORACLE_DOC_DEDUP,
         "doc_quality": ORACLE_DOC_QUALITY,
         "doc_top_words_per_lang": ORACLE_DOC_TOP_PER_LANG,
