@@ -552,3 +552,63 @@ def sample_mentions_stratified(
     if top_k > 0:
         capped = capped.sort("_sk").limit(top_k)
     return capped.drop_columns(["_sk"])
+
+
+def association_pairs(ds, basket_col: str, item_col: str,
+                      min_support: int = 2, k: int = 30) -> pd.DataFrame:
+    """Market-basket association mining over (basket, item) rows: for
+    every unordered item pair {a < b}, support = baskets containing
+    both, plus lift = support·N / (count(a)·count(b)) — the classic
+    co-occurrence signal ("repos that import numpy also import pandas").
+
+    Scale shape: distinct (basket, item) pairs ride ONE hash shuffle on
+    the basket; each bucket emits its baskets' pairs vectorized (a
+    merge per bucket, pairs bounded by Σ C(basket_size, 2) — basket
+    size, not corpus size, is the quadratic knob, as in every a-priori
+    pass); pair partial-counts merge like any combiner groupby. Item
+    counts and N are combiner passes; lift resolves at 6 dp on the
+    driver over the (pairs ≥ min_support)-sized table."""
+    from recon_ray.functions.relational import (
+        bucketed_group_apply, distinct,
+    )
+
+    bi = distinct(ds, [basket_col, item_col]).materialize()
+    n_baskets = int(len(
+        bi.map_batches(
+            lambda b: pd.DataFrame({basket_col: b[basket_col]
+                                    .drop_duplicates()}),
+            batch_format="pandas",
+        ).to_pandas()[basket_col].drop_duplicates()
+    ))
+
+    item_counts = (
+        bi.map_batches(
+            lambda b: b[item_col].value_counts().rename("c")
+            .rename_axis(item_col).reset_index(),
+            batch_format="pandas",
+        ).to_pandas().groupby(item_col)["c"].sum()
+    )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=basket_col)
+        m = m[m[f"{item_col}_x"] < m[f"{item_col}_y"]]
+        out = pd.DataFrame({"a": m[f"{item_col}_x"],
+                            "b": m[f"{item_col}_y"]})
+        return out.groupby(["a", "b"], as_index=False).size()
+
+    parts = bucketed_group_apply(bi, basket_col, pairs_bucket).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"a": [], "b": [], "support": [], "lift": []})
+    sup = parts.groupby(["a", "b"], as_index=False)["size"].sum()
+    sup = sup.rename(columns={"size": "support"})
+    sup = sup[sup["support"] >= min_support]
+    ca = sup["a"].map(item_counts).to_numpy(np.int64)
+    cb = sup["b"].map(item_counts).to_numpy(np.int64)
+    sup["lift"] = np.round(
+        sup["support"].to_numpy(np.int64) * float(n_baskets) / (ca * cb), 6)
+    sup["support"] = sup["support"].astype("int64")
+    return (
+        sup.sort_values(["support", "a", "b"],
+                        ascending=[False, True, True])
+        .head(k).reset_index(drop=True)
+    )

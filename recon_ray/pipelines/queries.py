@@ -1769,6 +1769,24 @@ def kg_communities(sf_dir: str):
     return label_propagation(_kg(sf_dir)["canonical_ds"], n_rounds=4)
 
 
+def kg_import_assoc(sf_dir: str):
+    """Market-basket association mining over the import graph
+    (functions.insights.association_pairs): which packages are imported
+    TOGETHER — per unordered package pair, support = repos importing
+    both, lift = support·N / (c(a)·c(b)) at 6 dp. Distinct (repo,
+    package) rows ride one basket shuffle; pairs are generated per
+    bucket (quadratic only in basket size); the oracle replays the
+    self-join + lift arithmetic over the gold triples."""
+    from recon_ray.functions.insights import association_pairs
+
+    imports = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "imports"),
+    ).select_columns(["subj", "obj"])
+    return association_pairs(imports, "subj", "obj",
+                             min_support=2, k=30)
+
+
 def kg_call_triangles(sf_dir: str):
     """Undirected triangle census of the call graph
     (functions.graph.triangle_stats): canonical u<v edge table (bucketed
@@ -6319,6 +6337,7 @@ QUERIES = {
     "kg_hits": kg_hits,
     "kg_components": kg_components,
     "kg_communities": kg_communities,
+    "kg_import_assoc": kg_import_assoc,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
     "kg_link_prediction": kg_link_prediction,
@@ -6587,6 +6606,22 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         ),
         "kg_communities": _graph.lpa_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}')", n_rounds=4,
+        ),
+        "kg_import_assoc": (
+            f"WITH bi AS (SELECT DISTINCT subj AS r, obj AS p"
+            f" FROM read_parquet('{g_can}') WHERE pred = 'imports'),"
+            f" n AS (SELECT count(DISTINCT r) AS nb FROM bi),"
+            f" ic AS (SELECT p, count(*) AS c FROM bi GROUP BY 1),"
+            f" pr AS (SELECT x.p AS a, y.p AS b, count(*) AS support"
+            f"  FROM bi x JOIN bi y ON x.r = y.r AND x.p < y.p"
+            f"  GROUP BY 1, 2)"
+            f" SELECT pr.a, pr.b, pr.support::BIGINT AS support,"
+            f"  round((pr.support * n.nb)::DOUBLE / (ia.c * ib.c), 6)"
+            f"   AS lift"
+            f" FROM pr CROSS JOIN n"
+            f"  JOIN ic ia ON ia.p = pr.a JOIN ic ib ON ib.p = pr.b"
+            f" WHERE pr.support >= 2"
+            f" ORDER BY pr.support DESC, pr.a, pr.b LIMIT 30"
         ),
         "doc_token_counts": ORACLE_DOC_TOKENS,
         "doc_bpe_token_counts": ORACLE_DOC_BPE_TOKENS,
