@@ -4802,6 +4802,94 @@ FROM e ORDER BY event_id
 """
 
 
+def q_events_ab_test(sf_dir: str):
+    """A/B experiment readout: users hash into arms with the
+    growth-stable split rule (functions.insights.assign_split on
+    user_id — the experiment unit, so every event of a user lands in one
+    arm), conversion = users with ≥1 high-value purchase (value >
+    200 — a real minority outcome at every scale), and the two-proportion
+    pooled z statistic at 6 dp. Distinct-user sets ride the bucketed
+    exact distinct; the z arithmetic runs on four scalars. The oracle
+    replays the HUGEINT hash split and the identical pooled-z formula."""
+    from recon_ray.functions.insights import assign_split
+    from recon_ray.functions.relational import arrow_filter, distinct
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
+    users = assign_split(
+        distinct(ev.select_columns(["user_id"]), ["user_id"]),
+        {"A": 0.5, "B": 0.5}, id_col="user_id", split_col="arm",
+    )
+    buyers = set(
+        distinct(
+            arrow_filter(
+                _t(sf_dir, "events")
+                .select_columns(["user_id", "event_type", "value"]),
+                lambda t: pc.and_(
+                    pc.equal(t.column("event_type"), "purchase"),
+                    pc.greater(t.column("value"), pa.scalar(200.0)),
+                ),
+            ).select_columns(["user_id"]),
+            ["user_id"],
+        ).to_pandas()["user_id"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        conv = b["user_id"].isin(buyers)
+        return (
+            b.assign(__c=conv.astype("int64"), __n=np.int64(1))
+            .groupby("arm", as_index=False)[["__c", "__n"]].sum()
+        )
+
+    s = (
+        users.map_batches(partial, batch_format="pandas").to_pandas()
+        .groupby("arm")[["__c", "__n"]].sum()
+    )
+    n_a, conv_a = int(s.loc["A", "__n"]), int(s.loc["A", "__c"])
+    n_b, conv_b = int(s.loc["B", "__n"]), int(s.loc["B", "__c"])
+    pooled = (conv_a + conv_b) / (n_a + n_b)
+    z = (conv_a / n_a - conv_b / n_b) / math.sqrt(
+        pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype="int64"),
+        "conv_a": pd.Series([conv_a], dtype="int64"),
+        "n_b": pd.Series([n_b], dtype="int64"),
+        "conv_b": pd.Series([conv_b], dtype="int64"),
+        "z": [round(z, 6)],
+    })
+
+
+def _ab_test_oracle_sql() -> str:
+    from recon_ray.functions.insights import _MIX_C
+
+    half = 1 << 63
+    return f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+    CASE WHEN ((user_id::HUGEINT * {_MIX_C}) % 18446744073709551616)
+         < {half}::HUGEINT THEN 'A' ELSE 'B' END AS arm
+  FROM events
+), c AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 200
+), s AS (
+  SELECT arm, count(*)::BIGINT AS n, count(c.user_id)::BIGINT AS conv
+  FROM u LEFT JOIN c USING (user_id) GROUP BY arm
+), m AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         max(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+         max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         max(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+  FROM s
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+           * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM m
+"""
+
+
 def q_events_mad_outliers(sf_dir: str):
     """Grouped robust outliers (functions.stats.grouped_mad_outliers):
     per event_type, rows with |cents − median| > 3·MAD — median and MAD
@@ -6284,6 +6372,7 @@ QUERIES = {
     "q_events_daily_filled": q_events_daily_filled,
     "q_events_mad_outliers": q_events_mad_outliers,
     "q_events_ffill_value": q_events_ffill_value,
+    "q_events_ab_test": q_events_ab_test,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6674,6 +6763,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_daily_filled": ORACLE_EVENTS_DAILY_FILLED,
         "q_events_mad_outliers": ORACLE_EVENTS_MAD_OUTLIERS,
         "q_events_ffill_value": ORACLE_EVENTS_FFILL,
+        "q_events_ab_test": _ab_test_oracle_sql(),
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
