@@ -32,12 +32,15 @@ import json
 import os
 import tempfile
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 MANIFEST = "_zonemap.json"
+_VER_RE = re.compile(r"^_zonemap\.v(\d+)\.json$")
 
 
 def zvalue(x: np.ndarray, y: np.ndarray, bits: int = 21) -> np.ndarray:
@@ -61,13 +64,17 @@ def write_zonemapped(
     stat_cols: list[str],
     zorder_cols: tuple[str, str] | None = None,
     rows_per_file: int = 65536,
+    keep_history: bool = False,
 ) -> dict:
     """Write ``ds`` as zone-mapped Parquet under ``out_dir``. Tracks
     min/max/null_count for every ``stat_cols`` entry per file; with
     ``zorder_cols`` = (int_col_a, int_col_b) the rows are first
     clustered on the Morton key (one distributed sort). Returns the
     manifest dict. The dataset schema is recorded so an all-pruned read
-    stays schema-correct."""
+    stays schema-correct. ``keep_history=True`` additionally publishes
+    the snapshot as ``_zonemap.v{N}.json`` — time travel via
+    ``read_zonemapped(dir, version=N)``, structural sharing through the
+    content-addressed parts, expiry via :func:`vacuum`."""
     os.makedirs(out_dir, exist_ok=True)
 
     if zorder_cols is not None:
@@ -132,21 +139,73 @@ def write_zonemapped(
         "files": files,
         "n_rows": int(sum(f["n_rows"] for f in files)),
     }
-    # sweep orphans BEFORE publishing the manifest: parts from a previous
-    # layout (different batching) or a crashed run must never linger — a
-    # reader trusts only the manifest, but stale files waste disk and a
-    # future manifest mix-up must have nothing to find
-    current = {f["file"] for f in files}
+    if keep_history:
+        manifest["version"] = max(list_versions(out_dir), default=0) + 1
+        _write_json(out_dir, manifest,
+                    f"_zonemap.v{manifest['version']}.json")
+    # sweep orphans BEFORE publishing the head manifest: parts from a
+    # previous layout (different batching) or a crashed run must never
+    # linger — a reader trusts only a manifest, but stale files waste
+    # disk. Files referenced by ANY retained snapshot survive (that's
+    # the structural sharing: unchanged content-addressed parts are
+    # shared between versions, the Iceberg snapshot model).
+    protected = {f["file"] for f in files}
+    for v in list_versions(out_dir):
+        protected.update(
+            e["file"] for e in _load_manifest(out_dir, v)["files"])
     for fname in os.listdir(out_dir):
-        if (fname.endswith(".parquet") and fname not in current) or \
+        if (fname.endswith(".parquet") and fname not in protected) or \
                 ".tmp" in fname:
             os.remove(os.path.join(out_dir, fname))
+    _write_json(out_dir, manifest, MANIFEST)  # head manifest LAST
+    return manifest
+
+
+def _write_json(out_dir: str, obj: dict, name: str) -> None:
     tmp = tempfile.NamedTemporaryFile(
         "w", dir=out_dir, delete=False, suffix=".tmp")
-    json.dump(manifest, tmp, indent=1)
+    json.dump(obj, tmp, indent=1)
     tmp.close()
-    os.replace(tmp.name, os.path.join(out_dir, MANIFEST))  # manifest LAST
-    return manifest
+    os.replace(tmp.name, os.path.join(out_dir, name))
+
+
+def list_versions(out_dir: str) -> list[int]:
+    """Retained snapshot versions, ascending."""
+    out = []
+    for n in os.listdir(out_dir):
+        m = _VER_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _load_manifest(out_dir: str, version: int | None = None) -> dict:
+    name = MANIFEST if version is None else f"_zonemap.v{version}.json"
+    with open(os.path.join(out_dir, name)) as f:
+        return json.load(f)
+
+
+def vacuum(out_dir: str, keep_last: int = 1) -> dict:
+    """Expire old snapshots: drop all but the newest ``keep_last``
+    version manifests, then delete every part no retained manifest
+    (head included) references. Returns {"versions_dropped",
+    "files_deleted"}."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    versions = list_versions(out_dir)
+    drop = versions[:-keep_last] if keep_last else versions
+    for v in drop:
+        os.remove(os.path.join(out_dir, f"_zonemap.v{v}.json"))
+    protected = {e["file"] for e in _load_manifest(out_dir)["files"]}
+    for v in list_versions(out_dir):
+        protected.update(
+            e["file"] for e in _load_manifest(out_dir, v)["files"])
+    deleted = 0
+    for fname in os.listdir(out_dir):
+        if fname.endswith(".parquet") and fname not in protected:
+            os.remove(os.path.join(out_dir, fname))
+            deleted += 1
+    return {"versions_dropped": len(drop), "files_deleted": deleted}
 
 
 def _js(v):
@@ -154,15 +213,15 @@ def _js(v):
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
-def prune_files(out_dir: str, intervals: dict) -> tuple[list[str], int]:
+def prune_files(out_dir: str, intervals: dict,
+                version: int | None = None) -> tuple[list[str], int]:
     """File-level pruning decision only (exposed for tests / planning):
     returns (kept file names, total file count). ``intervals`` maps
     column → (lo, hi) inclusive; None bounds are open. A file survives
     iff every interval can intersect its [min, max] window; files with
     only NULLs in a filtered column never match a range predicate and
     are skipped."""
-    with open(os.path.join(out_dir, MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = _load_manifest(out_dir, version)
     kept = []
     for entry in manifest["files"]:
         ok = True
@@ -184,7 +243,8 @@ def prune_files(out_dir: str, intervals: dict) -> tuple[list[str], int]:
     return kept, len(manifest["files"])
 
 
-def read_zonemapped(out_dir: str, intervals: dict | None = None):
+def read_zonemapped(out_dir: str, intervals: dict | None = None,
+                    version: int | None = None):
     """Predicate-pruned Dataset over a zone-mapped directory: skip files
     the manifest proves empty for the box, then apply the exact residual
     row filter to the survivors. Returns a lazy Dataset; with every file
@@ -193,11 +253,10 @@ def read_zonemapped(out_dir: str, intervals: dict | None = None):
     import ray.data
 
     intervals = intervals or {}
-    kept, _total = prune_files(out_dir, intervals)
+    kept, _total = prune_files(out_dir, intervals, version=version)
     all_pruned = not kept
     if all_pruned:
-        with open(os.path.join(out_dir, MANIFEST)) as f:
-            manifest = json.load(f)
+        manifest = _load_manifest(out_dir, version)
         if not manifest["files"]:
             raise FileNotFoundError(f"zone-mapped dir {out_dir} is empty")
         kept = [manifest["files"][0]["file"]]  # schema donor

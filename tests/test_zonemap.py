@@ -129,3 +129,42 @@ def test_null_stats_prune_all_null_files(tmp_path, ray_session):
     assert len(kept) < total  # the all-NULL files are provably empty
     got = read_zonemapped(out, {"k": (0, 100)}).to_pandas()
     assert len(got) == 50  # NULL rows never match a range predicate
+
+
+def test_time_travel_and_vacuum(tmp_path, ray_session):
+    """Snapshot versioning: v1 stays byte-readable after v2 overwrites
+    (structural sharing via content-addressed parts), version manifests
+    prune independently, and vacuum expires old snapshots plus their
+    now-unreferenced parts."""
+    from recon_ray.sources.zonemap import list_versions, vacuum
+
+    df1 = pd.DataFrame({"x": np.arange(100, dtype=np.int64),
+                        "v": np.arange(100, dtype=np.int64)})
+    out = str(tmp_path / "tt")
+    write_zonemapped(rd.from_pandas(df1), out, stat_cols=["x"],
+                     rows_per_file=25, keep_history=True)
+    df2 = df1.copy()
+    df2.loc[df2.x >= 50, "v"] += 1000  # second half changes, first half
+    write_zonemapped(rd.from_pandas(df2), out, stat_cols=["x"],
+                     rows_per_file=25, keep_history=True)  # shares parts
+    assert list_versions(out) == [1, 2]
+
+    old = read_zonemapped(out, version=1).to_pandas().sort_values("x")
+    new = read_zonemapped(out).to_pandas().sort_values("x")
+    assert list(old["v"]) == list(df1.sort_values("x")["v"])
+    assert list(new["v"]) == list(df2.sort_values("x")["v"])
+    # pruning works against a historical snapshot too
+    kept1, total1 = prune_files(out, {"x": (0, 10)}, version=1)
+    assert 0 < len(kept1) < total1
+
+    # unchanged first-half parts are SHARED: fewer files on disk than
+    # 2 × files-per-version
+    n_parts = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    _, total2 = prune_files(out, {})
+    assert n_parts < total1 + total2
+
+    res = vacuum(out, keep_last=1)
+    assert res["versions_dropped"] == 1 and res["files_deleted"] > 0
+    assert list_versions(out) == [2]
+    # head still fully readable after expiry
+    assert read_zonemapped(out).count() == 100
