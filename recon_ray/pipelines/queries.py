@@ -1769,6 +1769,60 @@ def kg_communities(sf_dir: str):
     return label_propagation(_kg(sf_dir)["canonical_ds"], n_rounds=4)
 
 
+def kg_file_metrics(sf_dir: str):
+    """Corpus-scan code metrics straight off the files table: per lang,
+    file count, total bytes, total lines, and branch-keyword density
+    ('if' / 'for' occurrence counts) — the pre-KG profiling pass that
+    sizes a 100-TB ingest. Pure zero-copy Arrow kernels
+    (count_substring / utf8_length) over a columns-pruned read (only
+    lang + content leave storage); per-batch partials merge on the
+    driver. Oracle replays the identical counting rules with SQL string
+    functions over the same parquet."""
+    fixtures.ensure_fixtures(fixtures.PINNED_KG_SF)
+    files = rd.read_parquet(
+        fixtures.files_dir(fixtures.PINNED_KG_SF),
+        columns=["lang", "content"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        content = t.column("content")
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "n_files": np.int64(1),
+            "n_bytes": pc.binary_length(content).to_pandas(),
+            "n_lines": pc.add(
+                pc.count_substring(content, "\n"), 1).to_pandas(),
+            "n_if": pc.count_substring(content, "if ").to_pandas(),
+            "n_for": pc.count_substring(content, "for ").to_pandas(),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    parts = files.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("lang", as_index=False).sum()
+    for c in ("n_files", "n_bytes", "n_lines", "n_if", "n_for"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _kg_file_metrics_oracle_sql() -> str:
+    fixtures.ensure_fixtures(fixtures.PINNED_KG_SF)
+    d = fixtures.files_dir(fixtures.PINNED_KG_SF)
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_files,
+       sum(strlen(content))::BIGINT AS n_bytes,
+       sum(length(content) - length(replace(content, chr(10), '')) + 1
+       )::BIGINT AS n_lines,
+       sum((length(content) - length(replace(content, 'if ', '')))
+           / 3)::BIGINT AS n_if,
+       sum((length(content) - length(replace(content, 'for ', '')))
+           / 4)::BIGINT AS n_for
+FROM read_parquet('{d}/*.parquet')
+GROUP BY lang ORDER BY lang
+"""
+
+
 def kg_import_assoc(sf_dir: str):
     """Market-basket association mining over the import graph
     (functions.insights.association_pairs): which packages are imported
@@ -4890,6 +4944,70 @@ FROM m
 """
 
 
+def q_events_winsorized(sf_dir: str):
+    """Winsorized robust totals: per event_type, cents clamp to the
+    exact [p5, p95] element quantiles (sketches.grouped_quantiles,
+    quantile_disc semantics) before summing — the standard
+    outlier-resistant preprocessing for revenue metrics. One grouped-
+    quantile shuffle, then a combiner clamp-and-sum pass against the
+    broadcast fences; all-integer, bit-exact vs the SQL replay."""
+    import ray as _ray
+
+    from recon_ray.functions.sketches import grouped_quantiles
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "cents": _cents(b["value"])})
+
+    ev = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    qs = grouped_quantiles(ev, "event_type", "cents", [0.05, 0.95])
+    lo = dict(zip(qs[qs["q"] == 0.05]["event_type"],
+                  qs[qs["q"] == 0.05]["value"]))
+    hi = dict(zip(qs[qs["q"] == 0.95]["event_type"],
+                  qs[qs["q"] == 0.95]["value"]))
+    ref = _ray.put((lo, hi))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        c = b["cents"].clip(
+            lower=b["event_type"].map(lo_),
+            upper=b["event_type"].map(hi_),
+        ).astype("int64")
+        return (
+            b.assign(__s=c, __n=np.int64(1))
+            .groupby("event_type", as_index=False)[["__s", "__n"]].sum()
+        )
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False)[["__s", "__n"]].sum()
+    out = out.rename(columns={"__s": "cents_winsorized", "__n": "n"})
+    out["n"] = out["n"].astype("int64")
+    out["cents_winsorized"] = out["cents_winsorized"].astype("int64")
+    return (
+        out[["event_type", "n", "cents_winsorized"]]
+        .sort_values("event_type").reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_WINSORIZED = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), q AS (
+  SELECT event_type, quantile_disc(cents, 0.05) AS lo,
+         quantile_disc(cents, 0.95) AS hi
+  FROM e GROUP BY 1
+)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       sum(CASE WHEN e.cents < q.lo THEN q.lo
+                WHEN e.cents > q.hi THEN q.hi
+                ELSE e.cents END)::BIGINT AS cents_winsorized
+FROM e JOIN q USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 def q_events_mad_outliers(sf_dir: str):
     """Grouped robust outliers (functions.stats.grouped_mad_outliers):
     per event_type, rows with |cents − median| > 3·MAD — median and MAD
@@ -6373,6 +6491,7 @@ QUERIES = {
     "q_events_mad_outliers": q_events_mad_outliers,
     "q_events_ffill_value": q_events_ffill_value,
     "q_events_ab_test": q_events_ab_test,
+    "q_events_winsorized": q_events_winsorized,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6427,6 +6546,7 @@ QUERIES = {
     "kg_components": kg_components,
     "kg_communities": kg_communities,
     "kg_import_assoc": kg_import_assoc,
+    "kg_file_metrics": kg_file_metrics,
     "kg_call_triangles": kg_call_triangles,
     "kg_call_bfs_levels": kg_call_bfs_levels,
     "kg_link_prediction": kg_link_prediction,
@@ -6693,6 +6813,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             f"SELECT node AS entity, min(lbl) AS component FROM reach "
             f"GROUP BY node ORDER BY entity"
         ),
+        "kg_file_metrics": _kg_file_metrics_oracle_sql(),
         "kg_communities": _graph.lpa_oracle_sql(
             f"SELECT subj, obj FROM read_parquet('{g_can}')", n_rounds=4,
         ),
@@ -6764,6 +6885,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_mad_outliers": ORACLE_EVENTS_MAD_OUTLIERS,
         "q_events_ffill_value": ORACLE_EVENTS_FFILL,
         "q_events_ab_test": _ab_test_oracle_sql(),
+        "q_events_winsorized": ORACLE_EVENTS_WINSORIZED,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
