@@ -4944,6 +4944,67 @@ FROM m
 """
 
 
+def q_events_chi2_type_weekday(sf_dir: str):
+    """Chi-square independence test on the event_type × weekday
+    contingency table: observed counts from ONE combiner groupby, the
+    statistic from expected = row·col/n over the tiny table on the
+    driver. Counts are exact integers; the χ² sums in (type, weekday)
+    order and rounds to 6 dp — the oracle replays the identical
+    expected-count arithmetic."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        wd = b["ts"].dt.dayofweek.astype("int64")  # Monday=0, ISO-ish
+        return pd.DataFrame({"event_type": b["event_type"], "wd": wd})
+
+    parts = (
+        _t(sf_dir, "events").select_columns(["event_type", "ts"])
+        .map_batches(prep, batch_format="pandas")
+        .map_batches(
+            lambda b: b.groupby(["event_type", "wd"], as_index=False)
+            .size(),
+            batch_format="pandas",
+        ).to_pandas()
+    )
+    obs = parts.groupby(["event_type", "wd"])["size"].sum().unstack(
+        fill_value=0).sort_index()
+    obs = obs.reindex(sorted(obs.columns), axis=1)
+    o = obs.to_numpy(np.int64)
+    n = o.sum()
+    e = o.sum(axis=1, keepdims=True) * o.sum(axis=0, keepdims=True) / n
+    chi2 = 0.0
+    for i in range(o.shape[0]):          # fixed (type, weekday) order:
+        for j in range(o.shape[1]):      # deterministic float summation
+            if e[i, j] > 0:
+                d = o[i, j] - e[i, j]
+                chi2 += d * d / e[i, j]
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame({
+        "n": pd.Series([int(n)], dtype="int64"),
+        "dof": pd.Series([dof], dtype="int64"),
+        "chi2": [round(chi2, 6)],
+    })
+
+
+ORACLE_EVENTS_CHI2 = """
+WITH o AS (
+  SELECT event_type, isodow(ts) - 1 AS wd, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT sum(c) AS n FROM o
+), rt AS (SELECT event_type, sum(c) AS r FROM o GROUP BY 1),
+ct AS (SELECT wd, sum(c) AS k FROM o GROUP BY 1),
+cell AS (
+  SELECT o.c, rt.r * ct.k / tot.n AS e
+  FROM o JOIN rt USING (event_type) JOIN ct USING (wd), tot
+)
+SELECT (SELECT n FROM tot)::BIGINT AS n,
+       ((SELECT count(*) FROM rt) - 1)
+         * ((SELECT count(*) FROM ct) - 1) AS dof,
+       round(sum((c - e) * (c - e) / e), 6) AS chi2
+FROM cell
+"""
+
+
 def q_events_winsorized(sf_dir: str):
     """Winsorized robust totals: per event_type, cents clamp to the
     exact [p5, p95] element quantiles (sketches.grouped_quantiles,
@@ -6492,6 +6553,7 @@ QUERIES = {
     "q_events_ffill_value": q_events_ffill_value,
     "q_events_ab_test": q_events_ab_test,
     "q_events_winsorized": q_events_winsorized,
+    "q_events_chi2_type_weekday": q_events_chi2_type_weekday,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6886,6 +6948,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_ffill_value": ORACLE_EVENTS_FFILL,
         "q_events_ab_test": _ab_test_oracle_sql(),
         "q_events_winsorized": ORACLE_EVENTS_WINSORIZED,
+        "q_events_chi2_type_weekday": ORACLE_EVENTS_CHI2,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
