@@ -4944,6 +4944,58 @@ FROM m
 """
 
 
+def q_events_top_paths(sf_dir: str):
+    """Top user journeys: each user's first three event types in
+    (ts, event_id) order joined with '>' — the classic path-analytics
+    prefix — counted and ranked. One user-key shuffle; inside each
+    bucket the per-user prefix assembles VECTORIZED (cumcount filter +
+    pivot + column concat, no per-user Python), and only path partial
+    counts leave the bucket. Oracle: row_number window + ordered
+    string_agg."""
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "event_type"])
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rn = g.groupby("user_id", sort=False).cumcount()
+        g = g[rn < 3].assign(__rn=rn[rn < 3])
+        w = g.pivot(index="user_id", columns="__rn", values="event_type")
+        path = w[0].astype(object)
+        for c in sorted(w.columns)[1:]:
+            nxt = w[c]
+            path = path.where(nxt.isna(), path + ">" + nxt.fillna(""))
+        return (
+            pd.DataFrame({"path": path.to_numpy()})
+            .groupby("path", as_index=False).size()
+        )
+
+    parts = bucketed_group_apply(ev, "user_id", paths).to_pandas()
+    out = parts.groupby("path", as_index=False)["size"].sum().rename(
+        columns={"size": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return (
+        out.sort_values(["n_users", "path"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_TOP_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
+"""
+
+
 def q_events_chi2_type_weekday(sf_dir: str):
     """Chi-square independence test on the event_type × weekday
     contingency table: observed counts from ONE combiner groupby, the
@@ -6554,6 +6606,7 @@ QUERIES = {
     "q_events_ab_test": q_events_ab_test,
     "q_events_winsorized": q_events_winsorized,
     "q_events_chi2_type_weekday": q_events_chi2_type_weekday,
+    "q_events_top_paths": q_events_top_paths,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -6949,6 +7002,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_ab_test": _ab_test_oracle_sql(),
         "q_events_winsorized": ORACLE_EVENTS_WINSORIZED,
         "q_events_chi2_type_weekday": ORACLE_EVENTS_CHI2,
+        "q_events_top_paths": ORACLE_EVENTS_TOP_PATHS,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
