@@ -4944,6 +4944,65 @@ FROM m
 """
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch revenue attribution: every purchase's cents credit to
+    the user's most recent PRECEDING non-purchase event type (the
+    marketing-attribution primitive). Composition of existing kinds:
+    mask the channel column (NULL on purchases), forward-fill it with
+    the window family's "ffill" (one user shuffle), filter to purchases,
+    combiner-sum cents per attributed channel. Oracle: the identical
+    last_value(... IGNORE NULLS) running frame."""
+    from recon_ray.functions.relational import window_over
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ch = b["event_type"].where(b["event_type"] != "purchase")
+        return pd.DataFrame({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "event_id": b["event_id"], "event_type": b["event_type"],
+            "cents": _cents(b["value"]), "channel": ch,
+        })
+
+    filled = window_over(
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas"),
+        partition_by="user_id", order_by=["ts", "event_id"],
+        specs=[("ffill", "channel", "attributed")],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[(b["event_type"] == "purchase") & b["attributed"].notna()]
+        return (
+            p.assign(__n=np.int64(1))
+            .groupby("attributed", as_index=False)
+            .agg(n=("__n", "sum"), cents=("cents", "sum"))
+        )
+
+    parts = filled.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("attributed", as_index=False)[["n", "cents"]].sum()
+    out["n"] = out["n"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values("attributed").reset_index(drop=True)
+
+
+ORACLE_EVENTS_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS ch
+  FROM events
+), f AS (
+  SELECT *,
+         last_value(ch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS attributed
+  FROM e
+)
+SELECT attributed, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents
+FROM f WHERE event_type = 'purchase' AND attributed IS NOT NULL
+GROUP BY attributed ORDER BY attributed
+"""
+
+
 def q_events_top_paths(sf_dir: str):
     """Top user journeys: each user's first three event types in
     (ts, event_id) order joined with '>' — the classic path-analytics
@@ -6607,6 +6666,7 @@ QUERIES = {
     "q_events_winsorized": q_events_winsorized,
     "q_events_chi2_type_weekday": q_events_chi2_type_weekday,
     "q_events_top_paths": q_events_top_paths,
+    "q_events_attribution": q_events_attribution,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -7003,6 +7063,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_winsorized": ORACLE_EVENTS_WINSORIZED,
         "q_events_chi2_type_weekday": ORACLE_EVENTS_CHI2,
         "q_events_top_paths": ORACLE_EVENTS_TOP_PATHS,
+        "q_events_attribution": ORACLE_EVENTS_ATTRIBUTION,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
