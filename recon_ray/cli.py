@@ -15,7 +15,12 @@ Commands:
                                  --store DIR makes it incremental over a
                                  persistent content-addressed ExampleStore
   convert <pair> <src> <dst>     JSONL Examples ↔ spaCy DocBin ↔
-                                 Prodigy-format datasets
+                                 Prodigy-format datasets ↔ parquet/CSV/
+                                 Arrow-IPC tables
+  validate <table> <rules.json>  expectations gate (exit 1 on violations)
+  layout optimize|scan|versions|vacuum <dir> [src]
+                                 zone-mapped data-skipping layout
+                                 (Z-order clustering, time travel)
   bench                          delegate to bench.py
 
 On a real cluster each command is submitted via ``ray job submit -- python
@@ -399,6 +404,66 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Run a JSON expectations file against a parquet table
+    (functions/validate.py). Exit code 1 when any rule has violations
+    — the CI data-quality gate shape."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.functions.validate import check_expectations
+
+    with open(args.rules) as f:
+        spec = json.load(f)
+    refs = {
+        name: rd.read_parquet(path)
+        for name, path in (spec.get("refs") or {}).items()
+    }
+    out = check_expectations(
+        rd.read_parquet(args.table), spec["rules"], refs=refs)
+    print(out.to_string(index=False))
+    bad = int(out["violations"].sum())
+    print(json.dumps({"rules": len(out), "total_violations": bad}))
+    return 1 if bad and not args.report_only else 0
+
+
+def cmd_layout(args) -> int:
+    """Zone-mapped layout verbs (sources/zonemap.py): optimize (write,
+    optionally Z-order-clustered, optionally versioned), scan
+    (predicate-pruned read), versions, vacuum."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.sources import zonemap as zm
+
+    if args.verb == "optimize":
+        stat_cols = args.stats.split(",")
+        zorder = tuple(args.zorder.split(",")) if args.zorder else None
+        m = zm.write_zonemapped(
+            rd.read_parquet(args.src), args.dir, stat_cols=stat_cols,
+            zorder_cols=zorder, rows_per_file=args.rows_per_file,
+            keep_history=args.keep_history,
+        )
+        print(json.dumps({"files": len(m["files"]), "n_rows": m["n_rows"],
+                          "version": m.get("version")}))
+    elif args.verb == "scan":
+        intervals = {}
+        for w in args.where or []:
+            col, lo, hi = w.split(":")
+            conv = float if ("." in lo or "." in hi) else int
+            intervals[col] = (conv(lo), conv(hi))
+        kept, total = zm.prune_files(args.dir, intervals)
+        n = zm.read_zonemapped(args.dir, intervals,
+                               version=args.version).count()
+        print(json.dumps({"files_total": total, "files_read": len(kept),
+                          "rows": n}))
+    elif args.verb == "versions":
+        print(json.dumps({"versions": zm.list_versions(args.dir)}))
+    elif args.verb == "vacuum":
+        print(json.dumps(zm.vacuum(args.dir, keep_last=args.keep_last)))
+    return 0
+
+
 def cmd_graph(args) -> int:
     """Graph analytics over a (subj, pred, obj) triples Parquet table."""
     _ensure_ray()
@@ -577,6 +642,33 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    pvl = sub.add_parser("validate",
+                         help="expectations gate over a parquet table")
+    pvl.add_argument("table", help="parquet file or directory")
+    pvl.add_argument("rules", help='JSON: {"rules": [...], "refs": {...}}')
+    pvl.add_argument("--report-only", action="store_true",
+                     help="exit 0 even with violations")
+    pvl.set_defaults(fn=cmd_validate)
+
+    ply = sub.add_parser("layout", help="zone-mapped layout management")
+    ply.add_argument("verb", choices=["optimize", "scan", "versions",
+                                      "vacuum"])
+    ply.add_argument("dir", help="zone-mapped directory")
+    ply.add_argument("src", nargs="?", help="optimize: source parquet")
+    ply.add_argument("--stats", default="",
+                     help="optimize: comma list of stat columns")
+    ply.add_argument("--zorder", default=None,
+                     help="optimize: two int columns a,b to Morton-cluster")
+    ply.add_argument("--rows-per-file", type=int, default=65536)
+    ply.add_argument("--keep-history", action="store_true")
+    ply.add_argument("--where", action="append",
+                     help="scan: col:lo:hi (repeatable)")
+    ply.add_argument("--version", type=int, default=None,
+                     help="scan: snapshot version")
+    ply.add_argument("--keep-last", type=int, default=1,
+                     help="vacuum: snapshots to retain")
+    ply.set_defaults(fn=cmd_layout)
 
     pgr = sub.add_parser("graph", help="analytics over a triples parquet")
     pgr.add_argument("analysis", choices=[

@@ -514,3 +514,64 @@ def test_jsonl_gzip_roundtrip(tmp_path):
     assert names and all(n.endswith(".jsonl.gz") for n in names)
     back = read_jsonl_examples(str(out)).to_pandas()
     assert sorted(back["doc_id"]) == sorted(df["doc_id"])
+
+
+def test_cli_validate_and_layout(tmp_path):
+    """validate gate (exit 1 on violations, 0 with --report-only) and the
+    layout verbs (optimize → scan with pruning → versions → vacuum)."""
+    import pandas as pd
+
+    df = pd.DataFrame({"k": range(200), "v": [x * 2 for x in range(200)]})
+    src = str(tmp_path / "t.parquet")
+    df.to_parquet(src)
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps({"rules": [
+        {"kind": "not_null", "col": "v"},
+        {"kind": "range", "col": "v", "lo": 0, "hi": 100},
+        {"kind": "unique", "col": "k"},
+    ]}))
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "validate", src, str(rules)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert r.returncode == 1, r.stdout + r.stderr[-300:]  # range violates
+    assert '"total_violations"' in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "validate", src, str(rules),
+         "--report-only"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-300:]
+
+    d = str(tmp_path / "zm")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "layout", "optimize", d, src,
+         "--stats", "k", "--rows-per-file", "50", "--keep-history"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-300:]
+    assert json.loads(r.stdout.splitlines()[-1])["n_rows"] == 200
+
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "layout", "scan", d,
+         "--where", "k:0:49"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-300:]
+    info = json.loads(r.stdout.splitlines()[-1])
+    assert info["rows"] == 50 and info["files_read"] < info["files_total"]
+
+    for verb, extra, check in [
+        ("versions", [], lambda o: o["versions"] == [1]),
+        ("vacuum", ["--keep-last", "0"],
+         lambda o: o["versions_dropped"] == 1),
+    ]:
+        r = subprocess.run(
+            [sys.executable, "-m", "recon_ray", "layout", verb, d] + extra,
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-300:]
+        assert check(json.loads(r.stdout.splitlines()[-1])), r.stdout
