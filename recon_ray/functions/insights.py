@@ -573,13 +573,9 @@ def association_pairs(ds, basket_col: str, item_col: str,
     )
 
     bi = distinct(ds, [basket_col, item_col]).materialize()
-    n_baskets = int(len(
-        bi.map_batches(
-            lambda b: pd.DataFrame({basket_col: b[basket_col]
-                                    .drop_duplicates()}),
-            batch_format="pandas",
-        ).to_pandas()[basket_col].drop_duplicates()
-    ))
+    n_baskets = int(
+        distinct(bi.select_columns([basket_col]), [basket_col]).count()
+    )  # bucketed exact distinct: basket ids never collect on the driver
 
     item_counts = (
         bi.map_batches(

@@ -4868,36 +4868,39 @@ def q_events_ab_test(sf_dir: str):
     from recon_ray.functions.insights import assign_split
     from recon_ray.functions.relational import arrow_filter, distinct
 
+    from recon_ray.functions.relational import shuffle_semi_join
+
     ev = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
     users = assign_split(
         distinct(ev.select_columns(["user_id"]), ["user_id"]),
         {"A": 0.5, "B": 0.5}, id_col="user_id", split_col="arm",
+    ).materialize()  # consumed twice (totals + converted)
+    buyers = distinct(
+        arrow_filter(
+            _t(sf_dir, "events")
+            .select_columns(["user_id", "event_type", "value"]),
+            lambda t: pc.and_(
+                pc.equal(t.column("event_type"), "purchase"),
+                pc.greater(t.column("value"), pa.scalar(200.0)),
+            ),
+        ).select_columns(["user_id"]),
+        ["user_id"],
     )
-    buyers = set(
-        distinct(
-            arrow_filter(
-                _t(sf_dir, "events")
-                .select_columns(["user_id", "event_type", "value"]),
-                lambda t: pc.and_(
-                    pc.equal(t.column("event_type"), "purchase"),
-                    pc.greater(t.column("value"), pa.scalar(200.0)),
-                ),
-            ).select_columns(["user_id"]),
-            ["user_id"],
-        ).to_pandas()["user_id"]
-    )
+    # converted users via a hash semi-join — the buyer set never
+    # collects on the driver (users-sized at scale)
+    converted = shuffle_semi_join(users, buyers, on="user_id")
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        conv = b["user_id"].isin(buyers)
+    def arm_counts(ds_, col):
         return (
-            b.assign(__c=conv.astype("int64"), __n=np.int64(1))
-            .groupby("arm", as_index=False)[["__c", "__n"]].sum()
+            ds_.map_batches(
+                lambda b, c=col: b.assign(**{c: np.int64(1)})
+                .groupby("arm", as_index=False)[[c]].sum(),
+                batch_format="pandas",
+            ).to_pandas().groupby("arm")[[col]].sum()
         )
 
-    s = (
-        users.map_batches(partial, batch_format="pandas").to_pandas()
-        .groupby("arm")[["__c", "__n"]].sum()
-    )
+    s = arm_counts(users, "__n").join(
+        arm_counts(converted, "__c"), how="left").fillna(0)
     n_a, conv_a = int(s.loc["A", "__n"]), int(s.loc["A", "__c"])
     n_b, conv_b = int(s.loc["B", "__n"]), int(s.loc["B", "__c"])
     pooled = (conv_a + conv_b) / (n_a + n_b)
