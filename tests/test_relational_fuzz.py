@@ -794,3 +794,36 @@ def test_fill_day_gaps_matches_duckdb(rows, parts):
     for c in ("k", "day", "v"):
         assert list(got[c].astype("int64")) == list(
             want[c].astype("int64")), (c, rows)
+
+
+# ---------------------------------------------------------------------------
+# grouped_mad_outliers (median/MAD robust fence)
+# ---------------------------------------------------------------------------
+
+MAD_SQL = """
+WITH m AS (SELECT g, quantile_disc(v, 0.5) AS med FROM df GROUP BY 1),
+d AS (SELECT df.g, df.v, m.med, abs(df.v - m.med) AS ad
+      FROM df JOIN m USING (g)),
+s AS (SELECT g, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.g, any_value(d.med) AS med, any_value(s.mad) AS mad,
+       count(*) AS n, count(*) FILTER (d.ad > 3 * s.mad) AS n_outliers
+FROM d JOIN s USING (g) GROUP BY d.g ORDER BY d.g
+"""
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+             min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=4),
+)
+def test_grouped_mad_outliers_matches_duckdb(rows, parts):
+    from recon_ray.functions.stats import grouped_mad_outliers
+
+    df = pd.DataFrame(rows, columns=["g", "v"]).astype("int64")
+    got = grouped_mad_outliers(
+        rd.from_pandas(df).repartition(parts), "g", "v", k=3.0)
+    want = duckdb.connect().execute(MAD_SQL).fetchdf()
+    for c in ("g", "med", "mad", "n", "n_outliers"):
+        assert list(got[c].astype("int64")) == list(
+            want[c].astype("int64")), (c, rows)
