@@ -827,3 +827,43 @@ def test_grouped_mad_outliers_matches_duckdb(rows, parts):
     for c in ("g", "med", "mad", "n", "n_outliers"):
         assert list(got[c].astype("int64")) == list(
             want[c].astype("int64")), (c, rows)
+
+
+# ---------------------------------------------------------------------------
+# association_pairs (market-basket support + lift)
+# ---------------------------------------------------------------------------
+
+ASSOC_SQL = """
+WITH bi AS (SELECT DISTINCT b, i FROM df),
+n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+ic AS (SELECT i, count(*) AS c FROM bi GROUP BY 1),
+pr AS (SELECT x.i AS a, y.i AS bb, count(*) AS support
+       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+SELECT pr.a, pr.bb AS b, pr.support,
+       round((pr.support * n.nb)::DOUBLE / (ia.c * ib.c), 6) AS lift
+FROM pr CROSS JOIN n
+ JOIN ic ia ON ia.i = pr.a JOIN ic ib ON ib.i = pr.bb
+WHERE pr.support >= 1
+ORDER BY pr.support DESC, pr.a, pr.bb LIMIT 100
+"""
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5),
+                       st.sampled_from(list("pqrstu"))),
+             min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=4),
+)
+def test_association_pairs_matches_duckdb(rows, parts):
+    from recon_ray.functions.insights import association_pairs
+
+    df = pd.DataFrame(rows, columns=["b", "i"])
+    got = association_pairs(
+        rd.from_pandas(df).repartition(parts), "b", "i",
+        min_support=1, k=100)
+    want = duckdb.connect().execute(ASSOC_SQL).fetchdf()
+    assert len(got) == len(want), rows
+    for c in ("a", "b", "support"):
+        assert list(got[c]) == list(want[c]), (c, rows)
+    assert np.allclose(got["lift"], want["lift"], atol=1e-9), rows
