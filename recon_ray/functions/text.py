@@ -619,6 +619,9 @@ def bm25_search(docs_ds, query_terms, k: int = 10, k1: float = 1.2,
             ["score", id_col], ascending=[False, True]).head(k)
 
     parts = docs_ds.map_batches(score, batch_format="pandas").to_pandas()
+    if parts.empty:  # zero matching docs: all-empty to_pandas loses cols
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     return (
         parts.sort_values(["score", id_col], ascending=[False, True])
         .head(k).reset_index(drop=True)

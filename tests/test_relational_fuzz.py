@@ -867,3 +867,53 @@ def test_association_pairs_matches_duckdb(rows, parts):
     for c in ("a", "b", "support"):
         assert list(got[c]) == list(want[c]), (c, rows)
     assert np.allclose(got["lift"], want["lift"], atol=1e-9), rows
+
+
+# ---------------------------------------------------------------------------
+# bm25_search (combiner stats + broadcast-model scoring)
+# ---------------------------------------------------------------------------
+
+BM25_SQL = r"""
+WITH t AS (
+  SELECT id, unnest(regexp_extract_all(lower(txt), '\w+')) AS term
+  FROM df
+), dl AS (SELECT id, count(*) AS dl FROM t GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM df) AS n,
+              (SELECT count(*) FROM t)::DOUBLE
+                / (SELECT count(*) FROM df) AS avgdl),
+q AS (SELECT unnest(['red', 'blue']) AS term),
+df_ AS (SELECT q.term, (SELECT count(DISTINCT t.id) FROM t
+                        WHERE t.term = q.term) AS df FROM q),
+tf AS (SELECT t.id, t.term, count(*) AS tf
+       FROM t JOIN q USING (term) GROUP BY 1, 2),
+sc AS (
+  SELECT tf.id,
+         sum(ln((st.n - df_.df + 0.5) / (df_.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN df_ USING (term) JOIN dl USING (id), st GROUP BY 1)
+SELECT id, round(s, 6) AS score FROM sc WHERE s > 0
+ORDER BY round(s, 6) DESC, id LIMIT 5
+"""
+
+WORDS = ["red", "blue", "green", "dog", "cat"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.lists(st.sampled_from(WORDS), min_size=1, max_size=8),
+             min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bm25_matches_duckdb(docs, parts):
+    from recon_ray.functions.text import bm25_search
+
+    df = pd.DataFrame({"id": np.arange(len(docs), dtype=np.int64),
+                       "txt": [" ".join(d) for d in docs]})
+    got = bm25_search(
+        rd.from_pandas(df).repartition(parts), ["red", "blue"],
+        k=5, text_col="txt", id_col="id")
+    want = duckdb.connect().execute(BM25_SQL).fetchdf()
+    assert list(got["id"].astype("int64")) == list(
+        want["id"].astype("int64")), docs
+    assert np.allclose(got["score"], want["score"], atol=1e-9), docs
