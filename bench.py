@@ -234,6 +234,32 @@ def run_bench() -> dict:
     queries["kg_call_triangles"] = round(time.time() - t0, 3)
     assert int(tri["n_triangles"][0]) >= 0  # consume → executes
 
+    # zone-map layout engine: Z-order-clustered write + pruned box scan
+    import tempfile as _tf
+
+    import pandas as _pd
+
+    from recon_ray.sources.zonemap import (prune_files, read_zonemapped,
+                                           write_zonemapped)
+
+    t0 = time.time()
+    zm_src = rd.read_parquet(f"{SF_DIR}/events.parquet").map_batches(
+        lambda b: _pd.DataFrame(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "day": b["ts"].to_numpy().astype("datetime64[D]")
+                          .astype("int64"),
+             "value": b["value"]}),
+        batch_format="pandas",
+    )
+    zm_dir = _tf.mkdtemp(prefix="bench_zm_")
+    write_zonemapped(zm_src, zm_dir, stat_cols=["user_id", "day"],
+                     zorder_cols=("user_id", "day"), rows_per_file=4096)
+    box = {"user_id": (3, 8), "day": (19728, 19737)}
+    kept, total = prune_files(zm_dir, box)
+    n_hits = read_zonemapped(zm_dir, box).count()
+    queries["zonemap_write_scan"] = round(time.time() - t0, 3)
+    assert n_hits >= 0 and len(kept) <= total
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,
