@@ -96,6 +96,22 @@ def run_kg_checkpointed(
         )
     symbols_ref, _ = build_symbol_broadcast(symbols_table)
 
+    # Shard validity must depend on the GLOBAL symbol dictionary, not just
+    # the shard's own fragments: linking resolves against symbols from the
+    # whole corpus, so a grown/edited corpus that changes the dictionary
+    # (new DEFs) silently changes what OLD shards' mentions should link
+    # to. Folding a content hash of the symbol table into the per-shard
+    # args hash forces a (conservative, correct) relink of every shard
+    # when the dictionary changes, while an unchanged dictionary keeps
+    # the skip behavior byte-for-byte. Finer-grain invalidation (only
+    # shards whose mentions match NEW symbols) is the documented upgrade.
+    sym_df = symbols_table.to_pandas()
+    sym_canon = sym_df.sort_values(list(sym_df.columns)).to_csv(index=False)
+    shard_args_hash = lin.args_hash_for(
+        {"args": args_hash, "symbols_sha": lin.args_hash_for(
+            {"csv": sym_canon})}
+    )
+
     # --- stage 1: per-shard extract → triples ------------------------------
     shards = _shards(fragments, fragments_per_shard)
     run_count = skip_count = 0
@@ -104,7 +120,7 @@ def run_kg_checkpointed(
         if max_shards is not None and run_count >= max_shards:
             break
         shard_dir = os.path.join(out_dir, "shards", f"shard={sid:04d}")
-        if lin.shard_is_complete(shard_dir, args_hash, shard_frags):
+        if lin.shard_is_complete(shard_dir, shard_args_hash, shard_frags):
             skip_count += 1
             manifests.append(lin.load_manifest(shard_dir))
             continue
@@ -148,7 +164,7 @@ def run_kg_checkpointed(
         m = lin.ShardManifest(
             shard_id=sid,
             status=lin.COMPLETED,
-            args_hash=args_hash,
+            args_hash=shard_args_hash,
             input_fragments=lin.fragment_fingerprint(shard_frags),
             content_hash_rollup=f"{sha_rollup:016x}",
             n_files=docs.count(),
@@ -167,7 +183,7 @@ def run_kg_checkpointed(
     if all_done:
         merge_hash = lin.args_hash_for(
             {
-                "args": args_hash,
+                "args": shard_args_hash,
                 "shards": [m.content_hash_rollup or "" for m in manifests],
             }
         )

@@ -88,8 +88,12 @@ def test_stale_shard_dirs_not_merged(ckpt, unit_corpus_dir, tmp_path_factory):
 
 
 def test_external_edit_forces_recompute(ckpt, unit_corpus_dir, tmp_path_factory):
-    """Changed input ⇒ fingerprint mismatch ⇒ shard recomputes (the
-    commit-hash semantics of recon/dataset.py:353-368)."""
+    """Changed input ⇒ fingerprint mismatch ⇒ the edited shard recomputes
+    (the commit-hash semantics of recon/dataset.py:353-368) — and because
+    the appended docs introduce NEW DEF symbols, the global dictionary
+    changes and the symbol-content hash correctly invalidates the OTHER
+    shards too (their mentions may now link differently). The merged
+    output must equal a from-scratch run over the edited corpus."""
     import shutil
 
     from recon_ray.state.runner import run_kg_checkpointed
@@ -111,4 +115,69 @@ def test_external_edit_forces_recompute(ckpt, unit_corpus_dir, tmp_path_factory)
 
     pq.write_table(pa.concat_tables([old, extra]), os.path.join(edited, frag))
     r = run_kg_checkpointed(edited, out2, fragments_per_shard=1)
-    assert r["shards_run"] == 1 and r["shards_skipped"] == 2
+    assert r["shards_run"] == 3 and r["shards_skipped"] == 0
+
+    out3 = str(tmp_path_factory.mktemp("ckpt3"))
+    run_kg_checkpointed(edited, out3, fragments_per_shard=1)
+    a = pd.read_parquet(os.path.join(out2, "triples", "data"))
+    b = pd.read_parquet(os.path.join(out3, "triples", "data"))
+    cols = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(cols).reset_index(drop=True)[cols],
+        b.sort_values(cols).reset_index(drop=True)[cols],
+    )
+
+
+def test_incremental_ingest_growth(tmp_path_factory):
+    """Continuous-ingestion contract: when NEW fragments arrive, a re-run
+    recomputes what correctness requires — the symbol dictionary changes
+    (new DEFs), so every shard relinks (conservative invalidation via the
+    symbol-content hash in the shard args hash) — and the merged triples
+    are IDENTICAL to a from-scratch run over the full corpus. A re-run
+    with no new data is then a complete no-op."""
+    import pyarrow.parquet as pq
+
+    from recon_ray.corpusgen import generate_corpus
+    from recon_ray.state.runner import run_kg_checkpointed
+
+    table = generate_corpus(120, seed=42)
+    ingest = tmp_path_factory.mktemp("ingest_files")
+    scratch = tmp_path_factory.mktemp("scratch_files")
+    # initial arrival: first 80 rows as two fragments
+    for i in range(0, 80, 40):
+        pq.write_table(table.slice(i, 40),
+                       str(ingest / f"part-{i:05d}.parquet"))
+    out = str(tmp_path_factory.mktemp("ingest_out"))
+    r1 = run_kg_checkpointed(str(ingest), out, fragments_per_shard=1)
+    assert r1["shards_run"] == 2 and r1["complete"]
+
+    # new data lands (sorts after the existing fragments)
+    pq.write_table(table.slice(80, 40),
+                   str(ingest / f"part-z0080.parquet"))
+    r2 = run_kg_checkpointed(str(ingest), out, fragments_per_shard=1)
+    assert r2["complete"]
+    # the grown corpus adds DEF symbols -> old shards must relink too
+    assert r2["shards_run"] == 3 and r2["shards_skipped"] == 0
+
+    # idempotent third run: nothing changed, everything skips
+    r3 = run_kg_checkpointed(str(ingest), out, fragments_per_shard=1)
+    assert r3["shards_run"] == 0 and r3["shards_skipped"] == 3
+
+    # ground truth: from-scratch over the full corpus
+    for i in range(0, 120, 40):
+        pq.write_table(table.slice(i, 40),
+                       str(scratch / f"part-{i:05d}.parquet"))
+    out2 = str(tmp_path_factory.mktemp("scratch_out"))
+    run_kg_checkpointed(str(scratch), out2, fragments_per_shard=1)
+
+    import os
+
+    import pandas as pd
+
+    a = pd.read_parquet(os.path.join(out, "triples", "data"))
+    b = pd.read_parquet(os.path.join(out2, "triples", "data"))
+    cols = ["subj", "pred", "obj"]
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    assert (a["n_mentions"].to_numpy() == b["n_mentions"].to_numpy()).all()
