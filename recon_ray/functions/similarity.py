@@ -204,6 +204,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 99,
+    centroids: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k, fully distributed like ``knn_lsh``: spherical
     k-means centroids train on a small sample (driver-side, deterministic),
@@ -214,11 +215,12 @@ def knn_ivf(
     partition key for a cell-clustered layout (write once, probe-read
     later)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    # deterministic sample (lowest-hash rows, see _det_sample): limit()
-    # returns whichever blocks the executor finishes first, which makes
-    # the trained cells — and thus the approximate result — run-dependent
-    sample = _det_sample(emb_ds, sample_size, id_col, emb_col)
-    centroids = _kmeans_fit(sample, n_cells, seed=seed)
+    if centroids is None:
+        # deterministic sample (lowest-hash rows, see _det_sample): limit()
+        # returns whichever blocks the executor finishes first, which makes
+        # the trained cells — and thus the approximate result — run-dependent
+        sample = _det_sample(emb_ds, sample_size, id_col, emb_col)
+        centroids = _kmeans_fit(sample, n_cells, seed=seed)
     # per-query probe cells (nprobe nearest centroids)
     np_eff = min(nprobe, len(centroids))
     q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :np_eff]
@@ -545,3 +547,35 @@ def knn_int8(
     return knn_bruteforce(narrow, queries, k=k, query_ids=qids,
                           id_col=id_col, emb_col=emb_col,
                           round_scores=round_scores)
+
+
+def build_ivf_index(emb_ds, n_cells: int = 16, sample_size: int = 2048,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    seed: int = 99) -> np.ndarray:
+    """Train the IVF centroid table once (deterministic lowest-hash
+    sample + spherical k-means) so repeated :func:`knn_ivf` calls skip
+    training — the build-once / probe-many serving pattern. Persist with
+    :func:`save_ivf_index`."""
+    sample = _det_sample(emb_ds, sample_size, id_col, emb_col)
+    return _kmeans_fit(sample, n_cells, seed=seed)
+
+
+def save_ivf_index(centroids: np.ndarray, path: str) -> None:
+    """Centroid table → parquet (one row per cell, list<double>): a
+    portable, versionable index artifact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "cell": pa.array(range(len(centroids)), pa.int64()),
+        "centroid": pa.array([list(map(float, c)) for c in centroids],
+                             pa.list_(pa.float64())),
+    })
+    pq.write_table(t, path)
+
+
+def load_ivf_index(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("cell")
+    return np.array(t.column("centroid").to_pylist(), dtype=np.float64)

@@ -1788,3 +1788,32 @@ def test_compression_signals_deterministic_and_ordering():
     assert byid.loc[2, "replacement_ppm"] > 0
     assert byid.loc[2, "nonprint_ppm"] > 0
     assert byid.loc[0, "nonprint_ppm"] == 0
+
+
+def test_ivf_index_persistence_round_trip(tmp_path, ray_session):
+    """build_ivf_index → save → load → knn_ivf(centroids=loaded) must
+    equal a fresh same-seed run (the build-once/probe-many contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from recon_ray.functions.similarity import (
+        build_ivf_index, knn_ivf, load_ivf_index, save_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    emb = rng.randn(300, 16)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": emb[i].tolist()} for i in range(300)
+    ])
+    q = rng.randn(3, 16)
+
+    fresh = knn_ivf(ds, q, k=5, n_cells=8, nprobe=3, sample_size=128,
+                    seed=7)
+    idx = build_ivf_index(ds, n_cells=8, sample_size=128, seed=7)
+    p = str(tmp_path / "ivf.parquet")
+    save_ivf_index(idx, p)
+    loaded = load_ivf_index(p)
+    assert np.allclose(idx, loaded)
+    again = knn_ivf(ds, q, k=5, n_cells=8, nprobe=3, sample_size=128,
+                    seed=7, centroids=loaded)
+    pd.testing.assert_frame_equal(fresh, again)
