@@ -316,3 +316,41 @@ def quantize_embeddings(ds, emb_col: str = "embedding",
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def auc_score(ds, score_col: str, label_col: str) -> dict:
+    """Exact ROC-AUC by the Mann-Whitney rank-sum identity, in pure
+    integer arithmetic until the final division: with c_less(s) = #rows
+    scoring below s and c_eq(s) = #rows scoring exactly s, a positive at
+    score s has 2·avg_rank = 2·c_less + c_eq + 1 (tie-averaged rank,
+    doubled to stay integral), so
+
+        AUC = (Σ_pos 2·avg_rank − 2·n_pos(n_pos+1)/2) / (2·n_pos·n_neg)
+
+    Scale shape: ONE combiner pass builds the per-score (count, count
+    positive) table — sized by DISTINCT scores, not rows (integerize
+    scores upstream, the repo-wide cents pattern); the cumulative scan
+    and the closed-form sum run on that table on the driver. Layout-
+    invariant and bit-exact; returns {auc, n_pos, n_neg} with auc
+    rounded to 6 dp (single final division)."""
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(score_col, as_index=False).agg(
+            n=(label_col, "size"), pos=(label_col, "sum"))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    t = parts.groupby(score_col, as_index=False)[["n", "pos"]].sum()
+    t = t.sort_values(score_col, kind="mergesort").reset_index(drop=True)
+    n = t["n"].to_numpy(np.int64)
+    pos = t["pos"].to_numpy(np.int64)
+    c_less = np.concatenate([[0], np.cumsum(n)[:-1]])
+    n_pos = int(pos.sum())
+    n_neg = int(n.sum() - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        return {"auc": float("nan"), "n_pos": n_pos, "n_neg": n_neg}
+    two_rank_sum = int((pos * (2 * c_less + n + 1)).sum())
+    num = two_rank_sum - n_pos * (n_pos + 1)
+    return {"auc": round(num / (2 * n_pos * n_neg), 6),
+            "n_pos": n_pos, "n_neg": n_neg}

@@ -5058,6 +5058,54 @@ FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
 """
 
 
+def q_events_auc(sf_dir: str):
+    """Exact ROC-AUC (functions.ml.auc_score): does event value predict
+    purchases? Mann-Whitney rank-sum with tie-averaged ranks kept
+    INTEGRAL (2·avg_rank = 2·c_less + n + 1) until the single final
+    division — one combiner pass builds the distinct-score table, the
+    cumulative scan runs on it. The oracle replays the identical
+    arithmetic with a window cumulative sum."""
+    from recon_ray.functions.ml import auc_score
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s": _cents(b["value"]),
+            "y": (b["event_type"] == "purchase").astype("int64"),
+        })
+
+    r = auc_score(
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas"),
+        "s", "y")
+    return pd.DataFrame({
+        "n_pos": pd.Series([r["n_pos"]], dtype="int64"),
+        "n_neg": pd.Series([r["n_neg"]], dtype="int64"),
+        "auc": [r["auc"]],
+    })
+
+
+ORACLE_EVENTS_AUC = """
+WITH e AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT s, count(*) AS n, sum(y) AS pos FROM e GROUP BY 1
+), c AS (
+  SELECT s, n, pos,
+         coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS c_less
+  FROM t
+), agg AS (
+  SELECT sum(pos) AS np, sum(n) - sum(pos) AS nn,
+         sum(pos * (2 * c_less + n + 1)) AS trs
+  FROM c
+)
+SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       round((trs - np * (np + 1))::DOUBLE / (2 * np * nn), 6) AS auc
+FROM agg
+"""
+
+
 def q_events_chi2_type_weekday(sf_dir: str):
     """Chi-square independence test on the event_type × weekday
     contingency table: observed counts from ONE combiner groupby, the
@@ -6670,6 +6718,7 @@ QUERIES = {
     "q_events_chi2_type_weekday": q_events_chi2_type_weekday,
     "q_events_top_paths": q_events_top_paths,
     "q_events_attribution": q_events_attribution,
+    "q_events_auc": q_events_auc,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -7067,6 +7116,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_chi2_type_weekday": ORACLE_EVENTS_CHI2,
         "q_events_top_paths": ORACLE_EVENTS_TOP_PATHS,
         "q_events_attribution": ORACLE_EVENTS_ATTRIBUTION,
+        "q_events_auc": ORACLE_EVENTS_AUC,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

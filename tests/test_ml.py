@@ -185,3 +185,29 @@ def test_quantize_embeddings_bounds_and_zero():
             assert (q == 0).all()
         else:
             assert np.abs(q * s - x).max() <= s / 2 + 1e-12
+
+
+def test_auc_matches_bruteforce_pairs(ray_session):
+    """Exact AUC vs the O(n²) pair definition (ties count half) on a
+    small random score/label set, plus layout invariance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.ml import auc_score
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "s": rng.randint(0, 20, 300).astype("int64"),  # heavy ties
+        "y": rng.randint(0, 2, 300).astype("int64"),
+    })
+    pos = df[df.y == 1]["s"].to_numpy()
+    neg = df[df.y == 0]["s"].to_numpy()
+    cmp_ = (pos[:, None] > neg[None, :]).sum() \
+        + 0.5 * (pos[:, None] == neg[None, :]).sum()
+    want = round(cmp_ / (len(pos) * len(neg)), 6)
+    for parts in (1, 3, 7):
+        r = auc_score(rd.from_pandas(df).repartition(parts), "s", "y")
+        assert r["auc"] == want, parts
+    r0 = auc_score(rd.from_pandas(df[df.y == 1]), "s", "y")
+    assert np.isnan(r0["auc"])  # degenerate: one class only
