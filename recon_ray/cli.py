@@ -404,6 +404,25 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Run the mini-SQL subset (recon_ray/sql.py) on Ray Data operators:
+    --table name=path (repeatable) registers parquet tables."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.sql import run_sql
+
+    tables = {}
+    for spec_ in args.table or []:
+        name, _, path = spec_.partition("=")
+        if not path:
+            raise SystemExit(f"--table needs name=path, got {spec_!r}")
+        tables[name] = rd.read_parquet(path)
+    out = run_sql(args.query, tables)
+    print(out.to_string(index=False))
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Run a JSON expectations file against a parquet table
     (functions/validate.py). Exit code 1 when any rule has violations
@@ -642,6 +661,12 @@ def main(argv=None) -> int:
                      help="prodigy dataset name")
     pcv.add_argument("--overwrite", action="store_true")
     pcv.set_defaults(fn=cmd_convert)
+
+    psq = sub.add_parser("sql", help="mini-SQL over parquet tables")
+    psq.add_argument("query")
+    psq.add_argument("--table", action="append",
+                     help="name=path (repeatable)")
+    psq.set_defaults(fn=cmd_sql)
 
     pvl = sub.add_parser("validate",
                          help="expectations gate over a parquet table")

@@ -5058,6 +5058,41 @@ FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
 """
 
 
+SQL_FRONTEND_EVENTS = (
+    "SELECT event_type, count(*) AS n, count(user_id) AS cu, "
+    "sum(user_id) AS su, min(user_id) AS min_u, max(user_id) AS max_u "
+    "FROM events WHERE user_id >= 2 AND event_type <> 'error' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+SQL_FRONTEND_ORDERS = (
+    "SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS first_key "
+    "FROM orders WHERE o_totalprice >= 1000 "
+    "GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus LIMIT 3"
+)
+
+
+def q_sql_frontend_events(sf_dir: str):
+    """Mini SQL front-end (recon_ray/sql.py) under the oracle gate: the
+    ORACLE STRING ITSELF is executed by the engine — parsed and compiled
+    to arrow_filter + a combiner grouped aggregate — while DuckDB runs
+    the identical text. Any divergence in predicate, NULL, aggregate or
+    grouping semantics breaks the hash."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_EVENTS, {"events": _t(sf_dir, "events")})
+
+
+def q_sql_frontend_orders(sf_dir: str):
+    """Second front-end shape under the gate: WHERE on a float column,
+    ORDER BY an aggregate, LIMIT — same contract as
+    q_sql_frontend_events (engine and DuckDB execute the identical
+    string)."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_ORDERS, {"orders": _t(sf_dir, "orders")})
+
+
 def q_events_auc(sf_dir: str):
     """Exact ROC-AUC (functions.ml.auc_score): does event value predict
     purchases? Mann-Whitney rank-sum with tie-averaged ranks kept
@@ -6719,6 +6754,8 @@ QUERIES = {
     "q_events_top_paths": q_events_top_paths,
     "q_events_attribution": q_events_attribution,
     "q_events_auc": q_events_auc,
+    "q_sql_frontend_events": q_sql_frontend_events,
+    "q_sql_frontend_orders": q_sql_frontend_orders,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -7117,6 +7154,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_top_paths": ORACLE_EVENTS_TOP_PATHS,
         "q_events_attribution": ORACLE_EVENTS_ATTRIBUTION,
         "q_events_auc": ORACLE_EVENTS_AUC,
+        "q_sql_frontend_events": SQL_FRONTEND_EVENTS,
+        "q_sql_frontend_orders": SQL_FRONTEND_ORDERS,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

@@ -1,0 +1,270 @@
+"""Mini SQL front-end compiled to the engine's own Ray Data operators —
+`run_sql("SELECT ... FROM t WHERE ... GROUP BY ...", {"t": ds})`.
+
+Scope (deliberately small, enforced by the parser — anything else raises
+rather than mis-executing): a single table, a conjunctive WHERE over
+column-vs-literal comparisons, GROUP BY with SUM / COUNT / COUNT(*) /
+AVG / MIN / MAX aggregates (aliases supported), ORDER BY result columns,
+LIMIT. That covers the reporting-query shape; joins/subqueries stay with
+the operator API, which has the richer (skew-aware, broadcast, as-of…)
+join family anyway.
+
+Compilation: WHERE → `arrow_filter` (zero-copy pyarrow kernels);
+GROUP BY → a per-batch pandas combiner emitting partial (sum, count,
+min, max) rows, merged on the driver (the grouped result is
+groups-sized; AVG resolves as sum/count at the end); global aggregates
+are the same with one group; a plain projection streams through
+`select_columns` + `limit`. Nothing row-wise runs in Python.
+
+Every construct is differentially fuzzed against DuckDB executing the
+IDENTICAL string (tests/test_sql_frontend.py), and two oracled queries
+route through it end to end.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_AGG_RE = re.compile(
+    r"^(sum|count|avg|min|max)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)$", re.I)
+_ITEM_RE = re.compile(
+    r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
+_CMP_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$")
+
+_OPS = {
+    "=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+    "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+class SqlError(ValueError):
+    pass
+
+
+def _literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
+        return tok[1:-1].replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            raise SqlError(f"unsupported literal: {tok!r}")
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, depth, buf, in_q = [], 0, [], False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+                continue
+        buf.append(ch)
+    out.append("".join(buf).strip())
+    return [x for x in out if x]
+
+
+def parse_sql(sql: str) -> dict:
+    """The accepted grammar, or SqlError."""
+    s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    m = re.match(
+        r"^select (?P<sel>.+?) from (?P<tab>[A-Za-z_]\w*)"
+        r"(?: where (?P<where>.+?))?"
+        r"(?: group by (?P<grp>.+?))?"
+        r"(?: order by (?P<ord>.+?))?"
+        r"(?: limit (?P<lim>\d+))?$",
+        s, re.I,
+    )
+    if not m:
+        raise SqlError(f"unsupported SQL shape: {sql!r}")
+    q = {"table": m.group("tab"), "select": [], "where": [],
+         "group_by": [], "order_by": [], "limit": None}
+    for item in _split_top(m.group("sel")):
+        im = _ITEM_RE.match(item)
+        expr = im.group("expr").strip()
+        alias = im.group("alias")
+        am = _AGG_RE.match(expr)
+        if am:
+            fn, col = am.group(1).lower(), am.group(2)
+            if col == "*" and fn != "count":
+                raise SqlError(f"{fn}(*) is not a thing")
+            q["select"].append(
+                {"agg": fn, "col": None if col == "*" else col,
+                 "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
+        elif re.match(r"^[A-Za-z_]\w*$", expr):
+            q["select"].append({"agg": None, "col": expr,
+                                "alias": alias or expr})
+        else:
+            raise SqlError(f"unsupported select item: {item!r}")
+    if m.group("where"):
+        for clause in re.split(r"\s+and\s+", m.group("where"), flags=re.I):
+            cm = _CMP_RE.match(clause.strip())
+            if not cm:
+                raise SqlError(f"unsupported predicate: {clause!r}")
+            q["where"].append((cm.group(1), cm.group(2),
+                               _literal(cm.group(3))))
+    if m.group("grp"):
+        q["group_by"] = [c.strip() for c in _split_top(m.group("grp"))]
+        for c in q["group_by"]:
+            if not re.match(r"^[A-Za-z_]\w*$", c):
+                raise SqlError(f"bad group-by column: {c!r}")
+    if m.group("ord"):
+        for part in _split_top(m.group("ord")):
+            toks = part.split()
+            if len(toks) > 2 or (len(toks) == 2
+                                 and toks[1].lower() not in ("asc", "desc")):
+                raise SqlError(f"bad order-by: {part!r}")
+            q["order_by"].append(
+                (toks[0], len(toks) == 1 or toks[1].lower() == "asc"))
+    if m.group("lim"):
+        q["limit"] = int(m.group("lim"))
+    has_agg = any(it["agg"] for it in q["select"])
+    if q["group_by"]:
+        for it in q["select"]:
+            if it["agg"] is None and it["col"] not in q["group_by"]:
+                raise SqlError(
+                    f"{it['col']} is neither grouped nor aggregated")
+    elif has_agg and any(it["agg"] is None for it in q["select"]):
+        raise SqlError("mixing aggregates and raw columns without GROUP BY")
+    if q["order_by"]:
+        out_names = {it["alias"] for it in q["select"]}
+        for col, _asc in q["order_by"]:
+            if col not in out_names:
+                raise SqlError(f"ORDER BY {col!r} is not a result column")
+    return q
+
+
+def run_sql(sql: str, tables: dict) -> pd.DataFrame:
+    """Execute the mini-SQL subset on Ray Data operators."""
+    from recon_ray.functions.relational import arrow_filter
+
+    q = parse_sql(sql)
+    if q["table"] not in tables:
+        raise SqlError(f"unknown table {q['table']!r}")
+    ds = tables[q["table"]]
+
+    if q["where"]:
+        conds = list(q["where"])
+
+        def pred(t: pa.Table, conds=conds):
+            mask = None
+            for col, op, lit in conds:
+                m = _OPS[op](t.column(col), pa.scalar(lit))
+                m = pc.fill_null(m, False)
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask
+
+        ds = arrow_filter(ds, pred)
+
+    has_agg = any(it["agg"] for it in q["select"])
+    if not has_agg:
+        cols = [it["col"] for it in q["select"]]
+        ds = ds.select_columns(list(dict.fromkeys(cols)))
+        if q["limit"] is not None and not q["order_by"]:
+            ds = ds.limit(q["limit"])
+        out = ds.to_pandas()
+        if out.empty:
+            out = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        out = out[cols]
+        out.columns = [it["alias"] for it in q["select"]]
+    else:
+        keys = q["group_by"]
+        aggs = [it for it in q["select"] if it["agg"]]
+        need = sorted({a["col"] for a in aggs if a["col"]})
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(keys, dropna=False) if keys else None
+            parts = {}
+            for c in need:
+                src = g[c] if g is not None else b[c]
+                parts[f"__s_{c}"] = src.sum()
+                parts[f"__c_{c}"] = src.count()
+                parts[f"__mn_{c}"] = src.min()
+                parts[f"__mx_{c}"] = src.max()
+            star = g.size() if g is not None else pd.Series(
+                [len(b)], index=[0])
+            parts["__n"] = star
+            out = pd.DataFrame(parts)
+            return out.reset_index() if keys else out
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if parts.empty:
+            # all rows filtered: Ray's empty to_pandas drops columns.
+            # SQL semantics: GROUP BY over nothing → zero rows; a global
+            # aggregate → ONE row with count 0 and NULL sum/avg/min/max.
+            base = {
+                **{f"__s_{c}": [np.nan] for c in need},
+                **{f"__c_{c}": [0] for c in need},
+                **{f"__mn_{c}": [np.nan] for c in need},
+                **{f"__mx_{c}": [np.nan] for c in need},
+                "__n": [0],
+            }
+            if keys:
+                merged = pd.DataFrame(
+                    {**{k: [] for k in keys},
+                     **{c: [] for c in base}})
+            else:
+                merged = pd.DataFrame(base)
+        elif keys:
+            gb = parts.groupby(keys, dropna=False)
+            merged = pd.DataFrame({
+                **{f"__s_{c}": gb[f"__s_{c}"].sum() for c in need},
+                **{f"__c_{c}": gb[f"__c_{c}"].sum() for c in need},
+                **{f"__mn_{c}": gb[f"__mn_{c}"].min() for c in need},
+                **{f"__mx_{c}": gb[f"__mx_{c}"].max() for c in need},
+                "__n": gb["__n"].sum(),
+            }).reset_index()
+        else:
+            merged = pd.DataFrame({
+                **{f"__s_{c}": [parts[f"__s_{c}"].sum()] for c in need},
+                **{f"__c_{c}": [parts[f"__c_{c}"].sum()] for c in need},
+                **{f"__mn_{c}": [parts[f"__mn_{c}"].min()] for c in need},
+                **{f"__mx_{c}": [parts[f"__mx_{c}"].max()] for c in need},
+                "__n": [parts["__n"].sum()] if len(parts) else [0],
+            })
+        cols = {}
+        for it in q["select"]:
+            a = it["alias"]
+            if it["agg"] is None:
+                cols[a] = merged[it["col"]]
+            elif it["agg"] == "count" and it["col"] is None:
+                cols[a] = merged["__n"].astype("int64")
+            elif it["agg"] == "count":
+                cols[a] = merged[f"__c_{it['col']}"].astype("int64")
+            elif it["agg"] == "sum":
+                s = merged[f"__s_{it['col']}"]
+                cols[a] = s.where(merged[f"__c_{it['col']}"] > 0)
+            elif it["agg"] == "avg":
+                cols[a] = (merged[f"__s_{it['col']}"]
+                           / merged[f"__c_{it['col']}"].replace(0, np.nan))
+            elif it["agg"] == "min":
+                cols[a] = merged[f"__mn_{it['col']}"]
+            else:
+                cols[a] = merged[f"__mx_{it['col']}"]
+        out = pd.DataFrame(cols)
+
+    if q["order_by"]:
+        out = out.sort_values(
+            [c for c, _ in q["order_by"]],
+            ascending=[asc for _, asc in q["order_by"]],
+            kind="mergesort",
+        )
+    if q["limit"] is not None:
+        out = out.head(q["limit"])
+    return out.reset_index(drop=True)
