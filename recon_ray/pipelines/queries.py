@@ -5072,6 +5072,24 @@ SQL_FRONTEND_ORDERS = (
 )
 
 
+SQL_FRONTEND_LINEITEM = (
+    "SELECT l_linestatus, count(*) AS n, "
+    "count(distinct l_orderkey) AS n_orders "
+    "FROM lineitem WHERE l_quantity >= 10 "
+    "GROUP BY l_linestatus HAVING n >= 100 ORDER BY l_linestatus"
+)
+
+
+def q_sql_frontend_lineitem(sf_dir: str):
+    """Third front-end shape under the gate: HAVING on an alias plus an
+    exact count(DISTINCT ...) (compiled to the bucketed distinct) —
+    engine and DuckDB execute the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_LINEITEM,
+                   {"lineitem": _t(sf_dir, "lineitem")})
+
+
 def q_sql_frontend_events(sf_dir: str):
     """Mini SQL front-end (recon_ray/sql.py) under the oracle gate: the
     ORACLE STRING ITSELF is executed by the engine — parsed and compiled
@@ -6756,6 +6774,7 @@ QUERIES = {
     "q_events_auc": q_events_auc,
     "q_sql_frontend_events": q_sql_frontend_events,
     "q_sql_frontend_orders": q_sql_frontend_orders,
+    "q_sql_frontend_lineitem": q_sql_frontend_lineitem,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -7156,6 +7175,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_auc": ORACLE_EVENTS_AUC,
         "q_sql_frontend_events": SQL_FRONTEND_EVENTS,
         "q_sql_frontend_orders": SQL_FRONTEND_ORDERS,
+        "q_sql_frontend_lineitem": SQL_FRONTEND_LINEITEM,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,

@@ -2,12 +2,13 @@
 `run_sql("SELECT ... FROM t WHERE ... GROUP BY ...", {"t": ds})`.
 
 Scope (deliberately small, enforced by the parser — anything else raises
-rather than mis-executing): a single table, a conjunctive WHERE over
-column-vs-literal comparisons, GROUP BY with SUM / COUNT / COUNT(*) /
-AVG / MIN / MAX aggregates (aliases supported), ORDER BY result columns,
-LIMIT. That covers the reporting-query shape; joins/subqueries stay with
-the operator API, which has the richer (skew-aware, broadcast, as-of…)
-join family anyway.
+rather than mis-executing): a single table, SELECT [DISTINCT], a
+conjunctive WHERE over column-vs-literal comparisons, GROUP BY with
+SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG / MIN / MAX
+aggregates (aliases supported), HAVING over result aliases, ORDER BY
+result columns, LIMIT. That covers the reporting-query shape;
+joins/subqueries stay with the operator API, which has the richer
+(skew-aware, broadcast, as-of…) join family anyway.
 
 Compilation: WHERE → `arrow_filter` (zero-copy pyarrow kernels);
 GROUP BY → a per-batch pandas combiner emitting partial (sum, count,
@@ -31,7 +32,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _AGG_RE = re.compile(
-    r"^(sum|count|avg|min|max)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)$", re.I)
+    r"^(sum|count|avg|min|max)\s*\(\s*(distinct\s+)?(\*|[A-Za-z_]\w*)\s*\)$",
+    re.I)
 _ITEM_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
 _CMP_RE = re.compile(
@@ -84,9 +86,10 @@ def parse_sql(sql: str) -> dict:
     """The accepted grammar, or SqlError."""
     s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
     m = re.match(
-        r"^select (?P<sel>.+?) from (?P<tab>[A-Za-z_]\w*)"
+        r"^select (?P<dist>distinct )?(?P<sel>.+?) from (?P<tab>[A-Za-z_]\w*)"
         r"(?: where (?P<where>.+?))?"
         r"(?: group by (?P<grp>.+?))?"
+        r"(?: having (?P<hav>.+?))?"
         r"(?: order by (?P<ord>.+?))?"
         r"(?: limit (?P<lim>\d+))?$",
         s, re.I,
@@ -94,21 +97,27 @@ def parse_sql(sql: str) -> dict:
     if not m:
         raise SqlError(f"unsupported SQL shape: {sql!r}")
     q = {"table": m.group("tab"), "select": [], "where": [],
-         "group_by": [], "order_by": [], "limit": None}
+         "group_by": [], "having": [], "order_by": [], "limit": None,
+         "distinct": bool(m.group("dist"))}
     for item in _split_top(m.group("sel")):
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
         alias = im.group("alias")
         am = _AGG_RE.match(expr)
         if am:
-            fn, col = am.group(1).lower(), am.group(2)
+            fn, dist, col = (am.group(1).lower(), bool(am.group(2)),
+                             am.group(3))
             if col == "*" and fn != "count":
                 raise SqlError(f"{fn}(*) is not a thing")
+            if dist and fn != "count":
+                raise SqlError("DISTINCT is only supported inside count()")
             q["select"].append(
                 {"agg": fn, "col": None if col == "*" else col,
+                 "distinct": dist,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
         elif re.match(r"^[A-Za-z_]\w*$", expr):
             q["select"].append({"agg": None, "col": expr,
+                                "distinct": False,
                                 "alias": alias or expr})
         else:
             raise SqlError(f"unsupported select item: {item!r}")
@@ -119,6 +128,15 @@ def parse_sql(sql: str) -> dict:
                 raise SqlError(f"unsupported predicate: {clause!r}")
             q["where"].append((cm.group(1), cm.group(2),
                                _literal(cm.group(3))))
+    if m.group("hav"):
+        if not m.group("grp"):
+            raise SqlError("HAVING requires GROUP BY here")
+        for clause in re.split(r"\s+and\s+", m.group("hav"), flags=re.I):
+            cm = _CMP_RE.match(clause.strip())
+            if not cm:
+                raise SqlError(f"unsupported HAVING clause: {clause!r}")
+            q["having"].append((cm.group(1), cm.group(2),
+                                _literal(cm.group(3))))
     if m.group("grp"):
         q["group_by"] = [c.strip() for c in _split_top(m.group("grp"))]
         for c in q["group_by"]:
@@ -142,11 +160,15 @@ def parse_sql(sql: str) -> dict:
                     f"{it['col']} is neither grouped nor aggregated")
     elif has_agg and any(it["agg"] is None for it in q["select"]):
         raise SqlError("mixing aggregates and raw columns without GROUP BY")
-    if q["order_by"]:
-        out_names = {it["alias"] for it in q["select"]}
-        for col, _asc in q["order_by"]:
-            if col not in out_names:
-                raise SqlError(f"ORDER BY {col!r} is not a result column")
+    out_names = {it["alias"] for it in q["select"]}
+    for col, _asc in q["order_by"]:
+        if col not in out_names:
+            raise SqlError(f"ORDER BY {col!r} is not a result column")
+    for col, _op, _lit in q["having"]:
+        if col not in out_names:
+            raise SqlError(f"HAVING {col!r} is not a result alias")
+    if q["distinct"] and has_agg:
+        raise SqlError("SELECT DISTINCT with aggregates is redundant here")
     return q
 
 
@@ -176,6 +198,10 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     if not has_agg:
         cols = [it["col"] for it in q["select"]]
         ds = ds.select_columns(list(dict.fromkeys(cols)))
+        if q["distinct"]:
+            from recon_ray.functions.relational import distinct as _dist
+
+            ds = _dist(ds, list(dict.fromkeys(cols)))
         if q["limit"] is not None and not q["order_by"]:
             ds = ds.limit(q["limit"])
         out = ds.to_pandas()
@@ -186,7 +212,10 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     else:
         keys = q["group_by"]
         aggs = [it for it in q["select"] if it["agg"]]
-        need = sorted({a["col"] for a in aggs if a["col"]})
+        need = sorted({
+            a["col"] for a in aggs
+            if a["col"] and not (a["agg"] == "count" and a.get("distinct"))
+        })
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             g = b.groupby(keys, dropna=False) if keys else None
@@ -238,11 +267,45 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 **{f"__mx_{c}": [parts[f"__mx_{c}"].max()] for c in need},
                 "__n": [parts["__n"].sum()] if len(parts) else [0],
             })
+        # count(DISTINCT c): exact, via the bucketed distinct on
+        # (keys, c) — a separate narrow pass per distinct-agg column
+        dcounts = {}
+        for it in q["select"]:
+            if it["agg"] == "count" and it.get("distinct"):
+                from recon_ray.functions.relational import (
+                    distinct as _dist,
+                )
+
+                c = it["col"]
+                dd = _dist(ds.select_columns(keys + [c]), keys + [c])
+                dp = dd.map_batches(
+                    lambda b, c=c: b.dropna(subset=[c]),
+                    batch_format="pandas",
+                ).to_pandas()
+                if keys:
+                    dc = (dp.groupby(keys, dropna=False).size()
+                          .rename("__dc").reset_index()
+                          if not dp.empty else
+                          pd.DataFrame({**{k: [] for k in keys},
+                                        "__dc": []}))
+                    for k in keys:  # all-NaN object keys decay to float
+                        dc[k] = dc[k].astype(merged[k].dtype)
+                    dcounts[it["alias"]] = dc
+                else:
+                    dcounts[it["alias"]] = int(len(dp))
         cols = {}
         for it in q["select"]:
             a = it["alias"]
             if it["agg"] is None:
                 cols[a] = merged[it["col"]]
+            elif it["agg"] == "count" and it.get("distinct"):
+                if keys:
+                    j = merged[keys].merge(dcounts[a], on=keys,
+                                           how="left")
+                    cols[a] = j["__dc"].fillna(0).astype(
+                        "int64").to_numpy()
+                else:
+                    cols[a] = pd.Series([dcounts[a]], dtype="int64")
             elif it["agg"] == "count" and it["col"] is None:
                 cols[a] = merged["__n"].astype("int64")
             elif it["agg"] == "count":
@@ -259,6 +322,13 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 cols[a] = merged[f"__mx_{it['col']}"]
         out = pd.DataFrame(cols)
 
+    if q["having"]:
+        import operator as _op
+
+        pyops = {"=": _op.eq, "<>": _op.ne, "!=": _op.ne, "<": _op.lt,
+                 "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        for col, op, lit in q["having"]:
+            out = out[pyops[op](out[col], lit).fillna(False)]
     if q["order_by"]:
         out = out.sort_values(
             [c for c, _ in q["order_by"]],

@@ -122,3 +122,23 @@ def test_string_literals_and_escapes(ray_session):
     got = run_sql("SELECT v FROM t WHERE s = 'it''s'",
                   {"t": rd.from_pandas(df)})
     assert list(got["v"]) == [1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.integers(min_value=1, max_value=4))
+def test_distinct_countdistinct_having(rows, parts):
+    df = _mk_df(rows)
+    # SELECT DISTINCT
+    got, want = _exec_both("SELECT DISTINCT g, h FROM t", df, parts)
+    _cmp_sorted(got, want)
+    # count(DISTINCT v) grouped + HAVING on an alias
+    sql = ("SELECT g, count(*) AS n, count(distinct v) AS dv "
+           "FROM t GROUP BY g HAVING n >= 2")
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want)
+    # global count(distinct)
+    got, want = _exec_both(
+        "SELECT count(distinct v) AS dv, count(distinct g) AS dg FROM t",
+        df, parts)
+    assert list(got["dv"]) == list(want["dv"])
+    assert list(got["dg"]) == list(want["dg"])
