@@ -5111,6 +5111,127 @@ def q_sql_frontend_orders(sf_dir: str):
     return run_sql(SQL_FRONTEND_ORDERS, {"orders": _t(sf_dir, "orders")})
 
 
+def q_events_user_gini(sf_dir: str):
+    """Gini coefficient of per-user spend — the inequality metric every
+    marketplace dashboard carries. Per-user cents totals come from one
+    combiner groupby (users-sized); the coefficient uses the exact
+    rank identity G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with
+    deterministic (cents, user_id) rank order, all-integer until the
+    single division at 6 dp; the oracle replays it with a row_number
+    window."""
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "cents": _cents(b["value"])})
+
+    parts = (
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+        .map_batches(
+            lambda b: b.groupby("user_id", as_index=False)["cents"].sum(),
+            batch_format="pandas",
+        ).to_pandas()
+    )
+    tot = parts.groupby("user_id", as_index=False)["cents"].sum()
+    tot = tot.sort_values(["cents", "user_id"],
+                          kind="mergesort").reset_index(drop=True)
+    x = tot["cents"].to_numpy(np.int64)
+    n = len(x)
+    sx = int(x.sum())
+    num = 2 * int((np.arange(1, n + 1, dtype=np.int64) * x).sum()) \
+        - (n + 1) * sx
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype="int64"),
+        "total_cents": pd.Series([sx], dtype="int64"),
+        "gini": [round(num / (n * sx), 6)],
+    })
+
+
+def q_events_user_twap(sf_dir: str):
+    """Time-weighted average value per user (the TWAP of telemetry and
+    finance): each event's cents weight by the seconds until the user's
+    next event, divided by the user's active span. Composition: one
+    user-key window pass ("lead" on integer epoch seconds), then a
+    combiner weighted-sum — all-integer numerators (cents × seconds
+    stays far inside int64), one final division at 6 dp. Users whose
+    span is zero drop. Oracle: the identical lead window in SQL."""
+    from recon_ray.functions.relational import window_over
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "t": b["ts"].to_numpy().astype("int64") // 1_000_000,
+            "cents": _cents(b["value"]),
+        })
+
+    w = window_over(
+        _t(sf_dir, "events").map_batches(prep, batch_format="pandas"),
+        partition_by="user_id", order_by=["t", "event_id"],
+        specs=[("lead", "t", "next_t")],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        has = b["next_t"].notna()
+        dur = (b["next_t"] - b["t"]).where(has, 0).astype("int64")
+        return (
+            b.assign(__num=(b["cents"] * dur).astype("int64"),
+                     __lo=b["t"], __hi=b["t"])
+            .groupby("user_id", as_index=False)
+            .agg(num=("__num", "sum"), lo=("__lo", "min"),
+                 hi=("__hi", "max"))
+        )
+
+    parts = w.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("user_id", as_index=False).agg(
+        num=("num", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    agg = agg[agg["hi"] > agg["lo"]]
+    out = pd.DataFrame({
+        "user_id": agg["user_id"].astype("int64"),
+        "twap": (agg["num"] / (agg["hi"] - agg["lo"])).round(6),
+    })
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_EVENTS_USER_TWAP = """
+WITH e AS (
+  SELECT user_id, event_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id, t, cents,
+         lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) AS next_t
+  FROM e
+), a AS (
+  SELECT user_id,
+         sum(CASE WHEN next_t IS NULL THEN 0
+                  ELSE cents * (next_t - t) END) AS num,
+         min(t) AS lo, max(t) AS hi
+  FROM w GROUP BY 1
+)
+SELECT user_id, round(num::DOUBLE / (hi - lo), 6) AS twap
+FROM a WHERE hi > lo ORDER BY user_id
+"""
+
+
+ORACLE_EVENTS_USER_GINI = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, user_id) AS i
+  FROM u
+), a AS (
+  SELECT count(*) AS n, sum(cents) AS sx, sum(i * cents) AS sxi FROM r
+)
+SELECT n::BIGINT AS n_users, sx::BIGINT AS total_cents,
+       round((2 * sxi - (n + 1) * sx)::DOUBLE / (n * sx), 6) AS gini
+FROM a
+"""
+
+
 def q_events_auc(sf_dir: str):
     """Exact ROC-AUC (functions.ml.auc_score): does event value predict
     purchases? Mann-Whitney rank-sum with tie-averaged ranks kept
@@ -6775,6 +6896,8 @@ QUERIES = {
     "q_sql_frontend_events": q_sql_frontend_events,
     "q_sql_frontend_orders": q_sql_frontend_orders,
     "q_sql_frontend_lineitem": q_sql_frontend_lineitem,
+    "q_events_user_gini": q_events_user_gini,
+    "q_events_user_twap": q_events_user_twap,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
     "q_lineitem_price_tiles": q_lineitem_price_tiles,
@@ -7176,6 +7299,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_events": SQL_FRONTEND_EVENTS,
         "q_sql_frontend_orders": SQL_FRONTEND_ORDERS,
         "q_sql_frontend_lineitem": SQL_FRONTEND_LINEITEM,
+        "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
+        "q_events_user_twap": ORACLE_EVENTS_USER_TWAP,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
         "doc_keyword_tags": ORACLE_DOC_KEYWORD_TAGS,
