@@ -3,7 +3,8 @@
 
 Scope (deliberately small, enforced by the parser — anything else raises
 rather than mis-executing): a single table, SELECT [DISTINCT], a
-conjunctive WHERE over column-vs-literal comparisons, GROUP BY with
+conjunctive WHERE (comparisons, [NOT] IN lists, BETWEEN,
+IS [NOT] NULL), GROUP BY with
 SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG / MIN / MAX
 aggregates (aliases supported), HAVING over result aliases, ORDER BY
 result columns, LIMIT. That covers the reporting-query shape;
@@ -48,6 +49,51 @@ _OPS = {
 
 class SqlError(ValueError):
     pass
+
+
+_IN_RE = re.compile(r"^([A-Za-z_]\w*)\s+(not\s+)?in\s*\((.+)\)$", re.I)
+_BETWEEN_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s+between\s+(.+?)\s+and\s+(.+)$", re.I)
+_NULL_RE = re.compile(r"^([A-Za-z_]\w*)\s+is\s+(not\s+)?null$", re.I)
+
+
+def _parse_conj(text: str) -> list:
+    """AND-conjunction of predicates: col <op> lit | col [NOT] IN (...) |
+    col BETWEEN a AND b | col IS [NOT] NULL. BETWEEN owns its AND, so
+    clauses split only on ANDs that are not inside a BETWEEN — handled
+    by matching BETWEEN first on a greedy clause scan."""
+    preds = []
+    parts = re.split(r"\s+and\s+", text, flags=re.I)
+    i = 0
+    while i < len(parts):
+        clause = parts[i].strip()
+        # re-join "x BETWEEN a" + "b" (its AND was split off)
+        if re.match(r"^[A-Za-z_]\w*\s+between\s+", clause, re.I) \
+                and i + 1 < len(parts):
+            clause = clause + " and " + parts[i + 1].strip()
+            i += 1
+        i += 1
+        bm = _BETWEEN_RE.match(clause)
+        if bm:
+            preds.append(("between", bm.group(1),
+                          (_literal(bm.group(2)), _literal(bm.group(3)))))
+            continue
+        im = _IN_RE.match(clause)
+        if im:
+            vals = [_literal(v) for v in _split_top(im.group(3))]
+            preds.append(("not_in" if im.group(2) else "in",
+                          im.group(1), vals))
+            continue
+        nm = _NULL_RE.match(clause)
+        if nm:
+            preds.append(("notnull" if nm.group(2) else "isnull",
+                          nm.group(1), None))
+            continue
+        cm = _CMP_RE.match(clause)
+        if not cm:
+            raise SqlError(f"unsupported predicate: {clause!r}")
+        preds.append((cm.group(2), cm.group(1), _literal(cm.group(3))))
+    return preds
 
 
 def _literal(tok: str):
@@ -122,12 +168,7 @@ def parse_sql(sql: str) -> dict:
         else:
             raise SqlError(f"unsupported select item: {item!r}")
     if m.group("where"):
-        for clause in re.split(r"\s+and\s+", m.group("where"), flags=re.I):
-            cm = _CMP_RE.match(clause.strip())
-            if not cm:
-                raise SqlError(f"unsupported predicate: {clause!r}")
-            q["where"].append((cm.group(1), cm.group(2),
-                               _literal(cm.group(3))))
+        q["where"] = _parse_conj(m.group("where"))
     if m.group("hav"):
         if not m.group("grp"):
             raise SqlError("HAVING requires GROUP BY here")
@@ -186,8 +227,23 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
 
         def pred(t: pa.Table, conds=conds):
             mask = None
-            for col, op, lit in conds:
-                m = _OPS[op](t.column(col), pa.scalar(lit))
+            for kind, col, payload in conds:
+                c = t.column(col)
+                if kind in _OPS:
+                    m = _OPS[kind](c, pa.scalar(payload))
+                elif kind == "between":
+                    m = pc.and_(pc.greater_equal(c, pa.scalar(payload[0])),
+                                pc.less_equal(c, pa.scalar(payload[1])))
+                elif kind == "in":
+                    m = pc.is_in(c, value_set=pa.array(payload))
+                elif kind == "not_in":
+                    # SQL: NOT IN is NULL-poisoned only by NULL list
+                    # items (we only parse literals), so plain negation
+                    m = pc.invert(pc.is_in(c, value_set=pa.array(payload)))
+                elif kind == "isnull":
+                    m = pc.is_null(c)
+                else:
+                    m = pc.is_valid(c)
                 m = pc.fill_null(m, False)
                 mask = m if mask is None else pc.and_(mask, m)
             return mask

@@ -19,7 +19,11 @@ GROUPED_Q = ("SELECT g, count(*) AS n, count(v) AS cv, sum(v) AS sv, "
              "GROUP BY g")
 
 WHERES = ["", " WHERE h >= 1", " WHERE v < 10 AND h <> 2",
-          " WHERE g = 'x'", " WHERE v >= -5 AND v <= 25"]
+          " WHERE g = 'x'", " WHERE v >= -5 AND v <= 25",
+          " WHERE v BETWEEN -10 AND 20 AND h IN (0, 2)",
+          " WHERE g IN ('x', 'y') AND v IS NOT NULL",
+          " WHERE v IS NULL", " WHERE h NOT IN (1, 3)",
+          " WHERE v BETWEEN 0 AND 30 AND g IS NOT NULL AND h <= 2"]
 
 
 def _mk_df(rows):
@@ -109,7 +113,7 @@ def test_parser_rejects_out_of_scope():
         "SELECT a, sum(v) FROM t",                    # agg+raw, no group
         "SELECT sum(v) FROM t GROUP BY a ORDER BY zz",
         "SELECT * FROM t",
-        "SELECT a FROM t WHERE v IN (1, 2)",
+        "SELECT a FROM t WHERE v = 1 OR v = 2",
         "DELETE FROM t",
         "SELECT min(*) FROM t",
     ]:
