@@ -4520,6 +4520,34 @@ ORDER BY 1, 2
 """
 
 
+def part_jw_name_pairs(sf_dir: str):
+    """Jaro-Winkler linkage pairs over the distinct part names
+    (functions.dedup.jw_name_pairs): byte-level JW byte-exact vs DuckDB's
+    jaro_winkler_similarity (kernel fuzzed at 1e-12), blocked by the
+    first name token — the blocking rule and the 6-dp integer rounding
+    are replayed verbatim by the SQL oracle."""
+    from recon_ray.functions.dedup import jw_name_pairs
+
+    out = jw_name_pairs(
+        _t(sf_dir, "part").select_columns(["p_name"]),
+        text_col="p_name", min_sim6=600000,
+    ).to_pandas()
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+ORACLE_PART_JW = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+            AS BIGINT) AS jw6
+FROM names a JOIN names b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_name < b.p_name
+WHERE round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000) >= 600000
+ORDER BY 1, 2
+"""
+
+
 def doc_entity_resolution(sf_dir: str):
     """Within-table entity resolution (functions.dedup.entity_resolution):
     blocking → bounded-Levenshtein verify → connected components over the
@@ -6880,6 +6908,7 @@ QUERIES = {
     "q_events_user_bloom": q_events_user_bloom,
     "q_events_above_type_mean": q_events_above_type_mean,
     "doc_editdist_pairs": doc_editdist_pairs,
+    "part_jw_name_pairs": part_jw_name_pairs,
     "doc_entity_resolution": doc_entity_resolution,
     "q_events_pruned_scan": q_events_pruned_scan,
     "interop_roundtrip": interop_roundtrip,
@@ -7282,6 +7311,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_user_bloom": ORACLE_EVENTS_USER_BLOOM,
         "q_events_above_type_mean": ORACLE_EVENTS_ABOVE_TYPE_MEAN,
         "doc_editdist_pairs": ORACLE_DOC_EDITDIST,
+        "part_jw_name_pairs": ORACLE_PART_JW,
         "doc_entity_resolution": ORACLE_DOC_ENTITY_RESOLUTION,
         "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
         "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,

@@ -919,3 +919,75 @@ def test_bm25_matches_duckdb(docs, parts):
     assert list(got["id"].astype("int64")) == list(
         want["id"].astype("int64")), docs
     assert np.allclose(got["score"], want["score"], atol=1e-9), docs
+
+
+JW_ALPHABET = "abcé ü"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=JW_ALPHABET, min_size=0, max_size=16),
+       st.text(alphabet=JW_ALPHABET, min_size=0, max_size=16))
+def test_jaro_winkler_kernel_matches_duckdb(a, b):
+    """Byte-level Jaro-Winkler vs DuckDB's jaro_winkler_similarity at
+    full double precision (multi-byte code points, empties, repeats)."""
+    from recon_ray.functions.dedup import jaro_winkler
+
+    want = duckdb.connect().execute(
+        "select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_jaro_winkler_pins():
+    """Pinned reference values incl. the DuckDB empty-string quirk
+    (empty → 0.0, unlike libraries that define jw('','') = 1)."""
+    from recon_ray.functions.dedup import jaro_winkler
+
+    assert jaro_winkler("", "") == 0.0
+    assert jaro_winkler("a", "") == 0.0
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-15
+    assert abs(jaro_winkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15
+    # boost only above 0.7: common prefix but low jaro stays unboosted
+    assert abs(jaro_winkler("aazzzzzzzz", "aayyyyyyyy")
+               - 0.4666666666666666) < 1e-15
+    # byte-level: 'café' vs 'cafe' counts the é as two bytes
+    assert abs(jaro_winkler("café", "cafe") - 0.8483333333333334) < 1e-15
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from(
+        ["red dog", "red dig", "red dg", "blue cat", "blue bat",
+         "blue", "réd dog", "x", ""]),
+        min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=4),
+)
+def test_jw_name_pairs_matches_duckdb(names, parts):
+    """Distributed jw_name_pairs vs a DuckDB self-join replaying the
+    identical first-token blocking and 6-dp integer rounding."""
+    from recon_ray.functions.dedup import jw_name_pairs
+
+    df = pd.DataFrame({"nm": names})
+    got = (
+        jw_name_pairs(rd.from_pandas(df).repartition(parts),
+                      text_col="nm", min_sim6=500000)
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        WITH names AS (SELECT DISTINCT nm FROM t)
+        SELECT a.nm AS name_a, b.nm AS name_b,
+               CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+                    AS BIGINT) AS jw6
+        FROM names a JOIN names b
+          ON split_part(a.nm, ' ', 1) = split_part(b.nm, ' ', 1)
+         AND a.nm < b.nm
+        WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000) >= 500000
+        ORDER BY 1, 2
+    """).fetchdf()
+    if len(got) == 0:
+        assert len(want) == 0, names
+        return
+    got = got.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    assert got.values.tolist() == want.values.tolist(), names
