@@ -401,6 +401,19 @@ def cmd_convert(args) -> int:
         ds = read_ipc_shards(args.src)
         ds.write_parquet(args.dst)
         print(json.dumps({"rows": ds.count(), "out": args.dst}))
+    elif args.pair == "parquet-to-orc":
+        import ray.data as rd
+
+        from recon_ray.sources.interop import write_orc_shards
+
+        n = write_orc_shards(rd.read_parquet(args.src), args.dst)
+        print(json.dumps({"rows": n, "out": args.dst}))
+    elif args.pair == "orc-to-parquet":
+        from recon_ray.sources.interop import read_orc_shards
+
+        ds = read_orc_shards(args.src)
+        ds.write_parquet(args.dst)
+        print(json.dumps({"rows": ds.count(), "out": args.dst}))
     return 0
 
 
@@ -654,7 +667,8 @@ def main(argv=None) -> int:
         "jsonl-to-spacy", "spacy-to-jsonl",
         "jsonl-to-prodigy", "prodigy-to-jsonl",
         "parquet-to-csv", "csv-to-parquet",
-        "parquet-to-ipc", "ipc-to-parquet"])
+        "parquet-to-ipc", "ipc-to-parquet",
+        "parquet-to-orc", "orc-to-parquet"])
     pcv.add_argument("src")
     pcv.add_argument("dst")
     pcv.add_argument("--dataset", default="train",

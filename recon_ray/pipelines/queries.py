@@ -4649,16 +4649,17 @@ def interop_roundtrip(sf_dir: str):
     (sources/interop.py): events rows (props coalesced to '' — CSV cannot
     tell NULL from empty, the documented lossy edge) are pushed through
     the distributed CSV sink, Ray's parallel CSV reader with pinned
-    column types, then the IPC sink and stream-decoding IPC source, and
-    finally a combiner aggregate whose hash must equal the same aggregate
-    straight off the original parquet — any quoting, escaping, type
-    inference or schema drift in either codec breaks the gate (props are
-    JSON strings full of quotes/commas/braces)."""
+    column types, then the IPC sink and stream-decoding IPC source, then
+    the ORC sink and footer-schema ORC source, and finally a combiner
+    aggregate whose hash must equal the same aggregate straight off the
+    original parquet — any quoting, escaping, type inference or schema
+    drift in any of the three codecs breaks the gate (props are JSON
+    strings full of quotes/commas/braces)."""
     import tempfile
 
     from recon_ray.sources.interop import (
-        read_csv_shards, read_ipc_shards, write_csv_shards,
-        write_ipc_shards,
+        read_csv_shards, read_ipc_shards, read_orc_shards,
+        write_csv_shards, write_ipc_shards, write_orc_shards,
     )
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -4677,7 +4678,9 @@ def interop_roundtrip(sf_dir: str):
         "props": pa.string(), "cents": pa.int64()})
     d_ipc = tempfile.mkdtemp(prefix="interop_ipc_")
     write_ipc_shards(back, d_ipc)
-    final = read_ipc_shards(d_ipc)
+    d_orc = tempfile.mkdtemp(prefix="interop_orc_")
+    write_orc_shards(read_ipc_shards(d_ipc), d_orc)
+    final = read_orc_shards(d_orc)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         p = b["props"].fillna("")

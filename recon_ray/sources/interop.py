@@ -1,7 +1,8 @@
-"""CSV and Arrow-IPC interchange — the two formats everything else in a
-data platform speaks (spreadsheets/legacy exports on one side, Arrow
-Flight / Feather / pandas on the other). Completes the §2.1 source/sink
-matrix next to Parquet, JSONL, spaCy DocBin, Prodigy and N-Triples.
+"""CSV, Arrow-IPC and Apache ORC interchange — the formats everything
+else in a data platform speaks (spreadsheets/legacy exports on one side,
+Arrow Flight / Feather / pandas on the other, the Hive/Trino columnar
+ecosystem on the third). Completes the §2.1 source/sink matrix next to
+Parquet, JSONL, spaCy DocBin, Prodigy and N-Triples.
 
 Both sinks follow the repo's distributed-part contract (sources/jsonl.py,
 sources/ntriples.py): each map task serializes its own block and writes
@@ -96,6 +97,56 @@ def write_ipc_shards(ds, out_dir: str) -> int:
     parts = ds.map_batches(serialize, batch_format="pyarrow",
                            zero_copy_batch=True)
     return int(parts.sum("written") or 0)
+
+
+def write_orc_shards(ds, out_dir: str) -> int:
+    """Apache ORC sink (the Hive/Trino-ecosystem columnar format): one
+    content-addressed ``part-*.orc`` per block via pyarrow's ORC writer
+    (byte-deterministic — verified in tests — so the retry contract
+    holds). Returns rows written."""
+    import pyarrow.orc as paorc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def serialize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"written": pa.array([0], pa.int64())})
+        sink = pa.BufferOutputStream()
+        paorc.write_table(t, sink)
+        _write_part(out_dir, sink.getvalue().to_pybytes(), ".orc")
+        return pa.table({"written": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(serialize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return int(parts.sum("written") or 0)
+
+
+def read_orc_shards(path: str):
+    """ORC directory → lazy Dataset: raw part bytes read in parallel
+    (`read_binary_files`), decoded per payload in a map stage — the ORC
+    footer carries the schema, so like IPC there is no inference and no
+    column_types knob."""
+    import ray.data
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".orc")
+    )
+    if not files:
+        raise FileNotFoundError(f"no orc parts under {path}")
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.orc as paorc
+
+        tables = [
+            paorc.ORCFile(pa.BufferReader(buf)).read()
+            for buf in t.column("bytes").to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    return ray.data.read_binary_files(files).map_batches(
+        decode, batch_format="pyarrow"
+    )
 
 
 def read_ipc_shards(path: str):

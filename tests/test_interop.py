@@ -100,3 +100,53 @@ def test_cli_convert_parquet_csv_ipc(tmp_path, ray_session, nasty_df):
         assert '"rows"' in r.stdout
     got = pd.read_parquet(back).sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
+
+
+def test_orc_roundtrip_schema_exact(tmp_path, ray_session, nasty_df):
+    from recon_ray.sources.interop import read_orc_shards, write_orc_shards
+
+    d = str(tmp_path / "orc")
+    n = write_orc_shards(rd.from_pandas(nasty_df).repartition(3), d)
+    assert n == len(nasty_df)
+    back = read_orc_shards(d)
+    assert [str(t) for t in back.schema().types] == [
+        "int64", "string", "double"]
+    got = back.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
+
+
+def test_orc_nulls_survive_and_writes_idempotent(tmp_path, ray_session):
+    """Unlike CSV, ORC keeps NULL distinct from '' — and the serialized
+    bytes are deterministic, so the content-addressed retry contract
+    holds (same bytes → same part names on a re-run)."""
+    from recon_ray.sources.interop import read_orc_shards, write_orc_shards
+
+    df = pd.DataFrame({"id": [0, 1, 2], "txt": [None, "", "x"],
+                       "val": [None, 1.5, 2.5]})
+    d = str(tmp_path / "orcnull")
+    write_orc_shards(rd.from_pandas(df), d)
+    first = sorted(os.listdir(d))
+    write_orc_shards(rd.from_pandas(df), d)
+    assert sorted(os.listdir(d)) == first
+    got = read_orc_shards(d).to_pandas().sort_values("id").reset_index(
+        drop=True)
+    assert got["txt"].isna().tolist() == [True, False, False]
+    assert list(got["txt"][1:]) == ["", "x"]
+    assert got["val"].isna().tolist() == [True, False, False]
+
+
+def test_cli_convert_parquet_orc(tmp_path, ray_session, nasty_df):
+    src = str(tmp_path / "src.parquet")
+    nasty_df.to_parquet(src)
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    d_orc, back = str(tmp_path / "orc"), str(tmp_path / "back")
+    for pair, s, dst in [("parquet-to-orc", src, d_orc),
+                         ("orc-to-parquet", d_orc, back)]:
+        r = subprocess.run(
+            [sys.executable, "-m", "recon_ray", "convert", pair, s, dst],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert '"rows"' in r.stdout
+    got = pd.read_parquet(back).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
