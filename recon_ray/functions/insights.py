@@ -357,6 +357,35 @@ def assign_split(ds, fractions: dict, id_col: str = "doc_id",
     return ds.map_batches(tag, batch_format="pandas")
 
 
+def weighted_bernoulli_sample(ds, weight_col: str, cap: int,
+                              id_col: str = "doc_id"):
+    """Deterministic probability-proportional-to-size sampling: a row is
+    kept iff ``(id·C mod 2⁶⁴) mod cap < weight`` — inclusion probability
+    ``min(max(weight,0),cap)/cap`` per row, decided by the same
+    multiplicative u64 hash as ``assign_split``, so the sample is
+    layout/rerun-invariant, growth-stable (a row's fate never changes
+    when other rows arrive), needs no RNG state, and is exactly
+    SQL-replicable in HUGEINT arithmetic (unlike Efraimidis–Spirakis
+    keys, whose ``u^(1/w)`` transcendentals can't be replayed
+    bit-exactly across engines). Pure map stage: no shuffle.
+
+    The modulo draw has bias ≤ cap/2⁶⁴ versus a perfect uniform — for
+    any practical cap (≤ 2³²) that is < 1e-9 and the DOCUMENTED
+    trade-off for exact cross-engine replay."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        draw = (ids * np.uint64(_MIX_C)) % np.uint64(cap)
+        w = np.maximum(
+            batch[weight_col].to_numpy().astype(np.int64), 0
+        ).astype(np.uint64)
+        return batch[draw < w]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def deterministic_shuffle(ds, id_col: str = "doc_id", n_buckets: int = 256,
                           pos_col: str = "shuffle_pos"):
     """Deterministic global shuffle — the training-order pass of corpus

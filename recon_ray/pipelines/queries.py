@@ -5111,6 +5111,49 @@ SQL_FRONTEND_LINEITEM = (
 )
 
 
+SQL_FRONTEND_JOIN = (
+    "SELECT c_mktsegment, o_orderpriority, count(*) AS n, "
+    "count(DISTINCT o_custkey) AS n_cust, "
+    "min(o_totalprice) AS p_min, max(o_totalprice) AS p_max "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE o_orderstatus IN ('F', 'O') "
+    "GROUP BY c_mktsegment, o_orderpriority "
+    "ORDER BY c_mktsegment, o_orderpriority"
+)
+
+SQL_FRONTEND_LEFT_JOIN = (
+    "SELECT c_mktsegment, count(o_orderkey) AS n_orders, "
+    "count(*) AS n_rows "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+
+def q_sql_frontend_join(sf_dir: str):
+    """SQL front-end two-table equi-JOIN under the gate: the identical
+    string compiles to shuffle_join + combiner aggregates in the engine
+    and runs natively in DuckDB — join cardinality, the IN predicate
+    applied post-join, exact count(DISTINCT) on the fact side and
+    min/max all sit under the hash."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_JOIN,
+                   {"orders": _t(sf_dir, "orders"),
+                    "customer": _t(sf_dir, "customer")})
+
+
+def q_sql_frontend_left_join(sf_dir: str):
+    """LEFT OUTER variant: customers with no orders survive the join and
+    count(col) skips their NULLs while count(*) keeps the row — the
+    classic outer-join counting asymmetry, hash-gated against DuckDB on
+    the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_LEFT_JOIN,
+                   {"customer": _t(sf_dir, "customer"),
+                    "orders": _t(sf_dir, "orders")})
+
+
 def q_sql_frontend_lineitem(sf_dir: str):
     """Third front-end shape under the gate: HAVING on an alias plus an
     exact count(DISTINCT ...) (compiled to the bucketed distinct) —
@@ -5140,6 +5183,55 @@ def q_sql_frontend_orders(sf_dir: str):
     from recon_ray.sql import run_sql
 
     return run_sql(SQL_FRONTEND_ORDERS, {"orders": _t(sf_dir, "orders")})
+
+
+def q_events_weighted_sample(sf_dir: str):
+    """Deterministic weighted (probability-proportional-to-spend)
+    Bernoulli sample (functions.insights.weighted_bernoulli_sample):
+    each event kept with p = cents/20000 decided by its id's
+    multiplicative u64 hash — layout/rerun-invariant and growth-stable,
+    no RNG. The oracle replays the identical HUGEINT hash draw and
+    clamp, so the exact sampled-row set (summarized per type) sits
+    under the hash gate."""
+    from recon_ray.functions.insights import weighted_bernoulli_sample
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "cents": _cents(b["value"])})
+
+    ev = (_t(sf_dir, "events")
+          .select_columns(["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pandas"))
+    samp = weighted_bernoulli_sample(ev, "cents", cap=20000,
+                                     id_col="event_id")
+    parts = samp.map_batches(
+        lambda b: b.groupby("event_type", as_index=False)
+        .agg(n=("event_id", "size"), sum_cents=("cents", "sum")),
+        batch_format="pandas",
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_cents": pd.Series(dtype="int64")})
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_EVENTS_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE ((event_id::HUGEINT * 11400714819323198485)
+         % 18446744073709551616) % 20000
+        < GREATEST(CAST(round(value * 100) AS BIGINT), 0)
+)
+SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
+FROM s GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_events_user_gini(sf_dir: str):
@@ -6928,7 +7020,10 @@ QUERIES = {
     "q_sql_frontend_events": q_sql_frontend_events,
     "q_sql_frontend_orders": q_sql_frontend_orders,
     "q_sql_frontend_lineitem": q_sql_frontend_lineitem,
+    "q_sql_frontend_join": q_sql_frontend_join,
+    "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
+    "q_events_weighted_sample": q_events_weighted_sample,
     "q_events_user_twap": q_events_user_twap,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
@@ -7332,7 +7427,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_events": SQL_FRONTEND_EVENTS,
         "q_sql_frontend_orders": SQL_FRONTEND_ORDERS,
         "q_sql_frontend_lineitem": SQL_FRONTEND_LINEITEM,
+        "q_sql_frontend_join": SQL_FRONTEND_JOIN,
+        "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
+        "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,
         "q_events_user_twap": ORACLE_EVENTS_USER_TWAP,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,

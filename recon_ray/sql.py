@@ -2,14 +2,17 @@
 `run_sql("SELECT ... FROM t WHERE ... GROUP BY ...", {"t": ds})`.
 
 Scope (deliberately small, enforced by the parser — anything else raises
-rather than mis-executing): a single table, SELECT [DISTINCT], a
-conjunctive WHERE (comparisons, [NOT] IN lists, BETWEEN,
-IS [NOT] NULL), GROUP BY with
-SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG / MIN / MAX
-aggregates (aliases supported), HAVING over result aliases, ORDER BY
-result columns, LIMIT. That covers the reporting-query shape;
-joins/subqueries stay with the operator API, which has the richer
-(skew-aware, broadcast, as-of…) join family anyway.
+rather than mis-executing): one table or one two-table equi-JOIN
+(INNER / LEFT [OUTER], ``ON a.x = b.y [AND ...]`` with table aliases;
+the two schemas must be column-disjoint so every reference stays
+unambiguous — colliding names raise instead of silently suffixing),
+SELECT [DISTINCT], a conjunctive WHERE (comparisons, [NOT] IN lists,
+BETWEEN, IS [NOT] NULL; applied AFTER the join, per SQL semantics),
+GROUP BY with SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG /
+MIN / MAX aggregates (aliases supported), HAVING over result aliases,
+ORDER BY result columns, LIMIT. That covers the reporting-query shape;
+multi-join chains/subqueries stay with the operator API, which has the
+richer (skew-aware, broadcast, as-of…) join family anyway.
 
 Compilation: WHERE → `arrow_filter` (zero-copy pyarrow kernels);
 GROUP BY → a per-batch pandas combiner emitting partial (sum, count,
@@ -32,13 +35,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_QCOL = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
 _AGG_RE = re.compile(
-    r"^(sum|count|avg|min|max)\s*\(\s*(distinct\s+)?(\*|[A-Za-z_]\w*)\s*\)$",
-    re.I)
+    r"^(sum|count|avg|min|max)\s*\(\s*(distinct\s+)?(\*|" + _QCOL
+    + r")\s*\)$", re.I)
 _ITEM_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
 _CMP_RE = re.compile(
-    r"^([A-Za-z_]\w*)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$")
+    r"^(" + _QCOL + r")\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$")
 
 _OPS = {
     "=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
@@ -51,10 +55,25 @@ class SqlError(ValueError):
     pass
 
 
-_IN_RE = re.compile(r"^([A-Za-z_]\w*)\s+(not\s+)?in\s*\((.+)\)$", re.I)
+_IN_RE = re.compile(r"^(" + _QCOL + r")\s+(not\s+)?in\s*\((.+)\)$", re.I)
 _BETWEEN_RE = re.compile(
-    r"^([A-Za-z_]\w*)\s+between\s+(.+?)\s+and\s+(.+)$", re.I)
-_NULL_RE = re.compile(r"^([A-Za-z_]\w*)\s+is\s+(not\s+)?null$", re.I)
+    r"^(" + _QCOL + r")\s+between\s+(.+?)\s+and\s+(.+)$", re.I)
+_NULL_RE = re.compile(r"^(" + _QCOL + r")\s+is\s+(not\s+)?null$", re.I)
+_ON_EQ_RE = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
+_RESERVED = {"where", "group", "having", "order", "limit", "join",
+             "inner", "left", "outer", "on", "as"}
+
+
+def _unqual(name: str, aliases: set) -> str:
+    """Strip a validated table qualifier from ``alias.col``; bare names
+    pass through (disjoint join schemas keep them unambiguous)."""
+    if "." in name:
+        qual, _, col = name.partition(".")
+        if qual.lower() not in aliases:
+            raise SqlError(f"unknown table qualifier in {name!r}")
+        return col
+    return name
 
 
 def _parse_conj(text: str) -> list:
@@ -68,7 +87,7 @@ def _parse_conj(text: str) -> list:
     while i < len(parts):
         clause = parts[i].strip()
         # re-join "x BETWEEN a" + "b" (its AND was split off)
-        if re.match(r"^[A-Za-z_]\w*\s+between\s+", clause, re.I) \
+        if re.match(r"^" + _QCOL + r"\s+between\s+", clause, re.I) \
                 and i + 1 < len(parts):
             clause = clause + " and " + parts[i + 1].strip()
             i += 1
@@ -131,8 +150,13 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 def parse_sql(sql: str) -> dict:
     """The accepted grammar, or SqlError."""
     s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    kw = r"(?!(?:where|inner|left|join|group|having|order|limit|on)\b)"
     m = re.match(
         r"^select (?P<dist>distinct )?(?P<sel>.+?) from (?P<tab>[A-Za-z_]\w*)"
+        r"(?: " + kw + r"(?P<ta>[A-Za-z_]\w*))?"
+        r"(?: (?P<jhow>inner join|left outer join|left join|join)"
+        r" (?P<tab2>[A-Za-z_]\w*)(?: (?!on\b)(?P<ta2>[A-Za-z_]\w*))?"
+        r" on (?P<onc>.+?))?"
         r"(?: where (?P<where>.+?))?"
         r"(?: group by (?P<grp>.+?))?"
         r"(?: having (?P<hav>.+?))?"
@@ -144,7 +168,38 @@ def parse_sql(sql: str) -> dict:
         raise SqlError(f"unsupported SQL shape: {sql!r}")
     q = {"table": m.group("tab"), "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
-         "distinct": bool(m.group("dist"))}
+         "distinct": bool(m.group("dist")), "join": None}
+    alias1 = (m.group("ta") or m.group("tab")).lower()
+    aliases = {alias1}
+    if alias1 in _RESERVED:
+        raise SqlError(f"reserved word used as alias: {alias1!r}")
+    if m.group("jhow"):
+        alias2 = (m.group("ta2") or m.group("tab2")).lower()
+        if alias2 in _RESERVED:
+            raise SqlError(f"reserved word used as alias: {alias2!r}")
+        if alias2 == alias1:
+            raise SqlError("both join sides use the same alias")
+        aliases.add(alias2)
+        on_pairs = []
+        for clause in re.split(r"\s+and\s+", m.group("onc"), flags=re.I):
+            em = _ON_EQ_RE.match(clause.strip())
+            if not em:
+                raise SqlError(
+                    f"unsupported ON clause (need alias.col = alias.col): "
+                    f"{clause!r}")
+            qa, ca, qb, cb = em.groups()
+            qa, qb = qa.lower(), qb.lower()
+            if {qa, qb} != {alias1, alias2}:
+                raise SqlError(
+                    f"ON must equate the two joined tables, got {clause!r}")
+            on_pairs.append((ca, cb) if qa == alias1 else (cb, ca))
+        q["join"] = {
+            "table": m.group("tab2"),
+            "how": ("left_outer"
+                    if m.group("jhow").lower().startswith("left")
+                    else "inner"),
+            "on": on_pairs,
+        }
     for item in _split_top(m.group("sel")):
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
@@ -157,18 +212,23 @@ def parse_sql(sql: str) -> dict:
                 raise SqlError(f"{fn}(*) is not a thing")
             if dist and fn != "count":
                 raise SqlError("DISTINCT is only supported inside count()")
+            if col != "*":
+                col = _unqual(col, aliases)
             q["select"].append(
                 {"agg": fn, "col": None if col == "*" else col,
                  "distinct": dist,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
-        elif re.match(r"^[A-Za-z_]\w*$", expr):
-            q["select"].append({"agg": None, "col": expr,
+        elif re.match(r"^" + _QCOL + r"$", expr):
+            col = _unqual(expr, aliases)
+            q["select"].append({"agg": None, "col": col,
                                 "distinct": False,
-                                "alias": alias or expr})
+                                "alias": alias or col})
         else:
             raise SqlError(f"unsupported select item: {item!r}")
     if m.group("where"):
-        q["where"] = _parse_conj(m.group("where"))
+        q["where"] = [(kind, _unqual(col, aliases), payload)
+                      for kind, col, payload in
+                      _parse_conj(m.group("where"))]
     if m.group("hav"):
         if not m.group("grp"):
             raise SqlError("HAVING requires GROUP BY here")
@@ -179,10 +239,11 @@ def parse_sql(sql: str) -> dict:
             q["having"].append((cm.group(1), cm.group(2),
                                 _literal(cm.group(3))))
     if m.group("grp"):
-        q["group_by"] = [c.strip() for c in _split_top(m.group("grp"))]
-        for c in q["group_by"]:
-            if not re.match(r"^[A-Za-z_]\w*$", c):
+        grp_cols = [c.strip() for c in _split_top(m.group("grp"))]
+        for c in grp_cols:
+            if not re.match(r"^" + _QCOL + r"$", c):
                 raise SqlError(f"bad group-by column: {c!r}")
+        q["group_by"] = [_unqual(c, aliases) for c in grp_cols]
     if m.group("ord"):
         for part in _split_top(m.group("ord")):
             toks = part.split()
@@ -222,7 +283,51 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
 
-    if q["where"]:
+    if q["join"]:
+        from recon_ray.functions.relational import shuffle_join
+
+        if q["join"]["table"] not in tables:
+            raise SqlError(f"unknown table {q['join']['table']!r}")
+        right = tables[q["join"]["table"]]
+        # Ray loses the schema entirely on empty in-memory datasets
+        # (schema() → None); None here MEANS provably zero rows.
+        lsch, rsch = ds.schema(), right.schema()
+        lcols = set(lsch.names) if lsch else set()
+        rcols = set(rsch.names) if rsch else set()
+        overlap = sorted(lcols & rcols)
+        if overlap:
+            raise SqlError(
+                f"joined tables share column names {overlap}; the "
+                "mini-SQL join requires disjoint schemas (rename "
+                "upstream)")
+        lk = [p[0] for p in q["join"]["on"]]
+        rk = [p[1] for p in q["join"]["on"]]
+        for c in lk:
+            if lsch and c not in lcols:
+                raise SqlError(f"ON column {c!r} not in {q['table']!r}")
+        for c in rk:
+            if rsch and c not in rcols:
+                raise SqlError(
+                    f"ON column {c!r} not in {q['join']['table']!r}")
+        if lsch is None or (rsch is None and q["join"]["how"] == "inner"):
+            ds = None  # provably empty join result
+        elif rsch is None:
+            # LEFT JOIN against an empty right side: every left row
+            # survives with NULL right columns — synthesize the
+            # referenced ones (the empty right lost its schema)
+            ref = ({it["col"] for it in q["select"] if it["col"]}
+                   | {c for _, c, _ in q["where"]}
+                   | set(q["group_by"]) | set(rk)) - lcols
+
+            def null_right(b: pd.DataFrame, ref=sorted(ref)) -> pd.DataFrame:
+                return b.assign(**{c: np.full(len(b), np.nan) for c in ref})
+
+            ds = ds.map_batches(null_right, batch_format="pandas")
+        else:
+            ds = shuffle_join(ds, right, on=lk, right_on=rk,
+                              how=q["join"]["how"])
+
+    if q["where"] and ds is not None:
         conds = list(q["where"])
 
         def pred(t: pa.Table, conds=conds):
@@ -253,14 +358,15 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     has_agg = any(it["agg"] for it in q["select"])
     if not has_agg:
         cols = [it["col"] for it in q["select"]]
-        ds = ds.select_columns(list(dict.fromkeys(cols)))
-        if q["distinct"]:
-            from recon_ray.functions.relational import distinct as _dist
+        if ds is not None:
+            ds = ds.select_columns(list(dict.fromkeys(cols)))
+            if q["distinct"]:
+                from recon_ray.functions.relational import distinct as _dist
 
-            ds = _dist(ds, list(dict.fromkeys(cols)))
-        if q["limit"] is not None and not q["order_by"]:
-            ds = ds.limit(q["limit"])
-        out = ds.to_pandas()
+                ds = _dist(ds, list(dict.fromkeys(cols)))
+            if q["limit"] is not None and not q["order_by"]:
+                ds = ds.limit(q["limit"])
+        out = ds.to_pandas() if ds is not None else pd.DataFrame()
         if out.empty:
             out = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         out = out[cols]
@@ -288,7 +394,8 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             out = pd.DataFrame(parts)
             return out.reset_index() if keys else out
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+                 if ds is not None else pd.DataFrame())
         if parts.empty:
             # all rows filtered: Ray's empty to_pandas drops columns.
             # SQL semantics: GROUP BY over nothing → zero rows; a global
@@ -333,11 +440,16 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 )
 
                 c = it["col"]
-                dd = _dist(ds.select_columns(keys + [c]), keys + [c])
-                dp = dd.map_batches(
-                    lambda b, c=c: b.dropna(subset=[c]),
-                    batch_format="pandas",
-                ).to_pandas()
+                if ds is None:
+                    dp = pd.DataFrame(
+                        {**{k: [] for k in keys}, c: []})
+                else:
+                    dd = _dist(ds.select_columns(keys + [c]),
+                               keys + [c])
+                    dp = dd.map_batches(
+                        lambda b, c=c: b.dropna(subset=[c]),
+                        batch_format="pandas",
+                    ).to_pandas()
                 if keys:
                     dc = (dp.groupby(keys, dropna=False).size()
                           .rename("__dc").reset_index()

@@ -991,3 +991,24 @@ def test_jw_name_pairs_matches_duckdb(names, parts):
         return
     got = got.sort_values(["name_a", "name_b"]).reset_index(drop=True)
     assert got.values.tolist() == want.values.tolist(), names
+
+
+def test_weighted_bernoulli_sample_properties(ray_session):
+    """Layout invariance, the w≥cap ⇒ always / w≤0 ⇒ never edges, and
+    growth stability (adding rows never flips an existing row's fate)."""
+    from recon_ray.functions.insights import weighted_bernoulli_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "w": np.arange(200, dtype=np.int64) * 7 % 150 - 20})
+    got1 = weighted_bernoulli_sample(
+        rd.from_pandas(df).repartition(1), "w", cap=100).to_pandas()
+    got4 = weighted_bernoulli_sample(
+        rd.from_pandas(df).repartition(4), "w", cap=100).to_pandas()
+    assert sorted(got1["doc_id"]) == sorted(got4["doc_id"])
+    kept = set(got1["doc_id"])
+    assert all(i in kept for i in df[df.w >= 100]["doc_id"])
+    assert not any(i in kept for i in df[df.w <= 0]["doc_id"])
+    # growth stability: the first 100 rows' fate is unchanged
+    sub = weighted_bernoulli_sample(
+        rd.from_pandas(df.head(100)), "w", cap=100).to_pandas()
+    assert sorted(sub["doc_id"]) == sorted(i for i in kept if i < 100)

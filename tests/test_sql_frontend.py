@@ -146,3 +146,73 @@ def test_distinct_countdistinct_having(rows, parts):
         df, parts)
     assert list(got["dv"]) == list(want["dv"])
     assert list(got["dg"]) == list(want["dg"])
+
+
+JOIN_QS = [
+    "SELECT s, sum(y) AS sy, count(*) AS n FROM t1 a JOIN t2 b "
+    "ON a.k = b.fk GROUP BY s",
+    "SELECT s, count(y) AS cy, count(*) AS n FROM t1 a LEFT JOIN t2 b "
+    "ON a.k = b.fk GROUP BY s",
+    "SELECT s, lbl, min(x) AS mx, max(y) AS xy FROM t1 a "
+    "LEFT OUTER JOIN t2 b ON a.k = b.fk GROUP BY s, lbl",
+    "SELECT k, x, y, lbl FROM t1 INNER JOIN t2 ON t1.k = t2.fk",
+    "SELECT k, x, y FROM t1 a LEFT JOIN t2 b ON a.k = b.fk "
+    "WHERE x > 15",
+    "SELECT lbl, avg(x) AS ax, count(DISTINCT k) AS dk FROM t1 a "
+    "JOIN t2 b ON a.k = b.fk WHERE y IS NOT NULL GROUP BY lbl",
+    "SELECT count(*) AS n, sum(x) AS sx FROM t1 a JOIN t2 b "
+    "ON a.k = b.fk AND a.s = b.lbl",
+]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5),
+                       st.sampled_from(["x", "y", "p", "q"]),
+                       st.integers(-5, 50)),
+             min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 5),
+                       st.one_of(st.none(), st.integers(0, 99)),
+                       st.sampled_from(["x", "y", "p", "q"])),
+             min_size=0, max_size=10),
+    st.sampled_from(JOIN_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_join_matches_duckdb(lrows, rrows, sql, parts):
+    """Two-table equi-JOIN front-end vs DuckDB on the identical string:
+    inner/left cardinality, NULL right sides through every aggregate,
+    post-join WHERE, multi-key ON — row order compared sorted on all
+    columns (tie order under ORDER BY is unspecified in SQL)."""
+    t1 = pd.DataFrame(
+        {"k": pd.Series([r[0] for r in lrows], dtype="int64"),
+         "s": pd.Series([r[1] for r in lrows], dtype=object),
+         "x": pd.Series([r[2] for r in lrows], dtype="int64")})
+    t2 = pd.DataFrame(
+        {"fk": pd.Series([r[0] for r in rrows], dtype="int64"),
+         "y": pd.Series([r[1] for r in rrows], dtype="Float64"),
+         "lbl": pd.Series([r[2] for r in rrows], dtype=object)})
+    got = run_sql(sql, {"t1": rd.from_pandas(t1).repartition(parts),
+                        "t2": rd.from_pandas(t2).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t2", t2)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("sy", "ax", "av"))
+
+
+def test_join_parser_rejection_surface(ray_session):
+    """Out-of-scope join shapes raise SqlError instead of mis-executing:
+    colliding schemas, unknown aliases, non-equi ON, reserved aliases."""
+    t1 = pd.DataFrame({"k": [1], "v": [2]})
+    t2 = pd.DataFrame({"k": [1], "w": [3]})
+    tables = {"t1": rd.from_pandas(t1), "t2": rd.from_pandas(t2)}
+    with pytest.raises(SqlError):  # shared column name k
+        run_sql("SELECT v FROM t1 a JOIN t2 b ON a.k = b.k", tables)
+    with pytest.raises(SqlError):  # unknown qualifier
+        run_sql("SELECT z.v FROM t1 a JOIN t2 b ON a.k = b.w", tables)
+    with pytest.raises(SqlError):  # non-equi ON
+        run_sql("SELECT v FROM t1 a JOIN t2 b ON a.k < b.w", tables)
+    with pytest.raises(SqlError):  # ON must span both tables
+        run_sql("SELECT v FROM t1 a JOIN t2 b ON a.k = a.v", tables)
+    with pytest.raises(SqlError):  # same alias twice
+        run_sql("SELECT v FROM t1 a JOIN t2 a ON a.k = a.w", tables)
