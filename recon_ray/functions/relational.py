@@ -573,7 +573,10 @@ def window_over(
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(part_cols + order_cols, kind="mergesort")
-        grp = g.groupby(part_cols, sort=False)
+        # dropna=False: SQL PARTITION BY treats NULL keys as ONE
+        # partition (sorted to the end, so its rows are contiguous);
+        # the default would silently drop those rows from every window
+        grp = g.groupby(part_cols, sort=False, dropna=False)
         need_rank = any(
             k in ("rank", "dense_rank", "percent_rank", "cume_dist")
             for k, _c, _o in specs
@@ -584,7 +587,7 @@ def window_over(
             new_run = keyed.ne(keyed.shift()).any(axis=1)
             run_id = new_run.cumsum()
             rn = (grp.cumcount() + 1).astype("int64")
-            part_key = [g[c] for c in part_cols]
+        part_key = [g[c] for c in part_cols]
         out = {}
         for kind, col, name in specs:
             if kind == "row_number":
@@ -595,14 +598,34 @@ def window_over(
             elif kind == "dense_rank":
                 # distinct tie runs so far within the partition
                 out[name] = (
-                    new_run.astype("int64").groupby(part_key).cumsum()
+                    new_run.astype("int64")
+                    .groupby(part_key, dropna=False).cumsum()
                 )
-            elif kind == "running_sum":
-                out[name] = grp[col].cumsum()
-            elif kind == "running_min":
-                out[name] = grp[col].cummin()
-            elif kind == "running_max":
-                out[name] = grp[col].cummax()
+            elif kind in ("running_sum", "running_min", "running_max"):
+                # SQL aggregate-over-frame semantics: NULL inputs are
+                # SKIPPED (the running value carries past them); the
+                # result is NULL only while NO non-null value has been
+                # seen. pandas cum* instead leaves NaN AT null positions.
+                vals = g[col]
+                if vals.isna().any():
+                    seen = (vals.notna().astype("int64")
+                            .groupby(part_key, dropna=False).cumsum())
+                    if kind == "running_sum":
+                        acc = (vals.fillna(0)
+                               .groupby(part_key, dropna=False).cumsum())
+                    elif kind == "running_min":
+                        acc = (vals.fillna(np.inf)
+                               .groupby(part_key, dropna=False).cummin())
+                    else:
+                        acc = (vals.fillna(-np.inf)
+                               .groupby(part_key, dropna=False).cummax())
+                    out[name] = acc.where(seen > 0)
+                elif kind == "running_sum":
+                    out[name] = grp[col].cumsum()
+                elif kind == "running_min":
+                    out[name] = grp[col].cummin()
+                else:
+                    out[name] = grp[col].cummax()
             elif kind == "lag":
                 out[name] = grp[col].shift(1)
             elif kind == "lead":

@@ -5129,6 +5129,29 @@ SQL_FRONTEND_LEFT_JOIN = (
 )
 
 
+SQL_FRONTEND_WINDOW = (
+    "SELECT user_id, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn, "
+    "rank() OVER (PARTITION BY user_id ORDER BY event_id) AS rk, "
+    "lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) "
+    "AS prev_id, "
+    "ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS quartile "
+    "FROM events ORDER BY user_id, event_id"
+)
+
+
+def q_sql_frontend_window(sf_dir: str):
+    """SQL front-end window functions under the gate: the identical
+    string compiles to one window_over hash-shuffle pass in the engine
+    and runs natively in DuckDB — row numbering, ranking, lag NULLs at
+    partition edges and NTILE tile arithmetic all sit under the hash
+    (event_id is unique per partition, the documented total-order
+    contract)."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_WINDOW, {"events": _t(sf_dir, "events")})
+
+
 def q_sql_frontend_join(sf_dir: str):
     """SQL front-end two-table equi-JOIN under the gate: the identical
     string compiles to shuffle_join + combiner aggregates in the engine
@@ -7021,6 +7044,7 @@ QUERIES = {
     "q_sql_frontend_orders": q_sql_frontend_orders,
     "q_sql_frontend_lineitem": q_sql_frontend_lineitem,
     "q_sql_frontend_join": q_sql_frontend_join,
+    "q_sql_frontend_window": q_sql_frontend_window,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7428,6 +7452,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_orders": SQL_FRONTEND_ORDERS,
         "q_sql_frontend_lineitem": SQL_FRONTEND_LINEITEM,
         "q_sql_frontend_join": SQL_FRONTEND_JOIN,
+        "q_sql_frontend_window": SQL_FRONTEND_WINDOW,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

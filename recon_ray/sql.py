@@ -10,7 +10,15 @@ SELECT [DISTINCT], a conjunctive WHERE (comparisons, [NOT] IN lists,
 BETWEEN, IS [NOT] NULL; applied AFTER the join, per SQL semantics),
 GROUP BY with SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG /
 MIN / MAX aggregates (aliases supported), HAVING over result aliases,
-ORDER BY result columns, LIMIT. That covers the reporting-query shape;
+ORDER BY result columns, LIMIT, and window functions — row_number /
+rank / dense_rank / percent_rank / cume_dist / ntile(n) / sum / min /
+max / lag / lead / first_value OVER (PARTITION BY p ORDER BY o),
+compiled to ``window_over`` (one hash shuffle per distinct
+partition/order pair; exact versus other engines when the ORDER BY key
+is unique within each partition — running frames use ROWS semantics,
+which coincide with SQL's default RANGE frame exactly then; windows
+don't mix with GROUP BY/DISTINCT, per SQL's own evaluation order they
+run after WHERE). That covers the reporting-query shape;
 multi-join chains/subqueries stay with the operator API, which has the
 richer (skew-aware, broadcast, as-of…) join family anyway.
 
@@ -61,6 +69,17 @@ _BETWEEN_RE = re.compile(
 _NULL_RE = re.compile(r"^(" + _QCOL + r")\s+is\s+(not\s+)?null$", re.I)
 _ON_EQ_RE = re.compile(
     r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
+_WIN_RE = re.compile(
+    r"^(?P<fn>row_number|rank|dense_rank|percent_rank|cume_dist|sum|min"
+    r"|max|lag|lead|first_value|ntile)\s*\(\s*(?P<arg>[^()]*?)\s*\)"
+    r"\s+over\s+\(\s*partition\s+by\s+(?P<part>" + _QCOL + r")"
+    r"\s+order\s+by\s+(?P<ord>" + _QCOL + r")(?:\s+(?P<dir>asc))?\s*\)$",
+    re.I)
+_WIN_NOARG = {"row_number", "rank", "dense_rank", "percent_rank",
+              "cume_dist"}
+_WIN_KINDS = {"sum": "running_sum", "min": "running_min",
+              "max": "running_max", "lag": "lag", "lead": "lead",
+              "first_value": "first_value", "ntile": "ntile"}
 _RESERVED = {"where", "group", "having", "order", "limit", "join",
              "inner", "left", "outer", "on", "as"}
 
@@ -204,7 +223,33 @@ def parse_sql(sql: str) -> dict:
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
         alias = im.group("alias")
-        am = _AGG_RE.match(expr)
+        wm = _WIN_RE.match(expr)
+        am = None if wm else _AGG_RE.match(expr)
+        if wm:
+            fn = wm.group("fn").lower()
+            arg = wm.group("arg").strip()
+            if fn in _WIN_NOARG:
+                if arg:
+                    raise SqlError(f"{fn}() takes no argument")
+                kind, col = fn, None
+            elif fn == "ntile":
+                if not re.match(r"^\d+$", arg) or int(arg) < 1:
+                    raise SqlError("ntile needs a positive integer")
+                kind, col = "ntile", arg
+            else:
+                if not re.match(r"^" + _QCOL + r"$", arg):
+                    raise SqlError(f"bad window argument: {arg!r}")
+                kind, col = _WIN_KINDS[fn], _unqual(arg, aliases)
+            if not alias:
+                raise SqlError(
+                    f"window select items need an AS alias: {item!r}")
+            q["select"].append(
+                {"agg": None, "col": None, "distinct": False,
+                 "alias": alias,
+                 "win": {"kind": kind, "col": col,
+                         "part": _unqual(wm.group("part"), aliases),
+                         "order": _unqual(wm.group("ord"), aliases)}})
+            continue
         if am:
             fn, dist, col = (am.group(1).lower(), bool(am.group(2)),
                              am.group(3))
@@ -255,6 +300,11 @@ def parse_sql(sql: str) -> dict:
     if m.group("lim"):
         q["limit"] = int(m.group("lim"))
     has_agg = any(it["agg"] for it in q["select"])
+    has_win = any(it.get("win") for it in q["select"])
+    if has_win and (q["group_by"] or q["distinct"] or has_agg):
+        raise SqlError(
+            "window functions don't mix with GROUP BY / DISTINCT / "
+            "aggregates here")
     if q["group_by"]:
         for it in q["select"]:
             if it["agg"] is None and it["col"] not in q["group_by"]:
@@ -357,7 +407,21 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
 
     has_agg = any(it["agg"] for it in q["select"])
     if not has_agg:
-        cols = [it["col"] for it in q["select"]]
+        cols = [it["alias"] if it.get("win") else it["col"]
+                for it in q["select"]]
+        win_items = [it for it in q["select"] if it.get("win")]
+        if win_items and ds is not None:
+            from recon_ray.functions.relational import window_over
+
+            # one window_over pass (one hash shuffle) per distinct
+            # (PARTITION BY, ORDER BY) pair; each adds its columns
+            wgroups = {}
+            for it in win_items:
+                w = it["win"]
+                wgroups.setdefault((w["part"], w["order"]), []).append(
+                    (w["kind"], w["col"], it["alias"]))
+            for (p, o), specs in wgroups.items():
+                ds = window_over(ds, p, o, specs)
         if ds is not None:
             ds = ds.select_columns(list(dict.fromkeys(cols)))
             if q["distinct"]:

@@ -216,3 +216,58 @@ def test_join_parser_rejection_surface(ray_session):
         run_sql("SELECT v FROM t1 a JOIN t2 b ON a.k = a.v", tables)
     with pytest.raises(SqlError):  # same alias twice
         run_sql("SELECT v FROM t1 a JOIN t2 a ON a.k = a.w", tables)
+
+
+WIN_QS = [
+    "SELECT g, o, row_number() OVER (PARTITION BY g ORDER BY o) AS rn, "
+    "rank() OVER (PARTITION BY g ORDER BY o) AS rk FROM t",
+    "SELECT g, o, sum(v) OVER (PARTITION BY g ORDER BY o) AS rs, "
+    "lag(v) OVER (PARTITION BY g ORDER BY o) AS pv FROM t",
+    "SELECT g, o, ntile(3) OVER (PARTITION BY g ORDER BY o) AS t3, "
+    "first_value(v) OVER (PARTITION BY g ORDER BY o) AS fv FROM t "
+    "WHERE v >= 0",
+    "SELECT o, percent_rank() OVER (PARTITION BY g ORDER BY o) AS pr, "
+    "cume_dist() OVER (PARTITION BY g ORDER BY o) AS cd FROM t",
+    "SELECT g, o, max(v) OVER (PARTITION BY g ORDER BY o) AS rm, "
+    "lead(v) OVER (PARTITION BY g ORDER BY o) AS nv FROM t",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c", None]),
+                       st.one_of(st.none(), st.integers(-9, 99))),
+             min_size=0, max_size=25),
+    st.sampled_from(WIN_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_window_fns_match_duckdb(rows, sql, parts):
+    """Window-function front-end vs DuckDB on the identical string —
+    unique ORDER BY key per the documented total-order contract; NULL
+    partition keys and NULL values flow through every kind."""
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype=object),
+         "o": pd.Series(range(len(rows)), dtype="int64"),
+         "v": pd.Series([r[1] for r in rows], dtype="Float64")})
+    got = run_sql(sql, {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("pr", "cd"))
+
+
+def test_window_parser_rejections(ray_session):
+    df = pd.DataFrame({"g": ["a"], "v": [1]})
+    tables = {"t": rd.from_pandas(df)}
+    with pytest.raises(SqlError):  # windows + GROUP BY
+        run_sql("SELECT g, row_number() OVER (PARTITION BY g ORDER BY v)"
+                " AS rn FROM t GROUP BY g", tables)
+    with pytest.raises(SqlError):  # missing alias
+        run_sql("SELECT row_number() OVER (PARTITION BY g ORDER BY v) "
+                "FROM t", tables)
+    with pytest.raises(SqlError):  # DESC not in scope
+        run_sql("SELECT rank() OVER (PARTITION BY g ORDER BY v DESC) "
+                "AS rk FROM t", tables)
+    with pytest.raises(SqlError):  # row_number takes no argument
+        run_sql("SELECT row_number(v) OVER (PARTITION BY g ORDER BY v) "
+                "AS rn FROM t", tables)
