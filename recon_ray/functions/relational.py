@@ -104,6 +104,19 @@ def arrow_filter(ds, predicate):
     )
 
 
+def _rebatch(t: pa.Table) -> pa.Table:
+    """Join-side batch normalizer: all-NULL input columns decay to
+    Arrow's null type, which Acero rejects as a join non-key field —
+    cast them to float64 (pure NULLs either way, and pandas/DuckDB see
+    DOUBLE NULLs too)."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(
+                i, pa.field(f.name, pa.float64()),
+                pc.cast(t.column(i), pa.float64()))
+    return t
+
+
 def shuffle_join(
     left_ds,
     right_ds,
@@ -125,18 +138,6 @@ def shuffle_join(
     match for FieldRef on left side". The explicit-batch_size batcher
     consumes blocks into batches, where empties vanish."""
     on_ = (on,) if isinstance(on, str) else tuple(on)
-
-    def _rebatch(t: pa.Table) -> pa.Table:
-        # all-NULL input columns decay to Arrow's null type, which Acero
-        # rejects as a join non-key field — cast them to float64 (pure
-        # NULLs either way, and pandas/DuckDB see DOUBLE NULLs too)
-        for i, f in enumerate(t.schema):
-            if pa.types.is_null(f.type):
-                t = t.set_column(
-                    i, pa.field(f.name, pa.float64()),
-                    pc.cast(t.column(i), pa.float64()))
-        return t
-
     left_ds = left_ds.map_batches(
         _rebatch, batch_format="pyarrow", batch_size=65536
     )
@@ -1193,10 +1194,10 @@ def shuffle_semi_join(left_ds, right_ds, on, right_on=None,
         except Exception:
             num_partitions = 8
     left_ds = left_ds.map_batches(
-        lambda t: t, batch_format="pyarrow", batch_size=65536
+        _rebatch, batch_format="pyarrow", batch_size=65536
     )
     right_ds = right_ds.map_batches(
-        lambda t: t, batch_format="pyarrow", batch_size=65536
+        _rebatch, batch_format="pyarrow", batch_size=65536
     )
     return left_ds.join(
         right_ds,

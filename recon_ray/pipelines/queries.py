@@ -5152,6 +5152,26 @@ def q_sql_frontend_window(sf_dir: str):
     return run_sql(SQL_FRONTEND_WINDOW, {"events": _t(sf_dir, "events")})
 
 
+SQL_FRONTEND_SUBQUERY = (
+    "SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS k_min "
+    "FROM orders WHERE o_totalprice >= 500 AND o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_acctbal BETWEEN 100 AND "
+    "5000) GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
+def q_sql_frontend_subquery(sf_dir: str):
+    """IN (SELECT ...) under the gate: the subquery compiles to a
+    hash semi-join (shuffle_semi_join — both sides stream, the inner
+    key set never collects on the driver) fused with the scalar WHERE
+    and grouped aggregates; DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_SUBQUERY,
+                   {"orders": _t(sf_dir, "orders"),
+                    "customer": _t(sf_dir, "customer")})
+
+
 def q_sql_frontend_join(sf_dir: str):
     """SQL front-end two-table equi-JOIN under the gate: the identical
     string compiles to shuffle_join + combiner aggregates in the engine
@@ -7045,6 +7065,7 @@ QUERIES = {
     "q_sql_frontend_lineitem": q_sql_frontend_lineitem,
     "q_sql_frontend_join": q_sql_frontend_join,
     "q_sql_frontend_window": q_sql_frontend_window,
+    "q_sql_frontend_subquery": q_sql_frontend_subquery,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7453,6 +7474,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_lineitem": SQL_FRONTEND_LINEITEM,
         "q_sql_frontend_join": SQL_FRONTEND_JOIN,
         "q_sql_frontend_window": SQL_FRONTEND_WINDOW,
+        "q_sql_frontend_subquery": SQL_FRONTEND_SUBQUERY,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

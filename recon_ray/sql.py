@@ -101,7 +101,7 @@ def _parse_conj(text: str) -> list:
     clauses split only on ANDs that are not inside a BETWEEN — handled
     by matching BETWEEN first on a greedy clause scan."""
     preds = []
-    parts = re.split(r"\s+and\s+", text, flags=re.I)
+    parts = _split_and(text)
     i = 0
     while i < len(parts):
         clause = parts[i].strip()
@@ -118,9 +118,15 @@ def _parse_conj(text: str) -> list:
             continue
         im = _IN_RE.match(clause)
         if im:
-            vals = [_literal(v) for v in _split_top(im.group(3))]
-            preds.append(("not_in" if im.group(2) else "in",
-                          im.group(1), vals))
+            payload = im.group(3).strip()
+            if re.match(r"^select\b", payload, re.I):
+                preds.append(
+                    ("not_in_subq" if im.group(2) else "in_subq",
+                     im.group(1), payload))
+            else:
+                vals = [_literal(v) for v in _split_top(payload)]
+                preds.append(("not_in" if im.group(2) else "in",
+                              im.group(1), vals))
             continue
         nm = _NULL_RE.match(clause)
         if nm:
@@ -132,6 +138,30 @@ def _parse_conj(text: str) -> list:
             raise SqlError(f"unsupported predicate: {clause!r}")
         preds.append((cm.group(2), cm.group(1), _literal(cm.group(3))))
     return preds
+
+
+def _split_and(text: str) -> list[str]:
+    """Split a conjunction on the word AND at paren depth 0 (so
+    BETWEEN's AND re-join still works and subquery bodies stay whole).
+    Input is whitespace-normalized upstream."""
+    out, depth, in_q, start, i, n = [], 0, False, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and ch == " "
+                    and text[i + 1:i + 5].lower() == "and "):
+                out.append(text[start:i].strip())
+                i += 4
+                start = i + 1
+        i += 1
+    out.append(text[start:].strip())
+    return [p for p in out if p]
 
 
 def _literal(tok: str):
@@ -271,9 +301,23 @@ def parse_sql(sql: str) -> dict:
         else:
             raise SqlError(f"unsupported select item: {item!r}")
     if m.group("where"):
-        q["where"] = [(kind, _unqual(col, aliases), payload)
-                      for kind, col, payload in
-                      _parse_conj(m.group("where"))]
+        preds = []
+        for kind, col, payload in _parse_conj(m.group("where")):
+            if kind in ("in_subq", "not_in_subq"):
+                sub = parse_sql(payload)
+                if (len(sub["select"]) != 1 or sub["select"][0]["agg"]
+                        or sub["select"][0].get("win") or sub["join"]
+                        or sub["group_by"] or sub["order_by"]
+                        or sub["limit"] is not None):
+                    raise SqlError(
+                        "IN subqueries must be a single-column "
+                        "projection (optional WHERE only)")
+                if any(k in ("in_subq", "not_in_subq")
+                       for k, _c, _p in sub["where"]):
+                    raise SqlError("nested IN subqueries not supported")
+                payload = sub
+            preds.append((kind, _unqual(col, aliases), payload))
+        q["where"] = preds
     if m.group("hav"):
         if not m.group("grp"):
             raise SqlError("HAVING requires GROUP BY here")
@@ -324,6 +368,34 @@ def parse_sql(sql: str) -> dict:
     return q
 
 
+def _compile_pred(conds):
+    """Conjunctive scalar predicates → one zero-copy pyarrow mask fn."""
+    def pred(t: pa.Table, conds=list(conds)):
+        mask = None
+        for kind, col, payload in conds:
+            c = t.column(col)
+            if kind in _OPS:
+                m = _OPS[kind](c, pa.scalar(payload))
+            elif kind == "between":
+                m = pc.and_(pc.greater_equal(c, pa.scalar(payload[0])),
+                            pc.less_equal(c, pa.scalar(payload[1])))
+            elif kind == "in":
+                m = pc.is_in(c, value_set=pa.array(payload))
+            elif kind == "not_in":
+                # SQL: NOT IN is NULL-poisoned only by NULL list
+                # items (we only parse literals), so plain negation
+                m = pc.invert(pc.is_in(c, value_set=pa.array(payload)))
+            elif kind == "isnull":
+                m = pc.is_null(c)
+            else:
+                m = pc.is_valid(c)
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return mask
+
+    return pred
+
+
 def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     """Execute the mini-SQL subset on Ray Data operators."""
     from recon_ray.functions.relational import arrow_filter
@@ -359,9 +431,15 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             if rsch and c not in rcols:
                 raise SqlError(
                     f"ON column {c!r} not in {q['join']['table']!r}")
-        if lsch is None or (rsch is None and q["join"]["how"] == "inner"):
+        # runtime-emptiness probes (limit(1) short-circuits): a side
+        # whose blocks all vanished leaves Ray's join with no schema at
+        # all ("No match for FieldRef"), so empty sides must resolve in
+        # the planner, not the join
+        r_empty = rsch is None or not right.limit(1).count()
+        if (lsch is None or not ds.limit(1).count()
+                or (r_empty and q["join"]["how"] == "inner")):
             ds = None  # provably empty join result
-        elif rsch is None:
+        elif r_empty:
             # LEFT JOIN against an empty right side: every left row
             # survives with NULL right columns — synthesize the
             # referenced ones (the empty right lost its schema)
@@ -377,33 +455,64 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             ds = shuffle_join(ds, right, on=lk, right_on=rk,
                               how=q["join"]["how"])
 
-    if q["where"] and ds is not None:
-        conds = list(q["where"])
+    _SUBQ = ("in_subq", "not_in_subq")
+    scalar_conds = [p for p in q["where"] if p[0] not in _SUBQ]
+    if scalar_conds and ds is not None:
+        ds = arrow_filter(ds, _compile_pred(scalar_conds))
+    for kind, col, sub in (p for p in q["where"] if p[0] in _SUBQ):
+        if ds is None:
+            break
+        if sub["table"] not in tables:
+            raise SqlError(f"unknown table {sub['table']!r}")
+        inner = tables[sub["table"]]
+        icol = sub["select"][0]["col"]
+        if sub["where"] and inner.schema() is not None:
+            inner = arrow_filter(inner, _compile_pred(sub["where"]))
+        if inner.schema() is None:
+            # provably empty subquery: IN () matches nothing; NOT IN ()
+            # is TRUE for every row (even NULL — no comparison happens)
+            if kind == "in_subq":
+                ds = None
+            continue
+        # the subquery side is dimension-sized by assumption; it is
+        # consumed up to twice (emptiness/NULL probe + join build), so
+        # materialize once. A side that filtered down to ZERO rows must
+        # short-circuit: Ray's empty-block coalescing leaves the join
+        # with no right-side schema at all.
+        inner = inner.select_columns([icol]).materialize()
+        if inner.count() == 0:
+            if kind == "in_subq":
+                ds = None
+            continue
+        if not ds.limit(1).count():
+            # scalar WHERE (or an earlier subquery) emptied the probe
+            # side — same no-schema join hazard as above
+            ds = None
+            continue
+        from recon_ray.functions.relational import shuffle_semi_join
 
-        def pred(t: pa.Table, conds=conds):
-            mask = None
-            for kind, col, payload in conds:
-                c = t.column(col)
-                if kind in _OPS:
-                    m = _OPS[kind](c, pa.scalar(payload))
-                elif kind == "between":
-                    m = pc.and_(pc.greater_equal(c, pa.scalar(payload[0])),
-                                pc.less_equal(c, pa.scalar(payload[1])))
-                elif kind == "in":
-                    m = pc.is_in(c, value_set=pa.array(payload))
-                elif kind == "not_in":
-                    # SQL: NOT IN is NULL-poisoned only by NULL list
-                    # items (we only parse literals), so plain negation
-                    m = pc.invert(pc.is_in(c, value_set=pa.array(payload)))
-                elif kind == "isnull":
-                    m = pc.is_null(c)
-                else:
-                    m = pc.is_valid(c)
-                m = pc.fill_null(m, False)
-                mask = m if mask is None else pc.and_(mask, m)
-            return mask
-
-        ds = arrow_filter(ds, pred)
+        if kind == "in_subq":
+            ds = shuffle_semi_join(ds, inner, on=col, right_on=icol)
+        else:
+            # SQL NOT IN semantics: a NULL anywhere in the subquery
+            # poisons the whole predicate (x <> NULL is UNKNOWN), and a
+            # NULL probe value never passes either
+            nulls = inner.map_batches(
+                lambda t, c=icol: pa.table(
+                    {"n": pa.array([t.column(c).null_count],
+                                   pa.int64())}),
+                batch_format="pyarrow",
+            ).sum("n")
+            if nulls:
+                ds = None
+                continue
+            ds = arrow_filter(
+                ds, lambda t, c=col: pc.is_valid(t.column(c)))
+            if not ds.limit(1).count():
+                ds = None
+                continue
+            ds = shuffle_semi_join(ds, inner, on=col, right_on=icol,
+                                   anti=True)
 
     has_agg = any(it["agg"] for it in q["select"])
     if not has_agg:

@@ -271,3 +271,60 @@ def test_window_parser_rejections(ray_session):
     with pytest.raises(SqlError):  # row_number takes no argument
         run_sql("SELECT row_number(v) OVER (PARTITION BY g ORDER BY v) "
                 "AS rn FROM t", tables)
+
+
+SUBQ_QS = [
+    "SELECT k, x FROM t1 WHERE k IN (SELECT fk FROM t2 WHERE y = 1)",
+    "SELECT k, x FROM t1 WHERE k NOT IN (SELECT fk FROM t2 WHERE y = 1)",
+    "SELECT k, x FROM t1 WHERE k NOT IN (SELECT fk FROM t2 WHERE y = 0 "
+    "AND fk IS NOT NULL)",
+    "SELECT count(*) AS n, sum(x) AS sx FROM t1 "
+    "WHERE x > 2 AND k IN (SELECT fk FROM t2)",
+    "SELECT k, count(*) AS n FROM t1 "
+    "WHERE k IN (SELECT fk FROM t2 WHERE y BETWEEN 0 AND 1) GROUP BY k",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 6)),
+                       st.integers(-5, 50)), min_size=0, max_size=12),
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 6)),
+                       st.integers(0, 1)), min_size=0, max_size=8),
+    st.sampled_from(SUBQ_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_in_subquery_matches_duckdb(lrows, rrows, sql, parts):
+    """IN / NOT IN (SELECT ...) vs DuckDB on identical strings — the
+    semi/anti-join compilation, NOT IN NULL poisoning (any NULL in the
+    subquery empties the result), NULL probe values, and empty
+    subquery sides."""
+    t1 = pd.DataFrame(
+        {"k": pd.Series([r[0] for r in lrows], dtype="Float64"),
+         "x": pd.Series([r[1] for r in lrows], dtype="int64")})
+    t2 = pd.DataFrame(
+        {"fk": pd.Series([r[0] for r in rrows], dtype="Float64"),
+         "y": pd.Series([r[1] for r in rrows], dtype="int64")})
+    got = run_sql(sql, {"t1": rd.from_pandas(t1).repartition(parts),
+                        "t2": rd.from_pandas(t2).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t2", t2)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("sx",))
+
+
+def test_subquery_parser_rejections(ray_session):
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    tables = {"t": rd.from_pandas(df), "u": rd.from_pandas(df)}
+    with pytest.raises(SqlError):  # multi-column subquery
+        run_sql("SELECT k FROM t WHERE k IN (SELECT k, v FROM u)", tables)
+    with pytest.raises(SqlError):  # aggregate subquery
+        run_sql("SELECT k FROM t WHERE k IN (SELECT max(k) FROM u)",
+                tables)
+    with pytest.raises(SqlError):  # LIMIT changes semantics
+        run_sql("SELECT k FROM t WHERE k IN (SELECT k FROM u LIMIT 1)",
+                tables)
+    with pytest.raises(SqlError):  # nested subquery
+        run_sql("SELECT k FROM t WHERE k IN (SELECT k FROM u WHERE "
+                "k IN (SELECT v FROM u))", tables)
