@@ -5277,6 +5277,68 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_incremental_agg(sf_dir: str):
+    """Incremental aggregate maintenance (state/aggstore.py): events
+    arrive as THREE deltas (event_id mod 3 — a stand-in for daily
+    partitions), each folded into versioned parquet state by one
+    combiner pass + one groups-sized merge shuffle; delta 0 is then
+    RE-APPLIED and must be a no-op (the idempotence contract sits under
+    the hash gate). The oracle recomputes the same rollup from scratch
+    over all events — maintained ≡ recomputed."""
+    import tempfile
+
+    from recon_ray.functions.relational import arrow_filter
+    from recon_ray.state.aggstore import AggStore
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (b["event_id"].to_numpy() % 3).astype("int64"),
+            "event_type": b["event_type"],
+            "user_bucket": (b["user_id"].to_numpy() % 10).astype("int64"),
+            "cents": _cents(b["value"]),
+        })
+
+    ev = (_t(sf_dir, "events")
+          .select_columns(["event_id", "event_type", "user_id", "value"])
+          .map_batches(prep, batch_format="pandas"))
+    store = AggStore(tempfile.mkdtemp(prefix="aggstore_"),
+                     keys=["event_type", "user_bucket"],
+                     value_cols=["cents"])
+
+    def delta(k: int):
+        return arrow_filter(
+            ev, lambda t, k=k: pc.equal(t.column("day"), pa.scalar(k)))
+
+    for k in (0, 1, 2):
+        store.apply_delta(delta(k), f"day{k}")
+    res = store.apply_delta(delta(0), "day0")  # idempotent re-run
+    assert res["skipped"], "re-applied delta must be a no-op"
+    out = store.resolved().to_pandas()
+    out = pd.DataFrame({
+        "event_type": out["event_type"],
+        "user_bucket": out["user_bucket"].astype("int64"),
+        "n_rows": out["n_rows"].astype("int64"),
+        "cents_sum": out["cents_sum"].astype("int64"),
+        "cents_min": out["cents_min"].astype("int64"),
+        "cents_max": out["cents_max"].astype("int64"),
+    })
+    return out.sort_values(["event_type", "user_bucket"]).reset_index(
+        drop=True)
+
+
+ORACLE_EVENTS_INCREMENTAL_AGG = """
+WITH c AS (
+  SELECT event_type, user_id % 10 AS user_bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, user_bucket, count(*)::BIGINT AS n_rows,
+       sum(cents)::BIGINT AS cents_sum, min(cents)::BIGINT AS cents_min,
+       max(cents)::BIGINT AS cents_max
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_user_gini(sf_dir: str):
     """Gini coefficient of per-user spend — the inequality metric every
     marketplace dashboard carries. Per-user cents totals come from one
@@ -7069,6 +7131,7 @@ QUERIES = {
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
+    "q_events_incremental_agg": q_events_incremental_agg,
     "q_events_user_twap": q_events_user_twap,
     "q_orders_apply_cdc": q_orders_apply_cdc,
     "q_orders_merge_upsert": q_orders_merge_upsert,
@@ -7478,6 +7541,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,
+        "q_events_incremental_agg": ORACLE_EVENTS_INCREMENTAL_AGG,
         "q_events_user_twap": ORACLE_EVENTS_USER_TWAP,
         "q_orders_merge_upsert": ORACLE_ORDERS_MERGE_UPSERT,
         "q_lineitem_price_tiles": ORACLE_LINEITEM_PRICE_TILES,
