@@ -5160,6 +5160,25 @@ SQL_FRONTEND_SUBQUERY = (
 )
 
 
+SQL_FRONTEND_SCALAR_SUBQ = (
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "WHERE o_totalprice < (SELECT max(o_totalprice) FROM orders "
+    "WHERE o_orderstatus = 'F') "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_scalar_subq(sf_dir: str):
+    """Scalar subquery under the gate (TPC-H Q17's below-threshold
+    shape): the single-aggregate subquery evaluates recursively (max is
+    accumulation-order exact even on floats) and folds into the
+    conjunctive WHERE; DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_SCALAR_SUBQ,
+                   {"orders": _t(sf_dir, "orders")})
+
+
 def q_sql_frontend_subquery(sf_dir: str):
     """IN (SELECT ...) under the gate: the subquery compiles to a
     hash semi-join (shuffle_semi_join — both sides stream, the inner
@@ -7128,6 +7147,7 @@ QUERIES = {
     "q_sql_frontend_join": q_sql_frontend_join,
     "q_sql_frontend_window": q_sql_frontend_window,
     "q_sql_frontend_subquery": q_sql_frontend_subquery,
+    "q_sql_frontend_scalar_subq": q_sql_frontend_scalar_subq,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7538,6 +7558,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_join": SQL_FRONTEND_JOIN,
         "q_sql_frontend_window": SQL_FRONTEND_WINDOW,
         "q_sql_frontend_subquery": SQL_FRONTEND_SUBQUERY,
+        "q_sql_frontend_scalar_subq": SQL_FRONTEND_SCALAR_SUBQ,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -136,7 +136,12 @@ def _parse_conj(text: str) -> list:
         cm = _CMP_RE.match(clause)
         if not cm:
             raise SqlError(f"unsupported predicate: {clause!r}")
-        preds.append((cm.group(2), cm.group(1), _literal(cm.group(3))))
+        rhs = cm.group(3).strip()
+        if re.match(r"^\(\s*select\b", rhs, re.I) and rhs.endswith(")"):
+            preds.append(("cmp_subq", cm.group(1),
+                          (cm.group(2), rhs[1:-1].strip())))
+        else:
+            preds.append((cm.group(2), cm.group(1), _literal(rhs)))
     return preds
 
 
@@ -303,6 +308,18 @@ def parse_sql(sql: str) -> dict:
     if m.group("where"):
         preds = []
         for kind, col, payload in _parse_conj(m.group("where")):
+            if kind == "cmp_subq":
+                op, subtext = payload
+                sub = parse_sql(subtext)
+                if (len(sub["select"]) != 1
+                        or not sub["select"][0]["agg"]
+                        or sub["group_by"] or sub["order_by"]
+                        or sub["limit"] is not None):
+                    raise SqlError(
+                        "scalar subqueries must be a single global "
+                        "aggregate (guaranteed one row)")
+                preds.append((kind, _unqual(col, aliases), (op, subtext)))
+                continue
             if kind in ("in_subq", "not_in_subq"):
                 sub = parse_sql(payload)
                 if (len(sub["select"]) != 1 or sub["select"][0]["agg"]
@@ -456,7 +473,21 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                               how=q["join"]["how"])
 
     _SUBQ = ("in_subq", "not_in_subq")
-    scalar_conds = [p for p in q["where"] if p[0] not in _SUBQ]
+    scalar_conds = [p for p in q["where"]
+                    if p[0] not in _SUBQ and p[0] != "cmp_subq"]
+    for _k, col, (op, subtext) in (p for p in q["where"]
+                                   if p[0] == "cmp_subq"):
+        # scalar subquery: a single global aggregate (validated in the
+        # parser) — evaluate it recursively, then fold the value into
+        # the conjunctive predicate; a NULL scalar (e.g. sum over zero
+        # rows) makes the comparison UNKNOWN for every row
+        val_df = run_sql(subtext, tables)
+        val = val_df.iloc[0, 0]
+        if pd.isna(val):
+            ds = None
+            break
+        scalar_conds.append(
+            (op, col, val.item() if hasattr(val, "item") else val))
     if scalar_conds and ds is not None:
         ds = arrow_filter(ds, _compile_pred(scalar_conds))
     for kind, col, sub in (p for p in q["where"] if p[0] in _SUBQ):

@@ -328,3 +328,38 @@ def test_subquery_parser_rejections(ray_session):
     with pytest.raises(SqlError):  # nested subquery
         run_sql("SELECT k FROM t WHERE k IN (SELECT k FROM u WHERE "
                 "k IN (SELECT v FROM u))", tables)
+
+
+SCALAR_QS = [
+    "SELECT k, x FROM t1 WHERE x >= (SELECT avg(x) FROM t1)",
+    "SELECT k FROM t1 WHERE x > (SELECT min(y) FROM t2 WHERE y > 20)",
+    "SELECT count(*) AS n FROM t1 WHERE x <= (SELECT max(y) FROM t2)",
+    "SELECT k FROM t1 WHERE x < (SELECT sum(y) FROM t2 WHERE y > 999)",
+    "SELECT k FROM t1 WHERE x <> (SELECT count(*) FROM t2)",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(-5, 60)),
+             min_size=0, max_size=10),
+    st.lists(st.integers(0, 120), min_size=0, max_size=8),
+    st.sampled_from(SCALAR_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_scalar_subquery_matches_duckdb(lrows, rvals, sql, parts):
+    """Scalar (SELECT <agg> ...) comparisons vs DuckDB on identical
+    strings — integer columns so every aggregate is accumulation-order
+    exact; NULL scalars (sum/min/max over zero rows) empty the result."""
+    t1 = pd.DataFrame(
+        {"k": pd.Series([r[0] for r in lrows], dtype="int64"),
+         "x": pd.Series([r[1] for r in lrows], dtype="int64")})
+    t2 = pd.DataFrame({"y": pd.Series(rvals, dtype="int64"),
+                       "fk": pd.Series(rvals, dtype="int64")})
+    got = run_sql(sql, {"t1": rd.from_pandas(t1).repartition(parts),
+                        "t2": rd.from_pandas(t2).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t2", t2)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want)
