@@ -420,6 +420,11 @@ def cmd_convert(args) -> int:
 def cmd_sql(args) -> int:
     """Run the mini-SQL subset (recon_ray/sql.py) on Ray Data operators:
     --table name=path (repeatable) registers parquet tables."""
+    if args.explain:
+        from recon_ray.sql import explain_sql
+
+        print(explain_sql(args.query))
+        return 0
     _ensure_ray()
     import ray.data as rd
 
@@ -680,6 +685,8 @@ def main(argv=None) -> int:
     psq.add_argument("query")
     psq.add_argument("--table", action="append",
                      help="name=path (repeatable)")
+    psq.add_argument("--explain", action="store_true",
+                     help="print the compiled physical plan, run nothing")
     psq.set_defaults(fn=cmd_sql)
 
     pvl = sub.add_parser("validate",

@@ -710,3 +710,94 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     if q["limit"] is not None:
         out = out.head(q["limit"])
     return out.reset_index(drop=True)
+
+
+def _fmt_pred(p) -> str:
+    kind, col, payload = p
+    if kind in _OPS:
+        return f"{col} {kind} {payload!r}"
+    if kind == "between":
+        return f"{col} BETWEEN {payload[0]!r} AND {payload[1]!r}"
+    if kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        return f"{col} {neg}IN ({len(payload)} literals)"
+    if kind == "isnull":
+        return f"{col} IS NULL"
+    if kind == "notnull":
+        return f"{col} IS NOT NULL"
+    if kind == "cmp_subq":
+        return f"{col} {payload[0]} (scalar subquery)"
+    if kind == "in_subq":
+        return f"{col} IN (subquery on {payload['table']})"
+    return f"{col} NOT IN (subquery on {payload['table']})"
+
+
+def explain_sql(sql: str) -> str:
+    """The compiled physical plan as text — which Ray Data operators the
+    query maps onto and where the shuffles are. Pure planning: parses
+    only, executes nothing."""
+    q = parse_sql(sql)
+    lines = [f"Scan {q['table']} [streaming read]"]
+    if q["join"]:
+        j = q["join"]
+        on = " AND ".join(f"{a} = {b}" for a, b in j["on"])
+        lines.append(
+            f"Join {j['table']} [{j['how']} hash shuffle_join on {on}; "
+            "both sides shuffle]")
+    scalars = [p for p in q["where"]
+               if p[0] not in ("in_subq", "not_in_subq", "cmp_subq")]
+    for p in (p for p in q["where"] if p[0] == "cmp_subq"):
+        lines.append(
+            f"ScalarSubquery [{_fmt_pred(p)}; evaluated once, folded "
+            "into Filter]")
+    if scalars or any(p[0] == "cmp_subq" for p in q["where"]):
+        shown = [_fmt_pred(p) for p in scalars] or ["<from subquery>"]
+        lines.append(
+            f"Filter [{' AND '.join(shown)}; zero-copy pyarrow kernels, "
+            "no shuffle]")
+    for p in (p for p in q["where"] if p[0] in ("in_subq", "not_in_subq")):
+        anti = "anti" if p[0] == "not_in_subq" else "semi"
+        lines.append(
+            f"SemiJoin [{_fmt_pred(p)}; hash {anti}-join, both sides "
+            "stream]")
+    win_items = [it for it in q["select"] if it.get("win")]
+    if win_items:
+        pairs = {}
+        for it in win_items:
+            w = it["win"]
+            pairs.setdefault((w["part"], w["order"]), []).append(
+                f"{w['kind']}->{it['alias']}")
+        for (part, order), ks in pairs.items():
+            lines.append(
+                f"Window [PARTITION BY {part} ORDER BY {order}: "
+                f"{', '.join(ks)}; ONE bucketed hash shuffle]")
+    aggs = [it for it in q["select"] if it["agg"]]
+    if aggs:
+        def fmt(a):
+            d = "DISTINCT " if a.get("distinct") else ""
+            return f"{a['agg']}({d}{a['col'] or '*'})->{a['alias']}"
+
+        by = ", ".join(q["group_by"]) or "<global>"
+        lines.append(
+            f"Aggregate [keys: {by}; {', '.join(fmt(a) for a in aggs)}; "
+            "per-batch combiner partials, groups-sized merge]")
+        for a in aggs:
+            if a["agg"] == "count" and a.get("distinct"):
+                lines.append(
+                    f"  DistinctCount [{a['col']}: bucketed exact "
+                    "distinct, one extra narrow shuffle]")
+    elif q["distinct"]:
+        lines.append("Distinct [bucketed exact distinct, one hash "
+                     "shuffle]")
+    if q["having"]:
+        lines.append(
+            "Having [" + " AND ".join(
+                f"{c} {op} {lit!r}" for c, op, lit in q["having"])
+            + "; on the groups-sized result]")
+    if q["order_by"]:
+        lines.append("Sort [" + ", ".join(
+            f"{c} {'ASC' if asc else 'DESC'}" for c, asc in q["order_by"])
+            + "; result-sized]")
+    if q["limit"] is not None:
+        lines.append(f"Limit [{q['limit']}]")
+    return "\n".join(lines)

@@ -363,3 +363,28 @@ def test_scalar_subquery_matches_duckdb(lrows, rvals, sql, parts):
     con.register("t2", t2)
     want = con.execute(sql).fetchdf()
     _cmp_sorted(got, want)
+
+
+def test_explain_sql_plan_shapes():
+    """EXPLAIN names every physical stage the query compiles to, in
+    pipeline order, without executing anything."""
+    from recon_ray.sql import explain_sql
+
+    plan = explain_sql(
+        "SELECT s, sum(y) AS sy, count(DISTINCT k) AS dk FROM t1 a "
+        "JOIN t2 b ON a.k = b.fk WHERE y > 3 AND k IN (SELECT fk FROM "
+        "t3) AND x >= (SELECT avg(x) FROM t1) GROUP BY s "
+        "HAVING sy > 10 ORDER BY sy DESC LIMIT 5")
+    order = ["Scan t1", "Join t2", "ScalarSubquery", "Filter",
+             "SemiJoin", "Aggregate", "DistinctCount", "Having",
+             "Sort", "Limit"]
+    pos = [plan.index(tok) for tok in order]
+    assert pos == sorted(pos), plan
+    assert "hash shuffle_join on k = fk" in plan
+    plan2 = explain_sql(
+        "SELECT g, row_number() OVER (PARTITION BY g ORDER BY o) AS rn "
+        "FROM t")
+    assert "Window [PARTITION BY g ORDER BY o" in plan2
+    assert "Aggregate" not in plan2
+    with pytest.raises(SqlError):
+        explain_sql("DELETE FROM t")
