@@ -200,6 +200,12 @@ def grouped_quantiles(ds, key: str, col: str, qs: list) -> pd.DataFrame:
     out = bucketed_group_apply(
         ds.select_columns([key, col]), key, bucket_fn
     ).to_pandas()
+    if out.empty:
+        # Ray's all-empty to_pandas drops columns entirely — rebuild
+        # the (key, q, value) shape (all groups were empty/all-NaN)
+        return pd.DataFrame({key: pd.Series(dtype=object),
+                             "q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
     return out.sort_values([key, "q"]).reset_index(drop=True)
 
 

@@ -5160,6 +5160,23 @@ SQL_FRONTEND_SUBQUERY = (
 )
 
 
+SQL_FRONTEND_QUANTILE = (
+    "SELECT event_type, quantile_disc(value, 0.5) AS med_value, "
+    "quantile_disc(value, 0.9) AS p90_value, count(*) AS n "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
+def q_sql_frontend_quantile(sf_dir: str):
+    """quantile_disc aggregates under the gate: compiled to the
+    grouped_quantiles element-semantics shuffle (order statistics are
+    exact — no arithmetic, so float columns hash-match too); DuckDB
+    runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_QUANTILE, {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_SCALAR_SUBQ = (
     "SELECT o_orderpriority, count(*) AS n FROM orders "
     "WHERE o_totalprice < (SELECT max(o_totalprice) FROM orders "
@@ -7148,6 +7165,7 @@ QUERIES = {
     "q_sql_frontend_window": q_sql_frontend_window,
     "q_sql_frontend_subquery": q_sql_frontend_subquery,
     "q_sql_frontend_scalar_subq": q_sql_frontend_scalar_subq,
+    "q_sql_frontend_quantile": q_sql_frontend_quantile,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7559,6 +7577,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_window": SQL_FRONTEND_WINDOW,
         "q_sql_frontend_subquery": SQL_FRONTEND_SUBQUERY,
         "q_sql_frontend_scalar_subq": SQL_FRONTEND_SCALAR_SUBQ,
+        "q_sql_frontend_quantile": SQL_FRONTEND_QUANTILE,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -47,6 +47,9 @@ _QCOL = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
 _AGG_RE = re.compile(
     r"^(sum|count|avg|min|max)\s*\(\s*(distinct\s+)?(\*|" + _QCOL
     + r")\s*\)$", re.I)
+_QAGG_RE = re.compile(
+    r"^quantile_disc\s*\(\s*(" + _QCOL
+    + r")\s*,\s*(1|1\.0|0|0?\.\d+)\s*\)$", re.I)
 _ITEM_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
 _CMP_RE = re.compile(
@@ -259,7 +262,15 @@ def parse_sql(sql: str) -> dict:
         expr = im.group("expr").strip()
         alias = im.group("alias")
         wm = _WIN_RE.match(expr)
-        am = None if wm else _AGG_RE.match(expr)
+        qm = None if wm else _QAGG_RE.match(expr)
+        am = None if (wm or qm) else _AGG_RE.match(expr)
+        if qm:
+            col = _unqual(qm.group(1), aliases)
+            q["select"].append(
+                {"agg": "quantile_disc", "col": col, "distinct": False,
+                 "qv": float(qm.group(2)),
+                 "alias": alias or f"qd_{col}"})
+            continue
         if wm:
             fn = wm.group("fn").lower()
             arg = wm.group("arg").strip()
@@ -391,7 +402,13 @@ def _compile_pred(conds):
         mask = None
         for kind, col, payload in conds:
             c = t.column(col)
-            if kind in _OPS:
+            if pa.types.is_null(c.type) and kind not in (
+                    "isnull", "notnull"):
+                # an all-NULL column decays to Arrow's null type, which
+                # the comparison kernels reject; every row is NULL, so
+                # every comparison is UNKNOWN → false
+                m = pc.is_valid(c)
+            elif kind in _OPS:
                 m = _OPS[kind](c, pa.scalar(payload))
             elif kind == "between":
                 m = pc.and_(pc.greater_equal(c, pa.scalar(payload[0])),
@@ -580,7 +597,8 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
         aggs = [it for it in q["select"] if it["agg"]]
         need = sorted({
             a["col"] for a in aggs
-            if a["col"] and not (a["agg"] == "count" and a.get("distinct"))
+            if a["col"] and a["agg"] != "quantile_disc"
+            and not (a["agg"] == "count" and a.get("distinct"))
         })
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -665,11 +683,50 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                     dcounts[it["alias"]] = dc
                 else:
                     dcounts[it["alias"]] = int(len(dp))
+        # quantile_disc(col, q): exact order statistics aren't
+        # combiner-mergeable — one grouped_quantiles shuffle per column
+        qframes = {}
+        _q_empty = None
+        for it in q["select"]:
+            if it["agg"] != "quantile_disc":
+                continue
+            if keys and len(keys) != 1:
+                raise SqlError(
+                    "quantile_disc needs exactly one GROUP BY key here")
+            if _q_empty is None:
+                # runtime emptiness probe, once: the quantile operators
+                # (like Ray itself) lose all columns on empty datasets
+                _q_empty = ds is None or not ds.limit(1).count()
+            if _q_empty:
+                qframes[it["alias"]] = None
+            elif keys:
+                from recon_ray.functions.sketches import grouped_quantiles
+
+                qd = grouped_quantiles(ds, keys[0], it["col"],
+                                       [it["qv"]])
+                qframes[it["alias"]] = qd.rename(
+                    columns={"value": "__qv"})[[keys[0], "__qv"]]
+            else:
+                from recon_ray.functions.sketches import exact_quantiles
+
+                vs = exact_quantiles(ds, it["col"], [it["qv"]])
+                qframes[it["alias"]] = vs[0] if vs else np.nan
         cols = {}
         for it in q["select"]:
             a = it["alias"]
             if it["agg"] is None:
                 cols[a] = merged[it["col"]]
+            elif it["agg"] == "quantile_disc":
+                qf = qframes[a]
+                if keys:
+                    if qf is None:
+                        cols[a] = np.full(len(merged), np.nan)
+                    else:
+                        j = merged[keys].merge(qf, on=keys, how="left")
+                        cols[a] = j["__qv"].to_numpy()
+                else:
+                    cols[a] = pd.Series(
+                        [np.nan if qf is None else qf], dtype="float64")
             elif it["agg"] == "count" and it.get("distinct"):
                 if keys:
                     j = merged[keys].merge(dcounts[a], on=keys,

@@ -388,3 +388,33 @@ def test_explain_sql_plan_shapes():
     assert "Aggregate" not in plan2
     with pytest.raises(SqlError):
         explain_sql("DELETE FROM t")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                       st.one_of(st.none(), st.integers(-20, 80))),
+             min_size=0, max_size=25),
+    st.sampled_from([
+        "SELECT g, quantile_disc(v, 0.5) AS med, count(*) AS n FROM t "
+        "GROUP BY g",
+        "SELECT quantile_disc(v, 0.9) AS p90 FROM t",
+        "SELECT g, quantile_disc(v, 0.25) AS q1, "
+        "quantile_disc(v, 0.75) AS q3 FROM t WHERE v > 0 GROUP BY g",
+        "SELECT quantile_disc(v, 1.0) AS top FROM t WHERE v < 0",
+    ]),
+    st.integers(min_value=1, max_value=3),
+)
+def test_quantile_disc_matches_duckdb(rows, sql, parts):
+    """quantile_disc in the front-end (compiled to grouped_quantiles /
+    exact_quantiles element semantics) vs DuckDB on identical strings —
+    NULL values skipped, empty/all-NULL groups yield NULL. (NULL group
+    keys are out of the documented quantile scope.)"""
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype=object),
+         "v": pd.Series([r[1] for r in rows], dtype="Float64")})
+    got = run_sql(sql, {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want)
