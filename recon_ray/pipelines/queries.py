@@ -5160,6 +5160,28 @@ SQL_FRONTEND_SUBQUERY = (
 )
 
 
+SQL_FRONTEND_CHAIN = (
+    "SELECT n_name, o_orderpriority, count(*) AS n, "
+    "min(o_totalprice) AS p_min "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation nt ON c.c_nationkey = nt.n_nationkey "
+    "WHERE o_orderstatus = 'F' "
+    "GROUP BY n_name, o_orderpriority ORDER BY n_name, o_orderpriority"
+)
+
+
+def q_sql_frontend_chain(sf_dir: str):
+    """Three-table left-deep join chain under the gate (TPC-H Q5's
+    fact→dim→dim shape): two shuffle_joins in sequence, post-chain
+    WHERE, grouped aggregates; DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_CHAIN,
+                   {"orders": _t(sf_dir, "orders"),
+                    "customer": _t(sf_dir, "customer"),
+                    "nation": _t(sf_dir, "nation")})
+
+
 SQL_FRONTEND_QUANTILE = (
     "SELECT event_type, quantile_disc(value, 0.5) AS med_value, "
     "quantile_disc(value, 0.9) AS p90_value, count(*) AS n "
@@ -7166,6 +7188,7 @@ QUERIES = {
     "q_sql_frontend_subquery": q_sql_frontend_subquery,
     "q_sql_frontend_scalar_subq": q_sql_frontend_scalar_subq,
     "q_sql_frontend_quantile": q_sql_frontend_quantile,
+    "q_sql_frontend_chain": q_sql_frontend_chain,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7578,6 +7601,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_subquery": SQL_FRONTEND_SUBQUERY,
         "q_sql_frontend_scalar_subq": SQL_FRONTEND_SCALAR_SUBQ,
         "q_sql_frontend_quantile": SQL_FRONTEND_QUANTILE,
+        "q_sql_frontend_chain": SQL_FRONTEND_CHAIN,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -2,10 +2,11 @@
 `run_sql("SELECT ... FROM t WHERE ... GROUP BY ...", {"t": ds})`.
 
 Scope (deliberately small, enforced by the parser — anything else raises
-rather than mis-executing): one table or one two-table equi-JOIN
-(INNER / LEFT [OUTER], ``ON a.x = b.y [AND ...]`` with table aliases;
-the two schemas must be column-disjoint so every reference stays
-unambiguous — colliding names raise instead of silently suffixing),
+rather than mis-executing): one table or a left-deep chain of
+equi-JOINs (INNER / LEFT [OUTER], ``ON a.x = b.y [AND ...]`` with
+table aliases, each ON linking the new table to any earlier one; all
+schemas must be column-disjoint so every reference stays unambiguous —
+colliding names raise instead of silently suffixing),
 SELECT [DISTINCT], a conjunctive WHERE (comparisons, [NOT] IN lists,
 BETWEEN, IS [NOT] NULL; applied AFTER the join, per SQL semantics),
 GROUP BY with SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG /
@@ -18,9 +19,11 @@ partition/order pair; exact versus other engines when the ORDER BY key
 is unique within each partition — running frames use ROWS semantics,
 which coincide with SQL's default RANGE frame exactly then; windows
 don't mix with GROUP BY/DISTINCT, per SQL's own evaluation order they
-run after WHERE). That covers the reporting-query shape;
-multi-join chains/subqueries stay with the operator API, which has the
-richer (skew-aware, broadcast, as-of…) join family anyway.
+run after WHERE), [NOT] IN (SELECT …) and scalar-aggregate subqueries,
+and exact quantile_disc aggregates. That covers the reporting-query
+shape; everything fancier (skew-aware, broadcast, as-of joins,
+correlated subqueries) stays with the operator API, which has the
+richer family anyway.
 
 Compilation: WHERE → `arrow_filter` (zero-copy pyarrow kernels);
 GROUP BY → a per-batch pandas combiner emitting partial (sum, count,
@@ -204,16 +207,73 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [x for x in out if x]
 
 
+def _ident_alias(seg: str, what: str) -> tuple[str, str]:
+    toks = seg.strip().split(" ")
+    if not (1 <= len(toks) <= 2) or not all(
+            re.match(r"^[A-Za-z_]\w*$", t) for t in toks):
+        raise SqlError(f"bad {what}: {seg!r}")
+    table = toks[0]
+    alias = (toks[1] if len(toks) == 2 else toks[0]).lower()
+    if alias in _RESERVED or table.lower() in _RESERVED:
+        raise SqlError(f"reserved word in {what}: {seg!r}")
+    return table, alias
+
+
+def _parse_from(text: str) -> tuple[str, set, list]:
+    """FROM clause: ``t1 [a1] (JOIN tk [ak] ON qual.c = qual.c
+    [AND ...])*`` — a left-deep equi-join chain. Each ON equality links
+    the NEW table to any previously introduced alias. Returns
+    (base_table, alias set, join list)."""
+    parts = re.split(
+        r"\s+(inner join|left outer join|left join|join)\s+", text,
+        flags=re.I)
+    table, alias1 = _ident_alias(parts[0], "FROM table")
+    aliases = {alias1}
+    joins = []
+    for kw, seg in zip(parts[1::2], parts[2::2]):
+        jm = re.match(
+            r"^([A-Za-z_]\w*)(?: (?!on\b)([A-Za-z_]\w*))? on (.+)$",
+            seg.strip(), re.I | re.S)
+        if not jm:
+            raise SqlError(f"unsupported join segment: {seg!r}")
+        t2 = jm.group(1)
+        _t2, a2 = _ident_alias(
+            t2 + ((" " + jm.group(2)) if jm.group(2) else ""),
+            "JOIN table")
+        if a2 in aliases:
+            raise SqlError(f"duplicate join alias {a2!r}")
+        on_pairs = []
+        for clause in _split_and(jm.group(3)):
+            em = _ON_EQ_RE.match(clause.strip())
+            if not em:
+                raise SqlError(
+                    f"unsupported ON clause (need alias.col = "
+                    f"alias.col): {clause!r}")
+            qa, ca, qb, cb = em.groups()
+            qa, qb = qa.lower(), qb.lower()
+            if qa == a2 and qb in aliases:
+                on_pairs.append((cb, ca))
+            elif qb == a2 and qa in aliases:
+                on_pairs.append((ca, cb))
+            else:
+                raise SqlError(
+                    f"ON must link the new table to an earlier one, "
+                    f"got {clause!r}")
+        aliases.add(a2)
+        joins.append({
+            "table": t2,
+            "how": ("left_outer" if kw.lower().startswith("left")
+                    else "inner"),
+            "on": on_pairs,
+        })
+    return table, aliases, joins
+
+
 def parse_sql(sql: str) -> dict:
     """The accepted grammar, or SqlError."""
     s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
-    kw = r"(?!(?:where|inner|left|join|group|having|order|limit|on)\b)"
     m = re.match(
-        r"^select (?P<dist>distinct )?(?P<sel>.+?) from (?P<tab>[A-Za-z_]\w*)"
-        r"(?: " + kw + r"(?P<ta>[A-Za-z_]\w*))?"
-        r"(?: (?P<jhow>inner join|left outer join|left join|join)"
-        r" (?P<tab2>[A-Za-z_]\w*)(?: (?!on\b)(?P<ta2>[A-Za-z_]\w*))?"
-        r" on (?P<onc>.+?))?"
+        r"^select (?P<dist>distinct )?(?P<sel>.+?) from (?P<frm>.+?)"
         r"(?: where (?P<where>.+?))?"
         r"(?: group by (?P<grp>.+?))?"
         r"(?: having (?P<hav>.+?))?"
@@ -223,40 +283,10 @@ def parse_sql(sql: str) -> dict:
     )
     if not m:
         raise SqlError(f"unsupported SQL shape: {sql!r}")
-    q = {"table": m.group("tab"), "select": [], "where": [],
+    table, aliases, joins = _parse_from(m.group("frm"))
+    q = {"table": table, "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
-         "distinct": bool(m.group("dist")), "join": None}
-    alias1 = (m.group("ta") or m.group("tab")).lower()
-    aliases = {alias1}
-    if alias1 in _RESERVED:
-        raise SqlError(f"reserved word used as alias: {alias1!r}")
-    if m.group("jhow"):
-        alias2 = (m.group("ta2") or m.group("tab2")).lower()
-        if alias2 in _RESERVED:
-            raise SqlError(f"reserved word used as alias: {alias2!r}")
-        if alias2 == alias1:
-            raise SqlError("both join sides use the same alias")
-        aliases.add(alias2)
-        on_pairs = []
-        for clause in re.split(r"\s+and\s+", m.group("onc"), flags=re.I):
-            em = _ON_EQ_RE.match(clause.strip())
-            if not em:
-                raise SqlError(
-                    f"unsupported ON clause (need alias.col = alias.col): "
-                    f"{clause!r}")
-            qa, ca, qb, cb = em.groups()
-            qa, qb = qa.lower(), qb.lower()
-            if {qa, qb} != {alias1, alias2}:
-                raise SqlError(
-                    f"ON must equate the two joined tables, got {clause!r}")
-            on_pairs.append((ca, cb) if qa == alias1 else (cb, ca))
-        q["join"] = {
-            "table": m.group("tab2"),
-            "how": ("left_outer"
-                    if m.group("jhow").lower().startswith("left")
-                    else "inner"),
-            "on": on_pairs,
-        }
+         "distinct": bool(m.group("dist")), "joins": joins}
     for item in _split_top(m.group("sel")):
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
@@ -334,7 +364,7 @@ def parse_sql(sql: str) -> dict:
             if kind in ("in_subq", "not_in_subq"):
                 sub = parse_sql(payload)
                 if (len(sub["select"]) != 1 or sub["select"][0]["agg"]
-                        or sub["select"][0].get("win") or sub["join"]
+                        or sub["select"][0].get("win") or sub["joins"]
                         or sub["group_by"] or sub["order_by"]
                         or sub["limit"] is not None):
                     raise SqlError(
@@ -439,55 +469,90 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
 
-    if q["join"]:
+    # Ray loses the schema entirely on empty in-memory datasets
+    # (schema() → None); None MEANS provably zero rows. Left-deep join
+    # chain: acc_cols tracks every column name introduced so far.
+    _lsch = ds.schema()
+    acc_cols = set(_lsch.names) if _lsch else set()
+    # every column name the rest of the query will touch (needed to
+    # synthesize NULL columns for an empty schema-less join side):
+    # select + where + group by + window keys + every later ON key
+    _referenced = ({it["col"] for it in q["select"] if it["col"]}
+                   | {c for _, c, _ in q["where"] if isinstance(c, str)}
+                   | set(q["group_by"])
+                   | {w for it in q["select"] if it.get("win")
+                      for w in (it["win"]["part"], it["win"]["order"])}
+                   | {c for jj in q["joins"] for pair in jj["on"]
+                      for c in pair})
+    _null_synth = set()  # columns synthesized as all-NULL placeholders
+    for ji, j in enumerate(q["joins"]):
         from recon_ray.functions.relational import shuffle_join
 
-        if q["join"]["table"] not in tables:
-            raise SqlError(f"unknown table {q['join']['table']!r}")
-        right = tables[q["join"]["table"]]
-        # Ray loses the schema entirely on empty in-memory datasets
-        # (schema() → None); None here MEANS provably zero rows.
-        lsch, rsch = ds.schema(), right.schema()
-        lcols = set(lsch.names) if lsch else set()
+        if j["table"] not in tables:
+            raise SqlError(f"unknown table {j['table']!r}")
+        right = tables[j["table"]]
+        rsch = right.schema()
         rcols = set(rsch.names) if rsch else set()
-        overlap = sorted(lcols & rcols)
+        overlap = sorted(acc_cols & rcols)
         if overlap:
             raise SqlError(
                 f"joined tables share column names {overlap}; the "
                 "mini-SQL join requires disjoint schemas (rename "
                 "upstream)")
-        lk = [p[0] for p in q["join"]["on"]]
-        rk = [p[1] for p in q["join"]["on"]]
+        lk = [p[0] for p in j["on"]]
+        rk = [p[1] for p in j["on"]]
         for c in lk:
-            if lsch and c not in lcols:
-                raise SqlError(f"ON column {c!r} not in {q['table']!r}")
+            if acc_cols and c not in acc_cols:
+                raise SqlError(f"ON column {c!r} not on the left side")
         for c in rk:
             if rsch and c not in rcols:
                 raise SqlError(
-                    f"ON column {c!r} not in {q['join']['table']!r}")
+                    f"ON column {c!r} not in {j['table']!r}")
         # runtime-emptiness probes (limit(1) short-circuits): a side
         # whose blocks all vanished leaves Ray's join with no schema at
         # all ("No match for FieldRef"), so empty sides must resolve in
         # the planner, not the join
         r_empty = rsch is None or not right.limit(1).count()
-        if (lsch is None or not ds.limit(1).count()
-                or (r_empty and q["join"]["how"] == "inner")):
+        # a join keyed on an all-NULL synthesized column can never
+        # match (NULL = NULL is UNKNOWN) — and physically the NaN
+        # placeholder's double type wouldn't join an int key anyway
+        if any(c in _null_synth for c in lk):
+            r_empty = True
+            if j["how"] == "inner":
+                ds = None
+                break
+        if (ds is None or not ds.limit(1).count()
+                or (r_empty and j["how"] == "inner")):
             ds = None  # provably empty join result
-        elif r_empty:
+            break
+        if r_empty:
             # LEFT JOIN against an empty right side: every left row
-            # survives with NULL right columns — synthesize the
-            # referenced ones (the empty right lost its schema)
-            ref = ({it["col"] for it in q["select"] if it["col"]}
-                   | {c for _, c, _ in q["where"]}
-                   | set(q["group_by"]) | set(rk)) - lcols
+            # survives with NULL right columns. With a known schema,
+            # synthesize exactly the right table's columns; with the
+            # schema lost (empty in-memory side), fall back to the
+            # referenced columns that no other table can claim
+            if rsch:
+                ref = set(rcols)
+            else:
+                later_known = set()
+                for jj in q["joins"][ji + 1:]:
+                    t_l = tables.get(jj["table"])
+                    sch_l = t_l.schema() if t_l is not None else None
+                    if sch_l:
+                        later_known |= set(sch_l.names)
+                ref = ((_referenced | set(rk)) - acc_cols
+                       - later_known)
 
             def null_right(b: pd.DataFrame, ref=sorted(ref)) -> pd.DataFrame:
                 return b.assign(**{c: np.full(len(b), np.nan) for c in ref})
 
             ds = ds.map_batches(null_right, batch_format="pandas")
+            acc_cols |= set(ref)
+            _null_synth |= set(ref)
         else:
             ds = shuffle_join(ds, right, on=lk, right_on=rk,
-                              how=q["join"]["how"])
+                              how=j["how"])
+            acc_cols |= rcols
 
     _SUBQ = ("in_subq", "not_in_subq")
     scalar_conds = [p for p in q["where"]
@@ -795,8 +860,7 @@ def explain_sql(sql: str) -> str:
     only, executes nothing."""
     q = parse_sql(sql)
     lines = [f"Scan {q['table']} [streaming read]"]
-    if q["join"]:
-        j = q["join"]
+    for j in q["joins"]:
         on = " AND ".join(f"{a} = {b}" for a, b in j["on"])
         lines.append(
             f"Join {j['table']} [{j['how']} hash shuffle_join on {on}; "

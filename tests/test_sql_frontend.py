@@ -418,3 +418,52 @@ def test_quantile_disc_matches_duckdb(rows, sql, parts):
     con.register("t", df)
     want = con.execute(sql).fetchdf()
     _cmp_sorted(got, want)
+
+
+CHAIN_QS = [
+    "SELECT cname, sum(qty) AS sq, count(*) AS n FROM cust c "
+    "JOIN orders o ON c.ck = o.ock JOIN items i ON o.ok = i.iok "
+    "GROUP BY cname",
+    "SELECT cname, count(qty) AS cq FROM cust c LEFT JOIN orders o "
+    "ON c.ck = o.ock LEFT JOIN items i ON o.ok = i.iok GROUP BY cname",
+    "SELECT cname, status, qty FROM cust JOIN orders ON cust.ck = "
+    "orders.ock JOIN items ON orders.ok = items.iok WHERE qty > 2",
+    "SELECT count(*) AS n FROM cust c JOIN orders o ON c.ck = o.ock "
+    "LEFT JOIN items i ON o.ok = i.iok WHERE status = 'F'",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 4), min_size=0, max_size=5),
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 4),
+                       st.sampled_from(["F", "O"])),
+             min_size=0, max_size=8),
+    st.lists(st.tuples(st.integers(0, 12), st.integers(1, 9)),
+             min_size=0, max_size=10),
+    st.sampled_from(CHAIN_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_join_chain_matches_duckdb(cks, orows, irows, sql, parts):
+    """Three-table left-deep join chains vs DuckDB on identical strings
+    — mixed INNER/LEFT, chain emptiness at any link, post-chain WHERE."""
+    cust = pd.DataFrame({
+        "ck": pd.Series(sorted(set(cks)), dtype="int64"),
+        "cname": pd.Series([f"c{k}" for k in sorted(set(cks))],
+                           dtype=object)})
+    orders = pd.DataFrame({
+        "ok": pd.Series(range(len(orows)), dtype="int64"),
+        "ock": pd.Series([r[1] for r in orows], dtype="int64"),
+        "status": pd.Series([r[2] for r in orows], dtype=object)})
+    items = pd.DataFrame({
+        "iok": pd.Series([r[0] for r in irows], dtype="int64"),
+        "qty": pd.Series([r[1] for r in irows], dtype="int64")})
+    tables = {n: rd.from_pandas(df).repartition(parts)
+              for n, df in [("cust", cust), ("orders", orders),
+                            ("items", items)]}
+    got = run_sql(sql, tables)
+    con = duckdb.connect()
+    for n, df in [("cust", cust), ("orders", orders), ("items", items)]:
+        con.register(n, df)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("sq",))
