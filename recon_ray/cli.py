@@ -441,6 +441,27 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_aggstate(args) -> int:
+    """Incremental aggregate maintenance (state/aggstore.py):
+    ``aggstate apply`` folds a parquet delta into the versioned state;
+    ``aggstate show`` prints the maintained rollup."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from recon_ray.state.aggstore import AggStore
+
+    store = AggStore(args.store, args.keys.split(","),
+                     args.cols.split(","))
+    if args.action == "apply":
+        res = store.apply_delta(rd.read_parquet(args.delta),
+                                args.delta_id or args.delta)
+        print(json.dumps(res))
+    else:
+        out = store.resolved().to_pandas()
+        print(out.to_string(index=False))
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Run a JSON expectations file against a parquet table
     (functions/validate.py). Exit code 1 when any rule has violations
@@ -696,6 +717,17 @@ def main(argv=None) -> int:
     pvl.add_argument("--report-only", action="store_true",
                      help="exit 0 even with violations")
     pvl.set_defaults(fn=cmd_validate)
+
+    pag = sub.add_parser("aggstate",
+                         help="incremental aggregate state (apply/show)")
+    pag.add_argument("action", choices=["apply", "show"])
+    pag.add_argument("store", help="state directory")
+    pag.add_argument("--keys", required=True, help="comma-sep key cols")
+    pag.add_argument("--cols", required=True,
+                     help="comma-sep value cols (sum/count/min/max/mean)")
+    pag.add_argument("--delta", help="parquet delta (for apply)")
+    pag.add_argument("--delta-id", help="idempotence id (default: path)")
+    pag.set_defaults(fn=cmd_aggstate)
 
     ply = sub.add_parser("layout", help="zone-mapped layout management")
     ply.add_argument("verb", choices=["optimize", "scan", "versions",

@@ -95,3 +95,29 @@ def test_vacuum(tmp_path, ray_session):
     assert not os.path.exists(store._snap_dir(1))
     assert os.path.exists(store._snap_dir(3))
     assert len(store.resolved().to_pandas()) > 0
+
+
+def test_cli_aggstate(tmp_path, ray_session):
+    import subprocess
+    import sys
+
+    d0 = str(tmp_path / "d0.parquet")
+    _mk(30, 9).to_parquet(d0)
+    store = str(tmp_path / "store")
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    for i in range(2):  # second apply = idempotent no-op
+        r = subprocess.run(
+            [sys.executable, "-m", "recon_ray", "aggstate", "apply",
+             store, "--keys", "g,h", "--cols", "v", "--delta", d0],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert f'"skipped": {"true" if i else "false"}' in r.stdout, \
+            r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "aggstate", "show", store,
+         "--keys", "g,h", "--cols", "v"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "v_sum" in r.stdout and "n_rows" in r.stdout
