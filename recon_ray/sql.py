@@ -33,8 +33,9 @@ are the same with one group; a plain projection streams through
 `select_columns` + `limit`. Nothing row-wise runs in Python.
 
 Every construct is differentially fuzzed against DuckDB executing the
-IDENTICAL string (tests/test_sql_frontend.py), and two oracled queries
-route through it end to end.
+IDENTICAL string (tests/test_sql_frontend.py), and ten oracled queries
+(q_sql_frontend_*) route through it end to end under the driver's
+hash gate.
 """
 
 from __future__ import annotations
