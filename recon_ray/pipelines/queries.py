@@ -5160,6 +5160,23 @@ SQL_FRONTEND_SUBQUERY = (
 )
 
 
+SQL_FRONTEND_TIME = (
+    "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nu "
+    "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def q_sql_frontend_time(sf_dir: str):
+    """Temporal literals under the gate: string date bounds cast to the
+    timestamp column's type exactly as SQL does (midnight boundaries),
+    so the window membership, grouped counts and exact distinct users
+    all sit under the hash; DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TIME, {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_CHAIN = (
     "SELECT n_name, o_orderpriority, count(*) AS n, "
     "min(o_totalprice) AS p_min "
@@ -7189,6 +7206,7 @@ QUERIES = {
     "q_sql_frontend_scalar_subq": q_sql_frontend_scalar_subq,
     "q_sql_frontend_quantile": q_sql_frontend_quantile,
     "q_sql_frontend_chain": q_sql_frontend_chain,
+    "q_sql_frontend_time": q_sql_frontend_time,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7602,6 +7620,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_scalar_subq": SQL_FRONTEND_SCALAR_SUBQ,
         "q_sql_frontend_quantile": SQL_FRONTEND_QUANTILE,
         "q_sql_frontend_chain": SQL_FRONTEND_CHAIN,
+        "q_sql_frontend_time": SQL_FRONTEND_TIME,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

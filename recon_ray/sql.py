@@ -429,6 +429,14 @@ def parse_sql(sql: str) -> dict:
 
 def _compile_pred(conds):
     """Conjunctive scalar predicates → one zero-copy pyarrow mask fn."""
+    def _scal(c, v):
+        # SQL compares temporal columns with string literals by casting
+        # the literal ('2024-01-05' → timestamp); mirror that, else the
+        # Arrow kernel rejects the type pair
+        if isinstance(v, str) and pa.types.is_temporal(c.type):
+            return pc.cast(pa.scalar(v), c.type)
+        return pa.scalar(v)
+
     def pred(t: pa.Table, conds=list(conds)):
         mask = None
         for kind, col, payload in conds:
@@ -440,10 +448,11 @@ def _compile_pred(conds):
                 # every comparison is UNKNOWN → false
                 m = pc.is_valid(c)
             elif kind in _OPS:
-                m = _OPS[kind](c, pa.scalar(payload))
+                m = _OPS[kind](c, _scal(c, payload))
             elif kind == "between":
-                m = pc.and_(pc.greater_equal(c, pa.scalar(payload[0])),
-                            pc.less_equal(c, pa.scalar(payload[1])))
+                m = pc.and_(
+                    pc.greater_equal(c, _scal(c, payload[0])),
+                    pc.less_equal(c, _scal(c, payload[1])))
             elif kind == "in":
                 m = pc.is_in(c, value_set=pa.array(payload))
             elif kind == "not_in":

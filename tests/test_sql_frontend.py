@@ -467,3 +467,30 @@ def test_join_chain_matches_duckdb(cks, orows, irows, sql, parts):
         con.register(n, df)
     want = con.execute(sql).fetchdf()
     _cmp_sorted(got, want, float_cols=("sq",))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 29 * 24 * 3600), min_size=0, max_size=20),
+    st.sampled_from([
+        "SELECT count(*) AS n FROM t WHERE ts >= '2024-01-05'",
+        "SELECT count(*) AS n FROM t WHERE ts < '2024-01-12' AND "
+        "ts >= '2024-01-03'",
+        "SELECT count(*) AS n FROM t "
+        "WHERE ts BETWEEN '2024-01-02' AND '2024-01-20'",
+        "SELECT count(*) AS n FROM t WHERE ts = '2024-01-01'",
+    ]),
+    st.integers(min_value=1, max_value=3),
+)
+def test_temporal_literals_match_duckdb(offsets, sql, parts):
+    """String date literals against a timestamp column — cast to the
+    column type at the same midnight boundaries SQL uses."""
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({"ts": [base + pd.Timedelta(seconds=s)
+                              for s in offsets]})
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    got = run_sql(sql, {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf()
+    assert got.values.tolist() == want.values.tolist(), (offsets, sql)
