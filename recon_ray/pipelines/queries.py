@@ -5160,6 +5160,27 @@ SQL_FRONTEND_SUBQUERY = (
 )
 
 
+SQL_FRONTEND_UNION = (
+    "SELECT event_type AS label, count(*) AS n FROM events "
+    "GROUP BY event_type "
+    "UNION ALL "
+    "SELECT o_orderstatus AS label, count(*) AS n FROM orders "
+    "GROUP BY o_orderstatus ORDER BY label, n"
+)
+
+
+def q_sql_frontend_union(sf_dir: str):
+    """UNION ALL under the gate: two grouped aggregates over different
+    tables concatenate with the trailing ORDER BY binding the union
+    (exactly SQL's attachment rule); DuckDB runs the identical
+    string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_UNION,
+                   {"events": _t(sf_dir, "events"),
+                    "orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_TIME = (
     "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nu "
     "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
@@ -7207,6 +7228,7 @@ QUERIES = {
     "q_sql_frontend_quantile": q_sql_frontend_quantile,
     "q_sql_frontend_chain": q_sql_frontend_chain,
     "q_sql_frontend_time": q_sql_frontend_time,
+    "q_sql_frontend_union": q_sql_frontend_union,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7621,6 +7643,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_quantile": SQL_FRONTEND_QUANTILE,
         "q_sql_frontend_chain": SQL_FRONTEND_CHAIN,
         "q_sql_frontend_time": SQL_FRONTEND_TIME,
+        "q_sql_frontend_union": SQL_FRONTEND_UNION,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

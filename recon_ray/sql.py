@@ -470,9 +470,91 @@ def _compile_pred(conds):
     return pred
 
 
+def _split_union(text: str) -> tuple[list[str], bool]:
+    """Split on top-level UNION [ALL]; returns (sides, all_flag). Mixed
+    UNION and UNION ALL in one statement is out of scope."""
+    out, depth, in_q, start, i, n = [], 0, False, 0, 0, len(text)
+    kinds = set()
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch == " ":
+                rest = text[i + 1:i + 11].lower()
+                if rest.startswith("union all "):
+                    out.append(text[start:i])
+                    kinds.add("all")
+                    i += 10
+                    start = i + 1
+                elif rest.startswith("union "):
+                    out.append(text[start:i])
+                    kinds.add("distinct")
+                    i += 6
+                    start = i + 1
+        i += 1
+    out.append(text[start:])
+    if len(kinds) > 1:
+        raise SqlError("mixed UNION and UNION ALL are out of scope")
+    return [s.strip() for s in out], kinds == {"all"}
+
+
+def _strip_tail(text: str) -> tuple[str, list, int | None]:
+    """Pull a trailing ORDER BY / LIMIT off a query string (they belong
+    to the whole UNION, exactly as SQL attaches them)."""
+    limit = None
+    lm = re.search(r"\s+limit\s+(\d+)\s*$", text, re.I)
+    if lm:
+        limit = int(lm.group(1))
+        text = text[:lm.start()]
+    order = []
+    om = re.search(r"\s+order\s+by\s+([^()]+?)\s*$", text, re.I)
+    if om:
+        for part in _split_top(om.group(1)):
+            toks = part.split()
+            if len(toks) > 2 or (len(toks) == 2
+                                 and toks[1].lower() not in ("asc",
+                                                             "desc")):
+                raise SqlError(f"bad union ORDER BY: {part!r}")
+            order.append((toks[0],
+                          len(toks) == 1 or toks[1].lower() == "asc"))
+        text = text[:om.start()]
+    return text, order, limit
+
+
 def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     """Execute the mini-SQL subset on Ray Data operators."""
     from recon_ray.functions.relational import arrow_filter
+
+    _sides, _all = _split_union(
+        re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip())
+    if len(_sides) > 1:
+        body, order, limit = _strip_tail(_sides[-1])
+        frames = [run_sql(s, tables) for s in _sides[:-1] + [body]]
+        cols0 = list(frames[0].columns)
+        for f in frames[1:]:
+            if list(f.columns) != cols0:
+                raise SqlError(
+                    f"UNION sides disagree on columns: {cols0} vs "
+                    f"{list(f.columns)}")
+        out = pd.concat(frames, ignore_index=True)
+        if not _all:
+            out = out.drop_duplicates()
+        for c, _asc in order:
+            if c not in cols0:
+                raise SqlError(
+                    f"ORDER BY {c!r} is not a union result column")
+        if order:
+            out = out.sort_values(
+                [c for c, _ in order],
+                ascending=[asc for _, asc in order], kind="mergesort")
+        if limit is not None:
+            out = out.head(limit)
+        return out.reset_index(drop=True)
 
     q = parse_sql(sql)
     if q["table"] not in tables:
@@ -868,6 +950,24 @@ def explain_sql(sql: str) -> str:
     """The compiled physical plan as text — which Ray Data operators the
     query maps onto and where the shuffles are. Pure planning: parses
     only, executes nothing."""
+    sides, all_ = _split_union(
+        re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip())
+    if len(sides) > 1:
+        body, order, limit = _strip_tail(sides[-1])
+        plans = [explain_sql(s) for s in sides[:-1] + [body]]
+        lines = []
+        for i, p in enumerate(plans):
+            lines.append(f"Side {i + 1}:")
+            lines.extend("  " + ln for ln in p.splitlines())
+        lines.append("UnionAll [concat, result-sized]" if all_
+                     else "Union [concat + distinct, result-sized]")
+        if order:
+            lines.append("Sort [" + ", ".join(
+                f"{c} {'ASC' if a else 'DESC'}" for c, a in order)
+                + "; result-sized]")
+        if limit is not None:
+            lines.append(f"Limit [{limit}]")
+        return "\n".join(lines)
     q = parse_sql(sql)
     lines = [f"Scan {q['table']} [streaming read]"]
     for j in q["joins"]:

@@ -494,3 +494,53 @@ def test_temporal_literals_match_duckdb(offsets, sql, parts):
     con.register("t", df)
     want = con.execute(sql).fetchdf()
     assert got.values.tolist() == want.values.tolist(), (offsets, sql)
+
+
+UNION_QS = [
+    "SELECT g, v FROM t1 UNION ALL SELECT h AS g, w AS v FROM t2",
+    "SELECT g, v FROM t1 UNION SELECT h AS g, w AS v FROM t2",
+    "SELECT g, count(*) AS n FROM t1 GROUP BY g UNION ALL "
+    "SELECT h AS g, count(*) AS n FROM t2 GROUP BY h",
+    "SELECT v FROM t1 WHERE v > 1 UNION ALL "
+    "SELECT w AS v FROM t2 WHERE w < 99",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", None]),
+                       st.integers(0, 6)), min_size=0, max_size=10),
+    st.lists(st.tuples(st.sampled_from(["b", "c", None]),
+                       st.integers(0, 6)), min_size=0, max_size=10),
+    st.sampled_from(UNION_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_union_matches_duckdb(lrows, rrows, sql, parts):
+    """UNION / UNION ALL vs DuckDB on identical strings — distinct
+    semantics treat NULLs as equal, trailing ORDER BY binds the union."""
+    t1 = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in lrows], dtype=object),
+         "v": pd.Series([r[1] for r in lrows], dtype="int64")})
+    t2 = pd.DataFrame(
+        {"h": pd.Series([r[0] for r in rrows], dtype=object),
+         "w": pd.Series([r[1] for r in rrows], dtype="int64")})
+    got = run_sql(sql, {"t1": rd.from_pandas(t1).repartition(parts),
+                        "t2": rd.from_pandas(t2).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t2", t2)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want)
+
+
+def test_union_rejections_and_explain(ray_session):
+    from recon_ray.sql import explain_sql
+
+    t1 = rd.from_pandas(pd.DataFrame({"g": ["a"]}))
+    t2 = rd.from_pandas(pd.DataFrame({"w": [1]}))
+    with pytest.raises(SqlError):  # mismatched column names
+        run_sql("SELECT g FROM t1 UNION ALL SELECT w FROM t2",
+                {"t1": t1, "t2": t2})
+    plan = explain_sql(
+        "SELECT g FROM t1 UNION ALL SELECT h AS g FROM t2 ORDER BY g")
+    assert "UnionAll" in plan and "Side 2:" in plan and "Sort" in plan
