@@ -5160,6 +5160,26 @@ SQL_FRONTEND_SUBQUERY = (
 )
 
 
+SQL_FRONTEND_FILTER = (
+    "SELECT o_orderpriority, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+    "count(*) FILTER (WHERE o_totalprice >= 1000) AS n_big, "
+    "min(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS p_min_o, "
+    "count(*) AS n "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_filter(sf_dir: str):
+    """agg(...) FILTER (WHERE ...) under the gate (TPC-H Q12's
+    conditional-count shape without CASE): each filtered aggregate gets
+    its own masked combiner partials in the same single pass; DuckDB
+    runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_FILTER, {"orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_UNION = (
     "SELECT event_type AS label, count(*) AS n FROM events "
     "GROUP BY event_type "
@@ -7229,6 +7249,7 @@ QUERIES = {
     "q_sql_frontend_chain": q_sql_frontend_chain,
     "q_sql_frontend_time": q_sql_frontend_time,
     "q_sql_frontend_union": q_sql_frontend_union,
+    "q_sql_frontend_filter": q_sql_frontend_filter,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7644,6 +7665,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_chain": SQL_FRONTEND_CHAIN,
         "q_sql_frontend_time": SQL_FRONTEND_TIME,
         "q_sql_frontend_union": SQL_FRONTEND_UNION,
+        "q_sql_frontend_filter": SQL_FRONTEND_FILTER,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -292,9 +292,25 @@ def parse_sql(sql: str) -> dict:
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
         alias = im.group("alias")
+        flt = None
+        fm = re.match(r"^(?P<agg>.+?)\s+filter\s*\(\s*where\s+"
+                      r"(?P<f>.+)\)$", expr, re.I)
+        if fm:
+            expr = fm.group("agg").strip()
+            flt = [(kind, _unqual(c, aliases), payload)
+                   for kind, c, payload in _parse_conj(fm.group("f"))]
+            for kind, _c, _p in flt:
+                if kind in ("in_subq", "not_in_subq", "cmp_subq"):
+                    raise SqlError(
+                        "FILTER predicates must be scalar (no "
+                        "subqueries)")
         wm = _WIN_RE.match(expr)
         qm = None if wm else _QAGG_RE.match(expr)
         am = None if (wm or qm) else _AGG_RE.match(expr)
+        if flt is not None and not am:
+            raise SqlError(
+                "FILTER (WHERE ...) is only supported on plain "
+                "sum/count/avg/min/max aggregates")
         if qm:
             col = _unqual(qm.group(1), aliases)
             q["select"].append(
@@ -336,9 +352,12 @@ def parse_sql(sql: str) -> dict:
                 raise SqlError("DISTINCT is only supported inside count()")
             if col != "*":
                 col = _unqual(col, aliases)
+            if flt is not None and dist:
+                raise SqlError(
+                    "FILTER on count(DISTINCT ...) is out of scope")
             q["select"].append(
                 {"agg": fn, "col": None if col == "*" else col,
-                 "distinct": dist,
+                 "distinct": dist, "filter": flt,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
         elif re.match(r"^" + _QCOL + r"$", expr):
             col = _unqual(expr, aliases)
@@ -524,6 +543,35 @@ def _strip_tail(text: str) -> tuple[str, list, int | None]:
                           len(toks) == 1 or toks[1].lower() == "asc"))
         text = text[:om.start()]
     return text, order, limit
+
+
+def _pd_mask(b: pd.DataFrame, conds) -> pd.Series:
+    """The scalar-predicate conjunction as a pandas boolean mask with
+    SQL NULL semantics (NULL comparisons are UNKNOWN → False) — used
+    for per-aggregate FILTER clauses inside the pandas combiner."""
+    import operator as _op
+
+    pyops = {"=": _op.eq, "<>": _op.ne, "!=": _op.ne, "<": _op.lt,
+             "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    m = pd.Series(True, index=b.index)
+    for kind, col, payload in conds:
+        c = b[col]
+        nn = c.notna()
+        mm = pd.Series(False, index=b.index)
+        if kind in pyops:
+            mm.loc[nn] = pyops[kind](c[nn], payload)
+        elif kind == "between":
+            mm.loc[nn] = (c[nn] >= payload[0]) & (c[nn] <= payload[1])
+        elif kind == "in":
+            mm.loc[nn] = c[nn].isin(payload)
+        elif kind == "not_in":
+            mm.loc[nn] = ~c[nn].isin(payload)
+        elif kind == "isnull":
+            mm = c.isna()
+        else:
+            mm = nn
+        m &= mm.fillna(False).astype(bool)
+    return m
 
 
 def run_sql(sql: str, tables: dict) -> pd.DataFrame:
@@ -756,7 +804,13 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             a["col"] for a in aggs
             if a["col"] and a["agg"] != "quantile_disc"
             and not (a["agg"] == "count" and a.get("distinct"))
+            and not a.get("filter")
         })
+        # FILTER'd aggregates get their own masked partials, keyed by
+        # select position (the unfiltered ones share per-column
+        # partials)
+        fspecs = [(i, it) for i, it in enumerate(q["select"])
+                  if it["agg"] and it.get("filter")]
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             g = b.groupby(keys, dropna=False) if keys else None
@@ -770,6 +824,20 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             star = g.size() if g is not None else pd.Series(
                 [len(b)], index=[0])
             parts["__n"] = star
+            for i, it in fspecs:
+                sub = b[_pd_mask(b, it["filter"])]
+                gs = sub.groupby(keys, dropna=False) if keys else None
+                c = it["col"]
+                if c is None:  # count(*) FILTER
+                    parts[f"__n_f{i}"] = (
+                        gs.size() if gs is not None
+                        else pd.Series([len(sub)], index=[0]))
+                else:
+                    src = gs[c] if gs is not None else sub[c]
+                    parts[f"__s_f{i}"] = src.sum()
+                    parts[f"__c_f{i}"] = src.count()
+                    parts[f"__mn_f{i}"] = src.min()
+                    parts[f"__mx_f{i}"] = src.max()
             out = pd.DataFrame(parts)
             return out.reset_index() if keys else out
 
@@ -786,6 +854,14 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 **{f"__mx_{c}": [np.nan] for c in need},
                 "__n": [0],
             }
+            for i, it in fspecs:
+                if it["col"] is None:
+                    base[f"__n_f{i}"] = [0]
+                else:
+                    base[f"__s_f{i}"] = [np.nan]
+                    base[f"__c_f{i}"] = [0]
+                    base[f"__mn_f{i}"] = [np.nan]
+                    base[f"__mx_f{i}"] = [np.nan]
             if keys:
                 merged = pd.DataFrame(
                     {**{k: [] for k in keys},
@@ -794,20 +870,44 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 merged = pd.DataFrame(base)
         elif keys:
             gb = parts.groupby(keys, dropna=False)
+            fcols = {}
+            for i, it in fspecs:
+                if it["col"] is None:
+                    fcols[f"__n_f{i}"] = (
+                        gb[f"__n_f{i}"].sum().fillna(0))
+                else:
+                    fcols[f"__s_f{i}"] = gb[f"__s_f{i}"].sum()
+                    fcols[f"__c_f{i}"] = (
+                        gb[f"__c_f{i}"].sum().fillna(0))
+                    fcols[f"__mn_f{i}"] = gb[f"__mn_f{i}"].min()
+                    fcols[f"__mx_f{i}"] = gb[f"__mx_f{i}"].max()
             merged = pd.DataFrame({
                 **{f"__s_{c}": gb[f"__s_{c}"].sum() for c in need},
                 **{f"__c_{c}": gb[f"__c_{c}"].sum() for c in need},
                 **{f"__mn_{c}": gb[f"__mn_{c}"].min() for c in need},
                 **{f"__mx_{c}": gb[f"__mx_{c}"].max() for c in need},
                 "__n": gb["__n"].sum(),
+                **fcols,
             }).reset_index()
         else:
+            fcols = {}
+            for i, it in fspecs:
+                if it["col"] is None:
+                    fcols[f"__n_f{i}"] = [
+                        int(parts[f"__n_f{i}"].fillna(0).sum())]
+                else:
+                    fcols[f"__s_f{i}"] = [parts[f"__s_f{i}"].sum()]
+                    fcols[f"__c_f{i}"] = [
+                        int(parts[f"__c_f{i}"].fillna(0).sum())]
+                    fcols[f"__mn_f{i}"] = [parts[f"__mn_f{i}"].min()]
+                    fcols[f"__mx_f{i}"] = [parts[f"__mx_f{i}"].max()]
             merged = pd.DataFrame({
                 **{f"__s_{c}": [parts[f"__s_{c}"].sum()] for c in need},
                 **{f"__c_{c}": [parts[f"__c_{c}"].sum()] for c in need},
                 **{f"__mn_{c}": [parts[f"__mn_{c}"].min()] for c in need},
                 **{f"__mx_{c}": [parts[f"__mx_{c}"].max()] for c in need},
                 "__n": [parts["__n"].sum()] if len(parts) else [0],
+                **fcols,
             })
         # count(DISTINCT c): exact, via the bucketed distinct on
         # (keys, c) — a separate narrow pass per distinct-agg column
@@ -869,10 +969,25 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 vs = exact_quantiles(ds, it["col"], [it["qv"]])
                 qframes[it["alias"]] = vs[0] if vs else np.nan
         cols = {}
-        for it in q["select"]:
+        for _i, it in enumerate(q["select"]):
             a = it["alias"]
             if it["agg"] is None:
                 cols[a] = merged[it["col"]]
+            elif it.get("filter"):
+                if it["col"] is None:
+                    cols[a] = merged[f"__n_f{_i}"].astype("int64")
+                elif it["agg"] == "count":
+                    cols[a] = merged[f"__c_f{_i}"].astype("int64")
+                elif it["agg"] == "sum":
+                    s = merged[f"__s_f{_i}"]
+                    cols[a] = s.where(merged[f"__c_f{_i}"] > 0)
+                elif it["agg"] == "avg":
+                    cols[a] = (merged[f"__s_f{_i}"]
+                               / merged[f"__c_f{_i}"].replace(0, np.nan))
+                elif it["agg"] == "min":
+                    cols[a] = merged[f"__mn_f{_i}"]
+                else:
+                    cols[a] = merged[f"__mx_f{_i}"]
             elif it["agg"] == "quantile_disc":
                 qf = qframes[a]
                 if keys:

@@ -544,3 +544,41 @@ def test_union_rejections_and_explain(ray_session):
     plan = explain_sql(
         "SELECT g FROM t1 UNION ALL SELECT h AS g FROM t2 ORDER BY g")
     assert "UnionAll" in plan and "Side 2:" in plan and "Sort" in plan
+
+
+FILTER_QS = [
+    "SELECT g, count(*) FILTER (WHERE s = 'x') AS nx, count(*) AS n "
+    "FROM t GROUP BY g",
+    "SELECT g, sum(v) FILTER (WHERE v > 10) AS hi, "
+    "avg(v) FILTER (WHERE s = 'y') AS ay, "
+    "min(v) FILTER (WHERE v >= 0) AS mn FROM t GROUP BY g",
+    "SELECT count(*) FILTER (WHERE v IS NULL) AS nn, "
+    "sum(v) FILTER (WHERE v BETWEEN 0 AND 5) AS sv FROM t",
+    "SELECT g, max(v) FILTER (WHERE s IN ('x')) AS mx FROM t "
+    "WHERE v > -5 GROUP BY g",
+    "SELECT count(v) FILTER (WHERE s <> 'x') AS cv FROM t",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", None]),
+                       st.one_of(st.none(), st.integers(-12, 60)),
+                       st.sampled_from(["x", "y"])),
+             min_size=0, max_size=20),
+    st.sampled_from(FILTER_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_filter_aggregates_match_duckdb(rows, sql, parts):
+    """agg(...) FILTER (WHERE ...) vs DuckDB on identical strings —
+    masked partials per aggregate, SQL NULL semantics inside the
+    filter, empty-mask groups resolve to NULL sums / zero counts."""
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype=object),
+         "v": pd.Series([r[1] for r in rows], dtype="Float64"),
+         "s": pd.Series([r[2] for r in rows], dtype=object)})
+    got = run_sql(sql, {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("hi", "ay", "sv"))
