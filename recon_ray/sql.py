@@ -1121,7 +1121,8 @@ def explain_sql(sql: str) -> str:
     if aggs:
         def fmt(a):
             d = "DISTINCT " if a.get("distinct") else ""
-            return f"{a['agg']}({d}{a['col'] or '*'})->{a['alias']}"
+            f = " FILTERED" if a.get("filter") else ""
+            return f"{a['agg']}({d}{a['col'] or '*'}){f}->{a['alias']}"
 
         by = ", ".join(q["group_by"]) or "<global>"
         lines.append(
