@@ -396,15 +396,42 @@ def parse_sql(sql: str) -> dict:
                 payload = sub
             preds.append((kind, _unqual(col, aliases), payload))
         q["where"] = preds
+    q["hidden"] = []
     if m.group("hav"):
         if not m.group("grp"):
             raise SqlError("HAVING requires GROUP BY here")
-        for clause in re.split(r"\s+and\s+", m.group("hav"), flags=re.I):
-            cm = _CMP_RE.match(clause.strip())
-            if not cm:
+        for clause in _split_and(m.group("hav")):
+            hm = re.match(r"^(.+?)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$",
+                          clause.strip())
+            if not hm:
                 raise SqlError(f"unsupported HAVING clause: {clause!r}")
-            q["having"].append((cm.group(1), cm.group(2),
-                                _literal(cm.group(3))))
+            lhs = hm.group(1).strip()
+            ham = _AGG_RE.match(lhs)
+            if ham:
+                # HAVING on a raw aggregate: materialize it as a hidden
+                # select item and filter on that alias
+                fn, dist, c = (ham.group(1).lower(),
+                               bool(ham.group(2)), ham.group(3))
+                if c == "*" and fn != "count":
+                    raise SqlError(f"{fn}(*) is not a thing")
+                if dist and fn != "count":
+                    raise SqlError(
+                        "DISTINCT is only supported inside count()")
+                if c != "*":
+                    c = _unqual(c, aliases)
+                hid = f"__hv{len(q['hidden'])}"
+                q["select"].append(
+                    {"agg": fn, "col": None if c == "*" else c,
+                     "distinct": dist, "filter": None, "alias": hid})
+                q["hidden"].append(hid)
+                q["having"].append((hid, hm.group(2),
+                                    _literal(hm.group(3))))
+            else:
+                if not re.match(r"^[A-Za-z_]\w*$", lhs):
+                    raise SqlError(
+                        f"unsupported HAVING clause: {clause!r}")
+                q["having"].append((lhs, hm.group(2),
+                                    _literal(hm.group(3))))
     if m.group("grp"):
         grp_cols = [c.strip() for c in _split_top(m.group("grp"))]
         for c in grp_cols:
@@ -1038,6 +1065,8 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
         )
     if q["limit"] is not None:
         out = out.head(q["limit"])
+    if q["hidden"]:
+        out = out.drop(columns=q["hidden"])
     return out.reset_index(drop=True)
 
 

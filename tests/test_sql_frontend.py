@@ -582,3 +582,20 @@ def test_filter_aggregates_match_duckdb(rows, sql, parts):
     con.register("t", df)
     want = con.execute(sql).fetchdf()
     _cmp_sorted(got, want, float_cols=("hi", "ay", "sv"))
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from([
+    "SELECT g, sum(v) AS sv FROM t GROUP BY g HAVING count(*) > 3",
+    "SELECT g FROM t GROUP BY g HAVING count(DISTINCT v) >= 2 "
+    "AND max(v) < 40",
+    "SELECT g, count(*) AS n FROM t GROUP BY g "
+    "HAVING n >= 2 AND min(v) > -20",
+    "SELECT g FROM t GROUP BY g HAVING avg(v) > 5",
+]), st.integers(min_value=1, max_value=4))
+def test_having_raw_aggregates_match_duckdb(rows, sql, parts):
+    """HAVING on aggregates not in the SELECT list (materialized as
+    hidden result columns, dropped at the end) vs DuckDB."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("sv",))
