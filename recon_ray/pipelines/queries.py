@@ -5180,6 +5180,26 @@ def q_sql_frontend_filter(sf_dir: str):
     return run_sql(SQL_FRONTEND_FILTER, {"orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_CASE = (
+    "SELECT CASE WHEN o_totalprice < 150000 THEN 'small' "
+    "WHEN o_totalprice < 320000 THEN 'mid' ELSE 'large' END AS band, "
+    "count(*) AS n, min(o_totalprice) AS p_min, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f "
+    "FROM orders GROUP BY band ORDER BY band"
+)
+
+
+def q_sql_frontend_case(sf_dir: str):
+    """CASE WHEN bands under the gate (TPC-H Q12/Q14's conditional
+    shape): the CASE compiles to one vectorized np.select derive stage
+    (first-match semantics, missing ELSE -> NULL), then the banded
+    grouped aggregates run in the same combiner pass; DuckDB runs the
+    identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_CASE, {"orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_UNION = (
     "SELECT event_type AS label, count(*) AS n FROM events "
     "GROUP BY event_type "
@@ -7250,6 +7270,7 @@ QUERIES = {
     "q_sql_frontend_time": q_sql_frontend_time,
     "q_sql_frontend_union": q_sql_frontend_union,
     "q_sql_frontend_filter": q_sql_frontend_filter,
+    "q_sql_frontend_case": q_sql_frontend_case,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7666,6 +7687,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_time": SQL_FRONTEND_TIME,
         "q_sql_frontend_union": SQL_FRONTEND_UNION,
         "q_sql_frontend_filter": SQL_FRONTEND_FILTER,
+        "q_sql_frontend_case": SQL_FRONTEND_CASE,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -152,10 +152,11 @@ def _parse_conj(text: str) -> list:
     return preds
 
 
-def _split_and(text: str) -> list[str]:
-    """Split a conjunction on the word AND at paren depth 0 (so
-    BETWEEN's AND re-join still works and subquery bodies stay whole).
+def _split_kw(text: str, kw: str) -> list[str]:
+    """Split on the word ``kw`` at paren depth 0 outside quotes.
     Input is whitespace-normalized upstream."""
+    marker = " " + kw.lower() + " "
+    mlen = len(marker) - 1
     out, depth, in_q, start, i, n = [], 0, False, 0, 0, len(text)
     while i < n:
         ch = text[i]
@@ -167,13 +168,30 @@ def _split_and(text: str) -> list[str]:
             elif ch == ")":
                 depth -= 1
             elif (depth == 0 and ch == " "
-                    and text[i + 1:i + 5].lower() == "and "):
+                    and text[i:i + mlen + 1].lower() == marker):
                 out.append(text[start:i].strip())
-                i += 4
+                i += mlen
                 start = i + 1
         i += 1
     out.append(text[start:].strip())
     return [p for p in out if p]
+
+
+def _split_and(text: str) -> list[str]:
+    """Split a conjunction on the word AND at paren depth 0 (so
+    BETWEEN's AND re-join still works and subquery bodies stay whole)."""
+    return _split_kw(text, "and")
+
+
+def _case_value(tok: str, aliases: set):
+    """A CASE THEN/ELSE operand: NULL, a column reference, or a
+    literal."""
+    tok = tok.strip()
+    if tok.lower() == "null":
+        return ("lit", None)
+    if re.match(r"^" + _QCOL + r"$", tok):
+        return ("col", _unqual(tok, aliases))
+    return ("lit", _literal(tok))
 
 
 def _literal(tok: str):
@@ -292,6 +310,38 @@ def parse_sql(sql: str) -> dict:
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
         alias = im.group("alias")
+        casem = re.match(r"^case\s+when\s+(?P<body>.+)\s+end$", expr,
+                         re.I | re.S)
+        if casem:
+            if not alias:
+                raise SqlError(
+                    f"CASE select items need an AS alias: {item!r}")
+            whens = []
+            else_val = ("lit", None)
+            chunks = _split_kw(casem.group("body"), "when")
+            for ci, ch in enumerate(chunks):
+                if ci == len(chunks) - 1:
+                    eparts = _split_kw(ch, "else")
+                    if len(eparts) == 2:
+                        ch, ev = eparts
+                        else_val = _case_value(ev, aliases)
+                    elif len(eparts) > 2:
+                        raise SqlError("multiple ELSE in CASE")
+                tparts = _split_kw(ch, "then")
+                if len(tparts) != 2:
+                    raise SqlError(f"bad CASE arm: {ch!r}")
+                conds = [(k, _unqual(c, aliases), p)
+                         for k, c, p in _parse_conj(tparts[0])]
+                for k, _c, _p in conds:
+                    if k in ("in_subq", "not_in_subq", "cmp_subq"):
+                        raise SqlError(
+                            "CASE predicates must be scalar")
+                whens.append((conds, _case_value(tparts[1], aliases)))
+            q["select"].append(
+                {"agg": None, "col": alias, "distinct": False,
+                 "alias": alias,
+                 "case": {"whens": whens, "else": else_val}})
+            continue
         flt = None
         fm = re.match(r"^(?P<agg>.+?)\s+filter\s*\(\s*where\s+"
                       r"(?P<f>.+)\)$", expr, re.I)
@@ -794,6 +844,34 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             ds = shuffle_semi_join(ds, inner, on=col, right_on=icol,
                                    anti=True)
 
+    case_items = [it for it in q["select"] if it.get("case")]
+    if case_items and ds is not None:
+        def _derive_cases(b: pd.DataFrame,
+                          items=case_items) -> pd.DataFrame:
+            b = b.copy()
+            for it in items:
+                spec = it["case"]
+
+                def val_arr(v):
+                    if v[0] == "col":
+                        return b[v[1]].to_numpy()
+                    if isinstance(v[1], str):
+                        return np.full(len(b), v[1], dtype=object)
+                    return np.full(
+                        len(b), np.nan if v[1] is None else v[1])
+
+                if len(b) == 0:
+                    b[it["alias"]] = np.array([], dtype=object)
+                    continue
+                masks = [_pd_mask(b, conds).to_numpy()
+                         for conds, _v in spec["whens"]]
+                b[it["alias"]] = np.select(
+                    masks, [val_arr(v) for _c, v in spec["whens"]],
+                    default=val_arr(spec["else"]))
+            return b
+
+        ds = ds.map_batches(_derive_cases, batch_format="pandas")
+
     has_agg = any(it["agg"] for it in q["select"])
     if not has_agg:
         cols = [it["alias"] if it.get("win") else it["col"]
@@ -1135,6 +1213,11 @@ def explain_sql(sql: str) -> str:
         lines.append(
             f"SemiJoin [{_fmt_pred(p)}; hash {anti}-join, both sides "
             "stream]")
+    for it in (it for it in q["select"] if it.get("case")):
+        n_arms = len(it["case"]["whens"])
+        lines.append(
+            f"Case [{n_arms} WHEN arm(s)->{it['alias']}; one vectorized "
+            "np.select derive pass, first-match, no shuffle]")
     win_items = [it for it in q["select"] if it.get("win")]
     if win_items:
         pairs = {}

@@ -599,3 +599,40 @@ def test_having_raw_aggregates_match_duckdb(rows, sql, parts):
     df = _mk_df(rows)
     got, want = _exec_both(sql, df, parts)
     _cmp_sorted(got, want, float_cols=("sv",))
+
+
+CASE_QS = [
+    "SELECT CASE WHEN v < 10 THEN 'low' WHEN v < 30 THEN 'mid' "
+    "ELSE 'high' END AS band, count(*) AS n FROM t GROUP BY band",
+    "SELECT g, CASE WHEN v >= 0 AND v <= 20 THEN v ELSE 0 END "
+    "AS clamped FROM t WHERE v IS NOT NULL",
+    "SELECT CASE WHEN v IS NULL THEN 'missing' WHEN g = 'x' THEN g "
+    "END AS lab, count(*) AS n FROM t GROUP BY lab",
+    "SELECT CASE WHEN v BETWEEN 0 AND 30 THEN 'in' ELSE 'out' END "
+    "AS w, min(v) AS mn, count(v) AS cv FROM t GROUP BY w",
+    "SELECT CASE WHEN h IN (0, 2) THEN 'even' ELSE 'odd' END AS p, "
+    "sum(v) AS sv FROM t GROUP BY p",
+    "SELECT g, CASE WHEN v < 20 THEN v ELSE 0 END AS c, "
+    "sum(v) AS sv FROM t GROUP BY g, c",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(CASE_QS),
+       st.integers(min_value=1, max_value=4))
+def test_case_when_matches_duckdb(rows, sql, parts):
+    """CASE WHEN bands in SELECT (derived-column stage, first-match
+    semantics, missing-ELSE NULL, GROUP BY the alias) vs DuckDB."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("sv", "clamped", "c"))
+
+
+def test_case_parser_rejections():
+    with pytest.raises(SqlError):  # needs alias
+        parse_sql("SELECT CASE WHEN v > 1 THEN 'x' END FROM t")
+    with pytest.raises(SqlError):  # subquery predicate
+        parse_sql("SELECT CASE WHEN v IN (SELECT v FROM u) THEN 1 "
+                  "ELSE 0 END AS c FROM t")
+    with pytest.raises(SqlError):  # dangling arm
+        parse_sql("SELECT CASE WHEN v > 1 END AS c FROM t")
