@@ -5180,6 +5180,88 @@ def q_sql_frontend_filter(sf_dir: str):
     return run_sql(SQL_FRONTEND_FILTER, {"orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_BOOL = (
+    "SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS k_min "
+    "FROM orders "
+    "WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 100000) "
+    "OR o_orderpriority = '1-URGENT' "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_bool(sf_dir: str):
+    """OR / NOT predicate trees under the gate: the WHERE compiles to
+    one pyarrow mask with Kleene three-valued logic (and_kleene /
+    or_kleene / invert, UNKNOWN excluded at the top); DuckDB runs the
+    identical string. Integer-exact outputs keep the hash strict."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_BOOL, {"orders": _t(sf_dir, "orders")})
+
+
+SQL_FRONTEND_EXPR = (
+    "SELECT l_returnflag, sum(l_quantity) AS sum_qty, "
+    "sum(l_quantity * (1 + l_linenumber)) AS w_qty, "
+    "max(l_quantity * 2 - 1) AS mq, count(*) AS n "
+    "FROM lineitem WHERE l_quantity BETWEEN 5 AND 45 "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+
+
+def q_sql_frontend_expr(sf_dir: str):
+    """Arithmetic expression aggregates under the gate (TPC-H Q1's
+    sum-of-products shape): each expression materializes as a hidden
+    vectorized derive column feeding the same combiner pass. The
+    operands here are integer-valued doubles, so the sums are EXACT in
+    float64 and hash-identical to DuckDB — the float-product TPC-H Q1/
+    Q6 verbatim strings are tolerance-checked in pytest instead
+    (double accumulation order differs between engines)."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_EXPR,
+                   {"lineitem": _t(sf_dir, "lineitem")})
+
+
+SQL_FRONTEND_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(cast(round(l_extendedprice * 100) AS bigint)) / 100.0, "
+    "2) AS sum_base_price, "
+    "round(sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint))) / 10000.0, 2) "
+    "AS sum_disc_price, "
+    "round(sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint)) * "
+    "(100 + cast(round(l_tax * 100) AS bigint))) / 1000000.0, 2) "
+    "AS sum_charge, "
+    "round(sum(l_quantity) / count(*), 6) AS avg_qty, "
+    "round(sum(cast(round(l_discount * 100) AS bigint)) / 100.0 / "
+    "count(*), 6) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= timestamp '2000-09-02' "
+    "GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus"
+)
+
+
+def q_sql_frontend_tpch_q1(sf_dir: str):
+    """TPC-H Q1 in integer-cents form under the hash gate — the SAME
+    string the handwritten q1 pipeline's oracle uses (ORACLE_Q1), now
+    compiled and executed by the engine itself. The cents expressions
+    (cast(round(price * 100) as bigint) products) materialize as int64
+    derive columns whose sums stay EXACT past float64's 2^53, the
+    round(sum(...) / 10^k, 2) outer layer is a post-aggregate
+    expression on the groups-sized result, and the rounding mirrors
+    DuckDB operation-for-operation — so the hash matches bit-exactly
+    where the raw-float Q1 cannot (accumulation-order drift;
+    tests/test_sql_frontend.py::test_tpch_q1_q6_verbatim covers that
+    form with tolerance)."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q1,
+                   {"lineitem": _t(sf_dir, "lineitem")})
+
+
 SQL_FRONTEND_CASE = (
     "SELECT CASE WHEN o_totalprice < 150000 THEN 'small' "
     "WHEN o_totalprice < 320000 THEN 'mid' ELSE 'large' END AS band, "
@@ -7271,6 +7353,9 @@ QUERIES = {
     "q_sql_frontend_union": q_sql_frontend_union,
     "q_sql_frontend_filter": q_sql_frontend_filter,
     "q_sql_frontend_case": q_sql_frontend_case,
+    "q_sql_frontend_bool": q_sql_frontend_bool,
+    "q_sql_frontend_expr": q_sql_frontend_expr,
+    "q_sql_frontend_tpch_q1": q_sql_frontend_tpch_q1,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7688,6 +7773,9 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_union": SQL_FRONTEND_UNION,
         "q_sql_frontend_filter": SQL_FRONTEND_FILTER,
         "q_sql_frontend_case": SQL_FRONTEND_CASE,
+        "q_sql_frontend_bool": SQL_FRONTEND_BOOL,
+        "q_sql_frontend_expr": SQL_FRONTEND_EXPR,
+        "q_sql_frontend_tpch_q1": SQL_FRONTEND_TPCH_Q1,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -7,8 +7,14 @@ equi-JOINs (INNER / LEFT [OUTER], ``ON a.x = b.y [AND ...]`` with
 table aliases, each ON linking the new table to any earlier one; all
 schemas must be column-disjoint so every reference stays unambiguous —
 colliding names raise instead of silently suffixing),
-SELECT [DISTINCT], a conjunctive WHERE (comparisons, [NOT] IN lists,
-BETWEEN, IS [NOT] NULL; applied AFTER the join, per SQL semantics),
+SELECT [DISTINCT], a boolean WHERE tree — AND / OR / NOT with SQL's
+exact three-valued logic over comparisons, [NOT] IN lists, BETWEEN,
+IS [NOT] NULL (applied AFTER the join, per SQL semantics) — arithmetic
+expressions (`+ - * /`, parens, unary minus, `round(x[, n])`,
+`cast(x AS bigint|double)`) as derived select items, inside aggregates
+(`sum(a * (1 - b))`, the TPC-H Q1/Q6 shape), and OVER aggregate
+results (`round(sum(cents) / 100.0, 2)` — the post-aggregate layer
+that lets the integer-cents TPC-H Q1 run hash-exactly),
 GROUP BY with SUM / COUNT / COUNT(*) / COUNT(DISTINCT col) / AVG /
 MIN / MAX aggregates (aliases supported), HAVING over result aliases,
 ORDER BY result columns, LIMIT, and window functions — row_number /
@@ -102,54 +108,117 @@ def _unqual(name: str, aliases: set) -> str:
     return name
 
 
-def _parse_conj(text: str) -> list:
-    """AND-conjunction of predicates: col <op> lit | col [NOT] IN (...) |
-    col BETWEEN a AND b | col IS [NOT] NULL. BETWEEN owns its AND, so
-    clauses split only on ANDs that are not inside a BETWEEN — handled
-    by matching BETWEEN first on a greedy clause scan."""
-    preds = []
-    parts = _split_and(text)
-    i = 0
+def _parse_pred(clause: str, aliases: set) -> tuple:
+    """One scalar predicate: col <op> lit | col [NOT] IN (...) |
+    col BETWEEN a AND b | col IS [NOT] NULL | col <op> (SELECT ...).
+    Column qualifiers are validated and stripped here."""
+    bm = _BETWEEN_RE.match(clause)
+    if bm:
+        return ("between", _unqual(bm.group(1), aliases),
+                (_literal(bm.group(2)), _literal(bm.group(3))))
+    im = _IN_RE.match(clause)
+    if im:
+        payload = im.group(3).strip()
+        if re.match(r"^select\b", payload, re.I):
+            return ("not_in_subq" if im.group(2) else "in_subq",
+                    _unqual(im.group(1), aliases), payload)
+        vals = [_literal(v) for v in _split_top(payload)]
+        return ("not_in" if im.group(2) else "in",
+                _unqual(im.group(1), aliases), vals)
+    nm = _NULL_RE.match(clause)
+    if nm:
+        return ("notnull" if nm.group(2) else "isnull",
+                _unqual(nm.group(1), aliases), None)
+    cm = _CMP_RE.match(clause)
+    if not cm:
+        raise SqlError(f"unsupported predicate: {clause!r}")
+    rhs = cm.group(3).strip()
+    if re.match(r"^\(\s*select\b", rhs, re.I) and rhs.endswith(")"):
+        return ("cmp_subq", _unqual(cm.group(1), aliases),
+                (cm.group(2), rhs[1:-1].strip()))
+    return (cm.group(2), _unqual(cm.group(1), aliases), _literal(rhs))
+
+
+def _rejoin_between(parts: list[str]) -> list[str]:
+    """_split_and splits BETWEEN's own AND off; glue those back."""
+    out, i = [], 0
     while i < len(parts):
         clause = parts[i].strip()
-        # re-join "x BETWEEN a" + "b" (its AND was split off)
-        if re.match(r"^" + _QCOL + r"\s+between\s+", clause, re.I) \
-                and i + 1 < len(parts):
+        if re.match(r"^(not\s+)?" + _QCOL + r"\s+between\s+", clause,
+                    re.I) and i + 1 < len(parts):
             clause = clause + " and " + parts[i + 1].strip()
             i += 1
         i += 1
-        bm = _BETWEEN_RE.match(clause)
-        if bm:
-            preds.append(("between", bm.group(1),
-                          (_literal(bm.group(2)), _literal(bm.group(3)))))
-            continue
-        im = _IN_RE.match(clause)
-        if im:
-            payload = im.group(3).strip()
-            if re.match(r"^select\b", payload, re.I):
-                preds.append(
-                    ("not_in_subq" if im.group(2) else "in_subq",
-                     im.group(1), payload))
-            else:
-                vals = [_literal(v) for v in _split_top(payload)]
-                preds.append(("not_in" if im.group(2) else "in",
-                              im.group(1), vals))
-            continue
-        nm = _NULL_RE.match(clause)
-        if nm:
-            preds.append(("notnull" if nm.group(2) else "isnull",
-                          nm.group(1), None))
-            continue
-        cm = _CMP_RE.match(clause)
-        if not cm:
-            raise SqlError(f"unsupported predicate: {clause!r}")
-        rhs = cm.group(3).strip()
-        if re.match(r"^\(\s*select\b", rhs, re.I) and rhs.endswith(")"):
-            preds.append(("cmp_subq", cm.group(1),
-                          (cm.group(2), rhs[1:-1].strip())))
-        else:
-            preds.append((cm.group(2), cm.group(1), _literal(rhs)))
-    return preds
+        out.append(clause)
+    return out
+
+
+def _strip_parens(s: str) -> str:
+    """Strip outer parens that wrap the WHOLE clause (quote-aware)."""
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_q = 0, False
+        for i, ch in enumerate(s):
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(s) - 1:
+                        return s  # closes early: not an outer wrapper
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_bool(text: str, aliases: set):
+    """A boolean predicate tree with SQL's precedence
+    (NOT > AND > OR): nodes are ``("or"|"and", [children])``,
+    ``("not", child)``, or ``("pred", (kind, col, payload))``."""
+    text = _strip_parens(text.strip())
+    ors = _split_kw(text, "or")
+    if len(ors) > 1:
+        return ("or", [_parse_bool(p, aliases) for p in ors])
+    ands = _rejoin_between(_split_and(text))
+    if len(ands) > 1:
+        return ("and", [_parse_bool(p, aliases) for p in ands])
+    clause = _strip_parens(ands[0])
+    nm = re.match(r"^not\s+(.+)$", clause, re.I | re.S)
+    # "NOT <rest>" — but "x NOT IN ..." starts with a column, so a
+    # leading NOT token is unambiguous
+    if nm:
+        return ("not", _parse_bool(nm.group(1), aliases))
+    if clause != ands[0]:
+        # parens got stripped: the inside may itself be an OR/AND tree
+        return _parse_bool(clause, aliases)
+    return ("pred", _parse_pred(clause, aliases))
+
+
+_SUBQ_KINDS = ("in_subq", "not_in_subq", "cmp_subq")
+
+
+def _assert_scalar_tree(node, ctx: str):
+    """Subquery predicates only work as top-level WHERE conjuncts —
+    everywhere else (OR/NOT branches, CASE, FILTER) they raise."""
+    if node[0] == "pred":
+        if node[1][0] in _SUBQ_KINDS:
+            raise SqlError(f"{ctx} predicates must be scalar (no "
+                           "subqueries)")
+    elif node[0] == "not":
+        _assert_scalar_tree(node[1], ctx)
+    else:
+        for ch in node[1]:
+            _assert_scalar_tree(ch, ctx)
+
+
+def _tree_cols(node, out: set):
+    if node[0] == "pred":
+        out.add(node[1][1])
+    elif node[0] == "not":
+        _tree_cols(node[1], out)
+    else:
+        for ch in node[1]:
+            _tree_cols(ch, out)
 
 
 def _split_kw(text: str, kw: str) -> list[str]:
@@ -196,6 +265,12 @@ def _case_value(tok: str, aliases: set):
 
 def _literal(tok: str):
     tok = tok.strip()
+    dm = re.match(r"^(?:date|timestamp)\s+'(.*)'$", tok, re.I)
+    if dm:
+        # DATE '...' / TIMESTAMP '...' keyword literals: the string is
+        # cast against the column's temporal type at compile time, same
+        # as a bare string literal
+        return dm.group(1)
     if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
         return tok[1:-1].replace("''", "'")
     try:
@@ -205,6 +280,243 @@ def _literal(tok: str):
             return float(tok)
         except ValueError:
             raise SqlError(f"unsupported literal: {tok!r}")
+
+
+_ARITH_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<name>" + _QCOL + r")"
+    r"|(?P<op>[-+*/(),]|\*))")
+
+_AGG_FNS = ("sum", "count", "avg", "min", "max")
+_INT_CASTS = {"bigint": "int", "int": "int", "integer": "int",
+              "hugeint": "int"}
+_FLOAT_CASTS = {"double": "float", "float": "float", "real": "float"}
+
+
+def _lex_arith(text: str) -> list[tuple]:
+    toks, i, n = [], 0, len(text)
+    while i < n:
+        m = _ARITH_TOKEN.match(text, i)
+        if not m or m.end() == i:
+            raise SqlError(f"unsupported expression token at: "
+                           f"{text[i:]!r}")
+        if m.group("num") is not None:
+            v = m.group("num")
+            toks.append(("num", float(v) if ("." in v or "e" in v.lower())
+                         else int(v)))
+        elif m.group("name") is not None:
+            toks.append(("name", m.group("name")))
+        else:
+            toks.append(("op", m.group("op")))
+        i = m.end()
+    return toks
+
+
+def _parse_arith(text: str, aliases: set, agg_collect: list = None):
+    """Numeric arithmetic over columns and literals — ``+ - * /``,
+    unary minus, parens, ``round(x[, n])`` and
+    ``cast(x AS bigint|double)``. AST nodes: ("col", name) |
+    ("lit", v) | ("neg", x) | ("bin", op, l, r) |
+    ("fn", "round", x, n) | ("cast", "int"|"float", x). Division
+    follows DuckDB: always float, x/0 is NULL.
+
+    With ``agg_collect`` (a list), aggregate calls are legal leaves —
+    ``sum(expr)``, ``count(*)`` … register a (fn, inner-ast) spec there
+    (deduplicated) and parse as ``("col", "__pa{i}")`` placeholders,
+    the post-aggregation-expression hook."""
+    toks = _lex_arith(text)
+    pos = [0]
+    in_agg = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def expect(tok, what):
+        if take() != tok:
+            raise SqlError(f"expected {what} in: {text!r}")
+
+    def atom():
+        t = take()
+        if t is None:
+            raise SqlError(f"truncated expression: {text!r}")
+        k, v = t
+        if k == "num":
+            return ("lit", v)
+        if k == "name":
+            low = v.lower()
+            if low == "round" and peek() == ("op", "("):
+                take()
+                e = expr()
+                n = 0
+                if peek() == ("op", ","):
+                    take()
+                    neg = False
+                    if peek() == ("op", "-"):
+                        take()
+                        neg = True
+                    nt = take()
+                    if nt is None or nt[0] != "num" \
+                            or not isinstance(nt[1], int):
+                        raise SqlError(
+                            f"round() needs an integer precision: "
+                            f"{text!r}")
+                    n = -nt[1] if neg else nt[1]
+                expect(("op", ")"), "')' after round()")
+                return ("fn", "round", e, n)
+            if low == "cast" and peek() == ("op", "("):
+                take()
+                e = expr()
+                at = take()
+                if at is None or at[0] != "name" or at[1].lower() != "as":
+                    raise SqlError(f"cast needs AS <type>: {text!r}")
+                tt = take()
+                ty = tt[1].lower() if tt and tt[0] == "name" else None
+                if ty in _INT_CASTS:
+                    kind = "int"
+                elif ty in _FLOAT_CASTS:
+                    kind = "float"
+                else:
+                    raise SqlError(
+                        f"unsupported cast type in: {text!r}")
+                expect(("op", ")"), "')' after cast()")
+                return ("cast", kind, e)
+            if low in _AGG_FNS and peek() == ("op", "("):
+                if agg_collect is None or in_agg[0]:
+                    raise SqlError(
+                        "aggregates are not allowed inside this "
+                        f"expression: {text!r}")
+                take()
+                if low == "count" and peek() == ("op", "*"):
+                    take()
+                    spec = ("count", None)
+                else:
+                    in_agg[0] += 1
+                    inner = expr()
+                    in_agg[0] -= 1
+                    spec = (low, inner)
+                expect(("op", ")"), "')' after aggregate")
+                for i, s in enumerate(agg_collect):
+                    if s == spec:
+                        return ("col", f"__pa{i}")
+                agg_collect.append(spec)
+                return ("col", f"__pa{len(agg_collect) - 1}")
+            if low in _RESERVED or re.match(
+                    r"^(?:case|when|then|else|end|and|or|not|null|"
+                    r"between|in|is|select|distinct|filter|over|"
+                    r"union)$", v, re.I):
+                raise SqlError(f"unsupported expression token: {v!r}")
+            return ("col", _unqual(v, aliases))
+        if (k, v) == ("op", "("):
+            e = expr()
+            if take() != ("op", ")"):
+                raise SqlError(f"unbalanced parens in: {text!r}")
+            return e
+        if (k, v) == ("op", "-"):
+            return ("neg", atom())
+        raise SqlError(f"unsupported expression: {text!r}")
+
+    def term():
+        node = atom()
+        while peek() in (("op", "*"), ("op", "/")):
+            op = take()[1]
+            node = ("bin", op, node, atom())
+        return node
+
+    def expr():
+        node = term()
+        while peek() in (("op", "+"), ("op", "-")):
+            op = take()[1]
+            node = ("bin", op, node, term())
+        return node
+
+    node = expr()
+    if pos[0] != len(toks):
+        raise SqlError(f"trailing tokens in expression: {text!r}")
+    return node
+
+
+def _expr_cols(node, out: set):
+    if node[0] == "col":
+        out.add(node[1])
+    elif node[0] == "neg":
+        _expr_cols(node[1], out)
+    elif node[0] == "bin":
+        _expr_cols(node[2], out)
+        _expr_cols(node[3], out)
+    elif node[0] == "fn":
+        _expr_cols(node[2], out)
+    elif node[0] == "cast":
+        _expr_cols(node[2], out)
+
+
+def _expr_is_int(node) -> bool:
+    """Static integer-typedness: int literals, cast-to-int, and + - *
+    combinations thereof. Integer expressions materialize as int64
+    derive columns so their SUMs stay exact past 2^53 (the cents-form
+    TPC-H Q1 sums overflow float64's integer range)."""
+    k = node[0]
+    if k == "lit":
+        return isinstance(node[1], int)
+    if k == "col":
+        return False
+    if k == "neg":
+        return _expr_is_int(node[1])
+    if k == "cast":
+        return node[1] == "int"
+    if k == "fn":
+        return False  # round() returns double, like DuckDB
+    op = node[1]
+    return op in "+-*" and _expr_is_int(node[2]) and _expr_is_int(node[3])
+
+
+def _round_away(y, n: int):
+    """DuckDB's double rounding: std::round(x * 10^n) / 10^n — half
+    away from zero, mirrored operation-for-operation so results are
+    bit-identical."""
+    p = 10.0 ** n
+    y = y * p
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / p
+
+
+def _eval_expr(b: pd.DataFrame, node):
+    """Vectorized expression evaluation over a pandas batch. NULL is
+    NaN throughout (float64), so +-* propagate NULL like SQL; division
+    by zero is NULL (DuckDB semantics)."""
+    k = node[0]
+    if k == "lit":
+        return float(node[1])
+    if k == "col":
+        return pd.to_numeric(b[node[1]]).astype("float64").to_numpy()
+    if k == "neg":
+        return -_eval_expr(b, node[1])
+    if k == "fn":  # round(x, n)
+        return _round_away(_eval_expr(b, node[2]), node[3])
+    if k == "cast":
+        v = _eval_expr(b, node[2])
+        if node[1] == "int":
+            # DuckDB casts double→BIGINT by rounding half away from
+            # zero (CAST(2.5 AS BIGINT) = 3); NULL stays NaN, so the
+            # array remains float64 with exact integer values — the
+            # derive stage downcasts statically-int expressions
+            return _round_away(v, 0)
+        return v
+    _, op, lnode, rnode = node
+    lv = _eval_expr(b, lnode)
+    rv = _eval_expr(b, rnode)
+    if op == "+":
+        return lv + rv
+    if op == "-":
+        return lv - rv
+    if op == "*":
+        return lv * rv
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res = lv / rv
+    return np.where(np.asarray(rv) == 0.0, np.nan, res)
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -306,6 +618,8 @@ def parse_sql(sql: str) -> dict:
     q = {"table": table, "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
          "distinct": bool(m.group("dist")), "joins": joins}
+    n_expr = 0
+    pa_aggs: list = []  # shared across items → identical aggs dedup
     for item in _split_top(m.group("sel")):
         im = _ITEM_RE.match(item)
         expr = im.group("expr").strip()
@@ -330,13 +644,9 @@ def parse_sql(sql: str) -> dict:
                 tparts = _split_kw(ch, "then")
                 if len(tparts) != 2:
                     raise SqlError(f"bad CASE arm: {ch!r}")
-                conds = [(k, _unqual(c, aliases), p)
-                         for k, c, p in _parse_conj(tparts[0])]
-                for k, _c, _p in conds:
-                    if k in ("in_subq", "not_in_subq", "cmp_subq"):
-                        raise SqlError(
-                            "CASE predicates must be scalar")
-                whens.append((conds, _case_value(tparts[1], aliases)))
+                tree = _parse_bool(tparts[0], aliases)
+                _assert_scalar_tree(tree, "CASE")
+                whens.append((tree, _case_value(tparts[1], aliases)))
             q["select"].append(
                 {"agg": None, "col": alias, "distinct": False,
                  "alias": alias,
@@ -347,13 +657,8 @@ def parse_sql(sql: str) -> dict:
                       r"(?P<f>.+)\)$", expr, re.I)
         if fm:
             expr = fm.group("agg").strip()
-            flt = [(kind, _unqual(c, aliases), payload)
-                   for kind, c, payload in _parse_conj(fm.group("f"))]
-            for kind, _c, _p in flt:
-                if kind in ("in_subq", "not_in_subq", "cmp_subq"):
-                    raise SqlError(
-                        "FILTER predicates must be scalar (no "
-                        "subqueries)")
+            flt = _parse_bool(fm.group("f"), aliases)
+            _assert_scalar_tree(flt, "FILTER")
         wm = _WIN_RE.match(expr)
         qm = None if wm else _QAGG_RE.match(expr)
         am = None if (wm or qm) else _AGG_RE.match(expr)
@@ -409,16 +714,83 @@ def parse_sql(sql: str) -> dict:
                 {"agg": fn, "col": None if col == "*" else col,
                  "distinct": dist, "filter": flt,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
-        elif re.match(r"^" + _QCOL + r"$", expr):
+            continue
+        # aggregate over an arithmetic expression — sum(a * (1 - b)):
+        # the expression materializes as a hidden derived column the
+        # plain combiner then aggregates
+        em = re.match(r"^(sum|count|avg|min|max)\s*\((.+)\)$", expr,
+                      re.I | re.S)
+        if em and not re.match(r"^\s*distinct\b", em.group(2), re.I):
+            # try the body as pure arithmetic; on failure fall through
+            # (e.g. "sum(v) / count(v)" greedily matches here but is a
+            # post-aggregate expression)
+            try:
+                ast = _parse_arith(em.group(2), aliases)
+            except SqlError:
+                ast = None
+            if ast is not None:
+                if not alias:
+                    raise SqlError(
+                        f"expression aggregates need an AS alias: "
+                        f"{item!r}")
+                if flt is not None:
+                    raise SqlError(
+                        "FILTER on expression aggregates is out of "
+                        "scope")
+                hid = f"__x{n_expr}"
+                n_expr += 1
+                q["select"].append(
+                    {"agg": em.group(1).lower(), "col": hid,
+                     "distinct": False, "filter": None, "alias": alias,
+                     "expr": ast})
+                continue
+        if re.match(r"^" + _QCOL + r"$", expr):
             col = _unqual(expr, aliases)
             q["select"].append({"agg": None, "col": col,
                                 "distinct": False,
                                 "alias": alias or col})
-        else:
+            continue
+        # derived arithmetic select item — a * 2 - b AS d: computed by
+        # the same vectorized derive stage as CASE, usable as a GROUP
+        # BY key. With aggregate leaves — round(sum(x) / count(*), 2)
+        # — it becomes a POST-aggregate expression evaluated on the
+        # groups-sized result, its aggregates materialized as hidden
+        # select items.
+        try:
+            ast = _parse_arith(expr, aliases, agg_collect=pa_aggs)
+        except SqlError:
             raise SqlError(f"unsupported select item: {item!r}")
+        if not alias:
+            raise SqlError(
+                f"expression select items need an AS alias: {item!r}")
+        pa_names = {f"__pa{i}" for i in range(len(pa_aggs))}
+        used: set = set()
+        _expr_cols(ast, used)
+        if used & pa_names:
+            if used - pa_names:
+                raise SqlError(
+                    "post-aggregate expressions may only combine "
+                    f"aggregates and literals: {item!r}")
+            q["select"].append({"agg": None, "col": None,
+                                "distinct": False, "alias": alias,
+                                "postagg": ast})
+        else:
+            q["select"].append({"agg": None, "col": alias,
+                                "distinct": False, "alias": alias,
+                                "expr": ast})
     if m.group("where"):
+        tree = _parse_bool(m.group("where"), aliases)
+        factors = tree[1] if tree[0] == "and" else [tree]
         preds = []
-        for kind, col, payload in _parse_conj(m.group("where")):
+        for f in factors:
+            if f[0] != "pred":
+                # an OR / NOT subtree: compiles into the same pyarrow
+                # filter with Kleene three-valued logic; subqueries
+                # can't hide inside it
+                _assert_scalar_tree(f, "OR/NOT")
+                preds.append(("bool", None, f))
+                continue
+            kind, col, payload = f[1]
             if kind == "cmp_subq":
                 op, subtext = payload
                 sub = parse_sql(subtext)
@@ -429,7 +801,7 @@ def parse_sql(sql: str) -> dict:
                     raise SqlError(
                         "scalar subqueries must be a single global "
                         "aggregate (guaranteed one row)")
-                preds.append((kind, _unqual(col, aliases), (op, subtext)))
+                preds.append((kind, col, (op, subtext)))
                 continue
             if kind in ("in_subq", "not_in_subq"):
                 sub = parse_sql(payload)
@@ -441,12 +813,32 @@ def parse_sql(sql: str) -> dict:
                         "IN subqueries must be a single-column "
                         "projection (optional WHERE only)")
                 if any(k in ("in_subq", "not_in_subq")
-                       for k, _c, _p in sub["where"]):
+                       for k, _c, _p in sub["where"] if k != "bool"):
                     raise SqlError("nested IN subqueries not supported")
                 payload = sub
-            preds.append((kind, _unqual(col, aliases), payload))
+            preds.append((kind, col, payload))
         q["where"] = preds
     q["hidden"] = []
+    for i, (fn, inner) in enumerate(pa_aggs):
+        # materialize each post-aggregate leaf as a hidden select item
+        # the ordinary combiner computes; the outer expression then
+        # evaluates on the groups-sized result frame
+        hid = f"__pa{i}"
+        if inner is None:
+            q["select"].append(
+                {"agg": "count", "col": None, "distinct": False,
+                 "filter": None, "alias": hid})
+        elif inner[0] == "col":
+            q["select"].append(
+                {"agg": fn, "col": inner[1], "distinct": False,
+                 "filter": None, "alias": hid})
+        else:
+            hidx = f"__x{n_expr}"
+            n_expr += 1
+            q["select"].append(
+                {"agg": fn, "col": hidx, "distinct": False,
+                 "filter": None, "alias": hid, "expr": inner})
+        q["hidden"].append(hid)
     if m.group("hav"):
         if not m.group("grp"):
             raise SqlError("HAVING requires GROUP BY here")
@@ -506,10 +898,12 @@ def parse_sql(sql: str) -> dict:
             "aggregates here")
     if q["group_by"]:
         for it in q["select"]:
-            if it["agg"] is None and it["col"] not in q["group_by"]:
+            if (it["agg"] is None and not it.get("postagg")
+                    and it["col"] not in q["group_by"]):
                 raise SqlError(
                     f"{it['col']} is neither grouped nor aggregated")
-    elif has_agg and any(it["agg"] is None for it in q["select"]):
+    elif has_agg and any(it["agg"] is None and not it.get("postagg")
+                         for it in q["select"]):
         raise SqlError("mixing aggregates and raw columns without GROUP BY")
     out_names = {it["alias"] for it in q["select"]}
     for col, _asc in q["order_by"]:
@@ -523,45 +917,77 @@ def parse_sql(sql: str) -> dict:
     return q
 
 
-def _compile_pred(conds):
-    """Conjunctive scalar predicates → one zero-copy pyarrow mask fn."""
-    def _scal(c, v):
-        # SQL compares temporal columns with string literals by casting
-        # the literal ('2024-01-05' → timestamp); mirror that, else the
-        # Arrow kernel rejects the type pair
-        if isinstance(v, str) and pa.types.is_temporal(c.type):
-            return pc.cast(pa.scalar(v), c.type)
-        return pa.scalar(v)
+def _scal(c, v):
+    # SQL compares temporal columns with string literals by casting
+    # the literal ('2024-01-05' → timestamp); mirror that, else the
+    # Arrow kernel rejects the type pair
+    if isinstance(v, str) and pa.types.is_temporal(c.type):
+        return pc.cast(pa.scalar(v), c.type)
+    return pa.scalar(v)
 
+
+def _arrow_leaf(t: pa.Table, kind, col, payload):
+    """One predicate as a NULLABLE boolean mask — NULL means SQL's
+    UNKNOWN; the top of the tree decides (fill_null(False))."""
+    c = t.column(col)
+    if pa.types.is_null(c.type):
+        # an all-NULL column decays to Arrow's null type, which the
+        # comparison kernels reject; every comparison is UNKNOWN, so
+        # the mask is all-NULL (NOT UNKNOWN must stay UNKNOWN)
+        if kind == "isnull":
+            return pc.is_null(c)
+        if kind == "notnull":
+            return pc.is_valid(c)
+        return c.cast(pa.bool_())
+    if kind in _OPS:
+        return _OPS[kind](c, _scal(c, payload))
+    if kind == "between":
+        return pc.and_kleene(
+            pc.greater_equal(c, _scal(c, payload[0])),
+            pc.less_equal(c, _scal(c, payload[1])))
+    if kind == "in":
+        return pc.if_else(pc.is_valid(c),
+                          pc.is_in(c, value_set=pa.array(payload)),
+                          pa.scalar(None, pa.bool_()))
+    if kind == "not_in":
+        # SQL: NOT IN over literal lists (no NULL items parse) — a
+        # NULL probe is still UNKNOWN
+        return pc.if_else(
+            pc.is_valid(c),
+            pc.invert(pc.is_in(c, value_set=pa.array(payload))),
+            pa.scalar(None, pa.bool_()))
+    if kind == "isnull":
+        return pc.is_null(c)
+    return pc.is_valid(c)
+
+
+def _arrow_tree(t: pa.Table, node):
+    """A predicate tree as a nullable mask with Kleene logic (exactly
+    SQL's three-valued AND/OR/NOT)."""
+    k = node[0]
+    if k == "pred":
+        return _arrow_leaf(t, *node[1])
+    if k == "not":
+        return pc.invert(_arrow_tree(t, node[1]))
+    comb = pc.and_kleene if k == "and" else pc.or_kleene
+    mask = _arrow_tree(t, node[1][0])
+    for ch in node[1][1:]:
+        mask = comb(mask, _arrow_tree(t, ch))
+    return mask
+
+
+def _compile_pred(conds):
+    """Top-level WHERE conjunction (scalar predicates and OR/NOT
+    subtrees) → one zero-copy pyarrow mask fn. UNKNOWN → excluded."""
     def pred(t: pa.Table, conds=list(conds)):
         mask = None
         for kind, col, payload in conds:
-            c = t.column(col)
-            if pa.types.is_null(c.type) and kind not in (
-                    "isnull", "notnull"):
-                # an all-NULL column decays to Arrow's null type, which
-                # the comparison kernels reject; every row is NULL, so
-                # every comparison is UNKNOWN → false
-                m = pc.is_valid(c)
-            elif kind in _OPS:
-                m = _OPS[kind](c, _scal(c, payload))
-            elif kind == "between":
-                m = pc.and_(
-                    pc.greater_equal(c, _scal(c, payload[0])),
-                    pc.less_equal(c, _scal(c, payload[1])))
-            elif kind == "in":
-                m = pc.is_in(c, value_set=pa.array(payload))
-            elif kind == "not_in":
-                # SQL: NOT IN is NULL-poisoned only by NULL list
-                # items (we only parse literals), so plain negation
-                m = pc.invert(pc.is_in(c, value_set=pa.array(payload)))
-            elif kind == "isnull":
-                m = pc.is_null(c)
+            if kind == "bool":
+                m = _arrow_tree(t, payload)
             else:
-                m = pc.is_valid(c)
-            m = pc.fill_null(m, False)
-            mask = m if mask is None else pc.and_(mask, m)
-        return mask
+                m = _arrow_leaf(t, kind, col, payload)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        return pc.fill_null(mask, False)
 
     return pred
 
@@ -622,33 +1048,75 @@ def _strip_tail(text: str) -> tuple[str, list, int | None]:
     return text, order, limit
 
 
-def _pd_mask(b: pd.DataFrame, conds) -> pd.Series:
-    """The scalar-predicate conjunction as a pandas boolean mask with
-    SQL NULL semantics (NULL comparisons are UNKNOWN → False) — used
-    for per-aggregate FILTER clauses inside the pandas combiner."""
-    import operator as _op
+_PYOPS = None
 
-    pyops = {"=": _op.eq, "<>": _op.ne, "!=": _op.ne, "<": _op.lt,
-             "<=": _op.le, ">": _op.gt, ">=": _op.ge}
-    m = pd.Series(True, index=b.index)
-    for kind, col, payload in conds:
-        c = b[col]
-        nn = c.notna()
-        mm = pd.Series(False, index=b.index)
-        if kind in pyops:
-            mm.loc[nn] = pyops[kind](c[nn], payload)
-        elif kind == "between":
-            mm.loc[nn] = (c[nn] >= payload[0]) & (c[nn] <= payload[1])
-        elif kind == "in":
-            mm.loc[nn] = c[nn].isin(payload)
-        elif kind == "not_in":
-            mm.loc[nn] = ~c[nn].isin(payload)
-        elif kind == "isnull":
-            mm = c.isna()
-        else:
-            mm = nn
-        m &= mm.fillna(False).astype(bool)
-    return m
+
+def _pyops():
+    global _PYOPS
+    if _PYOPS is None:
+        import operator as _op
+
+        _PYOPS = {"=": _op.eq, "<>": _op.ne, "!=": _op.ne,
+                  "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    return _PYOPS
+
+
+def _pd_lit(c: pd.Series, v):
+    """Temporal literal cast for pandas comparisons (mirrors _scal)."""
+    if isinstance(v, str) and pd.api.types.is_datetime64_any_dtype(c):
+        return pd.Timestamp(v)
+    return v
+
+
+def _pd_tri(b: pd.DataFrame, node) -> np.ndarray:
+    """A predicate tree as a float array — 1.0 TRUE, 0.0 FALSE, NaN
+    UNKNOWN — Kleene three-valued logic in numpy, used inside pandas
+    combiner batches (FILTER clauses) and the CASE derive stage."""
+    k = node[0]
+    if k == "not":
+        return 1.0 - _pd_tri(b, node[1])  # NaN stays NaN
+    if k in ("and", "or"):
+        acc = _pd_tri(b, node[1][0])
+        for ch in node[1][1:]:
+            p = _pd_tri(b, ch)
+            if k == "and":
+                acc = np.select(
+                    [(acc == 0.0) | (p == 0.0), (acc == 1.0) & (p == 1.0)],
+                    [0.0, 1.0], default=np.nan)
+            else:
+                acc = np.select(
+                    [(acc == 1.0) | (p == 1.0), (acc == 0.0) & (p == 0.0)],
+                    [1.0, 0.0], default=np.nan)
+        return acc
+    kind, col, payload = node[1]
+    c = b[col]
+    nn = c.notna()
+    nn_np = nn.to_numpy()
+    if kind == "isnull":
+        return (~nn_np).astype("float64")
+    if kind == "notnull":
+        return nn_np.astype("float64")
+    out = np.full(len(b), np.nan)
+    pyops = _pyops()
+    if kind in pyops:
+        vals = pyops[kind](c[nn], _pd_lit(c, payload))
+    elif kind == "between":
+        vals = ((c[nn] >= _pd_lit(c, payload[0]))
+                & (c[nn] <= _pd_lit(c, payload[1])))
+    elif kind == "in":
+        vals = c[nn].isin(payload)
+    elif kind == "not_in":
+        vals = ~c[nn].isin(payload)
+    else:
+        raise SqlError(f"unsupported predicate kind {kind!r} here")
+    out[nn_np] = vals.to_numpy().astype("float64")
+    return out
+
+
+def _pd_mask(b: pd.DataFrame, tree) -> pd.Series:
+    """The predicate tree as a pandas boolean mask with SQL NULL
+    semantics (UNKNOWN → False at the top, Kleene inside)."""
+    return pd.Series(_pd_tri(b, tree) == 1.0, index=b.index)
 
 
 def run_sql(sql: str, tables: dict) -> pd.DataFrame:
@@ -693,9 +1161,29 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     acc_cols = set(_lsch.names) if _lsch else set()
     # every column name the rest of the query will touch (needed to
     # synthesize NULL columns for an empty schema-less join side):
-    # select + where + group by + window keys + every later ON key
+    # select + where + group by + window keys + every later ON key +
+    # the columns inside CASE/FILTER predicate trees and arithmetic
+    # expressions (their derived aliases are overwritten by the derive
+    # stage anyway)
+    _refcols: set = set()
+    for kind, _c, payload in q["where"]:
+        if kind == "bool":
+            _tree_cols(payload, _refcols)
+    for it in q["select"]:
+        if it.get("expr"):
+            _expr_cols(it["expr"], _refcols)
+        if it.get("filter") is not None:
+            _tree_cols(it["filter"], _refcols)
+        if it.get("case"):
+            for tree, val in it["case"]["whens"]:
+                _tree_cols(tree, _refcols)
+                if val[0] == "col":
+                    _refcols.add(val[1])
+            if it["case"]["else"][0] == "col":
+                _refcols.add(it["case"]["else"][1])
     _referenced = ({it["col"] for it in q["select"] if it["col"]}
                    | {c for _, c, _ in q["where"] if isinstance(c, str)}
+                   | _refcols
                    | set(q["group_by"])
                    | {w for it in q["select"] if it.get("win")
                       for w in (it["win"]["part"], it["win"]["order"])}
@@ -844,12 +1332,23 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             ds = shuffle_semi_join(ds, inner, on=col, right_on=icol,
                                    anti=True)
 
-    case_items = [it for it in q["select"] if it.get("case")]
-    if case_items and ds is not None:
-        def _derive_cases(b: pd.DataFrame,
-                          items=case_items) -> pd.DataFrame:
+    derive_items = [it for it in q["select"]
+                    if it.get("case") or it.get("expr")]
+    if derive_items and ds is not None:
+        def _derive(b: pd.DataFrame,
+                    items=derive_items) -> pd.DataFrame:
             b = b.copy()
             for it in items:
+                if it.get("expr"):
+                    vals = _eval_expr(b, it["expr"])
+                    if _expr_is_int(it["expr"]) \
+                            and not np.any(np.isnan(vals)):
+                        # statically-integer expression (int literals,
+                        # cast-to-bigint, + - *): int64 keeps the
+                        # downstream SUM exact past float64's 2^53
+                        vals = np.asarray(vals).astype("int64")
+                    b[it["col"]] = vals
+                    continue
                 spec = it["case"]
 
                 def val_arr(v):
@@ -863,14 +1362,14 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                 if len(b) == 0:
                     b[it["alias"]] = np.array([], dtype=object)
                     continue
-                masks = [_pd_mask(b, conds).to_numpy()
-                         for conds, _v in spec["whens"]]
+                masks = [_pd_mask(b, tree).to_numpy()
+                         for tree, _v in spec["whens"]]
                 b[it["alias"]] = np.select(
                     masks, [val_arr(v) for _c, v in spec["whens"]],
                     default=val_arr(spec["else"]))
             return b
 
-        ds = ds.map_batches(_derive_cases, batch_format="pandas")
+        ds = ds.map_batches(_derive, batch_format="pandas")
 
     has_agg = any(it["agg"] for it in q["select"])
     if not has_agg:
@@ -1076,6 +1575,8 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
         cols = {}
         for _i, it in enumerate(q["select"]):
             a = it["alias"]
+            if it.get("postagg"):
+                continue  # evaluated below, on the result frame
             if it["agg"] is None:
                 cols[a] = merged[it["col"]]
             elif it.get("filter"):
@@ -1127,6 +1628,14 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             else:
                 cols[a] = merged[f"__mx_{it['col']}"]
         out = pd.DataFrame(cols)
+        pa_items = [it for it in q["select"] if it.get("postagg")]
+        if pa_items:
+            # post-aggregate expressions: vectorized over the
+            # groups-sized frame (the hidden __pa aggregates are
+            # ordinary result columns here), then restore select order
+            for it in pa_items:
+                out[it["alias"]] = _eval_expr(out, it["postagg"])
+            out = out[[it["alias"] for it in q["select"]]]
 
     if q["having"]:
         import operator as _op
@@ -1148,8 +1657,36 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _fmt_expr(node) -> str:
+    k = node[0]
+    if k == "col":
+        return node[1]
+    if k == "lit":
+        return repr(node[1])
+    if k == "neg":
+        return f"-{_fmt_expr(node[1])}"
+    if k == "fn":
+        return f"round({_fmt_expr(node[2])}, {node[3]})"
+    if k == "cast":
+        ty = "bigint" if node[1] == "int" else "double"
+        return f"cast({_fmt_expr(node[2])} as {ty})"
+    return f"({_fmt_expr(node[2])} {node[1]} {_fmt_expr(node[3])})"
+
+
+def _fmt_tree(node) -> str:
+    k = node[0]
+    if k == "pred":
+        return _fmt_pred(node[1])
+    if k == "not":
+        return f"NOT ({_fmt_tree(node[1])})"
+    joiner = " AND " if k == "and" else " OR "
+    return "(" + joiner.join(_fmt_tree(ch) for ch in node[1]) + ")"
+
+
 def _fmt_pred(p) -> str:
     kind, col, payload = p
+    if kind == "bool":
+        return _fmt_tree(payload)
     if kind in _OPS:
         return f"{col} {kind} {payload!r}"
     if kind == "between":
@@ -1218,6 +1755,11 @@ def explain_sql(sql: str) -> str:
         lines.append(
             f"Case [{n_arms} WHEN arm(s)->{it['alias']}; one vectorized "
             "np.select derive pass, first-match, no shuffle]")
+    for it in (it for it in q["select"] if it.get("expr")):
+        dst = it["alias"] if it["agg"] is None else it["col"]
+        lines.append(
+            f"Derive [{_fmt_expr(it['expr'])}->{dst}; vectorized numpy "
+            "derive pass, no shuffle]")
     win_items = [it for it in q["select"] if it.get("win")]
     if win_items:
         pairs = {}
@@ -1233,8 +1775,10 @@ def explain_sql(sql: str) -> str:
     if aggs:
         def fmt(a):
             d = "DISTINCT " if a.get("distinct") else ""
-            f = " FILTERED" if a.get("filter") else ""
-            return f"{a['agg']}({d}{a['col'] or '*'}){f}->{a['alias']}"
+            f = " FILTERED" if a.get("filter") is not None else ""
+            arg = (_fmt_expr(a["expr"]) if a.get("expr")
+                   else (a["col"] or "*"))
+            return f"{a['agg']}({d}{arg}){f}->{a['alias']}"
 
         by = ", ".join(q["group_by"]) or "<global>"
         lines.append(
@@ -1245,6 +1789,10 @@ def explain_sql(sql: str) -> str:
                 lines.append(
                     f"  DistinctCount [{a['col']}: bucketed exact "
                     "distinct, one extra narrow shuffle]")
+        for it in (it for it in q["select"] if it.get("postagg")):
+            lines.append(
+                f"PostAggregate [{_fmt_expr(it['postagg'])}->"
+                f"{it['alias']}; groups-sized vectorized eval]")
     elif q["distinct"]:
         lines.append("Distinct [bucketed exact distinct, one hash "
                      "shuffle]")

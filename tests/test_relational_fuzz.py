@@ -707,6 +707,12 @@ cdc_log_st = st.lists(
               st.sampled_from(["I", "U", "D"]),       # op
               st.integers(-9, 9)),                    # payload
     min_size=0, max_size=18,
+    # two rows with identical (key, version, op) but different
+    # payloads are an arbitrary tie in BOTH engines (the documented
+    # op-descending tiebreak can't order identical ops), so the oracle
+    # comparison would be ill-posed; same-version different-op rows
+    # stay in to exercise that tiebreak
+    unique_by=lambda t: (t[0], t[1], t[2]),
 )
 
 
