@@ -5262,6 +5262,109 @@ def q_sql_frontend_tpch_q1(sf_dir: str):
                    {"lineitem": _t(sf_dir, "lineitem")})
 
 
+_CENTS_REV = (
+    "round(sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint))) / 10000.0, 2)"
+)
+
+SQL_FRONTEND_TPCH_Q3 = (
+    "SELECT l_orderkey, o_orderdate, " + _CENTS_REV + " AS revenue "
+    "FROM customer "
+    "JOIN orders ON customer.c_custkey = orders.o_custkey "
+    "JOIN lineitem ON lineitem.l_orderkey = orders.o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+)
+
+
+def q_sql_frontend_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (cents form) under the gate: the same string the
+    handwritten q3 pipeline's oracle uses, compiled by the front-end —
+    two chained shuffle_joins, the cents product as an int64 hidden
+    derive, the revenue rounding as a post-aggregate expression, and a
+    fully-tiebroken top-10 (revenue DESC, then l_orderkey)."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q3,
+                   {"customer": _t(sf_dir, "customer"),
+                    "orders": _t(sf_dir, "orders"),
+                    "lineitem": _t(sf_dir, "lineitem")})
+
+
+SQL_FRONTEND_TPCH_Q5 = (
+    "SELECT r_name, n_name, " + _CENTS_REV + " AS revenue, "
+    "count(*) AS n_items "
+    "FROM lineitem "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "JOIN region ON nation.n_regionkey = region.r_regionkey "
+    "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+)
+
+
+def q_sql_frontend_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (cents form) under the gate: a four-join left-deep
+    chain (lineitem→orders→customer→nation→region) compiled to chained
+    hash shuffle_joins, nation-level revenue hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q5,
+                   {"lineitem": _t(sf_dir, "lineitem"),
+                    "orders": _t(sf_dir, "orders"),
+                    "customer": _t(sf_dir, "customer"),
+                    "nation": _t(sf_dir, "nation"),
+                    "region": _t(sf_dir, "region")})
+
+
+SQL_FRONTEND_TPCH_Q6 = (
+    "SELECT round(sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "cast(round(l_discount * 100) AS bigint)) / 10000.0, 2) AS revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= date '1996-01-01' "
+    "AND l_shipdate < date '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+def q_sql_frontend_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (cents form) under the gate: pure pyarrow filter (date
+    window + BETWEEN + comparison) into one global cents aggregate —
+    no shuffle at all, hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q6,
+                   {"lineitem": _t(sf_dir, "lineitem")})
+
+
+SQL_FRONTEND_TPCH_Q10 = (
+    "SELECT c_custkey, c_name, n_name, " + _CENTS_REV + " AS revenue "
+    "FROM customer "
+    "JOIN orders ON customer.c_custkey = orders.o_custkey "
+    "JOIN lineitem ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "WHERE l_returnflag = 'R' AND o_orderdate >= date '1996-01-01' "
+    "AND o_orderdate < date '1997-01-01' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+def q_sql_frontend_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item revenue, cents form) under the gate:
+    three joins, a post-join WHERE mixing a string equality with a
+    temporal window, per-customer revenue, deterministic top-20
+    (revenue DESC then c_custkey)."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q10,
+                   {"customer": _t(sf_dir, "customer"),
+                    "orders": _t(sf_dir, "orders"),
+                    "lineitem": _t(sf_dir, "lineitem"),
+                    "nation": _t(sf_dir, "nation")})
+
+
 SQL_FRONTEND_CASE = (
     "SELECT CASE WHEN o_totalprice < 150000 THEN 'small' "
     "WHEN o_totalprice < 320000 THEN 'mid' ELSE 'large' END AS band, "
@@ -7356,6 +7459,10 @@ QUERIES = {
     "q_sql_frontend_bool": q_sql_frontend_bool,
     "q_sql_frontend_expr": q_sql_frontend_expr,
     "q_sql_frontend_tpch_q1": q_sql_frontend_tpch_q1,
+    "q_sql_frontend_tpch_q3": q_sql_frontend_tpch_q3,
+    "q_sql_frontend_tpch_q5": q_sql_frontend_tpch_q5,
+    "q_sql_frontend_tpch_q6": q_sql_frontend_tpch_q6,
+    "q_sql_frontend_tpch_q10": q_sql_frontend_tpch_q10,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7776,6 +7883,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_bool": SQL_FRONTEND_BOOL,
         "q_sql_frontend_expr": SQL_FRONTEND_EXPR,
         "q_sql_frontend_tpch_q1": SQL_FRONTEND_TPCH_Q1,
+        "q_sql_frontend_tpch_q3": SQL_FRONTEND_TPCH_Q3,
+        "q_sql_frontend_tpch_q5": SQL_FRONTEND_TPCH_Q5,
+        "q_sql_frontend_tpch_q6": SQL_FRONTEND_TPCH_Q6,
+        "q_sql_frontend_tpch_q10": SQL_FRONTEND_TPCH_Q10,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

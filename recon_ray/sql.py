@@ -1255,6 +1255,24 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             acc_cols |= set(ref)
             _null_synth |= set(ref)
         else:
+            # Ray's join consumes the right_on columns. SQL keeps BOTH
+            # key columns in scope (SELECT l_orderkey ... ON
+            # lineitem.l_orderkey = orders.o_orderkey), so any right
+            # key the rest of the query references joins on a renamed
+            # COPY — the original survives as a data column, and LEFT
+            # joins still NULL it on unmatched rows
+            keep = [c for c in rk if c in _referenced]
+            if keep:
+                ren = {c: f"__jk{ji}_{k}" for k, c in enumerate(keep)}
+
+                def dup_keys(t: pa.Table, ren=dict(ren)) -> pa.Table:
+                    for src, dst in ren.items():
+                        t = t.append_column(dst, t.column(src))
+                    return t
+
+                right = right.map_batches(dup_keys,
+                                          batch_format="pyarrow")
+                rk = [ren.get(c, c) for c in rk]
             ds = shuffle_join(ds, right, on=lk, right_on=rk,
                               how=j["how"])
             acc_cols |= rcols

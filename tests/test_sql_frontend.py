@@ -165,6 +165,11 @@ JOIN_QS = [
     "JOIN t2 b ON a.k = b.fk WHERE y IS NOT NULL GROUP BY lbl",
     "SELECT count(*) AS n, sum(x) AS sx FROM t1 a JOIN t2 b "
     "ON a.k = b.fk AND a.s = b.lbl",
+    # the RIGHT key column stays in scope after the join (joined on a
+    # renamed copy); on LEFT joins it must be NULL for unmatched rows
+    "SELECT fk, s, count(*) AS n FROM t1 a JOIN t2 b ON a.k = b.fk "
+    "GROUP BY fk, s",
+    "SELECT k, fk, y FROM t1 a LEFT JOIN t2 b ON a.k = b.fk",
 ]
 
 
