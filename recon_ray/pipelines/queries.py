@@ -5365,6 +5365,56 @@ def q_sql_frontend_tpch_q10(sf_dir: str):
                     "nation": _t(sf_dir, "nation")})
 
 
+SQL_FRONTEND_TPCH_Q4 = (
+    "SELECT o_orderpriority, count(*) AS order_count "
+    "FROM orders "
+    "WHERE o_orderdate >= date '1996-01-01' "
+    "AND o_orderdate < date '1996-10-01' "
+    "AND o_orderkey IN "
+    "(SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_tpch_q4(sf_dir: str):
+    """TPC-H Q4 under the gate, EXISTS expressed as the equivalent IN
+    subquery (the synthetic lineitem has no commit/receipt dates, so
+    the 'late line' predicate becomes a quantity threshold): temporal
+    window filter, hash semi-join against the filtered lineitem keys,
+    priority counts."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q4,
+                   {"orders": _t(sf_dir, "orders"),
+                    "lineitem": _t(sf_dir, "lineitem")})
+
+
+SQL_FRONTEND_TPCH_Q19 = (
+    "SELECT " + _CENTS_REV + " AS revenue "
+    "FROM lineitem "
+    "JOIN part ON part.p_partkey = lineitem.l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 "
+    "AND p_size BETWEEN 1 AND 5) "
+    "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 "
+    "AND p_size BETWEEN 1 AND 10) "
+    "OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 "
+    "AND p_size BETWEEN 1 AND 15)"
+)
+
+
+def q_sql_frontend_tpch_q19(sf_dir: str):
+    """TPC-H Q19 under the gate (container/shipmode predicates dropped
+    — those columns don't exist in the synthetic part/lineitem): the
+    classic disjunction-of-conjunctions WHERE compiles to ONE pyarrow
+    Kleene or_/and_ mask over the joined stream, then the cents
+    revenue aggregate — hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q19,
+                   {"lineitem": _t(sf_dir, "lineitem"),
+                    "part": _t(sf_dir, "part")})
+
+
 SQL_FRONTEND_CASE = (
     "SELECT CASE WHEN o_totalprice < 150000 THEN 'small' "
     "WHEN o_totalprice < 320000 THEN 'mid' ELSE 'large' END AS band, "
@@ -7463,6 +7513,8 @@ QUERIES = {
     "q_sql_frontend_tpch_q5": q_sql_frontend_tpch_q5,
     "q_sql_frontend_tpch_q6": q_sql_frontend_tpch_q6,
     "q_sql_frontend_tpch_q10": q_sql_frontend_tpch_q10,
+    "q_sql_frontend_tpch_q4": q_sql_frontend_tpch_q4,
+    "q_sql_frontend_tpch_q19": q_sql_frontend_tpch_q19,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7887,6 +7939,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q5": SQL_FRONTEND_TPCH_Q5,
         "q_sql_frontend_tpch_q6": SQL_FRONTEND_TPCH_Q6,
         "q_sql_frontend_tpch_q10": SQL_FRONTEND_TPCH_Q10,
+        "q_sql_frontend_tpch_q4": SQL_FRONTEND_TPCH_Q4,
+        "q_sql_frontend_tpch_q19": SQL_FRONTEND_TPCH_Q19,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,
