@@ -260,6 +260,25 @@ def run_bench() -> dict:
     queries["zonemap_write_scan"] = round(time.time() - t0, 3)
     assert n_hits >= 0 and len(kept) <= total
 
+    # SQL front-end: the TPC-H mini-suite's heaviest members compiled
+    # and executed by the engine (identical strings to the DuckDB gate)
+    from recon_ray.pipelines.queries import (SQL_FRONTEND_TPCH_Q1,
+                                             SQL_FRONTEND_TPCH_Q3)
+    from recon_ray.sql import run_sql
+
+    t0 = time.time()
+    run_sql(SQL_FRONTEND_TPCH_Q1,
+            {"lineitem": rd.read_parquet(f"{SF_DIR}/lineitem.parquet")})
+    queries["sql_tpch_q1"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    run_sql(
+        SQL_FRONTEND_TPCH_Q3,
+        {"customer": rd.read_parquet(f"{SF_DIR}/customer.parquet"),
+         "orders": rd.read_parquet(f"{SF_DIR}/orders.parquet"),
+         "lineitem": rd.read_parquet(f"{SF_DIR}/lineitem.parquet")})
+    queries["sql_tpch_q3"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,

@@ -5415,6 +5415,27 @@ def q_sql_frontend_tpch_q19(sf_dir: str):
                     "part": _t(sf_dir, "part")})
 
 
+SQL_FRONTEND_LIKE = (
+    "SELECT source, count(*) AS n, "
+    "count(*) FILTER (WHERE text LIKE '%the%') AS n_the, "
+    "min(n_chars) AS c_min "
+    "FROM documents WHERE lang LIKE 'e%' OR source LIKE '%wiki%' "
+    "GROUP BY source ORDER BY source"
+)
+
+
+def q_sql_frontend_like(sf_dir: str):
+    """[NOT] LIKE under the gate: wildcard predicates in WHERE (under
+    OR) compile to pc.match_like masks, and a LIKE inside a FILTER
+    clause runs through the pandas 3VL tree (regex-translated with %
+    and _ as the only metacharacters); DuckDB runs the identical
+    string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_LIKE,
+                   {"documents": _t(sf_dir, "documents")})
+
+
 SQL_FRONTEND_CASE = (
     "SELECT CASE WHEN o_totalprice < 150000 THEN 'small' "
     "WHEN o_totalprice < 320000 THEN 'mid' ELSE 'large' END AS band, "
@@ -7515,6 +7536,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q10": q_sql_frontend_tpch_q10,
     "q_sql_frontend_tpch_q4": q_sql_frontend_tpch_q4,
     "q_sql_frontend_tpch_q19": q_sql_frontend_tpch_q19,
+    "q_sql_frontend_like": q_sql_frontend_like,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7941,6 +7963,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q10": SQL_FRONTEND_TPCH_Q10,
         "q_sql_frontend_tpch_q4": SQL_FRONTEND_TPCH_Q4,
         "q_sql_frontend_tpch_q19": SQL_FRONTEND_TPCH_Q19,
+        "q_sql_frontend_like": SQL_FRONTEND_LIKE,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -80,6 +80,8 @@ _IN_RE = re.compile(r"^(" + _QCOL + r")\s+(not\s+)?in\s*\((.+)\)$", re.I)
 _BETWEEN_RE = re.compile(
     r"^(" + _QCOL + r")\s+between\s+(.+?)\s+and\s+(.+)$", re.I)
 _NULL_RE = re.compile(r"^(" + _QCOL + r")\s+is\s+(not\s+)?null$", re.I)
+_LIKE_RE = re.compile(
+    r"^(" + _QCOL + r")\s+(not\s+)?like\s+('(?:[^']|'')*')$", re.I)
 _ON_EQ_RE = re.compile(
     r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
 _WIN_RE = re.compile(
@@ -129,6 +131,10 @@ def _parse_pred(clause: str, aliases: set) -> tuple:
     if nm:
         return ("notnull" if nm.group(2) else "isnull",
                 _unqual(nm.group(1), aliases), None)
+    lm = _LIKE_RE.match(clause)
+    if lm:
+        return ("not_like" if lm.group(2) else "like",
+                _unqual(lm.group(1), aliases), _literal(lm.group(3)))
     cm = _CMP_RE.match(clause)
     if not cm:
         raise SqlError(f"unsupported predicate: {clause!r}")
@@ -956,6 +962,14 @@ def _arrow_leaf(t: pa.Table, kind, col, payload):
             pc.is_valid(c),
             pc.invert(pc.is_in(c, value_set=pa.array(payload))),
             pa.scalar(None, pa.bool_()))
+    if kind in ("like", "not_like"):
+        # DuckDB's default LIKE has NO escape character (backslash is a
+        # literal), while pyarrow's match_like treats backslash as an
+        # escape — double them so the semantics line up; NULL inputs
+        # stay NULL (Kleene)
+        pat = payload.replace("\\", "\\\\")
+        m = pc.match_like(c, pat)
+        return pc.invert(m) if kind == "not_like" else m
     if kind == "isnull":
         return pc.is_null(c)
     return pc.is_valid(c)
@@ -1107,6 +1121,12 @@ def _pd_tri(b: pd.DataFrame, node) -> np.ndarray:
         vals = c[nn].isin(payload)
     elif kind == "not_in":
         vals = ~c[nn].isin(payload)
+    elif kind in ("like", "not_like"):
+        rx = "".join(".*" if ch == "%" else "." if ch == "_"
+                     else re.escape(ch) for ch in payload)
+        vals = c[nn].astype(str).str.fullmatch(rx)
+        if kind == "not_like":
+            vals = ~vals
     else:
         raise SqlError(f"unsupported predicate kind {kind!r} here")
     out[nn_np] = vals.to_numpy().astype("float64")
@@ -1119,15 +1139,62 @@ def _pd_mask(b: pd.DataFrame, tree) -> pd.Series:
     return pd.Series(_pd_tri(b, tree) == 1.0, index=b.index)
 
 
-def run_sql(sql: str, tables: dict) -> pd.DataFrame:
-    """Execute the mini-SQL subset on Ray Data operators."""
+def _pushdown_split(q: dict, tables: dict):
+    """Predicate pushdown for join queries: WHERE conjuncts whose
+    columns all live in ONE table move below the joins — onto the base
+    table, or onto an INNER join's right side (a LEFT join's right
+    side must filter AFTER the join, or preserved rows change).
+    Returns ({slot: [factor, ...]}, post_join_factors) with slot
+    "base" or the join index. Subquery factors never push."""
+    pushed: dict = {}
+    post: list = []
+    slot_of: dict = {}
+    base = tables.get(q["table"])
+    bsch = base.schema() if base is not None else None
+    for c in (bsch.names if bsch else []):
+        slot_of[c] = "base"
+    for ji, j in enumerate(q["joins"]):
+        t = tables.get(j["table"])
+        sch = t.schema() if t is not None else None
+        for c in (sch.names if sch else []):
+            slot_of.setdefault(c, ji)
+    for f in q["where"]:
+        kind, col, payload = f
+        if kind in _SUBQ_KINDS:
+            post.append(f)
+            continue
+        cols: set = set()
+        if kind == "bool":
+            _tree_cols(payload, cols)
+        else:
+            cols.add(col)
+        slots = {slot_of.get(c) for c in cols}
+        if len(slots) == 1 and None not in slots:
+            slot = next(iter(slots))
+            if slot == "base" or q["joins"][slot]["how"] == "inner":
+                pushed.setdefault(slot, []).append(f)
+                continue
+        post.append(f)
+    return pushed, post
+
+
+def run_sql(sql: str, tables: dict,
+            broadcast_rows: int = 300_000) -> pd.DataFrame:
+    """Execute the mini-SQL subset on Ray Data operators.
+
+    ``broadcast_rows``: a join side whose RAW row count (metadata-cheap
+    for parquet reads and in-memory tables) is at or under this bound
+    is materialized once and broadcast through the object store instead
+    of hash-shuffling both sides — the dimension-table plan. Pass 0 to
+    force shuffle joins everywhere."""
     from recon_ray.functions.relational import arrow_filter
 
     _sides, _all = _split_union(
         re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip())
     if len(_sides) > 1:
         body, order, limit = _strip_tail(_sides[-1])
-        frames = [run_sql(s, tables) for s in _sides[:-1] + [body]]
+        frames = [run_sql(s, tables, broadcast_rows)
+                  for s in _sides[:-1] + [body]]
         cols0 = list(frames[0].columns)
         for f in frames[1:]:
             if list(f.columns) != cols0:
@@ -1187,15 +1254,55 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
                    | set(q["group_by"])
                    | {w for it in q["select"] if it.get("win")
                       for w in (it["win"]["part"], it["win"]["order"])}
+                   | {it["win"]["col"] for it in q["select"]
+                      if it.get("win") and it["win"]["col"]
+                      and it["win"]["kind"] != "ntile"}
                    | {c for jj in q["joins"] for pair in jj["on"]
                       for c in pair})
     _null_synth = set()  # columns synthesized as all-NULL placeholders
+
+    def _prune(d, sch):
+        # projection pushdown: Ray pushes select_columns into the
+        # parquet scan, so unreferenced columns never leave storage.
+        # Keep one column when nothing is referenced (count(*)-only
+        # queries) — a zero-column dataset is Ray's no-schema hazard.
+        if d is None or sch is None:
+            return d
+        cols = [c for c in sch.names if c in _referenced]
+        if not cols:
+            cols = [sch.names[0]]
+        return d.select_columns(cols) if len(cols) < len(sch.names) else d
+
+    ds = _prune(ds, _lsch)
+    post_where = q["where"]
+    base_meta = None
+    if q["joins"]:
+        pushed, post_where = _pushdown_split(q, tables)
+        if pushed.get("base") and _lsch is not None:
+            ds = arrow_filter(ds, _compile_pred(pushed["base"]))
+        # RAW row counts (metadata-cheap: parquet footers / in-memory
+        # length) pick the join strategy; the filtered side is what
+        # actually joins. When a pushed filter might shrink a side
+        # under the broadcast bound, count the filtered side too — but
+        # only below the probe cap (a bounded pruned-column scan;
+        # never on petabyte-class inputs).
+        base_meta = (tables[q["table"]].count()
+                     if _lsch is not None else 0)
+        base_eff = base_meta
+        if (pushed.get("base") and 0 < base_meta
+                and base_meta <= 20 * broadcast_rows):
+            base_eff = ds.count()
     for ji, j in enumerate(q["joins"]):
-        from recon_ray.functions.relational import shuffle_join
+        from recon_ray.functions.relational import (broadcast_join,
+                                                    shuffle_join)
 
         if j["table"] not in tables:
             raise SqlError(f"unknown table {j['table']!r}")
         right = tables[j["table"]]
+        r_meta = right.count() if right.schema() is not None else 0
+        right = _prune(right, right.schema())
+        if pushed.get(ji) and right.schema() is not None:
+            right = arrow_filter(right, _compile_pred(pushed[ji]))
         rsch = right.schema()
         rcols = set(rsch.names) if rsch else set()
         overlap = sorted(acc_cols & rcols)
@@ -1261,32 +1368,67 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             # key the rest of the query references joins on a renamed
             # COPY — the original survives as a data column, and LEFT
             # joins still NULL it on unmatched rows
-            keep = [c for c in rk if c in _referenced]
-            if keep:
-                ren = {c: f"__jk{ji}_{k}" for k, c in enumerate(keep)}
+            pd_how = "left" if j["how"] == "left_outer" else "inner"
+            r_eff = r_meta
+            if (r_meta > broadcast_rows and pushed.get(ji)
+                    and r_meta <= 20 * broadcast_rows):
+                r_eff = right.count()  # bounded filtered-side probe
+            can_swap = (j["how"] == "inner" and ji == 0
+                        and base_eff is not None
+                        and base_eff <= broadcast_rows)
+            if r_eff <= broadcast_rows and not (
+                    can_swap and base_eff < r_eff):
+                # dimension-sized right side: materialize the FILTERED
+                # side once, drop NULL-key rows (SQL: NULL never
+                # matches; pandas merge would match NaN to NaN), ship
+                # via ray.put, stream the big side through. pandas
+                # merge keeps both key columns, so no rename dance.
+                sm = right.to_pandas().dropna(subset=rk)
+                ds = broadcast_join(ds, sm, on=lk, small_on=rk,
+                                    how=pd_how)
+            elif can_swap:
+                # small BASE side: inner joins commute, so broadcast
+                # the (base-filtered) left side into the big right
+                # stream instead of shuffling both — the result then
+                # rides the BIG side's block parallelism
+                sm = ds.to_pandas().dropna(subset=lk)
+                ds = broadcast_join(right, sm, on=rk, small_on=lk,
+                                    how="inner")
+            else:
+                # both sides large: hash-partition shuffle join. Ray's
+                # join consumes the right_on columns, but SQL keeps
+                # BOTH key columns in scope (SELECT l_orderkey ... ON
+                # lineitem.l_orderkey = orders.o_orderkey), so any
+                # right key the rest of the query references joins on
+                # a renamed COPY — the original survives as a data
+                # column, and LEFT joins still NULL it on unmatched
+                # rows
+                keep = [c for c in rk if c in _referenced]
+                if keep:
+                    ren = {c: f"__jk{ji}_{k}" for k, c in enumerate(keep)}
 
-                def dup_keys(t: pa.Table, ren=dict(ren)) -> pa.Table:
-                    for src, dst in ren.items():
-                        t = t.append_column(dst, t.column(src))
-                    return t
+                    def dup_keys(t: pa.Table, ren=dict(ren)) -> pa.Table:
+                        for src, dst in ren.items():
+                            t = t.append_column(dst, t.column(src))
+                        return t
 
-                right = right.map_batches(dup_keys,
-                                          batch_format="pyarrow")
-                rk = [ren.get(c, c) for c in rk]
-            ds = shuffle_join(ds, right, on=lk, right_on=rk,
-                              how=j["how"])
+                    right = right.map_batches(dup_keys,
+                                              batch_format="pyarrow")
+                    rk = [ren.get(c, c) for c in rk]
+                ds = shuffle_join(ds, right, on=lk, right_on=rk,
+                                  how=j["how"])
             acc_cols |= rcols
 
     _SUBQ = ("in_subq", "not_in_subq")
-    scalar_conds = [p for p in q["where"]
+    scalar_conds = [p for p in post_where
                     if p[0] not in _SUBQ and p[0] != "cmp_subq"]
-    for _k, col, (op, subtext) in (p for p in q["where"]
+    for _k, col, (op, subtext) in (p for p in post_where
                                    if p[0] == "cmp_subq"):
         # scalar subquery: a single global aggregate (validated in the
         # parser) — evaluate it recursively, then fold the value into
         # the conjunctive predicate; a NULL scalar (e.g. sum over zero
         # rows) makes the comparison UNKNOWN for every row
-        val_df = run_sql(subtext, tables)
+        val_df = run_sql(subtext, tables, broadcast_rows)
         val = val_df.iloc[0, 0]
         if pd.isna(val):
             ds = None
@@ -1295,7 +1437,7 @@ def run_sql(sql: str, tables: dict) -> pd.DataFrame:
             (op, col, val.item() if hasattr(val, "item") else val))
     if scalar_conds and ds is not None:
         ds = arrow_filter(ds, _compile_pred(scalar_conds))
-    for kind, col, sub in (p for p in q["where"] if p[0] in _SUBQ):
+    for kind, col, sub in (p for p in post_where if p[0] in _SUBQ):
         if ds is None:
             break
         if sub["table"] not in tables:
@@ -1716,6 +1858,9 @@ def _fmt_pred(p) -> str:
         return f"{col} IS NULL"
     if kind == "notnull":
         return f"{col} IS NOT NULL"
+    if kind in ("like", "not_like"):
+        neg = "NOT " if kind == "not_like" else ""
+        return f"{col} {neg}LIKE {payload!r}"
     if kind == "cmp_subq":
         return f"{col} {payload[0]} (scalar subquery)"
     if kind == "in_subq":

@@ -190,22 +190,32 @@ def test_join_matches_duckdb(lrows, rrows, sql, parts):
     """Two-table equi-JOIN front-end vs DuckDB on the identical string:
     inner/left cardinality, NULL right sides through every aggregate,
     post-join WHERE, multi-key ON — row order compared sorted on all
-    columns (tie order under ORDER BY is unspecified in SQL)."""
+    columns (tie order under ORDER BY is unspecified in SQL). Runs the
+    plan BOTH ways: broadcast (default — these frames are tiny) and
+    forced shuffle (broadcast_rows=0); NULL join keys on both sides
+    must never match (pandas merge would happily match NaN to NaN)."""
     t1 = pd.DataFrame(
-        {"k": pd.Series([r[0] for r in lrows], dtype="int64"),
+        {"k": pd.Series(
+            [None if r[2] % 7 == 3 else r[0] for r in lrows],
+            dtype="Int64"),
          "s": pd.Series([r[1] for r in lrows], dtype=object),
          "x": pd.Series([r[2] for r in lrows], dtype="int64")})
     t2 = pd.DataFrame(
-        {"fk": pd.Series([r[0] for r in rrows], dtype="int64"),
+        {"fk": pd.Series(
+            [None if (r[1] or 0) % 5 == 4 else r[0] for r in rrows],
+            dtype="Int64"),
          "y": pd.Series([r[1] for r in rrows], dtype="Float64"),
          "lbl": pd.Series([r[2] for r in rrows], dtype=object)})
-    got = run_sql(sql, {"t1": rd.from_pandas(t1).repartition(parts),
-                        "t2": rd.from_pandas(t2).repartition(parts)})
     con = duckdb.connect()
     con.register("t1", t1)
     con.register("t2", t2)
     want = con.execute(sql).fetchdf()
-    _cmp_sorted(got, want, float_cols=("sy", "ax", "av"))
+    for bcast in (200_000, 0):
+        got = run_sql(sql,
+                      {"t1": rd.from_pandas(t1).repartition(parts),
+                       "t2": rd.from_pandas(t2).repartition(parts)},
+                      broadcast_rows=bcast)
+        _cmp_sorted(got, want, float_cols=("sy", "ax", "av"))
 
 
 def test_join_parser_rejection_surface(ray_session):
@@ -824,3 +834,33 @@ def test_postagg_parser_rejections():
     ]:
         with pytest.raises(SqlError):
             parse_sql(bad)
+
+
+LIKE_QS = [
+    "SELECT s, count(*) AS n FROM t WHERE s LIKE 'ab%' GROUP BY s",
+    "SELECT s FROM t WHERE s NOT LIKE '%b%'",
+    "SELECT s, count(*) AS n FROM t WHERE s LIKE '_b%' OR s LIKE 'c%' "
+    "GROUP BY s",
+    "SELECT count(*) AS n FROM t WHERE NOT s LIKE '%c'",
+    "SELECT s FROM t WHERE s LIKE 'a\\%b'",
+    "SELECT s FROM t WHERE s LIKE '%.*%'",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from(
+        ["abc", "abd", "b", "cab", "a%b", "a.b", "ab", "x.*y",
+         "a\\b", None]), min_size=1, max_size=20),
+    st.sampled_from(LIKE_QS),
+    st.integers(min_value=1, max_value=4),
+)
+def test_like_matches_duckdb(vals, sql, parts):
+    """[NOT] LIKE vs DuckDB on identical strings: %/_ wildcards,
+    backslash-is-a-literal (DuckDB's default LIKE has no escape char —
+    pyarrow's match_like does, so the compiler doubles backslashes),
+    regex metacharacters staying literal, NULL→UNKNOWN, and LIKE under
+    OR/NOT."""
+    df = pd.DataFrame({"s": pd.Series(vals, dtype=object)})
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want)
