@@ -420,15 +420,8 @@ def cmd_convert(args) -> int:
 def cmd_sql(args) -> int:
     """Run the mini-SQL subset (recon_ray/sql.py) on Ray Data operators:
     --table name=path (repeatable) registers parquet tables."""
-    if args.explain:
-        from recon_ray.sql import explain_sql
-
-        print(explain_sql(args.query))
-        return 0
     _ensure_ray()
     import ray.data as rd
-
-    from recon_ray.sql import run_sql
 
     tables = {}
     for spec_ in args.table or []:
@@ -436,6 +429,15 @@ def cmd_sql(args) -> int:
         if not path:
             raise SystemExit(f"--table needs name=path, got {spec_!r}")
         tables[name] = rd.read_parquet(path)
+    if args.explain:
+        from recon_ray.sql import explain_sql
+
+        # with tables registered the plan also shows the optimizer
+        # decisions (pushdown + broadcast/shuffle from metadata counts)
+        print(explain_sql(args.query, tables or None))
+        return 0
+    from recon_ray.sql import run_sql
+
     out = run_sql(args.query, tables)
     print(out.to_string(index=False))
     return 0

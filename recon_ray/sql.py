@@ -1868,15 +1868,19 @@ def _fmt_pred(p) -> str:
     return f"{col} NOT IN (subquery on {payload['table']})"
 
 
-def explain_sql(sql: str) -> str:
+def explain_sql(sql: str, tables: dict = None,
+                broadcast_rows: int = 300_000) -> str:
     """The compiled physical plan as text — which Ray Data operators the
-    query maps onto and where the shuffles are. Pure planning: parses
-    only, executes nothing."""
+    query maps onto and where the shuffles are. Parses only, executes
+    nothing. With ``tables`` (the same dict run_sql takes), the plan
+    additionally shows the OPTIMIZER decisions: pushed-down filters and
+    the broadcast-vs-shuffle choice from metadata row counts."""
     sides, all_ = _split_union(
         re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip())
     if len(sides) > 1:
         body, order, limit = _strip_tail(sides[-1])
-        plans = [explain_sql(s) for s in sides[:-1] + [body]]
+        plans = [explain_sql(s, tables, broadcast_rows)
+                 for s in sides[:-1] + [body]]
         lines = []
         for i, p in enumerate(plans):
             lines.append(f"Side {i + 1}:")
@@ -1891,24 +1895,62 @@ def explain_sql(sql: str) -> str:
             lines.append(f"Limit [{limit}]")
         return "\n".join(lines)
     q = parse_sql(sql)
-    lines = [f"Scan {q['table']} [streaming read]"]
-    for j in q["joins"]:
-        on = " AND ".join(f"{a} = {b}" for a, b in j["on"])
+    pushed: dict = {}
+    post = q["where"]
+    counts: dict = {}
+
+    def _cnt(name):
+        t = tables.get(name) if tables else None
+        if t is None or t.schema() is None:
+            return None
+        if name not in counts:
+            counts[name] = t.count()
+        return counts[name]
+
+    if tables is not None and q["joins"]:
+        pushed, post = _pushdown_split(q, tables)
+    bn = _cnt(q["table"])
+    note = f"; ~{bn} rows" if bn is not None else ""
+    lines = [f"Scan {q['table']} [streaming read{note}]"]
+    if pushed.get("base"):
         lines.append(
-            f"Join {j['table']} [{j['how']} hash shuffle_join on {on}; "
-            "both sides shuffle]")
-    scalars = [p for p in q["where"]
+            "  PushedFilter ["
+            + " AND ".join(_fmt_pred(p) for p in pushed["base"])
+            + "; below the joins]")
+    for ji, j in enumerate(q["joins"]):
+        on = " AND ".join(f"{a} = {b}" for a, b in j["on"])
+        strat = "hash shuffle_join; both sides shuffle"
+        if tables is not None:
+            rn = _cnt(j["table"])
+            if rn is not None and rn <= broadcast_rows:
+                strat = (f"BROADCAST right side (~{rn} rows <= "
+                         f"{broadcast_rows}); big side streams")
+            elif (j["how"] == "inner" and ji == 0 and bn is not None
+                    and bn <= broadcast_rows):
+                strat = (f"BROADCAST base side (~{bn} rows, inner "
+                         "swap); right side streams")
+            elif (rn is not None and pushed.get(ji)
+                    and rn <= 20 * broadcast_rows):
+                strat = ("filtered-side probe at run time: broadcast "
+                         "if it shrinks under the bar, else shuffle")
+        lines.append(f"Join {j['table']} [{j['how']} on {on}; {strat}]")
+        if pushed.get(ji):
+            lines.append(
+                "  PushedFilter ["
+                + " AND ".join(_fmt_pred(p) for p in pushed[ji])
+                + "; below the join]")
+    scalars = [p for p in post
                if p[0] not in ("in_subq", "not_in_subq", "cmp_subq")]
-    for p in (p for p in q["where"] if p[0] == "cmp_subq"):
+    for p in (p for p in post if p[0] == "cmp_subq"):
         lines.append(
             f"ScalarSubquery [{_fmt_pred(p)}; evaluated once, folded "
             "into Filter]")
-    if scalars or any(p[0] == "cmp_subq" for p in q["where"]):
+    if scalars or any(p[0] == "cmp_subq" for p in post):
         shown = [_fmt_pred(p) for p in scalars] or ["<from subquery>"]
         lines.append(
             f"Filter [{' AND '.join(shown)}; zero-copy pyarrow kernels, "
             "no shuffle]")
-    for p in (p for p in q["where"] if p[0] in ("in_subq", "not_in_subq")):
+    for p in (p for p in post if p[0] in ("in_subq", "not_in_subq")):
         anti = "anti" if p[0] == "not_in_subq" else "semi"
         lines.append(
             f"SemiJoin [{_fmt_pred(p)}; hash {anti}-join, both sides "

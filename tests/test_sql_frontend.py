@@ -398,7 +398,7 @@ def test_explain_sql_plan_shapes():
              "Sort", "Limit"]
     pos = [plan.index(tok) for tok in order]
     assert pos == sorted(pos), plan
-    assert "hash shuffle_join on k = fk" in plan
+    assert "on k = fk; hash shuffle_join" in plan
     plan2 = explain_sql(
         "SELECT g, row_number() OVER (PARTITION BY g ORDER BY o) AS rn "
         "FROM t")
@@ -864,3 +864,22 @@ def test_like_matches_duckdb(vals, sql, parts):
     df = pd.DataFrame({"s": pd.Series(vals, dtype=object)})
     got, want = _exec_both(sql, df, parts)
     _cmp_sorted(got, want)
+
+
+def test_explain_with_tables_shows_optimizer(ray_session):
+    from recon_ray.sql import explain_sql
+
+    t1 = pd.DataFrame({"k": [1, 2, 3], "s": ["a", "b", "c"]})
+    t2 = pd.DataFrame({"fk": [1, 2], "y": [5.0, 6.0]})
+    tables = {"t1": rd.from_pandas(t1), "t2": rd.from_pandas(t2)}
+    plan = explain_sql(
+        "SELECT s, sum(y) AS sy FROM t1 a JOIN t2 b ON a.k = b.fk "
+        "WHERE s = 'a' AND y > 1 GROUP BY s", tables)
+    assert "PushedFilter [s = 'a'" in plan        # base-side pushdown
+    assert "PushedFilter [y > " in plan           # inner-right pushdown
+    assert "BROADCAST" in plan and "~2 rows" in plan
+    # without tables: logical plan, no optimizer annotations
+    plan2 = explain_sql(
+        "SELECT s, sum(y) AS sy FROM t1 a JOIN t2 b ON a.k = b.fk "
+        "WHERE s = 'a' GROUP BY s")
+    assert "PushedFilter" not in plan2 and "shuffle" in plan2
