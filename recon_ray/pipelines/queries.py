@@ -5415,6 +5415,33 @@ def q_sql_frontend_tpch_q19(sf_dir: str):
                     "part": _t(sf_dir, "part")})
 
 
+SQL_FRONTEND_TPCH_Q14 = (
+    "SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
+    "cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint)) ELSE 0 END) / "
+    "sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint))), 6) "
+    "AS promo_revenue "
+    "FROM lineitem JOIN part ON part.p_partkey = lineitem.l_partkey "
+    "WHERE l_shipdate >= date '1996-09-01' "
+    "AND l_shipdate < date '1996-10-01'"
+)
+
+
+def q_sql_frontend_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion-revenue ratio, cents form) under the gate:
+    sum(CASE WHEN p_type LIKE 'PROMO%' THEN cents ELSE 0 END) over the
+    joined stream — CASE excised into the expression AST, evaluated as
+    an int64 derive column — divided by the plain cents sum in a
+    post-aggregate expression; both sums exact, rounding
+    DuckDB-mirrored, hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q14,
+                   {"lineitem": _t(sf_dir, "lineitem"),
+                    "part": _t(sf_dir, "part")})
+
+
 SQL_FRONTEND_LIKE = (
     "SELECT source, count(*) AS n, "
     "count(*) FILTER (WHERE text LIKE '%the%') AS n_the, "
@@ -7537,6 +7564,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q4": q_sql_frontend_tpch_q4,
     "q_sql_frontend_tpch_q19": q_sql_frontend_tpch_q19,
     "q_sql_frontend_like": q_sql_frontend_like,
+    "q_sql_frontend_tpch_q14": q_sql_frontend_tpch_q14,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7964,6 +7992,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q4": SQL_FRONTEND_TPCH_Q4,
         "q_sql_frontend_tpch_q19": SQL_FRONTEND_TPCH_Q19,
         "q_sql_frontend_like": SQL_FRONTEND_LIKE,
+        "q_sql_frontend_tpch_q14": SQL_FRONTEND_TPCH_Q14,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

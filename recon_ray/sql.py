@@ -259,14 +259,81 @@ def _split_and(text: str) -> list[str]:
 
 
 def _case_value(tok: str, aliases: set):
-    """A CASE THEN/ELSE operand: NULL, a column reference, or a
-    literal."""
+    """A CASE THEN/ELSE operand: NULL, a column reference, a literal,
+    or an arithmetic expression."""
     tok = tok.strip()
     if tok.lower() == "null":
         return ("lit", None)
     if re.match(r"^" + _QCOL + r"$", tok):
         return ("col", _unqual(tok, aliases))
-    return ("lit", _literal(tok))
+    try:
+        return ("lit", _literal(tok))
+    except SqlError:
+        return ("expr", _parse_arith(tok, aliases))
+
+
+def _parse_case_body(text: str, aliases: set) -> dict:
+    """``CASE WHEN bool THEN value ... [ELSE value] END`` →
+    {"whens": [(tree, value), ...], "else": value}. Shared by the
+    select-item CASE and CASE nested inside arithmetic/aggregates."""
+    m = re.match(r"^case\s+when\s+(?P<body>.+)\s+end$", text.strip(),
+                 re.I | re.S)
+    if not m:
+        raise SqlError(f"unsupported CASE: {text!r}")
+    whens = []
+    else_val = ("lit", None)
+    chunks = _split_kw(m.group("body"), "when")
+    for ci, ch in enumerate(chunks):
+        if ci == len(chunks) - 1:
+            eparts = _split_kw(ch, "else")
+            if len(eparts) == 2:
+                ch, ev = eparts
+                else_val = _case_value(ev, aliases)
+            elif len(eparts) > 2:
+                raise SqlError("multiple ELSE in CASE")
+        tparts = _split_kw(ch, "then")
+        if len(tparts) != 2:
+            raise SqlError(f"bad CASE arm: {ch!r}")
+        tree = _parse_bool(tparts[0], aliases)
+        _assert_scalar_tree(tree, "CASE")
+        whens.append((tree, _case_value(tparts[1], aliases)))
+    return {"whens": whens, "else": else_val}
+
+
+_CASE_SCAN = re.compile(r"'(?:[^']|'')*'|\bcase\b|\bend\b", re.I)
+
+
+def _excise_cases(text: str):
+    """Replace each top-level ``CASE ... END`` span with a
+    ``__case{k}`` placeholder name so the arithmetic lexer never sees
+    predicate syntax; the bodies parse separately via
+    _parse_case_body. Nested CASE is out of scope."""
+    out: list = []
+    bodies: dict = {}
+    last, k = 0, 0
+    open_pos = None
+    for m in _CASE_SCAN.finditer(text):
+        tok = m.group(0).lower()
+        if tok.startswith("'"):
+            continue
+        if tok == "case":
+            if open_pos is not None:
+                raise SqlError("nested CASE is out of scope")
+            open_pos = m.start()
+            out.append(text[last:m.start()])
+        else:  # end
+            if open_pos is None:
+                raise SqlError(f"dangling END in expression: {text!r}")
+            name = f"__case{k}"
+            bodies[name] = text[open_pos:m.end()]
+            out.append(" " + name + " ")
+            k += 1
+            open_pos = None
+            last = m.end()
+    if open_pos is not None:
+        raise SqlError(f"CASE without END in: {text!r}")
+    out.append(text[last:])
+    return "".join(out), bodies
 
 
 def _literal(tok: str):
@@ -302,6 +369,9 @@ _FLOAT_CASTS = {"double": "float", "float": "float", "real": "float"}
 def _lex_arith(text: str) -> list[tuple]:
     toks, i, n = [], 0, len(text)
     while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
         m = _ARITH_TOKEN.match(text, i)
         if not m or m.end() == i:
             raise SqlError(f"unsupported expression token at: "
@@ -329,7 +399,14 @@ def _parse_arith(text: str, aliases: set, agg_collect: list = None):
     With ``agg_collect`` (a list), aggregate calls are legal leaves —
     ``sum(expr)``, ``count(*)`` … register a (fn, inner-ast) spec there
     (deduplicated) and parse as ``("col", "__pa{i}")`` placeholders,
-    the post-aggregation-expression hook."""
+    the post-aggregation-expression hook.
+
+    ``CASE WHEN ... END`` spans are legal atoms (excised to
+    placeholders before lexing — predicate syntax never reaches the
+    token stream), so ``sum(CASE WHEN p THEN x ELSE 0 END)`` — the
+    TPC-H Q12/Q14 conditional-aggregate shape — parses here; the node
+    is ("casex", {"whens": [...], "else": value})."""
+    text, case_bodies = _excise_cases(text)
     toks = _lex_arith(text)
     pos = [0]
     in_agg = [0]
@@ -355,6 +432,14 @@ def _parse_arith(text: str, aliases: set, agg_collect: list = None):
             return ("lit", v)
         if k == "name":
             low = v.lower()
+            if v in case_bodies:
+                spec = _parse_case_body(case_bodies[v], aliases)
+                for _t, val in spec["whens"] + [(None, spec["else"])]:
+                    if val[0] == "lit" and isinstance(val[1], str):
+                        raise SqlError(
+                            "string CASE values are not usable in "
+                            "arithmetic expressions")
+                return ("casex", spec)
             if low == "round" and peek() == ("op", "("):
                 take()
                 e = expr()
@@ -458,6 +543,14 @@ def _expr_cols(node, out: set):
         _expr_cols(node[2], out)
     elif node[0] == "cast":
         _expr_cols(node[2], out)
+    elif node[0] == "casex":
+        for tree, val in node[1]["whens"] + [(None, node[1]["else"])]:
+            if tree is not None:
+                _tree_cols(tree, out)
+            if val[0] == "col":
+                out.add(val[1])
+            elif val[0] == "expr":
+                _expr_cols(val[1], out)
 
 
 def _expr_is_int(node) -> bool:
@@ -476,6 +569,12 @@ def _expr_is_int(node) -> bool:
         return node[1] == "int"
     if k == "fn":
         return False  # round() returns double, like DuckDB
+    if k == "casex":
+        vals = [v for _t, v in node[1]["whens"]] + [node[1]["else"]]
+        return all(
+            (v[0] == "lit" and isinstance(v[1], int))
+            or (v[0] == "expr" and _expr_is_int(v[1]))
+            for v in vals)
     op = node[1]
     return op in "+-*" and _expr_is_int(node[2]) and _expr_is_int(node[3])
 
@@ -500,6 +599,22 @@ def _eval_expr(b: pd.DataFrame, node):
         return pd.to_numeric(b[node[1]]).astype("float64").to_numpy()
     if k == "neg":
         return -_eval_expr(b, node[1])
+    if k == "casex":  # CASE inside arithmetic: first-match np.select
+        spec = node[1]
+
+        def varr(v):
+            if v[0] == "expr":
+                return _eval_expr(b, v[1])
+            if v[0] == "col":
+                return pd.to_numeric(
+                    b[v[1]]).astype("float64").to_numpy()
+            return np.nan if v[1] is None else float(v[1])
+
+        if len(b) == 0:
+            return np.full(0, np.float64(np.nan))
+        masks = [_pd_tri(b, tree) == 1.0 for tree, _v in spec["whens"]]
+        return np.select(masks, [varr(v) for _t, v in spec["whens"]],
+                         default=varr(spec["else"]))
     if k == "fn":  # round(x, n)
         return _round_away(_eval_expr(b, node[2]), node[3])
     if k == "cast":
@@ -636,27 +751,10 @@ def parse_sql(sql: str) -> dict:
             if not alias:
                 raise SqlError(
                     f"CASE select items need an AS alias: {item!r}")
-            whens = []
-            else_val = ("lit", None)
-            chunks = _split_kw(casem.group("body"), "when")
-            for ci, ch in enumerate(chunks):
-                if ci == len(chunks) - 1:
-                    eparts = _split_kw(ch, "else")
-                    if len(eparts) == 2:
-                        ch, ev = eparts
-                        else_val = _case_value(ev, aliases)
-                    elif len(eparts) > 2:
-                        raise SqlError("multiple ELSE in CASE")
-                tparts = _split_kw(ch, "then")
-                if len(tparts) != 2:
-                    raise SqlError(f"bad CASE arm: {ch!r}")
-                tree = _parse_bool(tparts[0], aliases)
-                _assert_scalar_tree(tree, "CASE")
-                whens.append((tree, _case_value(tparts[1], aliases)))
             q["select"].append(
                 {"agg": None, "col": alias, "distinct": False,
                  "alias": alias,
-                 "case": {"whens": whens, "else": else_val}})
+                 "case": _parse_case_body(expr, aliases)})
             continue
         flt = None
         fm = re.match(r"^(?P<agg>.+?)\s+filter\s*\(\s*where\s+"
@@ -1242,12 +1340,14 @@ def run_sql(sql: str, tables: dict,
         if it.get("filter") is not None:
             _tree_cols(it["filter"], _refcols)
         if it.get("case"):
-            for tree, val in it["case"]["whens"]:
-                _tree_cols(tree, _refcols)
+            for tree, val in (it["case"]["whens"]
+                              + [(None, it["case"]["else"])]):
+                if tree is not None:
+                    _tree_cols(tree, _refcols)
                 if val[0] == "col":
                     _refcols.add(val[1])
-            if it["case"]["else"][0] == "col":
-                _refcols.add(it["case"]["else"][1])
+                elif val[0] == "expr":
+                    _expr_cols(val[1], _refcols)
     _referenced = ({it["col"] for it in q["select"] if it["col"]}
                    | {c for _, c, _ in q["where"] if isinstance(c, str)}
                    | _refcols
@@ -1512,6 +1612,8 @@ def run_sql(sql: str, tables: dict,
                 spec = it["case"]
 
                 def val_arr(v):
+                    if v[0] == "expr":
+                        return _eval_expr(b, v[1])
                     if v[0] == "col":
                         return b[v[1]].to_numpy()
                     if isinstance(v[1], str):
@@ -1827,6 +1929,8 @@ def _fmt_expr(node) -> str:
         return f"-{_fmt_expr(node[1])}"
     if k == "fn":
         return f"round({_fmt_expr(node[2])}, {node[3]})"
+    if k == "casex":
+        return f"CASE({len(node[1]['whens'])} arms)"
     if k == "cast":
         ty = "bigint" if node[1] == "int" else "double"
         return f"cast({_fmt_expr(node[2])} as {ty})"

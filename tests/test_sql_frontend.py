@@ -116,7 +116,6 @@ def test_parser_rejects_out_of_scope():
         "SELECT a FROM t WHERE v = 1 OR a IN (SELECT a FROM u)",
         "SELECT a FROM t WHERE NOT v > (SELECT max(v) FROM u)",
         "SELECT v + 1 FROM t",                        # expr needs alias
-        "SELECT sum(v + CASE WHEN v > 1 THEN 1 END) AS s FROM t",
         "DELETE FROM t",
         "SELECT min(*) FROM t",
     ]:
@@ -883,3 +882,41 @@ def test_explain_with_tables_shows_optimizer(ray_session):
         "SELECT s, sum(y) AS sy FROM t1 a JOIN t2 b ON a.k = b.fk "
         "WHERE s = 'a' GROUP BY s")
     assert "PushedFilter" not in plan2 and "shuffle" in plan2
+
+
+CASEX_QS = [
+    "SELECT g, sum(CASE WHEN v > 10 THEN v ELSE 0 END) AS s, "
+    "count(*) AS n FROM t GROUP BY g",
+    "SELECT sum(CASE WHEN h IN (0, 2) THEN 1 ELSE 0 END) AS hits, "
+    "max(CASE WHEN v < 0 THEN -v END) AS m FROM t",
+    "SELECT g, 2 * CASE WHEN v >= 0 THEN v + h ELSE -v END AS d "
+    "FROM t WHERE v IS NOT NULL",
+    "SELECT round(100.0 * sum(CASE WHEN g = 'x' THEN v ELSE 0 END) "
+    "/ sum(v), 4) AS pct FROM t WHERE v IS NOT NULL",
+    "SELECT g, avg(CASE WHEN h > 1 THEN v * 2 WHEN h = 1 THEN v END) "
+    "AS a FROM t GROUP BY g",
+]
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows_st, st.sampled_from(CASEX_QS),
+       st.integers(min_value=1, max_value=4))
+def test_case_in_expressions_matches_duckdb(rows, sql, parts):
+    """CASE inside aggregates and arithmetic (the TPC-H Q12/Q14
+    conditional-aggregate shape) vs DuckDB: excised-body parsing,
+    expression THEN/ELSE values, missing-ELSE NULLs flowing through
+    sum/max/avg, CASE as a post-aggregate ratio numerator."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("s", "m", "d", "pct", "a"))
+
+
+def test_casex_parser_rejections():
+    for bad in [
+        "SELECT sum(CASE WHEN v > 1 THEN CASE WHEN h = 1 THEN 1 END "
+        "END) AS s FROM t",                       # nested CASE
+        "SELECT 1 + CASE WHEN v > 1 THEN 'x' END AS s FROM t",
+        "SELECT sum(CASE WHEN v > 1 THEN 1) AS s FROM t",  # no END
+    ]:
+        with pytest.raises(SqlError):
+            parse_sql(bad)
