@@ -5442,6 +5442,35 @@ def q_sql_frontend_tpch_q14(sf_dir: str):
                     "part": _t(sf_dir, "part")})
 
 
+SQL_FRONTEND_TPCH_Q18 = (
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "sum(l_quantity) AS total_qty "
+    "FROM customer "
+    "JOIN orders ON customer.c_custkey = orders.o_custkey "
+    "JOIN lineitem ON lineitem.l_orderkey = orders.o_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+)
+
+
+def q_sql_frontend_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers) under the gate: the IN
+    subquery is itself an aggregated query (GROUP BY + HAVING on a raw
+    sum) planned recursively, its groups-sized key set semi-joined
+    back into the customer x orders x lineitem chain; quantity sums
+    are integer-valued doubles, so everything is hash-exact. The
+    clause splitter is paren-aware — the inner GROUP BY/HAVING lives
+    inside the subquery parens."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q18,
+                   {"customer": _t(sf_dir, "customer"),
+                    "orders": _t(sf_dir, "orders"),
+                    "lineitem": _t(sf_dir, "lineitem")})
+
+
 SQL_FRONTEND_LIKE = (
     "SELECT source, count(*) AS n, "
     "count(*) FILTER (WHERE text LIKE '%the%') AS n_the, "
@@ -7565,6 +7594,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q19": q_sql_frontend_tpch_q19,
     "q_sql_frontend_like": q_sql_frontend_like,
     "q_sql_frontend_tpch_q14": q_sql_frontend_tpch_q14,
+    "q_sql_frontend_tpch_q18": q_sql_frontend_tpch_q18,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -7993,6 +8023,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q19": SQL_FRONTEND_TPCH_Q19,
         "q_sql_frontend_like": SQL_FRONTEND_LIKE,
         "q_sql_frontend_tpch_q14": SQL_FRONTEND_TPCH_Q14,
+        "q_sql_frontend_tpch_q18": SQL_FRONTEND_TPCH_Q18,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

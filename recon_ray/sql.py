@@ -721,20 +721,68 @@ def _parse_from(text: str) -> tuple[str, set, list]:
     return table, aliases, joins
 
 
+_CLAUSE_ORDER = ("from", "where", "group by", "having", "order by",
+                 "limit")
+
+
+def _split_clauses(s: str) -> dict:
+    """Split a SELECT statement into its clauses at paren depth 0
+    (quote-aware) — a regex can't do this once subqueries carry their
+    own GROUP BY / HAVING / ORDER BY inside the parens."""
+    m = re.match(r"^select\s+(distinct\s+)?", s, re.I)
+    if not m:
+        raise SqlError(f"unsupported SQL shape: {s!r}")
+    out: dict = {"dist": bool(m.group(1))}
+    marks: list = []
+    low = s.lower()
+    depth, in_q, i, n = 0, False, m.end(), len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch == " ":
+                for kw in _CLAUSE_ORDER:
+                    if low.startswith(" " + kw + " ", i):
+                        marks.append((i, kw))
+                        i += len(kw)
+                        break
+        i += 1
+    if not marks or marks[0][1] != "from":
+        raise SqlError(f"unsupported SQL shape (no FROM): {s!r}")
+    kws = [k for _i, k in marks]
+    canon = [k for k in _CLAUSE_ORDER if k in kws]
+    if kws != canon or len(set(kws)) != len(kws):
+        raise SqlError(f"clauses repeated or out of order: {s!r}")
+    out["sel"] = s[m.end():marks[0][0]].strip()
+    for j, (pos, kw) in enumerate(marks):
+        end = marks[j + 1][0] if j + 1 < len(marks) else n
+        out[kw] = s[pos + 1 + len(kw):end].strip()
+    return out
+
+
 def parse_sql(sql: str) -> dict:
     """The accepted grammar, or SqlError."""
     s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
-    m = re.match(
-        r"^select (?P<dist>distinct )?(?P<sel>.+?) from (?P<frm>.+?)"
-        r"(?: where (?P<where>.+?))?"
-        r"(?: group by (?P<grp>.+?))?"
-        r"(?: having (?P<hav>.+?))?"
-        r"(?: order by (?P<ord>.+?))?"
-        r"(?: limit (?P<lim>\d+))?$",
-        s, re.I,
-    )
-    if not m:
-        raise SqlError(f"unsupported SQL shape: {sql!r}")
+    _cl = _split_clauses(s)
+
+    class m:  # keep the historical m.group(...) call sites readable
+        @staticmethod
+        def group(name):
+            return {"dist": _cl["dist"] or None, "sel": _cl["sel"],
+                    "frm": _cl.get("from"), "where": _cl.get("where"),
+                    "grp": _cl.get("group by"),
+                    "hav": _cl.get("having"),
+                    "ord": _cl.get("order by"),
+                    "lim": _cl.get("limit")}[name]
+
+    if m.group("lim") is not None and not re.match(
+            r"^\d+$", m.group("lim")):
+        raise SqlError(f"bad LIMIT: {m.group('lim')!r}")
     table, aliases, joins = _parse_from(m.group("frm"))
     q = {"table": table, "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
@@ -909,17 +957,21 @@ def parse_sql(sql: str) -> dict:
                 continue
             if kind in ("in_subq", "not_in_subq"):
                 sub = parse_sql(payload)
-                if (len(sub["select"]) != 1 or sub["select"][0]["agg"]
-                        or sub["select"][0].get("win") or sub["joins"]
-                        or sub["group_by"] or sub["order_by"]
+                hidden = set(sub["hidden"])
+                visible = [it for it in sub["select"]
+                           if it["alias"] not in hidden]
+                if (len(visible) != 1 or visible[0].get("win")
+                        or visible[0]["agg"] or visible[0].get("postagg")
+                        or sub["joins"] or sub["order_by"]
                         or sub["limit"] is not None):
                     raise SqlError(
                         "IN subqueries must be a single-column "
-                        "projection (optional WHERE only)")
+                        "projection (optional WHERE / GROUP BY / "
+                        "HAVING)")
                 if any(k in ("in_subq", "not_in_subq")
                        for k, _c, _p in sub["where"] if k != "bool"):
                     raise SqlError("nested IN subqueries not supported")
-                payload = sub
+                payload = (payload, sub)
             preds.append((kind, col, payload))
         q["where"] = preds
     q["hidden"] = []
@@ -1537,31 +1589,50 @@ def run_sql(sql: str, tables: dict,
             (op, col, val.item() if hasattr(val, "item") else val))
     if scalar_conds and ds is not None:
         ds = arrow_filter(ds, _compile_pred(scalar_conds))
-    for kind, col, sub in (p for p in post_where if p[0] in _SUBQ):
+    for kind, col, (subtext, sub) in (p for p in post_where
+                                      if p[0] in _SUBQ):
         if ds is None:
             break
         if sub["table"] not in tables:
             raise SqlError(f"unknown table {sub['table']!r}")
-        inner = tables[sub["table"]]
-        icol = sub["select"][0]["col"]
-        if sub["where"] and inner.schema() is not None:
-            inner = arrow_filter(inner, _compile_pred(sub["where"]))
-        if inner.schema() is None:
-            # provably empty subquery: IN () matches nothing; NOT IN ()
-            # is TRUE for every row (even NULL — no comparison happens)
-            if kind == "in_subq":
-                ds = None
-            continue
-        # the subquery side is dimension-sized by assumption; it is
-        # consumed up to twice (emptiness/NULL probe + join build), so
-        # materialize once. A side that filtered down to ZERO rows must
-        # short-circuit: Ray's empty-block coalescing leaves the join
-        # with no right-side schema at all.
-        inner = inner.select_columns([icol]).materialize()
-        if inner.count() == 0:
-            if kind == "in_subq":
-                ds = None
-            continue
+        grouped = bool(sub["group_by"]) or any(
+            it["agg"] for it in sub["select"])
+        if grouped:
+            # aggregated inner query (GROUP BY / HAVING — the TPC-H
+            # Q18 shape): plan it recursively; the result is
+            # groups-sized and joins back as the key set
+            import ray.data as _rd
+
+            inner_df = run_sql(subtext, tables, broadcast_rows)
+            icol = inner_df.columns[0]
+            if inner_df.empty:
+                if kind == "in_subq":
+                    ds = None
+                continue
+            inner = _rd.from_pandas(inner_df[[icol]])
+        else:
+            inner = tables[sub["table"]]
+            icol = sub["select"][0]["col"]
+            if sub["where"] and inner.schema() is not None:
+                inner = arrow_filter(inner, _compile_pred(sub["where"]))
+            if inner.schema() is None:
+                # provably empty subquery: IN () matches nothing; NOT
+                # IN () is TRUE for every row (even NULL — no
+                # comparison happens)
+                if kind == "in_subq":
+                    ds = None
+                continue
+            # the subquery side is dimension-sized by assumption; it
+            # is consumed up to twice (emptiness/NULL probe + join
+            # build), so materialize once. A side that filtered down
+            # to ZERO rows must short-circuit: Ray's empty-block
+            # coalescing leaves the join with no right-side schema at
+            # all.
+            inner = inner.select_columns([icol]).materialize()
+            if inner.count() == 0:
+                if kind == "in_subq":
+                    ds = None
+                continue
         if not ds.limit(1).count():
             # scalar WHERE (or an earlier subquery) emptied the probe
             # side — same no-schema join hazard as above
@@ -1968,8 +2039,8 @@ def _fmt_pred(p) -> str:
     if kind == "cmp_subq":
         return f"{col} {payload[0]} (scalar subquery)"
     if kind == "in_subq":
-        return f"{col} IN (subquery on {payload['table']})"
-    return f"{col} NOT IN (subquery on {payload['table']})"
+        return f"{col} IN (subquery on {payload[1]['table']})"
+    return f"{col} NOT IN (subquery on {payload[1]['table']})"
 
 
 def explain_sql(sql: str, tables: dict = None,

@@ -642,7 +642,9 @@ def test_case_when_matches_duckdb(rows, sql, parts):
     semantics, missing-ELSE NULL, GROUP BY the alias) vs DuckDB."""
     df = _mk_df(rows)
     got, want = _exec_both(sql, df, parts)
-    _cmp_sorted(got, want, float_cols=("sv", "clamped", "c"))
+    # `c` is exact (values of v or 0) and doubles as a GROUP key — it
+    # must stay a sort key, or rows with tied g compare order-dependently
+    _cmp_sorted(got, want, float_cols=("sv", "clamped"))
 
 
 def test_case_parser_rejections():
@@ -920,3 +922,29 @@ def test_casex_parser_rejections():
     ]:
         with pytest.raises(SqlError):
             parse_sql(bad)
+
+
+AGG_SUBQ_QS = [
+    "SELECT g, count(*) AS n FROM t WHERE h IN "
+    "(SELECT h FROM t GROUP BY h HAVING count(*) >= 3) GROUP BY g",
+    "SELECT g, v FROM t WHERE h NOT IN "
+    "(SELECT h FROM t GROUP BY h HAVING sum(v) > 20)",
+    "SELECT count(*) AS n FROM t WHERE g IN "
+    "(SELECT g FROM t WHERE v IS NOT NULL GROUP BY g "
+    "HAVING min(v) >= -10)",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(AGG_SUBQ_QS),
+       st.integers(min_value=1, max_value=4))
+def test_aggregated_in_subquery_matches_duckdb(rows, sql, parts):
+    """IN (SELECT k ... GROUP BY k HAVING agg) — the TPC-H Q18 shape:
+    the inner query plans recursively, its groups-sized key set
+    semi/anti-joins back; the paren-aware clause splitter keeps the
+    inner GROUP BY/HAVING out of the outer statement. NOT IN keeps its
+    NULL poisoning (a NULL group key in the inner result empties the
+    outer)."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("v",))
