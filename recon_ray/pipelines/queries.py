@@ -5471,6 +5471,28 @@ def q_sql_frontend_tpch_q18(sf_dir: str):
                     "lineitem": _t(sf_dir, "lineitem")})
 
 
+SQL_FRONTEND_TPCH_Q13 = (
+    "SELECT c_count, count(*) AS custdist FROM "
+    "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+    "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey "
+    "GROUP BY c_custkey) c_orders "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+)
+
+
+def q_sql_frontend_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution) under the gate:
+    the FROM is a DERIVED TABLE — the inner per-customer LEFT-join
+    count plans recursively (groups-sized result), re-enters as an
+    in-memory base, and the outer distribution groups over it.
+    Integer counts throughout — hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q13,
+                   {"customer": _t(sf_dir, "customer"),
+                    "orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_LIKE = (
     "SELECT source, count(*) AS n, "
     "count(*) FILTER (WHERE text LIKE '%the%') AS n_the, "
@@ -7595,6 +7617,7 @@ QUERIES = {
     "q_sql_frontend_like": q_sql_frontend_like,
     "q_sql_frontend_tpch_q14": q_sql_frontend_tpch_q14,
     "q_sql_frontend_tpch_q18": q_sql_frontend_tpch_q18,
+    "q_sql_frontend_tpch_q13": q_sql_frontend_tpch_q13,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8024,6 +8047,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_like": SQL_FRONTEND_LIKE,
         "q_sql_frontend_tpch_q14": SQL_FRONTEND_TPCH_Q14,
         "q_sql_frontend_tpch_q18": SQL_FRONTEND_TPCH_Q18,
+        "q_sql_frontend_tpch_q13": SQL_FRONTEND_TPCH_Q13,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -671,11 +671,54 @@ def _ident_alias(seg: str, what: str) -> tuple[str, str]:
     return table, alias
 
 
-def _parse_from(text: str) -> tuple[str, set, list]:
+def _parse_from(text: str) -> tuple:
     """FROM clause: ``t1 [a1] (JOIN tk [ak] ON qual.c = qual.c
     [AND ...])*`` — a left-deep equi-join chain. Each ON equality links
     the NEW table to any previously introduced alias. Returns
-    (base_table, alias set, join list)."""
+    (base_table, alias set, join list); a derived table —
+    ``( SELECT ... ) alias`` — returns ("\\x00subquery", subtext) as
+    the base, restricted to aggregated/DISTINCT inner queries (their
+    results are groups-sized; a raw inner projection would materialize
+    the full input on the driver)."""
+    text = text.strip()
+    if text.startswith("("):
+        depth, in_q, end = 0, False, None
+        for i, ch in enumerate(text):
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+        if end is None:
+            raise SqlError(f"unbalanced parens in FROM: {text!r}")
+        subtext = text[1:end].strip()
+        rest = text[end + 1:].strip()
+        am = re.match(r"^([A-Za-z_]\w*)(\s+.*)?$", rest, re.S)
+        if not am or am.group(1).lower() in _RESERVED:
+            raise SqlError(
+                f"derived tables need an alias: {text!r}")
+        sub = parse_sql(subtext)  # validates the inner grammar
+        if not (sub["group_by"] or sub["distinct"]
+                or any(it["agg"] or it.get("postagg")
+                       for it in sub["select"])):
+            raise SqlError(
+                "derived tables must be aggregated or DISTINCT "
+                "(result-sized); a raw inner projection would "
+                "materialize the full input")
+        alias1 = am.group(1).lower()
+        aliases = {alias1}
+        joins: list = []
+        tail = (am.group(2) or "").strip()
+        if tail:
+            raise SqlError(
+                "JOINs on top of a derived table are out of scope "
+                f"here: {tail!r}")
+        return ("\x00subquery", subtext), aliases, joins
     parts = re.split(
         r"\s+(inner join|left outer join|left join|join)\s+", text,
         flags=re.I)
@@ -1367,9 +1410,17 @@ def run_sql(sql: str, tables: dict,
         return out.reset_index(drop=True)
 
     q = parse_sql(sql)
-    if q["table"] not in tables:
-        raise SqlError(f"unknown table {q['table']!r}")
-    ds = tables[q["table"]]
+    if isinstance(q["table"], tuple):
+        # derived table: plan the (aggregated, result-sized) inner
+        # query recursively; its frame becomes the in-memory base
+        import ray.data as _rd
+
+        inner_df = run_sql(q["table"][1], tables, broadcast_rows)
+        ds = _rd.from_pandas(inner_df)
+    else:
+        if q["table"] not in tables:
+            raise SqlError(f"unknown table {q['table']!r}")
+        ds = tables[q["table"]]
 
     # Ray loses the schema entirely on empty in-memory datasets
     # (schema() → None); None MEANS provably zero rows. Left-deep join
@@ -2084,9 +2135,16 @@ def explain_sql(sql: str, tables: dict = None,
 
     if tables is not None and q["joins"]:
         pushed, post = _pushdown_split(q, tables)
-    bn = _cnt(q["table"])
-    note = f"; ~{bn} rows" if bn is not None else ""
-    lines = [f"Scan {q['table']} [streaming read{note}]"]
+    if isinstance(q["table"], tuple):
+        inner = explain_sql(q["table"][1], tables, broadcast_rows)
+        lines = ["DerivedTable:"]
+        lines.extend("  " + ln for ln in inner.splitlines())
+        lines.append("Scan (derived) [in-memory, result-sized]")
+        bn = None
+    else:
+        bn = _cnt(q["table"])
+        note = f"; ~{bn} rows" if bn is not None else ""
+        lines = [f"Scan {q['table']} [streaming read{note}]"]
     if pushed.get("base"):
         lines.append(
             "  PushedFilter ["

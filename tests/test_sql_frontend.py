@@ -948,3 +948,39 @@ def test_aggregated_in_subquery_matches_duckdb(rows, sql, parts):
     df = _mk_df(rows)
     got, want = _exec_both(sql, df, parts)
     _cmp_sorted(got, want, float_cols=("v",))
+
+
+DERIVED_QS = [
+    "SELECT cnt, count(*) AS dist FROM (SELECT g, count(*) AS cnt "
+    "FROM t GROUP BY g) gc GROUP BY cnt ORDER BY dist DESC, cnt DESC",
+    "SELECT sum(sv) AS total, count(*) AS ng FROM "
+    "(SELECT g, sum(v) AS sv FROM t WHERE v IS NOT NULL GROUP BY g) x",
+    "SELECT g, h FROM (SELECT DISTINCT g, h FROM t) d "
+    "WHERE h >= 1 ORDER BY g, h",
+    "SELECT avg(mx) AS am FROM (SELECT h, max(v) AS mx FROM t "
+    "GROUP BY h) hv WHERE mx IS NOT NULL",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(DERIVED_QS),
+       st.integers(min_value=1, max_value=4))
+def test_derived_tables_match_duckdb(rows, sql, parts):
+    """FROM (SELECT ... GROUP BY / DISTINCT) alias — derived tables
+    (the TPC-H Q13 shape): the inner aggregated query plans
+    recursively, its groups-sized frame re-enters as the base; outer
+    WHERE/GROUP BY/ORDER BY operate on the inner's aliases."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("total", "am", "sv"))
+
+
+def test_derived_table_rejections():
+    with pytest.raises(SqlError):  # raw inner projection
+        parse_sql("SELECT a FROM (SELECT a FROM t) x")
+    with pytest.raises(SqlError):  # needs alias
+        parse_sql("SELECT a FROM (SELECT a, count(*) AS n FROM t "
+                  "GROUP BY a)")
+    with pytest.raises(SqlError):  # joins on top are out of scope
+        parse_sql("SELECT a FROM (SELECT a, count(*) AS n FROM t "
+                  "GROUP BY a) x JOIN u ON x.a = u.b")
