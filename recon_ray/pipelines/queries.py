@@ -5493,6 +5493,25 @@ def q_sql_frontend_tpch_q13(sf_dir: str):
                     "orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_QUALIFY = (
+    "SELECT user_id, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
+    "FROM events QUALIFY rn <= 3 ORDER BY user_id, rn LIMIT 200"
+)
+
+
+def q_sql_frontend_qualify(sf_dir: str):
+    """QUALIFY under the gate — the grouped top-k idiom: row numbers
+    from one bucketed window shuffle, then a distributed pyarrow
+    filter on the window output (no driver touch, no extra shuffle);
+    DuckDB runs the identical string. (user_id, rn) is unique, so the
+    LIMIT boundary is deterministic."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_QUALIFY,
+                   {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_LIKE = (
     "SELECT source, count(*) AS n, "
     "count(*) FILTER (WHERE text LIKE '%the%') AS n_the, "
@@ -7618,6 +7637,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q14": q_sql_frontend_tpch_q14,
     "q_sql_frontend_tpch_q18": q_sql_frontend_tpch_q18,
     "q_sql_frontend_tpch_q13": q_sql_frontend_tpch_q13,
+    "q_sql_frontend_qualify": q_sql_frontend_qualify,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8048,6 +8068,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q14": SQL_FRONTEND_TPCH_Q14,
         "q_sql_frontend_tpch_q18": SQL_FRONTEND_TPCH_Q18,
         "q_sql_frontend_tpch_q13": SQL_FRONTEND_TPCH_Q13,
+        "q_sql_frontend_qualify": SQL_FRONTEND_QUALIFY,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

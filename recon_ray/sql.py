@@ -764,8 +764,8 @@ def _parse_from(text: str) -> tuple:
     return table, aliases, joins
 
 
-_CLAUSE_ORDER = ("from", "where", "group by", "having", "order by",
-                 "limit")
+_CLAUSE_ORDER = ("from", "where", "group by", "having", "qualify",
+                 "order by", "limit")
 
 
 def _split_clauses(s: str) -> dict:
@@ -820,6 +820,7 @@ def parse_sql(sql: str) -> dict:
                     "frm": _cl.get("from"), "where": _cl.get("where"),
                     "grp": _cl.get("group by"),
                     "hav": _cl.get("having"),
+                    "qual": _cl.get("qualify"),
                     "ord": _cl.get("order by"),
                     "lim": _cl.get("limit")}[name]
 
@@ -829,7 +830,8 @@ def parse_sql(sql: str) -> dict:
     table, aliases, joins = _parse_from(m.group("frm"))
     q = {"table": table, "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
-         "distinct": bool(m.group("dist")), "joins": joins}
+         "distinct": bool(m.group("dist")), "joins": joins,
+         "qualify": None}
     n_expr = 0
     pa_aggs: list = []  # shared across items → identical aggs dedup
     for item in _split_top(m.group("sel")):
@@ -1104,6 +1106,21 @@ def parse_sql(sql: str) -> dict:
     elif has_agg and any(it["agg"] is None and not it.get("postagg")
                          for it in q["select"]):
         raise SqlError("mixing aggregates and raw columns without GROUP BY")
+    if m.group("qual"):
+        if not has_win:
+            raise SqlError("QUALIFY requires window functions")
+        tree = _parse_bool(m.group("qual"), aliases)
+        _assert_scalar_tree(tree, "QUALIFY")
+        ok_cols = {it["alias"] for it in q["select"]
+                   if it.get("win")
+                   or (it["agg"] is None and it["col"] == it["alias"])}
+        qcols: set = set()
+        _tree_cols(tree, qcols)
+        if not qcols <= ok_cols:
+            raise SqlError(
+                "QUALIFY may reference window aliases and selected "
+                f"columns only, got {sorted(qcols - ok_cols)}")
+        q["qualify"] = tree
     out_names = {it["alias"] for it in q["select"]}
     for col, _asc in q["order_by"]:
         if col not in out_names:
@@ -1656,10 +1673,36 @@ def run_sql(sql: str, tables: dict,
 
             inner_df = run_sql(subtext, tables, broadcast_rows)
             icol = inner_df.columns[0]
+            if kind == "not_in_subq" and inner_df[icol].isna().any():
+                # a NULL group key in the inner result poisons NOT IN
+                ds = None
+                continue
+            inner_df = inner_df.dropna(subset=[icol])
             if inner_df.empty:
                 if kind == "in_subq":
                     ds = None
                 continue
+            # align the key dtype with the probe column — a NULL group
+            # key upcasts pandas int64 → float64 on the way through
+            # the combiner, and Acero rejects mismatched join key
+            # types. Only integer-valued floats downcast (Ray's Schema
+            # may carry pyarrow OR numpy types depending on the block
+            # format).
+            psch = ds.schema()
+            if (psch is not None and col in psch.names
+                    and pd.api.types.is_float_dtype(
+                        inner_df[icol].dtype)):
+                ty = psch.types[psch.names.index(col)]
+                try:
+                    is_int = (pa.types.is_integer(ty)
+                              if isinstance(ty, pa.DataType)
+                              else pd.api.types.is_integer_dtype(ty))
+                except Exception:
+                    is_int = False
+                vals = inner_df[icol]
+                if is_int and (vals == np.round(vals)).all():
+                    inner_df = inner_df.assign(
+                        **{icol: vals.astype("int64")})
             inner = _rd.from_pandas(inner_df[[icol]])
         else:
             inner = tables[sub["table"]]
@@ -1772,6 +1815,12 @@ def run_sql(sql: str, tables: dict,
                     (w["kind"], w["col"], it["alias"]))
             for (p, o), specs in wgroups.items():
                 ds = window_over(ds, p, o, specs)
+            if q.get("qualify") is not None:
+                # QUALIFY: filter on the window OUTPUT columns — stays
+                # a distributed pyarrow mask (grouped top-k without a
+                # driver touch); UNKNOWN rows drop, like WHERE
+                ds = arrow_filter(
+                    ds, _compile_pred([("bool", None, q["qualify"])]))
         if ds is not None:
             ds = ds.select_columns(list(dict.fromkeys(cols)))
             if q["distinct"]:
@@ -2209,6 +2258,10 @@ def explain_sql(sql: str, tables: dict = None,
             lines.append(
                 f"Window [PARTITION BY {part} ORDER BY {order}: "
                 f"{', '.join(ks)}; ONE bucketed hash shuffle]")
+        if q.get("qualify") is not None:
+            lines.append(
+                f"Qualify [{_fmt_tree(q['qualify'])}; pyarrow filter "
+                "on the window output, no extra shuffle]")
     aggs = [it for it in q["select"] if it["agg"]]
     if aggs:
         def fmt(a):

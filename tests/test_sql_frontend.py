@@ -947,7 +947,9 @@ def test_aggregated_in_subquery_matches_duckdb(rows, sql, parts):
     outer)."""
     df = _mk_df(rows)
     got, want = _exec_both(sql, df, parts)
-    _cmp_sorted(got, want, float_cols=("v",))
+    # v holds exact integers (or NULL), so it stays a sort key - as a
+    # float_col, rows with tied g would compare order-dependently
+    _cmp_sorted(got, want)
 
 
 DERIVED_QS = [
@@ -984,3 +986,46 @@ def test_derived_table_rejections():
     with pytest.raises(SqlError):  # joins on top are out of scope
         parse_sql("SELECT a FROM (SELECT a, count(*) AS n FROM t "
                   "GROUP BY a) x JOIN u ON x.a = u.b")
+
+
+QUALIFY_QS = [
+    "SELECT g, o, row_number() OVER (PARTITION BY g ORDER BY o) AS rn "
+    "FROM t QUALIFY rn <= 2",
+    "SELECT g, o, rank() OVER (PARTITION BY g ORDER BY o) AS rk "
+    "FROM t WHERE v IS NOT NULL QUALIFY rk = 1 OR rk = 3",
+    "SELECT g, o, sum(v) OVER (PARTITION BY g ORDER BY o) AS rs "
+    "FROM t QUALIFY rs > 10 ORDER BY o LIMIT 5",
+    "SELECT o, ntile(2) OVER (PARTITION BY g ORDER BY o) AS t2 "
+    "FROM t QUALIFY NOT t2 = 2",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c", None]),
+                       st.one_of(st.none(), st.integers(-9, 99))),
+             min_size=0, max_size=25),
+    st.sampled_from(QUALIFY_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_qualify_matches_duckdb(rows, sql, parts):
+    """QUALIFY (filter on window outputs — distributed grouped top-k)
+    vs DuckDB on identical strings: boolean trees over window aliases,
+    UNKNOWN rows dropped, composing with WHERE / ORDER BY / LIMIT."""
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype=object),
+         "o": pd.Series(range(len(rows)), dtype="int64"),
+         "v": pd.Series([r[1] for r in rows], dtype="Float64")})
+    got = run_sql(sql, {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("rs",))
+
+
+def test_qualify_rejections():
+    with pytest.raises(SqlError):  # no windows
+        parse_sql("SELECT g FROM t QUALIFY g = 'x'")
+    with pytest.raises(SqlError):  # not a result column
+        parse_sql("SELECT g, row_number() OVER (PARTITION BY g "
+                  "ORDER BY o) AS rn FROM t QUALIFY v > 1")
