@@ -5493,6 +5493,35 @@ def q_sql_frontend_tpch_q13(sf_dir: str):
                     "orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_TPCH_Q15 = (
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "round(sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint))) / 10000.0, 2) "
+    "AS total_revenue FROM lineitem "
+    "WHERE l_shipdate >= date '1996-01-01' "
+    "AND l_shipdate < date '1996-04-01' "
+    "GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN revenue ON supplier.s_suppkey = "
+    "revenue.supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) "
+    "ORDER BY s_suppkey"
+)
+
+
+def q_sql_frontend_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier, cents form) under the gate: the
+    revenue CTE plans once and registers as an in-memory result-sized
+    table, the scalar subquery takes its max over the SAME registered
+    frame (no recompute), and the equality filter + supplier join
+    resolve against exact cents-derived doubles — hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q15,
+                   {"lineitem": _t(sf_dir, "lineitem"),
+                    "supplier": _t(sf_dir, "supplier")})
+
+
 SQL_FRONTEND_QUALIFY = (
     "SELECT user_id, event_id, "
     "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
@@ -7638,6 +7667,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q18": q_sql_frontend_tpch_q18,
     "q_sql_frontend_tpch_q13": q_sql_frontend_tpch_q13,
     "q_sql_frontend_qualify": q_sql_frontend_qualify,
+    "q_sql_frontend_tpch_q15": q_sql_frontend_tpch_q15,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8069,6 +8099,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q18": SQL_FRONTEND_TPCH_Q18,
         "q_sql_frontend_tpch_q13": SQL_FRONTEND_TPCH_Q13,
         "q_sql_frontend_qualify": SQL_FRONTEND_QUALIFY,
+        "q_sql_frontend_tpch_q15": SQL_FRONTEND_TPCH_Q15,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -702,14 +702,7 @@ def _parse_from(text: str) -> tuple:
         if not am or am.group(1).lower() in _RESERVED:
             raise SqlError(
                 f"derived tables need an alias: {text!r}")
-        sub = parse_sql(subtext)  # validates the inner grammar
-        if not (sub["group_by"] or sub["distinct"]
-                or any(it["agg"] or it.get("postagg")
-                       for it in sub["select"])):
-            raise SqlError(
-                "derived tables must be aggregated or DISTINCT "
-                "(result-sized); a raw inner projection would "
-                "materialize the full input")
+        _assert_result_sized(parse_sql(subtext), "derived tables")
         alias1 = am.group(1).lower()
         aliases = {alias1}
         joins: list = []
@@ -1349,6 +1342,59 @@ def _pd_mask(b: pd.DataFrame, tree) -> pd.Series:
     return pd.Series(_pd_tri(b, tree) == 1.0, index=b.index)
 
 
+def _assert_result_sized(sub: dict, what: str):
+    if not (sub["group_by"] or sub["distinct"]
+            or any(it["agg"] or it.get("postagg")
+                   for it in sub["select"])):
+        raise SqlError(
+            f"{what} must be aggregated or DISTINCT (result-sized); "
+            "a raw projection would materialize the full input")
+
+
+def _split_with(s: str):
+    """Split a leading ``WITH name AS ( query ) [, ...]`` prefix off a
+    statement (quote/paren-aware). Returns ([(name, subtext), ...],
+    remainder)."""
+    m = re.match(r"^with\s+", s, re.I)
+    if not m:
+        return [], s
+    i = m.end()
+    ctes = []
+    while True:
+        nm = re.match(r"([A-Za-z_]\w*)\s+as\s*\(", s[i:], re.I)
+        if not nm:
+            raise SqlError(f"bad CTE declaration at: {s[i:i + 40]!r}")
+        name = nm.group(1).lower()
+        if name in _RESERVED:
+            raise SqlError(f"reserved CTE name {name!r}")
+        j = i + nm.end() - 1  # the opening paren
+        depth, in_q, end = 0, False, None
+        for k in range(j, len(s)):
+            ch = s[k]
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = k
+                        break
+        if end is None:
+            raise SqlError(f"unbalanced parens in CTE {name!r}")
+        ctes.append((name, s[j + 1:end].strip()))
+        i = end + 1
+        while i < len(s) and s[i] == " ":
+            i += 1
+        if i < len(s) and s[i] == ",":
+            i += 1
+            while i < len(s) and s[i] == " ":
+                i += 1
+            continue
+        return ctes, s[i:].strip()
+
+
 def _pushdown_split(q: dict, tables: dict):
     """Predicate pushdown for join queries: WHERE conjuncts whose
     columns all live in ONE table move below the joins — onto the base
@@ -1399,8 +1445,25 @@ def run_sql(sql: str, tables: dict,
     force shuffle joins everywhere."""
     from recon_ray.functions.relational import arrow_filter
 
-    _sides, _all = _split_union(
-        re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip())
+    _stmt = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    _ctes, _stmt = _split_with(_stmt)
+    if _ctes:
+        # WITH name AS (aggregated query), ...: each CTE plans
+        # recursively (earlier CTEs visible to later ones) and
+        # registers its result-sized frame as an in-memory table
+        import ray.data as _rd
+
+        tables = dict(tables)
+        for _name, _subtext in _ctes:
+            if _name in tables:
+                raise SqlError(
+                    f"CTE name {_name!r} shadows a registered table")
+            _assert_result_sized(parse_sql(_subtext), f"CTE {_name!r}")
+            tables[_name] = _rd.from_pandas(
+                run_sql(_subtext, tables, broadcast_rows))
+        return run_sql(_stmt, tables, broadcast_rows)
+
+    _sides, _all = _split_union(_stmt)
     if len(_sides) > 1:
         body, order, limit = _strip_tail(_sides[-1])
         frames = [run_sql(s, tables, broadcast_rows)
@@ -2150,8 +2213,19 @@ def explain_sql(sql: str, tables: dict = None,
     nothing. With ``tables`` (the same dict run_sql takes), the plan
     additionally shows the OPTIMIZER decisions: pushed-down filters and
     the broadcast-vs-shuffle choice from metadata row counts."""
-    sides, all_ = _split_union(
-        re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip())
+    _stmt = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    ctes, _stmt = _split_with(_stmt)
+    if ctes:
+        lines = []
+        for name, subtext in ctes:
+            lines.append(f"CTE {name} [result-sized, in-memory]:")
+            lines.extend(
+                "  " + ln for ln in explain_sql(
+                    subtext, tables, broadcast_rows).splitlines())
+        lines.extend(
+            explain_sql(_stmt, tables, broadcast_rows).splitlines())
+        return "\n".join(lines)
+    sides, all_ = _split_union(_stmt)
     if len(sides) > 1:
         body, order, limit = _strip_tail(sides[-1])
         plans = [explain_sql(s, tables, broadcast_rows)

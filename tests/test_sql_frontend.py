@@ -1029,3 +1029,38 @@ def test_qualify_rejections():
     with pytest.raises(SqlError):  # not a result column
         parse_sql("SELECT g, row_number() OVER (PARTITION BY g "
                   "ORDER BY o) AS rn FROM t QUALIFY v > 1")
+
+
+CTE_QS = [
+    "WITH gc AS (SELECT g, count(*) AS n FROM t GROUP BY g) "
+    "SELECT n, count(*) AS dist FROM gc GROUP BY n ORDER BY n",
+    "WITH hv AS (SELECT h, sum(v) AS sv FROM t GROUP BY h), "
+    "top AS (SELECT max(sv) AS m FROM hv) "
+    "SELECT h, sv FROM hv WHERE sv = (SELECT max(m) FROM top) "
+    "ORDER BY h",
+    "WITH d AS (SELECT DISTINCT g, h FROM t) "
+    "SELECT g, count(*) AS n FROM d GROUP BY g ORDER BY g",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(CTE_QS),
+       st.integers(min_value=1, max_value=4))
+def test_ctes_match_duckdb(rows, sql, parts):
+    """WITH ... AS: each (result-sized) CTE plans once and registers
+    as an in-memory table visible to later CTEs, subqueries, and the
+    main query — the TPC-H Q15 shape — vs DuckDB on identical
+    strings."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("sv",))
+
+
+def test_cte_rejections():
+    from recon_ray.sql import run_sql as _rs
+
+    with pytest.raises(SqlError):  # raw projection CTE
+        _rs("WITH x AS (SELECT g FROM t) SELECT g FROM x", {})
+    with pytest.raises(SqlError):  # unbalanced
+        _rs("WITH x AS (SELECT g, count(*) AS n FROM t GROUP BY g "
+            "SELECT n FROM x", {})
