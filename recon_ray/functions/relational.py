@@ -148,6 +148,50 @@ def shuffle_join(
         None if right_on is None
         else (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
+
+    # Acero rejects mismatched join key types. Numeric mismatches are
+    # legitimate inputs (an ALL-NULL pandas Int64 key upcasts to
+    # float64 on one side while the other stays int64), so both sides'
+    # keys normalize to float64 when a numeric pair disagrees — equal
+    # values stay equal, non-integral floats still match nothing.
+    def _atype(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return None
+
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    if lsch is not None and rsch is not None:
+        l_casts, r_casts = [], []
+        for lc, rc in zip(on_, r_on or on_):
+            if lc not in lsch.names or rc not in rsch.names:
+                continue
+            lt = _atype(lsch.types[lsch.names.index(lc)])
+            rt = _atype(rsch.types[rsch.names.index(rc)])
+            if (lt is not None and rt is not None and lt != rt
+                    and (pa.types.is_integer(lt)
+                         or pa.types.is_floating(lt))
+                    and (pa.types.is_integer(rt)
+                         or pa.types.is_floating(rt))):
+                l_casts.append(lc)
+                r_casts.append(rc)
+
+        def _to_f64(t: pa.Table, cols) -> pa.Table:
+            for c in cols:
+                i = t.schema.get_field_index(c)
+                t = t.set_column(i, pa.field(c, pa.float64()),
+                                 pc.cast(t.column(c), pa.float64()))
+            return t
+
+        if l_casts:
+            left_ds = left_ds.map_batches(
+                lambda t, cols=tuple(l_casts): _to_f64(t, cols),
+                batch_format="pyarrow")
+            right_ds = right_ds.map_batches(
+                lambda t, cols=tuple(r_casts): _to_f64(t, cols),
+                batch_format="pyarrow")
     if num_partitions is None:
         try:
             num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))

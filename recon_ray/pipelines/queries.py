@@ -5522,6 +5522,30 @@ def q_sql_frontend_tpch_q15(sf_dir: str):
                     "supplier": _t(sf_dir, "supplier")})
 
 
+SQL_FRONTEND_TPCH_Q17 = (
+    "WITH pa AS (SELECT l_partkey AS pkey, "
+    "round(0.2 * sum(l_quantity) / count(*), 6) AS qty_limit "
+    "FROM lineitem GROUP BY l_partkey) "
+    "SELECT round(sum(cast(round(l_extendedprice * 100) AS bigint)) "
+    "/ 100.0 / 7.0, 2) AS avg_yearly "
+    "FROM lineitem JOIN pa ON pa.pkey = lineitem.l_partkey "
+    "WHERE l_quantity < qty_limit"
+)
+
+
+def q_sql_frontend_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue) under the gate, the
+    correlated subquery decorrelated into a per-part CTE (the standard
+    rewrite): per-part 20%%-of-average limits from one grouped pass,
+    joined back, with a COLUMN-TO-COLUMN comparison (l_quantity <
+    qty_limit) in the post-join WHERE; quantity sums exact, limits
+    identical doubles in both engines — hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q17,
+                   {"lineitem": _t(sf_dir, "lineitem")})
+
+
 SQL_FRONTEND_QUALIFY = (
     "SELECT user_id, event_id, "
     "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
@@ -7668,6 +7692,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q13": q_sql_frontend_tpch_q13,
     "q_sql_frontend_qualify": q_sql_frontend_qualify,
     "q_sql_frontend_tpch_q15": q_sql_frontend_tpch_q15,
+    "q_sql_frontend_tpch_q17": q_sql_frontend_tpch_q17,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8100,6 +8125,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q13": SQL_FRONTEND_TPCH_Q13,
         "q_sql_frontend_qualify": SQL_FRONTEND_QUALIFY,
         "q_sql_frontend_tpch_q15": SQL_FRONTEND_TPCH_Q15,
+        "q_sql_frontend_tpch_q17": SQL_FRONTEND_TPCH_Q17,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -142,6 +142,12 @@ def _parse_pred(clause: str, aliases: set) -> tuple:
     if re.match(r"^\(\s*select\b", rhs, re.I) and rhs.endswith(")"):
         return ("cmp_subq", _unqual(cm.group(1), aliases),
                 (cm.group(2), rhs[1:-1].strip()))
+    if (re.match(r"^" + _QCOL + r"$", rhs)
+            and not re.match(r"^\d|^'", rhs)
+            and rhs.lower() not in ("null", "true", "false")):
+        # column-to-column comparison: l_quantity < qty_limit
+        return ("cmp2", _unqual(cm.group(1), aliases),
+                (cm.group(2), _unqual(rhs, aliases)))
     return (cm.group(2), _unqual(cm.group(1), aliases), _literal(rhs))
 
 
@@ -217,9 +223,17 @@ def _assert_scalar_tree(node, ctx: str):
             _assert_scalar_tree(ch, ctx)
 
 
+def _pred_cols(pred, out: set):
+    kind, col, payload = pred
+    if isinstance(col, str):
+        out.add(col)
+    if kind == "cmp2":
+        out.add(payload[1])
+
+
 def _tree_cols(node, out: set):
     if node[0] == "pred":
-        out.add(node[1][1])
+        _pred_cols(node[1], out)
     elif node[0] == "not":
         _tree_cols(node[1], out)
     else:
@@ -1148,6 +1162,8 @@ def _arrow_leaf(t: pa.Table, kind, col, payload):
         if kind == "notnull":
             return pc.is_valid(c)
         return c.cast(pa.bool_())
+    if kind == "cmp2":
+        return _OPS[payload[0]](c, t.column(payload[1]))
     if kind in _OPS:
         return _OPS[kind](c, _scal(c, payload))
     if kind == "between":
@@ -1313,6 +1329,13 @@ def _pd_tri(b: pd.DataFrame, node) -> np.ndarray:
         return (~nn_np).astype("float64")
     if kind == "notnull":
         return nn_np.astype("float64")
+    if kind == "cmp2":
+        c2 = b[payload[1]]
+        nn2 = (nn & c2.notna()).to_numpy()
+        out = np.full(len(b), np.nan)
+        out[nn2] = _pyops()[payload[0]](
+            c[nn2], c2[nn2]).to_numpy().astype("float64")
+        return out
     out = np.full(len(b), np.nan)
     pyops = _pyops()
     if kind in pyops:
@@ -1423,7 +1446,7 @@ def _pushdown_split(q: dict, tables: dict):
         if kind == "bool":
             _tree_cols(payload, cols)
         else:
-            cols.add(col)
+            _pred_cols(f, cols)
         slots = {slot_of.get(c) for c in cols}
         if len(slots) == 1 and None not in slots:
             slot = next(iter(slots))
@@ -1514,9 +1537,11 @@ def run_sql(sql: str, tables: dict,
     # expressions (their derived aliases are overwritten by the derive
     # stage anyway)
     _refcols: set = set()
-    for kind, _c, payload in q["where"]:
-        if kind == "bool":
-            _tree_cols(payload, _refcols)
+    for f in q["where"]:
+        if f[0] == "bool":
+            _tree_cols(f[2], _refcols)
+        elif f[0] == "cmp2":
+            _refcols.add(f[2][1])
     for it in q["select"]:
         if it.get("expr"):
             _expr_cols(it["expr"], _refcols)
@@ -2185,6 +2210,8 @@ def _fmt_pred(p) -> str:
     kind, col, payload = p
     if kind == "bool":
         return _fmt_tree(payload)
+    if kind == "cmp2":
+        return f"{col} {payload[0]} {payload[1]}"
     if kind in _OPS:
         return f"{col} {kind} {payload!r}"
     if kind == "between":

@@ -1064,3 +1064,24 @@ def test_cte_rejections():
     with pytest.raises(SqlError):  # unbalanced
         _rs("WITH x AS (SELECT g, count(*) AS n FROM t GROUP BY g "
             "SELECT n FROM x", {})
+
+
+CMP2_QS = [
+    "SELECT g, count(*) AS n FROM t WHERE v < h GROUP BY g",
+    "SELECT g, v, h FROM t WHERE v >= h AND g IS NOT NULL",
+    "SELECT count(*) AS n FROM t WHERE NOT v = h OR v IS NULL",
+    "SELECT g, sum(CASE WHEN v > h THEN 1 ELSE 0 END) AS gt "
+    "FROM t GROUP BY g",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(CMP2_QS),
+       st.integers(min_value=1, max_value=4))
+def test_col_to_col_comparisons_match_duckdb(rows, sql, parts):
+    """Column-to-column comparisons (v < h) vs DuckDB: NULL on either
+    side is UNKNOWN (the pandas 3VL path must mask BOTH columns), and
+    they compose with NOT/OR and CASE."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want)
