@@ -566,6 +566,7 @@ def window_over(
     order_by: Union[str, list[str]],
     specs: list[tuple],
     n_buckets: int = N_HASH_BUCKETS,
+    ascending: bool = True,
 ):
     """Partitioned window functions — the ``OVER (PARTITION BY … ORDER BY
     …)`` family Ray Data has no operator for. ``specs`` is a list of
@@ -617,7 +618,14 @@ def window_over(
             )
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(part_cols + order_cols, kind="mergesort")
+        # ascending=False flips the ORDER BY direction (DESC); NaN
+        # order keys sort last either way, matching DuckDB's default
+        # NULLS LAST in both directions
+        g = g.sort_values(
+            part_cols + order_cols,
+            ascending=[True] * len(part_cols)
+            + [bool(ascending)] * len(order_cols),
+            kind="mergesort")
         # dropna=False: SQL PARTITION BY treats NULL keys as ONE
         # partition (sorted to the end, so its rows are contiguous);
         # the default would silently drop those rows from every window

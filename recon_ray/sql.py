@@ -88,7 +88,8 @@ _WIN_RE = re.compile(
     r"^(?P<fn>row_number|rank|dense_rank|percent_rank|cume_dist|sum|min"
     r"|max|lag|lead|first_value|ntile)\s*\(\s*(?P<arg>[^()]*?)\s*\)"
     r"\s+over\s+\(\s*partition\s+by\s+(?P<part>" + _QCOL + r")"
-    r"\s+order\s+by\s+(?P<ord>" + _QCOL + r")(?:\s+(?P<dir>asc))?\s*\)$",
+    r"\s+order\s+by\s+(?P<ord>" + _QCOL
+    + r")(?:\s+(?P<dir>asc|desc))?\s*\)$",
     re.I)
 _WIN_NOARG = {"row_number", "rank", "dense_rank", "percent_rank",
               "cume_dist"}
@@ -900,7 +901,9 @@ def parse_sql(sql: str) -> dict:
                  "alias": alias,
                  "win": {"kind": kind, "col": col,
                          "part": _unqual(wm.group("part"), aliases),
-                         "order": _unqual(wm.group("ord"), aliases)}})
+                         "order": _unqual(wm.group("ord"), aliases),
+                         "asc": (wm.group("dir") or "asc").lower()
+                         != "desc"}})
             continue
         if am:
             fn, dist, col = (am.group(1).lower(), bool(am.group(2)),
@@ -1899,10 +1902,11 @@ def run_sql(sql: str, tables: dict,
             wgroups = {}
             for it in win_items:
                 w = it["win"]
-                wgroups.setdefault((w["part"], w["order"]), []).append(
+                wgroups.setdefault(
+                    (w["part"], w["order"], w["asc"]), []).append(
                     (w["kind"], w["col"], it["alias"]))
-            for (p, o), specs in wgroups.items():
-                ds = window_over(ds, p, o, specs)
+            for (p, o, asc), specs in wgroups.items():
+                ds = window_over(ds, p, o, specs, ascending=asc)
             if q.get("qualify") is not None:
                 # QUALIFY: filter on the window OUTPUT columns — stays
                 # a distributed pyarrow mask (grouped top-k without a
@@ -2353,11 +2357,13 @@ def explain_sql(sql: str, tables: dict = None,
         pairs = {}
         for it in win_items:
             w = it["win"]
-            pairs.setdefault((w["part"], w["order"]), []).append(
+            pairs.setdefault(
+                (w["part"], w["order"], w["asc"]), []).append(
                 f"{w['kind']}->{it['alias']}")
-        for (part, order), ks in pairs.items():
+        for (part, order, asc), ks in pairs.items():
+            d = "" if asc else " DESC"
             lines.append(
-                f"Window [PARTITION BY {part} ORDER BY {order}: "
+                f"Window [PARTITION BY {part} ORDER BY {order}{d}: "
                 f"{', '.join(ks)}; ONE bucketed hash shuffle]")
         if q.get("qualify") is not None:
             lines.append(

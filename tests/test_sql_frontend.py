@@ -282,9 +282,6 @@ def test_window_parser_rejections(ray_session):
     with pytest.raises(SqlError):  # missing alias
         run_sql("SELECT row_number() OVER (PARTITION BY g ORDER BY v) "
                 "FROM t", tables)
-    with pytest.raises(SqlError):  # DESC not in scope
-        run_sql("SELECT rank() OVER (PARTITION BY g ORDER BY v DESC) "
-                "AS rk FROM t", tables)
     with pytest.raises(SqlError):  # row_number takes no argument
         run_sql("SELECT row_number(v) OVER (PARTITION BY g ORDER BY v) "
                 "AS rn FROM t", tables)
@@ -1085,3 +1082,39 @@ def test_col_to_col_comparisons_match_duckdb(rows, sql, parts):
     df = _mk_df(rows)
     got, want = _exec_both(sql, df, parts)
     _cmp_sorted(got, want)
+
+
+WIN_DESC_QS = [
+    "SELECT g, o, row_number() OVER (PARTITION BY g ORDER BY o DESC) "
+    "AS rn FROM t",
+    "SELECT g, o, sum(v) OVER (PARTITION BY g ORDER BY o DESC) AS rs, "
+    "lag(v) OVER (PARTITION BY g ORDER BY o DESC) AS pv FROM t",
+    "SELECT g, o, row_number() OVER (PARTITION BY g ORDER BY o DESC) "
+    "AS rn FROM t QUALIFY rn <= 2",
+    "SELECT g, o, rank() OVER (PARTITION BY g ORDER BY o) AS up, "
+    "rank() OVER (PARTITION BY g ORDER BY o DESC) AS down FROM t",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", None]),
+                       st.one_of(st.none(), st.integers(-9, 99))),
+             min_size=0, max_size=25),
+    st.sampled_from(WIN_DESC_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_window_desc_matches_duckdb(rows, sql, parts):
+    """ORDER BY ... DESC windows vs DuckDB (unique order key per the
+    total-order contract) — including ASC and DESC windows in ONE
+    query (two separate window_over shuffles) and DESC top-k via
+    QUALIFY."""
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype=object),
+         "o": pd.Series(range(len(rows)), dtype="int64"),
+         "v": pd.Series([r[1] for r in rows], dtype="Float64")})
+    got = run_sql(sql, {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("rs",))
