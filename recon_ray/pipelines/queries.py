@@ -5546,6 +5546,25 @@ def q_sql_frontend_tpch_q17(sf_dir: str):
                    {"lineitem": _t(sf_dir, "lineitem")})
 
 
+SQL_FRONTEND_SETOPS = (
+    "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT "
+    "SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000 "
+    "ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_setops(sf_dir: str):
+    """INTERSECT under the gate: two filtered projections of the same
+    table, set semantics with SQL's NULLs-are-equal rule, the trailing
+    ORDER BY binding the whole chain; DuckDB runs the identical
+    string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_SETOPS,
+                   {"orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_QUALIFY = (
     "SELECT user_id, event_id, "
     "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
@@ -7693,6 +7712,7 @@ QUERIES = {
     "q_sql_frontend_qualify": q_sql_frontend_qualify,
     "q_sql_frontend_tpch_q15": q_sql_frontend_tpch_q15,
     "q_sql_frontend_tpch_q17": q_sql_frontend_tpch_q17,
+    "q_sql_frontend_setops": q_sql_frontend_setops,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8126,6 +8146,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_qualify": SQL_FRONTEND_QUALIFY,
         "q_sql_frontend_tpch_q15": SQL_FRONTEND_TPCH_Q15,
         "q_sql_frontend_tpch_q17": SQL_FRONTEND_TPCH_Q17,
+        "q_sql_frontend_setops": SQL_FRONTEND_SETOPS,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

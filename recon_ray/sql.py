@@ -1228,11 +1228,17 @@ def _compile_pred(conds):
     return pred
 
 
-def _split_union(text: str) -> tuple[list[str], bool]:
-    """Split on top-level UNION [ALL]; returns (sides, all_flag). Mixed
-    UNION and UNION ALL in one statement is out of scope."""
+_SETOPS = ("union all ", "intersect ", "except ", "union ")
+
+
+def _split_union(text: str) -> tuple[list[str], str]:
+    """Split on a top-level set operator chain — UNION [ALL] /
+    INTERSECT / EXCEPT; returns (sides, op). Mixing different set
+    operators in one statement is out of scope (SQL gives INTERSECT
+    higher precedence; one homogeneous chain keeps it unambiguous)."""
     out, depth, in_q, start, i, n = [], 0, False, 0, 0, len(text)
-    kinds = set()
+    kinds: set = set()
+    low = text.lower()
     while i < n:
         ch = text[i]
         if ch == "'":
@@ -1243,22 +1249,20 @@ def _split_union(text: str) -> tuple[list[str], bool]:
             elif ch == ")":
                 depth -= 1
             elif depth == 0 and ch == " ":
-                rest = text[i + 1:i + 11].lower()
-                if rest.startswith("union all "):
-                    out.append(text[start:i])
-                    kinds.add("all")
-                    i += 10
-                    start = i + 1
-                elif rest.startswith("union "):
-                    out.append(text[start:i])
-                    kinds.add("distinct")
-                    i += 6
-                    start = i + 1
+                for kw in _SETOPS:
+                    if low.startswith(" " + kw, i):
+                        out.append(text[start:i])
+                        kinds.add(kw.strip())
+                        i += len(kw)
+                        start = i + 1
+                        break
         i += 1
     out.append(text[start:])
     if len(kinds) > 1:
-        raise SqlError("mixed UNION and UNION ALL are out of scope")
-    return [s.strip() for s in out], kinds == {"all"}
+        raise SqlError(
+            "mixed set operators in one statement are out of scope")
+    return ([s.strip() for s in out],
+            kinds.pop() if kinds else "")
 
 
 def _strip_tail(text: str) -> tuple[str, list, int | None]:
@@ -1489,7 +1493,7 @@ def run_sql(sql: str, tables: dict,
                 run_sql(_subtext, tables, broadcast_rows))
         return run_sql(_stmt, tables, broadcast_rows)
 
-    _sides, _all = _split_union(_stmt)
+    _sides, _op = _split_union(_stmt)
     if len(_sides) > 1:
         body, order, limit = _strip_tail(_sides[-1])
         frames = [run_sql(s, tables, broadcast_rows)
@@ -1498,11 +1502,25 @@ def run_sql(sql: str, tables: dict,
         for f in frames[1:]:
             if list(f.columns) != cols0:
                 raise SqlError(
-                    f"UNION sides disagree on columns: {cols0} vs "
-                    f"{list(f.columns)}")
-        out = pd.concat(frames, ignore_index=True)
-        if not _all:
-            out = out.drop_duplicates()
+                    f"set-operation sides disagree on columns: "
+                    f"{cols0} vs {list(f.columns)}")
+        if _op == "union all":
+            out = pd.concat(frames, ignore_index=True)
+        elif _op == "union":
+            out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        elif _op == "intersect":
+            # set semantics; pandas merge matches NaN to NaN, which is
+            # exactly SQL's NULLs-are-equal rule for set operators
+            out = frames[0].drop_duplicates()
+            for f in frames[1:]:
+                out = out.merge(f.drop_duplicates(), on=cols0,
+                                how="inner")
+        else:  # except — left-associative anti-merges
+            out = frames[0].drop_duplicates()
+            for f in frames[1:]:
+                m = out.merge(f.drop_duplicates(), on=cols0,
+                              how="left", indicator=True)
+                out = m.loc[m["_merge"] == "left_only", cols0]
         for c, _asc in order:
             if c not in cols0:
                 raise SqlError(
@@ -2256,7 +2274,7 @@ def explain_sql(sql: str, tables: dict = None,
         lines.extend(
             explain_sql(_stmt, tables, broadcast_rows).splitlines())
         return "\n".join(lines)
-    sides, all_ = _split_union(_stmt)
+    sides, all_ = _split_union(_stmt)  # all_ = the set operator
     if len(sides) > 1:
         body, order, limit = _strip_tail(sides[-1])
         plans = [explain_sql(s, tables, broadcast_rows)
@@ -2265,8 +2283,12 @@ def explain_sql(sql: str, tables: dict = None,
         for i, p in enumerate(plans):
             lines.append(f"Side {i + 1}:")
             lines.extend("  " + ln for ln in p.splitlines())
-        lines.append("UnionAll [concat, result-sized]" if all_
-                     else "Union [concat + distinct, result-sized]")
+        lines.append({
+            "union all": "UnionAll [concat, result-sized]",
+            "union": "Union [concat + distinct, result-sized]",
+            "intersect": "Intersect [distinct merge, result-sized]",
+            "except": "Except [distinct anti-merge, result-sized]",
+        }[all_])
         if order:
             lines.append("Sort [" + ", ".join(
                 f"{c} {'ASC' if a else 'DESC'}" for c, a in order)

@@ -1118,3 +1118,33 @@ def test_window_desc_matches_duckdb(rows, sql, parts):
     con.register("t", df)
     want = con.execute(sql).fetchdf()
     _cmp_sorted(got, want, float_cols=("rs",))
+
+
+SETOP_QS = [
+    "SELECT g, h FROM t WHERE v > 0 INTERSECT SELECT g, h FROM t "
+    "WHERE h >= 1 ORDER BY g, h",
+    "SELECT g FROM t WHERE h <= 1 EXCEPT SELECT g FROM t WHERE v < 0",
+    "SELECT g, h FROM t EXCEPT SELECT g, h FROM t WHERE v IS NULL "
+    "ORDER BY g, h LIMIT 5",
+    "SELECT h FROM t INTERSECT SELECT h FROM t WHERE g = 'x' "
+    "INTERSECT SELECT h FROM t WHERE v IS NOT NULL",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(SETOP_QS),
+       st.integers(min_value=1, max_value=4))
+def test_intersect_except_match_duckdb(rows, sql, parts):
+    """INTERSECT / EXCEPT vs DuckDB on identical strings: set
+    semantics (dedup), SQL's NULLs-are-equal rule for set operators,
+    left-associative EXCEPT chains, trailing ORDER BY/LIMIT binding
+    the whole chain."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want)
+
+
+def test_mixed_setops_rejected():
+    with pytest.raises(SqlError):
+        parse_sql("SELECT g FROM t UNION SELECT g FROM t "
+                  "INTERSECT SELECT g FROM t")
