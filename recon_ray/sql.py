@@ -833,13 +833,13 @@ def parse_sql(sql: str) -> dict:
                     "lim": _cl.get("limit")}[name]
 
     if m.group("lim") is not None and not re.match(
-            r"^\d+$", m.group("lim")):
+            r"^\d+(?:\s+offset\s+\d+)?$", m.group("lim"), re.I):
         raise SqlError(f"bad LIMIT: {m.group('lim')!r}")
     table, aliases, joins = _parse_from(m.group("frm"))
     q = {"table": table, "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
          "distinct": bool(m.group("dist")), "joins": joins,
-         "qualify": None}
+         "qualify": None, "offset": 0}
     n_expr = 0
     pa_aggs: list = []  # shared across items → identical aggs dedup
     for item in _split_top(m.group("sel")):
@@ -1100,7 +1100,10 @@ def parse_sql(sql: str) -> dict:
             q["order_by"].append(
                 (toks[0], len(toks) == 1 or toks[1].lower() == "asc"))
     if m.group("lim"):
-        q["limit"] = int(m.group("lim"))
+        lm2 = re.match(r"^(\d+)(?:\s+offset\s+(\d+))?$",
+                       m.group("lim"), re.I)
+        q["limit"] = int(lm2.group(1))
+        q["offset"] = int(lm2.group(2) or 0)
     has_agg = any(it["agg"] for it in q["select"])
     has_win = any(it.get("win") for it in q["select"])
     if has_win and (q["group_by"] or q["distinct"] or has_agg):
@@ -1938,7 +1941,7 @@ def run_sql(sql: str, tables: dict,
 
                 ds = _dist(ds, list(dict.fromkeys(cols)))
             if q["limit"] is not None and not q["order_by"]:
-                ds = ds.limit(q["limit"])
+                ds = ds.limit(q["limit"] + q.get("offset", 0))
         out = ds.to_pandas() if ds is not None else pd.DataFrame()
         if out.empty:
             out = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
@@ -2193,6 +2196,8 @@ def run_sql(sql: str, tables: dict,
             ascending=[asc for _, asc in q["order_by"]],
             kind="mergesort",
         )
+    if q.get("offset"):
+        out = out.iloc[q["offset"]:]
     if q["limit"] is not None:
         out = out.head(q["limit"])
     if q["hidden"]:
@@ -2426,5 +2431,6 @@ def explain_sql(sql: str, tables: dict = None,
             f"{c} {'ASC' if asc else 'DESC'}" for c, asc in q["order_by"])
             + "; result-sized]")
     if q["limit"] is not None:
-        lines.append(f"Limit [{q['limit']}]")
+        off = f" OFFSET {q['offset']}" if q.get("offset") else ""
+        lines.append(f"Limit [{q['limit']}{off}]")
     return "\n".join(lines)

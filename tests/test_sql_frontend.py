@@ -1148,3 +1148,22 @@ def test_mixed_setops_rejected():
     with pytest.raises(SqlError):
         parse_sql("SELECT g FROM t UNION SELECT g FROM t "
                   "INTERSECT SELECT g FROM t")
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows_st, st.integers(0, 6), st.integers(1, 5),
+       st.integers(min_value=1, max_value=4))
+def test_limit_offset_matches_duckdb(rows, off, lim, parts):
+    """LIMIT n OFFSET m after a total-order ORDER BY (unique key k, so
+    the page boundary is deterministic) vs DuckDB."""
+    df = _mk_df(rows).assign(k=np.arange(len(rows), dtype=np.int64))
+    sql = (f"SELECT k, h FROM t ORDER BY k DESC LIMIT {lim} "
+           f"OFFSET {off}")
+    got, want = _exec_both(sql, df, parts)
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["h"]) == list(want["h"])
+    # grouped paging too
+    sql2 = (f"SELECT k, count(*) AS n FROM t GROUP BY k "
+            f"ORDER BY k LIMIT {lim} OFFSET {off}")
+    got2, want2 = _exec_both(sql2, df, parts)
+    assert list(got2["k"]) == list(want2["k"])
