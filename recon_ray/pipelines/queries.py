@@ -5565,6 +5565,24 @@ def q_sql_frontend_setops(sf_dir: str):
                    {"orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_ROLLUP = (
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
+    "min(o_orderkey) AS k_min "
+    "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) "
+    "ORDER BY o_orderpriority, o_orderstatus, n"
+)
+
+
+def q_sql_frontend_rollup(sf_dir: str):
+    """GROUP BY ROLLUP under the gate: subtotal levels recompose from
+    the finest level's combiner partials (one input pass total), with
+    SQL-NULL subtotal keys; DuckDB runs the identical string.
+    Integer-exact outputs keep the hash strict."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_ROLLUP, {"orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_QUALIFY = (
     "SELECT user_id, event_id, "
     "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
@@ -7713,6 +7731,7 @@ QUERIES = {
     "q_sql_frontend_tpch_q15": q_sql_frontend_tpch_q15,
     "q_sql_frontend_tpch_q17": q_sql_frontend_tpch_q17,
     "q_sql_frontend_setops": q_sql_frontend_setops,
+    "q_sql_frontend_rollup": q_sql_frontend_rollup,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8147,6 +8166,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q15": SQL_FRONTEND_TPCH_Q15,
         "q_sql_frontend_tpch_q17": SQL_FRONTEND_TPCH_Q17,
         "q_sql_frontend_setops": SQL_FRONTEND_SETOPS,
+        "q_sql_frontend_rollup": SQL_FRONTEND_ROLLUP,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

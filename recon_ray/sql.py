@@ -839,7 +839,7 @@ def parse_sql(sql: str) -> dict:
     q = {"table": table, "select": [], "where": [],
          "group_by": [], "having": [], "order_by": [], "limit": None,
          "distinct": bool(m.group("dist")), "joins": joins,
-         "qualify": None, "offset": 0}
+         "qualify": None, "offset": 0, "group_mode": None}
     n_expr = 0
     pa_aggs: list = []  # shared across items → identical aggs dedup
     for item in _split_top(m.group("sel")):
@@ -1086,7 +1086,12 @@ def parse_sql(sql: str) -> dict:
                 q["having"].append((lhs, hm.group(2),
                                     _literal(hm.group(3))))
     if m.group("grp"):
-        grp_cols = [c.strip() for c in _split_top(m.group("grp"))]
+        gtext = m.group("grp").strip()
+        rm = re.match(r"^(rollup|cube)\s*\((.+)\)$", gtext, re.I)
+        if rm:
+            q["group_mode"] = rm.group(1).lower()
+            gtext = rm.group(2)
+        grp_cols = [c.strip() for c in _split_top(gtext)]
         for c in grp_cols:
             if not re.match(r"^" + _QCOL + r"$", c):
                 raise SqlError(f"bad group-by column: {c!r}")
@@ -1119,6 +1124,16 @@ def parse_sql(sql: str) -> dict:
     elif has_agg and any(it["agg"] is None and not it.get("postagg")
                          for it in q["select"]):
         raise SqlError("mixing aggregates and raw columns without GROUP BY")
+    if q["group_mode"]:
+        if not q["group_by"]:
+            raise SqlError("ROLLUP/CUBE need group columns")
+        for it in q["select"]:
+            if (it["agg"] == "quantile_disc"
+                    or (it["agg"] == "count" and it.get("distinct"))):
+                raise SqlError(
+                    "ROLLUP/CUBE work with sum/count/avg/min/max "
+                    "(partials recompose); exact distinct counts and "
+                    "quantiles don't merge across levels")
     if m.group("qual"):
         if not has_win:
             raise SqlError("QUALIFY requires window functions")
@@ -2012,7 +2027,12 @@ def run_sql(sql: str, tables: dict,
                     base[f"__c_f{i}"] = [0]
                     base[f"__mn_f{i}"] = [np.nan]
                     base[f"__mx_f{i}"] = [np.nan]
-            if keys:
+            if keys and q.get("group_mode"):
+                # ROLLUP/CUBE over zero rows: only the grand-total
+                # grouping set yields a row (count 0, NULL keys)
+                merged = pd.DataFrame(
+                    {**{k: [np.nan] for k in keys}, **base})
+            elif keys:
                 merged = pd.DataFrame(
                     {**{k: [] for k in keys},
                      **{c: [] for c in base}})
@@ -2059,6 +2079,44 @@ def run_sql(sql: str, tables: dict,
                 "__n": [parts["__n"].sum()] if len(parts) else [0],
                 **fcols,
             })
+        if q.get("group_mode") and keys and not parts.empty:
+            # ROLLUP / CUBE: every coarser grouping set recomposes from
+            # the FINEST level's partial columns (sums add, mins min,
+            # maxes max, avg resolves as sum/count later) — no second
+            # pass over the input, subtotal keys are SQL's NULLs
+            import itertools as _it
+
+            pcols = [c for c in merged.columns if c not in keys]
+            aggmap = {}
+            for c in pcols:
+                if c.startswith(("__mn_",)):
+                    aggmap[c] = "min"
+                elif c.startswith(("__mx_",)):
+                    aggmap[c] = "max"
+                else:  # __s_*, __c_*, __n, __n_f*, __s_f*, __c_f*
+                    aggmap[c] = "sum"
+            if q["group_mode"] == "rollup":
+                levels = [keys[:i] for i in range(len(keys) - 1, -1, -1)]
+            else:
+                levels = [list(cmb)
+                          for r in range(len(keys) - 1, -1, -1)
+                          for cmb in _it.combinations(keys, r)]
+            frames = [merged]
+            for lv in levels:
+                if merged.empty:
+                    break
+                if lv:
+                    sub = (merged.groupby(lv, dropna=False)
+                           .agg(aggmap).reset_index())
+                else:
+                    sub = pd.DataFrame(
+                        {c: [getattr(merged[c], op)()]
+                         for c, op in aggmap.items()})
+                for k in keys:
+                    if k not in lv:
+                        sub[k] = np.nan
+                frames.append(sub[list(merged.columns)])
+            merged = pd.concat(frames, ignore_index=True)
         # count(DISTINCT c): exact, via the bucketed distinct on
         # (keys, c) — a separate narrow pass per distinct-agg column
         dcounts = {}

@@ -1167,3 +1167,39 @@ def test_limit_offset_matches_duckdb(rows, off, lim, parts):
             f"ORDER BY k LIMIT {lim} OFFSET {off}")
     got2, want2 = _exec_both(sql2, df, parts)
     assert list(got2["k"]) == list(want2["k"])
+
+
+ROLLUP_QS = [
+    "SELECT g, h, count(*) AS n, sum(v) AS sv FROM t "
+    "GROUP BY ROLLUP(g, h)",
+    "SELECT g, h, min(v) AS mn, max(v) AS mx, avg(v) AS av FROM t "
+    "WHERE v IS NOT NULL GROUP BY CUBE(g, h)",
+    "SELECT g, count(*) AS n, "
+    "count(*) FILTER (WHERE v > 0) AS np FROM t GROUP BY ROLLUP(g)",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(ROLLUP_QS),
+       st.integers(min_value=1, max_value=4))
+def test_rollup_cube_match_duckdb(rows, sql, parts):
+    """GROUP BY ROLLUP/CUBE vs DuckDB on identical strings: every
+    coarser grouping set recomposes from the finest level's combiner
+    partials (no second input pass) — including FILTER'd partials —
+    with SQL-NULL subtotal keys alongside genuine NULL key groups."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    # CUBE legitimately emits rows with IDENTICAL key tuples from
+    # different grouping sets (a genuine-NULL key group vs a subtotal),
+    # so aggregates must join the sort key; they're bit-identical here
+    # (integer sums, identical sum/count divisions)
+    _cmp_sorted(got, want)
+
+
+def test_rollup_rejections():
+    with pytest.raises(SqlError):
+        parse_sql("SELECT g, count(DISTINCT v) AS d FROM t "
+                  "GROUP BY ROLLUP(g)")
+    with pytest.raises(SqlError):
+        parse_sql("SELECT g, quantile_disc(v, 0.5) AS q FROM t "
+                  "GROUP BY CUBE(g)")
