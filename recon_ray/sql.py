@@ -55,7 +55,8 @@ import pyarrow.compute as pc
 
 _QCOL = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
 _AGG_RE = re.compile(
-    r"^(sum|count|avg|min|max)\s*\(\s*(distinct\s+)?(\*|" + _QCOL
+    r"^(sum|count|avg|min|max|stddev_samp|stddev_pop|stddev|var_samp"
+    r"|var_pop|variance)\s*\(\s*(distinct\s+)?(\*|" + _QCOL
     + r")\s*\)$", re.I)
 _QAGG_RE = re.compile(
     r"^quantile_disc\s*\(\s*(" + _QCOL
@@ -375,10 +376,23 @@ _ARITH_TOKEN = re.compile(
     r"|(?P<name>" + _QCOL + r")"
     r"|(?P<op>[-+*/(),]|\*))")
 
-_AGG_FNS = ("sum", "count", "avg", "min", "max")
+_AGG_FNS = ("sum", "count", "avg", "min", "max", "stddev",
+            "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+            "variance")
+_AGG_NORM = {"stddev": "stddev_samp", "variance": "var_samp"}
+_VAR_AGGS = ("stddev_samp", "stddev_pop", "var_samp", "var_pop")
 _INT_CASTS = {"bigint": "int", "int": "int", "integer": "int",
               "hugeint": "int"}
 _FLOAT_CASTS = {"double": "float", "float": "float", "real": "float"}
+# scalar numeric functions in expressions. Domain notes: sqrt/ln of
+# out-of-range input yield NULL here where DuckDB raises a query error
+# (a distributed stage can't abort one task's batch mid-stream);
+# power(0, -1) is +inf, matching DuckDB. greatest/least IGNORE NULLs
+# (DuckDB semantics), coalesce/nullif are standard.
+_UNARY_FNS = {"abs", "floor", "ceil", "ceiling", "sqrt", "ln", "exp"}
+_NARY_FNS = {"coalesce", "nullif", "greatest", "least", "power", "pow"}
+_EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second",
+                  "dow", "doy", "week"}
 
 
 def _lex_arith(text: str) -> list[tuple]:
@@ -491,6 +505,40 @@ def _parse_arith(text: str, aliases: set, agg_collect: list = None):
                         f"unsupported cast type in: {text!r}")
                 expect(("op", ")"), "')' after cast()")
                 return ("cast", kind, e)
+            if low == "null":
+                return ("lit", None)
+            if low in _UNARY_FNS and peek() == ("op", "("):
+                take()
+                e = expr()
+                expect(("op", ")"), f"')' after {low}()")
+                return ("ufn", "ceil" if low == "ceiling" else low, e)
+            if low in _NARY_FNS and peek() == ("op", "("):
+                take()
+                args = [expr()]
+                while peek() == ("op", ","):
+                    take()
+                    args.append(expr())
+                expect(("op", ")"), f"')' after {low}()")
+                name = "power" if low == "pow" else low
+                if name in ("nullif", "power") and len(args) != 2:
+                    raise SqlError(
+                        f"{name}() takes exactly 2 arguments: {text!r}")
+                if name != "power" and len(args) < 2:
+                    raise SqlError(
+                        f"{name}() needs at least 2 arguments: {text!r}")
+                return ("nfn", name, args)
+            if low == "extract" and peek() == ("op", "("):
+                take()
+                pt, ft, ct = take(), take(), take()
+                if (pt is None or pt[0] != "name"
+                        or pt[1].lower() not in _EXTRACT_PARTS
+                        or ft is None or ft[0] != "name"
+                        or ft[1].lower() != "from"
+                        or ct is None or ct[0] != "name"):
+                    raise SqlError(
+                        f"extract needs (part FROM col): {text!r}")
+                expect(("op", ")"), "')' after extract()")
+                return ("xtr", pt[1].lower(), _unqual(ct[1], aliases))
             if low in _AGG_FNS and peek() == ("op", "("):
                 if agg_collect is None or in_agg[0]:
                     raise SqlError(
@@ -504,7 +552,7 @@ def _parse_arith(text: str, aliases: set, agg_collect: list = None):
                     in_agg[0] += 1
                     inner = expr()
                     in_agg[0] -= 1
-                    spec = (low, inner)
+                    spec = (_AGG_NORM.get(low, low), inner)
                 expect(("op", ")"), "')' after aggregate")
                 for i, s in enumerate(agg_collect):
                     if s == spec:
@@ -558,6 +606,13 @@ def _expr_cols(node, out: set):
         _expr_cols(node[2], out)
     elif node[0] == "cast":
         _expr_cols(node[2], out)
+    elif node[0] == "ufn":
+        _expr_cols(node[2], out)
+    elif node[0] == "nfn":
+        for a in node[2]:
+            _expr_cols(a, out)
+    elif node[0] == "xtr":
+        out.add(node[2])
     elif node[0] == "casex":
         for tree, val in node[1]["whens"] + [(None, node[1]["else"])]:
             if tree is not None:
@@ -584,6 +639,13 @@ def _expr_is_int(node) -> bool:
         return node[1] == "int"
     if k == "fn":
         return False  # round() returns double, like DuckDB
+    if k == "ufn":
+        return node[1] == "abs" and _expr_is_int(node[2])
+    if k == "nfn":
+        return node[1] != "power" and all(
+            _expr_is_int(a) for a in node[2])
+    if k == "xtr":
+        return True  # extract() is BIGINT in SQL
     if k == "casex":
         vals = [v for _t, v in node[1]["whens"]] + [node[1]["else"]]
         return all(
@@ -609,11 +671,67 @@ def _eval_expr(b: pd.DataFrame, node):
     by zero is NULL (DuckDB semantics)."""
     k = node[0]
     if k == "lit":
-        return float(node[1])
+        return np.nan if node[1] is None else float(node[1])
     if k == "col":
         return pd.to_numeric(b[node[1]]).astype("float64").to_numpy()
     if k == "neg":
         return -_eval_expr(b, node[1])
+    if k == "ufn":
+        v = _eval_expr(b, node[2])
+        fn = node[1]
+        if fn == "abs":
+            return np.abs(v)
+        if fn == "floor":
+            return np.floor(v)
+        if fn == "ceil":
+            return np.ceil(v)
+        if fn == "exp":
+            return np.exp(v)
+        if fn == "sqrt":
+            # DuckDB raises on a negative argument; a streaming stage
+            # can't abort per-row, so out-of-domain yields NULL here
+            with np.errstate(invalid="ignore"):
+                return np.sqrt(v)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.log(v)
+        return np.where(np.asarray(v) > 0, r, np.nan)
+    if k == "nfn":
+        fn = node[1]
+        n = len(b)
+        vs = [np.full(n, a, dtype="float64") if np.ndim(a) == 0
+              else np.asarray(a, dtype="float64")
+              for a in (_eval_expr(b, x) for x in node[2])]
+        if fn == "power":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.power(vs[0], vs[1])  # power(0,-1)=inf, DuckDB
+        if fn == "nullif":
+            return np.where(vs[0] == vs[1], np.nan, vs[0])
+        if fn == "coalesce":
+            res = vs[0].copy()
+            for a in vs[1:]:
+                m = np.isnan(res)
+                res[m] = a[m]
+            return res
+        red = np.fmax if fn == "greatest" else np.fmin
+        res = vs[0]  # fmax/fmin ignore NaN — DuckDB's NULL-skip rule
+        for a in vs[1:]:
+            res = red(res, a)
+        return res
+    if k == "xtr":
+        s = pd.Series(b[node[2]])
+        if not pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s)
+        part = node[1]
+        if part == "dow":
+            vals = (s.dt.dayofweek + 1) % 7  # SQL: Sunday = 0
+        elif part == "doy":
+            vals = s.dt.dayofyear
+        elif part == "week":
+            vals = s.dt.isocalendar().week
+        else:
+            vals = getattr(s.dt, part)
+        return pd.Series(vals).astype("Float64").to_numpy(
+            dtype="float64", na_value=np.nan)
     if k == "casex":  # CASE inside arithmetic: first-match np.select
         spec = node[1]
 
@@ -857,6 +975,22 @@ def parse_sql(sql: str) -> dict:
                  "alias": alias,
                  "case": _parse_case_body(expr, aliases)})
             continue
+        dtm = re.match(
+            r"^date_trunc\s*\(\s*'(year|month|week|day|hour|minute)'"
+            r"\s*,\s*(" + _QCOL + r")\s*\)$", expr, re.I)
+        if dtm:
+            # date_trunc('part', ts): a temporal derive column (the
+            # numeric expression engine is float64-only), usable as a
+            # GROUP BY key. 'week' truncates to Monday, like DuckDB.
+            if not alias:
+                raise SqlError(
+                    f"date_trunc select items need an AS alias: {item!r}")
+            q["select"].append(
+                {"agg": None, "col": alias, "distinct": False,
+                 "alias": alias,
+                 "datefn": (dtm.group(1).lower(),
+                            _unqual(dtm.group(2), aliases))})
+            continue
         flt = None
         fm = re.match(r"^(?P<agg>.+?)\s+filter\s*\(\s*where\s+"
                       r"(?P<f>.+)\)$", expr, re.I)
@@ -908,6 +1042,7 @@ def parse_sql(sql: str) -> dict:
         if am:
             fn, dist, col = (am.group(1).lower(), bool(am.group(2)),
                              am.group(3))
+            fn = _AGG_NORM.get(fn, fn)
             if col == "*" and fn != "count":
                 raise SqlError(f"{fn}(*) is not a thing")
             if dist and fn != "count":
@@ -917,6 +1052,10 @@ def parse_sql(sql: str) -> dict:
             if flt is not None and dist:
                 raise SqlError(
                     "FILTER on count(DISTINCT ...) is out of scope")
+            if flt is not None and fn in _VAR_AGGS:
+                raise SqlError(
+                    "FILTER on stddev/variance aggregates is out of "
+                    "scope")
             q["select"].append(
                 {"agg": fn, "col": None if col == "*" else col,
                  "distinct": dist, "filter": flt,
@@ -925,8 +1064,10 @@ def parse_sql(sql: str) -> dict:
         # aggregate over an arithmetic expression — sum(a * (1 - b)):
         # the expression materializes as a hidden derived column the
         # plain combiner then aggregates
-        em = re.match(r"^(sum|count|avg|min|max)\s*\((.+)\)$", expr,
-                      re.I | re.S)
+        em = re.match(
+            r"^(sum|count|avg|min|max|stddev_samp|stddev_pop|stddev"
+            r"|var_samp|var_pop|variance)\s*\((.+)\)$", expr,
+            re.I | re.S)
         if em and not re.match(r"^\s*distinct\b", em.group(2), re.I):
             # try the body as pure arithmetic; on failure fall through
             # (e.g. "sum(v) / count(v)" greedily matches here but is a
@@ -946,8 +1087,9 @@ def parse_sql(sql: str) -> dict:
                         "scope")
                 hid = f"__x{n_expr}"
                 n_expr += 1
+                _efn = em.group(1).lower()
                 q["select"].append(
-                    {"agg": em.group(1).lower(), "col": hid,
+                    {"agg": _AGG_NORM.get(_efn, _efn), "col": hid,
                      "distinct": False, "filter": None, "alias": alias,
                      "expr": ast})
                 continue
@@ -1063,7 +1205,8 @@ def parse_sql(sql: str) -> dict:
             if ham:
                 # HAVING on a raw aggregate: materialize it as a hidden
                 # select item and filter on that alias
-                fn, dist, c = (ham.group(1).lower(),
+                fn, dist, c = (_AGG_NORM.get(ham.group(1).lower(),
+                                             ham.group(1).lower()),
                                bool(ham.group(2)), ham.group(3))
                 if c == "*" and fn != "count":
                     raise SqlError(f"{fn}(*) is not a thing")
@@ -1087,15 +1230,43 @@ def parse_sql(sql: str) -> dict:
                                     _literal(hm.group(3))))
     if m.group("grp"):
         gtext = m.group("grp").strip()
-        rm = re.match(r"^(rollup|cube)\s*\((.+)\)$", gtext, re.I)
-        if rm:
-            q["group_mode"] = rm.group(1).lower()
-            gtext = rm.group(2)
-        grp_cols = [c.strip() for c in _split_top(gtext)]
-        for c in grp_cols:
-            if not re.match(r"^" + _QCOL + r"$", c):
-                raise SqlError(f"bad group-by column: {c!r}")
-        q["group_by"] = [_unqual(c, aliases) for c in grp_cols]
+        gsm = re.match(r"^grouping\s+sets\s*\((.+)\)$", gtext, re.I)
+        if gsm:
+            # GROUP BY GROUPING SETS ((a, b), (a), ()): the finest
+            # level (union of all sets) aggregates once; each requested
+            # set recomposes from those partials, like ROLLUP/CUBE
+            sets, union = [], []
+            for part in _split_top(gsm.group(1)):
+                part = part.strip()
+                if not (part.startswith("(") and part.endswith(")")):
+                    raise SqlError(
+                        f"GROUPING SETS needs parenthesized column "
+                        f"lists, got {part!r}")
+                inner = part[1:-1].strip()
+                cols = ([c.strip() for c in _split_top(inner)]
+                        if inner else [])
+                for c in cols:
+                    if not re.match(r"^" + _QCOL + r"$", c):
+                        raise SqlError(f"bad grouping-set column: {c!r}")
+                cols = [_unqual(c, aliases) for c in cols]
+                sets.append(cols)
+                for c in cols:
+                    if c not in union:
+                        union.append(c)
+            if not sets:
+                raise SqlError("GROUPING SETS needs at least one set")
+            q["group_mode"] = ("sets", sets)
+            q["group_by"] = union
+        else:
+            rm = re.match(r"^(rollup|cube)\s*\((.+)\)$", gtext, re.I)
+            if rm:
+                q["group_mode"] = rm.group(1).lower()
+                gtext = rm.group(2)
+            grp_cols = [c.strip() for c in _split_top(gtext)]
+            for c in grp_cols:
+                if not re.match(r"^" + _QCOL + r"$", c):
+                    raise SqlError(f"bad group-by column: {c!r}")
+            q["group_by"] = [_unqual(c, aliases) for c in grp_cols]
     if m.group("ord"):
         for part in _split_top(m.group("ord")):
             toks = part.split()
@@ -1584,6 +1755,8 @@ def run_sql(sql: str, tables: dict,
     for it in q["select"]:
         if it.get("expr"):
             _expr_cols(it["expr"], _refcols)
+        if it.get("datefn"):
+            _refcols.add(it["datefn"][1])
         if it.get("filter") is not None:
             _tree_cols(it["filter"], _refcols)
         if it.get("case"):
@@ -1885,12 +2058,33 @@ def run_sql(sql: str, tables: dict,
                                    anti=True)
 
     derive_items = [it for it in q["select"]
-                    if it.get("case") or it.get("expr")]
+                    if it.get("case") or it.get("expr")
+                    or it.get("datefn")]
     if derive_items and ds is not None:
         def _derive(b: pd.DataFrame,
                     items=derive_items) -> pd.DataFrame:
             b = b.copy()
             for it in items:
+                if it.get("datefn"):
+                    part, src = it["datefn"]
+                    s = pd.Series(b[src])
+                    if not pd.api.types.is_datetime64_any_dtype(s):
+                        s = pd.to_datetime(s)
+                    if part == "year":
+                        v = s.dt.to_period("Y").dt.to_timestamp()
+                    elif part == "month":
+                        v = s.dt.to_period("M").dt.to_timestamp()
+                    elif part == "week":  # Monday, DuckDB's rule
+                        v = (s.dt.floor("D")
+                             - pd.to_timedelta(s.dt.dayofweek, unit="D"))
+                    elif part == "day":
+                        v = s.dt.floor("D")
+                    elif part == "hour":
+                        v = s.dt.floor("h")
+                    else:
+                        v = s.dt.floor("min")
+                    b[it["col"]] = v
+                    continue
                 if it.get("expr"):
                     vals = _eval_expr(b, it["expr"])
                     if _expr_is_int(it["expr"]) \
@@ -1971,6 +2165,13 @@ def run_sql(sql: str, tables: dict,
             and not (a["agg"] == "count" and a.get("distinct"))
             and not a.get("filter")
         })
+        # stddev/variance family: one extra sum-of-squares partial per
+        # column — (Σx², Σx, n) merge like any other sums, so the same
+        # combiner (and ROLLUP/CUBE recomposition) carries them
+        need_sq = sorted({
+            a["col"] for a in aggs
+            if a["col"] and a["agg"] in _VAR_AGGS
+        })
         # FILTER'd aggregates get their own masked partials, keyed by
         # select position (the unfiltered ones share per-column
         # partials)
@@ -1978,6 +2179,11 @@ def run_sql(sql: str, tables: dict,
                   if it["agg"] and it.get("filter")]
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
+            if need_sq:
+                b = b.assign(**{
+                    f"__sq_{c}":
+                        pd.to_numeric(b[c]).astype("float64") ** 2
+                    for c in need_sq})
             g = b.groupby(keys, dropna=False) if keys else None
             parts = {}
             for c in need:
@@ -1986,6 +2192,9 @@ def run_sql(sql: str, tables: dict,
                 parts[f"__c_{c}"] = src.count()
                 parts[f"__mn_{c}"] = src.min()
                 parts[f"__mx_{c}"] = src.max()
+            for c in need_sq:
+                src = g[f"__sq_{c}"] if g is not None else b[f"__sq_{c}"]
+                parts[f"__q_{c}"] = src.sum()
             star = g.size() if g is not None else pd.Series(
                 [len(b)], index=[0])
             parts["__n"] = star
@@ -2017,6 +2226,7 @@ def run_sql(sql: str, tables: dict,
                 **{f"__c_{c}": [0] for c in need},
                 **{f"__mn_{c}": [np.nan] for c in need},
                 **{f"__mx_{c}": [np.nan] for c in need},
+                **{f"__q_{c}": [np.nan] for c in need_sq},
                 "__n": [0],
             }
             for i, it in fspecs:
@@ -2029,9 +2239,14 @@ def run_sql(sql: str, tables: dict,
                     base[f"__mx_f{i}"] = [np.nan]
             if keys and q.get("group_mode"):
                 # ROLLUP/CUBE over zero rows: only the grand-total
-                # grouping set yields a row (count 0, NULL keys)
+                # grouping set yields a row (count 0, NULL keys);
+                # GROUPING SETS: one such row per requested () set
+                mode = q["group_mode"]
+                n_tot = (sum(1 for s in mode[1] if not s)
+                         if isinstance(mode, tuple) else 1)
                 merged = pd.DataFrame(
-                    {**{k: [np.nan] for k in keys}, **base})
+                    {**{k: [np.nan] * n_tot for k in keys},
+                     **{c: v * n_tot for c, v in base.items()}})
             elif keys:
                 merged = pd.DataFrame(
                     {**{k: [] for k in keys},
@@ -2056,6 +2271,7 @@ def run_sql(sql: str, tables: dict,
                 **{f"__c_{c}": gb[f"__c_{c}"].sum() for c in need},
                 **{f"__mn_{c}": gb[f"__mn_{c}"].min() for c in need},
                 **{f"__mx_{c}": gb[f"__mx_{c}"].max() for c in need},
+                **{f"__q_{c}": gb[f"__q_{c}"].sum() for c in need_sq},
                 "__n": gb["__n"].sum(),
                 **fcols,
             }).reset_index()
@@ -2076,6 +2292,8 @@ def run_sql(sql: str, tables: dict,
                 **{f"__c_{c}": [parts[f"__c_{c}"].sum()] for c in need},
                 **{f"__mn_{c}": [parts[f"__mn_{c}"].min()] for c in need},
                 **{f"__mx_{c}": [parts[f"__mx_{c}"].max()] for c in need},
+                **{f"__q_{c}": [parts[f"__q_{c}"].sum()]
+                   for c in need_sq},
                 "__n": [parts["__n"].sum()] if len(parts) else [0],
                 **fcols,
             })
@@ -2097,11 +2315,17 @@ def run_sql(sql: str, tables: dict,
                     aggmap[c] = "sum"
             if q["group_mode"] == "rollup":
                 levels = [keys[:i] for i in range(len(keys) - 1, -1, -1)]
-            else:
+                frames = [merged]
+            elif q["group_mode"] == "cube":
                 levels = [list(cmb)
                           for r in range(len(keys) - 1, -1, -1)
                           for cmb in _it.combinations(keys, r)]
-            frames = [merged]
+                frames = [merged]
+            else:  # ("sets", [...]): exactly the requested sets — the
+                # finest level appears only if it was asked for (a set
+                # equal to all keys regroups merged into itself)
+                levels = [list(s) for s in q["group_mode"][1]]
+                frames = []
             for lv in levels:
                 if merged.empty:
                     break
@@ -2217,6 +2441,23 @@ def run_sql(sql: str, tables: dict,
                         "int64").to_numpy()
                 else:
                     cols[a] = pd.Series([dcounts[a]], dtype="int64")
+            elif it["agg"] in _VAR_AGGS:
+                # two-pass variance from the (Σx², Σx, n) partials in a
+                # FIXED op order — (q − s·s/n) / (n or n−1) — so an
+                # oracle spelling the same formula over exact integer
+                # sums reproduces the IEEE result bit-for-bit
+                c = it["col"]
+                n = merged[f"__c_{c}"].astype("float64")
+                s = merged[f"__s_{c}"].astype("float64")
+                qq = merged[f"__q_{c}"].astype("float64")
+                nn = n.replace(0.0, np.nan)
+                m2 = (qq - s * s / nn).clip(lower=0.0)
+                if it["agg"] in ("var_pop", "stddev_pop"):
+                    var = m2 / nn
+                else:  # _samp: n=1 → NULL (division by 0 → NaN)
+                    var = m2 / (n - 1.0).replace(0.0, np.nan)
+                cols[a] = (np.sqrt(var)
+                           if it["agg"].startswith("stddev") else var)
             elif it["agg"] == "count" and it["col"] is None:
                 cols[a] = merged["__n"].astype("int64")
             elif it["agg"] == "count":
@@ -2278,6 +2519,12 @@ def _fmt_expr(node) -> str:
     if k == "cast":
         ty = "bigint" if node[1] == "int" else "double"
         return f"cast({_fmt_expr(node[2])} as {ty})"
+    if k == "ufn":
+        return f"{node[1]}({_fmt_expr(node[2])})"
+    if k == "nfn":
+        return f"{node[1]}({', '.join(_fmt_expr(a) for a in node[2])})"
+    if k == "xtr":
+        return f"extract({node[1]} from {node[2]})"
     return f"({_fmt_expr(node[2])} {node[1]} {_fmt_expr(node[3])})"
 
 

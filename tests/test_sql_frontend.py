@@ -1203,3 +1203,178 @@ def test_rollup_rejections():
     with pytest.raises(SqlError):
         parse_sql("SELECT g, quantile_disc(v, 0.5) AS q FROM t "
                   "GROUP BY CUBE(g)")
+
+
+SCALARFN_QS = [
+    "SELECT g, coalesce(v, 0) AS cv, abs(v) AS av, "
+    "greatest(v, h) AS gr, least(v, h) AS le FROM t",
+    "SELECT nullif(h, 2) AS nh, power(h, 2) AS p2, "
+    "floor(v / 4) AS fl, ceil(v / 4) AS ce FROM t",
+    "SELECT g, sum(coalesce(v, 0)) AS sv, "
+    "max(abs(v)) AS mx FROM t GROUP BY g",
+    "SELECT round(sqrt(abs(sum(v))), 6) AS rs, "
+    "round(ln(count(*) + 1), 6) AS lc, "
+    "exp(0) * count(*) AS e1 FROM t",
+    "SELECT g, coalesce(v, h, NULL) AS c3 FROM t",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(SCALARFN_QS),
+       st.integers(min_value=1, max_value=4))
+def test_scalar_fns_match_duckdb(rows, sql, parts):
+    """Scalar numeric functions (abs/floor/ceil/sqrt/ln/exp/power,
+    coalesce/nullif/greatest/least) vs DuckDB on identical strings —
+    as select items, inside aggregates, in WHERE, and in
+    post-aggregate expressions. greatest/least skip NULLs (DuckDB
+    semantics); NULL literals are legal expression atoms."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want,
+                float_cols=("cv", "av", "gr", "le", "nh", "p2", "fl",
+                            "ce", "sv", "mx", "rs", "lc", "e1", "c3"))
+
+
+def test_scalar_fn_rejections():
+    with pytest.raises(SqlError):  # nullif arity
+        parse_sql("SELECT nullif(v) AS x FROM t")
+    with pytest.raises(SqlError):  # power arity
+        parse_sql("SELECT power(v, 2, 3) AS x FROM t")
+    with pytest.raises(SqlError):  # coalesce arity
+        parse_sql("SELECT coalesce(v) AS x FROM t")
+    with pytest.raises(SqlError):  # unknown function still rejects
+        parse_sql("SELECT sin(v) AS x FROM t")
+    with pytest.raises(SqlError):  # expression-LHS WHERE predicates
+        parse_sql("SELECT g FROM t WHERE coalesce(v, 0) >= 0")
+
+
+VARAGG_QS = [
+    "SELECT g, stddev_samp(v) AS sd, var_samp(v) AS vs FROM t "
+    "GROUP BY g",
+    "SELECT g, stddev_pop(v) AS sp, var_pop(v) AS vp, count(v) AS n "
+    "FROM t GROUP BY g",
+    "SELECT stddev(v) AS sd, variance(v) AS va FROM t",
+    "SELECT g, stddev_samp(v + h) AS sd2 FROM t GROUP BY g",
+    # count(v)/sum(v) are exact-integer disambiguators: ROLLUP can
+    # emit a genuine-NULL-key group and a subtotal with IDENTICAL key
+    # tuples, and var_pop (float) can't join the sort key — when
+    # (g, h, n, sv) all tie, the two rows aggregate the same set, so
+    # vp ties too
+    "SELECT g, h, count(v) AS n, sum(v) AS sv, var_pop(v) AS vp FROM t "
+    "GROUP BY ROLLUP(g, h)",
+    "SELECT round(stddev_samp(v) / 10, 6) AS r FROM t "
+    "WHERE v IS NOT NULL",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(VARAGG_QS),
+       st.integers(min_value=1, max_value=4))
+def test_variance_aggs_match_duckdb(rows, sql, parts):
+    """stddev/variance family vs DuckDB on identical strings: the
+    (Σx², Σx, n) two-pass partials merge like sums — so they ride the
+    same combiner, recompose through ROLLUP, and accept expression
+    arguments and post-aggregate use. n=1 → NULL for _samp / 0 for
+    _pop; n=0 → NULL (matches SQL)."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want,
+                float_cols=("sd", "vs", "sp", "vp", "va", "sd2", "r",
+                            "sv"))
+
+
+def test_variance_rejections():
+    with pytest.raises(SqlError):  # DISTINCT not supported
+        parse_sql("SELECT stddev_samp(DISTINCT v) AS s FROM t")
+    with pytest.raises(SqlError):  # FILTER not supported
+        parse_sql("SELECT var_pop(v) FILTER (WHERE h > 1) AS s FROM t")
+    with pytest.raises(SqlError):  # stddev(*) is not a thing
+        parse_sql("SELECT stddev_samp(*) AS s FROM t")
+
+
+GSETS_QS = [
+    "SELECT g, h, count(*) AS n, sum(v) AS sv FROM t "
+    "GROUP BY GROUPING SETS ((g, h), (g), ())",
+    "SELECT g, h, count(*) AS n FROM t "
+    "GROUP BY GROUPING SETS ((h), (g))",
+    "SELECT g, h, count(*) AS n, min(v) AS mn, avg(v) AS av FROM t "
+    "WHERE v IS NOT NULL GROUP BY GROUPING SETS ((g, h), ())",
+    "SELECT g, count(*) AS n FROM t "
+    "GROUP BY GROUPING SETS ((g), (g))",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.sampled_from(GSETS_QS),
+       st.integers(min_value=1, max_value=4))
+def test_grouping_sets_match_duckdb(rows, sql, parts):
+    """GROUP BY GROUPING SETS vs DuckDB on identical strings: exactly
+    the requested sets (finest level only if asked for; duplicate sets
+    emit duplicate rows, like SQL), recomposed from one combiner pass
+    over the union of keys."""
+    df = _mk_df(rows)
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("sv", "mn", "av"))
+
+
+def test_grouping_sets_rejections():
+    with pytest.raises(SqlError):  # unparenthesized set
+        parse_sql("SELECT g, count(*) AS n FROM t "
+                  "GROUP BY GROUPING SETS (g)")
+    with pytest.raises(SqlError):  # distinct counts don't recompose
+        parse_sql("SELECT g, count(DISTINCT v) AS d FROM t "
+                  "GROUP BY GROUPING SETS ((g), ())")
+
+
+DATEFN_QS = [
+    "SELECT date_trunc('day', ts) AS d, count(*) AS n FROM t "
+    "GROUP BY d",
+    "SELECT date_trunc('month', ts) AS mo, date_trunc('week', ts) "
+    "AS wk, date_trunc('hour', ts) AS hh FROM t",
+    "SELECT extract(year from ts) AS y, extract(month from ts) AS mo, "
+    "extract(day from ts) AS d, extract(hour from ts) AS hh FROM t",
+    "SELECT extract(dow from ts) AS dw, extract(doy from ts) AS dy, "
+    "extract(week from ts) AS wk, extract(minute from ts) AS mi FROM t",
+    "SELECT extract(year from ts) AS y, count(*) AS n FROM t "
+    "GROUP BY y",
+    "SELECT date_trunc('year', ts) AS yy, sum(v) AS sv, "
+    "count(*) AS n FROM t GROUP BY yy",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(0, 800)),
+             min_size=1, max_size=25),
+    st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+             min_size=1, max_size=25),
+    st.sampled_from(DATEFN_QS),
+    st.integers(min_value=1, max_value=4),
+)
+def test_date_fns_match_duckdb(days, vals, sql, parts):
+    """date_trunc (temporal derive column, usable as a GROUP BY key)
+    and extract (numeric expression leaf) vs DuckDB on identical
+    strings — dow is Sunday=0, week is ISO, date_trunc('week') lands
+    on Monday. NaT propagates as NULL."""
+    n = max(len(days), len(vals))
+    days = (days * n)[:n]
+    vals = (vals * n)[:n]
+    base = pd.Timestamp("2023-11-30 21:15:40")
+    ts = [None if d is None
+          else base + pd.Timedelta(hours=int(d) * 7 + (int(d) % 13))
+          for d in days]
+    df = pd.DataFrame({
+        "ts": pd.Series(ts, dtype="datetime64[ns]"),
+        "v": pd.Series(vals, dtype="Float64"),
+    })
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("sv",))
+
+
+def test_date_fn_rejections():
+    with pytest.raises(SqlError):  # unknown part
+        parse_sql("SELECT date_trunc('fortnight', ts) AS d FROM t")
+    with pytest.raises(SqlError):  # date_trunc needs an alias
+        parse_sql("SELECT date_trunc('day', ts) FROM t")
+    with pytest.raises(SqlError):  # unknown extract part
+        parse_sql("SELECT extract(century from ts) AS c FROM t")
