@@ -5583,6 +5583,104 @@ def q_sql_frontend_rollup(sf_dir: str):
     return run_sql(SQL_FRONTEND_ROLLUP, {"orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_STDDEV = (
+    "SELECT lang, count(n_chars) AS n, stddev_samp(n_chars) AS sd, "
+    "var_pop(n_chars) AS vp "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+# The oracle spells the engine's exact two-pass formula — (Σx², Σx, n)
+# partials, then (q − s·s/n, floored at 0) / (n or n−1) in that op
+# order. Over an INTEGER column every partial sum is an exact float64
+# integer (< 2^53), so both engines perform the identical IEEE ops and
+# the hash matches bit-for-bit with no rounding. DuckDB's own
+# stddev_samp (Welford) would differ in the last bits.
+ORACLE_SQL_FRONTEND_STDDEV = """
+SELECT lang, count(n_chars) AS n,
+  sqrt(greatest(sum(n_chars * n_chars)::DOUBLE
+                - sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE
+                  / count(n_chars), 0) / (count(n_chars) - 1)) AS sd,
+  greatest(sum(n_chars * n_chars)::DOUBLE
+           - sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE
+             / count(n_chars), 0) / count(n_chars) AS vp
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sql_frontend_stddev(sf_dir: str):
+    """stddev_samp / var_pop under the gate: one extra sum-of-squares
+    partial rides the existing combiner (no second shuffle), and the
+    two-pass recomposition (q − s·s/n)/(n or n−1) is bit-for-bit
+    reproducible against an oracle spelling the same formula over
+    exact integer sums."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_STDDEV,
+                   {"documents": _t(sf_dir, "documents")})
+
+
+SQL_FRONTEND_GSETS = (
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
+    "sum(o_custkey) AS ck, min(o_orderkey) AS k_min "
+    "FROM orders GROUP BY GROUPING SETS "
+    "((o_orderpriority, o_orderstatus), (o_orderstatus), ()) "
+    "ORDER BY o_orderpriority, o_orderstatus, n"
+)
+
+
+def q_sql_frontend_gsets(sf_dir: str):
+    """GROUP BY GROUPING SETS under the gate: exactly the requested
+    sets recompose from ONE combiner pass over the union of keys (the
+    finest level appears only if asked for), with SQL-NULL keys for
+    the grouped-out columns; DuckDB runs the identical string.
+    Integer-exact outputs keep the hash strict."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_GSETS, {"orders": _t(sf_dir, "orders")})
+
+
+SQL_FRONTEND_SCALARFN = (
+    "SELECT o_orderstatus, "
+    "sum(coalesce(nullif(least(o_custkey, 500), 500), 0)) AS s1, "
+    "max(greatest(o_custkey, o_orderkey / 4)) AS g1, "
+    "min(least(o_custkey, o_orderkey)) AS l1, "
+    "sum(abs(o_custkey - 700)) AS sa, "
+    "sum(floor(o_totalprice / 1000)) AS fl, "
+    "sum(ceil(o_totalprice / 1000)) AS ce "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
+def q_sql_frontend_scalarfn(sf_dir: str):
+    """Scalar numeric functions under the gate — coalesce / nullif /
+    greatest / least / abs / floor / ceil nested inside aggregates,
+    evaluated as one vectorized derive stage before the combiner;
+    DuckDB runs the identical string. floor/ceil/abs over exact
+    dyadic quotients and greatest/least over ints are IEEE-identical
+    in both engines, so the hash stays strict."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_SCALARFN,
+                   {"orders": _t(sf_dir, "orders")})
+
+
+SQL_FRONTEND_DATEFN = (
+    "SELECT date_trunc('month', ts) AS mo, extract(dow from ts) AS dw, "
+    "count(*) AS n, min(event_id) AS e_min "
+    "FROM events GROUP BY mo, dw ORDER BY mo, dw"
+)
+
+
+def q_sql_frontend_datefn(sf_dir: str):
+    """date_trunc + extract under the gate: a temporal derive column
+    and a numeric extract leaf both serving as GROUP BY keys (dow is
+    Sunday=0); DuckDB runs the identical string. Timestamps and
+    bigints hash exactly."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_DATEFN, {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_QUALIFY = (
     "SELECT user_id, event_id, "
     "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
@@ -7732,6 +7830,10 @@ QUERIES = {
     "q_sql_frontend_tpch_q17": q_sql_frontend_tpch_q17,
     "q_sql_frontend_setops": q_sql_frontend_setops,
     "q_sql_frontend_rollup": q_sql_frontend_rollup,
+    "q_sql_frontend_stddev": q_sql_frontend_stddev,
+    "q_sql_frontend_gsets": q_sql_frontend_gsets,
+    "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
+    "q_sql_frontend_datefn": q_sql_frontend_datefn,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8167,6 +8269,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q17": SQL_FRONTEND_TPCH_Q17,
         "q_sql_frontend_setops": SQL_FRONTEND_SETOPS,
         "q_sql_frontend_rollup": SQL_FRONTEND_ROLLUP,
+        "q_sql_frontend_stddev": ORACLE_SQL_FRONTEND_STDDEV,
+        "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
+        "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
+        "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,
