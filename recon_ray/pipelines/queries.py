@@ -5546,6 +5546,212 @@ def q_sql_frontend_tpch_q17(sf_dir: str):
                    {"lineitem": _t(sf_dir, "lineitem")})
 
 
+SQL_FRONTEND_TPCH_Q7 = (
+    "WITH n1 AS (SELECT DISTINCT n_nationkey AS n1_key, "
+    "n_name AS supp_nation FROM nation), "
+    "n2 AS (SELECT DISTINCT n_nationkey AS n2_key, "
+    "n_name AS cust_nation FROM nation) "
+    "SELECT supp_nation, cust_nation, "
+    "extract(year from l_shipdate) AS l_year, "
+    + _CENTS_REV + " AS revenue, count(*) AS n_items "
+    "FROM supplier "
+    "JOIN lineitem ON supplier.s_suppkey = lineitem.l_suppkey "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN n1 ON supplier.s_nationkey = n1.n1_key "
+    "JOIN n2 ON customer.c_nationkey = n2.n2_key "
+    "WHERE ((supp_nation = 'NATION_3' AND cust_nation = 'NATION_8') "
+    "OR (supp_nation = 'NATION_8' AND cust_nation = 'NATION_3')) "
+    "AND l_shipdate >= '1995-01-01' AND l_shipdate <= '1996-12-31' "
+    "GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year"
+)
+
+
+def q_sql_frontend_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations) under the gate.
+    The classic self-join of nation is expressed as two DISTINCT
+    column-renaming CTEs (the engine's result-sized CTE rule; nation
+    keys are unique so DISTINCT is a no-op), joined into a FIVE-table
+    left-deep chain, with the symmetric (supp, cust) OR condition in
+    the post-join WHERE and extract(year) as a GROUP BY key. Revenue
+    in exact integer cents — hash-exact vs DuckDB on the identical
+    string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q7, {
+        "nation": _t(sf_dir, "nation"),
+        "supplier": _t(sf_dir, "supplier"),
+        "lineitem": _t(sf_dir, "lineitem"),
+        "orders": _t(sf_dir, "orders"),
+        "customer": _t(sf_dir, "customer"),
+    })
+
+
+SQL_FRONTEND_TPCH_Q8 = (
+    "WITH n1 AS (SELECT DISTINCT n_nationkey AS n1_key, "
+    "n_regionkey AS n1_rkey FROM nation), "
+    "n2 AS (SELECT DISTINCT n_nationkey AS n2_key, "
+    "n_name AS supp_nation FROM nation) "
+    "SELECT extract(year from o_orderdate) AS o_year, "
+    "round(sum(CASE WHEN supp_nation = 'NATION_8' THEN "
+    "cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint)) ELSE 0 END) "
+    "* 1.0 / sum(cast(round(l_extendedprice * 100) AS bigint) * "
+    "(100 - cast(round(l_discount * 100) AS bigint))), 6) AS mkt_share "
+    "FROM part "
+    "JOIN lineitem ON part.p_partkey = lineitem.l_partkey "
+    "JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN n1 ON customer.c_nationkey = n1.n1_key "
+    "JOIN region ON n1.n1_rkey = region.r_regionkey "
+    "JOIN n2 ON supplier.s_nationkey = n2.n2_key "
+    "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+    "AND o_orderdate >= '1995-01-01' AND o_orderdate <= '1996-12-31' "
+    "GROUP BY o_year ORDER BY o_year"
+)
+
+
+def q_sql_frontend_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share) under the gate: a SEVEN-table
+    left-deep join chain (part, lineitem, supplier, orders, customer,
+    both nation roles via renaming CTEs, region), a conditional
+    aggregate (CASE inside sum) over exact integer-cent volumes, and
+    a post-aggregate share division rounded to 6 places — both
+    engines divide the identical exact integers, so the quotient is
+    the identical double. Hash-exact vs DuckDB."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q8, {
+        "nation": _t(sf_dir, "nation"),
+        "region": _t(sf_dir, "region"),
+        "part": _t(sf_dir, "part"),
+        "supplier": _t(sf_dir, "supplier"),
+        "lineitem": _t(sf_dir, "lineitem"),
+        "orders": _t(sf_dir, "orders"),
+        "customer": _t(sf_dir, "customer"),
+    })
+
+
+SQL_FRONTEND_TPCH_Q9 = (
+    "SELECT n_name, extract(year from o_orderdate) AS o_year, "
+    + _CENTS_REV + " AS sum_profit "
+    "FROM part "
+    "JOIN lineitem ON part.p_partkey = lineitem.l_partkey "
+    "JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+    "WHERE p_name LIKE '%gear%' "
+    "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"
+)
+
+
+def q_sql_frontend_tpch_q9(sf_dir: str):
+    """TPC-H Q9 (product-type profit by nation and year) under the
+    gate, adapted to the schema: the synthetic tables carry no
+    partsupp/ps_supplycost, so profit reduces to discounted revenue
+    (exact integer cents). Substring LIKE on p_name at the scan,
+    five-table chain, extract(year) GROUP BY key, ORDER BY with a
+    DESC component. Hash-exact vs DuckDB on the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q9, {
+        "nation": _t(sf_dir, "nation"),
+        "part": _t(sf_dir, "part"),
+        "supplier": _t(sf_dir, "supplier"),
+        "lineitem": _t(sf_dir, "lineitem"),
+        "orders": _t(sf_dir, "orders"),
+    })
+
+
+SQL_FRONTEND_TPCH_Q12 = (
+    "SELECT l_returnflag, "
+    "sum(CASE WHEN o_orderpriority = '1-URGENT' "
+    "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) "
+    "AS high_line_count, "
+    "sum(CASE WHEN o_orderpriority <> '1-URGENT' "
+    "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) "
+    "AS low_line_count "
+    "FROM orders JOIN lineitem ON orders.o_orderkey = lineitem.l_orderkey "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+
+
+def q_sql_frontend_tpch_q12(sf_dir: str):
+    """TPC-H Q12 (shipping-priority line counts) under the gate,
+    adapted: the synthetic lineitem has no l_shipmode/commit/receipt
+    dates, so the priority-class CASE counts group by l_returnflag
+    over a ship-date year — the same two complementary conditional
+    aggregates over one join. Integer counts hash exactly."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q12, {
+        "orders": _t(sf_dir, "orders"),
+        "lineitem": _t(sf_dir, "lineitem"),
+    })
+
+
+SQL_FRONTEND_TPCH_Q21 = (
+    "SELECT s_name, count(*) AS numwait "
+    "FROM supplier JOIN lineitem ON supplier.s_suppkey = lineitem.l_suppkey "
+    "WHERE l_returnflag = 'R' AND l_orderkey IN "
+    "(SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "HAVING count(DISTINCT l_suppkey) > 1) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+)
+
+
+def q_sql_frontend_tpch_q21(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting) under the gate,
+    adapted: without commit/receipt dates the correlated EXISTS pair
+    becomes its set-semantics core — returned ('R') lineitems on
+    MULTI-SUPPLIER orders, via an aggregated IN-subquery whose HAVING
+    uses exact count(DISTINCT). The subquery's distinct-supplier
+    count runs as the bucketed distinct pass; the probe is a shuffle
+    semi-join. DESC count with s_name tie-break keeps the LIMIT page
+    total-ordered — hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q21, {
+        "supplier": _t(sf_dir, "supplier"),
+        "lineitem": _t(sf_dir, "lineitem"),
+    })
+
+
+SQL_FRONTEND_TPCH_Q22 = (
+    "SELECT substring(c_name, 18, 1) AS cntrycode, count(*) AS numcust, "
+    "sum(cast(round(c_acctbal * 100) AS bigint)) AS totacctbal_c "
+    "FROM customer "
+    "WHERE substring(c_name, 18, 1) IN ('0', '1', '2', '3', '4') "
+    "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+    "WHERE c_acctbal > 0.0) "
+    "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+    "WHERE o_orderstatus = 'F') "
+    "GROUP BY cntrycode ORDER BY cntrycode"
+)
+
+
+def q_sql_frontend_tpch_q22(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity) under the gate, adapted:
+    the synthetic customer has no c_phone, so the country code is a
+    substring of c_name (the last key digit) — a STRING-FUNCTION
+    predicate LHS and GROUP BY key. Keeps all three Q22 mechanisms:
+    the substring IN-list, the scalar-aggregate subquery threshold
+    (avg over positive balances; both engines compare the identical
+    double), and NOT IN an uncorrelated subquery (customers with no
+    'F'-status orders — the no-orders-at-all form is empty at every
+    sf because every customer orders). Account balances summed in
+    exact cents — hash-exact."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TPCH_Q22, {
+        "customer": _t(sf_dir, "customer"),
+        "orders": _t(sf_dir, "orders"),
+    })
+
+
 SQL_FRONTEND_SETOPS = (
     "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' "
     "INTERSECT "
@@ -5679,6 +5885,52 @@ def q_sql_frontend_datefn(sf_dir: str):
     from recon_ray.sql import run_sql
 
     return run_sql(SQL_FRONTEND_DATEFN, {"events": _t(sf_dir, "events")})
+
+
+SQL_FRONTEND_STRFN = (
+    "SELECT lower(c_mktsegment) AS seg, "
+    "substring(c_name, 15, 2) AS sk, count(*) AS n, "
+    "sum(length(c_name || c_mktsegment)) AS sl, "
+    "min(c_custkey) AS k_min, "
+    "min(c_name) AS nm_min, max(c_name) AS nm_max "
+    "FROM customer GROUP BY seg, sk ORDER BY seg, sk"
+)
+
+
+def q_sql_frontend_strfn(sf_dir: str):
+    """String functions under the gate — lower()/substring() derive
+    columns as GROUP BY keys, length(a || b) as a numeric aggregate
+    leaf, and min/max OVER STRING COLUMNS (NULL-skipping object
+    partials that merge like any other combiner column), all evaluated
+    as one vectorized derive stage (pyarrow utf8 kernels on the
+    pure-Arrow path) before the combiner; DuckDB runs the identical
+    string. Strings and bigints hash exactly."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_STRFN, {"customer": _t(sf_dir, "customer")})
+
+
+SQL_FRONTEND_STRPRED = (
+    "SELECT c_custkey, c_name, replace(c_mktsegment, 'I', '!') AS segx "
+    "FROM customer "
+    "WHERE (lower(c_mktsegment) LIKE '%i%' "
+    "AND right(c_name, 1) IN ('0', '5')) "
+    "OR trim(c_name) <> c_name "
+    "ORDER BY c_custkey LIMIT 400"
+)
+
+
+def q_sql_frontend_strpred(sf_dir: str):
+    """String-expression predicates under the gate — function-call
+    LHS in LIKE / IN / <>-vs-column (cmp2 with a string-expression
+    side), compiled to the same zero-copy pyarrow masks as plain
+    column predicates and pushed below any join; plus a replace()
+    derive in the select list. DuckDB runs the identical string; the
+    c_custkey total order plus LIMIT keeps the page deterministic."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_STRPRED,
+                   {"customer": _t(sf_dir, "customer")})
 
 
 SQL_FRONTEND_QUALIFY = (
@@ -7834,6 +8086,14 @@ QUERIES = {
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
+    "q_sql_frontend_strfn": q_sql_frontend_strfn,
+    "q_sql_frontend_strpred": q_sql_frontend_strpred,
+    "q_sql_frontend_tpch_q7": q_sql_frontend_tpch_q7,
+    "q_sql_frontend_tpch_q8": q_sql_frontend_tpch_q8,
+    "q_sql_frontend_tpch_q9": q_sql_frontend_tpch_q9,
+    "q_sql_frontend_tpch_q12": q_sql_frontend_tpch_q12,
+    "q_sql_frontend_tpch_q21": q_sql_frontend_tpch_q21,
+    "q_sql_frontend_tpch_q22": q_sql_frontend_tpch_q22,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8273,6 +8533,14 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,
+        "q_sql_frontend_strfn": SQL_FRONTEND_STRFN,
+        "q_sql_frontend_strpred": SQL_FRONTEND_STRPRED,
+        "q_sql_frontend_tpch_q7": SQL_FRONTEND_TPCH_Q7,
+        "q_sql_frontend_tpch_q8": SQL_FRONTEND_TPCH_Q8,
+        "q_sql_frontend_tpch_q9": SQL_FRONTEND_TPCH_Q9,
+        "q_sql_frontend_tpch_q12": SQL_FRONTEND_TPCH_Q12,
+        "q_sql_frontend_tpch_q21": SQL_FRONTEND_TPCH_Q21,
+        "q_sql_frontend_tpch_q22": SQL_FRONTEND_TPCH_Q22,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

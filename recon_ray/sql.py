@@ -139,6 +139,9 @@ def _parse_pred(clause: str, aliases: set) -> tuple:
                 _unqual(lm.group(1), aliases), _literal(lm.group(3)))
     cm = _CMP_RE.match(clause)
     if not cm:
+        sp = _parse_str_pred(clause, aliases)
+        if sp is not None:
+            return sp
         raise SqlError(f"unsupported predicate: {clause!r}")
     rhs = cm.group(3).strip()
     if re.match(r"^\(\s*select\b", rhs, re.I) and rhs.endswith(")"):
@@ -151,6 +154,119 @@ def _parse_pred(clause: str, aliases: set) -> tuple:
         return ("cmp2", _unqual(cm.group(1), aliases),
                 (cm.group(2), _unqual(rhs, aliases)))
     return (cm.group(2), _unqual(cm.group(1), aliases), _literal(rhs))
+
+
+def _split_cmp_top(clause: str):
+    """Find the first comparison operator at paren depth 0 outside
+    quotes; returns (lhs, op, rhs) or None."""
+    depth, in_q, i, n = 0, False, 0, len(clause)
+    while i < n:
+        ch = clause[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "<>=!":
+                for op in ("<=", ">=", "<>", "!=", "<", ">", "="):
+                    if clause.startswith(op, i):
+                        return (clause[:i].strip(), op,
+                                clause[i + len(op):].strip())
+        i += 1
+    return None
+
+
+def _parse_str_pred(clause: str, aliases: set):
+    """A predicate whose LHS is a string EXPRESSION (function call /
+    || chain): = <> IN LIKE IS NULL against string literals. Returns
+    the usual (kind, col, payload) with col = the strexpr node, or
+    None if the clause isn't string-expression-shaped."""
+    m = re.match(r"^(.+?)\s+is\s+(not\s+)?null$", clause, re.I | re.S)
+    if m:
+        lhs = m.group(1).strip()
+        lm = re.match(r"^length\s*\((.*)\)$", lhs, re.I | re.S)
+        if lm is not None:
+            # length(x) IS [NOT] NULL: evaluate the inner string
+            # expression and null-check IT (length never creates or
+            # removes a NULL)
+            try:
+                node = _parse_strexpr(lm.group(1), aliases)
+            except SqlError:
+                node = None
+            if node is not None and node[0] != "snum":
+                if node[0] == "scol":
+                    return ("notnull" if m.group(2) else "isnull",
+                            node[1], None)
+                return ("notnull" if m.group(2) else "isnull",
+                        node, None)
+        node = _try_strfn(lhs, aliases)
+        if node is not None:
+            return ("notnull" if m.group(2) else "isnull", node, None)
+    m = re.match(r"^(.+?)\s+(not\s+)?like\s+('(?:[^']|'')*')$",
+                 clause, re.I | re.S)
+    if m:
+        node = _try_strfn(m.group(1), aliases)
+        if node is not None:
+            return ("not_like" if m.group(2) else "like", node,
+                    _literal(m.group(3)))
+    parts = _split_kw(clause, "in")
+    if len(parts) == 2:
+        lhs, rhs = parts
+        neg = False
+        if re.search(r"\bnot$", lhs, re.I):
+            neg, lhs = True, re.sub(r"\s*not$", "", lhs, flags=re.I)
+        node = _try_strfn(lhs, aliases)
+        if node is not None:
+            rhs = rhs.strip()
+            if not (rhs.startswith("(") and rhs.endswith(")")):
+                raise SqlError(f"IN needs a parenthesized list: "
+                               f"{clause!r}")
+            payload = rhs[1:-1].strip()
+            if re.match(r"^select\b", payload, re.I):
+                raise SqlError(
+                    "IN-subqueries with a string-expression probe "
+                    "are out of scope")
+            vals = [_literal(v) for v in _split_top(payload)]
+            if not all(isinstance(v, str) for v in vals):
+                raise SqlError(
+                    f"string expressions compare against string "
+                    f"literals: {clause!r}")
+            return ("not_in" if neg else "in", node, vals)
+    sp = _split_cmp_top(clause)
+    if sp is not None:
+        lhs, op, rhs = sp
+        node = _try_strfn(lhs, aliases)
+        if node is not None:
+            # RHS: a string literal, a bare column, or another string
+            # expression (trim(s) <> s, upper(a) = upper(b))
+            try:
+                lit = _literal(rhs)
+            except SqlError:
+                lit = None
+            else:
+                if not isinstance(lit, str):
+                    raise SqlError(
+                        f"string expressions compare against strings: "
+                        f"{clause!r}")
+                return (op, node, lit)
+            try:
+                rnode = _parse_strexpr(rhs, aliases)
+            except SqlError:
+                raise SqlError(
+                    f"string expressions compare against strings: "
+                    f"{clause!r}")
+            if rnode[0] == "slit":
+                return (op, node, rnode[1])
+            if rnode[0] == "snum":
+                raise SqlError(
+                    f"string expressions compare against strings: "
+                    f"{clause!r}")
+            if rnode[0] == "scol":
+                return ("cmp2", node, (op, rnode[1]))
+            return ("cmp2", node, (op, rnode))
+    return None
 
 
 def _rejoin_between(parts: list[str]) -> list[str]:
@@ -229,8 +345,13 @@ def _pred_cols(pred, out: set):
     kind, col, payload = pred
     if isinstance(col, str):
         out.add(col)
+    elif isinstance(col, tuple):  # string-expression LHS
+        _strexpr_cols(col, out)
     if kind == "cmp2":
-        out.add(payload[1])
+        if isinstance(payload[1], tuple):
+            _strexpr_cols(payload[1], out)
+        else:
+            out.add(payload[1])
 
 
 def _tree_cols(node, out: set):
@@ -241,6 +362,269 @@ def _tree_cols(node, out: set):
     else:
         for ch in node[1]:
             _tree_cols(ch, out)
+
+
+# ---------------------------------------------------------------------------
+# string expressions — upper/lower/trim/substring/replace/concat/||
+# over columns and 'literals', usable as derived select items (GROUP
+# BY-able), as predicate left-hand sides, and via length() as a
+# numeric-expression leaf. Nodes: ("scol", name) | ("slit", text) |
+# ("sfn", fname, [args]) | ("scat", [parts]). DuckDB rules: || and the
+# unary fns propagate NULL; concat() SKIPS NULL arguments.
+# ---------------------------------------------------------------------------
+
+# (min_args, max_args); substring's extra args are INT literals
+_STR_FNS = {"upper": (1, 1), "lower": (1, 1), "trim": (1, 1),
+            "ltrim": (1, 1), "rtrim": (1, 1), "substring": (2, 3),
+            "substr": (2, 3), "left": (2, 2), "right": (2, 2),
+            "replace": (3, 3), "concat": (2, 64)}
+
+_STR_TOKEN = re.compile(
+    r"\s*(?:(?P<lit>'(?:[^']|'')*')"
+    r"|(?P<num>\d+)"
+    r"|(?P<name>" + _QCOL + r")"
+    r"|(?P<cat>\|\|)"
+    r"|(?P<op>[(),]))")
+
+
+def _lex_str(text: str) -> list[tuple]:
+    toks, i, n = [], 0, len(text)
+    while i < n:
+        m = _STR_TOKEN.match(text, i)
+        if not m:
+            if text[i:].strip():
+                raise SqlError(
+                    f"bad token in string expression: {text[i:]!r}")
+            break
+        i = m.end()
+        if m.group("lit") is not None:
+            toks.append(("lit", m.group("lit")[1:-1].replace("''", "'")))
+        elif m.group("num") is not None:
+            toks.append(("num", int(m.group("num"))))
+        elif m.group("name") is not None:
+            toks.append(("name", m.group("name")))
+        elif m.group("cat") is not None:
+            toks.append(("op", "||"))
+        else:
+            toks.append(("op", m.group("op")))
+    return toks
+
+
+def _parse_strexpr(text: str, aliases: set):
+    """Parse a string-valued expression; raises SqlError on anything
+    that isn't one. A BARE column also parses (callers that need
+    "genuinely a function" check the node kind)."""
+    toks = _lex_str(text)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def atom():
+        t = take()
+        if t is None:
+            raise SqlError(f"truncated string expression: {text!r}")
+        k, v = t
+        if k == "lit":
+            return ("slit", v)
+        if k == "num":
+            return ("snum", v)  # only legal as a position argument
+        if k == "op" and v == "(":
+            e = expr()
+            if take() != ("op", ")"):
+                raise SqlError(f"unbalanced parens in: {text!r}")
+            return e
+        if k != "name":
+            raise SqlError(f"unexpected {v!r} in string expr: {text!r}")
+        low = v.lower()
+        if low in _STR_FNS and peek() == ("op", "("):
+            take()
+            args = [expr()]
+            while peek() == ("op", ","):
+                take()
+                args.append(expr())
+            if take() != ("op", ")"):
+                raise SqlError(f"unbalanced parens in: {text!r}")
+            lo, hi = _STR_FNS[low]
+            if not lo <= len(args) <= hi:
+                raise SqlError(
+                    f"{low}() takes {lo}..{hi} arguments: {text!r}")
+            name = "substring" if low == "substr" else low
+            if name in ("substring", "left", "right"):
+                for a in args[1:]:
+                    if a[0] != "snum":
+                        raise SqlError(
+                            f"{name}() position arguments must be "
+                            f"non-negative integer literals: {text!r}")
+                if name == "substring" and args[1][1] < 1:
+                    raise SqlError(
+                        "substring() start is 1-based and must be "
+                        f">= 1: {text!r}")
+            if name == "replace" and (args[1][0] != "slit"
+                                      or args[2][0] != "slit"):
+                raise SqlError(
+                    f"replace() pattern/replacement must be string "
+                    f"literals: {text!r}")
+            if args[0][0] == "snum" or (name == "concat" and any(
+                    a[0] == "snum" for a in args)):
+                raise SqlError(
+                    f"{name}() string arguments can't be bare "
+                    f"integers: {text!r}")
+            if name == "concat":
+                return ("scat", args, "skip")
+            return ("sfn", name, args)
+        if low in _STR_FNS or low in ("date_trunc", "extract", "cast",
+                                      "case", "round", "coalesce"):
+            raise SqlError(f"not a string expression atom: {v!r}")
+        return ("scol", _unqual(v, aliases))
+
+    def expr():
+        e = atom()
+        if peek() == ("op", "||"):
+            parts = [e]
+            while peek() == ("op", "||"):
+                take()
+                parts.append(atom())
+            if any(p[0] == "snum" for p in parts):
+                raise SqlError(
+                    f"|| operands can't be bare integers: {text!r}")
+            return ("scat", parts, "null")
+        return e
+
+    node = expr()
+    if pos[0] != len(toks):
+        raise SqlError(f"trailing tokens in string expr: {text!r}")
+    for bad in ("snum",):
+        if node[0] == bad:
+            raise SqlError(f"not a string expression: {text!r}")
+    return node
+
+
+def _try_strfn(text: str, aliases: set):
+    """Parse ``text`` as a NON-TRIVIAL string expression (a function
+    call or || chain — not a bare column/literal); None if it isn't
+    one."""
+    if "||" not in text and not re.match(
+            r"^(" + "|".join(_STR_FNS) + r")\s*\(", text.strip(), re.I):
+        return None
+    try:
+        node = _parse_strexpr(text, aliases)
+    except SqlError:
+        return None
+    return node if node[0] in ("sfn", "scat") else None
+
+
+def _strexpr_cols(node, out: set):
+    k = node[0]
+    if k == "scol":
+        out.add(node[1])
+    elif k == "sfn":
+        for a in node[2]:
+            _strexpr_cols(a, out)
+    elif k == "scat":
+        for a in node[1]:
+            _strexpr_cols(a, out)
+
+
+def _eval_str_pd(b: pd.DataFrame, node) -> pd.Series:
+    """Evaluate a string expression on a pandas batch → object Series
+    (None/NaN = SQL NULL)."""
+    k = node[0]
+    if k == "scol":
+        s = b[node[1]]
+        return s if s.dtype == object else s.astype(object).where(
+            s.notna(), None)
+    if k == "slit":
+        return pd.Series(np.full(len(b), node[1], dtype=object),
+                         index=b.index)
+    if k == "scat":
+        parts = [_eval_str_pd(b, a) for a in node[1]]
+        if node[2] == "skip":  # concat(): NULL args vanish
+            out = parts[0].fillna("")
+            for p in parts[1:]:
+                out = out + p.fillna("")
+            return out
+        out = parts[0]
+        for p in parts[1:]:  # ||: NULL propagates
+            out = out + p
+        return out
+    fn = node[1]
+    s = _eval_str_pd(b, node[2][0])
+    if fn == "upper":
+        return s.str.upper()
+    if fn == "lower":
+        return s.str.lower()
+    if fn == "trim":
+        return s.str.strip()
+    if fn == "ltrim":
+        return s.str.lstrip()
+    if fn == "rtrim":
+        return s.str.rstrip()
+    if fn == "replace":
+        return s.str.replace(node[2][1][1], node[2][2][1], regex=False)
+    if fn == "substring":
+        start = node[2][1][1] - 1
+        if len(node[2]) == 3:
+            return s.str.slice(start, start + node[2][2][1])
+        return s.str.slice(start)
+    if fn == "left":
+        return s.str.slice(0, node[2][1][1])
+    n = node[2][1][1]  # right
+    return s.str.slice(0, 0) if n == 0 else s.str.slice(-n)
+
+
+def _eval_str_arrow(t: pa.Table, node):
+    """Evaluate a string expression on an Arrow table → string array
+    (zero-copy kernels; NULLs ride along)."""
+    k = node[0]
+    if k == "scol":
+        c = t.column(node[1])
+        return c.cast(pa.string()) if pa.types.is_null(c.type) else c
+    if k == "slit":
+        return pa.scalar(node[1], pa.string())
+    if k == "scat":
+        parts = [_eval_str_arrow(t, a) for a in node[1]]
+        null_h = "skip" if node[2] == "skip" else "emit_null"
+        return pc.binary_join_element_wise(
+            *parts, pa.scalar("", pa.string()), null_handling=null_h)
+    fn = node[1]
+    a = _eval_str_arrow(t, node[2][0])
+    as_scalar = isinstance(a, pa.Scalar)
+    if as_scalar:  # fn over a pure literal: compute on a 1-row array
+        a = pa.array([a.as_py()], pa.string())
+
+    def _done(res):
+        return res[0] if as_scalar else res
+
+    if fn == "upper":
+        return _done(pc.utf8_upper(a))
+    if fn == "lower":
+        return _done(pc.utf8_lower(a))
+    if fn == "trim":
+        return _done(pc.utf8_trim_whitespace(a))
+    if fn == "ltrim":
+        return _done(pc.utf8_ltrim_whitespace(a))
+    if fn == "rtrim":
+        return _done(pc.utf8_rtrim_whitespace(a))
+    if fn == "replace":
+        return _done(pc.replace_substring(
+            a, pattern=node[2][1][1], replacement=node[2][2][1]))
+    if fn == "substring":
+        start = node[2][1][1] - 1
+        if len(node[2]) == 3:
+            return _done(pc.utf8_slice_codeunits(
+                a, start, stop=start + node[2][2][1]))
+        return _done(pc.utf8_slice_codeunits(a, start))
+    if fn == "left":
+        return _done(pc.utf8_slice_codeunits(a, 0, stop=node[2][1][1]))
+    n = node[2][1][1]  # right
+    return _done(pc.utf8_slice_codeunits(a, 0, stop=0) if n == 0
+                 else pc.utf8_slice_codeunits(a, -n))
 
 
 def _split_kw(text: str, kw: str) -> list[str]:
@@ -314,6 +698,40 @@ def _parse_case_body(text: str, aliases: set) -> dict:
         _assert_scalar_tree(tree, "CASE")
         whens.append((tree, _case_value(tparts[1], aliases)))
     return {"whens": whens, "else": else_val}
+
+
+def _excise_lengths(text: str):
+    """Replace each ``length( ... )`` span (balanced parens, quote-
+    aware) with a ``__slen{k}`` placeholder so the arithmetic lexer
+    never sees string syntax; bodies parse via _parse_strexpr."""
+    out: list = []
+    bodies: dict = {}
+    last, k = 0, 0
+    for m in re.finditer(r"'(?:[^']|'')*'|\blength\s*\(", text, re.I):
+        if m.group(0).startswith("'") or m.start() < last:
+            continue
+        depth, in_q, i, n = 1, False, m.end(), len(text)
+        while i < n and depth:
+            ch = text[i]
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            raise SqlError(f"unbalanced length(): {text!r}")
+        name = f"__slen{k}"
+        bodies[name] = text[m.end():i - 1]
+        out.append(text[last:m.start()])
+        out.append(" " + name + " ")
+        last, k = i, k + 1
+    if not bodies:
+        return text, bodies
+    out.append(text[last:])
+    return "".join(out), bodies
 
 
 _CASE_SCAN = re.compile(r"'(?:[^']|'')*'|\bcase\b|\bend\b", re.I)
@@ -436,6 +854,7 @@ def _parse_arith(text: str, aliases: set, agg_collect: list = None):
     TPC-H Q12/Q14 conditional-aggregate shape — parses here; the node
     is ("casex", {"whens": [...], "else": value})."""
     text, case_bodies = _excise_cases(text)
+    text, slen_bodies = _excise_lengths(text)
     toks = _lex_arith(text)
     pos = [0]
     in_agg = [0]
@@ -461,6 +880,10 @@ def _parse_arith(text: str, aliases: set, agg_collect: list = None):
             return ("lit", v)
         if k == "name":
             low = v.lower()
+            if v in slen_bodies:
+                # length(strexpr): a BIGINT numeric leaf over a string
+                # expression (NULL in → NULL out)
+                return ("len", _parse_strexpr(slen_bodies[v], aliases))
             if v in case_bodies:
                 spec = _parse_case_body(case_bodies[v], aliases)
                 for _t, val in spec["whens"] + [(None, spec["else"])]:
@@ -613,6 +1036,8 @@ def _expr_cols(node, out: set):
             _expr_cols(a, out)
     elif node[0] == "xtr":
         out.add(node[2])
+    elif node[0] == "len":
+        _strexpr_cols(node[1], out)
     elif node[0] == "casex":
         for tree, val in node[1]["whens"] + [(None, node[1]["else"])]:
             if tree is not None:
@@ -646,6 +1071,8 @@ def _expr_is_int(node) -> bool:
             _expr_is_int(a) for a in node[2])
     if k == "xtr":
         return True  # extract() is BIGINT in SQL
+    if k == "len":
+        return True  # length() is BIGINT in SQL
     if k == "casex":
         vals = [v for _t, v in node[1]["whens"]] + [node[1]["else"]]
         return all(
@@ -717,6 +1144,9 @@ def _eval_expr(b: pd.DataFrame, node):
         for a in vs[1:]:
             res = red(res, a)
         return res
+    if k == "len":
+        s = _eval_str_pd(b, node[1])
+        return s.str.len().astype("float64").to_numpy()
     if k == "xtr":
         s = pd.Series(b[node[2]])
         if not pd.api.types.is_datetime64_any_dtype(s):
@@ -974,6 +1404,18 @@ def parse_sql(sql: str) -> dict:
                 {"agg": None, "col": alias, "distinct": False,
                  "alias": alias,
                  "case": _parse_case_body(expr, aliases)})
+            continue
+        sfn = _try_strfn(expr, aliases)
+        if sfn is not None:
+            # string-function select item: a vectorized string derive
+            # column, legal as a GROUP BY key
+            if not alias:
+                raise SqlError(
+                    f"string-function select items need an AS alias: "
+                    f"{item!r}")
+            q["select"].append(
+                {"agg": None, "col": alias, "distinct": False,
+                 "alias": alias, "strfn": sfn})
             continue
         dtm = re.match(
             r"^date_trunc\s*\(\s*'(year|month|week|day|hour|minute)'"
@@ -1344,7 +1786,8 @@ def _scal(c, v):
 def _arrow_leaf(t: pa.Table, kind, col, payload):
     """One predicate as a NULLABLE boolean mask — NULL means SQL's
     UNKNOWN; the top of the tree decides (fill_null(False))."""
-    c = t.column(col)
+    c = (_eval_str_arrow(t, col) if isinstance(col, tuple)
+         else t.column(col))
     if pa.types.is_null(c.type):
         # an all-NULL column decays to Arrow's null type, which the
         # comparison kernels reject; every comparison is UNKNOWN, so
@@ -1355,7 +1798,9 @@ def _arrow_leaf(t: pa.Table, kind, col, payload):
             return pc.is_valid(c)
         return c.cast(pa.bool_())
     if kind == "cmp2":
-        return _OPS[payload[0]](c, t.column(payload[1]))
+        r = (_eval_str_arrow(t, payload[1])
+             if isinstance(payload[1], tuple) else t.column(payload[1]))
+        return _OPS[payload[0]](c, r)
     if kind in _OPS:
         return _OPS[kind](c, _scal(c, payload))
     if kind == "between":
@@ -1518,7 +1963,7 @@ def _pd_tri(b: pd.DataFrame, node) -> np.ndarray:
                     [1.0, 0.0], default=np.nan)
         return acc
     kind, col, payload = node[1]
-    c = b[col]
+    c = _eval_str_pd(b, col) if isinstance(col, tuple) else b[col]
     nn = c.notna()
     nn_np = nn.to_numpy()
     if kind == "isnull":
@@ -1526,7 +1971,8 @@ def _pd_tri(b: pd.DataFrame, node) -> np.ndarray:
     if kind == "notnull":
         return nn_np.astype("float64")
     if kind == "cmp2":
-        c2 = b[payload[1]]
+        c2 = (_eval_str_pd(b, payload[1])
+              if isinstance(payload[1], tuple) else b[payload[1]])
         nn2 = (nn & c2.notna()).to_numpy()
         out = np.full(len(b), np.nan)
         out[nn2] = _pyops()[payload[0]](
@@ -1751,12 +2197,19 @@ def run_sql(sql: str, tables: dict,
         if f[0] == "bool":
             _tree_cols(f[2], _refcols)
         elif f[0] == "cmp2":
-            _refcols.add(f[2][1])
+            if isinstance(f[2][1], tuple):
+                _strexpr_cols(f[2][1], _refcols)
+            else:
+                _refcols.add(f[2][1])
+        if isinstance(f[1], tuple):  # string-expression LHS
+            _strexpr_cols(f[1], _refcols)
     for it in q["select"]:
         if it.get("expr"):
             _expr_cols(it["expr"], _refcols)
         if it.get("datefn"):
             _refcols.add(it["datefn"][1])
+        if it.get("strfn"):
+            _strexpr_cols(it["strfn"], _refcols)
         if it.get("filter") is not None:
             _tree_cols(it["filter"], _refcols)
         if it.get("case"):
@@ -2059,12 +2512,15 @@ def run_sql(sql: str, tables: dict,
 
     derive_items = [it for it in q["select"]
                     if it.get("case") or it.get("expr")
-                    or it.get("datefn")]
+                    or it.get("datefn") or it.get("strfn")]
     if derive_items and ds is not None:
         def _derive(b: pd.DataFrame,
                     items=derive_items) -> pd.DataFrame:
             b = b.copy()
             for it in items:
+                if it.get("strfn"):
+                    b[it["col"]] = _eval_str_pd(b, it["strfn"])
+                    continue
                 if it.get("datefn"):
                     part, src = it["datefn"]
                     s = pd.Series(b[src])
@@ -2172,6 +2628,20 @@ def run_sql(sql: str, tables: dict,
             a["col"] for a in aggs
             if a["col"] and a["agg"] in _VAR_AGGS
         })
+        # each column gets ONLY the partials its aggregates consume:
+        # count(s) over a string column must not run a numeric sum or
+        # a NaN-poisoned object min (pandas' py fallback can't order
+        # str vs float)
+        _sum_aggs = {"sum", "avg", *_VAR_AGGS}
+        need_sum = sorted({
+            a["col"] for a in aggs
+            if a["col"] and a["agg"] in _sum_aggs and not a.get("filter")
+        })
+        need_mm = sorted({
+            a["col"] for a in aggs
+            if a["col"] and a["agg"] in ("min", "max")
+            and not a.get("filter")
+        })
         # FILTER'd aggregates get their own masked partials, keyed by
         # select position (the unfiltered ones share per-column
         # partials)
@@ -2188,10 +2658,20 @@ def run_sql(sql: str, tables: dict,
             parts = {}
             for c in need:
                 src = g[c] if g is not None else b[c]
-                parts[f"__s_{c}"] = src.sum()
+                if c in need_sum:
+                    parts[f"__s_{c}"] = src.sum()
                 parts[f"__c_{c}"] = src.count()
-                parts[f"__mn_{c}"] = src.min()
-                parts[f"__mx_{c}"] = src.max()
+                if c in need_mm:
+                    if b[c].dtype == object:
+                        # strings: min/max ignore NULLs (the py
+                        # fallback can't compare NaN with str)
+                        nb = b[b[c].notna()]
+                        srcm = (nb.groupby(keys, dropna=False)[c]
+                                if keys else nb[c])
+                    else:
+                        srcm = src
+                    parts[f"__mn_{c}"] = srcm.min()
+                    parts[f"__mx_{c}"] = srcm.max()
             for c in need_sq:
                 src = g[f"__sq_{c}"] if g is not None else b[f"__sq_{c}"]
                 parts[f"__q_{c}"] = src.sum()
@@ -2208,10 +2688,16 @@ def run_sql(sql: str, tables: dict,
                         else pd.Series([len(sub)], index=[0]))
                 else:
                     src = gs[c] if gs is not None else sub[c]
-                    parts[f"__s_f{i}"] = src.sum()
+                    if it["agg"] in _sum_aggs:
+                        parts[f"__s_f{i}"] = src.sum()
                     parts[f"__c_f{i}"] = src.count()
-                    parts[f"__mn_f{i}"] = src.min()
-                    parts[f"__mx_f{i}"] = src.max()
+                    if it["agg"] in ("min", "max"):
+                        if sub[c].dtype == object:
+                            nsub = sub[sub[c].notna()]
+                            src = (nsub.groupby(keys, dropna=False)[c]
+                                   if keys else nsub[c])
+                        parts[f"__mn_f{i}"] = src.min()
+                        parts[f"__mx_f{i}"] = src.max()
             out = pd.DataFrame(parts)
             return out.reset_index() if keys else out
 
@@ -2222,10 +2708,10 @@ def run_sql(sql: str, tables: dict,
             # SQL semantics: GROUP BY over nothing → zero rows; a global
             # aggregate → ONE row with count 0 and NULL sum/avg/min/max.
             base = {
-                **{f"__s_{c}": [np.nan] for c in need},
+                **{f"__s_{c}": [np.nan] for c in need_sum},
                 **{f"__c_{c}": [0] for c in need},
-                **{f"__mn_{c}": [np.nan] for c in need},
-                **{f"__mx_{c}": [np.nan] for c in need},
+                **{f"__mn_{c}": [np.nan] for c in need_mm},
+                **{f"__mx_{c}": [np.nan] for c in need_mm},
                 **{f"__q_{c}": [np.nan] for c in need_sq},
                 "__n": [0],
             }
@@ -2233,10 +2719,12 @@ def run_sql(sql: str, tables: dict,
                 if it["col"] is None:
                     base[f"__n_f{i}"] = [0]
                 else:
-                    base[f"__s_f{i}"] = [np.nan]
+                    if it["agg"] in _sum_aggs:
+                        base[f"__s_f{i}"] = [np.nan]
                     base[f"__c_f{i}"] = [0]
-                    base[f"__mn_f{i}"] = [np.nan]
-                    base[f"__mx_f{i}"] = [np.nan]
+                    if it["agg"] in ("min", "max"):
+                        base[f"__mn_f{i}"] = [np.nan]
+                        base[f"__mx_f{i}"] = [np.nan]
             if keys and q.get("group_mode"):
                 # ROLLUP/CUBE over zero rows: only the grand-total
                 # grouping set yields a row (count 0, NULL keys);
@@ -2255,43 +2743,73 @@ def run_sql(sql: str, tables: dict,
                 merged = pd.DataFrame(base)
         elif keys:
             gb = parts.groupby(keys, dropna=False)
+
+            def _mm_g(colname, how):
+                # object-dtype (string) min/max merge: pandas' py
+                # fallback can't order str vs the NaN that marks
+                # "block had no values for this group" — drop those
+                # partials first (min/max skip NULLs anyway)
+                s = parts[colname]
+                if s.dtype != object:
+                    return getattr(gb[colname], how)()
+                sub = parts[s.notna()]
+                return getattr(
+                    sub.groupby(keys, dropna=False)[colname], how)()
+
             fcols = {}
             for i, it in fspecs:
                 if it["col"] is None:
                     fcols[f"__n_f{i}"] = (
                         gb[f"__n_f{i}"].sum().fillna(0))
                 else:
-                    fcols[f"__s_f{i}"] = gb[f"__s_f{i}"].sum()
+                    if it["agg"] in _sum_aggs:
+                        fcols[f"__s_f{i}"] = gb[f"__s_f{i}"].sum()
                     fcols[f"__c_f{i}"] = (
                         gb[f"__c_f{i}"].sum().fillna(0))
-                    fcols[f"__mn_f{i}"] = gb[f"__mn_f{i}"].min()
-                    fcols[f"__mx_f{i}"] = gb[f"__mx_f{i}"].max()
+                    if it["agg"] in ("min", "max"):
+                        fcols[f"__mn_f{i}"] = _mm_g(f"__mn_f{i}", "min")
+                        fcols[f"__mx_f{i}"] = _mm_g(f"__mx_f{i}", "max")
             merged = pd.DataFrame({
-                **{f"__s_{c}": gb[f"__s_{c}"].sum() for c in need},
+                **{f"__s_{c}": gb[f"__s_{c}"].sum() for c in need_sum},
                 **{f"__c_{c}": gb[f"__c_{c}"].sum() for c in need},
-                **{f"__mn_{c}": gb[f"__mn_{c}"].min() for c in need},
-                **{f"__mx_{c}": gb[f"__mx_{c}"].max() for c in need},
+                **{f"__mn_{c}": _mm_g(f"__mn_{c}", "min")
+                   for c in need_mm},
+                **{f"__mx_{c}": _mm_g(f"__mx_{c}", "max")
+                   for c in need_mm},
                 **{f"__q_{c}": gb[f"__q_{c}"].sum() for c in need_sq},
                 "__n": gb["__n"].sum(),
                 **fcols,
             }).reset_index()
         else:
+            def _mm_s(colname, how):
+                s = parts[colname]
+                if s.dtype == object:
+                    s = s.dropna()
+                    if s.empty:
+                        return np.nan
+                return getattr(s, how)()
+
             fcols = {}
             for i, it in fspecs:
                 if it["col"] is None:
                     fcols[f"__n_f{i}"] = [
                         int(parts[f"__n_f{i}"].fillna(0).sum())]
                 else:
-                    fcols[f"__s_f{i}"] = [parts[f"__s_f{i}"].sum()]
+                    if it["agg"] in _sum_aggs:
+                        fcols[f"__s_f{i}"] = [parts[f"__s_f{i}"].sum()]
                     fcols[f"__c_f{i}"] = [
                         int(parts[f"__c_f{i}"].fillna(0).sum())]
-                    fcols[f"__mn_f{i}"] = [parts[f"__mn_f{i}"].min()]
-                    fcols[f"__mx_f{i}"] = [parts[f"__mx_f{i}"].max()]
+                    if it["agg"] in ("min", "max"):
+                        fcols[f"__mn_f{i}"] = [_mm_s(f"__mn_f{i}", "min")]
+                        fcols[f"__mx_f{i}"] = [_mm_s(f"__mx_f{i}", "max")]
             merged = pd.DataFrame({
-                **{f"__s_{c}": [parts[f"__s_{c}"].sum()] for c in need},
+                **{f"__s_{c}": [parts[f"__s_{c}"].sum()]
+                   for c in need_sum},
                 **{f"__c_{c}": [parts[f"__c_{c}"].sum()] for c in need},
-                **{f"__mn_{c}": [parts[f"__mn_{c}"].min()] for c in need},
-                **{f"__mx_{c}": [parts[f"__mx_{c}"].max()] for c in need},
+                **{f"__mn_{c}": [_mm_s(f"__mn_{c}", "min")]
+                   for c in need_mm},
+                **{f"__mx_{c}": [_mm_s(f"__mx_{c}", "max")]
+                   for c in need_mm},
                 **{f"__q_{c}": [parts[f"__q_{c}"].sum()]
                    for c in need_sq},
                 "__n": [parts["__n"].sum()] if len(parts) else [0],
@@ -2305,12 +2823,20 @@ def run_sql(sql: str, tables: dict,
             import itertools as _it
 
             pcols = [c for c in merged.columns if c not in keys]
+            def _obj_mm(how):
+                def red(x):
+                    x = x.dropna()
+                    return getattr(x, how)() if len(x) else np.nan
+                return red
+
             aggmap = {}
             for c in pcols:
                 if c.startswith(("__mn_",)):
-                    aggmap[c] = "min"
+                    aggmap[c] = ("min" if merged[c].dtype != object
+                                 else _obj_mm("min"))
                 elif c.startswith(("__mx_",)):
-                    aggmap[c] = "max"
+                    aggmap[c] = ("max" if merged[c].dtype != object
+                                 else _obj_mm("max"))
                 else:  # __s_*, __c_*, __n, __n_f*, __s_f*, __c_f*
                     aggmap[c] = "sum"
             if q["group_mode"] == "rollup":
@@ -2334,7 +2860,8 @@ def run_sql(sql: str, tables: dict,
                            .agg(aggmap).reset_index())
                 else:
                     sub = pd.DataFrame(
-                        {c: [getattr(merged[c], op)()]
+                        {c: [op(merged[c]) if callable(op)
+                             else getattr(merged[c], op)()]
                          for c, op in aggmap.items()})
                 for k in keys:
                     if k not in lv:
@@ -2525,6 +3052,8 @@ def _fmt_expr(node) -> str:
         return f"{node[1]}({', '.join(_fmt_expr(a) for a in node[2])})"
     if k == "xtr":
         return f"extract({node[1]} from {node[2]})"
+    if k == "len":
+        return f"length({_fmt_strexpr(node[1])})"
     return f"({_fmt_expr(node[2])} {node[1]} {_fmt_expr(node[3])})"
 
 
@@ -2538,12 +3067,31 @@ def _fmt_tree(node) -> str:
     return "(" + joiner.join(_fmt_tree(ch) for ch in node[1]) + ")"
 
 
+def _fmt_strexpr(node) -> str:
+    k = node[0]
+    if k == "scol":
+        return node[1]
+    if k == "slit":
+        return f"'{node[1]}'"
+    if k == "snum":
+        return str(node[1])
+    if k == "scat":
+        sep = " || " if node[2] == "null" else ", "
+        body = sep.join(_fmt_strexpr(a) for a in node[1])
+        return body if node[2] == "null" else f"concat({body})"
+    return f"{node[1]}({', '.join(_fmt_strexpr(a) for a in node[2])})"
+
+
 def _fmt_pred(p) -> str:
     kind, col, payload = p
+    if isinstance(col, tuple):
+        col = _fmt_strexpr(col)
     if kind == "bool":
         return _fmt_tree(payload)
     if kind == "cmp2":
-        return f"{col} {payload[0]} {payload[1]}"
+        rhs = (_fmt_strexpr(payload[1])
+               if isinstance(payload[1], tuple) else payload[1])
+        return f"{col} {payload[0]} {rhs}"
     if kind in _OPS:
         return f"{col} {kind} {payload!r}"
     if kind == "between":

@@ -1378,3 +1378,109 @@ def test_date_fn_rejections():
         parse_sql("SELECT date_trunc('day', ts) FROM t")
     with pytest.raises(SqlError):  # unknown extract part
         parse_sql("SELECT extract(century from ts) AS c FROM t")
+
+
+strs_st = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from(["Customer#0001", "bob smith", "  pad  ", "",
+                         "Ann", "ZZ top", "a'b", "naïve", "x%y_z",
+                         "  LEAD  ", "tail   "]),
+        st.text(alphabet="abXY #%_0", min_size=0, max_size=12),
+    ),
+    min_size=1, max_size=25,
+)
+
+STRFN_QS = [
+    "SELECT upper(s) AS u, lower(s) AS lo, length(s) AS n FROM t",
+    "SELECT substring(s, 1, 4) AS pre, substring(s, 3) AS sfx, "
+    "trim(s) AS tr FROM t",
+    "SELECT ltrim(s) AS lt, rtrim(s) AS rt, left(s, 3) AS l3, "
+    "right(s, 2) AS r2, left(s, 0) AS l0, right(s, 0) AS r0 FROM t",
+    "SELECT s || '!' AS bang, s || '-' || tag AS joined, "
+    "concat(s, '/', tag) AS cat FROM t",
+    "SELECT replace(s, 'b', 'B') AS rep, "
+    "upper(substring(trim(s), 1, 2)) AS nest FROM t",
+    "SELECT substring(s, 1, 2) AS g2, count(*) AS n, sum(v) AS sv "
+    "FROM t GROUP BY g2",
+    "SELECT upper(tag) AS ut, min(v) AS mn, count(s) AS cs FROM t "
+    "GROUP BY ut",
+    "SELECT sum(length(s)) AS sl, max(length(s || tag)) AS ml, "
+    "count(*) AS n FROM t",
+    "SELECT length(s) + v AS lv, length(concat(s, tag)) AS lc FROM t",
+    "SELECT upper(tag) AS ut, min(s) AS s_mn, max(s) AS s_mx, "
+    "count(*) AS n FROM t GROUP BY ut",
+    "SELECT min(s) AS s_mn, max(tag) AS t_mx, min(v) AS v_mn FROM t",
+    "SELECT tag, min(s) AS s_mn, count(*) AS n FROM t "
+    "GROUP BY ROLLUP (tag)",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(strs_st, st.sampled_from(STRFN_QS),
+       st.integers(min_value=1, max_value=4))
+def test_string_fns_match_duckdb(strs, sql, parts):
+    """String expressions vs DuckDB on identical strings — as derived
+    select items, GROUP BY keys, inside length() numeric leaves, and
+    nested (upper(substring(trim(s),...))). || propagates NULL;
+    concat() skips NULLs; trim strips whitespace only."""
+    n = len(strs)
+    df = pd.DataFrame({
+        "s": pd.Series(strs, dtype=object),
+        "tag": pd.Series((["q", None, "R ", ""] * n)[:n], dtype=object),
+        "v": pd.Series(([3, None, -1, 8, 0] * n)[:n], dtype="Float64"),
+    })
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("sv", "mn", "lv"))
+
+
+STRPRED_QS = [
+    "SELECT s FROM t WHERE upper(s) = 'BOB SMITH'",
+    "SELECT s, v FROM t WHERE substring(s, 1, 1) IN ('b', 'C', 'Z')",
+    "SELECT s FROM t WHERE trim(s) <> s",
+    "SELECT s FROM t WHERE lower(s) LIKE '%b%' OR length(s) IS NULL",
+    "SELECT count(*) AS n FROM t WHERE s || tag IS NOT NULL",
+    "SELECT s FROM t WHERE left(s, 2) NOT IN ('bo', 'Cu') "
+    "AND v IS NOT NULL",
+    "SELECT s, tag FROM t WHERE replace(s, ' ', '') = 'bobsmith' "
+    "OR upper(tag) = 'Q'",
+    "SELECT substring(s, 2, 3) AS mid FROM t "
+    "WHERE upper(substring(s, 1, 3)) >= 'BO'",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(strs_st, st.sampled_from(STRPRED_QS),
+       st.integers(min_value=1, max_value=4))
+def test_string_preds_match_duckdb(strs, sql, parts):
+    """String-expression predicate LHS vs DuckDB: = <> >= IN LIKE
+    IS [NOT] NULL over fn results, in AND/OR trees, compiled to the
+    same zero-copy pyarrow kernels as plain-column predicates (and
+    eligible for pushdown below joins)."""
+    n = len(strs)
+    df = pd.DataFrame({
+        "s": pd.Series(strs, dtype=object),
+        "tag": pd.Series((["q", None, "R ", ""] * n)[:n], dtype=object),
+        "v": pd.Series(([3, None, -1, 8, 0] * n)[:n], dtype="Float64"),
+    })
+    got, want = _exec_both(sql, df, parts)
+    _cmp_sorted(got, want, float_cols=("v",))
+
+
+def test_string_fn_rejections():
+    with pytest.raises(SqlError):  # alias required
+        parse_sql("SELECT upper(s) FROM t")
+    with pytest.raises(SqlError):  # substring is 1-based
+        parse_sql("SELECT substring(s, 0, 2) AS x FROM t")
+    with pytest.raises(SqlError):  # position args must be int literals
+        parse_sql("SELECT substring(s, v, 2) AS x FROM t")
+    with pytest.raises(SqlError):  # replace needs literal pattern
+        parse_sql("SELECT replace(s, tag, 'x') AS x FROM t")
+    with pytest.raises(SqlError):  # bare ints aren't strings
+        parse_sql("SELECT concat(s, 5) AS x FROM t")
+    with pytest.raises(SqlError):  # unknown string fn
+        parse_sql("SELECT reverse(s) AS x FROM t")
+    with pytest.raises(SqlError):  # numeric-expression LHS still out
+        parse_sql("SELECT s FROM t WHERE length(s) > 5")
+    with pytest.raises(SqlError):  # string IN-subquery probe
+        parse_sql("SELECT s FROM t WHERE upper(s) IN (SELECT g FROM u)")
