@@ -5752,6 +5752,59 @@ def q_sql_frontend_tpch_q22(sf_dir: str):
     })
 
 
+SQL_FRONTEND_FULL_JOIN = (
+    "WITH hc AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust, "
+    "sum(cast(round(c_acctbal * 100) AS bigint)) AS cust_bal_c "
+    "FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey), "
+    "hs AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp "
+    "FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) "
+    "SELECT nk_c, nk_s, n_cust, n_supp, cust_bal_c "
+    "FROM hc FULL OUTER JOIN hs ON hc.nk_c = hs.nk_s "
+    "ORDER BY nk_c, nk_s"
+)
+
+
+def q_sql_frontend_full_join(sf_dir: str):
+    """FULL OUTER JOIN under the gate: per-nation high-balance
+    customer and supplier rollups (aggregated CTEs) full-joined on
+    nation key — nations rich on only one side genuinely exercise
+    both preserved directions (each side's key column NULL on the
+    other side's rows, which is why the engine joins on renamed
+    copies of BOTH keys: Ray/Acero would otherwise coalesce them).
+    Balances in exact cents — hash-exact vs DuckDB."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_FULL_JOIN, {
+        "customer": _t(sf_dir, "customer"),
+        "supplier": _t(sf_dir, "supplier"),
+    })
+
+
+SQL_FRONTEND_RIGHT_JOIN = (
+    "WITH hs AS (SELECT s_nationkey AS nk, count(*) AS n_high, "
+    "sum(cast(round(s_acctbal * 100) AS bigint)) AS bal_c "
+    "FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey) "
+    "SELECT n_name, n_high, bal_c FROM hs "
+    "RIGHT JOIN nation ON hs.nk = nation.n_nationkey "
+    "ORDER BY n_name"
+)
+
+
+def q_sql_frontend_right_join(sf_dir: str):
+    """RIGHT [OUTER] JOIN under the gate: every nation survives with
+    NULL rollup columns where no high-balance supplier exists — at
+    sf0.001 the left side is provably EMPTY and the planner resolves
+    it (NULL-pads the preserved right side) without running a join at
+    all, the same short-circuit that guards Ray's no-schema-on-empty
+    hazard. Hash-exact vs DuckDB."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_RIGHT_JOIN, {
+        "supplier": _t(sf_dir, "supplier"),
+        "nation": _t(sf_dir, "nation"),
+    })
+
+
 SQL_FRONTEND_SETOPS = (
     "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' "
     "INTERSECT "
@@ -8094,6 +8147,8 @@ QUERIES = {
     "q_sql_frontend_tpch_q12": q_sql_frontend_tpch_q12,
     "q_sql_frontend_tpch_q21": q_sql_frontend_tpch_q21,
     "q_sql_frontend_tpch_q22": q_sql_frontend_tpch_q22,
+    "q_sql_frontend_full_join": q_sql_frontend_full_join,
+    "q_sql_frontend_right_join": q_sql_frontend_right_join,
     "q_sql_frontend_left_join": q_sql_frontend_left_join,
     "q_events_user_gini": q_events_user_gini,
     "q_events_weighted_sample": q_events_weighted_sample,
@@ -8541,6 +8596,8 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_tpch_q12": SQL_FRONTEND_TPCH_Q12,
         "q_sql_frontend_tpch_q21": SQL_FRONTEND_TPCH_Q21,
         "q_sql_frontend_tpch_q22": SQL_FRONTEND_TPCH_Q22,
+        "q_sql_frontend_full_join": SQL_FRONTEND_FULL_JOIN,
+        "q_sql_frontend_right_join": SQL_FRONTEND_RIGHT_JOIN,
         "q_sql_frontend_left_join": SQL_FRONTEND_LEFT_JOIN,
         "q_events_user_gini": ORACLE_EVENTS_USER_GINI,
         "q_events_weighted_sample": ORACLE_EVENTS_WEIGHTED_SAMPLE,

@@ -3,7 +3,8 @@
 
 Scope (deliberately small, enforced by the parser — anything else raises
 rather than mis-executing): one table or a left-deep chain of
-equi-JOINs (INNER / LEFT [OUTER], ``ON a.x = b.y [AND ...]`` with
+equi-JOINs (INNER / LEFT / RIGHT / FULL [OUTER], ``ON a.x = b.y
+[AND ...]`` with
 table aliases, each ON linking the new table to any earlier one; all
 schemas must be column-disjoint so every reference stays unambiguous —
 colliding names raise instead of silently suffixing),
@@ -1276,7 +1277,8 @@ def _parse_from(text: str) -> tuple:
                 f"here: {tail!r}")
         return ("\x00subquery", subtext), aliases, joins
     parts = re.split(
-        r"\s+(inner join|left outer join|left join|join)\s+", text,
+        r"\s+(inner join|left outer join|left join|right outer join|"
+        r"right join|full outer join|full join|join)\s+", text,
         flags=re.I)
     table, alias1 = _ident_alias(parts[0], "FROM table")
     aliases = {alias1}
@@ -1311,9 +1313,12 @@ def _parse_from(text: str) -> tuple:
                     f"ON must link the new table to an earlier one, "
                     f"got {clause!r}")
         aliases.add(a2)
+        kwl = kw.lower()
         joins.append({
             "table": t2,
-            "how": ("left_outer" if kw.lower().startswith("left")
+            "how": ("left_outer" if kwl.startswith("left")
+                    else "right_outer" if kwl.startswith("right")
+                    else "full_outer" if kwl.startswith("full")
                     else "inner"),
             "on": on_pairs,
         })
@@ -2066,7 +2071,15 @@ def _pushdown_split(q: dict, tables: dict):
     table, or onto an INNER join's right side (a LEFT join's right
     side must filter AFTER the join, or preserved rows change).
     Returns ({slot: [factor, ...]}, post_join_factors) with slot
-    "base" or the join index. Subquery factors never push."""
+    "base" or the join index. Subquery factors never push.
+
+    A RIGHT/FULL OUTER join anywhere in the chain disables pushdown
+    entirely: rows filtered out of ANY input upstream of such a join
+    don't vanish — they resurface NULL-padded on the preserved side,
+    and the consumed conjunct can no longer reject them."""
+    if any(j["how"] in ("right_outer", "full_outer")
+           for j in q["joins"]):
+        return {}, list(q["where"])
     pushed: dict = {}
     post: list = []
     slot_of: dict = {}
@@ -2297,25 +2310,38 @@ def run_sql(sql: str, tables: dict,
         # whose blocks all vanished leaves Ray's join with no schema at
         # all ("No match for FieldRef"), so empty sides must resolve in
         # the planner, not the join
+        how = j["how"]
         r_empty = rsch is None or not right.limit(1).count()
+        l_empty = ds is None or not ds.limit(1).count()
         # a join keyed on an all-NULL synthesized column can never
-        # match (NULL = NULL is UNKNOWN) — and physically the NaN
-        # placeholder's double type wouldn't join an int key anyway
-        if any(c in _null_synth for c in lk):
+        # match (NULL = NULL is UNKNOWN) — for INNER that proves
+        # emptiness, for LEFT it degenerates to the pad path; the
+        # RIGHT/FULL forms just run (the NaN placeholders convert to
+        # Arrow nulls, which match nothing, and the preserved-side
+        # rows still emit)
+        lk_dead = any(c in _null_synth for c in lk)
+        if how == "left_outer" and lk_dead:
             r_empty = True
-            if j["how"] == "inner":
-                ds = None
-                break
-        if (ds is None or not ds.limit(1).count()
-                or (r_empty and j["how"] == "inner")):
+        if ((how == "inner" and (l_empty or r_empty or lk_dead))
+                or (how == "left_outer" and l_empty)
+                or (how == "right_outer" and r_empty)
+                or (how == "full_outer" and l_empty and r_empty)):
             ds = None  # provably empty join result
-            break
-        if r_empty:
-            # LEFT JOIN against an empty right side: every left row
-            # survives with NULL right columns. With a known schema,
-            # synthesize exactly the right table's columns; with the
-            # schema lost (empty in-memory side), fall back to the
-            # referenced columns that no other table can claim
+            if all(jj["how"] in ("inner", "left_outer")
+                   for jj in q["joins"][ji + 1:]):
+                break
+            # a later RIGHT/FULL join resurrects rows from ITS right
+            # side, so keep planning; every column seen so far stays
+            # in scope as provably-all-NULL
+            _null_synth |= acc_cols | rcols
+            acc_cols |= rcols
+            continue
+        if how in ("left_outer", "full_outer") and r_empty:
+            # LEFT/FULL JOIN against an empty right side: every left
+            # row survives with NULL right columns. With a known
+            # schema, synthesize exactly the right table's columns;
+            # with the schema lost (empty in-memory side), fall back
+            # to the referenced columns that no other table can claim
             if rsch:
                 ref = set(rcols)
             else:
@@ -2334,6 +2360,62 @@ def run_sql(sql: str, tables: dict,
             ds = ds.map_batches(null_right, batch_format="pandas")
             acc_cols |= set(ref)
             _null_synth |= set(ref)
+        elif how in ("right_outer", "full_outer") and l_empty:
+            # RIGHT/FULL JOIN with an empty (or never-materialized)
+            # left side: every right row survives with the accumulated
+            # left columns all NULL
+            # schema-lost fallback mirrors the r_empty branch: columns
+            # a LATER join table will introduce must not be
+            # synthesized here or that join sees a fake collision
+            later_known = set()
+            for jj in q["joins"][ji + 1:]:
+                t_l = tables.get(jj["table"])
+                sch_l = t_l.schema() if t_l is not None else None
+                if sch_l:
+                    later_known |= set(sch_l.names)
+            ref = sorted(acc_cols - rcols) or sorted(
+                (_referenced | set(lk)) - rcols - later_known)
+
+            def null_left(b: pd.DataFrame, ref=list(ref)) -> pd.DataFrame:
+                return b.assign(**{c: np.full(len(b), np.nan) for c in ref})
+
+            ds = right.map_batches(null_left, batch_format="pandas")
+            _null_synth |= set(ref)
+            acc_cols |= set(ref) | rcols
+        elif how in ("right_outer", "full_outer"):
+            # preserved-right joins always hash-shuffle: the per-batch
+            # broadcast merge can't express them (an unmatched
+            # broadcast-side row would emit once per batch). Ray/Acero
+            # key-column behavior differs by type — right_outer keeps
+            # the RIGHT key column (left key consumed); full_outer
+            # keeps the LEFT key name with COALESCED values. SQL keeps
+            # BOTH columns in scope, each NULL on the other side's
+            # preserved rows — so the join runs on renamed COPIES of
+            # the left keys (and, for full, of the right keys): the
+            # originals ride their own side as data columns and get
+            # NULL-padded exactly right.
+            renl = {c: f"__jkl{ji}_{k}" for k, c in enumerate(lk)}
+
+            def dup_lkeys(t: pa.Table, renl=dict(renl)) -> pa.Table:
+                for src, dst in renl.items():
+                    t = t.append_column(dst, t.column(src))
+                return t
+
+            ds = ds.map_batches(dup_lkeys, batch_format="pyarrow")
+            lk = [renl[c] for c in lk]
+            if how == "full_outer":
+                renr = {c: f"__jkr{ji}_{k}" for k, c in enumerate(rk)}
+
+                def dup_rkeys(t: pa.Table, renr=dict(renr)) -> pa.Table:
+                    for src, dst in renr.items():
+                        t = t.append_column(dst, t.column(src))
+                    return t
+
+                right = right.map_batches(dup_rkeys,
+                                          batch_format="pyarrow")
+                rk = [renr[c] for c in rk]
+            ds = shuffle_join(ds, right, on=lk, right_on=rk, how=how)
+            acc_cols |= rcols
         else:
             # Ray's join consumes the right_on columns. SQL keeps BOTH
             # key columns in scope (SELECT l_orderkey ... ON
@@ -3187,6 +3269,13 @@ def explain_sql(sql: str, tables: dict = None,
     for ji, j in enumerate(q["joins"]):
         on = " AND ".join(f"{a} = {b}" for a, b in j["on"])
         strat = "hash shuffle_join; both sides shuffle"
+        if j["how"] in ("right_outer", "full_outer"):
+            lines.append(
+                f"Join {j['table']} [{j['how']} on {on}; hash "
+                "shuffle_join — preserved-right joins never "
+                "broadcast, and they disable predicate pushdown "
+                "(filtered rows would resurface NULL-padded)]")
+            continue
         if tables is not None:
             rn = _cnt(j["table"])
             if rn is not None and rn <= broadcast_rows:

@@ -217,6 +217,70 @@ def test_join_matches_duckdb(lrows, rrows, sql, parts):
         _cmp_sorted(got, want, float_cols=("sy", "ax", "av"))
 
 
+OUTER_JOIN_QS = [
+    "SELECT k, s, x, fk, y, lbl FROM t1 a RIGHT JOIN t2 b "
+    "ON a.k = b.fk",
+    "SELECT k, s, x, fk, y, lbl FROM t1 a FULL OUTER JOIN t2 b "
+    "ON a.k = b.fk",
+    "SELECT s, count(y) AS cy, count(*) AS n FROM t1 a "
+    "RIGHT OUTER JOIN t2 b ON a.k = b.fk GROUP BY s",
+    "SELECT lbl, count(x) AS cx, count(*) AS n FROM t1 a "
+    "FULL JOIN t2 b ON a.k = b.fk GROUP BY lbl",
+    "SELECT k, fk, y FROM t1 a FULL JOIN t2 b ON a.k = b.fk "
+    "WHERE x > 15 OR x IS NULL",
+    "SELECT count(*) AS n FROM t1 a RIGHT JOIN t2 b "
+    "ON a.k = b.fk AND a.s = b.lbl",
+    "SELECT min(x) AS mx, max(y) AS xy, count(*) AS n FROM t1 a "
+    "FULL OUTER JOIN t2 b ON a.k = b.fk",
+]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5),
+                       st.sampled_from(["x", "y", "p", "q"]),
+                       st.integers(-5, 50)),
+             min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 5),
+                       st.one_of(st.none(), st.integers(0, 99)),
+                       st.sampled_from(["x", "y", "p", "q"])),
+             min_size=0, max_size=10),
+    st.sampled_from(OUTER_JOIN_QS),
+    st.integers(min_value=1, max_value=3),
+)
+def test_outer_join_matches_duckdb(lrows, rrows, sql, parts):
+    """RIGHT / FULL OUTER joins vs DuckDB on identical strings: both
+    key columns stay in scope (each NULL on the other side's preserved
+    rows — the engine joins on renamed copies because Ray/Acero
+    consumes one key and coalesces the other), NULL keys never match
+    but their rows still emit, empty sides resolve in the planner
+    (NULL-pad or drop per join type), and WHERE stays post-join
+    (pushdown is disabled — filtered rows would resurface
+    NULL-padded)."""
+    t1 = pd.DataFrame(
+        {"k": pd.Series(
+            [None if r[2] % 7 == 3 else r[0] for r in lrows],
+            dtype="Int64"),
+         "s": pd.Series([r[1] for r in lrows], dtype=object),
+         "x": pd.Series([r[2] for r in lrows], dtype="int64")})
+    t2 = pd.DataFrame(
+        {"fk": pd.Series(
+            [None if (r[1] or 0) % 5 == 4 else r[0] for r in rrows],
+            dtype="Int64"),
+         "y": pd.Series([r[1] for r in rrows], dtype="Float64"),
+         "lbl": pd.Series([r[2] for r in rrows], dtype=object)})
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t2", t2)
+    want = con.execute(sql).fetchdf()
+    for bcast in (200_000, 0):
+        got = run_sql(sql,
+                      {"t1": rd.from_pandas(t1).repartition(parts),
+                       "t2": rd.from_pandas(t2).repartition(parts)},
+                      broadcast_rows=bcast)
+        _cmp_sorted(got, want, float_cols=("cy", "cx"))
+
+
 def test_join_parser_rejection_surface(ray_session):
     """Out-of-scope join shapes raise SqlError instead of mis-executing:
     colliding schemas, unknown aliases, non-equi ON, reserved aliases."""
@@ -444,6 +508,11 @@ CHAIN_QS = [
     "orders.ock JOIN items ON orders.ok = items.iok WHERE qty > 2",
     "SELECT count(*) AS n FROM cust c JOIN orders o ON c.ck = o.ock "
     "LEFT JOIN items i ON o.ok = i.iok WHERE status = 'F'",
+    "SELECT cname, status, qty FROM cust c RIGHT JOIN orders o "
+    "ON c.ck = o.ock FULL JOIN items i ON o.ok = i.iok",
+    "SELECT status, count(qty) AS cq, count(*) AS n FROM cust c "
+    "LEFT JOIN orders o ON c.ck = o.ock "
+    "RIGHT JOIN items i ON o.ok = i.iok GROUP BY status",
 ]
 
 
