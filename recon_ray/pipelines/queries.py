@@ -5878,6 +5878,65 @@ def q_sql_frontend_stddev(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_CORR = (
+    "SELECT lang, count(*) AS n, corr(n_chars, doc_id) AS r, "
+    "covar_samp(n_chars, doc_id) AS cs, "
+    "covar_pop(n_chars, doc_id) AS cp, "
+    "regr_slope(n_chars, doc_id) AS sl, "
+    "regr_intercept(n_chars, doc_id) AS ic, "
+    "regr_r2(n_chars, doc_id) AS r2 "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+# The oracle spells the engine's exact two-pass formula over the six
+# pairwise sum partials (n, Σx, Σy, Σxy, Σx², Σy²) in the engine's
+# fixed op order — centered sums Cab = Σab − Σa·Σb/n with Cxx/Cyy
+# floored at 0, then each statistic as one or two IEEE divisions.
+# Over INTEGER columns every partial sum is an exact float64 integer
+# (< 2^53), so both engines perform the identical IEEE sequence and
+# the hash matches bit-for-bit. DuckDB's native corr/covar (streaming
+# single-pass updates) would differ in the last bits.
+ORACLE_SQL_FRONTEND_CORR = """
+WITH s AS (
+  SELECT lang, count(*) AS n, count(doc_id) AS pn,
+    sum(doc_id)::DOUBLE AS sx, sum(n_chars)::DOUBLE AS sy,
+    sum(n_chars * doc_id)::DOUBLE AS sxy,
+    sum(doc_id * doc_id)::DOUBLE AS sxx,
+    sum(n_chars * n_chars)::DOUBLE AS syy
+  FROM documents GROUP BY lang
+), c AS (
+  SELECT lang, n, pn,
+    sxy - sx * sy / pn AS cxy,
+    greatest(sxx - sx * sx / pn, 0) AS cxx,
+    greatest(syy - sy * sy / pn, 0) AS cyy,
+    sx, sy
+  FROM s
+)
+SELECT lang, n,
+  cxy / nullif(sqrt(cxx * cyy), 0) AS r,
+  cxy / nullif(pn - 1, 0) AS cs,
+  cxy / pn AS cp,
+  cxy / nullif(cxx, 0) AS sl,
+  (sy - (cxy / nullif(cxx, 0)) * sx) / pn AS ic,
+  CASE WHEN cxx <= 0 THEN NULL WHEN cyy = 0 THEN 1.0
+       ELSE (cxy * cxy) / (cxx * cyy) END AS r2
+FROM c ORDER BY lang
+"""
+
+
+def q_sql_frontend_corr(sf_dir: str):
+    """Two-column statistical aggregates under the gate — corr /
+    covar_samp / covar_pop / regr_slope / regr_intercept / regr_r2:
+    six pairwise-masked sum partials per column pair ride the ONE
+    existing combiner pass (no extra shuffle), and the fixed-op-order
+    recomposition is bit-for-bit reproducible against an oracle
+    spelling the same formula over exact integer sums."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_CORR,
+                   {"documents": _t(sf_dir, "documents")})
+
+
 SQL_FRONTEND_GSETS = (
     "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
     "sum(o_custkey) AS ck, min(o_orderkey) AS k_min "
@@ -8136,6 +8195,7 @@ QUERIES = {
     "q_sql_frontend_setops": q_sql_frontend_setops,
     "q_sql_frontend_rollup": q_sql_frontend_rollup,
     "q_sql_frontend_stddev": q_sql_frontend_stddev,
+    "q_sql_frontend_corr": q_sql_frontend_corr,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8585,6 +8645,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_setops": SQL_FRONTEND_SETOPS,
         "q_sql_frontend_rollup": SQL_FRONTEND_ROLLUP,
         "q_sql_frontend_stddev": ORACLE_SQL_FRONTEND_STDDEV,
+        "q_sql_frontend_corr": ORACLE_SQL_FRONTEND_CORR,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -62,6 +62,9 @@ _AGG_RE = re.compile(
 _QAGG_RE = re.compile(
     r"^quantile_disc\s*\(\s*(" + _QCOL
     + r")\s*,\s*(1|1\.0|0|0?\.\d+)\s*\)$", re.I)
+_COV_RE = re.compile(
+    r"^(corr|covar_samp|covar_pop|regr_slope|regr_intercept|regr_r2)"
+    r"\s*\(\s*(" + _QCOL + r")\s*,\s*(" + _QCOL + r")\s*\)$", re.I)
 _ITEM_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
 _CMP_RE = re.compile(
@@ -800,6 +803,12 @@ _AGG_FNS = ("sum", "count", "avg", "min", "max", "stddev",
             "variance")
 _AGG_NORM = {"stddev": "stddev_samp", "variance": "var_samp"}
 _VAR_AGGS = ("stddev_samp", "stddev_pop", "var_samp", "var_pop")
+# two-column statistical aggregates — fn(y, x), SQL's pairwise
+# both-non-null semantics; six extra sum partials per distinct column
+# pair ride the same combiner (n, Σx, Σy, Σxy, Σx², Σy² all merge as
+# sums, so ROLLUP/CUBE recomposition carries them unchanged)
+_COV_AGGS = ("corr", "covar_samp", "covar_pop", "regr_slope",
+             "regr_intercept", "regr_r2")
 _INT_CASTS = {"bigint": "int", "int": "int", "integer": "int",
               "hugeint": "int"}
 _FLOAT_CASTS = {"double": "float", "float": "float", "real": "float"}
@@ -1507,6 +1516,19 @@ def parse_sql(sql: str) -> dict:
                 {"agg": fn, "col": None if col == "*" else col,
                  "distinct": dist, "filter": flt,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
+            continue
+        cvm = _COV_RE.match(expr)
+        if cvm:
+            # corr(y, x) / covar_* / regr_*: two plain column args,
+            # rows where EITHER side is NULL are excluded (SQL
+            # pairwise semantics)
+            fn = cvm.group(1).lower()
+            y = _unqual(cvm.group(2), aliases)
+            x = _unqual(cvm.group(3), aliases)
+            q["select"].append(
+                {"agg": fn, "col": None, "pair": (y, x),
+                 "distinct": False, "filter": None,
+                 "alias": alias or f"{fn}_{y}_{x}"})
             continue
         # aggregate over an arithmetic expression — sum(a * (1 - b)):
         # the expression materializes as a hidden derived column the
@@ -2219,6 +2241,8 @@ def run_sql(sql: str, tables: dict,
     for it in q["select"]:
         if it.get("expr"):
             _expr_cols(it["expr"], _refcols)
+        if it.get("pair"):
+            _refcols.update(it["pair"])
         if it.get("datefn"):
             _refcols.add(it["datefn"][1])
         if it.get("strfn"):
@@ -2332,7 +2356,20 @@ def run_sql(sql: str, tables: dict,
                 break
             # a later RIGHT/FULL join resurrects rows from ITS right
             # side, so keep planning; every column seen so far stays
-            # in scope as provably-all-NULL
+            # in scope as provably-all-NULL. An empty in-memory right
+            # side loses its schema entirely — recover its column
+            # claim from the referenced set (minus what later tables
+            # will introduce), like the pad branches below, so a later
+            # ON key that lives on this table stays resolvable
+            if not rcols:
+                later_known = set()
+                for jj in q["joins"][ji + 1:]:
+                    t_l = tables.get(jj["table"])
+                    sch_l = t_l.schema() if t_l is not None else None
+                    if sch_l:
+                        later_known |= set(sch_l.names)
+                rcols = ((_referenced | set(rk)) - acc_cols
+                         - later_known)
             _null_synth |= acc_cols | rcols
             acc_cols |= rcols
             continue
@@ -2729,6 +2766,15 @@ def run_sql(sql: str, tables: dict,
         # partials)
         fspecs = [(i, it) for i, it in enumerate(q["select"])
                   if it["agg"] and it.get("filter")]
+        # two-column aggregates: one set of pairwise-masked sum
+        # partials per distinct (y, x) pair, shared across corr /
+        # covar / regr over the same pair
+        need_pairs = sorted({it["pair"] for it in aggs
+                             if it.get("pair")})
+        _PAIR_SFX = ("y", "x", "xy", "xx", "yy")
+
+        def _pkey(y, x):
+            return f"{y}__{x}"
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             if need_sq:
@@ -2736,6 +2782,20 @@ def run_sql(sql: str, tables: dict,
                     f"__sq_{c}":
                         pd.to_numeric(b[c]).astype("float64") ** 2
                     for c in need_sq})
+            if need_pairs:
+                pas = {}
+                for (y, x) in need_pairs:
+                    k = _pkey(y, x)
+                    yv = pd.to_numeric(b[y]).astype("float64")
+                    xv = pd.to_numeric(b[x]).astype("float64")
+                    both = yv.notna() & xv.notna()
+                    ym, xm = yv.where(both), xv.where(both)
+                    pas[f"__vy_{k}"] = ym
+                    pas[f"__vx_{k}"] = xm
+                    pas[f"__vxy_{k}"] = ym * xm
+                    pas[f"__vxx_{k}"] = xm * xm
+                    pas[f"__vyy_{k}"] = ym * ym
+                b = b.assign(**pas)
             g = b.groupby(keys, dropna=False) if keys else None
             parts = {}
             for c in need:
@@ -2757,6 +2817,14 @@ def run_sql(sql: str, tables: dict,
             for c in need_sq:
                 src = g[f"__sq_{c}"] if g is not None else b[f"__sq_{c}"]
                 parts[f"__q_{c}"] = src.sum()
+            for (y, x) in need_pairs:
+                k = _pkey(y, x)
+                srcy = g[f"__vy_{k}"] if g is not None else b[f"__vy_{k}"]
+                parts[f"__pn_{k}"] = srcy.count()
+                for sfx in _PAIR_SFX:
+                    src = (g[f"__v{sfx}_{k}"] if g is not None
+                           else b[f"__v{sfx}_{k}"])
+                    parts[f"__p{sfx}_{k}"] = src.sum()
             star = g.size() if g is not None else pd.Series(
                 [len(b)], index=[0])
             parts["__n"] = star
@@ -2795,6 +2863,9 @@ def run_sql(sql: str, tables: dict,
                 **{f"__mn_{c}": [np.nan] for c in need_mm},
                 **{f"__mx_{c}": [np.nan] for c in need_mm},
                 **{f"__q_{c}": [np.nan] for c in need_sq},
+                **{f"__pn_{_pkey(y, x)}": [0] for (y, x) in need_pairs},
+                **{f"__p{sfx}_{_pkey(y, x)}": [np.nan]
+                   for (y, x) in need_pairs for sfx in _PAIR_SFX},
                 "__n": [0],
             }
             for i, it in fspecs:
@@ -2859,6 +2930,12 @@ def run_sql(sql: str, tables: dict,
                 **{f"__mx_{c}": _mm_g(f"__mx_{c}", "max")
                    for c in need_mm},
                 **{f"__q_{c}": gb[f"__q_{c}"].sum() for c in need_sq},
+                **{f"__pn_{_pkey(y, x)}":
+                   gb[f"__pn_{_pkey(y, x)}"].sum()
+                   for (y, x) in need_pairs},
+                **{f"__p{sfx}_{_pkey(y, x)}":
+                   gb[f"__p{sfx}_{_pkey(y, x)}"].sum()
+                   for (y, x) in need_pairs for sfx in _PAIR_SFX},
                 "__n": gb["__n"].sum(),
                 **fcols,
             }).reset_index()
@@ -2894,6 +2971,12 @@ def run_sql(sql: str, tables: dict,
                    for c in need_mm},
                 **{f"__q_{c}": [parts[f"__q_{c}"].sum()]
                    for c in need_sq},
+                **{f"__pn_{_pkey(y, x)}":
+                   [parts[f"__pn_{_pkey(y, x)}"].sum()]
+                   for (y, x) in need_pairs},
+                **{f"__p{sfx}_{_pkey(y, x)}":
+                   [parts[f"__p{sfx}_{_pkey(y, x)}"].sum()]
+                   for (y, x) in need_pairs for sfx in _PAIR_SFX},
                 "__n": [parts["__n"].sum()] if len(parts) else [0],
                 **fcols,
             })
@@ -3067,6 +3150,43 @@ def run_sql(sql: str, tables: dict,
                     var = m2 / (n - 1.0).replace(0.0, np.nan)
                 cols[a] = (np.sqrt(var)
                            if it["agg"].startswith("stddev") else var)
+            elif it["agg"] in _COV_AGGS:
+                # two-pass moments from the six pairwise sum partials,
+                # FIXED op order — the oracle spells the identical
+                # formula over exact integer sums, so both engines run
+                # the same IEEE sequence and the hash is strict.
+                # Centered sums: Cxy = Σxy − Σx·Σy/n,
+                # Cxx/Cyy floored at 0 like the variance family.
+                y, x = it["pair"]
+                k = _pkey(y, x)
+                n = merged[f"__pn_{k}"].astype("float64")
+                sx = merged[f"__px_{k}"].astype("float64")
+                sy = merged[f"__py_{k}"].astype("float64")
+                nn = n.replace(0.0, np.nan)
+                cxy = (merged[f"__pxy_{k}"].astype("float64")
+                       - sx * sy / nn)
+                cxx = (merged[f"__pxx_{k}"].astype("float64")
+                       - sx * sx / nn).clip(lower=0.0)
+                cyy = (merged[f"__pyy_{k}"].astype("float64")
+                       - sy * sy / nn).clip(lower=0.0)
+                fn = it["agg"]
+                if fn == "covar_pop":
+                    v = cxy / nn
+                elif fn == "covar_samp":
+                    v = cxy / (n - 1.0).replace(0.0, np.nan)
+                elif fn == "corr":
+                    den = np.sqrt(cxx * cyy)
+                    v = cxy / den.replace(0.0, np.nan)
+                elif fn == "regr_slope":
+                    v = cxy / cxx.replace(0.0, np.nan)
+                elif fn == "regr_intercept":
+                    slope = cxy / cxx.replace(0.0, np.nan)
+                    v = (sy - slope * sx) / nn
+                else:  # regr_r2: NULL when Cxx=0; 1 when Cyy=0
+                    ratio = ((cxy * cxy)
+                             / (cxx * cyy).replace(0.0, np.nan))
+                    v = ratio.where(cyy != 0.0, 1.0).where(cxx > 0.0)
+                cols[a] = v
             elif it["agg"] == "count" and it["col"] is None:
                 cols[a] = merged["__n"].astype("int64")
             elif it["agg"] == "count":
@@ -3343,8 +3463,11 @@ def explain_sql(sql: str, tables: dict = None,
         def fmt(a):
             d = "DISTINCT " if a.get("distinct") else ""
             f = " FILTERED" if a.get("filter") is not None else ""
-            arg = (_fmt_expr(a["expr"]) if a.get("expr")
-                   else (a["col"] or "*"))
+            if a.get("pair"):
+                arg = f"{a['pair'][0]}, {a['pair'][1]}"
+            else:
+                arg = (_fmt_expr(a["expr"]) if a.get("expr")
+                       else (a["col"] or "*"))
             return f"{a['agg']}({d}{arg}){f}->{a['alias']}"
 
         by = ", ".join(q["group_by"]) or "<global>"

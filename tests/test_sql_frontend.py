@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 import pytest
 import ray.data as rd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from recon_ray.sql import SqlError, parse_sql, run_sql
 
@@ -527,6 +527,12 @@ CHAIN_QS = [
     st.sampled_from(CHAIN_QS),
     st.integers(min_value=1, max_value=3),
 )
+@example(  # empty mid-chain right side loses its schema; a later FULL
+    # join's ON key must still resolve from the synthesized columns
+    cks=[0, 2, 0, 0, 0], orows=[], irows=[(9, 4), (9, 1), (0, 1)],
+    sql="SELECT cname, status, qty FROM cust c RIGHT JOIN orders o "
+        "ON c.ck = o.ock FULL JOIN items i ON o.ok = i.iok",
+    parts=1)
 def test_join_chain_matches_duckdb(cks, orows, irows, sql, parts):
     """Three-table left-deep join chains vs DuckDB on identical strings
     — mixed INNER/LEFT, chain emptiness at any link, post-chain WHERE."""
@@ -1553,3 +1559,86 @@ def test_string_fn_rejections():
         parse_sql("SELECT s FROM t WHERE length(s) > 5")
     with pytest.raises(SqlError):  # string IN-subquery probe
         parse_sql("SELECT s FROM t WHERE upper(s) IN (SELECT g FROM u)")
+
+
+# ---------------------------------------------------------------------------
+# two-column statistical aggregates: corr / covar_samp / covar_pop /
+# regr_slope / regr_intercept / regr_r2 — six pairwise-masked sum
+# partials on the one combiner pass, fixed-op-order recomposition.
+# Fuzzed against DuckDB's NATIVE aggregates (different algorithm, same
+# math → allclose), NULLs on either side excluded pairwise, degenerate
+# groups (n=0/1, zero variance) produce identical NULL patterns.
+# ---------------------------------------------------------------------------
+
+COV_SQL = ("SELECT g, count(*) AS n, corr(y, x) AS r, "
+           "covar_samp(y, x) AS cs, covar_pop(y, x) AS cp, "
+           "regr_slope(y, x) AS sl, regr_intercept(y, x) AS ic, "
+           "regr_r2(y, x) AS r2 FROM t GROUP BY g")
+
+cov_rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.one_of(st.none(), st.integers(-40, 40)),
+        st.one_of(st.none(), st.integers(-9, 9)),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(cov_rows_st, st.integers(min_value=1, max_value=4))
+def test_cov_aggregates_match_duckdb(rows, parts):
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype="int64"),
+         "y": pd.Series([r[1] for r in rows], dtype="Float64"),
+         "x": pd.Series([r[2] for r in rows], dtype="Float64")})
+    got, want = _exec_both(COV_SQL, df, parts)
+    _cmp_sorted(got, want,
+                float_cols=("r", "cs", "cp", "sl", "ic", "r2"))
+
+
+def test_cov_aggregates_global_and_degenerate(ray_session):
+    # constant x → slope/corr/r2 NULL; single pair → covar_samp NULL;
+    # perfectly linear → corr ±1, r2 1
+    df = pd.DataFrame({
+        "g": [0, 0, 0, 1, 2, 2, 3, 3, 3],
+        "x": [5.0, 5.0, 5.0, 7.0, 1.0, 2.0, 1.0, 2.0, 3.0],
+        "y": [1.0, 2.0, 3.0, 9.0, 4.0, 2.0, 2.0, 4.0, 6.0],
+    })
+    sql = COV_SQL + " ORDER BY g"
+    got, want = _exec_both(sql, df, 2)
+    _cmp_sorted(got, want,
+                float_cols=("r", "cs", "cp", "sl", "ic", "r2"))
+    assert got.loc[3, "r"] == pytest.approx(1.0)
+    assert np.isnan(got.loc[0, "r"])  # zero x-variance
+    assert np.isnan(got.loc[1, "cs"])  # n=1
+    # global (no GROUP BY) single row
+    g2, w2 = _exec_both(
+        "SELECT corr(y, x) AS r, regr_slope(y, x) AS sl FROM t", df, 3)
+    assert np.allclose(g2["r"], w2["r"]) and np.allclose(
+        g2["sl"], w2["sl"])
+
+
+def test_cov_aggregates_rollup_recompose(ray_session):
+    # ROLLUP: subtotal levels recompose corr from the finest level's
+    # pair partials (sums add) — compare every level against DuckDB
+    df = pd.DataFrame({
+        "a": ["p", "p", "p", "q", "q", "q", "q", "q"],
+        "b": [0, 0, 1, 0, 0, 1, 1, 1],
+        "x": [1.0, 2.0, 3.0, 4.0, 2.0, 7.0, 1.0, 5.0],
+        "y": [2.0, 4.0, 5.0, 9.0, 4.0, 15.0, 3.0, 11.0],
+    })
+    sql = ("SELECT a, b, corr(y, x) AS r, covar_pop(y, x) AS cp "
+           "FROM t GROUP BY ROLLUP (a, b) ORDER BY a, b")
+    got, want = _exec_both(sql, df, 2)
+    _cmp_sorted(got, want, float_cols=("r", "cp"))
+
+
+def test_cov_parser_rejections():
+    with pytest.raises(SqlError):  # one arg
+        parse_sql("SELECT corr(x) AS r FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # expressions not supported as args
+        parse_sql("SELECT corr(y + 1, x) AS r FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # FILTER out of scope
+        parse_sql("SELECT corr(y, x) FILTER (WHERE y > 0) AS r "
+                  "FROM t GROUP BY g")
