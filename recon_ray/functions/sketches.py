@@ -94,11 +94,16 @@ def hll_distinct(ds, col: str, p: int = 12) -> dict:
     return {"estimate": float(est), "registers": regs, "p": p}
 
 
-def exact_quantiles(ds, col: str, qs: list, n_buckets: int = 4096) -> list:
-    """EXACT ``quantile_disc``-style order statistics in two streaming
-    passes. For each q the result is the element at (0-based) rank
-    ``ceil(q·n) - 1`` (clamped) of the sorted column — DuckDB's
-    ``quantile_disc`` definition, so a SQL oracle can verify it.
+def exact_quantiles(ds, col: str, qs: list, n_buckets: int = 4096,
+                    mode: str = "disc") -> list:
+    """EXACT quantiles in two streaming passes. ``mode="disc"``
+    (default): the element at (0-based) rank ``ceil(q·n) - 1``
+    (clamped) of the sorted column — DuckDB's ``quantile_disc``
+    definition. ``mode="cont"``: linear interpolation between the two
+    order statistics bracketing position ``RN=(n-1)·q`` as
+    ``lo·(CRN−RN) + hi·(RN−FRN)`` — DuckDB's ``quantile_cont`` /
+    ``median`` Interpolator op order, so either form is
+    SQL-oracle-verifiable bit-for-bit against the NATIVE aggregate.
 
     Pass 1: global [min, max] + a fixed-width int64 histogram (per-batch
     partial sums → order-free reduce). Pass 2: only rows falling in the
@@ -136,9 +141,20 @@ def exact_quantiles(ds, col: str, qs: list, n_buckets: int = 4096) -> list:
     for b in parts["counts"]:
         counts += np.frombuffer(b, dtype=np.int64)
     cum = np.cumsum(counts)
-    ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
-    need = sorted({int(np.searchsorted(cum, r + 1)) for r in ranks})
-    need_set = set(need)
+    # per q: (rank_lo, rank_hi, frac) — disc needs one rank (frac 0),
+    # cont brackets position (n-1)·q with two adjacent order statistics
+    specs = []
+    for q in qs:
+        if mode == "cont":
+            pos = (n - 1) * float(q)
+            r_lo = min(max(int(np.floor(pos)), 0), n - 1)
+            r_hi = min(max(int(np.ceil(pos)), 0), n - 1)
+            specs.append((r_lo, r_hi, pos))
+        else:
+            r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            specs.append((r, r, None))
+    ranks = sorted({r for s in specs for r in s[:2]})
+    need_set = {int(np.searchsorted(cum, r + 1)) for r in ranks}
     ref = ray.put(need_set)
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
@@ -150,49 +166,82 @@ def exact_quantiles(ds, col: str, qs: list, n_buckets: int = 4096) -> list:
         return pd.DataFrame({"v": v[mask], "bucket": idx[mask]})
 
     picked = ds.map_batches(pick, batch_format="pandas").to_pandas()
-    out = []
-    for q, r in zip(qs, ranks):
+
+    def stat(r: int) -> float:
         b = int(np.searchsorted(cum, r + 1))
         before = int(cum[b - 1]) if b > 0 else 0
         vals = np.sort(picked.loc[picked["bucket"] == b, "v"].to_numpy())
-        out.append(float(vals[r - before]))
+        return float(vals[r - before])
+
+    out = []
+    for (r_lo, r_hi, pos) in specs:
+        v_lo = stat(r_lo)
+        if pos is None or r_hi == r_lo:
+            out.append(v_lo)
+        else:
+            # DuckDB's Interpolator op order:
+            # lo·(CRN−RN) + hi·(RN−FRN)
+            frn, crn = float(r_lo), float(r_hi)
+            out.append(v_lo * (crn - pos) + stat(r_hi) * (pos - frn))
     return out
 
 
-def grouped_quantiles(ds, key: str, col: str, qs: list) -> pd.DataFrame:
-    """EXACT per-group order statistics (``quantile_disc`` semantics —
-    element at 0-based rank ceil(q·n)−1 of each group's sorted column).
-    One hash shuffle on the group key, then each bucket resolves ALL its
-    groups vectorized: one sort, per-group offsets via cumsum, one fancy
-    index per q — no per-group Python.
+def grouped_quantiles(ds, key: str, col: str, qs: list,
+                      mode: str = "disc") -> pd.DataFrame:
+    """EXACT per-group quantiles. ``mode="disc"`` (default): the
+    element at 0-based rank ceil(q·n)−1 of each group's sorted column
+    (DuckDB ``quantile_disc``). ``mode="cont"``: linear interpolation
+    ``lo·(CRN−RN) + hi·(RN−FRN)`` around RN=(n−1)·q (DuckDB's
+    ``quantile_cont`` / ``median`` Interpolator op order —
+    bit-reproducible against the native aggregate). One hash shuffle on the group key, then each
+    bucket resolves ALL its groups vectorized: one sort, per-group
+    offsets via cumsum, one fancy index per q — no per-group Python.
 
     Partitioning assumption: a group's rows fit one bucket frame (groups
     hash-spread across buckets). A single object-store-sized group would
     need the histogram-refinement path (:func:`exact_quantiles`) run
     per hot group instead.
 
-    Returns (key, q, value) sorted by (key, q); NaNs ignored per SQL
-    aggregate semantics; empty groups (all-NaN) drop."""
+    Returns (key, q, value) sorted by (key, q); NaN VALUES ignored per
+    SQL aggregate semantics; empty groups (all-NaN values) drop. A
+    NULL KEY forms its own group, like SQL's GROUP BY."""
     from recon_ray.functions.relational import bucketed_group_apply
 
     qs = [float(q) for q in qs]
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.dropna(subset=[col]).sort_values([key, col], kind="mergesort")
+        g = g.dropna(subset=[col]).sort_values(
+            [key, col], kind="mergesort", na_position="last")
         if g.empty:
             return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
                                  "q": pd.Series(dtype="float64"),
                                  "value": pd.Series(dtype="float64")})
-        sizes = g.groupby(key, sort=True).size()
+        sizes = g.groupby(key, sort=True, dropna=False).size()
         n = sizes.to_numpy()
         starts = np.concatenate([[0], np.cumsum(n)[:-1]])
         vals = g[col].to_numpy(np.float64)
         keys_out, q_out, v_out = [], [], []
         for q in qs:
-            ranks = np.clip(np.ceil(q * n).astype(np.int64) - 1, 0, n - 1)
+            if mode == "cont":
+                # DuckDB's Interpolator: RN=(n−1)·q, FRN=floor,
+                # CRN=ceil; CRN==FRN → the element, else
+                # lo·(CRN−RN) + hi·(RN−FRN) — that exact op order
+                pos = (n - 1).astype(np.float64) * q
+                frn = np.floor(pos)
+                crn = np.ceil(pos)
+                lo = np.clip(frn.astype(np.int64), 0, n - 1)
+                hi = np.clip(crn.astype(np.int64), 0, n - 1)
+                v_lo = vals[starts + lo]
+                v_hi = vals[starts + hi]
+                v = np.where(crn == frn, v_lo,
+                             v_lo * (crn - pos) + v_hi * (pos - frn))
+            else:
+                ranks = np.clip(
+                    np.ceil(q * n).astype(np.int64) - 1, 0, n - 1)
+                v = vals[starts + ranks]
             keys_out.append(sizes.index.to_numpy())
             q_out.append(np.full(len(n), q))
-            v_out.append(vals[starts + ranks])
+            v_out.append(v)
         return pd.DataFrame({key: np.concatenate(keys_out),
                              "q": np.concatenate(q_out),
                              "value": np.concatenate(v_out)})

@@ -5937,6 +5937,29 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_MEDIAN = (
+    "SELECT event_type, count(value) AS n, median(value) AS med, "
+    "quantile_cont(value, 0.25) AS p25, "
+    "quantile_cont(value, 0.9) AS p90, "
+    "quantile_disc(value, 0.5) AS d50 "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
+def q_sql_frontend_median(sf_dir: str):
+    """Interpolated quantiles under the gate — median / quantile_cont
+    alongside the element-semantics quantile_disc: one grouped-
+    quantile hash shuffle per column, each bucket resolving all its
+    groups vectorized. The interpolation replays DuckDB's Interpolator
+    op order (lo·(CRN−RN) + hi·(RN−FRN) around RN=(n−1)·q) so the
+    NATIVE aggregate is the oracle and the hash is bit-strict — no
+    sums involved, so this holds for arbitrary doubles, not just
+    integers."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_MEDIAN, {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_GSETS = (
     "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
     "sum(o_custkey) AS ck, min(o_orderkey) AS k_min "
@@ -8196,6 +8219,7 @@ QUERIES = {
     "q_sql_frontend_rollup": q_sql_frontend_rollup,
     "q_sql_frontend_stddev": q_sql_frontend_stddev,
     "q_sql_frontend_corr": q_sql_frontend_corr,
+    "q_sql_frontend_median": q_sql_frontend_median,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8646,6 +8670,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_rollup": SQL_FRONTEND_ROLLUP,
         "q_sql_frontend_stddev": ORACLE_SQL_FRONTEND_STDDEV,
         "q_sql_frontend_corr": ORACLE_SQL_FRONTEND_CORR,
+        "q_sql_frontend_median": SQL_FRONTEND_MEDIAN,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

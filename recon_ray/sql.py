@@ -60,8 +60,9 @@ _AGG_RE = re.compile(
     r"|var_pop|variance)\s*\(\s*(distinct\s+)?(\*|" + _QCOL
     + r")\s*\)$", re.I)
 _QAGG_RE = re.compile(
-    r"^quantile_disc\s*\(\s*(" + _QCOL
-    + r")\s*,\s*(1|1\.0|0|0?\.\d+)\s*\)$", re.I)
+    r"^(quantile_disc|quantile_cont|median)\s*\(\s*(" + _QCOL
+    + r")(?:\s*,\s*(1|1\.0|0|0?\.\d+))?\s*\)$", re.I)
+_Q_AGGS = ("quantile_disc", "quantile_cont")
 _COV_RE = re.compile(
     r"^(corr|covar_samp|covar_pop|regr_slope|regr_intercept|regr_r2)"
     r"\s*\(\s*(" + _QCOL + r")\s*,\s*(" + _QCOL + r")\s*\)$", re.I)
@@ -1462,10 +1463,19 @@ def parse_sql(sql: str) -> dict:
                 "FILTER (WHERE ...) is only supported on plain "
                 "sum/count/avg/min/max aggregates")
         if qm:
-            col = _unqual(qm.group(1), aliases)
+            qfn = qm.group(1).lower()
+            col = _unqual(qm.group(2), aliases)
+            qv = qm.group(3)
+            if qfn == "median":
+                # median(x) IS quantile_cont(x, 0.5) — DuckDB's rule
+                if qv is not None:
+                    raise SqlError("median() takes a single column")
+                qfn, qv = "quantile_cont", 0.5
+            elif qv is None:
+                raise SqlError(f"{qfn}() needs a quantile fraction")
             q["select"].append(
-                {"agg": "quantile_disc", "col": col, "distinct": False,
-                 "qv": float(qm.group(2)),
+                {"agg": qfn, "col": col, "distinct": False,
+                 "qv": float(qv),
                  "alias": alias or f"qd_{col}"})
             continue
         if wm:
@@ -1768,7 +1778,7 @@ def parse_sql(sql: str) -> dict:
         if not q["group_by"]:
             raise SqlError("ROLLUP/CUBE need group columns")
         for it in q["select"]:
-            if (it["agg"] == "quantile_disc"
+            if (it["agg"] in _Q_AGGS
                     or (it["agg"] == "count" and it.get("distinct"))):
                 raise SqlError(
                     "ROLLUP/CUBE work with sum/count/avg/min/max "
@@ -2736,7 +2746,7 @@ def run_sql(sql: str, tables: dict,
         aggs = [it for it in q["select"] if it["agg"]]
         need = sorted({
             a["col"] for a in aggs
-            if a["col"] and a["agg"] != "quantile_disc"
+            if a["col"] and a["agg"] not in _Q_AGGS
             and not (a["agg"] == "count" and a.get("distinct"))
             and not a.get("filter")
         })
@@ -3064,16 +3074,18 @@ def run_sql(sql: str, tables: dict,
                     dcounts[it["alias"]] = dc
                 else:
                     dcounts[it["alias"]] = int(len(dp))
-        # quantile_disc(col, q): exact order statistics aren't
+        # quantile_disc/cont(col, q): exact order statistics aren't
         # combiner-mergeable — one grouped_quantiles shuffle per column
         qframes = {}
         _q_empty = None
         for it in q["select"]:
-            if it["agg"] != "quantile_disc":
+            if it["agg"] not in _Q_AGGS:
                 continue
+            qmode = ("cont" if it["agg"] == "quantile_cont"
+                     else "disc")
             if keys and len(keys) != 1:
                 raise SqlError(
-                    "quantile_disc needs exactly one GROUP BY key here")
+                    f"{it['agg']} needs exactly one GROUP BY key here")
             if _q_empty is None:
                 # runtime emptiness probe, once: the quantile operators
                 # (like Ray itself) lose all columns on empty datasets
@@ -3084,13 +3096,14 @@ def run_sql(sql: str, tables: dict,
                 from recon_ray.functions.sketches import grouped_quantiles
 
                 qd = grouped_quantiles(ds, keys[0], it["col"],
-                                       [it["qv"]])
+                                       [it["qv"]], mode=qmode)
                 qframes[it["alias"]] = qd.rename(
                     columns={"value": "__qv"})[[keys[0], "__qv"]]
             else:
                 from recon_ray.functions.sketches import exact_quantiles
 
-                vs = exact_quantiles(ds, it["col"], [it["qv"]])
+                vs = exact_quantiles(ds, it["col"], [it["qv"]],
+                                     mode=qmode)
                 qframes[it["alias"]] = vs[0] if vs else np.nan
         cols = {}
         for _i, it in enumerate(q["select"]):
@@ -3114,12 +3127,17 @@ def run_sql(sql: str, tables: dict,
                     cols[a] = merged[f"__mn_f{_i}"]
                 else:
                     cols[a] = merged[f"__mx_f{_i}"]
-            elif it["agg"] == "quantile_disc":
+            elif it["agg"] in _Q_AGGS:
                 qf = qframes[a]
                 if keys:
                     if qf is None:
                         cols[a] = np.full(len(merged), np.nan)
                     else:
+                        # an all-NaN key column decays to float64 and
+                        # can't merge against an object-dtype key
+                        qf = qf.copy()
+                        for k_ in keys:
+                            qf[k_] = qf[k_].astype(merged[k_].dtype)
                         j = merged[keys].merge(qf, on=keys, how="left")
                         cols[a] = j["__qv"].to_numpy()
                 else:

@@ -1642,3 +1642,58 @@ def test_cov_parser_rejections():
     with pytest.raises(SqlError):  # FILTER out of scope
         parse_sql("SELECT corr(y, x) FILTER (WHERE y > 0) AS r "
                   "FROM t GROUP BY g")
+
+
+# ---------------------------------------------------------------------------
+# interpolated quantiles: median / quantile_cont — grouped-quantile
+# shuffle with DuckDB's Interpolator op order (lo·(CRN−RN) +
+# hi·(RN−FRN) around RN=(n−1)·q), so the NATIVE aggregate compares
+# bit-exactly (no sums involved — holds for arbitrary doubles).
+# ---------------------------------------------------------------------------
+
+MED_SQL = ("SELECT g, median(v) AS med, quantile_cont(v, 0.25) AS p25, "
+           "quantile_cont(v, 0.9) AS p90, quantile_disc(v, 0.5) AS d50 "
+           "FROM t GROUP BY g")
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_st, st.integers(min_value=1, max_value=4))
+def test_quantile_cont_matches_duckdb_bitexact(rows, parts):
+    df = _mk_df(rows)
+    got, want = _exec_both(MED_SQL, df, parts)
+    key = ["g"]
+    g = got.sort_values(key, na_position="last").reset_index(drop=True)
+    w = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ("med", "p25", "p90", "d50"):
+        assert list(g[c].isna()) == list(w[c].isna()), c
+        # bit-exact, not allclose: the engine replays DuckDB's exact
+        # Interpolator IEEE sequence
+        assert list(g[c].dropna()) == list(w[c].dropna()), c
+
+
+def test_quantile_cont_edges(ray_session):
+    # 1 element (med = the element), 2 elements (midpoint), fractional
+    # doubles, and a global no-group median
+    df = pd.DataFrame({"g": [0, 1, 1, 2, 2, 2],
+                       "v": [7.5, 1.25, 2.0, 10.0, 30.0, 20.0]})
+    got, want = _exec_both(MED_SQL + " ORDER BY g", df, 2)
+    for c in ("med", "p25", "p90", "d50"):
+        assert list(got[c]) == list(want[c]), c
+    assert got.loc[0, "med"] == 7.5
+    assert got.loc[1, "med"] == 1.625
+    assert got.loc[2, "med"] == 20.0
+    g2, w2 = _exec_both(
+        "SELECT median(v) AS med, quantile_cont(v, 0.333) AS px "
+        "FROM t", df, 3)
+    assert g2["med"][0] == w2["med"][0] and g2["px"][0] == w2["px"][0]
+
+
+def test_quantile_cont_rejections():
+    with pytest.raises(SqlError):  # median takes no fraction
+        parse_sql("SELECT median(v, 0.5) AS m FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # quantile_cont needs a fraction
+        parse_sql("SELECT quantile_cont(v) AS m FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # no ROLLUP recomposition
+        parse_sql("SELECT g, median(v) AS m FROM t "
+                  "GROUP BY ROLLUP (g)")
