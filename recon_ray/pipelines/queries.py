@@ -5937,6 +5937,51 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_ARGMAX = (
+    "SELECT event_type, count(*) AS n, "
+    "arg_max(value, ts) AS last_value, "
+    "arg_min(value, ts) AS first_value "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+# arg_max(v, by) = v at the group's max by, over rows where BOTH are
+# non-null; ties on by break to MAX v. DuckDB's native arg_max picks
+# the ARRIVAL-order winner on ties (layout-dependent), so the oracle
+# replays the deterministic rule explicitly: join each group back on
+# its extreme `by`, then take max(v) among the tied rows.
+ORACLE_SQL_FRONTEND_ARGMAX = """
+WITH f AS (
+  SELECT event_type, ts, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+), m AS (
+  SELECT event_type, max(ts) AS mx, min(ts) AS mn
+  FROM f GROUP BY event_type
+), n AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+)
+SELECT n.event_type, n.n,
+  max(CASE WHEN f.ts = m.mx THEN f.value END) AS last_value,
+  max(CASE WHEN f.ts = m.mn THEN f.value END) AS first_value
+FROM n
+LEFT JOIN m ON n.event_type = m.event_type
+LEFT JOIN f ON f.event_type = m.event_type
+GROUP BY n.event_type, n.n ORDER BY n.event_type
+"""
+
+
+def q_sql_frontend_argmax(sf_dir: str):
+    """arg_max / arg_min (max_by / min_by) under the gate: a per-batch
+    argmax combiner slims each batch to one row per group, then ONE
+    bucketed narrow shuffle resolves the global winner vectorized —
+    the value column never rides a full shuffle. Deterministic
+    tie-break (max v at the extreme by) replayed explicitly by the
+    oracle, so the hash is strict where DuckDB's native arg_max would
+    be arrival-order-dependent."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_ARGMAX, {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_MEDIAN = (
     "SELECT event_type, count(value) AS n, median(value) AS med, "
     "quantile_cont(value, 0.25) AS p25, "
@@ -8220,6 +8265,7 @@ QUERIES = {
     "q_sql_frontend_stddev": q_sql_frontend_stddev,
     "q_sql_frontend_corr": q_sql_frontend_corr,
     "q_sql_frontend_median": q_sql_frontend_median,
+    "q_sql_frontend_argmax": q_sql_frontend_argmax,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8671,6 +8717,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_stddev": ORACLE_SQL_FRONTEND_STDDEV,
         "q_sql_frontend_corr": ORACLE_SQL_FRONTEND_CORR,
         "q_sql_frontend_median": SQL_FRONTEND_MEDIAN,
+        "q_sql_frontend_argmax": ORACLE_SQL_FRONTEND_ARGMAX,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -66,6 +66,9 @@ _Q_AGGS = ("quantile_disc", "quantile_cont")
 _COV_RE = re.compile(
     r"^(corr|covar_samp|covar_pop|regr_slope|regr_intercept|regr_r2)"
     r"\s*\(\s*(" + _QCOL + r")\s*,\s*(" + _QCOL + r")\s*\)$", re.I)
+_ARGM_RE = re.compile(
+    r"^(arg_max|arg_min|max_by|min_by)"
+    r"\s*\(\s*(" + _QCOL + r")\s*,\s*(" + _QCOL + r")\s*\)$", re.I)
 _ITEM_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
 _CMP_RE = re.compile(
@@ -810,6 +813,7 @@ _VAR_AGGS = ("stddev_samp", "stddev_pop", "var_samp", "var_pop")
 # sums, so ROLLUP/CUBE recomposition carries them unchanged)
 _COV_AGGS = ("corr", "covar_samp", "covar_pop", "regr_slope",
              "regr_intercept", "regr_r2")
+_ARG_AGGS = ("arg_max", "arg_min")
 _INT_CASTS = {"bigint": "int", "int": "int", "integer": "int",
               "hugeint": "int"}
 _FLOAT_CASTS = {"double": "float", "float": "float", "real": "float"}
@@ -1527,6 +1531,22 @@ def parse_sql(sql: str) -> dict:
                  "distinct": dist, "filter": flt,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
             continue
+        agm = _ARGM_RE.match(expr)
+        if agm:
+            # arg_max(v, by) / max_by(v, by): v at the group's maximum
+            # by, over rows where BOTH are non-null. Ties on by break
+            # to MAX v (deterministic, layout-invariant — DuckDB's
+            # native tie pick is arrival-order, so the oracle replays
+            # this rule explicitly instead)
+            fn = agm.group(1).lower()
+            fn = {"max_by": "arg_max", "min_by": "arg_min"}.get(fn, fn)
+            v = _unqual(agm.group(2), aliases)
+            by = _unqual(agm.group(3), aliases)
+            q["select"].append(
+                {"agg": fn, "col": None, "amspec": (v, by),
+                 "distinct": False, "filter": None,
+                 "alias": alias or f"{fn}_{v}_{by}"})
+            continue
         cvm = _COV_RE.match(expr)
         if cvm:
             # corr(y, x) / covar_* / regr_*: two plain column args,
@@ -1778,12 +1798,13 @@ def parse_sql(sql: str) -> dict:
         if not q["group_by"]:
             raise SqlError("ROLLUP/CUBE need group columns")
         for it in q["select"]:
-            if (it["agg"] in _Q_AGGS
+            if (it["agg"] in _Q_AGGS or it["agg"] in _ARG_AGGS
                     or (it["agg"] == "count" and it.get("distinct"))):
                 raise SqlError(
                     "ROLLUP/CUBE work with sum/count/avg/min/max "
-                    "(partials recompose); exact distinct counts and "
-                    "quantiles don't merge across levels")
+                    "(partials recompose); exact distinct counts, "
+                    "quantiles and arg_max/arg_min don't merge across "
+                    "levels here")
     if m.group("qual"):
         if not has_win:
             raise SqlError("QUALIFY requires window functions")
@@ -2253,6 +2274,8 @@ def run_sql(sql: str, tables: dict,
             _expr_cols(it["expr"], _refcols)
         if it.get("pair"):
             _refcols.update(it["pair"])
+        if it.get("amspec"):
+            _refcols.update(it["amspec"])
         if it.get("datefn"):
             _refcols.add(it["datefn"][1])
         if it.get("strfn"):
@@ -3074,6 +3097,51 @@ def run_sql(sql: str, tables: dict,
                     dcounts[it["alias"]] = dc
                 else:
                     dcounts[it["alias"]] = int(len(dp))
+        # arg_max/arg_min(v, by): the winner row isn't a sum — a
+        # per-batch argmax combiner slims each batch to ≤1 row per
+        # group, then one bucketed narrow shuffle resolves the global
+        # winner vectorized (ties on by break to MAX v, deterministic)
+        aframes = {}
+        for it in q["select"]:
+            if it["agg"] not in _ARG_AGGS:
+                continue
+            v_c, by_c = it["amspec"]
+            asc_by = it["agg"] == "arg_min"
+            sel = list(dict.fromkeys((keys or []) + [v_c, by_c]))
+
+            def _am_red(b, v_c=v_c, by_c=by_c, asc_by=asc_by):
+                b = b[b[v_c].notna() & b[by_c].notna()]
+                if b.empty:
+                    return b
+                b = b.sort_values([by_c, v_c],
+                                  ascending=[asc_by, False],
+                                  kind="mergesort")
+                if keys:
+                    return b.groupby(keys, dropna=False).head(1)
+                return b.head(1)
+
+            if ds is None:
+                aframes[it["alias"]] = (None, v_c)
+                continue
+            slim = ds.select_columns(sel).map_batches(
+                _am_red, batch_format="pandas")
+            if keys:
+                from recon_ray.functions.relational import (
+                    bucketed_group_apply,
+                )
+
+                red = bucketed_group_apply(slim, keys, _am_red)
+                rp = red.to_pandas()
+                aframes[it["alias"]] = (None if rp.empty else rp, v_c)
+            else:
+                tp = slim.to_pandas()
+                if tp.empty or v_c not in tp.columns:
+                    # Ray drops all columns on empty datasets
+                    aframes[it["alias"]] = (None, v_c)
+                else:
+                    rp = _am_red(tp)
+                    aframes[it["alias"]] = (
+                        (None if rp.empty else rp[v_c].iloc[0]), v_c)
         # quantile_disc/cont(col, q): exact order statistics aren't
         # combiner-mergeable — one grouped_quantiles shuffle per column
         qframes = {}
@@ -3127,6 +3195,20 @@ def run_sql(sql: str, tables: dict,
                     cols[a] = merged[f"__mn_f{_i}"]
                 else:
                     cols[a] = merged[f"__mx_f{_i}"]
+            elif it["agg"] in _ARG_AGGS:
+                af, v_c = aframes[a]
+                if keys:
+                    if af is None:
+                        cols[a] = np.full(len(merged), np.nan)
+                    else:
+                        af = af[keys + [v_c]].copy()
+                        af.columns = keys + ["__am"]
+                        for k_ in keys:
+                            af[k_] = af[k_].astype(merged[k_].dtype)
+                        j = merged[keys].merge(af, on=keys, how="left")
+                        cols[a] = j["__am"].to_numpy()
+                else:
+                    cols[a] = pd.Series([np.nan if af is None else af])
             elif it["agg"] in _Q_AGGS:
                 qf = qframes[a]
                 if keys:
@@ -3483,6 +3565,8 @@ def explain_sql(sql: str, tables: dict = None,
             f = " FILTERED" if a.get("filter") is not None else ""
             if a.get("pair"):
                 arg = f"{a['pair'][0]}, {a['pair'][1]}"
+            elif a.get("amspec"):
+                arg = f"{a['amspec'][0]}, {a['amspec'][1]}"
             else:
                 arg = (_fmt_expr(a["expr"]) if a.get("expr")
                        else (a["col"] or "*"))

@@ -1697,3 +1697,66 @@ def test_quantile_cont_rejections():
     with pytest.raises(SqlError):  # no ROLLUP recomposition
         parse_sql("SELECT g, median(v) AS m FROM t "
                   "GROUP BY ROLLUP (g)")
+
+
+# ---------------------------------------------------------------------------
+# arg_max / arg_min (max_by / min_by): per-batch argmax combiner + one
+# bucketed narrow shuffle. Ties on `by` break to MAX v (deterministic,
+# layout-invariant); DuckDB's native tie pick is arrival-order, so the
+# fuzz uses tie-free `by` draws (a permutation).
+# ---------------------------------------------------------------------------
+
+ARGM_SQL = ("SELECT g, arg_max(v, b) AS am, arg_min(v, b) AS an, "
+            "max_by(s, b) AS sm, min_by(s, b) AS sn "
+            "FROM t GROUP BY g")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(5, 60), st.integers(0, 4),
+       st.integers(min_value=1, max_value=4))
+def test_arg_aggregates_match_duckdb(n, nulls, parts):
+    rng = np.random.default_rng(n * 31 + nulls)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, n),
+        "b": rng.permutation(n).astype("float64"),  # tie-free
+        "v": rng.integers(-50, 50, n).astype("float64"),
+        "s": pd.Series([f"s{i}" for i in rng.integers(0, 20, n)],
+                       dtype=object)})
+    for c in ("b", "v"):
+        idx = rng.choice(n, min(nulls, n), replace=False)
+        df.loc[idx, c] = np.nan
+    got, want = _exec_both(ARGM_SQL, df, parts)
+    g = got.sort_values("g").reset_index(drop=True)
+    w = want.sort_values("g").reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ("am", "an", "sm", "sn"):
+        assert list(g[c].isna()) == list(w[c].isna()), c
+        assert list(g[c].dropna()) == list(w[c].dropna()), c
+
+
+def test_arg_aggregates_ties_and_edges(ray_session):
+    # constant by → max v wins for BOTH arg_max and arg_min; a group
+    # whose rows are all NULL-by yields NULL; global form; empty input
+    df = pd.DataFrame({
+        "g": [0, 0, 0, 1, 1, 2],
+        "b": [1.0, 1.0, 1.0, 5.0, np.nan, np.nan],
+        "v": [5.0, 9.0, 7.0, 4.0, 8.0, 3.0]})
+    t = rd.from_pandas(df).repartition(3)
+    got = run_sql("SELECT g, arg_max(v, b) AS am, arg_min(v, b) AS an "
+                  "FROM t GROUP BY g ORDER BY g", {"t": t})
+    assert got["am"].tolist()[:2] == [9.0, 4.0]
+    assert got["an"].tolist()[:2] == [9.0, 4.0]
+    assert np.isnan(got.loc[2, "am"]) and np.isnan(got.loc[2, "an"])
+    g2 = run_sql("SELECT arg_max(v, b) AS am FROM t", {"t": t})
+    assert g2["am"][0] == 4.0  # global max b is 5.0 → its v
+    g3 = run_sql("SELECT arg_max(v, b) AS am FROM t WHERE v < -99",
+                 {"t": t})
+    assert len(g3) == 1 and np.isnan(g3["am"][0])
+
+
+def test_arg_aggregates_rejections():
+    with pytest.raises(SqlError):  # one arg
+        parse_sql("SELECT arg_max(v) AS a FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # no ROLLUP recomposition
+        parse_sql("SELECT g, arg_max(v, b) AS a FROM t "
+                  "GROUP BY ROLLUP (g)")
