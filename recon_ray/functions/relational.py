@@ -605,7 +605,8 @@ def window_over(
              "rolling_max"}
     for kind, _col, _out in specs:
         # bounded-frame kinds carry the frame length in the kind string:
-        # "rolling_sum:3" = ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        # "rolling_sum:3" = ROWS BETWEEN 2 PRECEDING AND CURRENT ROW;
+        # "lag:2" / "lead:2" = SQL's offset argument (default 1)
         base = kind.split(":", 1)[0]
         if base not in kinds:
             raise ValueError(f"unknown window kind {kind!r}")
@@ -616,6 +617,13 @@ def window_over(
             raise ValueError(
                 f"{base} needs a positive frame length, e.g. '{base}:3'"
             )
+        if base in ("lag", "lead") and ":" in kind and (
+            not kind.split(":", 1)[1].isdigit()
+            or int(kind.split(":", 1)[1]) < 1
+        ):
+            raise ValueError(
+                f"{base} offset must be a positive integer, e.g. "
+                f"'{base}:2'")
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         # ascending=False flips the ORDER BY direction (DESC); NaN
@@ -679,10 +687,11 @@ def window_over(
                     out[name] = grp[col].cummin()
                 else:
                     out[name] = grp[col].cummax()
-            elif kind == "lag":
-                out[name] = grp[col].shift(1)
-            elif kind == "lead":
-                out[name] = grp[col].shift(-1)
+            elif kind.split(":", 1)[0] in ("lag", "lead"):
+                base_k, _, off_s = kind.partition(":")
+                off = int(off_s) if off_s else 1
+                out[name] = grp[col].shift(
+                    off if base_k == "lag" else -off)
             elif kind == "ffill":
                 # LOCF: last non-NULL value up to the current row — SQL's
                 # last_value(col IGNORE NULLS) OVER (... ROWS UNBOUNDED

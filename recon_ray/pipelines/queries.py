@@ -5937,6 +5937,37 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_WINFRAME = (
+    "SELECT o_custkey, o_orderkey, "
+    "min(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS low_5, "
+    "max(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS high_5, "
+    "lag(o_totalprice, 2) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS prev2 "
+    "FROM orders ORDER BY o_custkey, o_orderkey"
+)
+
+
+def q_sql_frontend_winframe(sf_dir: str):
+    """Bounded window frames + offset lag under the gate — ROWS
+    BETWEEN k PRECEDING AND CURRENT ROW compiles to the rolling window
+    kinds and lag(col, n) to an offset shift, both riding the ONE
+    bucketed window shuffle. Multi-column ORDER BY (orderdate,
+    orderkey) gives a TOTAL order (orderkey is unique), and rolling
+    min/max/lag are element picks — no accumulation — so the hash is
+    strict on the double column. (The integral-sum rolling frames are
+    pinned by the engine-level window fuzz; the synthetic lineitem
+    has duplicate (orderkey, linenumber) pairs per supplier, so it
+    offers no total order for a hash-strict SQL frame query.)"""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_WINFRAME,
+                   {"orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_ARGMAX = (
     "SELECT event_type, count(*) AS n, "
     "arg_max(value, ts) AS last_value, "
@@ -8266,6 +8297,7 @@ QUERIES = {
     "q_sql_frontend_corr": q_sql_frontend_corr,
     "q_sql_frontend_median": q_sql_frontend_median,
     "q_sql_frontend_argmax": q_sql_frontend_argmax,
+    "q_sql_frontend_winframe": q_sql_frontend_winframe,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8718,6 +8750,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_corr": ORACLE_SQL_FRONTEND_CORR,
         "q_sql_frontend_median": SQL_FRONTEND_MEDIAN,
         "q_sql_frontend_argmax": ORACLE_SQL_FRONTEND_ARGMAX,
+        "q_sql_frontend_winframe": SQL_FRONTEND_WINFRAME,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -98,7 +98,9 @@ _WIN_RE = re.compile(
     r"|max|lag|lead|first_value|ntile)\s*\(\s*(?P<arg>[^()]*?)\s*\)"
     r"\s+over\s+\(\s*partition\s+by\s+(?P<part>" + _QCOL + r")"
     r"\s+order\s+by\s+(?P<ord>" + _QCOL
-    + r")(?:\s+(?P<dir>asc|desc))?\s*\)$",
+    + r"(?:\s*,\s*" + _QCOL + r")*)(?:\s+(?P<dir>asc|desc))?"
+    r"(?:\s+rows\s+between\s+(?P<prec>\d+|unbounded)\s+preceding"
+    r"\s+and\s+current\s+row)?\s*\)$",
     re.I)
 _WIN_NOARG = {"row_number", "rank", "dense_rank", "percent_rank",
               "cume_dist"}
@@ -1485,6 +1487,11 @@ def parse_sql(sql: str) -> dict:
         if wm:
             fn = wm.group("fn").lower()
             arg = wm.group("arg").strip()
+            prec = wm.group("prec")
+            if prec is not None and fn not in ("sum", "min", "max"):
+                raise SqlError(
+                    "ROWS BETWEEN frames are only supported on "
+                    "sum/min/max windows")
             if fn in _WIN_NOARG:
                 if arg:
                     raise SqlError(f"{fn}() takes no argument")
@@ -1493,10 +1500,24 @@ def parse_sql(sql: str) -> dict:
                 if not re.match(r"^\d+$", arg) or int(arg) < 1:
                     raise SqlError("ntile needs a positive integer")
                 kind, col = "ntile", arg
+            elif fn in ("lag", "lead"):
+                # lag(col[, offset]) — SQL's offset argument, default 1
+                lm = re.match(
+                    r"^(" + _QCOL + r")(?:\s*,\s*(\d+))?$", arg)
+                if not lm or (lm.group(2) and int(lm.group(2)) < 1):
+                    raise SqlError(f"bad window argument: {arg!r}")
+                col = _unqual(lm.group(1), aliases)
+                off = int(lm.group(2)) if lm.group(2) else 1
+                kind = fn if off == 1 else f"{fn}:{off}"
             else:
                 if not re.match(r"^" + _QCOL + r"$", arg):
                     raise SqlError(f"bad window argument: {arg!r}")
                 kind, col = _WIN_KINDS[fn], _unqual(arg, aliases)
+            if prec is not None and prec.lower() != "unbounded":
+                # bounded frame: ROWS BETWEEN k PRECEDING AND CURRENT
+                # ROW → the rolling kinds (frame length k+1); an
+                # UNBOUNDED frame IS the running default
+                kind = f"rolling_{fn}:{int(prec) + 1}"
             if not alias:
                 raise SqlError(
                     f"window select items need an AS alias: {item!r}")
@@ -1505,7 +1526,9 @@ def parse_sql(sql: str) -> dict:
                  "alias": alias,
                  "win": {"kind": kind, "col": col,
                          "part": _unqual(wm.group("part"), aliases),
-                         "order": _unqual(wm.group("ord"), aliases),
+                         "order": tuple(
+                             _unqual(c.strip(), aliases)
+                             for c in wm.group("ord").split(",")),
                          "asc": (wm.group("dir") or "asc").lower()
                          != "desc"}})
             continue
@@ -2296,7 +2319,8 @@ def run_sql(sql: str, tables: dict,
                    | _refcols
                    | set(q["group_by"])
                    | {w for it in q["select"] if it.get("win")
-                      for w in (it["win"]["part"], it["win"]["order"])}
+                      for w in (it["win"]["part"],
+                                *it["win"]["order"])}
                    | {it["win"]["col"] for it in q["select"]
                       if it.get("win") and it["win"]["col"]
                       and it["win"]["kind"] != "ntile"}
@@ -2744,7 +2768,7 @@ def run_sql(sql: str, tables: dict,
                     (w["part"], w["order"], w["asc"]), []).append(
                     (w["kind"], w["col"], it["alias"]))
             for (p, o, asc), specs in wgroups.items():
-                ds = window_over(ds, p, o, specs, ascending=asc)
+                ds = window_over(ds, p, list(o), specs, ascending=asc)
             if q.get("qualify") is not None:
                 # QUALIFY: filter on the window OUTPUT columns — stays
                 # a distributed pyarrow mask (grouped top-k without a
@@ -3552,7 +3576,8 @@ def explain_sql(sql: str, tables: dict = None,
         for (part, order, asc), ks in pairs.items():
             d = "" if asc else " DESC"
             lines.append(
-                f"Window [PARTITION BY {part} ORDER BY {order}{d}: "
+                f"Window [PARTITION BY {part} ORDER BY "
+                f"{', '.join(order)}{d}: "
                 f"{', '.join(ks)}; ONE bucketed hash shuffle]")
         if q.get("qualify") is not None:
             lines.append(

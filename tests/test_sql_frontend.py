@@ -1760,3 +1760,50 @@ def test_arg_aggregates_rejections():
     with pytest.raises(SqlError):  # no ROLLUP recomposition
         parse_sql("SELECT g, arg_max(v, b) AS a FROM t "
                   "GROUP BY ROLLUP (g)")
+
+
+# ---------------------------------------------------------------------------
+# window frames + offsets through the SQL grammar: ROWS BETWEEN k
+# PRECEDING AND CURRENT ROW (→ rolling kinds), UNBOUNDED PRECEDING (→
+# the running default), lag/lead(col, n), multi-column ORDER BY.
+# ---------------------------------------------------------------------------
+
+FRAME_SQL = (
+    "SELECT id, "
+    "sum(v) OVER (PARTITION BY g ORDER BY k, id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS r3, "
+    "min(v) OVER (PARTITION BY g ORDER BY k, id "
+    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m2, "
+    "sum(v) OVER (PARTITION BY g ORDER BY k, id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, "
+    "lag(v, 2) OVER (PARTITION BY g ORDER BY k, id) AS l2, "
+    "lead(v, 3) OVER (PARTITION BY g ORDER BY k, id) AS d3 "
+    "FROM t ORDER BY id")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5),
+                          st.integers(-30, 30)),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=4))
+def test_sql_window_frames_match_duckdb(rows, parts):
+    df = pd.DataFrame(rows, columns=["g", "k", "v"])
+    df["id"] = np.arange(len(df), dtype=np.int64)  # unique tie-break
+    got, want = _exec_both(FRAME_SQL, df, parts)
+    for c in ("r3", "m2", "rs", "l2", "d3"):
+        a = got[c].to_numpy("float64")
+        b = want[c].to_numpy("float64")
+        assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c
+
+
+def test_sql_window_frame_rejections():
+    with pytest.raises(SqlError):  # frames only on sum/min/max
+        parse_sql("SELECT row_number() OVER (PARTITION BY g ORDER BY k "
+                  "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS r "
+                  "FROM t")
+    with pytest.raises(SqlError):  # lag offset must be positive
+        parse_sql("SELECT lag(v, 0) OVER (PARTITION BY g ORDER BY k) "
+                  "AS r FROM t")
+    with pytest.raises(SqlError):  # FOLLOWING frames out of scope
+        parse_sql("SELECT sum(v) OVER (PARTITION BY g ORDER BY k ROWS "
+                  "BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS r FROM t")
