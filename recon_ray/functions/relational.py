@@ -1580,10 +1580,13 @@ def group_concat(
     distinct: bool = False,
     alias: str = "concat",
     n_buckets: int = N_HASH_BUCKETS,
+    ascending: bool = True,
 ):
-    """SQL ``string_agg(col, sep ORDER BY col)`` per group (GROUP_CONCAT).
-    Elements are joined in ascending ``col`` order — the only ordering
-    that is layout-invariant without a secondary sort key.
+    """SQL ``string_agg(col, sep ORDER BY col [DESC])`` per group
+    (GROUP_CONCAT). Elements are joined in ``col`` order — the only
+    ordering that is layout-invariant without a secondary sort key.
+    NULL elements are skipped (SQL aggregate semantics); a group whose
+    values are all NULL drops from the output.
 
     Combiner shape: project to (key, col) first, and when ``distinct``
     drop per-batch duplicates BEFORE the shuffle (a hot group whose
@@ -1595,7 +1598,7 @@ def group_concat(
     keys_ = [key] if isinstance(key, str) else list(key)
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[keys_ + [col]]
+        b = b[keys_ + [col]].dropna(subset=[col])
         return b.drop_duplicates() if distinct else b
 
     slim = ds.map_batches(pre, batch_format="pandas")
@@ -1603,9 +1606,12 @@ def group_concat(
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         if distinct:
             g = g.drop_duplicates()
-        g = g.sort_values(keys_ + [col], kind="mergesort")
+        g = g.sort_values(
+            keys_ + [col],
+            ascending=[True] * len(keys_) + [bool(ascending)],
+            kind="mergesort")
         return (
-            g.groupby(keys_, sort=False)[col]
+            g.groupby(keys_, sort=False, dropna=False)[col]
             .agg(sep.join)
             .rename(alias)
             .reset_index()

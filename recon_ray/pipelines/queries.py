@@ -5937,6 +5937,26 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_STRAGG = (
+    "SELECT n_regionkey, count(*) AS n, "
+    "string_agg(n_name, ', ' ORDER BY n_name) AS nations, "
+    "string_agg(DISTINCT n_name, '|' ORDER BY n_name DESC) AS rev "
+    "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+)
+
+
+def q_sql_frontend_stragg(sf_dir: str):
+    """string_agg under the gate — ordered concatenation isn't a
+    mergeable partial, so each aggregate rides ONE group_concat narrow
+    shuffle (per-batch distinct combiner when DISTINCT, per-bucket
+    mergesort + C-level join); ORDER BY the aggregated column itself
+    keeps the element order layout-invariant. DuckDB runs the
+    identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_STRAGG, {"nation": _t(sf_dir, "nation")})
+
+
 SQL_FRONTEND_WINFRAME = (
     "SELECT o_custkey, o_orderkey, "
     "min(o_totalprice) OVER (PARTITION BY o_custkey "
@@ -8298,6 +8318,7 @@ QUERIES = {
     "q_sql_frontend_median": q_sql_frontend_median,
     "q_sql_frontend_argmax": q_sql_frontend_argmax,
     "q_sql_frontend_winframe": q_sql_frontend_winframe,
+    "q_sql_frontend_stragg": q_sql_frontend_stragg,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8751,6 +8772,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_median": SQL_FRONTEND_MEDIAN,
         "q_sql_frontend_argmax": ORACLE_SQL_FRONTEND_ARGMAX,
         "q_sql_frontend_winframe": SQL_FRONTEND_WINFRAME,
+        "q_sql_frontend_stragg": SQL_FRONTEND_STRAGG,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

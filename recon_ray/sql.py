@@ -69,6 +69,10 @@ _COV_RE = re.compile(
 _ARGM_RE = re.compile(
     r"^(arg_max|arg_min|max_by|min_by)"
     r"\s*\(\s*(" + _QCOL + r")\s*,\s*(" + _QCOL + r")\s*\)$", re.I)
+_SAGG_RE = re.compile(
+    r"^string_agg\s*\(\s*(distinct\s+)?(" + _QCOL + r")\s*,\s*"
+    r"('(?:[^']|'')*')\s+order\s+by\s+(" + _QCOL
+    + r")(?:\s+(asc|desc))?\s*\)$", re.I)
 _ITEM_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S)
 _CMP_RE = re.compile(
@@ -1554,6 +1558,26 @@ def parse_sql(sql: str) -> dict:
                  "distinct": dist, "filter": flt,
                  "alias": alias or f"{fn}_{'star' if col == '*' else col}"})
             continue
+        sgm = _SAGG_RE.match(expr)
+        if sgm:
+            # string_agg([DISTINCT] col, 'sep' ORDER BY col [DESC]):
+            # the ORDER BY must be the aggregated column itself — the
+            # only layout-invariant element order without a secondary
+            # sort key riding the shuffle
+            col = _unqual(sgm.group(2), aliases)
+            ocol = _unqual(sgm.group(4), aliases)
+            if ocol != col:
+                raise SqlError(
+                    "string_agg ORDER BY must be the aggregated "
+                    "column itself (layout-invariant element order)")
+            sep = sgm.group(3)[1:-1].replace("''", "'")
+            q["select"].append(
+                {"agg": "string_agg", "col": col,
+                 "distinct": bool(sgm.group(1)), "filter": None,
+                 "sasep": sep,
+                 "saasc": (sgm.group(5) or "asc").lower() != "desc",
+                 "alias": alias or f"string_agg_{col}"})
+            continue
         agm = _ARGM_RE.match(expr)
         if agm:
             # arg_max(v, by) / max_by(v, by): v at the group's maximum
@@ -1822,12 +1846,13 @@ def parse_sql(sql: str) -> dict:
             raise SqlError("ROLLUP/CUBE need group columns")
         for it in q["select"]:
             if (it["agg"] in _Q_AGGS or it["agg"] in _ARG_AGGS
+                    or it["agg"] == "string_agg"
                     or (it["agg"] == "count" and it.get("distinct"))):
                 raise SqlError(
                     "ROLLUP/CUBE work with sum/count/avg/min/max "
                     "(partials recompose); exact distinct counts, "
-                    "quantiles and arg_max/arg_min don't merge across "
-                    "levels here")
+                    "quantiles, string_agg and arg_max/arg_min don't "
+                    "merge across levels here")
     if m.group("qual"):
         if not has_win:
             raise SqlError("QUALIFY requires window functions")
@@ -2794,6 +2819,7 @@ def run_sql(sql: str, tables: dict,
         need = sorted({
             a["col"] for a in aggs
             if a["col"] and a["agg"] not in _Q_AGGS
+            and a["agg"] != "string_agg"
             and not (a["agg"] == "count" and a.get("distinct"))
             and not a.get("filter")
         })
@@ -3121,6 +3147,40 @@ def run_sql(sql: str, tables: dict,
                     dcounts[it["alias"]] = dc
                 else:
                     dcounts[it["alias"]] = int(len(dp))
+        # string_agg(col, 'sep' ORDER BY col): ordered concatenation
+        # isn't a mergeable partial — one group_concat narrow shuffle
+        # per aggregate (per-batch distinct combiner when DISTINCT)
+        sframes = {}
+        for it in q["select"]:
+            if it["agg"] != "string_agg":
+                continue
+            c = it["col"]
+            if ds is None:
+                sframes[it["alias"]] = None
+            elif keys:
+                from recon_ray.functions.relational import group_concat
+
+                gc = group_concat(
+                    ds.select_columns(
+                        list(dict.fromkeys(keys + [c]))),
+                    keys, c, sep=it["sasep"],
+                    distinct=it["distinct"], alias="__sa",
+                    ascending=it["saasc"]).to_pandas()
+                sframes[it["alias"]] = None if gc.empty else gc
+            else:
+                vp = ds.select_columns([c]).map_batches(
+                    lambda b, c=c: (
+                        b.dropna(subset=[c]).drop_duplicates()
+                        if it["distinct"] else b.dropna(subset=[c])),
+                    batch_format="pandas").to_pandas()
+                if vp.empty or c not in vp.columns:
+                    sframes[it["alias"]] = None
+                else:
+                    vals = vp[c]
+                    if it["distinct"]:
+                        vals = vals.drop_duplicates()
+                    vals = vals.sort_values(ascending=it["saasc"])
+                    sframes[it["alias"]] = it["sasep"].join(vals)
         # arg_max/arg_min(v, by): the winner row isn't a sum — a
         # per-batch argmax combiner slims each batch to ≤1 row per
         # group, then one bucketed narrow shuffle resolves the global
@@ -3219,6 +3279,20 @@ def run_sql(sql: str, tables: dict,
                     cols[a] = merged[f"__mn_f{_i}"]
                 else:
                     cols[a] = merged[f"__mx_f{_i}"]
+            elif it["agg"] == "string_agg":
+                sf = sframes[a]
+                if keys:
+                    if sf is None:
+                        cols[a] = np.full(len(merged), np.nan)
+                    else:
+                        sf = sf.copy()
+                        for k_ in keys:
+                            sf[k_] = sf[k_].astype(merged[k_].dtype)
+                        j = merged[keys].merge(sf, on=keys, how="left")
+                        cols[a] = j["__sa"].to_numpy()
+                else:
+                    cols[a] = pd.Series(
+                        [np.nan if sf is None else sf])
             elif it["agg"] in _ARG_AGGS:
                 af, v_c = aframes[a]
                 if keys:

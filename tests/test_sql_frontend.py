@@ -1807,3 +1807,49 @@ def test_sql_window_frame_rejections():
     with pytest.raises(SqlError):  # FOLLOWING frames out of scope
         parse_sql("SELECT sum(v) OVER (PARTITION BY g ORDER BY k ROWS "
                   "BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS r FROM t")
+
+
+# ---------------------------------------------------------------------------
+# string_agg([DISTINCT] col, 'sep' ORDER BY col [DESC]): one
+# group_concat narrow shuffle per aggregate; element order is the
+# aggregated column itself (layout-invariant), NULLs skipped, NULL
+# group keys form their own group.
+# ---------------------------------------------------------------------------
+
+SAGG_SQL = ("SELECT g, count(*) AS n, "
+            "string_agg(s, ',' ORDER BY s) AS cat, "
+            "string_agg(DISTINCT s, '|' ORDER BY s DESC) AS dcat "
+            "FROM t GROUP BY g")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["x", "y", None]),
+                          st.sampled_from(["a", "b", "c", "''q", None])),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=4))
+def test_string_agg_matches_duckdb(rows, parts):
+    df = pd.DataFrame(
+        {"g": pd.Series([r[0] for r in rows], dtype=object),
+         "s": pd.Series([r[1] for r in rows], dtype=object)})
+    got, want = _exec_both(SAGG_SQL, df, parts)
+    _cmp_sorted(got, want)
+
+
+def test_string_agg_global_and_rejections(ray_session):
+    df = pd.DataFrame({"g": ["a", "a"], "s": ["m", "k"],
+                       "v": [1.0, 2.0]})
+    t = rd.from_pandas(df).repartition(2)
+    g = run_sql("SELECT string_agg(s, '+' ORDER BY s) AS cat FROM t",
+                {"t": t})
+    assert g["cat"][0] == "k+m"
+    g2 = run_sql("SELECT string_agg(s, '+' ORDER BY s) AS cat FROM t "
+                 "WHERE v > 9", {"t": t})
+    assert len(g2) == 1 and pd.isna(g2["cat"][0])
+    with pytest.raises(SqlError):  # ORDER BY another column
+        parse_sql("SELECT string_agg(s, ',' ORDER BY v) AS c "
+                  "FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # ORDER BY required
+        parse_sql("SELECT string_agg(s, ',') AS c FROM t GROUP BY g")
+    with pytest.raises(SqlError):  # no ROLLUP recomposition
+        parse_sql("SELECT g, string_agg(s, ',' ORDER BY s) AS c "
+                  "FROM t GROUP BY ROLLUP (g)")
