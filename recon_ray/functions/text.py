@@ -626,3 +626,81 @@ def bm25_search(docs_ds, query_terms, k: int = 10, k1: float = 1.2,
         parts.sort_values(["score", id_col], ascending=[False, True])
         .head(k).reset_index(drop=True)
     )
+
+
+_CHUNK_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def chunk_documents(ds, size: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into overlapping whitespace-token windows — the
+    standard retrieval / training-prep chunker (the inverse concern of
+    ``pack.py``'s sequence packing, which CONCATENATES short docs).
+
+    Chunk c of a T-token document covers tokens [c·stride, c·stride +
+    size); the chunk count is 1 when T ≤ size, else
+    ceil((T − size)/stride) + 1 — every token is covered and the last
+    window ends exactly at T. Whitespace-only / empty docs emit no
+    chunks. Token text is re-joined with single spaces (normalized-join
+    chunking), so the output is layout- and whitespace-run-invariant.
+
+    Pure map stage — NO shuffle: each batch explodes its own tokens
+    (replication factor ≤ ceil(size/stride)), assigns chunk ids with
+    integer index arithmetic, and joins per chunk via one C-level
+    ``' '.join`` per OUTPUT chunk. The tokenizer class [ \\t\\n\\r\\f\\v]
+    matches RE2's ``\\s``, so a DuckDB oracle reproduces chunks
+    byte-for-byte (query ``doc_chunks``).
+
+    Returns a Dataset with (id_col, chunk_idx, n_tokens, chunk_text)."""
+    if not (1 <= stride <= size):
+        raise ValueError("need 1 <= stride <= size")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [
+            [t for t in _CHUNK_WS.split(s) if t]
+            if isinstance(s, str) else []
+            for s in b[text_col]
+        ]
+        n_tok = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                            count=len(tok_lists))
+        keep = n_tok > 0
+        if not keep.any():
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=b[id_col].dtype),
+                "chunk_idx": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "chunk_text": pd.Series(dtype=object)})
+        ids = b[id_col].to_numpy()[keep]
+        toks = [t for t in tok_lists if t]
+        T = n_tok[keep]
+        # chunk count per doc: 1 if T <= size else ceil((T-size)/stride)+1
+        C = np.where(T <= size, 1, (T - size + stride - 1) // stride + 1)
+        # explode tokens with per-doc positions
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_of = np.repeat(np.arange(len(T)), T)
+        pos = np.arange(len(flat)) - np.repeat(
+            np.concatenate([[0], np.cumsum(T)[:-1]]), T)
+        # token at pos p rides chunks c in [max(0,(p-size)//stride+1),
+        # min(C-1, p//stride)] — replication ≤ ceil(size/stride)
+        c_min = np.maximum(0, (pos - size) // stride + 1)
+        c_max = np.minimum(C[doc_of] - 1, pos // stride)
+        rep = (c_max - c_min + 1).astype(np.int64)
+        r_doc = np.repeat(doc_of, rep)
+        r_tok = np.repeat(flat, rep)
+        r_pos = np.repeat(pos, rep)
+        # intra-run arange: global arange minus each run's start
+        ga = np.arange(rep.sum())
+        run_start = np.repeat(np.cumsum(rep) - rep, rep)
+        r_chunk = np.repeat(c_min, rep) + (ga - run_start)
+        out = pd.DataFrame({
+            "__d": r_doc, "chunk_idx": r_chunk, "__p": r_pos,
+            "__t": r_tok})
+        out = out.sort_values(["__d", "chunk_idx", "__p"],
+                              kind="mergesort")
+        g = out.groupby(["__d", "chunk_idx"], sort=False)
+        res = g["__t"].agg(" ".join).rename("chunk_text").reset_index()
+        res["n_tokens"] = g.size().to_numpy()
+        res[id_col] = ids[res["__d"].to_numpy()]
+        return res[[id_col, "chunk_idx", "n_tokens", "chunk_text"]]
+
+    return ds.map_batches(fn, batch_format="pandas")

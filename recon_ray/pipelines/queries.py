@@ -1978,6 +1978,52 @@ def kg_calls_2hop(sf_dir: str):
 # documents-table queries (text analysis + dedup)
 # ---------------------------------------------------------------------------
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 48, 32
+
+# replays chunk_documents exactly: RE2 \s-class tokenization with
+# empties dropped, chunk count 1 if T<=size else ceil((T-size)/stride)
+# + 1, window [c·stride, c·stride+size), single-space re-join
+ORACLE_DOC_TOKEN_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         generate_subscripts(l, 1)::BIGINT AS i
+  FROM (SELECT doc_id,
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                    x -> x <> '') AS l FROM documents)
+), cnt AS (
+  SELECT doc_id, count(*) AS t FROM toks GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, unnest(generate_series(1,
+    CASE WHEN t <= {_CHUNK_SIZE} THEN 1
+         ELSE (t - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+              // {_CHUNK_STRIDE} + 1 END))::BIGINT - 1 AS chunk_idx
+  FROM cnt
+)
+SELECT ch.doc_id, ch.chunk_idx, count(*) AS n_tokens,
+  string_agg(tk.tok, ' ' ORDER BY tk.i) AS chunk_text
+FROM chunks ch JOIN toks tk ON tk.doc_id = ch.doc_id
+ AND tk.i > ch.chunk_idx * {_CHUNK_STRIDE}
+ AND tk.i <= ch.chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}
+GROUP BY ch.doc_id, ch.chunk_idx
+ORDER BY ch.doc_id, ch.chunk_idx
+"""
+
+
+def doc_token_chunks(sf_dir: str):
+    """Overlapping token-window chunking (RAG / training prep — the
+    splitting counterpart of sequence packing): pure map stage, NO
+    shuffle — each batch explodes its tokens (replication ≤
+    ceil(size/stride)), assigns chunk ids by integer index arithmetic,
+    and joins per OUTPUT chunk at C level. Byte-exact vs a DuckDB
+    oracle replaying the tokenizer class, the window rule and the
+    single-space re-join."""
+    from recon_ray.functions.text import chunk_documents
+
+    ds = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = chunk_documents(ds, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+    return out.to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+
 
 def doc_token_counts(sf_dir: str):
     out = (
@@ -8421,6 +8467,7 @@ QUERIES = {
     "doc_bpe_trained_tokens": doc_bpe_trained_tokens,
     "doc_lm_score": doc_lm_score,
     "doc_normalize": doc_normalize,
+    "doc_token_chunks": doc_token_chunks,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -8812,6 +8859,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_user_streaks": ORACLE_EVENTS_USER_STREAKS,
         "q_events_pseudonymize": _pseudonymize_oracle_sql(),
         "doc_normalize": ORACLE_DOC_NORMALIZE,
+        "doc_token_chunks": ORACLE_DOC_TOKEN_CHUNKS,
         "doc_media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,
         "media_video_luma": ORACLE_MEDIA_VIDEO_LUMA,

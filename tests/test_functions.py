@@ -1817,3 +1817,64 @@ def test_ivf_index_persistence_round_trip(tmp_path, ray_session):
     again = knn_ivf(ds, q, k=5, n_cells=8, nprobe=3, sample_size=128,
                     seed=7, centroids=loaded)
     pd.testing.assert_frame_equal(fresh, again)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents: overlapping token windows
+# ---------------------------------------------------------------------------
+
+
+def _ref_chunks(text, size, stride):
+    import re as _re
+
+    toks = [t for t in _re.split(r"[ \t\n\r\f\v]+", text) if t]
+    T = len(toks)
+    if T == 0:
+        return []
+    C = 1 if T <= size else -(-(T - size) // stride) + 1
+    return [(" ".join(toks[c * stride: c * stride + size]),
+             len(toks[c * stride: c * stride + size]))
+            for c in range(C)]
+
+
+def test_chunk_documents_matches_reference(ray_session):
+    import ray.data as rd
+
+    from recon_ray.functions.text import chunk_documents
+
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(0, 40))
+        texts.append(" ".join(
+            f"w{int(rng.integers(0, 99))}" for _ in range(n)))
+    texts += ["", "   ", "one", "a\tb\nc  d\r\fe"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    for size, stride in [(8, 8), (8, 5), (4, 1), (16, 3)]:
+        out = (chunk_documents(
+            rd.from_pandas(df).repartition(3), size=size, stride=stride)
+            .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+        got = {}
+        for _, r in out.iterrows():
+            got.setdefault(int(r["doc_id"]), []).append(
+                (r["chunk_text"], int(r["n_tokens"])))
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == _ref_chunks(t, size, stride), \
+                (size, stride, i, t)
+        # chunk_idx is dense 0..C-1 per doc
+        for i, ch in got.items():
+            assert list(out[out.doc_id == i]["chunk_idx"]) == list(
+                range(len(ch)))
+
+
+def test_chunk_documents_rejects_bad_params(ray_session):
+    import ray.data as rd
+
+    from recon_ray.functions.text import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), size=4, stride=0)
