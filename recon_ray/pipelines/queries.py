@@ -5983,6 +5983,25 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_CROSS = (
+    "SELECT r_name, n_name FROM region CROSS JOIN nation "
+    "WHERE n_regionkey = r_regionkey ORDER BY r_name, n_name"
+)
+
+
+def q_sql_frontend_cross(sf_dir: str):
+    """CROSS JOIN under the gate — broadcast nested loop (right side
+    ships once via the object store, bounded at the broadcast row
+    budget; left streams). The column-to-column WHERE references both
+    sides, so it filters the cartesian post-join — the theta-join
+    spelling. DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_CROSS,
+                   {"region": _t(sf_dir, "region"),
+                    "nation": _t(sf_dir, "nation")})
+
+
 SQL_FRONTEND_STRAGG = (
     "SELECT n_regionkey, count(*) AS n, "
     "string_agg(n_name, ', ' ORDER BY n_name) AS nations, "
@@ -8365,6 +8384,7 @@ QUERIES = {
     "q_sql_frontend_argmax": q_sql_frontend_argmax,
     "q_sql_frontend_winframe": q_sql_frontend_winframe,
     "q_sql_frontend_stragg": q_sql_frontend_stragg,
+    "q_sql_frontend_cross": q_sql_frontend_cross,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8820,6 +8840,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_argmax": ORACLE_SQL_FRONTEND_ARGMAX,
         "q_sql_frontend_winframe": SQL_FRONTEND_WINFRAME,
         "q_sql_frontend_stragg": SQL_FRONTEND_STRAGG,
+        "q_sql_frontend_cross": SQL_FRONTEND_CROSS,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

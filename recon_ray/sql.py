@@ -1298,12 +1298,22 @@ def _parse_from(text: str) -> tuple:
         return ("\x00subquery", subtext), aliases, joins
     parts = re.split(
         r"\s+(inner join|left outer join|left join|right outer join|"
-        r"right join|full outer join|full join|join)\s+", text,
-        flags=re.I)
+        r"right join|full outer join|full join|cross join|join)\s+",
+        text, flags=re.I)
     table, alias1 = _ident_alias(parts[0], "FROM table")
     aliases = {alias1}
     joins = []
     for kw, seg in zip(parts[1::2], parts[2::2]):
+        if kw.lower() == "cross join":
+            # CROSS JOIN t [alias]: no ON clause — every accumulated
+            # row pairs with every right row (broadcast nested loop;
+            # the executor bounds the right side)
+            _t2, a2 = _ident_alias(seg.strip(), "CROSS JOIN table")
+            if a2 in aliases:
+                raise SqlError(f"duplicate join alias {a2!r}")
+            aliases.add(a2)
+            joins.append({"table": _t2, "how": "cross", "on": []})
+            continue
         jm = re.match(
             r"^([A-Za-z_]\w*)(?: (?!on\b)([A-Za-z_]\w*))? on (.+)$",
             seg.strip(), re.I | re.S)
@@ -2206,7 +2216,8 @@ def _pushdown_split(q: dict, tables: dict):
         slots = {slot_of.get(c) for c in cols}
         if len(slots) == 1 and None not in slots:
             slot = next(iter(slots))
-            if slot == "base" or q["joins"][slot]["how"] == "inner":
+            if slot == "base" or q["joins"][slot]["how"] in ("inner",
+                                                             "cross"):
                 pushed.setdefault(slot, []).append(f)
                 continue
         post.append(f)
@@ -2429,6 +2440,7 @@ def run_sql(sql: str, tables: dict,
         if how == "left_outer" and lk_dead:
             r_empty = True
         if ((how == "inner" and (l_empty or r_empty or lk_dead))
+                or (how == "cross" and (l_empty or r_empty))
                 or (how == "left_outer" and l_empty)
                 or (how == "right_outer" and r_empty)
                 or (how == "full_outer" and l_empty and r_empty)):
@@ -2534,6 +2546,32 @@ def run_sql(sql: str, tables: dict,
                                           batch_format="pyarrow")
                 rk = [renr[c] for c in rk]
             ds = shuffle_join(ds, right, on=lk, right_on=rk, how=how)
+            acc_cols |= rcols
+        elif how == "cross":
+            # CROSS JOIN: broadcast nested loop — the right side ships
+            # once via the object store and every left batch pairs
+            # with all of it (pandas merge(how="cross")). Output size
+            # is |L|·|R|, so the right side must be dimension-sized;
+            # an unbounded cartesian over two big tables is a query
+            # bug, not a planning problem
+            r_eff = r_meta
+            if r_meta > broadcast_rows and pushed.get(ji):
+                r_eff = right.count()
+            if r_eff > broadcast_rows:
+                raise SqlError(
+                    f"CROSS JOIN right side has {r_eff} rows — "
+                    f"bounded at {broadcast_rows} (cartesian outputs "
+                    "explode; filter or pre-aggregate the small side)")
+            import ray
+
+            sm_df = right.to_pandas()
+
+            def cross_merge(b: pd.DataFrame,
+                            sm=ray.put(sm_df)) -> pd.DataFrame:
+                s = ray.get(sm) if isinstance(sm, ray.ObjectRef) else sm
+                return b.merge(s, how="cross")
+
+            ds = ds.map_batches(cross_merge, batch_format="pandas")
             acc_cols |= rcols
         else:
             # Ray's join consumes the right_on columns. SQL keeps BOTH
@@ -3587,6 +3625,12 @@ def explain_sql(sql: str, tables: dict = None,
     for ji, j in enumerate(q["joins"]):
         on = " AND ".join(f"{a} = {b}" for a, b in j["on"])
         strat = "hash shuffle_join; both sides shuffle"
+        if j["how"] == "cross":
+            lines.append(
+                f"Join {j['table']} [cross; BROADCAST nested loop — "
+                f"right side bounded at {broadcast_rows} rows, left "
+                "streams]")
+            continue
         if j["how"] in ("right_outer", "full_outer"):
             lines.append(
                 f"Join {j['table']} [{j['how']} on {on}; hash "

@@ -1853,3 +1853,44 @@ def test_string_agg_global_and_rejections(ray_session):
     with pytest.raises(SqlError):  # no ROLLUP recomposition
         parse_sql("SELECT g, string_agg(s, ',' ORDER BY s) AS c "
                   "FROM t GROUP BY ROLLUP (g)")
+
+
+# ---------------------------------------------------------------------------
+# CROSS JOIN: broadcast nested loop, right side bounded.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),
+                          st.one_of(st.none(), st.integers(-9, 9))),
+                min_size=0, max_size=12),
+       st.lists(st.integers(0, 3), min_size=0, max_size=4),
+       st.integers(min_value=1, max_value=3))
+def test_cross_join_matches_duckdb(lrows, rvals, parts):
+    l = pd.DataFrame({"x": pd.Series([r[0] for r in lrows],
+                                     dtype="int64"),
+                      "v": pd.Series([r[1] for r in lrows],
+                                     dtype="Float64")})
+    r = pd.DataFrame({"y": pd.Series(rvals, dtype="int64")})
+    tabs = {"l": rd.from_pandas(l).repartition(parts),
+            "r": rd.from_pandas(r)}
+    sql = ("SELECT x, y, count(*) AS n, sum(v) AS sv FROM l "
+           "CROSS JOIN r WHERE x >= y GROUP BY x, y")
+    got = run_sql(sql, tabs)
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    want = con.execute(sql).fetchdf()
+    _cmp_sorted(got, want, float_cols=("sv",))
+
+
+def test_cross_join_bound_and_parse(ray_session):
+    l = pd.DataFrame({"x": [1, 2]})
+    r = pd.DataFrame({"y": np.arange(50, dtype=np.int64)})
+    tabs = {"l": rd.from_pandas(l), "r": rd.from_pandas(r)}
+    with pytest.raises(SqlError):  # right side over the bound
+        run_sql("SELECT x, y FROM l CROSS JOIN r", tabs,
+                broadcast_rows=10)
+    out = run_sql("SELECT count(*) AS n FROM l CROSS JOIN r", tabs)
+    assert out["n"][0] == 100
+    with pytest.raises(SqlError):  # ON on a cross join is not SQL
+        parse_sql("SELECT x FROM l CROSS JOIN r ON l.x = r.y")
