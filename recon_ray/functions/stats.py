@@ -366,3 +366,65 @@ def grouped_mad_outliers(ds, key: str, col: str, k: float = 3.0
         out[[key, "med", "mad", "n", "n_outliers"]]
         .sort_values(key).reset_index(drop=True)
     )
+
+
+def psi_drift(ds_a, ds_b, col: str, n_bins: int = 10,
+              round_dp: int = 6) -> pd.DataFrame:
+    """Population Stability Index between two dataset versions — the
+    standard drift monitor for a continuously-refreshed training
+    corpus. Bin edges are side A's exact (n_bins−1) interior
+    ``quantile_disc`` order statistics (:func:`sketches.exact_quantiles`
+    — two streaming passes, no sort), so bins hold ~equal A mass and
+    the binning rule is SQL-replayable: ``bin = Σ (v ≥ edge_i)``
+    (numpy ``searchsorted(edges, v, "right")``). Per-(side, bin)
+    counts are one combiner pass per side; proportions use additive
+    smoothing ``(c + 0.5) / (n + n_bins/2)`` so empty B bins stay
+    finite; PSI = Σ (pa − pb)·ln(pa/pb), rounded to ``round_dp`` (one
+    transcendental per bin — the rounding absorbs last-ulp libm
+    variation between engines).
+
+    Returns one row per bin (bin, count_a, count_b, psi_term) plus the
+    total under bin = −1 — all deterministic, layout-invariant."""
+    import math
+
+    from recon_ray.functions.sketches import exact_quantiles
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = exact_quantiles(ds_a, col, qs)
+    if edges and edges[0] is None:
+        raise ValueError(f"side A has no non-null {col!r} values")
+    e = np.asarray(edges, dtype=np.float64)
+
+    def counts(ds):
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[col].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            bins = np.searchsorted(e, v, side="right")
+            c = np.bincount(bins, minlength=n_bins).astype(np.int64)
+            return pd.DataFrame({"c": [c.tobytes()]})
+
+        parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+        tot = np.zeros(n_bins, dtype=np.int64)
+        for blob in parts["c"] if not parts.empty else []:
+            tot += np.frombuffer(blob, dtype=np.int64)
+        return tot
+
+    def _round_away(x: float, dp: int) -> float:
+        # DuckDB's round(): std::round(x·10ⁿ)/10ⁿ, half AWAY from zero
+        # (python round() is banker's — would diverge at .5 ulps)
+        m = 10.0 ** dp
+        return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+    ca, cb = counts(ds_a), counts(ds_b)
+    na, nb = int(ca.sum()), int(cb.sum())
+    rows = []
+    total = 0.0
+    for i in range(n_bins):
+        pa = (ca[i] + 0.5) / (na + n_bins / 2.0)
+        pb = (cb[i] + 0.5) / (nb + n_bins / 2.0)
+        term = _round_away((pa - pb) * math.log(pa / pb), round_dp)
+        total += term
+        rows.append((i, int(ca[i]), int(cb[i]), term))
+    rows.append((-1, na, nb, _round_away(total, round_dp)))
+    return pd.DataFrame(rows, columns=["bin", "count_a", "count_b",
+                                       "psi_term"])

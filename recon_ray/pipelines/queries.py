@@ -7347,6 +7347,74 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_events_value_drift(sf_dir: str):
+    """PSI drift monitor (functions.stats.psi_drift) between two
+    deterministic 'versions' of events (event_id parity): bin edges =
+    side A's 9 interior quantile_disc order statistics (two streaming
+    passes, no sort), binning = Σ(v ≥ edge_i) — replayed verbatim by
+    the oracle as a sum of boolean casts — one combiner count pass per
+    side, smoothed proportions, 6-dp PSI terms with DuckDB's
+    half-away rounding."""
+    from recon_ray.functions.stats import psi_drift
+
+    ev = _t(sf_dir, "events").select_columns(["event_id", "value"])
+
+    def _side(parity: int):
+        def f(t: pa.Table, p=parity) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(t.column("event_id"), 1), p)
+            return t.filter(keep)
+
+        return ev.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    a, b = _side(0), _side(1)
+    out = psi_drift(a, b, "value", n_bins=10)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def _oracle_events_value_drift() -> str:
+    n_bins = 10
+    edges = ", ".join(
+        f"quantile_disc(value, {i / n_bins}) AS e{i}"
+        for i in range(1, n_bins))
+    binexpr = " + ".join(
+        f"(value >= e{i})::BIGINT" for i in range(1, n_bins))
+    pa = "(coalesce(ba.c, 0) + 0.5) / (n.na + 5.0)"
+    pb = "(coalesce(bb.c, 0) + 0.5) / (n.nb + 5.0)"
+    return f"""
+WITH a AS (SELECT value FROM events
+           WHERE event_id % 2 = 0 AND value IS NOT NULL),
+b AS (SELECT value FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL),
+e AS (SELECT {edges} FROM a),
+ba AS (SELECT ({binexpr}) AS bin, count(*) AS c FROM a, e GROUP BY 1),
+bb AS (SELECT ({binexpr}) AS bin, count(*) AS c FROM b, e GROUP BY 1),
+n AS (SELECT (SELECT count(*) FROM a) AS na,
+             (SELECT count(*) FROM b) AS nb),
+bins AS (SELECT unnest(generate_series(0, {n_bins - 1}))::BIGINT
+         AS bin),
+terms AS (
+  SELECT bins.bin,
+    coalesce(ba.c, 0)::BIGINT AS count_a,
+    coalesce(bb.c, 0)::BIGINT AS count_b,
+    round(({pa} - {pb}) * ln(({pa}) / ({pb})), 6) AS psi_term
+  FROM bins
+  LEFT JOIN ba ON ba.bin = bins.bin
+  LEFT JOIN bb ON bb.bin = bins.bin
+  CROSS JOIN n
+)
+SELECT * FROM terms
+UNION ALL
+SELECT -1, n.na, n.nb, round((SELECT sum(psi_term) FROM terms), 6)
+FROM n
+ORDER BY bin
+"""
+
+
+ORACLE_EVENTS_VALUE_DRIFT = _oracle_events_value_drift()
+
+
 def q_events_value_variance(sf_dir: str):
     """Grouped variance/stddev (functions.relational.grouped_variance):
     per event type over integer cents, in exact moment form — n·Σx²−(Σx)²
@@ -8413,6 +8481,7 @@ QUERIES = {
     "q_orders_status_concat": q_orders_status_concat,
     "q_events_window_dist": q_events_window_dist,
     "q_events_value_variance": q_events_value_variance,
+    "q_events_value_drift": q_events_value_drift,
     "doc_chunks": doc_chunks,
     "doc_compression_signals": doc_compression_signals,
     "part_fuzzy_catalog_link": part_fuzzy_catalog_link,
@@ -8867,6 +8936,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_orders_status_concat": ORACLE_ORDERS_STATUS_CONCAT,
         "q_events_window_dist": ORACLE_EVENTS_WINDOW_DIST,
         "q_events_value_variance": ORACLE_EVENTS_VARIANCE,
+        "q_events_value_drift": ORACLE_EVENTS_VALUE_DRIFT,
         "doc_chunks": ORACLE_DOC_CHUNKS,
         "part_fuzzy_catalog_link": ORACLE_PART_FUZZY_LINK,
         "doc_regex_extract": ORACLE_DOC_REGEX_EXTRACT,

@@ -258,3 +258,47 @@ def test_profile_columns_nulls_and_types():
     assert out.loc["f", "n_null"] == 1
     assert out.loc["f", "min_value"] == "-0.5"
     assert out.loc["f", "max_value"] == "2.5"
+
+
+# ---------------------------------------------------------------------------
+# psi_drift: quantile-binned Population Stability Index
+# ---------------------------------------------------------------------------
+
+
+def test_psi_drift_identical_and_shifted(ray_session):
+    import ray.data as rd
+
+    from recon_ray.functions.stats import psi_drift
+
+    rng = np.random.default_rng(4)
+    va = rng.normal(100, 15, 4000)
+    a = pd.DataFrame({"v": va})
+    # identical distribution → PSI ≈ 0; shifted → PSI large
+    b_same = pd.DataFrame({"v": rng.normal(100, 15, 4000)})
+    b_shift = pd.DataFrame({"v": rng.normal(140, 15, 4000)})
+    da = rd.from_pandas(a).repartition(3)
+    same = psi_drift(da, rd.from_pandas(b_same).repartition(2), "v")
+    shift = psi_drift(da, rd.from_pandas(b_shift).repartition(2), "v")
+    tot_same = float(same.loc[same["bin"] == -1, "psi_term"].iloc[0])
+    tot_shift = float(shift.loc[shift["bin"] == -1, "psi_term"].iloc[0])
+    assert tot_same < 0.05          # industry "no drift" threshold
+    assert tot_shift > 1.0          # gross shift
+    # bins of A hold ~equal A mass (quantile edges)
+    ca = same[same["bin"] >= 0]["count_a"].to_numpy()
+    assert ca.sum() == 4000 and ca.min() >= 300
+    # layout-invariance: different partitioning, identical output
+    same2 = psi_drift(rd.from_pandas(a).repartition(7),
+                      rd.from_pandas(b_same), "v")
+    pd.testing.assert_frame_equal(same.reset_index(drop=True),
+                                  same2.reset_index(drop=True))
+
+
+def test_psi_drift_empty_side_raises(ray_session):
+    import ray.data as rd
+
+    from recon_ray.functions.stats import psi_drift
+
+    a = pd.DataFrame({"v": [np.nan, np.nan]})
+    b = pd.DataFrame({"v": [1.0]})
+    with pytest.raises(ValueError):
+        psi_drift(rd.from_pandas(a), rd.from_pandas(b), "v")
