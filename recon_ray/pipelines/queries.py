@@ -5983,6 +5983,29 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_EXISTS = (
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "WHERE EXISTS (SELECT r_regionkey FROM region "
+    "WHERE r_name = 'ASIA') "
+    "AND NOT EXISTS (SELECT r_regionkey FROM region "
+    "WHERE r_name = 'ATLANTIS') "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_exists(sf_dir: str):
+    """Uncorrelated [NOT] EXISTS under the gate — each probe evaluates
+    its subquery ONCE (raw projections capped at LIMIT 1 by the
+    parser) and resolves to keep-all or keep-none before the combiner
+    runs; correlated EXISTS stays with the operator API like other
+    correlation. DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_EXISTS,
+                   {"orders": _t(sf_dir, "orders"),
+                    "region": _t(sf_dir, "region")})
+
+
 SQL_FRONTEND_CROSS = (
     "SELECT r_name, n_name FROM region CROSS JOIN nation "
     "WHERE n_regionkey = r_regionkey ORDER BY r_name, n_name"
@@ -8453,6 +8476,7 @@ QUERIES = {
     "q_sql_frontend_winframe": q_sql_frontend_winframe,
     "q_sql_frontend_stragg": q_sql_frontend_stragg,
     "q_sql_frontend_cross": q_sql_frontend_cross,
+    "q_sql_frontend_exists": q_sql_frontend_exists,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8910,6 +8934,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_winframe": SQL_FRONTEND_WINFRAME,
         "q_sql_frontend_stragg": SQL_FRONTEND_STRAGG,
         "q_sql_frontend_cross": SQL_FRONTEND_CROSS,
+        "q_sql_frontend_exists": SQL_FRONTEND_EXISTS,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -130,6 +130,15 @@ def _parse_pred(clause: str, aliases: set) -> tuple:
     """One scalar predicate: col <op> lit | col [NOT] IN (...) |
     col BETWEEN a AND b | col IS [NOT] NULL | col <op> (SELECT ...).
     Column qualifiers are validated and stripped here."""
+    xm = re.match(r"^(not\s+)?exists\s*\(\s*(select\b.+)\)$",
+                  clause, re.I | re.S)
+    if xm:
+        # UNCORRELATED EXISTS: the subquery references no outer
+        # columns (correlated EXISTS stays with the operator API, like
+        # other correlation). Evaluated ONCE with LIMIT 1 — keeps all
+        # rows or none.
+        return ("not_exists_subq" if xm.group(1) else "exists_subq",
+                None, xm.group(2).strip())
     bm = _BETWEEN_RE.match(clause)
     if bm:
         return ("between", _unqual(bm.group(1), aliases),
@@ -329,8 +338,11 @@ def _parse_bool(text: str, aliases: set):
     clause = _strip_parens(ands[0])
     nm = re.match(r"^not\s+(.+)$", clause, re.I | re.S)
     # "NOT <rest>" — but "x NOT IN ..." starts with a column, so a
-    # leading NOT token is unambiguous
-    if nm:
+    # leading NOT token is unambiguous. "NOT EXISTS (...)" stays one
+    # predicate (the subquery kinds only work as top-level conjuncts,
+    # so wrapping it in a NOT node would mis-route it to the Kleene
+    # filter)
+    if nm and not re.match(r"^exists\s*\(", nm.group(1), re.I):
         return ("not", _parse_bool(nm.group(1), aliases))
     if clause != ands[0]:
         # parens got stripped: the inside may itself be an OR/AND tree
@@ -338,7 +350,8 @@ def _parse_bool(text: str, aliases: set):
     return ("pred", _parse_pred(clause, aliases))
 
 
-_SUBQ_KINDS = ("in_subq", "not_in_subq", "cmp_subq")
+_SUBQ_KINDS = ("in_subq", "not_in_subq", "cmp_subq", "exists_subq",
+               "not_exists_subq")
 
 
 def _assert_scalar_tree(node, ctx: str):
@@ -1708,6 +1721,15 @@ def parse_sql(sql: str) -> dict:
                         "aggregate (guaranteed one row)")
                 preds.append((kind, col, (op, subtext)))
                 continue
+            if kind in ("exists_subq", "not_exists_subq"):
+                sub = parse_sql(payload)  # validates inner syntax
+                if sub["limit"] is None and not any(
+                        it["agg"] for it in sub["select"]):
+                    # evaluation only probes emptiness — cap the
+                    # inner's materialization at one row
+                    payload = payload + " LIMIT 1"
+                preds.append((kind, None, payload))
+                continue
             if kind in ("in_subq", "not_in_subq"):
                 sub = parse_sql(payload)
                 hidden = set(sub["hidden"])
@@ -2633,7 +2655,20 @@ def run_sql(sql: str, tables: dict,
 
     _SUBQ = ("in_subq", "not_in_subq")
     scalar_conds = [p for p in post_where
-                    if p[0] not in _SUBQ and p[0] != "cmp_subq"]
+                    if p[0] not in _SUBQ
+                    and p[0] not in ("cmp_subq", "exists_subq",
+                                     "not_exists_subq")]
+    for kind, _c, subtext in (p for p in post_where
+                              if p[0] in ("exists_subq",
+                                          "not_exists_subq")):
+        # uncorrelated EXISTS: one recursive evaluation (the parser
+        # capped raw projections at LIMIT 1) decides keep-all vs
+        # keep-none for the whole query
+        if ds is None:
+            break
+        nonempty = len(run_sql(subtext, tables, broadcast_rows)) > 0
+        if nonempty != (kind == "exists_subq"):
+            ds = None
     for _k, col, (op, subtext) in (p for p in post_where
                                    if p[0] == "cmp_subq"):
         # scalar subquery: a single global aggregate (validated in the
@@ -3546,6 +3581,10 @@ def _fmt_pred(p) -> str:
         return f"{col} {neg}LIKE {payload!r}"
     if kind == "cmp_subq":
         return f"{col} {payload[0]} (scalar subquery)"
+    if kind == "exists_subq":
+        return "EXISTS (uncorrelated subquery)"
+    if kind == "not_exists_subq":
+        return "NOT EXISTS (uncorrelated subquery)"
     if kind == "in_subq":
         return f"{col} IN (subquery on {payload[1]['table']})"
     return f"{col} NOT IN (subquery on {payload[1]['table']})"
@@ -3658,11 +3697,17 @@ def explain_sql(sql: str, tables: dict = None,
                 + " AND ".join(_fmt_pred(p) for p in pushed[ji])
                 + "; below the join]")
     scalars = [p for p in post
-               if p[0] not in ("in_subq", "not_in_subq", "cmp_subq")]
+               if p[0] not in ("in_subq", "not_in_subq", "cmp_subq",
+                               "exists_subq", "not_exists_subq")]
     for p in (p for p in post if p[0] == "cmp_subq"):
         lines.append(
             f"ScalarSubquery [{_fmt_pred(p)}; evaluated once, folded "
             "into Filter]")
+    for p in (p for p in post
+              if p[0] in ("exists_subq", "not_exists_subq")):
+        lines.append(
+            f"ExistsProbe [{_fmt_pred(p)}; evaluated once at LIMIT 1 — "
+            "keep-all or keep-none]")
     if scalars or any(p[0] == "cmp_subq" for p in post):
         shown = [_fmt_pred(p) for p in scalars] or ["<from subquery>"]
         lines.append(

@@ -1894,3 +1894,41 @@ def test_cross_join_bound_and_parse(ray_session):
     assert out["n"][0] == 100
     with pytest.raises(SqlError):  # ON on a cross join is not SQL
         parse_sql("SELECT x FROM l CROSS JOIN r ON l.x = r.y")
+
+
+# ---------------------------------------------------------------------------
+# uncorrelated [NOT] EXISTS: one probe evaluation → keep-all/keep-none.
+# ---------------------------------------------------------------------------
+
+def test_exists_subquery_matches_duckdb(ray_session):
+    t = pd.DataFrame({"x": [1, 2, 3]})
+    u = pd.DataFrame({"y": [5, 9]})
+    tabs = {"t": rd.from_pandas(t).repartition(2),
+            "u": rd.from_pandas(u)}
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("u", u)
+    for sql in [
+        "SELECT x FROM t WHERE EXISTS (SELECT y FROM u WHERE y > 7) "
+        "ORDER BY x",
+        "SELECT x FROM t WHERE EXISTS (SELECT y FROM u WHERE y > 99) "
+        "ORDER BY x",
+        "SELECT x FROM t WHERE NOT EXISTS "
+        "(SELECT y FROM u WHERE y > 99) AND x >= 2 ORDER BY x",
+        "SELECT count(*) AS n FROM t "
+        "WHERE EXISTS (SELECT sum(y) AS s FROM u)",
+        "SELECT count(*) AS n FROM t "
+        "WHERE NOT EXISTS (SELECT y FROM u)",
+    ]:
+        got = run_sql(sql, tabs)
+        want = con.execute(sql).fetchdf()
+        assert got.values.tolist() == want.values.tolist(), sql
+
+
+def test_exists_rejections():
+    with pytest.raises(SqlError):  # correlated: unknown qualifier
+        parse_sql("SELECT x FROM t WHERE EXISTS "
+                  "(SELECT y FROM u WHERE u.y = t.x)")
+    with pytest.raises(SqlError):  # inside OR stays out of scope
+        parse_sql("SELECT x FROM t WHERE x = 1 OR EXISTS "
+                  "(SELECT y FROM u)")
