@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 
@@ -436,9 +437,15 @@ def cmd_sql(args) -> int:
         # decisions (pushdown + broadcast/shuffle from metadata counts)
         print(explain_sql(args.query, tables or None))
         return 0
-    from recon_ray.sql import run_sql
+    from recon_ray.sql import run_sql, run_sql_script
 
-    out = run_sql(args.query, tables)
+    if ";" in args.query or re.match(r"^\s*(create|copy)\b",
+                                     args.query, re.I):
+        # script mode: CTAS registers (lazily when streamable), COPY
+        # writes parquet, the last statement's frame prints
+        out = run_sql_script(args.query, tables)
+    else:
+        out = run_sql(args.query, tables)
     print(out.to_string(index=False))
     return 0
 

@@ -5983,6 +5983,48 @@ def q_sql_frontend_corr(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_SCRIPT = """
+CREATE TABLE big AS
+  SELECT o_custkey, o_totalprice FROM orders
+  WHERE o_totalprice > 150000;
+CREATE TABLE spend AS
+  SELECT o_custkey, count(*) AS n,
+         sum(cast(o_totalprice * 100 AS BIGINT)) AS cents
+  FROM big GROUP BY o_custkey;
+SELECT n, count(*) AS n_customers, sum(cents) AS total_cents
+FROM spend GROUP BY n ORDER BY n
+"""
+
+# the oracle is the same pipeline as ONE statement: each CTAS becomes
+# a CTE — CREATE TABLE x AS ...; SELECT ... FROM x ≡ WITH x AS (...)
+ORACLE_SQL_FRONTEND_SCRIPT = """
+WITH big AS (
+  SELECT o_custkey, o_totalprice FROM orders
+  WHERE o_totalprice > 150000
+), spend AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(cast(o_totalprice * 100 AS BIGINT)) AS cents
+  FROM big GROUP BY o_custkey
+)
+SELECT n, count(*) AS n_customers, sum(cents) AS total_cents
+FROM spend GROUP BY n ORDER BY n
+"""
+
+
+def q_sql_frontend_script(sf_dir: str):
+    """Multi-statement SQL script under the gate — CREATE TABLE AS
+    registers each result for later statements (the streamable first
+    CTAS stays a LAZY Dataset re-planned into its consumer; the
+    aggregated second materializes its groups-sized frame), and the
+    final SELECT reads the chain. The oracle folds the script into
+    one CTE statement — semantically identical — so the hash is
+    strict in exact integer cents."""
+    from recon_ray.sql import run_sql_script
+
+    return run_sql_script(SQL_FRONTEND_SCRIPT,
+                          {"orders": _t(sf_dir, "orders")})
+
+
 SQL_FRONTEND_EXISTS = (
     "SELECT o_orderpriority, count(*) AS n FROM orders "
     "WHERE EXISTS (SELECT r_regionkey FROM region "
@@ -8477,6 +8519,7 @@ QUERIES = {
     "q_sql_frontend_stragg": q_sql_frontend_stragg,
     "q_sql_frontend_cross": q_sql_frontend_cross,
     "q_sql_frontend_exists": q_sql_frontend_exists,
+    "q_sql_frontend_script": q_sql_frontend_script,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8935,6 +8978,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_stragg": SQL_FRONTEND_STRAGG,
         "q_sql_frontend_cross": SQL_FRONTEND_CROSS,
         "q_sql_frontend_exists": SQL_FRONTEND_EXISTS,
+        "q_sql_frontend_script": ORACLE_SQL_FRONTEND_SCRIPT,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -47,6 +47,7 @@ hash gate.
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -2246,8 +2247,15 @@ def _pushdown_split(q: dict, tables: dict):
     return pushed, post
 
 
+class NotStreamable(SqlError):
+    """Raised (internally) when ``plan_sql_dataset`` is asked for a
+    statement whose result cannot stay a lazy Dataset — aggregates,
+    ORDER BY / LIMIT, set operations, derived-table bases."""
+
+
 def run_sql(sql: str, tables: dict,
-            broadcast_rows: int = 300_000) -> pd.DataFrame:
+            broadcast_rows: int = 300_000,
+            _as_dataset: bool = False) -> pd.DataFrame:
     """Execute the mini-SQL subset on Ray Data operators.
 
     ``broadcast_rows``: a join side whose RAW row count (metadata-cheap
@@ -2273,10 +2281,13 @@ def run_sql(sql: str, tables: dict,
             _assert_result_sized(parse_sql(_subtext), f"CTE {_name!r}")
             tables[_name] = _rd.from_pandas(
                 run_sql(_subtext, tables, broadcast_rows))
-        return run_sql(_stmt, tables, broadcast_rows)
+        return run_sql(_stmt, tables, broadcast_rows,
+                       _as_dataset=_as_dataset)
 
     _sides, _op = _split_union(_stmt)
     if len(_sides) > 1:
+        if _as_dataset:
+            raise NotStreamable("set operations materialize")
         body, order, limit = _strip_tail(_sides[-1])
         frames = [run_sql(s, tables, broadcast_rows)
                   for s in _sides[:-1] + [body]]
@@ -2321,6 +2332,8 @@ def run_sql(sql: str, tables: dict,
         # query recursively; its frame becomes the in-memory base
         import ray.data as _rd
 
+        if _as_dataset:
+            raise NotStreamable("derived-table bases materialize")
         inner_df = run_sql(q["table"][1], tables, broadcast_rows)
         ds = _rd.from_pandas(inner_df)
     else:
@@ -2850,6 +2863,8 @@ def run_sql(sql: str, tables: dict,
         ds = ds.map_batches(_derive, batch_format="pandas")
 
     has_agg = any(it["agg"] for it in q["select"])
+    if has_agg and _as_dataset:
+        raise NotStreamable("aggregates produce a groups-sized frame")
     if not has_agg:
         cols = [it["alias"] if it.get("win") else it["col"]
                 for it in q["select"]]
@@ -2879,8 +2894,28 @@ def run_sql(sql: str, tables: dict,
                 from recon_ray.functions.relational import distinct as _dist
 
                 ds = _dist(ds, list(dict.fromkeys(cols)))
+            if _as_dataset:
+                # lazy plan requested: hand back the Dataset itself —
+                # nothing has executed yet. ORDER BY / LIMIT force a
+                # materialization point and stay with the pandas path.
+                if q["order_by"] or q["limit"] is not None \
+                        or q.get("offset"):
+                    raise NotStreamable(
+                        "ORDER BY / LIMIT / OFFSET materialize")
+                names = [it["alias"] for it in q["select"]]
+                src = cols
+
+                def _project(t: pa.Table, names=tuple(names),
+                             src=tuple(src)) -> pa.Table:
+                    return pa.table(
+                        {n: t.column(c) for n, c in zip(names, src)})
+
+                return ds.map_batches(_project, batch_format="pyarrow",
+                                      zero_copy_batch=True)
             if q["limit"] is not None and not q["order_by"]:
                 ds = ds.limit(q["limit"] + q.get("offset", 0))
+        elif _as_dataset:
+            raise NotStreamable("provably-empty plan has no schema")
         out = ds.to_pandas() if ds is not None else pd.DataFrame()
         if out.empty:
             out = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
@@ -3789,3 +3824,112 @@ def explain_sql(sql: str, tables: dict = None,
         off = f" OFFSET {q['offset']}" if q.get("offset") else ""
         lines.append(f"Limit [{q['limit']}{off}]")
     return "\n".join(lines)
+
+
+def plan_sql_dataset(sql: str, tables: dict,
+                     broadcast_rows: int = 300_000):
+    """Compile a STREAMABLE statement to a lazy ``ray.data.Dataset`` —
+    nothing executes until the caller consumes it (``write_parquet``,
+    ``iter_batches``, an aggregate). Streamable = projections /
+    filters / derives / CASE / joins / window functions / DISTINCT /
+    [NOT] EXISTS probes, with output columns renamed to their aliases;
+    CTEs are allowed (they are result-sized by construction).
+    Aggregates, ORDER BY / LIMIT / OFFSET, set operations and
+    derived-table bases raise :class:`NotStreamable` — use
+    :func:`run_sql` for those (their results are groups-sized or
+    require a materialization point anyway)."""
+    return run_sql(sql, tables, broadcast_rows, _as_dataset=True)
+
+
+def _split_stmts(script: str) -> list:
+    """Split a script on top-level semicolons (quote-aware)."""
+    out, cur, in_q = [], [], False
+    for ch in script:
+        if ch == "'":
+            in_q = not in_q
+            cur.append(ch)
+        elif ch == ";" and not in_q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s for s in (x.strip() for x in out) if s]
+
+
+_CTAS_RE = re.compile(
+    r"^create\s+(or\s+replace\s+)?table\s+([A-Za-z_]\w*)\s+as\s+(.+)$",
+    re.I | re.S)
+_COPY_RE = re.compile(
+    r"^copy\s+(?:\(\s*(?P<sel>select\b.+)\)|(?P<tbl>[A-Za-z_]\w*))"
+    r"\s+to\s+'(?P<path>[^']+)'\s*$", re.I | re.S)
+
+
+def run_sql_script(script: str, tables: dict,
+                   broadcast_rows: int = 300_000) -> pd.DataFrame:
+    """Execute a ``;``-separated SQL script: any number of
+
+    - ``CREATE [OR REPLACE] TABLE name AS <select>`` — registers the
+      result for later statements. A streamable select stays a LAZY
+      Dataset (re-planned into every consumer — the petabyte-safe
+      path); anything else materializes its result-sized frame.
+    - ``COPY (<select>) TO 'dir'`` / ``COPY name TO 'dir'`` — writes
+      Parquet. A streamable select writes straight from the streaming
+      executor (never collected); otherwise the result-sized frame
+      writes in one part.
+    - plain statements — evaluated with :func:`run_sql`.
+
+    Returns the LAST statement's frame; CREATE/COPY statements yield a
+    one-row status frame (so a script ending in COPY reports rows
+    written). The registry is scoped to the script — the caller's
+    ``tables`` dict is never mutated."""
+    import ray.data as _rd
+
+    tables = dict(tables)
+    last = pd.DataFrame({"ok": [True]})
+    for stmt in _split_stmts(script):
+        cm = _CTAS_RE.match(stmt)
+        if cm:
+            name = cm.group(2).lower()
+            if name in tables and not cm.group(1):
+                raise SqlError(
+                    f"table {name!r} exists (use CREATE OR REPLACE)")
+            body = cm.group(3).strip()
+            try:
+                tables[name] = plan_sql_dataset(body, tables,
+                                                broadcast_rows)
+                kind = "lazy dataset"
+            except NotStreamable:
+                tables[name] = _rd.from_pandas(
+                    run_sql(body, tables, broadcast_rows))
+                kind = "materialized frame"
+            last = pd.DataFrame({"table": [name], "kind": [kind]})
+            continue
+        pm = _COPY_RE.match(stmt)
+        if pm:
+            path = pm.group("path")
+            if pm.group("sel"):
+                try:
+                    out_ds = plan_sql_dataset(pm.group("sel"), tables,
+                                              broadcast_rows)
+                except NotStreamable:
+                    out_ds = _rd.from_pandas(
+                        run_sql(pm.group("sel"), tables,
+                                broadcast_rows))
+            else:
+                tname = pm.group("tbl").lower()
+                if tname not in tables:
+                    raise SqlError(f"unknown table {tname!r}")
+                out_ds = tables[tname]
+            out_ds.write_parquet(path)
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            n = sum(_pq.ParquetFile(f).metadata.num_rows
+                    for f in _glob.glob(os.path.join(path, "*.parquet")))
+            last = pd.DataFrame({"path": [path],
+                                 "rows_written": [int(n)]})
+            continue
+        last = run_sql(stmt, tables, broadcast_rows)
+    return last

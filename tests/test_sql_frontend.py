@@ -1932,3 +1932,58 @@ def test_exists_rejections():
     with pytest.raises(SqlError):  # inside OR stays out of scope
         parse_sql("SELECT x FROM t WHERE x = 1 OR EXISTS "
                   "(SELECT y FROM u)")
+
+
+# ---------------------------------------------------------------------------
+# multi-statement scripts: CTAS (lazy when streamable) + COPY TO parquet
+# ---------------------------------------------------------------------------
+
+def test_sql_script_ctas_copy(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from recon_ray.sql import (NotStreamable, plan_sql_dataset,
+                               run_sql_script)
+
+    df = pd.DataFrame({"x": np.arange(40, dtype=np.int64),
+                       "g": (["a", "b"] * 20)})
+    tabs = {"t": rd.from_pandas(df).repartition(3)}
+    outdir = str(tmp_path / "out")
+    script = f"""
+    CREATE TABLE big AS SELECT x, g FROM t WHERE x >= 10;
+    CREATE TABLE agg AS SELECT g, count(*) AS n, sum(x) AS s
+      FROM big GROUP BY g;
+    COPY big TO '{outdir}';
+    SELECT g, n, s FROM agg ORDER BY g
+    """
+    out = run_sql_script(script, tabs)
+    want = duckdb.sql(
+        "SELECT g, count(*) AS n, sum(x) AS s FROM df "
+        "WHERE x >= 10 GROUP BY g ORDER BY g").df()
+    assert out["n"].tolist() == want["n"].tolist()
+    assert [int(v) for v in out["s"]] == [int(v) for v in want["s"]]
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(outdir + "/*.parquet"))
+    assert n == 30
+    assert set(tabs) == {"t"}  # caller registry never mutated
+    # lazy plan really is lazy + rename-to-alias works
+    d = plan_sql_dataset("SELECT x AS xx FROM t WHERE x < 5", tabs)
+    assert d.schema().names == ["xx"] and d.count() == 5
+    with pytest.raises(NotStreamable):
+        plan_sql_dataset("SELECT count(*) AS n FROM t", tabs)
+    with pytest.raises(NotStreamable):
+        plan_sql_dataset("SELECT x FROM t ORDER BY x", tabs)
+    # duplicate CTAS without OR REPLACE refuses; with it, replaces
+    with pytest.raises(SqlError):
+        run_sql_script("CREATE TABLE t AS SELECT x FROM t", tabs)
+    r = run_sql_script(
+        "CREATE TABLE v AS SELECT x FROM t WHERE x < 3;"
+        "CREATE OR REPLACE TABLE v AS SELECT x FROM t WHERE x < 7;"
+        "SELECT count(*) AS n FROM v", tabs)
+    assert r["n"][0] == 7
+    # quoted semicolons don't split statements
+    df2 = pd.DataFrame({"s": ["a;b", "c"]})
+    r2 = run_sql_script("SELECT s FROM u WHERE s = 'a;b'",
+                        {"u": rd.from_pandas(df2)})
+    assert r2["s"].tolist() == ["a;b"]
