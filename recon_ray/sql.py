@@ -1841,19 +1841,51 @@ def parse_sql(sql: str) -> dict:
             if rm:
                 q["group_mode"] = rm.group(1).lower()
                 gtext = rm.group(2)
+            def _ordinal_key(n: int, for_order: bool) -> str:
+                # SQL positional ordinals: GROUP BY 1 groups by the
+                # first select item's EXPRESSION, ORDER BY 1 sorts by
+                # its OUTPUT column
+                if not (1 <= n <= len(q["select"])):
+                    raise SqlError(
+                        f"ordinal {n} out of range "
+                        f"(1..{len(q['select'])})")
+                it = q["select"][n - 1]
+                if it["agg"] or it.get("postagg"):
+                    if for_order:
+                        return it["alias"]
+                    raise SqlError(
+                        f"GROUP BY ordinal {n} points at an aggregate")
+                if it.get("win"):
+                    raise SqlError(
+                        f"ordinal {n} points at a window function")
+                return it["alias"] if for_order else (it["col"]
+                                                      or it["alias"])
+
             grp_cols = [c.strip() for c in _split_top(gtext)]
+            keys_out = []
             for c in grp_cols:
-                if not re.match(r"^" + _QCOL + r"$", c):
+                if re.match(r"^\d+$", c):
+                    keys_out.append(_ordinal_key(int(c), False))
+                elif re.match(r"^" + _QCOL + r"$", c):
+                    keys_out.append(_unqual(c, aliases))
+                else:
                     raise SqlError(f"bad group-by column: {c!r}")
-            q["group_by"] = [_unqual(c, aliases) for c in grp_cols]
+            q["group_by"] = keys_out
     if m.group("ord"):
         for part in _split_top(m.group("ord")):
             toks = part.split()
             if len(toks) > 2 or (len(toks) == 2
                                  and toks[1].lower() not in ("asc", "desc")):
                 raise SqlError(f"bad order-by: {part!r}")
+            key = toks[0]
+            if re.match(r"^\d+$", key):
+                n = int(key)
+                if not (1 <= n <= len(q["select"])):
+                    raise SqlError(
+                        f"ORDER BY ordinal {n} out of range")
+                key = q["select"][n - 1]["alias"]
             q["order_by"].append(
-                (toks[0], len(toks) == 1 or toks[1].lower() == "asc"))
+                (key, len(toks) == 1 or toks[1].lower() == "asc"))
     if m.group("lim"):
         lm2 = re.match(r"^(\d+)(?:\s+offset\s+(\d+))?$",
                        m.group("lim"), re.I)

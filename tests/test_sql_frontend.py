@@ -1987,3 +1987,29 @@ def test_sql_script_ctas_copy(ray_session, tmp_path):
     r2 = run_sql_script("SELECT s FROM u WHERE s = 'a;b'",
                         {"u": rd.from_pandas(df2)})
     assert r2["s"].tolist() == ["a;b"]
+
+
+# ---------------------------------------------------------------------------
+# positional ordinals: GROUP BY 1 (the select expression), ORDER BY n
+# (the output column).
+# ---------------------------------------------------------------------------
+
+def test_ordinals_match_duckdb(ray_session):
+    df = pd.DataFrame({"g": ["a", "b", "a", "b", "c"],
+                       "v": [1, 2, 3, 4, 5]})
+    tabs = {"t": rd.from_pandas(df).repartition(2)}
+    con = duckdb.connect()
+    con.register("t", df)
+    for sql in [
+        "SELECT g AS grp, count(*) AS n, sum(v) AS s FROM t "
+        "GROUP BY 1 ORDER BY 3 DESC",
+        "SELECT g, sum(v) AS s FROM t GROUP BY 1 ORDER BY 2",
+        "SELECT v, g FROM t ORDER BY 2 DESC, 1",
+    ]:
+        got = run_sql(sql, tabs)
+        want = con.execute(sql).fetchdf()
+        assert got.values.tolist() == want.values.tolist(), sql
+    with pytest.raises(SqlError):  # aggregate ordinal in GROUP BY
+        parse_sql("SELECT g, count(*) AS n FROM t GROUP BY 2")
+    with pytest.raises(SqlError):  # out of range
+        parse_sql("SELECT g FROM t ORDER BY 4")
