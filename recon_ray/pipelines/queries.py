@@ -6025,6 +6025,32 @@ def q_sql_frontend_script(sf_dir: str):
                           {"orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_EXISTS_CORR = (
+    "SELECT o_orderpriority, count(*) AS order_count "
+    "FROM orders o "
+    "WHERE o.o_orderdate >= date '1996-01-01' "
+    "AND o.o_orderdate < date '1996-10-01' "
+    "AND EXISTS (SELECT l_orderkey FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_frontend_exists_corr(sf_dir: str):
+    """TPC-H Q4 in its NATIVE correlated-EXISTS spelling: the planner
+    decorrelates the single qualified equality into a hash semi-join
+    key set (inner-only predicates stay with the inner scan), so the
+    correlated form runs identically to the IN-subquery form — both
+    sides stream, nothing per-row. DuckDB runs the identical string;
+    the companion q_sql_frontend_tpch_q4 pins the IN spelling to the
+    same answer."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_EXISTS_CORR,
+                   {"orders": _t(sf_dir, "orders"),
+                    "lineitem": _t(sf_dir, "lineitem")})
+
+
 SQL_FRONTEND_EXISTS = (
     "SELECT o_orderpriority, count(*) AS n FROM orders "
     "WHERE EXISTS (SELECT r_regionkey FROM region "
@@ -8520,6 +8546,7 @@ QUERIES = {
     "q_sql_frontend_cross": q_sql_frontend_cross,
     "q_sql_frontend_exists": q_sql_frontend_exists,
     "q_sql_frontend_script": q_sql_frontend_script,
+    "q_sql_frontend_exists_corr": q_sql_frontend_exists_corr,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -8979,6 +9006,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_cross": SQL_FRONTEND_CROSS,
         "q_sql_frontend_exists": SQL_FRONTEND_EXISTS,
         "q_sql_frontend_script": ORACLE_SQL_FRONTEND_SCRIPT,
+        "q_sql_frontend_exists_corr": SQL_FRONTEND_EXISTS_CORR,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -352,7 +352,61 @@ def _parse_bool(text: str, aliases: set):
 
 
 _SUBQ_KINDS = ("in_subq", "not_in_subq", "cmp_subq", "exists_subq",
-               "not_exists_subq")
+               "not_exists_subq", "exists_semi", "exists_anti")
+
+
+def _decorrelate_exists(subtext: str, outer_aliases: set):
+    """Rewrite a correlated ``[NOT] EXISTS (SELECT … FROM t [a] WHERE
+    inner.k = outer.c AND <inner-only preds>)`` into a key set the
+    planner joins semi/anti — the TPC-H Q4/Q22 shape. Exactly ONE
+    qualified equality may cross the boundary; every other conjunct
+    must be inner-only (checked for qualified outer references; the
+    correlation itself must be qualified on both sides). Returns
+    (outer_col, inner_single_column_sql) or None when the pattern
+    doesn't apply (the caller then requires the subquery to be
+    uncorrelated)."""
+    m = re.match(
+        r"^select\s+.+?\s+from\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?!where\b)([A-Za-z_]\w*))?"
+        r"(?:\s+where\s+(.+))?$", subtext, re.I | re.S)
+    if not m or m.group(3) is None:
+        return None
+    tbl, al = m.group(1), m.group(2)
+    ialias = (al or tbl).lower()
+
+    def _side(qual):
+        if qual == ialias:
+            return "inner"
+        return "outer" if qual in outer_aliases else None
+
+    corr, rest = None, []
+    for clause in _split_and(m.group(3)):
+        clause = clause.strip()
+        em = _ON_EQ_RE.match(clause)
+        if em:
+            qa, ca, qb, cb = em.groups()
+            sa, sb = _side(qa.lower()), _side(qb.lower())
+            hit = None
+            if sa == "outer" and sb == "inner":
+                hit = (ca, cb)
+            elif sa == "inner" and sb == "outer":
+                hit = (cb, ca)
+            if hit:
+                if corr is not None:
+                    return None  # multi-key correlation out of scope
+                corr = hit
+                continue
+        if any(re.search(r"\b" + re.escape(a) + r"\s*\.", clause,
+                         re.I)
+               for a in outer_aliases if a != ialias):
+            return None  # some other outer reference — can't rewrite
+        rest.append(clause)
+    if corr is None:
+        return None
+    inner_sql = f"SELECT {corr[1]} FROM {tbl}" + (f" {al}" if al else "")
+    if rest:
+        inner_sql += " WHERE " + " AND ".join(rest)
+    return corr[0], inner_sql
 
 
 def _assert_scalar_tree(node, ctx: str):
@@ -1723,6 +1777,27 @@ def parse_sql(sql: str) -> dict:
                 preds.append((kind, col, (op, subtext)))
                 continue
             if kind in ("exists_subq", "not_exists_subq"):
+                deco = _decorrelate_exists(payload, aliases)
+                if deco is not None:
+                    # correlated on one equality: decorrelate to a
+                    # key-set semi/anti join (the TPC-H Q4/Q22 shape).
+                    # EXISTS keeps matches (NULL probes drop — UNKNOWN
+                    # is not TRUE); NOT EXISTS keeps non-matches
+                    # INCLUDING NULL probes, with NO NOT-IN-style
+                    # poisoning (inner NULL keys simply never match)
+                    ocol, inner_sql = deco
+                    sub = parse_sql(inner_sql)
+                    if any(k in _SUBQ_KINDS
+                           for k, _c, _p in sub["where"]
+                           if k != "bool"):
+                        raise SqlError(
+                            "nested subqueries inside EXISTS are not "
+                            "supported")
+                    preds.append((
+                        "exists_semi" if kind == "exists_subq"
+                        else "exists_anti",
+                        _unqual(ocol, aliases), (inner_sql, sub)))
+                    continue
                 sub = parse_sql(payload)  # validates inner syntax
                 if sub["limit"] is None and not any(
                         it["agg"] for it in sub["select"]):
@@ -2698,7 +2773,8 @@ def run_sql(sql: str, tables: dict,
                                   how=j["how"])
             acc_cols |= rcols
 
-    _SUBQ = ("in_subq", "not_in_subq")
+    _SUBQ = ("in_subq", "not_in_subq", "exists_semi", "exists_anti")
+    _SEMI = ("in_subq", "exists_semi")
     scalar_conds = [p for p in post_where
                     if p[0] not in _SUBQ
                     and p[0] not in ("cmp_subq", "exists_subq",
@@ -2747,11 +2823,12 @@ def run_sql(sql: str, tables: dict,
             icol = inner_df.columns[0]
             if kind == "not_in_subq" and inner_df[icol].isna().any():
                 # a NULL group key in the inner result poisons NOT IN
+                # (exists_anti does NOT poison — NULLs never match)
                 ds = None
                 continue
             inner_df = inner_df.dropna(subset=[icol])
             if inner_df.empty:
-                if kind == "in_subq":
+                if kind in _SEMI:
                     ds = None
                 continue
             # align the key dtype with the probe column — a NULL group
@@ -2782,10 +2859,10 @@ def run_sql(sql: str, tables: dict,
             if sub["where"] and inner.schema() is not None:
                 inner = arrow_filter(inner, _compile_pred(sub["where"]))
             if inner.schema() is None:
-                # provably empty subquery: IN () matches nothing; NOT
-                # IN () is TRUE for every row (even NULL — no
-                # comparison happens)
-                if kind == "in_subq":
+                # provably empty subquery: IN () / EXISTS match
+                # nothing; NOT IN () / NOT EXISTS keep every row
+                # (even NULL — no comparison happens)
+                if kind in _SEMI:
                     ds = None
                 continue
             # the subquery side is dimension-sized by assumption; it
@@ -2796,9 +2873,67 @@ def run_sql(sql: str, tables: dict,
             # all.
             inner = inner.select_columns([icol]).materialize()
             if inner.count() == 0:
-                if kind == "in_subq":
+                if kind in _SEMI:
                     ds = None
                 continue
+            if kind != "not_in_subq":
+                # NULL inner keys never match any probe (IN / EXISTS
+                # semantics) — drop them up front. This also retires
+                # the all-NULL column whose Arrow type decayed to
+                # null/double on its way through Ray (Acero rejects
+                # mismatched join key types). NOT IN keeps its NULLs:
+                # the poison probe below must see them.
+                inner = inner.map_batches(
+                    lambda t, c=icol: t.filter(
+                        pc.is_valid(t.column(c))),
+                    batch_format="pyarrow").materialize()
+                if inner.count() == 0:
+                    if kind in _SEMI:
+                        ds = None
+                    continue
+            # residual dtype mismatch (float inner vs int probe or
+            # vice versa): non-integral values can never equal an
+            # integer probe, so the narrowing filter+cast preserves
+            # semantics; int→float widening is lossless
+            def _sch_ty(sch, name):
+                try:
+                    ty = sch.types[sch.names.index(name)]
+                    return ty if isinstance(ty, pa.DataType) else None
+                except Exception:
+                    return None
+
+            psch2, isch2 = ds.schema(), inner.schema()
+            pty = (_sch_ty(psch2, col)
+                   if psch2 is not None and col in psch2.names
+                   else None)
+            ity = (_sch_ty(isch2, icol)
+                   if isch2 is not None and icol in isch2.names
+                   else None)
+            if (pty is not None and ity is not None and pty != ity
+                    and pa.types.is_integer(pty)
+                    and pa.types.is_floating(ity)):
+                def _narrow(t, c=icol, ty=pty):
+                    arr = t.column(c)
+                    keep = pc.and_kleene(
+                        pc.is_valid(arr),
+                        pc.equal(arr, pc.floor(arr)))
+                    f = t.filter(pc.fill_null(keep, False))
+                    return pa.table(
+                        {c: pc.cast(f.column(c), ty, safe=False)})
+
+                inner = inner.map_batches(
+                    _narrow, batch_format="pyarrow").materialize()
+                if inner.count() == 0:
+                    if kind in _SEMI:
+                        ds = None
+                    continue
+            elif (pty is not None and ity is not None and pty != ity
+                    and pa.types.is_floating(pty)
+                    and pa.types.is_integer(ity)):
+                inner = inner.map_batches(
+                    lambda t, c=icol, ty=pty: pa.table(
+                        {c: pc.cast(t.column(c), ty)}),
+                    batch_format="pyarrow").materialize()
         if not ds.limit(1).count():
             # scalar WHERE (or an earlier subquery) emptied the probe
             # side — same no-schema join hazard as above
@@ -2806,8 +2941,14 @@ def run_sql(sql: str, tables: dict,
             continue
         from recon_ray.functions.relational import shuffle_semi_join
 
-        if kind == "in_subq":
+        if kind in _SEMI:
             ds = shuffle_semi_join(ds, inner, on=col, right_on=icol)
+        elif kind == "exists_anti":
+            # NOT EXISTS: keep non-matching rows INCLUDING NULL probe
+            # keys (NULL = anything is UNKNOWN, so no match EXISTS) —
+            # no NOT-IN poisoning; NULL inner keys were dropped above
+            ds = shuffle_semi_join(ds, inner, on=col, right_on=icol,
+                                   anti=True)
         else:
             # SQL NOT IN semantics: a NULL anywhere in the subquery
             # poisons the whole predicate (x <> NULL is UNKNOWN), and a
@@ -3652,6 +3793,10 @@ def _fmt_pred(p) -> str:
         return "EXISTS (uncorrelated subquery)"
     if kind == "not_exists_subq":
         return "NOT EXISTS (uncorrelated subquery)"
+    if kind == "exists_semi":
+        return f"EXISTS (correlated on {col}, decorrelated)"
+    if kind == "exists_anti":
+        return f"NOT EXISTS (correlated on {col}, decorrelated)"
     if kind == "in_subq":
         return f"{col} IN (subquery on {payload[1]['table']})"
     return f"{col} NOT IN (subquery on {payload[1]['table']})"
@@ -3765,7 +3910,8 @@ def explain_sql(sql: str, tables: dict = None,
                 + "; below the join]")
     scalars = [p for p in post
                if p[0] not in ("in_subq", "not_in_subq", "cmp_subq",
-                               "exists_subq", "not_exists_subq")]
+                               "exists_subq", "not_exists_subq",
+                               "exists_semi", "exists_anti")]
     for p in (p for p in post if p[0] == "cmp_subq"):
         lines.append(
             f"ScalarSubquery [{_fmt_pred(p)}; evaluated once, folded "
@@ -3780,8 +3926,11 @@ def explain_sql(sql: str, tables: dict = None,
         lines.append(
             f"Filter [{' AND '.join(shown)}; zero-copy pyarrow kernels, "
             "no shuffle]")
-    for p in (p for p in post if p[0] in ("in_subq", "not_in_subq")):
-        anti = "anti" if p[0] == "not_in_subq" else "semi"
+    for p in (p for p in post
+              if p[0] in ("in_subq", "not_in_subq", "exists_semi",
+                          "exists_anti")):
+        anti = ("anti" if p[0] in ("not_in_subq", "exists_anti")
+                else "semi")
         lines.append(
             f"SemiJoin [{_fmt_pred(p)}; hash {anti}-join, both sides "
             "stream]")

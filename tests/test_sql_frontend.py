@@ -2013,3 +2013,46 @@ def test_ordinals_match_duckdb(ray_session):
         parse_sql("SELECT g, count(*) AS n FROM t GROUP BY 2")
     with pytest.raises(SqlError):  # out of range
         parse_sql("SELECT g FROM t ORDER BY 4")
+
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS decorrelation: one qualified equality → semi/anti
+# key-set join; NULL semantics differ from NOT IN (no poisoning).
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(0, 6)),
+                min_size=1, max_size=15),
+       st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 6)),
+                          st.integers(0, 9)),
+                min_size=0, max_size=15),
+       st.integers(min_value=1, max_value=3))
+def test_correlated_exists_matches_duckdb(cks, orows, parts):
+    cust = pd.DataFrame({"ck": pd.Series(cks, dtype="Int64"),
+                         "cn": [f"c{i}" for i in range(len(cks))]})
+    orders = pd.DataFrame({
+        "ock": pd.Series([r[0] for r in orows], dtype="Int64"),
+        "ov": pd.Series([r[1] for r in orows], dtype="int64")})
+    tabs = {"cust": rd.from_pandas(cust).repartition(parts),
+            "orders": rd.from_pandas(orders)}
+    con = duckdb.connect()
+    con.register("cust", cust)
+    con.register("orders", orders)
+    for sql in [
+        "SELECT cn FROM cust c WHERE EXISTS (SELECT ock FROM orders o "
+        "WHERE o.ock = c.ck AND o.ov >= 5) ORDER BY cn",
+        "SELECT cn FROM cust c WHERE NOT EXISTS (SELECT ock FROM "
+        "orders o WHERE o.ock = c.ck AND o.ov >= 5) ORDER BY cn",
+    ]:
+        got = run_sql(sql, tabs)
+        want = con.execute(sql).fetchdf()
+        assert got["cn"].tolist() == want["cn"].tolist(), sql
+
+
+def test_correlated_exists_rejections():
+    with pytest.raises(SqlError):  # two correlation equalities
+        parse_sql("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM u "
+                  "WHERE u.a = t.x AND u.b = t.y)")
+    with pytest.raises(SqlError):  # outer ref in a non-equality
+        parse_sql("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM u "
+                  "WHERE u.a = t.x AND u.b > t.y)")
