@@ -5,7 +5,9 @@ The Ray-side plumbing here is REAL and tested — schemas, small-batch
 actor-pool stages, output layout. Codecs sit behind the ``DecodeBackend``
 seam: ``NetpbmBackend`` is a REAL pure-numpy decoder for the
 self-describing formats (PPM/PGM, uncompressed 24-bit BMP, WAV PCM16 —
-encoders included for fixtures); compressed formats (JPEG/MP4/...) still
+encoders included for fixtures) plus two real compressed codecs written
+longhand: PNG (stdlib-zlib DEFLATE, all five filters) and GIF89a (LZW
+with early-change width growth and dictionary resets); compressed formats (JPEG/MP4/...) still
 need an imaging library (PIL/librosa/pyav) that doesn't ship in this
 container, so the base ``DecodeBackend`` covers them with a deterministic
 fake (sha256-keystream "decode") and a real backend plugs in via
@@ -525,7 +527,8 @@ def _parse_pnm_header(payload: bytes, magic: bytes):
 
 class NetpbmBackend(DecodeBackend):
     """REAL decoder for the self-describing formats a numpy-only container
-    can honestly handle: PNG (8-bit, all filters, stdlib zlib), PPM (P6) /
+    can honestly handle: PNG (8-bit, all filters, stdlib zlib), GIF89a
+    (longhand LZW, global color table), PPM (P6) /
     PGM (P5) / 24-bit BMP images and WAV
     PCM16 audio. Anything else (jpeg/mp4/...) still raises — that seam
     needs PIL/pyav. Dimensions come from the payload itself; the h/w
@@ -537,6 +540,8 @@ class NetpbmBackend(DecodeBackend):
         fmt = (fmt or "").lower()
         if fmt == "png":
             img = decode_png(payload)
+        elif fmt == "gif":
+            img = decode_gif(payload)[0]  # first frame
         elif fmt == "ppm":
             pw, ph, off = _parse_pnm_header(payload, b"P6")
             img = np.frombuffer(
@@ -977,3 +982,217 @@ def image_neardup_pairs(
         sigs, "phash", id_col="media_id",
         max_hamming=max_hamming, n_bands=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a): REAL LZW — the third compressed format the pure-python
+# layer honestly implements (PNG = DEFLATE via stdlib zlib, GIF = LZW
+# written out longhand). Scope: 8-bit global-color-table images,
+# non-interlaced, one or more full-frame images (animation frames with
+# full replacement); local color tables and transparency stay behind
+# the documented codec seam.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over palette indices: variable code width
+    starting at mcs+1, CLEAR/EOI codes, width grows when next_code
+    reaches 2^width, dictionary reset at 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes: list = []
+    widths: list = []
+
+    table: dict = {}
+    next_code = eoi + 1
+    width = mcs + 1
+
+    def emit(code):
+        codes.append(code)
+        widths.append(width)
+
+    emit(clear)
+    cur = int(indices[0])
+    for k in map(int, indices[1:]):
+        key = (cur, k)
+        if key in table:
+            cur = table[key]
+            continue
+        emit(cur)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {}
+            next_code = eoi + 1
+            width = mcs + 1
+        cur = k
+    emit(cur)
+    emit(eoi)
+    acc = bits = 0
+    body = bytearray()
+    for code, w in zip(codes, widths):
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        body.append(acc & 0xFF)
+    return bytes(body)
+
+
+def _lzw_decode(body: bytes, mcs: int, n_px: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode` — standard single-table GIF LZW
+    with the KwKwK case (code == next_code) and in-lockstep width
+    growth (width++ when next_code reaches 2^width, after each add)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = {i: bytes([i]) for i in range(1 << mcs)}
+    table = dict(base)
+    next_code = eoi + 1
+    width = mcs + 1
+    prev = None
+    out = bytearray()
+    acc = bits = pos = 0
+    while len(out) < n_px:
+        while bits < width:
+            if pos >= len(body):
+                raise ValueError("truncated LZW stream")
+            acc |= body[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # the decoder's table lags the encoder's by ONE entry (the
+            # first code after a clear adds nothing), so it must grow
+            # the width one add earlier — the classic GIF "early
+            # change" off-by-one
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return np.frombuffer(bytes(out[:n_px]), np.uint8)
+
+
+def encode_gif(frames: np.ndarray) -> bytes:
+    """GIF89a encoder: (h, w, 3) uint8 for one image or (n, h, w, 3)
+    for animation frames (each stored as a FULL replacement frame).
+    All frames together may use at most 256 distinct RGB colors (the
+    global color table — this codec's honest scope; local tables stay
+    behind the seam). Pixels LZW-compress with :func:`_lzw_encode`."""
+    import struct
+
+    if frames.ndim == 3:
+        frames = frames[None]
+    if frames.ndim != 4 or frames.shape[-1] != 3 \
+            or frames.dtype != np.uint8:
+        raise ValueError("need (n, h, w, 3) uint8 frames")
+    n, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
+    palette, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} distinct colors exceed the global color "
+            "table (quantize upstream)")
+    # palette size must be a power of two ≥ 2 in the container
+    pbits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    ptable = np.zeros((1 << pbits, 3), np.uint8)
+    ptable[: len(palette)] = palette
+    idx = inv.reshape(n, h * w).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pbits - 1) << 4)
+                       | (pbits - 1), 0, 0)
+    out += ptable.tobytes()
+    if n > 1:
+        # NETSCAPE looping extension, delay via Graphic Control per
+        # frame — players loop; our decoder ignores both
+        out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    mcs = max(2, pbits)
+    for f in range(n):
+        if n > 1:
+            out += struct.pack("<BBBHBB", 0x21, 0xF9, 4, 4, 0, 0)
+            out += b"\x00"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        body = _lzw_encode(idx[f], mcs)
+        for i in range(0, len(body), 255):
+            chunk = body[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a decoder for the encoder's scope: global color table,
+    non-interlaced full frames (no disposal compositing, no local
+    color tables, no transparency). Returns (n, h, w, 3) uint8."""
+    import struct
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table")
+    psize = 2 << (flags & 0x07)
+    palette = np.frombuffer(
+        payload, np.uint8, psize * 3, pos).reshape(psize, 3)
+    pos += psize * 3
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        lx, ly, lw, lh, lflags = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if (lx, ly, lw, lh) != (0, 0, w, h):
+            raise ValueError("partial frames are out of scope")
+        if lflags & 0x40:
+            raise ValueError("interlaced GIFs are out of scope")
+        if lflags & 0x80:
+            raise ValueError("local color tables are out of scope")
+        mcs = payload[pos]
+        pos += 1
+        body = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            body += payload[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(body), mcs, w * h)
+        frames.append(palette[idx].reshape(h, w, 3))
+    if not frames:
+        raise ValueError("GIF carries no image block")
+    return np.stack(frames)

@@ -3855,6 +3855,67 @@ FROM f ORDER BY 1, 2
 """
 
 
+ORACLE_MEDIA_GIF_CHANNELS = """
+SELECT i::BIGINT AS media_id,
+  (SELECT sum((((r + 2*c + i) % 16) * 7) % 256)
+   FROM generate_series(0, 31) a(r), generate_series(0, 23) b(c)
+   WHERE r < 16 + (i % 3) * 8)::BIGINT AS r_sum,
+  (SELECT sum((((r + 2*c + i) % 16) * 13) % 256)
+   FROM generate_series(0, 31) a(r), generate_series(0, 23) b(c)
+   WHERE r < 16 + (i % 3) * 8)::BIGINT AS g_sum,
+  (SELECT sum((((r + 2*c + i) % 16) * 29) % 256)
+   FROM generate_series(0, 31) a(r), generate_series(0, 23) b(c)
+   WHERE r < 16 + (i % 3) * 8)::BIGINT AS b_sum
+FROM generate_series(0, 11) s(i) ORDER BY 1
+"""
+
+
+def media_image_gif_channels(sf_dir: str):
+    """REAL GIF decode under the oracle gate: 12 GIF89a payloads
+    (longhand LZW — variable code width, early-change growth,
+    dictionary resets — global color table), palette index
+    idx[r,c] = (r + 2c + i) mod 16 and palette[j] = (7j, 13j, 29j)
+    mod 256, pushed through the ImageChannelSums actor stage with the
+    real NetpbmBackend. DuckDB recomputes every channel sum by pure
+    arithmetic: the SQL computes the pattern, the pipeline decodes the
+    actual LZW-compressed bytes — any bit the codec gets wrong moves
+    an integer sum."""
+    import ray.data as _rd
+
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA,
+                                                MM_BATCH_SIZE,
+                                                ImageChannelSums,
+                                                NetpbmBackend,
+                                                encode_gif)
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    pal = np.stack([(np.arange(16) * 7) % 256,
+                    (np.arange(16) * 13) % 256,
+                    (np.arange(16) * 29) % 256], axis=1).astype(np.uint8)
+    for i in range(12):
+        h, w = 16 + (i % 3) * 8, 24
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        idx = (r + 2 * c + i) % 16
+        img = pal[idx]
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("gif")
+        rows["payload"].append(encode_gif(img))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(-1)
+    ds = _rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+    out = ds.map_batches(
+        ImageChannelSums,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=2,
+        fn_constructor_kwargs={"backend": NetpbmBackend()},
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def media_image_png_channels(sf_dir: str):
     """REAL PNG decode under the oracle gate: 15 PNG payloads (stdlib
     zlib DEFLATE, filter i%5 so ALL five scanline filters — None / Sub /
@@ -8677,6 +8738,7 @@ QUERIES = {
     "media_audio_dominant_bins": media_audio_dominant_bins,
     "media_video_luma": media_video_luma,
     "media_image_png_channels": media_image_png_channels,
+    "media_image_gif_channels": media_image_gif_channels,
     "media_image_neardup": media_image_neardup,
 }
 
@@ -9052,6 +9114,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "media_audio_dominant_bins": ORACLE_MEDIA_DOMINANT_BINS,
         "media_video_luma": ORACLE_MEDIA_VIDEO_LUMA,
         "media_image_png_channels": ORACLE_MEDIA_PNG_CHANNELS,
+        "media_image_gif_channels": ORACLE_MEDIA_GIF_CHANNELS,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,

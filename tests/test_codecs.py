@@ -404,3 +404,54 @@ def test_png_backend_dispatch_and_channel_sums(ray_session):
     )
     got = out[["r_sum", "g_sum", "b_sum"]].to_numpy()
     assert np.array_equal(got, np.array(want))
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a): longhand LZW — variable code width with the early-change
+# off-by-one, dictionary resets at 4096, KwKwK case.
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_stress():
+    from recon_ray.functions.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(0)
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 2, 7, 300, 20000, 60000):
+            idx = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+            assert np.array_equal(
+                _lzw_decode(_lzw_encode(idx, mcs), mcs, n), idx), \
+                (mcs, n)
+    # KwKwK stressors: constant runs and short cycles
+    for pat in (np.zeros(30000, np.uint8),
+                np.tile(np.arange(4, dtype=np.uint8), 8000)):
+        assert np.array_equal(
+            _lzw_decode(_lzw_encode(pat, 2), 2, len(pat)), pat)
+
+
+def test_gif_roundtrip_and_backend():
+    from recon_ray.functions.multimodal import (NetpbmBackend,
+                                                decode_gif, encode_gif)
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 16, (24, 32))]
+    g = encode_gif(img)
+    assert g[:6] == b"GIF89a" and g[-1] == 0x3B
+    assert np.array_equal(decode_gif(g)[0], img)
+    # animation: full-replacement frames round-trip in order
+    frames = pal[rng.integers(0, 16, (5, 20, 16))]
+    assert np.array_equal(decode_gif(encode_gif(frames)), frames)
+    # 256-color and 2-color edges
+    img2 = np.arange(256, dtype=np.uint8).repeat(3).reshape(16, 16, 3)
+    assert np.array_equal(decode_gif(encode_gif(img2))[0], img2)
+    img3 = np.zeros((8, 8, 3), np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img3))[0], img3)
+    # backend dispatch decodes the first frame
+    be = NetpbmBackend()
+    assert np.array_equal(be.decode_image(g, "gif", 24, 32), img)
+    # scope guards
+    with pytest.raises(ValueError):
+        encode_gif(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + bytes(20))
