@@ -218,6 +218,16 @@ def run_bench() -> dict:
     )["packed"].count()
     queries["doc_curation"] = round(time.time() - t0, 3)
 
+    from recon_ray.functions.text import chunk_documents
+
+    t0 = time.time()
+    chunk_documents(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]).repartition(16),
+        size=256, stride=192,
+    ).count()
+    queries["doc_token_chunks"] = round(time.time() - t0, 3)
+
     # graph analytics over the headline run's OWN canonical triples
     import pyarrow.compute as pc_
 
