@@ -5985,6 +5985,23 @@ def q_sql_frontend_stddev(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_PIVOT = (
+    "PIVOT events ON event_type USING count(value) "
+    "GROUP BY user_id ORDER BY user_id"
+)
+
+
+def q_sql_frontend_pivot(sf_dir: str):
+    """DuckDB's PIVOT statement form under the gate, compiled to
+    pivot_agg: per-batch combiners on (keys, pivot), ONE key shuffle,
+    reshape over the output-sized table; pivoted column names are the
+    category values and missing count cells are 0 — DuckDB's rules.
+    DuckDB runs the identical statement."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_PIVOT, {"events": _t(sf_dir, "events")})
+
+
 SQL_FRONTEND_CORR = (
     "SELECT lang, count(*) AS n, corr(n_chars, doc_id) AS r, "
     "covar_samp(n_chars, doc_id) AS cs, "
@@ -8608,6 +8625,7 @@ QUERIES = {
     "q_sql_frontend_exists": q_sql_frontend_exists,
     "q_sql_frontend_script": q_sql_frontend_script,
     "q_sql_frontend_exists_corr": q_sql_frontend_exists_corr,
+    "q_sql_frontend_pivot": q_sql_frontend_pivot,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -9069,6 +9087,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_exists": SQL_FRONTEND_EXISTS,
         "q_sql_frontend_script": ORACLE_SQL_FRONTEND_SCRIPT,
         "q_sql_frontend_exists_corr": SQL_FRONTEND_EXISTS_CORR,
+        "q_sql_frontend_pivot": SQL_FRONTEND_PIVOT,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

@@ -2373,6 +2373,36 @@ def run_sql(sql: str, tables: dict,
     from recon_ray.functions.relational import arrow_filter
 
     _stmt = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    pvm = re.match(
+        r"^pivot\s+([A-Za-z_]\w*)\s+on\s+([A-Za-z_]\w*)\s+using\s+"
+        r"(sum|count|min|max|avg)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+"
+        r"group\s+by\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+        r"(?:\s+order\s+by\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?"
+        r"\s*$", _stmt, re.I)
+    if pvm:
+        # PIVOT t ON p USING agg(v) GROUP BY keys — DuckDB's statement
+        # form, compiled to pivot_agg: per-batch combiners on
+        # (keys, p), ONE key shuffle, reshape over the output-sized
+        # table. Missing cells are NULL (0 for count), pivoted column
+        # names are the category values — DuckDB's rules.
+        from recon_ray.functions.relational import pivot_agg
+
+        tbl = pvm.group(1)
+        if tbl not in tables:
+            raise SqlError(f"unknown table {tbl!r}")
+        agg = pvm.group(3).lower()
+        keys = [c.strip() for c in pvm.group(5).split(",")]
+        out = pivot_agg(
+            tables[tbl], keys, pvm.group(2),
+            value_col=pvm.group(4),
+            agg={"avg": "mean"}.get(agg, agg),
+            fill=0 if agg == "count" else np.nan)
+        out.columns = [c if c in keys else str(c)
+                       for c in out.columns]
+        if pvm.group(6):
+            oc = [c.strip() for c in pvm.group(6).split(",")]
+            out = out.sort_values(oc, kind="mergesort")
+        return out.reset_index(drop=True)
     _ctes, _stmt = _split_with(_stmt)
     if _ctes:
         # WITH name AS (aggregated query), ...: each CTE plans

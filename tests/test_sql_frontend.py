@@ -2056,3 +2056,28 @@ def test_correlated_exists_rejections():
     with pytest.raises(SqlError):  # outer ref in a non-equality
         parse_sql("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM u "
                   "WHERE u.a = t.x AND u.b > t.y)")
+
+
+# ---------------------------------------------------------------------------
+# PIVOT statement form (DuckDB syntax) → pivot_agg.
+# ---------------------------------------------------------------------------
+
+def test_pivot_statement_matches_duckdb(ray_session):
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"g": rng.integers(0, 6, 200),
+                       "p": rng.choice(["a", "b", "c"], 200),
+                       "v": rng.integers(0, 100, 200).astype("float64")})
+    tabs = {"t": rd.from_pandas(df).repartition(3)}
+    con = duckdb.connect()
+    con.register("t", df)
+    for agg in ("sum", "count", "min", "max", "avg"):
+        sql = f"PIVOT t ON p USING {agg}(v) GROUP BY g ORDER BY g"
+        got = run_sql(sql, tabs)
+        want = con.execute(sql).fetchdf()
+        assert list(got.columns) == list(want.columns), agg
+        for c in got.columns:
+            a = got[c].fillna(-1).to_numpy("float64")
+            b = want[c].fillna(-1).to_numpy("float64")
+            assert (a == b).all(), (agg, c)
+    with pytest.raises(SqlError):
+        run_sql("PIVOT missing ON p USING sum(v) GROUP BY g", tabs)
