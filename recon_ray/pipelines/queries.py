@@ -5985,6 +5985,21 @@ def q_sql_frontend_stddev(sf_dir: str):
                    {"documents": _t(sf_dir, "documents")})
 
 
+SQL_FRONTEND_UNPIVOT = (
+    "UNPIVOT part ON p_size, p_retailprice INTO NAME metric VALUE val"
+)
+
+
+def q_sql_frontend_unpivot(sf_dir: str):
+    """DuckDB's UNPIVOT statement form under the gate — per-batch melt
+    (no shuffle, no state), every non-listed column rides as an id,
+    NULL cells drop, mixed numeric columns coerce to double in both
+    engines. DuckDB runs the identical statement."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_UNPIVOT, {"part": _t(sf_dir, "part")})
+
+
 SQL_FRONTEND_PIVOT = (
     "PIVOT events ON event_type USING count(value) "
     "GROUP BY user_id ORDER BY user_id"
@@ -8626,6 +8641,7 @@ QUERIES = {
     "q_sql_frontend_script": q_sql_frontend_script,
     "q_sql_frontend_exists_corr": q_sql_frontend_exists_corr,
     "q_sql_frontend_pivot": q_sql_frontend_pivot,
+    "q_sql_frontend_unpivot": q_sql_frontend_unpivot,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -9088,6 +9104,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_script": ORACLE_SQL_FRONTEND_SCRIPT,
         "q_sql_frontend_exists_corr": SQL_FRONTEND_EXISTS_CORR,
         "q_sql_frontend_pivot": SQL_FRONTEND_PIVOT,
+        "q_sql_frontend_unpivot": SQL_FRONTEND_UNPIVOT,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,

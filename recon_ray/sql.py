@@ -2403,6 +2403,31 @@ def run_sql(sql: str, tables: dict,
             oc = [c.strip() for c in pvm.group(6).split(",")]
             out = out.sort_values(oc, kind="mergesort")
         return out.reset_index(drop=True)
+    upm = re.match(
+        r"^unpivot\s+([A-Za-z_]\w*)\s+on\s+"
+        r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+into\s+name\s+"
+        r"([A-Za-z_]\w*)\s+value\s+([A-Za-z_]\w*)\s*$", _stmt, re.I)
+    if upm:
+        # UNPIVOT t ON a, b INTO NAME k VALUE v — DuckDB's statement
+        # form: per-batch melt (no shuffle), every non-listed column
+        # is an id column, NULL cells drop (DuckDB's rule)
+        from recon_ray.functions.relational import unpivot
+
+        tbl = upm.group(1)
+        if tbl not in tables:
+            raise SqlError(f"unknown table {tbl!r}")
+        vcols = [c.strip() for c in upm.group(2).split(",")]
+        nname, vname = upm.group(3), upm.group(4)
+        sch = tables[tbl].schema()
+        if sch is None:
+            return pd.DataFrame()
+        missing = [c for c in vcols if c not in sch.names]
+        if missing:
+            raise SqlError(f"UNPIVOT columns not in {tbl!r}: {missing}")
+        ids = [c for c in sch.names if c not in vcols]
+        out = unpivot(tables[tbl], ids, vcols,
+                      var_name=nname, value_name=vname).to_pandas()
+        return out.dropna(subset=[vname]).reset_index(drop=True)
     _ctes, _stmt = _split_with(_stmt)
     if _ctes:
         # WITH name AS (aggregated query), ...: each CTE plans

@@ -2081,3 +2081,20 @@ def test_pivot_statement_matches_duckdb(ray_session):
             assert (a == b).all(), (agg, c)
     with pytest.raises(SqlError):
         run_sql("PIVOT missing ON p USING sum(v) GROUP BY g", tabs)
+
+
+def test_unpivot_statement_matches_duckdb(ray_session):
+    df = pd.DataFrame({"g": [1, 2, 3],
+                       "a": [1.0, 2.0, None],
+                       "b": [3.0, None, 5.0]})
+    tabs = {"t": rd.from_pandas(df).repartition(2)}
+    sql = "UNPIVOT t ON a, b INTO NAME k VALUE v"
+    got = run_sql(sql, tabs).sort_values(["g", "k"]).reset_index(
+        drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(sql).fetchdf().sort_values(
+        ["g", "k"]).reset_index(drop=True)
+    assert got.values.tolist() == want.values.tolist()
+    with pytest.raises(SqlError):
+        run_sql("UNPIVOT t ON nope INTO NAME k VALUE v", tabs)
