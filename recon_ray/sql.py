@@ -1672,6 +1672,20 @@ def parse_sql(sql: str) -> dict:
                  "distinct": False, "filter": None,
                  "alias": alias or f"{fn}_{v}_{by}"})
             continue
+        adm = re.match(
+            r"^approx_count_distinct\s*\(\s*(" + _QCOL + r")\s*\)$",
+            expr, re.I)
+        if adm:
+            # HLL sketch: register rows ride the (tiny) merge, never
+            # the raw values — the approximate companion to exact
+            # count(DISTINCT). DuckDB's HLL differs, so this construct
+            # is bounded-error-tested rather than hash-oracled.
+            q["select"].append(
+                {"agg": "approx_distinct",
+                 "col": _unqual(adm.group(1), aliases),
+                 "distinct": False, "filter": None,
+                 "alias": alias or f"approx_{adm.group(1)}"})
+            continue
         cvm = _COV_RE.match(expr)
         if cvm:
             # corr(y, x) / covar_* / regr_*: two plain column args,
@@ -1986,7 +2000,7 @@ def parse_sql(sql: str) -> dict:
             raise SqlError("ROLLUP/CUBE need group columns")
         for it in q["select"]:
             if (it["agg"] in _Q_AGGS or it["agg"] in _ARG_AGGS
-                    or it["agg"] == "string_agg"
+                    or it["agg"] in ("string_agg", "approx_distinct")
                     or (it["agg"] == "count" and it.get("distinct"))):
                 raise SqlError(
                     "ROLLUP/CUBE work with sum/count/avg/min/max "
@@ -3155,7 +3169,7 @@ def run_sql(sql: str, tables: dict,
         need = sorted({
             a["col"] for a in aggs
             if a["col"] and a["agg"] not in _Q_AGGS
-            and a["agg"] != "string_agg"
+            and a["agg"] not in ("string_agg", "approx_distinct")
             and not (a["agg"] == "count" and a.get("distinct"))
             and not a.get("filter")
         })
@@ -3483,6 +3497,36 @@ def run_sql(sql: str, tables: dict,
                     dcounts[it["alias"]] = dc
                 else:
                     dcounts[it["alias"]] = int(len(dp))
+        # approx_count_distinct(col): HLL registers per group — the
+        # shuffle (or global reduce) moves 2^p-byte register rows,
+        # never values
+        hframes = {}
+        for it in q["select"]:
+            if it["agg"] != "approx_distinct":
+                continue
+            c = it["col"]
+            if ds is None:
+                hframes[it["alias"]] = None
+            elif keys:
+                from recon_ray.functions.sketches import (
+                    grouped_hll_distinct,
+                )
+
+                if len(keys) != 1:
+                    raise SqlError(
+                        "approx_count_distinct needs exactly one "
+                        "GROUP BY key here")
+                hf = grouped_hll_distinct(
+                    ds.select_columns(
+                        list(dict.fromkeys(keys + [c]))),
+                    keys[0], c).to_pandas()
+                hframes[it["alias"]] = None if hf.empty else hf
+            else:
+                from recon_ray.functions.sketches import hll_distinct
+
+                est = hll_distinct(ds.select_columns([c]), c)
+                hframes[it["alias"]] = int(round(est["estimate"]))
+
         # string_agg(col, 'sep' ORDER BY col): ordered concatenation
         # isn't a mergeable partial — one group_concat narrow shuffle
         # per aggregate (per-batch distinct combiner when DISTINCT)
@@ -3615,6 +3659,22 @@ def run_sql(sql: str, tables: dict,
                     cols[a] = merged[f"__mn_f{_i}"]
                 else:
                     cols[a] = merged[f"__mx_f{_i}"]
+            elif it["agg"] == "approx_distinct":
+                hf = hframes[a]
+                if keys:
+                    if hf is None:
+                        cols[a] = np.zeros(len(merged), dtype="int64")
+                    else:
+                        hf = hf.copy()
+                        hf["estimate"] = hf["estimate"].round()
+                        for k_ in keys:
+                            hf[k_] = hf[k_].astype(merged[k_].dtype)
+                        j = merged[keys].merge(hf, on=keys, how="left")
+                        cols[a] = (j["estimate"].fillna(0)
+                                   .astype("int64").to_numpy())
+                else:
+                    cols[a] = pd.Series(
+                        [0 if hf is None else hf], dtype="int64")
             elif it["agg"] == "string_agg":
                 sf = sframes[a]
                 if keys:

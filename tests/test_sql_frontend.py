@@ -2098,3 +2098,28 @@ def test_unpivot_statement_matches_duckdb(ray_session):
     assert got.values.tolist() == want.values.tolist()
     with pytest.raises(SqlError):
         run_sql("UNPIVOT t ON nope INTO NAME k VALUE v", tabs)
+
+
+def test_approx_count_distinct_bounded(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.integers(0, 3, 30000),
+                       "u": rng.integers(0, 5000, 30000)})
+    tabs = {"t": rd.from_pandas(df).repartition(4)}
+    m = run_sql(
+        "SELECT g, count(DISTINCT u) AS exact_n, "
+        "approx_count_distinct(u) AS approx_n "
+        "FROM t GROUP BY g ORDER BY g", tabs)
+    err = (m["approx_n"] - m["exact_n"]).abs() / m["exact_n"]
+    assert err.max() < 0.05  # p=12 → ~1.6% stderr; 5% is 3σ headroom
+    g = run_sql("SELECT approx_count_distinct(u) AS a, "
+                "count(DISTINCT u) AS e FROM t", tabs)
+    assert abs(g["a"][0] - g["e"][0]) / g["e"][0] < 0.05
+    # layout invariance: same registers whatever the partitioning
+    m2 = run_sql(
+        "SELECT g, approx_count_distinct(u) AS approx_n "
+        "FROM t GROUP BY g ORDER BY g",
+        {"t": rd.from_pandas(df).repartition(9)})
+    assert m2["approx_n"].tolist() == m["approx_n"].tolist()
+    with pytest.raises(SqlError):  # no ROLLUP recomposition here
+        parse_sql("SELECT g, approx_count_distinct(u) AS a FROM t "
+                  "GROUP BY ROLLUP (g)")
