@@ -2417,6 +2417,19 @@ def run_sql(sql: str, tables: dict,
             oc = [c.strip() for c in pvm.group(6).split(",")]
             out = out.sort_values(oc, kind="mergesort")
         return out.reset_index(drop=True)
+    dm_ = re.match(r"^describe\s+([A-Za-z_]\w*)\s*$", _stmt, re.I)
+    if dm_:
+        # DESCRIBE t → (column_name, column_type) from metadata only;
+        # nothing streams. Useful mid-script to inspect a CTAS result.
+        tbl = dm_.group(1)
+        if tbl not in tables:
+            raise SqlError(f"unknown table {tbl!r}")
+        sch = tables[tbl].schema()
+        if sch is None:
+            return pd.DataFrame({"column_name": [], "column_type": []})
+        return pd.DataFrame({
+            "column_name": list(sch.names),
+            "column_type": [str(t) for t in sch.types]})
     upm = re.match(
         r"^unpivot\s+([A-Za-z_]\w*)\s+on\s+"
         r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+into\s+name\s+"

@@ -2123,3 +2123,19 @@ def test_approx_count_distinct_bounded(ray_session):
     with pytest.raises(SqlError):  # no ROLLUP recomposition here
         parse_sql("SELECT g, approx_count_distinct(u) AS a FROM t "
                   "GROUP BY ROLLUP (g)")
+
+
+def test_describe_statement(ray_session):
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({"x": np.int64([1]), "s": ["a"]})
+    tabs = {"t": rd.from_pandas(df)}
+    d = run_sql("DESCRIBE t", tabs)
+    assert d["column_name"].tolist() == ["x", "s"]
+    # mid-script: DESCRIBE sees a CTAS-registered lazy plan's schema
+    d2 = run_sql_script(
+        "CREATE TABLE v AS SELECT x AS xx FROM t WHERE x > 0; "
+        "DESCRIBE v", tabs)
+    assert d2["column_name"].tolist() == ["xx"]
+    with pytest.raises(SqlError):
+        run_sql("DESCRIBE nope", tabs)
