@@ -420,10 +420,18 @@ def cmd_convert(args) -> int:
 
 def cmd_sql(args) -> int:
     """Run the mini-SQL subset (recon_ray/sql.py) on Ray Data operators:
-    --table name=path (repeatable) registers parquet tables."""
+    --table name=path (repeatable) registers parquet tables; --file
+    reads the query or ;-script from a file."""
     _ensure_ray()
     import ray.data as rd
 
+    if args.file:
+        if args.query:
+            raise SystemExit("pass a query OR --file, not both")
+        with open(args.file) as fh:
+            args.query = fh.read()
+    if not args.query:
+        raise SystemExit("need a query string or --file")
     tables = {}
     for spec_ in args.table or []:
         name, _, path = spec_.partition("=")
@@ -712,7 +720,9 @@ def main(argv=None) -> int:
     pcv.set_defaults(fn=cmd_convert)
 
     psq = sub.add_parser("sql", help="mini-SQL over parquet tables")
-    psq.add_argument("query")
+    psq.add_argument("query", nargs="?", default=None)
+    psq.add_argument("--file", help="read the query/script from a file "
+                                    "(alternative to the positional)")
     psq.add_argument("--table", action="append",
                      help="name=path (repeatable)")
     psq.add_argument("--explain", action="store_true",
