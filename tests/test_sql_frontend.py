@@ -1926,9 +1926,11 @@ def test_exists_subquery_matches_duckdb(ray_session):
 
 
 def test_exists_rejections():
-    with pytest.raises(SqlError):  # correlated: unknown qualifier
-        parse_sql("SELECT x FROM t WHERE EXISTS "
+    # single-equality correlation now DECORRELATES (exists_semi)
+    # instead of rejecting
+    q = parse_sql("SELECT x FROM t WHERE EXISTS "
                   "(SELECT y FROM u WHERE u.y = t.x)")
+    assert q["where"][0][0] == "exists_semi"
     with pytest.raises(SqlError):  # inside OR stays out of scope
         parse_sql("SELECT x FROM t WHERE x = 1 OR EXISTS "
                   "(SELECT y FROM u)")
