@@ -2991,6 +2991,32 @@ def run_sql(sql: str, tables: dict,
             ity = (_sch_ty(isch2, icol)
                    if isch2 is not None and icol in isch2.names
                    else None)
+            if pty is None:
+                # pandas-extension-backed blocks raise on
+                # Schema.types — read the REAL arrow type from one
+                # batch (the emptiness probe just proved one exists)
+                try:
+                    tb1 = ds.limit(1).take_batch(
+                        batch_format="pyarrow")
+                    if col in tb1.schema.names:
+                        pty = tb1.schema.field(col).type
+                except Exception:
+                    pty = None
+            if pty is not None and pa.types.is_null(pty):
+                # first block's probe keys are all NULL — confirm no
+                # later block carries a real value before concluding
+                any_valid = bool(ds.map_batches(
+                    lambda t, c=col: t.filter(
+                        pc.is_valid(t.column(c))),
+                    batch_format="pyarrow").limit(1).count())
+                if not any_valid:
+                    # every probe key is NULL: nothing can match —
+                    # semi keeps nothing, anti keeps everything; NOT
+                    # IN's NULL probes never pass either
+                    if kind in _SEMI or kind == "not_in_subq":
+                        ds = None
+                    continue
+                pty = None  # mixed blocks: fall through unaligned
             if (pty is not None and ity is not None and pty != ity
                     and pa.types.is_integer(pty)
                     and pa.types.is_floating(ity)):
