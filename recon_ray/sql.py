@@ -3964,6 +3964,22 @@ def explain_sql(sql: str, tables: dict = None,
     additionally shows the OPTIMIZER decisions: pushed-down filters and
     the broadcast-vs-shuffle choice from metadata row counts."""
     _stmt = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    sm = re.match(r"^(pivot|unpivot|describe|create|copy)\b", _stmt,
+                  re.I)
+    if sm:
+        kw = sm.group(1).upper()
+        return {
+            "PIVOT": ("Pivot [combiners on (keys, pivot value), ONE "
+                      "key shuffle, output-sized reshape]"),
+            "UNPIVOT": "Unpivot [per-batch melt; no shuffle]",
+            "DESCRIBE": "Describe [schema metadata only; no execution]",
+            "CREATE": ("CreateTableAs [registers a LAZY streaming plan "
+                       "when streamable, else the result-sized frame — "
+                       "script statement, see run_sql_script]"),
+            "COPY": ("CopyTo [parquet write straight from the "
+                     "streaming executor — script statement, see "
+                     "run_sql_script]"),
+        }[kw]
     ctes, _stmt = _split_with(_stmt)
     if ctes:
         lines = []
