@@ -6118,6 +6118,34 @@ def q_sql_frontend_script(sf_dir: str):
                           {"orders": _t(sf_dir, "orders")})
 
 
+SQL_FRONTEND_Q22_NATIVE = (
+    "SELECT substring(c_name, 18, 1) AS cntrycode, count(*) AS numcust, "
+    "sum(cast(round(c_acctbal * 100) AS bigint)) AS totacctbal_c "
+    "FROM customer c "
+    "WHERE substring(c_name, 18, 1) IN ('0', '1', '2', '3', '4') "
+    "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+    "WHERE c_acctbal > 0.0) "
+    "AND NOT EXISTS (SELECT o_custkey FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') "
+    "GROUP BY cntrycode ORDER BY cntrycode"
+)
+
+
+def q_sql_frontend_q22_native(sf_dir: str):
+    """TPC-H Q22 in its NATIVE correlated NOT-EXISTS spelling — the
+    planner decorrelates the single qualified equality into a hash
+    anti-join key set (the inner status filter stays with the inner
+    scan), alongside the substring country-code key and the
+    scalar-aggregate threshold. Same answer as the NOT-IN companion
+    q_sql_frontend_tpch_q22; DuckDB runs the identical string."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_Q22_NATIVE, {
+        "customer": _t(sf_dir, "customer"),
+        "orders": _t(sf_dir, "orders"),
+    })
+
+
 SQL_FRONTEND_EXISTS_CORR = (
     "SELECT o_orderpriority, count(*) AS order_count "
     "FROM orders o "
@@ -8642,6 +8670,7 @@ QUERIES = {
     "q_sql_frontend_exists_corr": q_sql_frontend_exists_corr,
     "q_sql_frontend_pivot": q_sql_frontend_pivot,
     "q_sql_frontend_unpivot": q_sql_frontend_unpivot,
+    "q_sql_frontend_q22_native": q_sql_frontend_q22_native,
     "q_sql_frontend_gsets": q_sql_frontend_gsets,
     "q_sql_frontend_scalarfn": q_sql_frontend_scalarfn,
     "q_sql_frontend_datefn": q_sql_frontend_datefn,
@@ -9105,6 +9134,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_exists_corr": SQL_FRONTEND_EXISTS_CORR,
         "q_sql_frontend_pivot": SQL_FRONTEND_PIVOT,
         "q_sql_frontend_unpivot": SQL_FRONTEND_UNPIVOT,
+        "q_sql_frontend_q22_native": SQL_FRONTEND_Q22_NATIVE,
         "q_sql_frontend_gsets": SQL_FRONTEND_GSETS,
         "q_sql_frontend_scalarfn": SQL_FRONTEND_SCALARFN,
         "q_sql_frontend_datefn": SQL_FRONTEND_DATEFN,
