@@ -59,6 +59,7 @@ FILE_B = "\n".join([
     "",
     "result = calc(2)",
     "unknown_fn(3)",
+    "foo\t(9)",
     "",
 ])
 
@@ -130,6 +131,10 @@ EXPECTED_MENTIONS = {
         ("IDENT", "result"),
         ("CALL", "calc"),
         ("CALL", "unknown_fn"),
+        # `foo\t(9)`: the call pattern's group keeps the tab, and the tab is
+        # NOT in STRIP_CHARS (space is), so the mention text retains it —
+        # reference-faithful strip semantics, pinned on purpose.
+        ("CALL", "foo\t"),
     ],
     "lib/main.js": [
         ("IMPORT", "lodash/fp"),
@@ -180,6 +185,7 @@ EXPECTED_CANONICAL = sorted([
     ("r1/src/util.py", "defines", "r1:src.util.calc", "file", "function", 1),
     ("r1:src.util.calc", "calls", "r1:src.util.calc", "function", "function", 1),
     ("r1:src.util.calc", "calls_unresolved", "unknown_fn", "function", "ident", 1),
+    ("r1:src.util.calc", "calls_unresolved", "foo\t", "function", "ident", 1),
     # file C (r2, lib/main.js, module lib.main)
     ("r2", "imports", "lodash", "repo", "package", 1),
     ("r2/lib/main.js", "imports_module", "lodash/fp", "file", "module", 1),
