@@ -2374,6 +2374,37 @@ class NotStreamable(SqlError):
     ORDER BY / LIMIT, set operations, derived-table bases."""
 
 
+def _expand_star(stmt: str, tables: dict) -> str:
+    """Rewrite a topmost ``SELECT [DISTINCT] * FROM t ...`` into the
+    explicit column list from ``t``'s schema, then let the normal
+    grammar take over. Statement-level only — this is where the table
+    registry (and therefore the schema) is in scope, which is why the
+    parser itself never sees ``*``. Single-table only: a join's output
+    column set depends on key coalescing in preserved-right joins, so
+    ``*`` over a join stays out of scope (name the columns)."""
+    m = re.match(r"^select\s+(distinct\s+)?\*\s+from\s", stmt, re.I)
+    if not m:
+        return stmt
+    cl = _split_clauses(stmt)
+    table, _aliases, joins = _parse_from(cl["from"])
+    if joins or isinstance(table, tuple):
+        raise SqlError(
+            "SELECT * is single-table only (join/derived-table column "
+            "sets depend on key coalescing — name the columns)")
+    if table not in tables:
+        raise SqlError(f"unknown table {table!r}")
+    sch = tables[table].schema()
+    if sch is None:
+        raise SqlError(
+            f"SELECT * over schema-less (provably empty) {table!r}")
+    head = "select " + ("distinct " if cl["dist"] else "")
+    out = head + ", ".join(sch.names)
+    for kw in _CLAUSE_ORDER:
+        if cl.get(kw) is not None:
+            out += f" {kw} {cl[kw]}"
+    return out
+
+
 def run_sql(sql: str, tables: dict,
             broadcast_rows: int = 300_000,
             _as_dataset: bool = False) -> pd.DataFrame:
@@ -2515,7 +2546,7 @@ def run_sql(sql: str, tables: dict,
             out = out.head(limit)
         return out.reset_index(drop=True)
 
-    q = parse_sql(sql)
+    q = parse_sql(_expand_star(_stmt, tables))
     if isinstance(q["table"], tuple):
         # derived table: plan the (aggregated, result-sized) inner
         # query recursively; its frame becomes the in-memory base
@@ -2587,6 +2618,28 @@ def run_sql(sql: str, tables: dict,
                    | {c for jj in q["joins"] for pair in jj["on"]
                       for c in pair})
     _null_synth = set()  # columns synthesized as all-NULL placeholders
+
+    if not q["joins"] and _lsch is not None:
+        # binder check (single-table only — join paths synthesize NULL
+        # columns for schema-less empty sides, so they stay lazy): an
+        # unknown column is a query bug and should fail HERE with the
+        # schema in hand, not as a KeyError inside a Ray task minutes
+        # into a big scan. Select-item aliases count as available
+        # (CASE/derive aliases are legal group keys).
+        _markers = ("win", "strfn", "amspec", "pair", "expr", "datefn",
+                    "case")
+        _avail = set(_lsch.names) | {
+            it["alias"] for it in q["select"]
+            if it.get("alias") and (
+                it.get("agg") is not None
+                or any(it.get(k) for k in _markers)
+                or it["alias"] != it.get("col"))}  # a AS b renames
+        _missing = sorted(c for c in _referenced
+                          if c not in _avail and not c.startswith("__"))
+        if _missing:
+            raise SqlError(
+                f"unknown column(s) {_missing} — table has "
+                f"{list(_lsch.names)}")
 
     def _prune(d, sch):
         # projection pushdown: Ray pushes select_columns into the
@@ -4013,7 +4066,8 @@ def explain_sql(sql: str, tables: dict = None,
         if limit is not None:
             lines.append(f"Limit [{limit}]")
         return "\n".join(lines)
-    q = parse_sql(sql)
+    q = parse_sql(_expand_star(_stmt, tables) if tables is not None
+                  else _stmt)
     pushed: dict = {}
     post = q["where"]
     counts: dict = {}

@@ -2141,3 +2141,59 @@ def test_describe_statement(ray_session):
     assert d2["column_name"].tolist() == ["xx"]
     with pytest.raises(SqlError):
         run_sql("DESCRIBE nope", tabs)
+
+
+def test_select_star_matches_duckdb(ray_session):
+    """SELECT [DISTINCT] * expands to the table's schema at the
+    statement level (where the registry is in scope); joins reject."""
+    df = pd.DataFrame({
+        "g": ["x", "y", None, "x", "x"],
+        "h": np.int64([1, 2, 3, 1, 1]),
+        "v": pd.Series([5, None, 7, 5, 5], dtype="Float64"),
+    })
+    tabs = {"t": rd.from_pandas(df).repartition(3)}
+    con = duckdb.connect()
+    con.register("t", df)
+    for sql in [
+        "SELECT * FROM t ORDER BY h, g",
+        "SELECT DISTINCT * FROM t ORDER BY h, g",
+        "SELECT * FROM t WHERE v IS NOT NULL AND h <= 2 ORDER BY h",
+        "SELECT * FROM t ORDER BY h LIMIT 2",
+    ]:
+        got = run_sql(sql, tabs)
+        want = con.execute(sql).fetchdf()
+        _cmp_sorted(got, want, float_cols=("v",))
+    # star is also a valid union side and CTE consumer target
+    got = run_sql("WITH c AS (SELECT g, count(*) AS n FROM t GROUP BY g) "
+                  "SELECT * FROM c ORDER BY n DESC, g", tabs)
+    want = con.execute(
+        "WITH c AS (SELECT g, count(*) AS n FROM t GROUP BY g) "
+        "SELECT * FROM c ORDER BY n DESC, g").fetchdf()
+    _cmp_sorted(got, want)
+    with pytest.raises(SqlError):  # join output columns need naming
+        run_sql("SELECT * FROM t a JOIN t b ON a.h = b.h", tabs)
+    with pytest.raises(SqlError):
+        run_sql("SELECT * FROM nope", tabs)
+
+
+def test_unknown_column_binder_error(ray_session):
+    """Unknown columns fail at plan time with the schema in the
+    message — not as a KeyError inside a Ray task mid-scan. Renames
+    and derived aliases stay legal as group keys / references."""
+    df = pd.DataFrame({"g": ["x", "y"], "v": np.int64([1, 2])})
+    tabs = {"t": rd.from_pandas(df)}
+    for bad in [
+        "SELECT nope FROM t",
+        "SELECT g FROM t WHERE nope > 1",
+        "SELECT g, sum(nope) AS s FROM t GROUP BY g",
+        "SELECT g FROM t WHERE v > 0 AND nope IS NULL",
+    ]:
+        with pytest.raises(SqlError, match="unknown column"):
+            run_sql(bad, tabs)
+    # legal: rename referenced downstream, CASE alias as group key
+    out = run_sql("SELECT g AS grp, sum(v) AS s FROM t GROUP BY g "
+                  "ORDER BY grp", tabs)
+    assert out["grp"].tolist() == ["x", "y"]
+    out = run_sql("SELECT CASE WHEN v > 1 THEN 'hi' ELSE 'lo' END AS b, "
+                  "count(*) AS n FROM t GROUP BY b ORDER BY b", tabs)
+    assert out["b"].tolist() == ["hi", "lo"]
