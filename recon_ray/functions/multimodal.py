@@ -5,12 +5,14 @@ The Ray-side plumbing here is REAL and tested — schemas, small-batch
 actor-pool stages, output layout. Codecs sit behind the ``DecodeBackend``
 seam: ``NetpbmBackend`` is a REAL pure-numpy decoder for the
 self-describing formats (PPM/PGM, uncompressed 24-bit BMP, WAV PCM16 —
-encoders included for fixtures) plus two real compressed codecs written
-longhand: PNG (stdlib-zlib DEFLATE, all five filters) and GIF89a (LZW
-with early-change width growth and dictionary resets); compressed formats (JPEG/MP4/...) still
-need an imaging library (PIL/librosa/pyav) that doesn't ship in this
-container, so the base ``DecodeBackend`` covers them with a deterministic
-fake (sha256-keystream "decode") and a real backend plugs in via
+encoders included for fixtures) plus three real compressed codecs written
+longhand: baseline JPEG (T.81 sequential DCT, Annex K tables, restart
+markers), PNG (stdlib-zlib DEFLATE, all five filters) and GIF89a (LZW
+with early-change width growth and dictionary resets); what remains
+behind the seam (MP4, progressive JPEG, ...) needs an imaging library
+(PIL/librosa/pyav) that doesn't ship in this container, so the base
+``DecodeBackend`` covers those with a deterministic fake
+(sha256-keystream "decode") and a real backend plugs in via
 ``fn_constructor_kwargs`` without touching the pipeline.
 
 Scale notes baked into the stage shapes:
@@ -526,13 +528,14 @@ def _parse_pnm_header(payload: bytes, magic: bytes):
 
 
 class NetpbmBackend(DecodeBackend):
-    """REAL decoder for the self-describing formats a numpy-only container
-    can honestly handle: PNG (8-bit, all filters, stdlib zlib), GIF89a
-    (longhand LZW, global color table), PPM (P6) /
-    PGM (P5) / 24-bit BMP images and WAV
-    PCM16 audio. Anything else (jpeg/mp4/...) still raises — that seam
-    needs PIL/pyav. Dimensions come from the payload itself; the h/w
-    metadata arguments are verified when ≥ 0, not trusted."""
+    """REAL decoder for the formats a numpy-only container can honestly
+    handle: baseline JPEG (sequential DCT, see ``decode_jpeg``), PNG
+    (8-bit, all filters, stdlib zlib), GIF89a (longhand LZW, global
+    color table), PPM (P6) / PGM (P5) / 24-bit BMP images and WAV
+    PCM16 audio. Anything else (mp4, progressive JPEG, ...) still
+    raises — that seam needs PIL/pyav. Dimensions come from the payload
+    itself; the h/w metadata arguments are verified when ≥ 0, not
+    trusted."""
 
     real = True
 
@@ -540,6 +543,10 @@ class NetpbmBackend(DecodeBackend):
         fmt = (fmt or "").lower()
         if fmt == "png":
             img = decode_png(payload)
+        elif fmt in ("jpeg", "jpg"):
+            img = decode_jpeg(payload)
+            if img.ndim == 2:  # grayscale scan → 3-channel contract
+                img = np.repeat(img[..., None], 3, axis=2)
         elif fmt == "gif":
             img = decode_gif(payload)[0]  # first frame
         elif fmt == "ppm":
@@ -1196,3 +1203,535 @@ def decode_gif(payload: bytes):
     if not frames:
         raise ValueError("GIF carries no image block")
     return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG (JFIF) codec — ITU-T T.81 baseline sequential DCT with
+# the Annex K quantization/Huffman tables, pure numpy + Python bit I/O.
+# Scope: 8-bit samples, 1 (grayscale) or 3 (YCbCr) components, 4:4:4 and
+# 4:2:0 sampling, restart markers. Progressive/arithmetic/12-bit stay out of
+# scope (raise). This closes the "jpeg" seam in NetpbmBackend for baseline
+# files; exotic JPEGs still need PIL/cv2.
+# ---------------------------------------------------------------------------
+
+_JPEG_QL = np.array([  # Annex K.1 luminance quantization
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int64).reshape(8, 8)
+_JPEG_QC = np.array([  # Annex K.2 chrominance quantization
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int64).reshape(8, 8)
+
+# zigzag scan: _JPEG_ZZ[k] = flat (row*8+col) index of the k-th zigzag coeff
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+
+# standard Huffman specs (Annex K.3): (BITS[1..16], HUFFVAL)
+_JPEG_HUFF_SPECS = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                bytes(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                bytes(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+                bytes.fromhex(
+                    "0102030004110512213141061351610722711432"
+                    "8191a1082342b1c11552d1f02433627282090a16"
+                    "1718191a25262728292a3435363738393a434445"
+                    "464748494a535455565758595a63646566676869"
+                    "6a737475767778797a838485868788898a929394"
+                    "95969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+                    "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8"
+                    "d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8"
+                    "f9fa")),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+                bytes.fromhex(
+                    "0001020311040521310612415107617113223281"
+                    "08144291a1b1c109233352f0156272d10a162434"
+                    "e125f11718191a262728292a3536373839"
+                    "3a434445464748494a535455565758595a636465"
+                    "666768696a737475767778797a82838485868788"
+                    "898a92939495969798999aa2a3a4a5a6a7a8a9aa"
+                    "b2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3"
+                    "d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5"
+                    "f6f7f8f9fa")),
+}
+
+for _k, (_bits, _vals) in _JPEG_HUFF_SPECS.items():
+    assert sum(_bits) == len(_vals), (_k, sum(_bits), len(_vals))
+
+
+def _jpeg_canonical(bits: list, vals: bytes):
+    """Canonical Huffman assignment (T.81 C.2): codes in increasing
+    length, increasing value. Returns (encode: sym -> (code, len),
+    decode: (len, code) -> sym)."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            sym = vals[k]
+            enc[sym] = (code, ln)
+            dec[(ln, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+_JPEG_ENC_TABLES = {k: _jpeg_canonical(*v)[0]
+                    for k, v in _JPEG_HUFF_SPECS.items()}
+
+# orthonormal 8-point DCT-II matrix: D @ block @ D.T == the T.81 FDCT
+_DCT8 = np.zeros((8, 8))
+_DCT8[0, :] = 1.0 / np.sqrt(8.0)
+for _k in range(1, 8):
+    _DCT8[_k, :] = 0.5 * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16)
+
+
+def _jpeg_qtables(quality: int):
+    """IJG quality scaling of the Annex K tables (clamped to [1, 255])."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.buf)
+
+
+def _jpeg_quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float64 plane (H, W multiples of 8, already level-shifted)
+    → (H//8, W//8, 64) int64 quantized zigzag coefficients. One stacked
+    matmul for the whole plane; round half away from zero."""
+    hh, ww = plane.shape
+    blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8,
+                      optimize=True)
+    scaled = coeff / q
+    quant = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        np.int64)
+    return quant.reshape(hh // 8, ww // 8, 64)[:, :, _JPEG_ZZ_INV]
+
+
+# _JPEG_ZZ maps zigzag position -> flat index; its inverse gathers a
+# flat 64-vector into zigzag order
+_JPEG_ZZ_INV = np.empty(64, np.int64)
+_JPEG_ZZ_INV[np.arange(64)] = 0  # placeholder, filled just below
+
+
+def _init_zz_inv():
+    # zz[k] = flat index of k-th zigzag coeff; we want out[k] = flat[zz[k]]
+    # so the gather index IS _JPEG_ZZ itself. Keep the alias explicit.
+    global _JPEG_ZZ_INV
+    _JPEG_ZZ_INV = _JPEG_ZZ.copy()
+
+
+_init_zz_inv()
+
+
+def _jpeg_encode_block(bw: _JpegBitWriter, zz: np.ndarray, pred: int,
+                       dc_tab: dict, ac_tab: dict) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _edge_pad(plane: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, hh - h), (0, ww - w)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder (ITU-T T.81 sequential DCT, Annex K
+    quantization + Huffman tables, IJG quality scaling). ``img`` is
+    (h, w, 3) uint8 RGB (encoded as 3-component YCbCr via the module's
+    full-range BT.601 ``rgb_to_ycbcr``) or (h, w) uint8 grayscale
+    (1 component). ``subsample``: "444" (no chroma subsampling) or
+    "420" (2x2 box-mean chroma). ``restart_interval`` > 0 emits DRI +
+    RSTn every that many MCUs (the error-resilience markers real
+    encoders use for long scans). Deterministic: same input → same
+    bytes."""
+    import struct
+
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _jpeg_qtables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+        qids = [0]
+    else:
+        ycc = rgb_to_ycbcr(img).astype(np.float64)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample == "420":
+            ch = (h + 1) // 2
+            cw = (w + 1) // 2
+            pe = lambda p: np.pad(  # noqa: E731 — pad to even dims
+                p, ((0, h % 2), (0, w % 2)), mode="edge")
+
+            def box(p):
+                p = pe(p)
+                m = (p.reshape(ch, 2, cw, 2).mean(axis=(1, 3)))
+                return np.floor(m + 0.5)
+
+            planes = [y, box(cb), box(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qtabs = [ql, qc]
+    quant_blocks = []
+    for p, (hi, vi), qid in zip(planes, samps, qids):
+        bw_, bh_ = mcus_x * hi * 8, mcus_y * vi * 8
+        padded = _edge_pad(p, bh_, bw_) - 128.0
+        quant_blocks.append(_jpeg_quantize_plane(padded, qtabs[qid]))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
+    out += b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    ntab = 1 if gray else 2
+    for tid in range(ntab):
+        zzq = qtabs[tid].reshape(64)[_JPEG_ZZ]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(v) for v in zzq)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                     ncomp)
+    for ci in range(ncomp):
+        hi, vi = samps[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    hids = [0] if gray else [0, 1]
+    for hid in hids:
+        for cls_i, cls in enumerate(("dc", "ac")):
+            bits, vals = _JPEG_HUFF_SPECS[(cls, hid)]
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls_i << 4) | hid]) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        hid = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (hid << 4) | hid])
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for mcu in range(mcus_y * mcus_x):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw = _JpegBitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(ncomp):
+            hi, vi = samps[ci]
+            hid = 0 if ci == 0 else 1
+            dc_tab = _JPEG_ENC_TABLES[("dc", hid)]
+            ac_tab = _JPEG_ENC_TABLES[("ac", hid)]
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = quant_blocks[ci][my * vi + by, mx * hi + bx]
+                    preds[ci] = _jpeg_encode_block(
+                        bw, zz, preds[ci], dc_tab, ac_tab)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG bitstream exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("JPEG bitstream exhausted")
+        chunk = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        v = 0
+        for b in chunk:
+            v = (v << 1) | int(b)
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12: map an s-bit magnitude pattern to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_sym(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF decoder for the encoder's scope and standard
+    baseline files: SOF0, 8-bit, 1 or 3 components, any sampling
+    factors in {1, 2}, restart markers, tables read from the file.
+    Returns (h, w, 3) uint8 RGB for 3-component scans (inverse of the
+    module's full-range BT.601), (h, w) uint8 for grayscale.
+    Progressive (SOF2), arithmetic coding and 12-bit raise."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qtabs: dict = {}
+    htabs: dict = {}
+    comps: list = []
+    h = w = 0
+    dri = 0
+    pos = 2
+    scan_segments = None
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
+                    np.int64)
+                flat = np.zeros(64, np.int64)
+                flat[_JPEG_ZZ] = zz
+                qtabs[tid] = flat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = seg[i + 17:i + 17 + nv]
+                htabs[(("dc", "ac")[cls], tid)] = _jpeg_canonical(
+                    bits, vals)[1]
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if _prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, sv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sv >> 4, "v": sv & 0x0F,
+                              "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan_comps.append({"id": cid, "dc": tt >> 4,
+                                   "ac": tt & 0x0F})
+            # walk the entropy stream: unstuff FF00, split at RSTn,
+            # stop at the next real marker
+            p = pos + ln
+            segs = [bytearray()]
+            while p < len(payload):
+                b = payload[p]
+                if b != 0xFF:
+                    segs[-1].append(b)
+                    p += 1
+                    continue
+                nxt = payload[p + 1]
+                if nxt == 0x00:
+                    segs[-1].append(0xFF)
+                    p += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytearray())
+                    p += 2
+                else:
+                    break
+            scan_segments = [bytes(s) for s in segs]
+            pos = p
+            continue
+        else:
+            pass  # APPn / COM: skipped
+        pos += ln
+    if not comps or scan_segments is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[sc["id"]] for sc in scan_comps]
+    for c, sc in zip(order, scan_comps):
+        c["dc_tab"] = htabs[("dc", sc["dc"])]
+        c["ac_tab"] = htabs[("ac", sc["ac"])]
+        c["q"] = qtabs[c["tq"]].reshape(64)[_JPEG_ZZ]  # zigzag order
+        c["coef"] = np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        c["pred"] = 0
+
+    seg_i = 0
+    br = _JpegBitReader(scan_segments[0])
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if dri and mcu and mcu % dri == 0:
+            seg_i += 1
+            br = _JpegBitReader(scan_segments[seg_i])
+            for c in order:
+                c["pred"] = 0
+        my, mx = divmod(mcu, mcus_x)
+        for c in order:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, np.int64)
+                    s = _jpeg_decode_sym(br, c["dc_tab"])
+                    diff = _jpeg_extend(br.receive(s), s)
+                    c["pred"] += diff
+                    zz[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_sym(br, c["ac_tab"])
+                        if rs == 0x00:  # EOB
+                            break
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _jpeg_extend(br.receive(size), size)
+                        k += 1
+                    c["coef"][my * c["v"] + by,
+                              mx * c["h"] + bx] = zz * c["q"]
+
+    planes = []
+    for c in order:
+        byn, bxn, _ = c["coef"].shape
+        flat = np.zeros((byn, bxn, 64), np.float64)
+        flat[:, :, _JPEG_ZZ] = c["coef"]
+        blocks = flat.reshape(byn, bxn, 8, 8)
+        recon = np.einsum("ji,abjk,kl->abil", _DCT8, blocks, _DCT8,
+                          optimize=True) + 128.0
+        plane = recon.transpose(0, 2, 1, 3).reshape(byn * 8, bxn * 8)
+        plane = np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
+        ch = -(-h * c["v"] // vmax)
+        cw = -(-w * c["h"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG unsupported")
+    return ycbcr_to_rgb(np.stack(planes, axis=-1))

@@ -3971,6 +3971,63 @@ GROUP BY i ORDER BY i
 """
 
 
+def media_image_jpeg_channels(sf_dir: str):
+    """REAL baseline JPEG decode under the oracle gate: 10 JFIF
+    payloads from the pure-numpy T.81 encoder (DCT, Annex K tables,
+    Huffman bitstream, byte stuffing; odd ids add DRI/RSTn restart
+    markers), each 24x24 gray with CONSTANT 8x8 blocks
+    v_b = 128 + 2*(((i*7 + b*13) % 61) - 30). Constant blocks carry
+    only a DC coefficient, and the even offsets make its quantization
+    at quality 50 (q0 = 16) an exact identity — so the lossy codec
+    reconstructs every pixel EXACTLY and DuckDB can replay the channel
+    sums in closed form: the SQL computes the pattern, the pipeline
+    Huffman-decodes the actual compressed scan. General (AC) content
+    is covered by round-trip PSNR bounds in tests/test_codecs.py."""
+    import ray.data as _rd
+
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA,
+                                                MM_BATCH_SIZE,
+                                                ImageChannelSums,
+                                                NetpbmBackend,
+                                                encode_jpeg)
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    blockmap = (3 * (np.arange(24)[:, None] // 8)
+                + np.arange(24)[None, :] // 8)
+    for i in range(10):
+        vb = (128 + 2 * (((i * 7 + np.arange(9) * 13) % 61) - 30)
+              ).astype(np.uint8)
+        img = np.repeat(vb[blockmap][..., None], 3, axis=2)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("jpeg")
+        rows["payload"].append(encode_jpeg(
+            img, quality=50, subsample="444",
+            restart_interval=2 if i % 2 else 0))
+        rows["width"].append(24)
+        rows["height"].append(24)
+        rows["duration_ms"].append(-1)
+    ds = _rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+    out = ds.map_batches(
+        ImageChannelSums,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=2,
+        fn_constructor_kwargs={"backend": NetpbmBackend()},
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_JPEG_CHANNELS = """
+SELECT i::BIGINT AS media_id,
+       sum(64 * (128 + 2 * (((i*7 + b*13) % 61) - 30)))::BIGINT AS r_sum,
+       sum(64 * (128 + 2 * (((i*7 + b*13) % 61) - 30)))::BIGINT AS g_sum,
+       sum(64 * (128 + 2 * (((i*7 + b*13) % 61) - 30)))::BIGINT AS b_sum
+FROM generate_series(0, 9) s(i), generate_series(0, 8) t(b)
+GROUP BY i ORDER BY 1
+"""
+
+
 def media_image_neardup(sf_dir: str):
     """Image near-duplicate pairs over REAL encoded PPM payloads:
     deterministic base images plus planted one-pixel perturbations →
@@ -8802,6 +8859,7 @@ QUERIES = {
     "media_video_luma": media_video_luma,
     "media_image_png_channels": media_image_png_channels,
     "media_image_gif_channels": media_image_gif_channels,
+    "media_image_jpeg_channels": media_image_jpeg_channels,
     "media_image_neardup": media_image_neardup,
 }
 
@@ -9181,6 +9239,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "media_video_luma": ORACLE_MEDIA_VIDEO_LUMA,
         "media_image_png_channels": ORACLE_MEDIA_PNG_CHANNELS,
         "media_image_gif_channels": ORACLE_MEDIA_GIF_CHANNELS,
+        "media_image_jpeg_channels": ORACLE_MEDIA_JPEG_CHANNELS,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,

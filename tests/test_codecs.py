@@ -64,7 +64,11 @@ def test_dim_metadata_mismatch_raises():
 
 
 def test_unknown_format_still_raises():
+    # mp4 stays behind the seam; jpeg is now REAL, so corrupt jpeg
+    # bytes are a data error, not a missing-codec error
     with pytest.raises(NotImplementedError):
+        B.decode_image(b"\x00\x00\x00 ftypmp42", "mp4", 4, 4)
+    with pytest.raises(ValueError):
         B.decode_image(b"\xff\xd8jpegbytes", "jpeg", 4, 4)
 
 
@@ -455,3 +459,102 @@ def test_gif_roundtrip_and_backend():
         encode_gif(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
     with pytest.raises(ValueError):
         decode_gif(b"NOTGIF" + bytes(20))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (pure-numpy T.81) — encoder + decoder
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def _smooth_rgb(h: int, w: int, seed: int = 3) -> np.ndarray:
+    x = np.linspace(0, 1, w)[None, :]
+    y = np.linspace(0, 1, h)[:, None]
+    img = np.stack([120 + 80 * np.sin(3 * y + x + seed),
+                    100 + 60 * np.cos(2 * y - x),
+                    90 + 70 * np.sin(4 * x * y)], axis=-1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_round_trip_psnr():
+    from recon_ray.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(48, 64)
+    for q, sub, floor in [(95, "444", 40.0), (90, "444", 38.0),
+                          (75, "444", 33.0), (90, "420", 33.0)]:
+        out = decode_jpeg(encode_jpeg(img, q, sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert _psnr(out, img) > floor, (q, sub)
+    # deterministic bytes
+    assert encode_jpeg(img, 90) == encode_jpeg(img, 90)
+
+
+def test_jpeg_gray_and_odd_dims():
+    from recon_ray.functions.multimodal import decode_jpeg, encode_jpeg
+
+    g = _smooth_rgb(17, 23)[:, :, 0]  # dims not multiples of 8
+    out = decode_jpeg(encode_jpeg(g, 95))
+    assert out.shape == (17, 23)
+    assert _psnr(out, g) > 40.0
+    rgb = _smooth_rgb(21, 19)
+    out = decode_jpeg(encode_jpeg(rgb, 95, "420"))  # odd dims + 420
+    assert out.shape == (21, 19, 3)
+    assert _psnr(out, rgb) > 33.0
+
+
+def test_jpeg_restart_markers():
+    from recon_ray.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(40, 56)
+    plain = decode_jpeg(encode_jpeg(img, 92))
+    for dri in (1, 2, 5):
+        b = encode_jpeg(img, 92, restart_interval=dri)
+        assert b"\xff\xdd" in b  # DRI marker present
+        out = decode_jpeg(b)
+        # restart markers change the bitstream layout, not the content
+        assert np.array_equal(out, plain)
+
+
+def test_jpeg_block_constant_exact():
+    """Constant 8x8 blocks with even offsets survive quality-50
+    quantization EXACTLY (DC-only, q0 = 16) — the invariant the
+    media_image_jpeg_channels oracle relies on."""
+    from recon_ray.functions.multimodal import decode_jpeg, encode_jpeg
+
+    blockmap = (3 * (np.arange(24)[:, None] // 8)
+                + np.arange(24)[None, :] // 8)
+    for i in range(4):
+        vb = (128 + 2 * (((i * 7 + np.arange(9) * 13) % 61) - 30)
+              ).astype(np.uint8)
+        img = np.repeat(vb[blockmap][..., None], 3, axis=2)
+        for dri in (0, 2):
+            out = decode_jpeg(encode_jpeg(img, 50, "444",
+                                          restart_interval=dri))
+            assert np.array_equal(out, img)
+
+
+def test_jpeg_backend_dispatch_and_scope():
+    from recon_ray.functions.multimodal import (NetpbmBackend,
+                                                decode_jpeg,
+                                                encode_jpeg)
+
+    be = NetpbmBackend()
+    img = _smooth_rgb(16, 16)
+    for fmt in ("jpeg", "jpg"):
+        out = be.decode_image(encode_jpeg(img, 95), fmt, 16, 16)
+        assert out.shape == (16, 16, 3)
+    # grayscale scan meets the 3-channel backend contract
+    out = be.decode_image(encode_jpeg(img[:, :, 0], 95), "jpeg", -1, -1)
+    assert out.shape == (16, 16, 3)
+    assert (out[..., 0] == out[..., 1]).all()
+    # progressive (SOF2) stays behind the seam
+    b = bytearray(encode_jpeg(img, 95))
+    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
