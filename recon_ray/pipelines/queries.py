@@ -4875,6 +4875,99 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def interop_schema_evolution(sf_dir: str):
+    """Schema-evolution Parquet read (sources/evolve.py): a
+    three-version ingestion directory derived from orders — v0 parts
+    carry (o_orderkey, o_custkey), v1 adds extra_cents as INT32, v2
+    drops o_custkey, widens extra_cents to INT64 (+1,000,000) and adds
+    a note_tag string — is read back through
+    ``read_parquet_evolved``'s union-by-name + int-widening promotion
+    (per-schema read groups, typed-null fill, one streaming union),
+    then aggregated per version. The oracle replays DuckDB
+    ``union_by_name`` semantics in closed form over the orders view:
+    every count/sum pins which version carried which column and that
+    int32 survived widening exactly."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from recon_ray.functions.relational import grouped_agg
+    from recon_ray.sources.evolve import read_parquet_evolved
+
+    orders = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey", "o_custkey"])
+    k = orders.column("o_orderkey").to_numpy()
+    c = orders.column("o_custkey").to_numpy()
+    fix = os.path.join("/tmp", f"recon_evolve_fixture_{len(k)}")
+    marker = os.path.join(fix, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(fix, exist_ok=True)
+        v = k % 3
+        cents = (k * 7) % 100000
+        for half in (0, 1):  # two part files per version
+            hm = (k % 2) == half
+            m0 = (v == 0) & hm
+            _pq.write_table(pa.table({
+                "o_orderkey": pa.array(k[m0], pa.int64()),
+                "o_custkey": pa.array(c[m0], pa.int64())}),
+                os.path.join(fix, f"v0-{half}.parquet"))
+            m1 = (v == 1) & hm
+            _pq.write_table(pa.table({
+                "o_orderkey": pa.array(k[m1], pa.int64()),
+                "o_custkey": pa.array(c[m1], pa.int64()),
+                "extra_cents": pa.array(cents[m1], pa.int32())}),
+                os.path.join(fix, f"v1-{half}.parquet"))
+            m2 = (v == 2) & hm
+            _pq.write_table(pa.table({
+                "o_orderkey": pa.array(k[m2], pa.int64()),
+                "extra_cents": pa.array(cents[m2] + 1_000_000,
+                                        pa.int64()),
+                "note_tag": pa.array(
+                    [f"v2-{int(x) % 10}" for x in k[m2]],
+                    pa.string())}),
+                os.path.join(fix, f"v2-{half}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = read_parquet_evolved(fix)
+
+    def add_version(t: pa.Table) -> pa.Table:
+        ver = pa.array(t.column("o_orderkey").to_numpy() % 3, pa.int64())
+        return t.append_column("version", ver)
+
+    ds = ds.map_batches(add_version, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = grouped_agg(ds, "version", {
+        "o_orderkey": ["count", "sum"],
+        "o_custkey": ["count"],
+        "extra_cents": ["count", "sum"],
+        "note_tag": ["count"],
+    })
+    for col in ("o_orderkey_count", "o_orderkey_sum", "o_custkey_count",
+                "extra_cents_count", "extra_cents_sum",
+                "note_tag_count"):
+        out[col] = out[col].fillna(0).astype("int64")
+    return out.sort_values("version").reset_index(drop=True)
+
+
+ORACLE_INTEROP_SCHEMA_EVOLUTION = """
+SELECT (o_orderkey % 3)::BIGINT AS version,
+       count(*)::BIGINT AS o_orderkey_count,
+       sum(o_orderkey)::BIGINT AS o_orderkey_sum,
+       (CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE count(*) END)::BIGINT
+           AS o_custkey_count,
+       (CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE count(*) END)::BIGINT
+           AS extra_cents_count,
+       coalesce(sum(CASE
+           WHEN o_orderkey % 3 = 1 THEN (o_orderkey * 7) % 100000
+           WHEN o_orderkey % 3 = 2
+               THEN (o_orderkey * 7) % 100000 + 1000000
+       END), 0)::BIGINT AS extra_cents_sum,
+       (CASE WHEN o_orderkey % 3 = 2 THEN count(*) ELSE 0 END)::BIGINT
+           AS note_tag_count
+FROM orders GROUP BY o_orderkey % 3 ORDER BY 1
+"""
+
+
 def q_orders_apply_cdc(sf_dir: str):
     """Change-data-capture apply (functions.relational.apply_cdc): a
     deterministic I/U/D log derived from orders — keys %5 get an Update
@@ -8674,6 +8767,7 @@ QUERIES = {
     "doc_entity_resolution": doc_entity_resolution,
     "q_events_pruned_scan": q_events_pruned_scan,
     "interop_roundtrip": interop_roundtrip,
+    "interop_schema_evolution": interop_schema_evolution,
     "q_validate_suite": q_validate_suite,
     "q_events_daily_filled": q_events_daily_filled,
     "q_events_mad_outliers": q_events_mad_outliers,
@@ -9138,6 +9232,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "doc_entity_resolution": ORACLE_DOC_ENTITY_RESOLUTION,
         "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
         "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,
+        "interop_schema_evolution": ORACLE_INTEROP_SCHEMA_EVOLUTION,
         "q_validate_suite": ORACLE_VALIDATE_SUITE,
         "q_orders_apply_cdc": ORACLE_ORDERS_APPLY_CDC,
         "q_events_daily_filled": ORACLE_EVENTS_DAILY_FILLED,

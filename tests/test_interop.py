@@ -150,3 +150,58 @@ def test_cli_convert_parquet_orc(tmp_path, ray_session, nasty_df):
         assert '"rows"' in r.stdout
     got = pd.read_parquet(back).sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, nasty_df.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution Parquet reader (sources/evolve.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_pq(path, **cols):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(cols), str(path))
+
+
+def test_unify_schemas_promotion():
+    from recon_ray.sources.evolve import unify_schemas
+
+    s1 = pa.schema([("a", pa.int32()), ("b", pa.string())])
+    s2 = pa.schema([("a", pa.int64()), ("c", pa.float32())])
+    s3 = pa.schema([("c", pa.int64()), ("d", pa.null())])
+    u = unify_schemas([s1, s2, s3])
+    assert u.names == ["a", "b", "c", "d"]  # first-seen order
+    assert u.field("a").type == pa.int64()      # int widen
+    assert u.field("c").type == pa.float64()    # float wins the pair
+    assert u.field("d").type == pa.null()
+    # string vs int is a migration, not a cast
+    with pytest.raises(ValueError, match="promote"):
+        unify_schemas([pa.schema([("x", pa.string())]),
+                       pa.schema([("x", pa.int64())])])
+
+
+def test_read_parquet_evolved_union_fill_promote(tmp_path, ray_session):
+    from recon_ray.sources.evolve import read_parquet_evolved
+
+    _write_pq(tmp_path / "v0.parquet",
+              k=pa.array([1, 2], pa.int64()),
+              a=pa.array([10, 20], pa.int32()))
+    _write_pq(tmp_path / "v1.parquet",
+              a=pa.array([30], pa.int64()),   # widened + reordered
+              k=pa.array([3], pa.int64()),
+              tag=pa.array(["x"], pa.string()))
+    ds = read_parquet_evolved(str(tmp_path))
+    sch = ds.schema()
+    assert sch.names == ["k", "a", "tag"]
+    df = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["a"].tolist() == [10, 20, 30]
+    assert df["tag"].isna().tolist() == [True, True, False]
+    # pruning: a group carrying NONE of the requested columns still
+    # contributes its rows as typed nulls
+    only_tag = read_parquet_evolved(str(tmp_path), columns=["tag"])
+    t = only_tag.to_pandas()
+    assert len(t) == 3 and t["tag"].notna().sum() == 1
+    with pytest.raises(ValueError, match="not in unified"):
+        read_parquet_evolved(str(tmp_path), columns=["nope"])
+    with pytest.raises(FileNotFoundError):
+        read_parquet_evolved(str(tmp_path / "empty"))
