@@ -447,7 +447,7 @@ def cmd_sql(args) -> int:
         return 0
     from recon_ray.sql import run_sql, run_sql_script
 
-    if ";" in args.query or re.match(r"^\s*(create|copy)\b",
+    if ";" in args.query or re.match(r"^\s*(create|copy|insert)\b",
                                      args.query, re.I):
         # script mode: CTAS registers (lazily when streamable), COPY
         # writes parquet, the last statement's frame prints

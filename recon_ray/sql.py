@@ -4017,11 +4017,14 @@ def explain_sql(sql: str, tables: dict = None,
     additionally shows the OPTIMIZER decisions: pushed-down filters and
     the broadcast-vs-shuffle choice from metadata row counts."""
     _stmt = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
-    sm = re.match(r"^(pivot|unpivot|describe|create|copy)\b", _stmt,
-                  re.I)
+    sm = re.match(r"^(pivot|unpivot|describe|create|copy|insert)\b",
+                  _stmt, re.I)
     if sm:
         kw = sm.group(1).upper()
         return {
+            "INSERT": ("InsertInto [streaming union append onto the "
+                       "registered table — script statement, see "
+                       "run_sql_script]"),
             "PIVOT": ("Pivot [combiners on (keys, pivot value), ONE "
                       "key shuffle, output-sized reshape]"),
             "UNPIVOT": "Unpivot [per-batch melt; no shuffle]",
@@ -4265,6 +4268,28 @@ def _split_stmts(script: str) -> list:
 _CTAS_RE = re.compile(
     r"^create\s+(or\s+replace\s+)?table\s+([A-Za-z_]\w*)\s+as\s+(.+)$",
     re.I | re.S)
+_INSERT_RE = re.compile(
+    r"^insert\s+into\s+([A-Za-z_]\w*)\s+(select\b.+|values\s*\(.+)$",
+    re.I | re.S)
+
+
+def _parse_values_rows(text: str, names: list) -> pd.DataFrame:
+    """``VALUES (a, b), (c, d)`` → frame on the target's columns
+    (positional, SQL's rule). Literals only — expressions in VALUES
+    are out of scope."""
+    rows = []
+    for tup in _split_top(text):
+        tup = tup.strip()
+        if not (tup.startswith("(") and tup.endswith(")")):
+            raise SqlError(f"bad VALUES tuple: {tup!r}")
+        cells = [c.strip() for c in _split_top(tup[1:-1])]
+        if len(cells) != len(names):
+            raise SqlError(
+                f"VALUES arity {len(cells)} != target arity "
+                f"{len(names)} ({names})")
+        rows.append([None if c.upper() == "NULL" else _literal(c)
+                     for c in cells])
+    return pd.DataFrame(rows, columns=names)
 _COPY_RE = re.compile(
     r"^copy\s+(?:\(\s*(?P<sel>select\b.+)\)|(?P<tbl>[A-Za-z_]\w*))"
     r"\s+to\s+'(?P<path>[^']+)'\s*$", re.I | re.S)
@@ -4308,6 +4333,49 @@ def run_sql_script(script: str, tables: dict,
                 tables[name] = _rd.from_pandas(
                     run_sql(body, tables, broadcast_rows))
                 kind = "materialized frame"
+            last = pd.DataFrame({"table": [name], "kind": [kind]})
+            continue
+        im = _INSERT_RE.match(stmt)
+        if im:
+            # INSERT INTO t <select> | VALUES (...),(...): appends to a
+            # registered table. A streamable select stays LAZY — the
+            # target becomes a streaming union, rows never collect —
+            # so an append to a petabyte table costs nothing until a
+            # consumer runs. Column names must match the target's
+            # schema exactly (reordered by name); positional VALUES
+            # map onto the target's columns.
+            name = im.group(1).lower()
+            if name not in tables:
+                raise SqlError(f"unknown INSERT target {name!r}")
+            tsch = tables[name].schema()
+            if tsch is None:
+                raise SqlError(
+                    f"INSERT target {name!r} is schema-less (empty)")
+            body = im.group(2).strip()
+            if body.lower().startswith("values"):
+                new_df = _parse_values_rows(
+                    body[6:].strip(), list(tsch.names))
+                new_ds = _rd.from_pandas(new_df)
+                kind = "values append"
+            else:
+                try:
+                    new_ds = plan_sql_dataset(body, tables,
+                                              broadcast_rows)
+                    kind = "lazy append"
+                except NotStreamable:
+                    new_ds = _rd.from_pandas(
+                        run_sql(body, tables, broadcast_rows))
+                    kind = "materialized append"
+                nsch = new_ds.schema()
+                if nsch is None:
+                    raise SqlError("INSERT select is provably empty")
+                if set(nsch.names) != set(tsch.names):
+                    raise SqlError(
+                        f"INSERT columns {sorted(nsch.names)} != "
+                        f"target columns {sorted(tsch.names)}")
+                if list(nsch.names) != list(tsch.names):
+                    new_ds = new_ds.select_columns(list(tsch.names))
+            tables[name] = tables[name].union(new_ds)
             last = pd.DataFrame({"table": [name], "kind": [kind]})
             continue
         pm = _COPY_RE.match(stmt)

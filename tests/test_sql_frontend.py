@@ -2197,3 +2197,37 @@ def test_unknown_column_binder_error(ray_session):
     out = run_sql("SELECT CASE WHEN v > 1 THEN 'hi' ELSE 'lo' END AS b, "
                   "count(*) AS n FROM t GROUP BY b ORDER BY b", tabs)
     assert out["b"].tolist() == ["hi", "lo"]
+
+
+def test_insert_into_script(ray_session):
+    """INSERT INTO in scripts: lazy select appends (streaming union),
+    positional VALUES, name-based reorder; arity/name mismatches and
+    unknown targets reject."""
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({"k": np.int64([1, 2, 3]), "v": ["a", "b", "c"]})
+    tabs = {"t": rd.from_pandas(df)}
+    con = duckdb.connect()
+    con.register("t", df)
+    script = (
+        "CREATE TABLE u AS SELECT k, v FROM t WHERE k >= 2; "
+        "INSERT INTO u SELECT k, v FROM t WHERE k = 1; "
+        "INSERT INTO u VALUES (10, 'z'), (11, NULL); "
+        "SELECT count(*) AS n, sum(k) AS sk, count(v) AS nv FROM u")
+    got = run_sql_script(script, tabs)
+    want = con.execute(script).df()
+    assert got.astype(float).values.tolist() == \
+        want.astype(float).values.tolist()
+    # reorder by name: SELECT v, k still lands on (k, v)
+    got = run_sql_script(
+        "CREATE TABLE w AS SELECT k, v FROM t WHERE k >= 3; "
+        "INSERT INTO w SELECT v, k FROM t WHERE k = 1; "
+        "SELECT sum(k) AS sk FROM w", dict(tabs))
+    assert got["sk"].tolist() == [4]
+    for bad in ["INSERT INTO nope SELECT k, v FROM t",
+                "INSERT INTO u VALUES (1)",
+                "INSERT INTO u SELECT k AS x, v FROM t"]:
+        with pytest.raises(SqlError):
+            run_sql_script(
+                "CREATE TABLE u AS SELECT k, v FROM t WHERE k >= 2; "
+                + bad, dict(tabs))
