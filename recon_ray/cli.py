@@ -447,8 +447,9 @@ def cmd_sql(args) -> int:
         return 0
     from recon_ray.sql import run_sql, run_sql_script
 
-    if ";" in args.query or re.match(r"^\s*(create|copy|insert)\b",
-                                     args.query, re.I):
+    if ";" in args.query or re.match(
+            r"^\s*(create|copy|insert|delete|update)\b",
+            args.query, re.I):
         # script mode: CTAS registers (lazily when streamable), COPY
         # writes parquet, the last statement's frame prints
         out = run_sql_script(args.query, tables)

@@ -4017,14 +4017,19 @@ def explain_sql(sql: str, tables: dict = None,
     additionally shows the OPTIMIZER decisions: pushed-down filters and
     the broadcast-vs-shuffle choice from metadata row counts."""
     _stmt = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
-    sm = re.match(r"^(pivot|unpivot|describe|create|copy|insert)\b",
-                  _stmt, re.I)
+    sm = re.match(
+        r"^(pivot|unpivot|describe|create|copy|insert|delete|update)\b",
+        _stmt, re.I)
     if sm:
         kw = sm.group(1).upper()
         return {
             "INSERT": ("InsertInto [streaming union append onto the "
                        "registered table — script statement, see "
                        "run_sql_script]"),
+            "DELETE": ("DeleteWhere [lazy inverted arrow_filter; "
+                       "UNKNOWN rows survive — script statement]"),
+            "UPDATE": ("UpdateSet [lazy masked derive over the "
+                       "registered table — script statement]"),
             "PIVOT": ("Pivot [combiners on (keys, pivot value), ONE "
                       "key shuffle, output-sized reshape]"),
             "UNPIVOT": "Unpivot [per-batch melt; no shuffle]",
@@ -4271,6 +4276,32 @@ _CTAS_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^insert\s+into\s+([A-Za-z_]\w*)\s+(select\b.+|values\s*\(.+)$",
     re.I | re.S)
+_DELETE_RE = re.compile(
+    r"^delete\s+from\s+([A-Za-z_]\w*)\s+where\s+(.+)$", re.I | re.S)
+_UPDATE_RE = re.compile(
+    r"^update\s+([A-Za-z_]\w*)\s+set\s+(.+?)(?:\s+where\s+(.+))?$",
+    re.I | re.S)
+
+
+def _parse_where_conds(table: str, cond: str, tables: dict) -> list:
+    """Compile a DML WHERE via the normal statement parser (so the
+    binder check and the full predicate grammar apply), returning the
+    conds list `_compile_pred` takes. Subquery predicates stay out of
+    DML scope (they parse, then fail compilation with a clear error)."""
+    q = parse_sql(f"select count(*) as __n from {table} where {cond}")
+    sch = tables[table].schema()
+    if sch is not None:
+        refs: set = set()
+        for f in q["where"]:
+            _pred_cols(f, refs)
+        missing = sorted(c for c in refs if isinstance(c, str)
+                         and c not in sch.names
+                         and not c.startswith("__"))
+        if missing:
+            raise SqlError(
+                f"unknown column(s) {missing} — table has "
+                f"{list(sch.names)}")
+    return q["where"]
 
 
 def _parse_values_rows(text: str, names: list) -> pd.DataFrame:
@@ -4334,6 +4365,106 @@ def run_sql_script(script: str, tables: dict,
                     run_sql(body, tables, broadcast_rows))
                 kind = "materialized frame"
             last = pd.DataFrame({"table": [name], "kind": [kind]})
+            continue
+        if re.match(r"^delete\s+from\b", stmt, re.I) \
+                and not _DELETE_RE.match(stmt):
+            raise SqlError(
+                "DELETE needs a WHERE clause (an unconditional delete "
+                "empties the table into Ray's schema-less hazard — "
+                "use CREATE OR REPLACE TABLE instead)")
+        dm = _DELETE_RE.match(stmt)
+        if dm:
+            # DELETE FROM t WHERE pred: a LAZY inverted filter — rows
+            # where pred is TRUE drop, FALSE and UNKNOWN survive
+            # (SQL's rule; plain WHERE NOT(pred) would wrongly drop
+            # UNKNOWN rows). WHERE is mandatory: an unconditional
+            # DELETE empties the table into Ray's schema-less hazard —
+            # use CREATE OR REPLACE instead.
+            name = dm.group(1).lower()
+            if name not in tables:
+                raise SqlError(f"unknown DELETE target {name!r}")
+            conds = _parse_where_conds(name, dm.group(2), tables)
+            pred = _compile_pred(conds)
+
+            def _keep(t: pa.Table, pred=pred) -> pa.Table:
+                return t.filter(pc.invert(pred(t)))
+
+            tables[name] = tables[name].map_batches(
+                _keep, batch_format="pyarrow", zero_copy_batch=True)
+            last = pd.DataFrame({"table": [name],
+                                 "kind": ["lazy delete"]})
+            continue
+        um = _UPDATE_RE.match(stmt)
+        if um:
+            # UPDATE t SET c = expr [, ...] [WHERE pred]: a LAZY
+            # map stage — expressions run through the normal derive
+            # evaluator, the mask through the normal predicate
+            # compiler; only pred-TRUE rows change. Like a derive, an
+            # updated column takes the expression's natural type
+            # (integer exprs stay int64, division widens to float).
+            name = um.group(1).lower()
+            if name not in tables:
+                raise SqlError(f"unknown UPDATE target {name!r}")
+            sch = tables[name].schema()
+            if sch is None:
+                raise SqlError(f"UPDATE target {name!r} is schema-less")
+            assigns = []
+            for part in _split_top(um.group(2)):
+                am = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$",
+                              part.strip(), re.S)
+                if not am:
+                    raise SqlError(f"bad SET clause: {part!r}")
+                col, rhs = am.group(1), am.group(2).strip()
+                if col not in sch.names:
+                    raise SqlError(
+                        f"unknown column {col!r} — table has "
+                        f"{list(sch.names)}")
+                if rhs.upper() == "NULL":
+                    assigns.append((col, "lit", None))
+                elif rhs.startswith("'"):
+                    assigns.append((col, "lit", _literal(rhs)))
+                else:
+                    ast = _parse_arith(rhs, {name})
+                    refs: set = set()
+                    _expr_cols(ast, refs)
+                    bad = sorted(c for c in refs
+                                 if c not in sch.names)
+                    if bad:
+                        raise SqlError(
+                            f"unknown column(s) {bad} — table has "
+                            f"{list(sch.names)}")
+                    assigns.append((col, "expr", ast))
+            conds = (_parse_where_conds(name, um.group(3), tables)
+                     if um.group(3) else None)
+            pred = _compile_pred(conds) if conds else None
+
+            def _upd(t: pa.Table, pred=pred, assigns=assigns
+                     ) -> pa.Table:
+                import numpy as _np
+
+                b = t.to_pandas()
+                if pred is not None:
+                    m = pred(t).to_numpy(zero_copy_only=False
+                                         ).astype(bool)
+                else:
+                    m = _np.ones(len(b), bool)
+                for col, kind, val in assigns:
+                    if kind == "lit":
+                        b.loc[m, col] = val
+                    else:
+                        new = pd.Series(_eval_expr(b, val),
+                                        index=b.index)
+                        if not m.all():
+                            out = b[col].where(~m, new)
+                        else:
+                            out = new
+                        b[col] = out
+                return pa.Table.from_pandas(b, preserve_index=False)
+
+            tables[name] = tables[name].map_batches(
+                _upd, batch_format="pyarrow")
+            last = pd.DataFrame({"table": [name],
+                                 "kind": ["lazy update"]})
             continue
         im = _INSERT_RE.match(stmt)
         if im:

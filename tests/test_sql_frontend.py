@@ -2231,3 +2231,51 @@ def test_insert_into_script(ray_session):
             run_sql_script(
                 "CREATE TABLE u AS SELECT k, v FROM t WHERE k >= 2; "
                 + bad, dict(tabs))
+
+
+def test_delete_update_script(ray_session):
+    """DELETE (inverted-filter lazy stage, UNKNOWN rows survive —
+    SQL's rule) and UPDATE (masked derive) match DuckDB running the
+    identical script."""
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({
+        "k": np.int64([1, 2, 3, 4, 5]),
+        "v": pd.Series([10.0, None, 30.0, 40.0, None]),
+        "s": ["a", "b", None, "d", "e"],
+    })
+    mk = "CREATE TABLE u AS SELECT k, v, s FROM t"
+    mk_d = "CREATE TABLE u AS SELECT k, v, s FROM src"
+    cases = [
+        # v > 15 is UNKNOWN for NULL v → those rows SURVIVE the delete
+        ("DELETE FROM u WHERE v > 15",
+         "SELECT count(*) AS n, sum(k) AS sk FROM u"),
+        ("DELETE FROM u WHERE s = 'a' OR k >= 4",
+         "SELECT count(*) AS n, sum(k) AS sk FROM u"),
+        ("UPDATE u SET k = k * 10 + 1 WHERE v > 15",
+         "SELECT sum(k) AS sk, count(*) AS n FROM u"),
+        ("UPDATE u SET s = 'zz' WHERE k >= 4",
+         "SELECT count(*) AS n, min(s) AS ms, max(s) AS xs FROM u"),
+        ("UPDATE u SET v = NULL WHERE k = 1",
+         "SELECT count(v) AS nv FROM u"),
+        ("UPDATE u SET k = k + 100", "SELECT sum(k) AS sk FROM u"),
+    ]
+    for dml, final in cases:
+        got = run_sql_script("; ".join([mk, dml, final]),
+                             {"t": rd.from_pandas(df).repartition(2)})
+        con = duckdb.connect()
+        con.register("src", df)
+        want = con.execute("; ".join([mk_d, dml, final])).df()
+        g = got.astype(object).where(got.notna(), None).values.tolist()
+        w = want.astype(object).where(want.notna(), None)
+        assert [[float(x) if isinstance(x, (int, float)) else x
+                 for x in row] for row in g] == \
+               [[float(x) if isinstance(x, (int, float)) else x
+                 for x in row] for row in w.values.tolist()], dml
+    for bad in ["DELETE FROM u",
+                "DELETE FROM nope WHERE k = 1",
+                "UPDATE u SET nope = 1",
+                "UPDATE u SET k = q + 1"]:
+        with pytest.raises(SqlError):
+            run_sql_script(mk + "; " + bad,
+                           {"t": rd.from_pandas(df)})
