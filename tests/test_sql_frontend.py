@@ -2279,3 +2279,51 @@ def test_delete_update_script(ray_session):
         with pytest.raises(SqlError):
             run_sql_script(mk + "; " + bad,
                            {"t": rd.from_pandas(df)})
+
+
+_dml_rows = st.lists(
+    st.tuples(st.integers(0, 9),
+              st.one_of(st.none(), st.integers(-20, 20)),
+              st.sampled_from(["x", "y", "z", None])),
+    min_size=1, max_size=12)
+_dml_stmts = st.lists(st.sampled_from([
+    "DELETE FROM u WHERE w > 5",
+    "DELETE FROM u WHERE g = 'x'",
+    "DELETE FROM u WHERE w IS NULL AND h <= 3",
+    "UPDATE u SET w = w + 100 WHERE h >= 5",
+    "UPDATE u SET g = 'q' WHERE w < 0",
+    "UPDATE u SET w = NULL WHERE g = 'y'",
+    "UPDATE u SET h = h * 2 + 1",
+    "INSERT INTO u VALUES (7, 3, 'x'), (8, NULL, NULL)",
+]), min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_dml_rows, _dml_stmts, st.integers(1, 3))
+def test_dml_fuzz_matches_duckdb(rows, stmts, parts):
+    """Random DML sequences over NULL-bearing frames: the engine and
+    DuckDB run the IDENTICAL script and must agree on the final
+    aggregate (counts, sums, NULL counts per column)."""
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({
+        "h": pd.Series([r[0] for r in rows], dtype="int64"),
+        "w": pd.Series([r[1] for r in rows], dtype="Float64"),
+        "g": pd.Series([r[2] for r in rows], dtype=object),
+    })
+    final = ("SELECT count(*) AS n, sum(h) AS sh, sum(w) AS sw, "
+             "count(w) AS nw, count(g) AS ng FROM u")
+    script = "; ".join(
+        ["CREATE TABLE u AS SELECT h, w, g FROM t"] + stmts + [final])
+    got = run_sql_script(script,
+                         {"t": rd.from_pandas(df).repartition(parts)})
+    con = duckdb.connect()
+    con.register("src", df)
+    want = con.execute(script.replace(
+        "SELECT h, w, g FROM t", "SELECT h, w, g FROM src")).df()
+    for c in got.columns:
+        gv, wv = got[c][0], want[c][0]
+        if pd.isna(gv) or pd.isna(wv):
+            assert pd.isna(gv) and pd.isna(wv), (c, gv, wv)
+        else:
+            assert float(gv) == float(wv), (c, gv, wv, script)
