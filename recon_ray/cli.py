@@ -34,6 +34,7 @@ import argparse
 import json
 import re
 import sys
+import time
 
 
 def _ensure_ray():
@@ -447,6 +448,7 @@ def cmd_sql(args) -> int:
         return 0
     from recon_ray.sql import run_sql, run_sql_script
 
+    t0 = time.time()
     if ";" in args.query or re.match(
             r"^\s*(create|copy|insert|delete|update)\b",
             args.query, re.I):
@@ -455,7 +457,20 @@ def cmd_sql(args) -> int:
         out = run_sql_script(args.query, tables)
     else:
         out = run_sql(args.query, tables)
+    wall = time.time() - t0
     print(out.to_string(index=False))
+    if args.analyze:
+        # EXPLAIN ANALYZE: the compiled plan plus the measured wall
+        # time of the run that just produced the rows above
+        from recon_ray.sql import SqlError, explain_sql
+
+        try:
+            plan = explain_sql(args.query, tables or None)
+        except SqlError as e:  # scripts explain per-statement only
+            plan = f"(plan unavailable: {e})"
+        print(f"\n-- EXPLAIN ANALYZE: {len(out)} row(s) in "
+              f"{wall:.3f}s --")
+        print(plan)
     return 0
 
 
@@ -728,6 +743,9 @@ def main(argv=None) -> int:
                      help="name=path (repeatable)")
     psq.add_argument("--explain", action="store_true",
                      help="print the compiled physical plan, run nothing")
+    psq.add_argument("--analyze", action="store_true",
+                     help="run the query, then print the plan plus the "
+                          "measured wall time (EXPLAIN ANALYZE)")
     psq.set_defaults(fn=cmd_sql)
 
     pvl = sub.add_parser("validate",
