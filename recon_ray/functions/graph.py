@@ -967,6 +967,122 @@ def kcore_oracle_sql(edges_select: str, k: int = 2,
     )
 
 
+def topo_levels(triples_ds, n_rounds: int = 16,
+                subj_col: str = "subj", obj_col: str = "obj"
+                ) -> pd.DataFrame:
+    """Kahn-style topological LEVELS + cycle detection over the
+    DIRECTED distinct edge graph (dependency ordering of the import /
+    call graph): round 0 resolves nodes with no incoming edges at
+    level 0; each later round resolves nodes whose remaining in-edges
+    all come from already-resolved nodes, so ``level`` is the longest
+    path from any source. Runs EXACTLY ``n_rounds`` rounds (the early
+    exit fires only at fixpoint, where extra rounds are no-ops);
+    nodes still unresolved — on a cycle or downstream of one — report
+    ``level = -1``. A pure function of (edges, n_rounds) that the
+    unrolled-CTE SQL oracle reproduces verbatim.
+
+    Distributed shape (same budget as :func:`kcore`): the distinct
+    edge table stays a Dataset; each round is one combiner
+    distinct-targets pass (node-sized result) + one broadcast-set
+    edge filter dropping the newly resolved nodes' OUT-edges — 2
+    passes over edge blocks per round, never an edge collect. Driver
+    state is the node-sized level map, pagerank's rank-vector budget."""
+    from recon_ray.functions.relational import distinct
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"s": b[subj_col], "o": b[obj_col]})
+        return out.drop_duplicates()  # self-loops stay: they are cycles
+
+    edges = distinct(
+        triples_ds.map_batches(canon, batch_format="pandas",
+                               batch_size=131072),
+        ["s", "o"],
+    ).materialize()
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"entity": pd.unique(pd.concat([b["s"], b["o"]]))})
+
+    all_nodes = set(
+        pd.concat(
+            [b["entity"] for b in edges.map_batches(
+                node_partial, batch_format="pandas"
+            ).iter_batches(batch_format="pandas")],
+            ignore_index=True,
+        ).unique()
+    )
+
+    def target_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"entity": b["o"].unique()})
+
+    level: dict = {}
+    for r in range(n_rounds):
+        has_in = set(
+            pd.concat(
+                [b["entity"] for b in edges.map_batches(
+                    target_partial, batch_format="pandas"
+                ).iter_batches(batch_format="pandas")]
+                or [pd.Series([], dtype=object)],
+                ignore_index=True,
+            ).unique()
+        )
+        newly = all_nodes - set(level) - has_in
+        if not newly:
+            break  # fixpoint: only cyclic/downstream nodes remain
+        for e in newly:
+            level[e] = r
+        ref = ray.put(newly)
+
+        def drop_out(b: pd.DataFrame) -> pd.DataFrame:
+            res = ray.get(ref)
+            return b[~b["s"].isin(res)]
+
+        edges = edges.map_batches(drop_out,
+                                  batch_format="pandas").materialize()
+
+    out = pd.DataFrame({
+        "entity": sorted(all_nodes),
+    })
+    out["level"] = out["entity"].map(level).fillna(-1).astype("int64")
+    return out.reset_index(drop=True)
+
+
+def topo_levels_oracle_sql(edges_select: str,
+                           n_rounds: int = 16) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`topo_levels` — the
+    identical fixed-round Kahn peel (extra rounds past fixpoint
+    resolve nothing, matching the engine's early exit). MATERIALIZED
+    throughout, like the other unrolled graph oracles."""
+    ctes = [
+        f"raw AS MATERIALIZED ({edges_select})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT subj AS s, obj AS o "
+        "FROM raw)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT entity FROM "
+        "(SELECT s AS entity FROM e0 UNION SELECT o FROM e0))",
+        "l0 AS MATERIALIZED (SELECT entity FROM nodes WHERE entity "
+        "NOT IN (SELECT o FROM e0))",
+        "res0 AS MATERIALIZED (SELECT entity, 0 AS level FROM l0)",
+    ]
+    for r in range(1, n_rounds):
+        p = r - 1
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT s, o FROM e{p} "
+            f"WHERE s NOT IN (SELECT entity FROM l{p}))")
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT entity FROM nodes "
+            f"WHERE entity NOT IN (SELECT entity FROM res{p}) "
+            f"AND entity NOT IN (SELECT o FROM e{r}))")
+        ctes.append(
+            f"res{r} AS MATERIALIZED (SELECT * FROM res{p} "
+            f"UNION ALL SELECT entity, {r} AS level FROM l{r})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.entity, coalesce(v.level, -1)::BIGINT AS level "
+        f"FROM nodes n LEFT JOIN res{n_rounds - 1} v "
+        f"ON n.entity = v.entity ORDER BY n.entity"
+    )
+
+
 _RA_SCALE = 2 ** 40
 
 

@@ -1940,6 +1940,23 @@ def kg_kcore(sf_dir: str):
     return kcore(edges, k=2, n_rounds=16)
 
 
+def kg_call_topo_levels(sf_dir: str):
+    """Topological levels + cycle detection over the call graph
+    (functions.graph.topo_levels): Kahn-style fixed-round peel —
+    level = longest call-chain depth from any entry point, -1 for
+    functions on (or downstream of) call cycles — the dependency
+    ordering a build/analysis pass over the KG needs. Each round is
+    one combiner distinct-targets pass + one broadcast-set edge
+    filter; bit-matched by the unrolled-CTE SQL oracle."""
+    from recon_ray.functions.graph import topo_levels
+
+    edges = arrow_filter(
+        _kg(sf_dir)["canonical_ds"],
+        lambda t: pc.equal(t.column("pred"), "calls"),
+    ).select_columns(["subj", "obj"])
+    return topo_levels(edges)
+
+
 def kg_calls_2hop(sf_dir: str):
     """2-hop call closure over the canonical triple graph: (f, g) and
     (g, h) call edges compose into (f, calls2, h) with the number of
@@ -8888,6 +8905,7 @@ QUERIES = {
     "kg_triple_score": kg_triple_score,
     "kg_degrees": kg_degrees,
     "kg_calls_2hop": kg_calls_2hop,
+    "kg_call_topo_levels": kg_call_topo_levels,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_pagerank_personalized": kg_pagerank_personalized,
@@ -9053,6 +9071,9 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
             f"3.0 * (SELECT c FROM tri) / (SELECT sum(d*(d-1)//2) FROM deg) "
             f"ELSE 0.0 END AS global_clustering"
         ),
+        "kg_call_topo_levels": _graph.topo_levels_oracle_sql(
+            f"SELECT subj, obj FROM read_parquet('{g_can}') "
+            f"WHERE pred='calls'"),
         "kg_calls_2hop": (
             f"WITH e AS (SELECT subj, obj FROM read_parquet('{g_can}') "
             f"WHERE pred='calls') "

@@ -302,3 +302,51 @@ def test_hits_weighted(triples):
     assert len(m) == len(got) == len(ora)
     assert (m["hub_q_ray"] == m["hub_q_sql"]).all()
     assert (m["auth_q_ray"] == m["auth_q_sql"]).all()
+
+
+def test_topo_levels_hand_pinned(ray_session):
+    """Chain, diamond, cycle, downstream-of-cycle, self-loop — each
+    shape's level hand-derived; the unrolled-CTE oracle must agree on
+    the identical edge list."""
+    from recon_ray.functions.graph import (topo_levels,
+                                           topo_levels_oracle_sql)
+
+    edges = pd.DataFrame({
+        "subj": ["a", "b", "a", "c", "d",   # chain a→b→d, diamond a→c→d
+                 "x", "y",                   # cycle x→y→x
+                 "y",                        # z is downstream of the cycle
+                 "s"],                       # self-loop s→s
+        "obj": ["b", "d", "c", "d", "e",
+                "y", "x",
+                "z",
+                "s"],
+    })
+    got = topo_levels(rd.from_pandas(edges).repartition(3), n_rounds=8)
+    want = {
+        "a": 0, "b": 1, "c": 1, "d": 2, "e": 3,   # longest path wins
+        "x": -1, "y": -1, "z": -1, "s": -1,       # cycle + downstream
+    }
+    assert dict(zip(got["entity"], got["level"])) == want
+    con = duckdb.connect()
+    con.register("edges", edges)
+    ora = con.execute(topo_levels_oracle_sql(
+        "SELECT subj, obj FROM edges", n_rounds=8)).df()
+    assert got["entity"].tolist() == ora["entity"].tolist()
+    assert got["level"].tolist() == ora["level"].tolist()
+
+
+def test_topo_levels_matches_oracle_random(triples, ray_session):
+    """Random multigraph (hubs, sinks, a 2-cycle): bit-parity with the
+    unrolled-CTE oracle at the same fixed round count."""
+    from recon_ray.functions.graph import (topo_levels,
+                                           topo_levels_oracle_sql)
+
+    df, ds = triples
+    df = df[["subj", "obj"]]
+    got = topo_levels(ds, n_rounds=16)
+    con = duckdb.connect()
+    con.register("edges", df)
+    ora = con.execute(topo_levels_oracle_sql(
+        "SELECT subj, obj FROM edges", n_rounds=16)).df()
+    assert got["entity"].tolist() == ora["entity"].tolist()
+    assert got["level"].tolist() == ora["level"].tolist()
