@@ -4825,6 +4825,57 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_point_scan(sf_dir: str):
+    """Bloom-filter point-lookup data skipping (sources/zonemap.py):
+    events are written in their NATURAL (ts) order — so every file's
+    user_id min/max window spans the whole domain and range pruning is
+    useless — with a per-file BLOOM over user_id. A point lookup
+    (``equals={"user_id": u}`` for the user who owns event 42) then
+    skips every file whose bloom proves the user absent; survivors get
+    the exact residual equality filter. The oracle is the plain
+    full-table SQL (pruning invisible to results); the actual
+    file-skip counts are pinned in tests/test_zonemap.py."""
+    import tempfile
+
+    from recon_ray.sources.zonemap import read_zonemapped, write_zonemapped
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "cents": _cents(b["value"]),
+        })
+
+    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    out_dir = tempfile.mkdtemp(prefix="zonemap_pt_")
+    write_zonemapped(ds, out_dir, stat_cols=["user_id"],
+                     rows_per_file=1024, bloom_cols=["user_id"])
+    probe = int(
+        _t(sf_dir, "events")
+        .filter(lambda r: r["event_id"] == 42)
+        .take_all()[0]["user_id"])
+    hits = read_zonemapped(out_dir,
+                           equals={"user_id": probe}).to_pandas()
+    out = pd.DataFrame({
+        "n": pd.Series([len(hits)], dtype="int64"),
+        "cents": pd.Series([int(hits["cents"].sum())], dtype="int64"),
+        "n_types": pd.Series([hits["event_type"].nunique()],
+                             dtype="int64"),
+    })
+    return out
+
+
+ORACLE_EVENTS_POINT_SCAN = """
+SELECT count(*)::BIGINT AS n,
+       coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS cents,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM events
+WHERE user_id = (SELECT user_id FROM events WHERE event_id = 42)
+"""
+
+
 def interop_roundtrip(sf_dir: str):
     """CSV → Arrow-IPC interchange round-trip under the oracle gate
     (sources/interop.py): events rows (props coalesced to '' — CSV cannot
@@ -8783,6 +8834,7 @@ QUERIES = {
     "part_jw_name_pairs": part_jw_name_pairs,
     "doc_entity_resolution": doc_entity_resolution,
     "q_events_pruned_scan": q_events_pruned_scan,
+    "q_events_point_scan": q_events_point_scan,
     "interop_roundtrip": interop_roundtrip,
     "interop_schema_evolution": interop_schema_evolution,
     "q_validate_suite": q_validate_suite,
@@ -9252,6 +9304,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "part_jw_name_pairs": ORACLE_PART_JW,
         "doc_entity_resolution": ORACLE_DOC_ENTITY_RESOLUTION,
         "q_events_pruned_scan": ORACLE_EVENTS_PRUNED_SCAN,
+        "q_events_point_scan": ORACLE_EVENTS_POINT_SCAN,
         "interop_roundtrip": ORACLE_INTEROP_ROUNDTRIP,
         "interop_schema_evolution": ORACLE_INTEROP_SCHEMA_EVOLUTION,
         "q_validate_suite": ORACLE_VALIDATE_SUITE,

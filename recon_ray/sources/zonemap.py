@@ -65,6 +65,9 @@ def write_zonemapped(
     zorder_cols: tuple[str, str] | None = None,
     rows_per_file: int = 65536,
     keep_history: bool = False,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 7,
 ) -> dict:
     """Write ``ds`` as zone-mapped Parquet under ``out_dir``. Tracks
     min/max/null_count for every ``stat_cols`` entry per file; with
@@ -74,8 +77,25 @@ def write_zonemapped(
     stays schema-correct. ``keep_history=True`` additionally publishes
     the snapshot as ``_zonemap.v{N}.json`` — time travel via
     ``read_zonemapped(dir, version=N)``, structural sharing through the
-    content-addressed parts, expiry via :func:`vacuum`."""
+    content-addressed parts, expiry via :func:`vacuum`.
+
+    ``bloom_cols`` additionally stores a per-file BLOOM FILTER over
+    each listed column (``bloom_bits`` bits, ``bloom_k`` probes — the
+    sketches module's hash family): min/max windows prune RANGE
+    predicates but are useless for point lookups on columns the layout
+    isn't sorted by (every file's window spans the domain); the bloom
+    prunes ``equals=`` probes there — a definite-absent file is
+    skipped, a maybe-present file is scanned and exactly filtered
+    (false positives cost I/O, never correctness). The Iceberg/Parquet
+    bloom-filter feature rebuilt over plain directories."""
+    import base64
+
+    from recon_ray.functions.sketches import (_bloom_positions,
+                                              _col_hashes)
+
     os.makedirs(out_dir, exist_ok=True)
+    bloom_cols = list(bloom_cols or [])
+    track_cols = list(dict.fromkeys(list(stat_cols) + bloom_cols))
 
     if zorder_cols is not None:
         ca, cb = zorder_cols
@@ -103,7 +123,7 @@ def write_zonemapped(
         # unique id column if batch-level duplicates are possible.)
         name = f"part-{h}.parquet"
         stats = {}
-        for col in stat_cols:
+        for col in track_cols:
             arr = t.column(col)
             nulls = arr.null_count
             valid = arr.drop_null()
@@ -112,6 +132,19 @@ def write_zonemapped(
                 "max": _js(pc.max(valid).as_py()) if len(valid) else None,
                 "null_count": int(nulls),
             }
+            if col in bloom_cols and len(valid):
+                import pandas as _pd
+
+                hh = _col_hashes(
+                    _pd.DataFrame({col: valid.to_pandas()}), col)
+                pos = _bloom_positions(hh, bloom_k, bloom_bits).ravel()
+                bits = np.zeros((bloom_bits + 7) // 8, dtype=np.uint8)
+                np.bitwise_or.at(
+                    bits, pos >> 3,
+                    np.left_shift(np.uint8(1),
+                                  (pos & 7).astype(np.uint8)))
+                stats[col]["bloom"] = base64.b64encode(
+                    bits.tobytes()).decode()
         tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(out_dir, name))  # atomic, idempotent
@@ -139,6 +172,9 @@ def write_zonemapped(
         "files": files,
         "n_rows": int(sum(f["n_rows"] for f in files)),
     }
+    if bloom_cols:
+        manifest["bloom"] = {"cols": bloom_cols, "m": int(bloom_bits),
+                             "k": int(bloom_k)}
     if keep_history:
         manifest["version"] = max(list_versions(out_dir), default=0) + 1
         _write_json(out_dir, manifest,
@@ -214,14 +250,34 @@ def _js(v):
 
 
 def prune_files(out_dir: str, intervals: dict,
-                version: int | None = None) -> tuple[list[str], int]:
+                version: int | None = None,
+                equals: dict | None = None) -> tuple[list[str], int]:
     """File-level pruning decision only (exposed for tests / planning):
     returns (kept file names, total file count). ``intervals`` maps
     column → (lo, hi) inclusive; None bounds are open. A file survives
     iff every interval can intersect its [min, max] window; files with
     only NULLs in a filtered column never match a range predicate and
-    are skipped."""
+    are skipped. ``equals`` maps column → value (point lookup): the
+    [min, max] window applies first, then — when the writer stored a
+    bloom for the column — a definite-absent bloom probe skips the
+    file (maybe-present keeps it; false positives cost a scan, never
+    a row)."""
+    import base64
+
     manifest = _load_manifest(out_dir, version)
+    bl = manifest.get("bloom") or {}
+    probes: dict = {}
+    if equals:
+        import pandas as _pd
+
+        from recon_ray.functions.sketches import (_bloom_positions,
+                                                  _col_hashes)
+
+        for col, v in equals.items():
+            if col in bl.get("cols", ()):
+                hh = _col_hashes(_pd.DataFrame({col: [v]}), col)
+                probes[col] = _bloom_positions(
+                    hh, bl["k"], bl["m"]).ravel()
     kept = []
     for entry in manifest["files"]:
         ok = True
@@ -238,22 +294,45 @@ def prune_files(out_dir: str, intervals: dict,
             if hi is not None and s["min"] > hi:
                 ok = False
                 break
+        for col, v in (equals or {}).items():
+            if not ok:
+                break
+            s = entry["stats"].get(col)
+            if s is None:
+                continue
+            if s["min"] is None or not (s["min"] <= v <= s["max"]):
+                ok = False
+                break
+            b64 = s.get("bloom")
+            if b64 is not None and col in probes:
+                bits = np.frombuffer(base64.b64decode(b64), np.uint8)
+                pos = probes[col]
+                hit = (bits[pos >> 3]
+                       >> (pos & 7).astype(np.uint8)) & 1
+                if not hit.all():
+                    ok = False  # definitely absent from this file
+                    break
         if ok:
             kept.append(entry["file"])
     return kept, len(manifest["files"])
 
 
 def read_zonemapped(out_dir: str, intervals: dict | None = None,
-                    version: int | None = None):
+                    version: int | None = None,
+                    equals: dict | None = None):
     """Predicate-pruned Dataset over a zone-mapped directory: skip files
-    the manifest proves empty for the box, then apply the exact residual
-    row filter to the survivors. Returns a lazy Dataset; with every file
-    pruned it returns an empty Dataset that still carries the schema
-    (read one file, filter all rows — never a zero-column block)."""
+    the manifest proves empty for the box (min/max windows for
+    ``intervals``, bloom probes + windows for ``equals`` point
+    lookups), then apply the exact residual row filter to the
+    survivors. Returns a lazy Dataset; with every file pruned it
+    returns an empty Dataset that still carries the schema (read one
+    file, filter all rows — never a zero-column block)."""
     import ray.data
 
     intervals = intervals or {}
-    kept, _total = prune_files(out_dir, intervals, version=version)
+    equals = equals or {}
+    kept, _total = prune_files(out_dir, intervals, version=version,
+                               equals=equals)
     all_pruned = not kept
     if all_pruned:
         manifest = _load_manifest(out_dir, version)
@@ -261,7 +340,7 @@ def read_zonemapped(out_dir: str, intervals: dict | None = None,
             raise FileNotFoundError(f"zone-mapped dir {out_dir} is empty")
         kept = [manifest["files"][0]["file"]]  # schema donor
     ds = ray.data.read_parquet([os.path.join(out_dir, f) for f in kept])
-    if not intervals and not all_pruned:
+    if not intervals and not equals and not all_pruned:
         return ds
 
     def residual(t: pa.Table) -> pa.Table:
@@ -278,6 +357,9 @@ def read_zonemapped(out_dir: str, intervals: dict | None = None,
                 le = pc.less_equal(vals, pa.scalar(hi))
                 ok &= le.fill_null(False).to_numpy(zero_copy_only=False)
             mask &= ok
+        for col, v in equals.items():
+            eq = pc.equal(t.column(col), pa.scalar(v))
+            mask &= eq.fill_null(False).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(mask))
 
     return ds.map_batches(residual, batch_format="pyarrow")

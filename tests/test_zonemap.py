@@ -168,3 +168,47 @@ def test_time_travel_and_vacuum(tmp_path, ray_session):
     assert list_versions(out) == [2]
     # head still fully readable after expiry
     assert read_zonemapped(out).count() == 100
+
+
+def test_bloom_point_lookup_skips_files(tmp_path, ray_session):
+    """Natural (unsorted) layout: user min/max windows span the domain
+    (range pruning keeps everything), the per-file bloom prunes point
+    lookups — no false negatives for ANY present user, and an absent
+    user prunes every file yet still returns an empty, schema-correct
+    result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.sources.zonemap import (prune_files, read_zonemapped,
+                                           write_zonemapped)
+
+    rng = np.random.RandomState(5)
+    n = 6000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 800, n).astype(np.int64),
+        "v": rng.randint(0, 1000, n).astype(np.int64),
+    })
+    out = str(tmp_path / "zb")
+    write_zonemapped(rd.from_pandas(df), out, stat_cols=["user_id"],
+                     rows_per_file=512, bloom_cols=["user_id"])
+    # every file spans nearly the whole user domain → min/max alone
+    # cannot prune a point probe
+    kept_range, total = prune_files(out, {"user_id": (123, 123)})
+    assert total >= 8 and len(kept_range) == total
+    pruned_any = False
+    for probe in (0, 123, 799, int(df["user_id"].iloc[0])):
+        kept, total = prune_files(out, {}, equals={"user_id": probe})
+        got = read_zonemapped(out, equals={"user_id": probe}).to_pandas()
+        want = df[df["user_id"] == probe]
+        # exactness: bloom may over-keep, never over-drop
+        assert sorted(got["event_id"]) == sorted(want["event_id"])
+        if len(kept) < total:
+            pruned_any = True
+    assert pruned_any  # the bloom actually skipped files somewhere
+    # absent user: every file pruned, result empty but schema-correct
+    kept, total = prune_files(out, {}, equals={"user_id": 10_000})
+    assert kept == []
+    got = read_zonemapped(out, equals={"user_id": 10_000}).to_pandas()
+    assert len(got) == 0
