@@ -4383,6 +4383,12 @@ def run_sql_script(script: str, tables: dict,
             name = dm.group(1).lower()
             if name not in tables:
                 raise SqlError(f"unknown DELETE target {name!r}")
+            if tables[name].schema() is None:
+                # provably empty (e.g. a prior DELETE removed every
+                # row): deleting from nothing is a no-op, like SQL
+                last = pd.DataFrame({"table": [name],
+                                     "kind": ["no-op (empty table)"]})
+                continue
             conds = _parse_where_conds(name, dm.group(2), tables)
             pred = _compile_pred(conds)
 
@@ -4407,7 +4413,10 @@ def run_sql_script(script: str, tables: dict,
                 raise SqlError(f"unknown UPDATE target {name!r}")
             sch = tables[name].schema()
             if sch is None:
-                raise SqlError(f"UPDATE target {name!r} is schema-less")
+                # provably empty target: updating zero rows is a no-op
+                last = pd.DataFrame({"table": [name],
+                                     "kind": ["no-op (empty table)"]})
+                continue
             assigns = []
             for part in _split_top(um.group(2)):
                 am = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$",
@@ -4479,10 +4488,26 @@ def run_sql_script(script: str, tables: dict,
             if name not in tables:
                 raise SqlError(f"unknown INSERT target {name!r}")
             tsch = tables[name].schema()
+            body = im.group(2).strip()
+            if tsch is None and not body.lower().startswith("values"):
+                # provably empty target: the inserted select simply
+                # BECOMES the table (empty ∪ X = X); the lost schema
+                # can't be name-checked, which is exactly why VALUES
+                # (positional, schema-dependent) still rejects below
+                try:
+                    tables[name] = plan_sql_dataset(body, tables,
+                                                    broadcast_rows)
+                    kind = "lazy append"
+                except NotStreamable:
+                    tables[name] = _rd.from_pandas(
+                        run_sql(body, tables, broadcast_rows))
+                    kind = "materialized append"
+                last = pd.DataFrame({"table": [name], "kind": [kind]})
+                continue
             if tsch is None:
                 raise SqlError(
-                    f"INSERT target {name!r} is schema-less (empty)")
-            body = im.group(2).strip()
+                    f"INSERT target {name!r} is schema-less (empty) — "
+                    "positional VALUES need the target schema")
             if body.lower().startswith("values"):
                 new_df = _parse_values_rows(
                     body[6:].strip(), list(tsch.names))

@@ -464,8 +464,10 @@ def test_explain_sql_plan_shapes():
         "FROM t")
     assert "Window [PARTITION BY g ORDER BY o" in plan2
     assert "Aggregate" not in plan2
+    # DELETE/UPDATE/INSERT are statement forms now; truly unknown
+    # syntax still rejects
     with pytest.raises(SqlError):
-        explain_sql("DELETE FROM t")
+        explain_sql("DROP TABLE t")
 
 
 @settings(max_examples=10, deadline=None)
@@ -2306,6 +2308,12 @@ def test_dml_fuzz_matches_duckdb(rows, stmts, parts):
     aggregate (counts, sums, NULL counts per column)."""
     from recon_ray.sql import run_sql_script
 
+    # fixed anchor row, un-deletable by the statement pool: keeps g
+    # typed VARCHAR at DuckDB registration (an all-NULL object column
+    # would register as INT32 — fixture artifact) and keeps the table
+    # from going provably empty (the engine's schema-less no-op path
+    # has its own targeted test below)
+    rows = rows + [(4, 4, "anchor")]
     df = pd.DataFrame({
         "h": pd.Series([r[0] for r in rows], dtype="int64"),
         "w": pd.Series([r[1] for r in rows], dtype="Float64"),
@@ -2327,3 +2335,34 @@ def test_dml_fuzz_matches_duckdb(rows, stmts, parts):
             assert pd.isna(gv) and pd.isna(wv), (c, gv, wv)
         else:
             assert float(gv) == float(wv), (c, gv, wv, script)
+
+
+def test_dml_on_provably_empty_table(ray_session):
+    """A DELETE that removes every row may leave a schema-less Dataset
+    (whether Ray's schema() still reports the upstream schema is an
+    execution detail): behavior must be stable either way — further
+    DELETE/UPDATE act as no-ops, an INSERT select repopulates, and
+    positional VALUES either append (schema survived) or reject with
+    the schema-less message (it did not). Aggregates over the emptied
+    table read 0 rows regardless."""
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({"k": np.int64([1, 2]), "v": ["a", "b"]})
+    tabs = {"t": rd.from_pandas(df)}
+    base = ("CREATE TABLE u AS SELECT k, v FROM t; "
+            "DELETE FROM u WHERE k >= 0")
+    out = run_sql_script(
+        base + "; DELETE FROM u WHERE k = 1; UPDATE u SET k = 9; "
+        "SELECT count(*) AS n FROM u", dict(tabs))
+    assert out["n"].tolist() == [0]
+    out = run_sql_script(
+        base + "; INSERT INTO u SELECT k, v FROM t WHERE k = 2; "
+        "SELECT count(*) AS n, sum(k) AS sk FROM u", dict(tabs))
+    assert out["n"].tolist() == [1] and out["sk"].tolist() == [2]
+    try:
+        out = run_sql_script(
+            base + "; INSERT INTO u VALUES (9, 'z'); "
+            "SELECT count(*) AS n, max(v) AS mv FROM u", dict(tabs))
+        assert out["n"].tolist() == [1] and out["mv"].tolist() == ["z"]
+    except SqlError as e:
+        assert "schema-less" in str(e)
