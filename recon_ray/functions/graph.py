@@ -1007,7 +1007,8 @@ def topo_levels(triples_ds, n_rounds: int = 16,
         pd.concat(
             [b["entity"] for b in edges.map_batches(
                 node_partial, batch_format="pandas"
-            ).iter_batches(batch_format="pandas")],
+            ).iter_batches(batch_format="pandas")]
+            or [pd.Series([], dtype=object)],
             ignore_index=True,
         ).unique()
     )

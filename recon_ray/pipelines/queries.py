@@ -895,10 +895,10 @@ WITH c AS (
   FROM events
 )
 SELECT event_id,
-  sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_sum,
-  max(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_max
+  CAST(sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll5_sum,
+  CAST(max(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_max
 FROM c ORDER BY event_id
 """
 
@@ -941,7 +941,7 @@ WITH c AS (
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
   FROM events
 )
-SELECT a.event_id, sum(b.value_cents) AS spend_7d
+SELECT a.event_id, CAST(sum(b.value_cents) AS BIGINT) AS spend_7d
 FROM c a JOIN c b ON b.user_id = a.user_id
  AND b.ts >= a.ts - INTERVAL 7 DAY
  AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
@@ -1231,7 +1231,7 @@ def q_events_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_EVENTS_GROUPED_QUANTILES = """
-SELECT event_type, q, value FROM (
+SELECT event_type, CAST(q AS DOUBLE) AS q, value FROM (
   SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value
   FROM events GROUP BY event_type
   UNION ALL
@@ -2394,13 +2394,14 @@ def q_events_value_quantiles(sf_dir: str):
 
 
 ORACLE_EVENTS_QUANTILES = """
-SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events
-UNION ALL SELECT 0.25, quantile_disc(value, 0.25) FROM events
-UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
-UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events
-UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
-UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
-ORDER BY q
+SELECT CAST(q AS DOUBLE) AS q, value FROM (
+  SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events
+  UNION ALL SELECT 0.25, quantile_disc(value, 0.25) FROM events
+  UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
+  UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events
+  UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+  UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
+) ORDER BY q
 """
 
 
@@ -2837,8 +2838,8 @@ def doc_rollup_stats(sf_dir: str):
 ORACLE_DOC_ROLLUP = """
 SELECT coalesce(lang, '__all__') AS lang,
        coalesce(source, '__all__') AS source,
-       sum(n_chars) AS n_chars_sum,
-       count(n_chars) AS n_chars_count,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(count(n_chars) AS BIGINT) AS n_chars_count,
        round(sum(n_chars)::DOUBLE / count(n_chars), 6) AS n_chars_mean
 FROM documents
 GROUP BY ROLLUP(lang, source)
@@ -3119,8 +3120,8 @@ def q_events_cube(sf_dir: str):
 ORACLE_EVENTS_CUBE = """
 SELECT coalesce(event_type, '__all__') AS event_type,
        coalesce(strftime(ts, '%Y-%m-%d'), '__all__') AS day,
-       sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS value_c_sum,
-       count(*) AS value_c_count
+       CAST(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c_sum,
+       CAST(count(*) AS BIGINT) AS value_c_count
 FROM events
 GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
 ORDER BY 1, 2
@@ -4319,9 +4320,10 @@ def q_events_user_skew(sf_dir: str):
 
 ORACLE_EVENTS_USER_SKEW = """
 WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
-tot AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c)
-SELECT user_id, cnt AS count,
-       cnt * 1000000 // t.n_rows AS share_ppm,
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys FROM c)
+SELECT user_id, CAST(cnt AS BIGINT) AS count,
+       CAST(cnt * 1000000 // t.n_rows AS BIGINT) AS share_ppm,
        t.n_rows AS n_rows, t.n_keys AS n_keys
 FROM c, tot t
 ORDER BY cnt DESC, user_id ASC
@@ -5192,7 +5194,9 @@ def q_events_ffill_value(sf_dir: str):
         specs=[("ffill", "cents", "filled")],
     ).to_pandas()
     out = out[["event_id", "filled"]]
-    out["filled"] = out["filled"].astype("Int64")
+    # float64, matching how DuckDB's BIGINT-with-NULLs lands in pandas
+    # (the driver stringifies raw: "1234.0"/"nan" must agree bytewise)
+    out["filled"] = out["filled"].astype("float64")
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -5416,7 +5420,8 @@ FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
 
 SQL_FRONTEND_EVENTS = (
     "SELECT event_type, count(*) AS n, count(user_id) AS cu, "
-    "sum(user_id) AS su, min(user_id) AS min_u, max(user_id) AS max_u "
+    "cast(sum(user_id) AS bigint) AS su, "
+    "min(user_id) AS min_u, max(user_id) AS max_u "
     "FROM events WHERE user_id >= 2 AND event_type <> 'error' "
     "GROUP BY event_type ORDER BY event_type"
 )
@@ -5992,11 +5997,11 @@ def q_sql_frontend_tpch_q9(sf_dir: str):
 
 SQL_FRONTEND_TPCH_Q12 = (
     "SELECT l_returnflag, "
-    "sum(CASE WHEN o_orderpriority = '1-URGENT' "
-    "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) "
+    "cast(sum(CASE WHEN o_orderpriority = '1-URGENT' "
+    "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS bigint) "
     "AS high_line_count, "
-    "sum(CASE WHEN o_orderpriority <> '1-URGENT' "
-    "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) "
+    "cast(sum(CASE WHEN o_orderpriority <> '1-URGENT' "
+    "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS bigint) "
     "AS low_line_count "
     "FROM orders JOIN lineitem ON orders.o_orderkey = lineitem.l_orderkey "
     "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
@@ -6047,7 +6052,8 @@ def q_sql_frontend_tpch_q21(sf_dir: str):
 
 SQL_FRONTEND_TPCH_Q22 = (
     "SELECT substring(c_name, 18, 1) AS cntrycode, count(*) AS numcust, "
-    "sum(cast(round(c_acctbal * 100) AS bigint)) AS totacctbal_c "
+    "cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint) "
+    "AS totacctbal_c "
     "FROM customer "
     "WHERE substring(c_name, 18, 1) IN ('0', '1', '2', '3', '4') "
     "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
@@ -6079,7 +6085,8 @@ def q_sql_frontend_tpch_q22(sf_dir: str):
 
 SQL_FRONTEND_FULL_JOIN = (
     "WITH hc AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust, "
-    "sum(cast(round(c_acctbal * 100) AS bigint)) AS cust_bal_c "
+    "cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint) "
+    "AS cust_bal_c "
     "FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey), "
     "hs AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp "
     "FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) "
@@ -6107,7 +6114,8 @@ def q_sql_frontend_full_join(sf_dir: str):
 
 SQL_FRONTEND_RIGHT_JOIN = (
     "WITH hs AS (SELECT s_nationkey AS nk, count(*) AS n_high, "
-    "sum(cast(round(s_acctbal * 100) AS bigint)) AS bal_c "
+    "cast(sum(cast(round(s_acctbal * 100) AS bigint)) AS bigint) "
+    "AS bal_c "
     "FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey) "
     "SELECT n_name, n_high, bal_c FROM hs "
     "RIGHT JOIN nation ON hs.nk = nation.n_nationkey "
@@ -6302,7 +6310,8 @@ CREATE TABLE spend AS
   SELECT o_custkey, count(*) AS n,
          sum(cast(o_totalprice * 100 AS BIGINT)) AS cents
   FROM big GROUP BY o_custkey;
-SELECT n, count(*) AS n_customers, sum(cents) AS total_cents
+SELECT n, count(*) AS n_customers,
+       cast(sum(cents) AS BIGINT) AS total_cents
 FROM spend GROUP BY n ORDER BY n
 """
 
@@ -6317,7 +6326,8 @@ WITH big AS (
          sum(cast(o_totalprice * 100 AS BIGINT)) AS cents
   FROM big GROUP BY o_custkey
 )
-SELECT n, count(*) AS n_customers, sum(cents) AS total_cents
+SELECT n, count(*) AS n_customers,
+       cast(sum(cents) AS BIGINT) AS total_cents
 FROM spend GROUP BY n ORDER BY n
 """
 
@@ -6338,7 +6348,8 @@ def q_sql_frontend_script(sf_dir: str):
 
 SQL_FRONTEND_Q22_NATIVE = (
     "SELECT substring(c_name, 18, 1) AS cntrycode, count(*) AS numcust, "
-    "sum(cast(round(c_acctbal * 100) AS bigint)) AS totacctbal_c "
+    "cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint) "
+    "AS totacctbal_c "
     "FROM customer c "
     "WHERE substring(c_name, 18, 1) IN ('0', '1', '2', '3', '4') "
     "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
@@ -6553,7 +6564,7 @@ def q_sql_frontend_median(sf_dir: str):
 
 SQL_FRONTEND_GSETS = (
     "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
-    "sum(o_custkey) AS ck, min(o_orderkey) AS k_min "
+    "cast(sum(o_custkey) AS bigint) AS ck, min(o_orderkey) AS k_min "
     "FROM orders GROUP BY GROUPING SETS "
     "((o_orderpriority, o_orderstatus), (o_orderstatus), ()) "
     "ORDER BY o_orderpriority, o_orderstatus, n"
@@ -6573,10 +6584,11 @@ def q_sql_frontend_gsets(sf_dir: str):
 
 SQL_FRONTEND_SCALARFN = (
     "SELECT o_orderstatus, "
-    "sum(coalesce(nullif(least(o_custkey, 500), 500), 0)) AS s1, "
+    "cast(sum(coalesce(nullif(least(o_custkey, 500), 500), 0)) "
+    "AS bigint) AS s1, "
     "max(greatest(o_custkey, o_orderkey / 4)) AS g1, "
-    "min(least(o_custkey, o_orderkey)) AS l1, "
-    "sum(abs(o_custkey - 700)) AS sa, "
+    "cast(min(least(o_custkey, o_orderkey)) AS bigint) AS l1, "
+    "cast(sum(abs(o_custkey - 700)) AS bigint) AS sa, "
     "sum(floor(o_totalprice / 1000)) AS fl, "
     "sum(ceil(o_totalprice / 1000)) AS ce "
     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
@@ -6616,7 +6628,7 @@ def q_sql_frontend_datefn(sf_dir: str):
 SQL_FRONTEND_STRFN = (
     "SELECT lower(c_mktsegment) AS seg, "
     "substring(c_name, 15, 2) AS sk, count(*) AS n, "
-    "sum(length(c_name || c_mktsegment)) AS sl, "
+    "cast(sum(length(c_name || c_mktsegment)) AS bigint) AS sl, "
     "min(c_custkey) AS k_min, "
     "min(c_name) AS nm_min, max(c_name) AS nm_max "
     "FROM customer GROUP BY seg, sk ORDER BY seg, sk"

@@ -160,9 +160,11 @@ def write_zonemapped(
         seen[r.file] = {"file": r.file, "n_rows": int(r.n_rows),
                         "stats": json.loads(r.stats)}
     files = sorted(seen.values(), key=lambda f: f["file"])
+    file_schema = None
     if files:  # schema from a written file: no pipeline re-execution
-        schema_cols = pq.read_schema(
-            os.path.join(out_dir, files[0]["file"])).names
+        file_schema = pq.read_schema(
+            os.path.join(out_dir, files[0]["file"]))
+        schema_cols = file_schema.names
     else:
         schema_cols = [c for c in ds.schema().names if c != "__z"]
     manifest = {
@@ -173,8 +175,20 @@ def write_zonemapped(
         "n_rows": int(sum(f["n_rows"] for f in files)),
     }
     if bloom_cols:
+        # stored dtype kind per bloom column: the probe side must hash
+        # the SAME representation the writer hashed (_col_hashes
+        # branches int vs string-of-value by dtype), so probing a
+        # float64 column with a Python int must first coerce to float
+        dtypes = {}
+        if file_schema is not None:
+            for col in bloom_cols:
+                if col in file_schema.names:
+                    ty = file_schema.field(col).type
+                    dtypes[col] = ("int" if pa.types.is_integer(ty)
+                                   else "float" if pa.types.is_floating(ty)
+                                   else "str")
         manifest["bloom"] = {"cols": bloom_cols, "m": int(bloom_bits),
-                             "k": int(bloom_k)}
+                             "k": int(bloom_k), "dtypes": dtypes}
     if keep_history:
         manifest["version"] = max(list_versions(out_dir), default=0) + 1
         _write_json(out_dir, manifest,
@@ -273,9 +287,34 @@ def prune_files(out_dir: str, intervals: dict,
         from recon_ray.functions.sketches import (_bloom_positions,
                                                   _col_hashes)
 
+        dtypes = bl.get("dtypes") or {}
         for col, v in equals.items():
             if col in bl.get("cols", ()):
-                hh = _col_hashes(_pd.DataFrame({col: [v]}), col)
+                kind = dtypes.get(col)
+                if kind is None:
+                    # legacy manifest without dtypes: infer the stored
+                    # kind from the first non-null stats min (JSON
+                    # preserves int vs float vs str)
+                    for entry in manifest["files"]:
+                        s = entry["stats"].get(col)
+                        if s and s["min"] is not None:
+                            mv = s["min"]
+                            kind = ("int" if isinstance(mv, bool) is False
+                                    and isinstance(mv, int)
+                                    else "float" if isinstance(mv, float)
+                                    else "str")
+                            break
+                pv = v
+                try:
+                    if kind == "int":
+                        pv = int(v)
+                    elif kind == "float":
+                        pv = float(v)
+                    elif kind == "str":
+                        pv = str(v)
+                except (TypeError, ValueError):
+                    pv = v  # uncoercible probe: hash as given
+                hh = _col_hashes(_pd.DataFrame({col: [pv]}), col)
                 probes[col] = _bloom_positions(
                     hh, bl["k"], bl["m"]).ravel()
     kept = []

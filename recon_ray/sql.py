@@ -3894,7 +3894,13 @@ def run_sql(sql: str, tables: dict,
             # groups-sized frame (the hidden __pa aggregates are
             # ordinary result columns here), then restore select order
             for it in pa_items:
-                out[it["alias"]] = _eval_expr(out, it["postagg"])
+                vals = _eval_expr(out, it["postagg"])
+                if _expr_is_int(it["postagg"]) \
+                        and not np.any(np.isnan(vals)):
+                    # cast-to-bigint over aggregate results stays int64
+                    # (matches DuckDB's CAST(sum(...) AS BIGINT))
+                    vals = np.asarray(vals).astype("int64")
+                out[it["alias"]] = vals
             out = out[[it["alias"] for it in q["select"]]]
 
     if q["having"]:
@@ -4279,8 +4285,30 @@ _INSERT_RE = re.compile(
 _DELETE_RE = re.compile(
     r"^delete\s+from\s+([A-Za-z_]\w*)\s+where\s+(.+)$", re.I | re.S)
 _UPDATE_RE = re.compile(
-    r"^update\s+([A-Za-z_]\w*)\s+set\s+(.+?)(?:\s+where\s+(.+))?$",
-    re.I | re.S)
+    r"^update\s+([A-Za-z_]\w*)\s+set\s+(.+)$", re.I | re.S)
+
+
+def _split_set_where(rest: str) -> tuple[str, str | None]:
+    """Split an UPDATE's tail into (SET clause, WHERE clause or None)
+    with a quote-aware scan — a regex split at ``' where '`` misfires
+    on a WHERE inside a string literal (``SET s = 'x where y'``)."""
+    low = rest.lower()
+    in_q = False
+    i = 0
+    while i < len(rest):
+        ch = rest[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q and low.startswith("where", i):
+            before_ok = i == 0 or not (rest[i - 1].isalnum()
+                                       or rest[i - 1] == "_")
+            j = i + 5
+            after_ok = j >= len(rest) or not (rest[j].isalnum()
+                                              or rest[j] == "_")
+            if before_ok and after_ok:
+                return rest[:i].strip(), rest[j:].strip() or None
+        i += 1
+    return rest.strip(), None
 
 
 def _parse_where_conds(table: str, cond: str, tables: dict) -> list:
@@ -4417,8 +4445,9 @@ def run_sql_script(script: str, tables: dict,
                 last = pd.DataFrame({"table": [name],
                                      "kind": ["no-op (empty table)"]})
                 continue
+            set_part, where_part = _split_set_where(um.group(2))
             assigns = []
-            for part in _split_top(um.group(2)):
+            for part in _split_top(set_part):
                 am = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$",
                               part.strip(), re.S)
                 if not am:
@@ -4443,12 +4472,41 @@ def run_sql_script(script: str, tables: dict,
                             f"unknown column(s) {bad} — table has "
                             f"{list(sch.names)}")
                     assigns.append((col, "expr", ast))
-            conds = (_parse_where_conds(name, um.group(3), tables)
-                     if um.group(3) else None)
+            conds = (_parse_where_conds(name, where_part, tables)
+                     if where_part else None)
             pred = _compile_pred(conds) if conds else None
+            # deterministic output dtype per assigned column so EVERY
+            # block leaves with the same schema (a NULL assignment on
+            # an int64 column must not upcast only the matched blocks
+            # to object/float64): int targets use pandas' nullable
+            # Int64 (→ Arrow int64 + nulls), matching SQL's
+            # nullable-int semantics
+            base_sch = getattr(tables[name].schema(), "base_schema",
+                               None)
 
-            def _upd(t: pa.Table, pred=pred, assigns=assigns
-                     ) -> pa.Table:
+            def _out_dtype(col, kind, val):
+                orig = (base_sch.field(col).type
+                        if isinstance(base_sch, pa.Schema)
+                        and col in base_sch.names else None)
+                if kind == "lit":
+                    if isinstance(val, str):
+                        return "object"
+                    if val is None or isinstance(val, int):
+                        if orig is not None and pa.types.is_floating(
+                                orig):
+                            return "float64"
+                        if orig is None or pa.types.is_integer(orig):
+                            return "Int64"
+                        return None  # string/timestamp: None/NaT ok
+                    return "float64"
+                # expression: ints stay exact, everything else widens
+                return "Int64" if _expr_is_int(val) else "float64"
+
+            out_dtypes = {col: _out_dtype(col, kind, val)
+                          for col, kind, val in assigns}
+
+            def _upd(t: pa.Table, pred=pred, assigns=assigns,
+                     out_dtypes=out_dtypes) -> pa.Table:
                 import numpy as _np
 
                 b = t.to_pandas()
@@ -4468,6 +4526,12 @@ def run_sql_script(script: str, tables: dict,
                         else:
                             out = new
                         b[col] = out
+                    dt = out_dtypes.get(col)
+                    if dt is not None:
+                        try:
+                            b[col] = b[col].astype(dt)
+                        except (TypeError, ValueError):
+                            pass  # non-coercible mix: leave as-is
                 return pa.Table.from_pandas(b, preserve_index=False)
 
             tables[name] = tables[name].map_batches(
@@ -4511,7 +4575,25 @@ def run_sql_script(script: str, tables: dict,
             if body.lower().startswith("values"):
                 new_df = _parse_values_rows(
                     body[6:].strip(), list(tsch.names))
-                new_ds = _rd.from_pandas(new_df)
+                # cast the literal rows to the TARGET schema: pandas
+                # inference would type a NULL cell as Arrow null (or
+                # object), giving the union inconsistent block schemas
+                # and breaking strict consumers (e.g. COPY → parquet
+                # raises 'Unsupported cast from int64 to null')
+                base = getattr(tsch, "base_schema", None)
+                if isinstance(base, pa.Schema):
+                    arrays = []
+                    for f in base:
+                        vals = new_df[f.name].tolist()
+                        try:
+                            arrays.append(pa.array(vals, type=f.type))
+                        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                pa.ArrowNotImplementedError):
+                            arrays.append(pa.array(vals).cast(f.type))
+                    new_ds = _rd.from_arrow(
+                        pa.Table.from_arrays(arrays, schema=base))
+                else:
+                    new_ds = _rd.from_pandas(new_df)
                 kind = "values append"
             else:
                 try:

@@ -1,6 +1,10 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry AND its oracle_sql() side-by-side, compare row count, schema (column
-names), and order-insensitive value hash. Usage:
+names), and order-insensitive value hash — under TWO canonicalization
+modes: the repo's float-normalizing one AND a raw ``str()`` mode that
+replays the driver's round-2 failure (DuckDB HUGEINT → pandas
+float64/object stringifies as ``"1234.0"`` while the engine's int64 gives
+``"1234"``). A query passes only if both hashes match. Usage:
 
     python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -17,8 +21,8 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
+    "region", "nation", "customer", "supplier", "part", "partsupp",
+    "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
@@ -37,14 +41,18 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
-def value_hash(df: pd.DataFrame) -> str:
+def value_hash(df: pd.DataFrame, raw: bool = False) -> str:
     """Order-insensitive: sort columns by name, canonicalize values, sort
-    rows, hash."""
+    rows, hash. ``raw=True`` stringifies every value with bare ``str()``
+    (the driver's canonicalization) — no float normalization, so a
+    HUGEINT-induced float64 column hashes differently than int64."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def canon(v):
         if pd.isna(v):
             return "NA"
+        if raw:
+            return str(v)
         if isinstance(v, float):
             return f"{v:.6f}".rstrip("0").rstrip(".")
         if hasattr(v, "isoformat"):
@@ -80,9 +88,10 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
@@ -111,6 +120,10 @@ def main():
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
         if not problems and value_hash(got) != value_hash(want):
             problems.append("value-hash mismatch")
+        if not problems and value_hash(got, raw=True) != value_hash(
+            want, raw=True
+        ):
+            problems.append("RAW-str value-hash mismatch (driver mode)")
             # show first differing row for debugging
             a = got.reindex(sorted(got.columns), axis=1)
             b = want.reindex(sorted(want.columns), axis=1)
