@@ -31,6 +31,7 @@ from recon_ray.functions import insights as ins
 from recon_ray.functions import stats as st
 from recon_ray.functions.dedup import dup_groups, embedding_neardup, minhash_lsh_dedup
 from recon_ray.functions.relational import (
+    anti_join,
     arrow_filter,
     broadcast_join,
     distinct,
@@ -2844,6 +2845,287 @@ SELECT coalesce(lang, '__all__') AS lang,
 FROM documents
 GROUP BY ROLLUP(lang, source)
 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# partsupp wave: TPC-H Q2 / Q9 / Q16 / Q20 (adapted to the synthetic
+# schema — no p_mfgr/p_container/s_comment columns; recon_ray/partsupp.py
+# derives the deterministic partsupp table the testdata lacks, cached
+# under /tmp so the oracle SQL can read_parquet() the identical rows)
+# ---------------------------------------------------------------------------
+
+
+def _ps_path(sf_dir: str) -> str:
+    from recon_ray.partsupp import ensure_partsupp
+
+    return ensure_partsupp(sf_dir)
+
+
+def _ps(sf_dir: str):
+    return rd.read_parquet(_ps_path(sf_dir))
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 (minimum-cost supplier), adapted: for LARGE parts sized
+    10..20, the EUROPE supplier(s) whose supply cost equals the
+    region-wide per-part minimum. The supplier→nation→region chain and
+    the part filter are driver-side dims merged once and BROADCAST;
+    partsupp streams through two broadcast joins; the per-part min is a
+    combiner-pass grouped_agg whose part-sized frame broadcasts back
+    for the equality filter — one shuffle total, no partsupp collect.
+    (s_name, p_partkey) is a unique total order, so LIMIT 100 pages
+    deterministically in both engines."""
+    part_f = _pdf(sf_dir, "part")
+    part_f = part_f[
+        (part_f["p_type"] == "LARGE")
+        & part_f["p_size"].between(10, 20)
+    ][["p_partkey", "p_name"]]
+    supp = (
+        _pdf(sf_dir, "supplier")[
+            ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]]
+        .merge(_pdf(sf_dir, "nation"),
+               left_on="s_nationkey", right_on="n_nationkey")
+        .merge(_pdf(sf_dir, "region"),
+               left_on="n_regionkey", right_on="r_regionkey")
+    )
+    supp = supp[supp["r_name"] == "EUROPE"][
+        ["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+    j = broadcast_join(
+        _ps(sf_dir).select_columns(
+            ["ps_partkey", "ps_suppkey", "ps_supplycost_c"]),
+        supp, on="ps_suppkey", small_on="s_suppkey")
+    j = broadcast_join(j, part_f, on="ps_partkey", small_on="p_partkey")
+    mins = grouped_agg(j, "ps_partkey", {"ps_supplycost_c": ["min"]})
+    mins = mins.rename(columns={"ps_supplycost_c_min": "__mc"})
+    out = broadcast_join(j, mins, on="ps_partkey").to_pandas()
+    out = out[out["ps_supplycost_c"] == out["__mc"]]
+    out = out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+               "ps_supplycost_c"]]
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(100)
+    return out.reset_index(drop=True)
+
+
+def _oracle_q2(ps_path: str) -> str:
+    return f"""
+WITH ps AS (SELECT * FROM read_parquet('{ps_path}')),
+eu AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost_c,
+         s_name, s_acctbal, n_name
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+mins AS (
+  SELECT eu.ps_partkey, min(ps_supplycost_c) AS mc FROM eu
+  JOIN part ON eu.ps_partkey = p_partkey
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+  GROUP BY eu.ps_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost_c
+FROM eu JOIN part ON eu.ps_partkey = p_partkey
+        JOIN mins ON mins.ps_partkey = eu.ps_partkey
+                 AND eu.ps_supplycost_c = mins.mc
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 (product-type profit by nation and year), adapted: parts
+    named '%widget%'; profit = Σ price_c·(100−disc_bp) −
+    supplycost_c·qty·100 in exact integer cent·bp units, ÷10000 at the
+    end (the q5 convention). lineitem streams once: a broadcast
+    part-key semi-filter, then broadcast (partkey,suppkey)→cost,
+    suppkey→nation and orderkey→year lookups — partsupp/orders ride the
+    object store ONCE each (partitioned-join fallback documented in
+    functions/relational.py for when a dim outgrows a heap); one final
+    combiner-pass grouped_agg on (n_name, o_year)."""
+    part_keys = _pdf(sf_dir, "part")
+    part_keys = part_keys[
+        part_keys["p_name"].str.contains("widget")]["p_partkey"]
+    cost = pd.read_parquet(
+        _ps_path(sf_dir),
+        columns=["ps_partkey", "ps_suppkey", "ps_supplycost_c"])
+    supp_nat = _pdf(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]].merge(
+        _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey",
+    )[["s_suppkey", "n_name"]]
+    orders = _pdf(sf_dir, "orders")[["o_orderkey", "o_orderdate"]]
+    orders["o_year"] = pd.to_datetime(
+        orders["o_orderdate"]).dt.year.astype("int64")
+    orders = orders[["o_orderkey", "o_year"]]
+
+    li = semi_join(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"]),
+        set(part_keys), on="l_partkey")
+    li = broadcast_join(li, supp_nat, on="l_suppkey",
+                        small_on="s_suppkey")
+    li = broadcast_join(li, orders, on="l_orderkey",
+                        small_on="o_orderkey")
+    li = broadcast_join(li, cost, on=["l_partkey", "l_suppkey"],
+                        small_on=["ps_partkey", "ps_suppkey"])
+
+    def amount(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = _cents(b["l_extendedprice"]).to_numpy()
+        disc_bp = _cents(b["l_discount"]).to_numpy()
+        qty = b["l_quantity"].to_numpy().astype("int64")
+        amt = (price_c * (100 - disc_bp)
+               - b["ps_supplycost_c"].to_numpy() * qty * 100)
+        return pd.DataFrame({"n_name": b["n_name"],
+                             "o_year": b["o_year"], "amount": amt})
+
+    g = grouped_agg(li.map_batches(amount, batch_format="pandas"),
+                    ["n_name", "o_year"], {"amount": ["sum"]})
+    out = pd.DataFrame({
+        "n_name": g["n_name"],
+        "o_year": g["o_year"].astype("int64"),
+        "profit": _round_away(g["amount_sum"] / 10000.0, 2),
+    })
+    return out.sort_values(
+        ["n_name", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+
+
+def _oracle_q9(ps_path: str) -> str:
+    return f"""
+WITH ps AS (SELECT * FROM read_parquet('{ps_path}'))
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)
+                 - ps_supplycost_c * CAST(l_quantity AS BIGINT) * 100
+             ) / 10000.0, 2) AS profit
+FROM lineitem JOIN ps ON l_partkey = ps_partkey
+                     AND l_suppkey = ps_suppkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 (supplier counts by part attributes), adapted: parts
+    NOT Brand#1 / NOT PROMO with sizes in the classic 9-value list,
+    excluding negative-balance suppliers (the 'Customer Complaints'
+    analogue the synthetic supplier table can express). partsupp
+    streams through a broadcast part-attr join + broadcast exclusion
+    set; the distinct (brand,type,size,suppkey) pass is the bucketed
+    combiner distinct; the final count is a combiner group_count — two
+    narrow shuffles, keys only."""
+    sizes = [1, 4, 7, 10, 13, 16, 19, 22, 25]
+    part_f = _pdf(sf_dir, "part")
+    part_f = part_f[
+        (part_f["p_brand"] != "Brand#1")
+        & (part_f["p_type"] != "PROMO")
+        & part_f["p_size"].isin(sizes)
+    ][["p_partkey", "p_brand", "p_type", "p_size"]]
+    supp = _pdf(sf_dir, "supplier")
+    excl = set(supp[supp["s_acctbal"] < 0]["s_suppkey"])
+
+    j = broadcast_join(
+        _ps(sf_dir).select_columns(["ps_partkey", "ps_suppkey"]),
+        part_f, on="ps_partkey", small_on="p_partkey")
+    j = anti_join(j, excl, on="ps_suppkey")
+    d = distinct(j.map_batches(
+        lambda b: b[["p_brand", "p_type", "p_size", "ps_suppkey"]],
+        batch_format="pandas"),
+        ["p_brand", "p_type", "p_size", "ps_suppkey"])
+    out = group_count(d, ["p_brand", "p_type", "p_size"],
+                      alias="supplier_cnt")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+def _oracle_q16(ps_path: str) -> str:
+    return f"""
+WITH ps AS (SELECT * FROM read_parquet('{ps_path}'))
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_stock(sf_dir: str):
+    """TPC-H Q20 (suppliers holding excess stock), adapted: suppliers
+    with any 'blue %' part whose availqty exceeds half that
+    (part,supplier) pair's 1996 shipped quantity. lineitem streams once
+    through a broadcast part-key semi-filter into a combiner grouped
+    sum (pair-sized frame); partsupp streams through the same
+    semi-filter and the pair-sum broadcasts into it for the 2·avail >
+    qty gate — quantities are whole doubles, so the comparison is
+    exact. Output is the distinct qualifying suppliers' (s_name,
+    n_name)."""
+    pk = _pdf(sf_dir, "part")
+    pk = set(pk[pk["p_name"].str.startswith("blue ")]["p_partkey"])
+
+    def in_1996(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        m = pc.and_(
+            pc.greater_equal(d, pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(d, pa.scalar(pd.Timestamp("1997-01-01"))),
+        )
+        return t.filter(m)
+
+    li = semi_join(
+        _t(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        ).map_batches(in_1996, batch_format="pyarrow"),
+        pk, on="l_partkey")
+    qty = grouped_agg(li, ["l_partkey", "l_suppkey"],
+                      {"l_quantity": ["sum"]})
+    qty = qty.rename(columns={"l_quantity_sum": "__sq"})
+
+    ps = semi_join(
+        _ps(sf_dir).select_columns(
+            ["ps_partkey", "ps_suppkey", "ps_availqty"]),
+        pk, on="ps_partkey")
+    j = broadcast_join(ps, qty, on=["ps_partkey", "ps_suppkey"],
+                       small_on=["l_partkey", "l_suppkey"]).to_pandas()
+    j = j[2 * j["ps_availqty"] > j["__sq"]]
+    keys = set(j["ps_suppkey"])
+    supp = _pdf(sf_dir, "supplier")[
+        ["s_suppkey", "s_name", "s_nationkey"]].merge(
+        _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey")
+    out = supp[supp["s_suppkey"].isin(keys)][["s_name", "n_name"]]
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+def _oracle_q20(ps_path: str) -> str:
+    return f"""
+WITH ps AS (SELECT * FROM read_parquet('{ps_path}')),
+sq AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey)
+SELECT DISTINCT s_name, n_name
+FROM ps JOIN part ON ps_partkey = p_partkey
+        JOIN sq ON sq.l_partkey = ps.ps_partkey
+               AND sq.l_suppkey = ps.ps_suppkey
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'blue %' AND 2 * ps_availqty > q
+ORDER BY s_name
 """
 
 
@@ -8800,6 +9082,10 @@ QUERIES = {
     "q_distinct_segments": q_distinct_segments,
     "q_big_customer_orders": q_big_customer_orders,
     "q_order_outliers": q_order_outliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_excess_stock": q20_excess_stock,
     "q_events_by_type": q_events_by_type,
     "q_events_daily": q_events_daily,
     "q_events_sessions": q_events_sessions,
@@ -9053,7 +9339,11 @@ def _ppr_seed(g_can: str) -> str:
 
 def oracles_for(sf_dir: str) -> dict[str, str]:
     """SQL strings for every SQL-expressible query. KG oracles read the gold
-    parquet fixtures (absolute /tmp paths, pinned scale — fixtures.py)."""
+    parquet fixtures (absolute /tmp paths, pinned scale — fixtures.py);
+    the partsupp oracles read the deterministic /tmp partsupp derived
+    from the CALLER's sf_dir (the driver compares at one sf, so query
+    and oracle see the same rows)."""
+    ps_path = _ps_path(sf_dir)
     sf_dir = fixtures.PINNED_KG_SF
     fixtures.ensure_fixtures(sf_dir)
     g_can = fixtures.gold_path(sf_dir, "canonical")
@@ -9069,6 +9359,10 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_distinct_segments": ORACLE_DISTINCT_SEGMENTS,
         "q_big_customer_orders": ORACLE_BIG_CUSTOMER,
         "q_order_outliers": ORACLE_ORDER_OUTLIERS,
+        "q2_min_cost_supplier": _oracle_q2(ps_path),
+        "q9_product_profit": _oracle_q9(ps_path),
+        "q16_supplier_part_counts": _oracle_q16(ps_path),
+        "q20_excess_stock": _oracle_q20(ps_path),
         "q_events_by_type": ORACLE_EVENTS_BY_TYPE,
         "q_events_daily": ORACLE_EVENTS_DAILY,
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,

@@ -84,7 +84,11 @@ def main():
     import __ray_entry__ as entrymod
 
     queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # oracles resolved for THIS sf_dir (the driver uses its own fixed
+    # sf; locally the partsupp paths must match the sf under test)
+    from recon_ray.pipelines.queries import oracles_for
+
+    oracles = oracles_for(sf_dir)
 
     con = duckdb.connect()
     for t in TABLES:
