@@ -574,15 +574,33 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency: int = 4) -> pd.Dat
 # ---------------------------------------------------------------------------
 
 
+def _angular_meta(sub: np.ndarray):
+    c = sub.mean(axis=0)
+    cn = c / max(np.linalg.norm(c), 1e-12)
+    radius = float(np.arccos(np.clip(sub @ cn, -1.0, 1.0)).max())
+    return cn, radius
+
+
 @ray.remote(num_returns=2)
-def _prep_emb_block(tbl: pa.Table, id_col: str, emb_col: str):
+def _prep_emb_block(tbl: pa.Table, id_col: str, emb_col: str,
+                    max_subs: int = 16):
     """Block prep task: normalized matrix stays in the OBJECT STORE (first
-    return); only the tiny pruning metadata (n, centroid, angular radius)
-    travels to the driver (second return)."""
+    return); only the tiny pruning metadata travels to the driver (second
+    return): a block-level (n, centroid, radius) plus per-signature-run
+    sub-block metas [(lo, hi, centroid, radius), ...] when the block
+    arrived pre-sorted with a ``__lsh`` column — a block straddling two
+    angular buckets has a useless block-level radius, but its runs stay
+    tight, so the driver prunes at run granularity."""
+    empty = ((np.zeros(0, np.int64), np.zeros((0, 1))),
+             ((0, None, 0.0), []))
+    if id_col not in tbl.column_names:
+        # a sort can emit ZERO-COLUMN empty blocks when range boundaries
+        # land between duplicate keys (clustered LSH signatures)
+        return empty
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     n = len(ids)
     if n == 0:
-        return (ids, np.zeros((0, 1))), (0, None, 0.0)
+        return empty
     col = tbl.column(emb_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -592,17 +610,46 @@ def _prep_emb_block(tbl: pa.Table, id_col: str, emb_col: str):
         np.float64
     ).reshape(n, -1)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    c = mat.mean(axis=0)
-    cn = c / max(np.linalg.norm(c), 1e-12)
-    radius = float(np.arccos(np.clip(mat @ cn, -1.0, 1.0)).max())
-    return (ids, mat), (n, cn, radius)
+    cn, radius = _angular_meta(mat)
+    if "__lsh" in tbl.column_names and n > 1:
+        sig = np.asarray(
+            tbl.column("__lsh").to_numpy(zero_copy_only=False),
+            dtype=np.uint64)
+        cuts = np.flatnonzero(np.diff(sig)) + 1
+        bounds = np.concatenate(([0], cuts, [n]))
+        # cap the driver-side meta size: merge the smallest run into its
+        # smaller neighbor until ≤ max_subs runs remain
+        while len(bounds) - 1 > max_subs:
+            sizes = np.diff(bounds)
+            i = int(sizes.argmin())
+            if i == 0:
+                k = 1
+            elif i == len(sizes) - 1:
+                k = i
+            else:
+                k = i if sizes[i - 1] <= sizes[i + 1] else i + 1
+            bounds = np.delete(bounds, k)
+        subs = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sc, sr = _angular_meta(mat[lo:hi])
+            subs.append((int(lo), int(hi), sc, sr))
+    else:
+        subs = [(0, n, cn, radius)]
+    return (ids, mat), ((n, cn, radius), subs)
 
 
 @ray.remote
-def _emb_block_pair(a, b, threshold: float, same: bool) -> pd.DataFrame:
-    """One block-pair matmul; emits only the (a<b, cosine≥threshold) hits."""
+def _emb_block_pair(a, b, threshold: float, same: bool,
+                    alo: int = 0, ahi: "int | None" = None,
+                    blo: int = 0, bhi: "int | None" = None
+                    ) -> pd.DataFrame:
+    """One (sub-)block-pair matmul; emits only the (a<b, cosine≥threshold)
+    hits. ``same`` means the two slices are the IDENTICAL slice (use the
+    triangle); distinct slices of one block are a normal cross pair."""
     ids_a, ma = a
     ids_b, mb = b
+    ids_a, ma = ids_a[alo:ahi], ma[alo:ahi]
+    ids_b, mb = ids_b[blo:bhi], mb[blo:bhi]
     if len(ids_a) == 0 or len(ids_b) == 0:
         return pd.DataFrame(columns=["a", "b", "cosine"])
     sims = ma @ mb.T
@@ -625,9 +672,49 @@ def _emb_block_pair(a, b, threshold: float, same: bool) -> pd.DataFrame:
     )
 
 
+def _lsh_presort_signature(t: pa.Table, emb_col: str,
+                           n_planes: int, seed: int) -> pa.Table:
+    """Coarse angular bucket code per row (uint64) — the SAME seeded
+    random planes in every batch, so the signature is a pure function of
+    the embedding and the global sort on it is stable.
+
+    NOT packed sign bits: numeric order on a sign-bit word scatters a
+    cluster the moment one high plane cuts it. Instead the code is
+    (signed strongest plane, signed second-strongest plane): the
+    largest-|projection| plane is far from its decision boundary for
+    every point of a tight cluster, so the whole cluster lands in one
+    (or rarely two) buckets and a range sort yields angularly coherent
+    blocks."""
+    col = t.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.to_numpy(zero_copy_only=False)
+    n = len(t)
+    if n == 0:
+        return t.append_column("__lsh", pa.array([], pa.uint64()))
+    mat = (np.stack(arr) if arr.dtype == object else np.asarray(arr)
+           ).astype(np.float64).reshape(n, -1)
+    mat = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    planes = np.random.default_rng(seed).standard_normal(
+        (mat.shape[1], n_planes))
+    proj = mat @ planes
+    mag = np.abs(proj)
+    top1 = mag.argmax(axis=1)
+    r = np.arange(n)
+    code1 = (top1 * 2 + (proj[r, top1] >= 0)).astype(np.uint64)
+    mag[r, top1] = -1.0
+    top2 = mag.argmax(axis=1)
+    code2 = (top2 * 2 + (proj[r, top2] >= 0)).astype(np.uint64)
+    sig = code1 * np.uint64(2 * n_planes) + code2
+    return t.append_column("__lsh", pa.array(sig, pa.uint64()))
+
+
 def embedding_neardup(
     emb_ds, threshold: float = 0.98, id_col: str = "vec_id",
-    emb_col: str = "embedding",
+    emb_col: str = "embedding", presort: bool = True,
+    presort_planes: int = 16, presort_seed: int = 0x5EED,
+    _stats: "dict | None" = None,
 ) -> pd.DataFrame:
     """Exact cosine near-dup pairs (a<b, cosine≥threshold), blocked: the
     corpus materializes as OBJECT-STORE block refs (never on the driver),
@@ -638,34 +725,74 @@ def embedding_neardup(
 
     Block pairs are pruned EXACTLY with an angular triangle bound: a pair
     of blocks with centroid angle θ and radii r_a, r_b can't contain a hit
-    unless cos(max(0, θ − r_a − r_b)) ≥ threshold. Pre-sorting the corpus
-    by a coarse LSH signature makes blocks angularly coherent and the
-    pruning sharp; without it the bound is checked but rarely fires.
-    Repartition upstream to size blocks so two fit in a worker heap."""
+    unless cos(max(0, θ − r_a − r_b)) ≥ threshold. ``presort=True``
+    (default) first range-sorts the corpus by a coarse seeded
+    signed-random-projection signature so blocks are angularly coherent
+    and the bound actually fires — one extra narrow shuffle (id +
+    embedding only) buys an O(B) task count on clustered data instead of
+    O(B²); exactness is untouched because the bound, not the signature,
+    decides pruning. Repartition upstream to size blocks so two fit in a
+    worker heap. ``_stats`` (tests/telemetry) receives
+    {n_blocks, n_pairs_possible, n_pairs_run}."""
     pre = emb_ds.select_columns([id_col, emb_col])
+    if presort:
+        pre = pre.map_batches(
+            _lsh_presort_signature, batch_format="pyarrow",
+            fn_kwargs={"emb_col": emb_col, "n_planes": presort_planes,
+                       "seed": presort_seed},
+        ).sort("__lsh")
     refs = pre.to_arrow_refs()
     prepped = [_prep_emb_block.remote(r, id_col, emb_col) for r in refs]
     data_refs = [p[0] for p in prepped]
     metas = ray.get([p[1] for p in prepped])
     theta_max = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
-    tasks = []
-    for i in range(len(data_refs)):
-        n_i, c_i, r_i = metas[i]
-        if n_i == 0:
+
+    def _pruned(c_i, r_i, c_j, r_j) -> bool:
+        ang = float(np.arccos(np.clip(np.dot(c_i, c_j), -1.0, 1.0)))
+        return ang - r_i - r_j > theta_max
+
+    # flat sub-block index: (block, lo, hi, centroid, radius)
+    entries = []
+    for bi, (blk, subs) in enumerate(metas):
+        if blk[0] == 0:
             continue
-        for j in range(i, len(data_refs)):
-            n_j, c_j, r_j = metas[j]
-            if n_j == 0:
+        for lo, hi, sc, sr in subs:
+            entries.append((bi, lo, hi, sc, sr))
+    blocks = {bi: blk for bi, (blk, _s) in enumerate(metas) if blk[0]}
+    tasks = []
+    n_run = 0
+    # two-level prune: block-level bound first (B² driver work), then
+    # sub-run bounds only inside surviving block pairs — keeps the
+    # driver loop from going quadratic in SUB-blocks at large B
+    bids = sorted(blocks)
+    for x, i in enumerate(bids):
+        _n_i, c_i, r_i = blocks[i]
+        subs_i = [e for e in entries if e[0] == i]
+        for j in bids[x:]:
+            _n_j, c_j, r_j = blocks[j]
+            if i != j and _pruned(c_i, r_i, c_j, r_j):
                 continue
-            if i != j:
-                ang = float(np.arccos(np.clip(np.dot(c_i, c_j), -1.0, 1.0)))
-                if ang - r_i - r_j > theta_max:
-                    continue  # exact bound: no pair can reach threshold
-            tasks.append(
-                _emb_block_pair.remote(
-                    data_refs[i], data_refs[j], threshold, i == j
-                )
-            )
+            subs_j = [e for e in entries if e[0] == j]
+            for si, (_, lo_i, hi_i, sc_i, sr_i) in enumerate(subs_i):
+                start = si if i == j else 0
+                for sj in range(start, len(subs_j)):
+                    _, lo_j, hi_j, sc_j, sr_j = subs_j[sj]
+                    identical = i == j and si == sj
+                    if not identical and _pruned(sc_i, sr_i, sc_j, sr_j):
+                        continue
+                    n_run += 1
+                    tasks.append(
+                        _emb_block_pair.remote(
+                            data_refs[i], data_refs[j], threshold,
+                            identical, lo_i, hi_i, lo_j, hi_j,
+                        )
+                    )
+    if _stats is not None:
+        ne = len(entries)
+        _stats.update(
+            n_blocks=ne, n_pairs_possible=ne * (ne + 1) // 2,
+            n_pairs_run=n_run,
+        )
     # drop empty parts pre-concat (pandas deprecates all-NA entries in
     # concat dtype inference)
     parts = [p for p in ray.get(tasks) if len(p)]

@@ -245,27 +245,46 @@ def filter_overlaps(batch: pa.Table) -> pa.Table:
     return _rebuild(batch, new_lengths, child)
 
 
-@op("recon_ray.fix_annotations.v1")
-def fix_annotations(
-    batch: pa.Table,
-    corrections: Optional[list] = None,
-    case_sensitive: bool = False,
-) -> pa.Table:
-    """corrections: list of (annotation, from_labels, to_label|None) —
-    vectorized per correction entry over the whole batch."""
-    corrections = corrections if corrections is not None else spec.CORRECTIONS
-    lengths, child = _parts(batch)
-    if len(child) == 0 or not corrections:
-        return batch
-    text, start, end, label, source = _fields(child)
+def corrections_from_dict(corrections_dict: dict) -> list:
+    """The reference's dict shorthand (recon/corrections.py:98-139):
+    ``{"text": "LABEL"}`` converts from ANY label, ``{"text": None}``
+    deletes from ANY label, ``{"text": ("FROM", "TO")}`` /
+    ``{"text": (["A", "B"], "TO")}`` restrict the source labels —
+    normalized to the engine's (annotation, from_labels, to_label)
+    tuple form."""
+    corrections = []
+    for key, val in corrections_dict.items():
+        if isinstance(val, str) or val is None:
+            from_labels: list = ["ANY"]
+            to_label = val
+        elif isinstance(val, tuple):
+            from_labels = [val[0]] if isinstance(val[0], str) \
+                else list(val[0])
+            to_label = val[1]
+        else:
+            raise ValueError(
+                "Cannot parse corrections dict. Value must be either a "
+                "str of the label to change the annotation to (TO_LABEL)"
+                " or a tuple of (FROM_LABEL, TO_LABEL)"
+            )
+        corrections.append((key, from_labels, to_label))
+    return corrections
+
+
+def _fix_compute(child: pa.StructArray, corrections: list,
+                 case_sensitive: bool):
+    """Shared match kernel for apply and dryrun: returns
+    (relabel mask, gathered new labels, drop mask, midx, cmap).
+
+    reference puts corrections in a dict keyed by annotation — a later
+    entry with the same text wins (recon/corrections.py:58); matching
+    always tests the ORIGINAL span label (single dict lookup per span).
+    Single-pass form: ONE index_in against the annotation dictionary
+    replaces an equal+is_in+if_else sweep per entry (22 entries in the
+    spec); the from_labels test is an is_in over packed
+    (entry, label) pair codes."""
+    text, _s, _e, label, _src = _fields(child)
     keys = text if case_sensitive else pc.utf8_lower(text)
-    # reference puts corrections in a dict keyed by annotation — a later
-    # entry with the same text wins (recon/corrections.py:58); matching
-    # always tests the ORIGINAL span label (single dict lookup per span).
-    # Single-pass form: ONE index_in against the annotation dictionary
-    # replaces an equal+is_in+if_else sweep per entry (22 entries in the
-    # spec); the from_labels test is an is_in over packed
-    # (entry, label) pair codes.
     cmap: dict[str, tuple[list, Optional[str]]] = {}
     for annotation, from_labels, to_label in corrections:
         akey = annotation if case_sensitive else annotation.lower()
@@ -311,18 +330,108 @@ def fix_annotations(
     to_arr = pa.array(to_labels, pa.string())
     gathered = pc.take(to_arr, pc.if_else(cond, midx, pa.scalar(0, pa.int64())))
     relabel = pc.and_(cond, pc.is_valid(gathered))
-    label = pc.if_else(relabel, gathered, label)
     if del_entries:
         drop = pc.and_(
             cond, pc.is_in(midx, value_set=pa.array(del_entries, pa.int64()))
         )
-        keep = pc.invert(drop).to_numpy(zero_copy_only=False)
     else:
-        keep = np.ones(len(child), dtype=bool)
+        drop = pa.array(np.zeros(len(child), dtype=bool))
+    return relabel, gathered, drop, midx, cmap
+
+
+@op("recon_ray.fix_annotations.v1")
+def fix_annotations(
+    batch: pa.Table,
+    corrections=None,
+    case_sensitive: bool = False,
+    dryrun: bool = False,
+) -> pa.Table:
+    """corrections: list of (annotation, from_labels, to_label|None)
+    tuples, or the reference's dict shorthand (auto-converted via
+    :func:`corrections_from_dict`) — vectorized per correction entry
+    over the whole batch. ``dryrun=True`` returns the batch UNCHANGED
+    (the reference's dryrun contract, recon/corrections.py:70-90); use
+    :func:`fix_annotations_dryrun` for the would-be-change report the
+    reference prints."""
+    corrections = corrections if corrections is not None else spec.CORRECTIONS
+    if isinstance(corrections, dict):
+        corrections = corrections_from_dict(corrections)
+    if dryrun:
+        return batch
+    lengths, child = _parts(batch)
+    if len(child) == 0 or not corrections:
+        return batch
+    relabel, gathered, drop, _midx, _cmap = _fix_compute(
+        child, corrections, case_sensitive)
+    text, start, end, label, source = _fields(child)
+    label = pc.if_else(relabel, gathered, label)
+    keep = pc.invert(drop).to_numpy(zero_copy_only=False)
     child = _struct(text, start, end, label, source)
     if not keep.all():
         lengths, child = _filter_child(child, keep, lengths)
     return _rebuild(batch, lengths, child)
+
+
+def fix_annotations_dryrun(
+    batch: pa.Table,
+    corrections=None,
+    case_sensitive: bool = False,
+) -> pa.Table:
+    """Would-be changes of :func:`fix_annotations` without mutating —
+    the engine analogue of the reference's dryrun printout
+    (recon/corrections.py:70-90, 'Deleting span: ...' / 'Correction
+    span: ...'): one row per affected span with (doc_index, action,
+    text, from_label, to_label, message)."""
+    corrections = corrections if corrections is not None else spec.CORRECTIONS
+    if isinstance(corrections, dict):
+        corrections = corrections_from_dict(corrections)
+    lengths, child = _parts(batch)
+    empty = pa.table({
+        "doc_index": pa.array([], pa.int64()),
+        "action": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "from_label": pa.array([], pa.string()),
+        "to_label": pa.array([], pa.string()),
+        "message": pa.array([], pa.string()),
+    })
+    if len(child) == 0 or not corrections:
+        return empty
+    relabel, gathered, drop, midx, cmap = _fix_compute(
+        child, corrections, case_sensitive)
+    text, _s, _e, label, _src = _fields(child)
+    didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    drop_np = np.asarray(drop.to_numpy(zero_copy_only=False), dtype=bool)
+    rel_np = np.asarray(relabel.to_numpy(zero_copy_only=False), dtype=bool)
+    affected = drop_np | rel_np
+    if not affected.any():
+        return empty
+    mask = pa.array(affected)
+    txt = text.filter(mask)
+    frm = label.filter(mask)
+    new = gathered.filter(mask)
+    is_del = drop_np[affected]
+    mi = midx.filter(mask).to_pylist()
+    entries = list(cmap.items())
+    from_lists = [entries[i][1][0] for i in mi]
+    msgs = []
+    for t, fl, tl, d in zip(txt.to_pylist(), from_lists,
+                            new.to_pylist(), is_del):
+        if d:
+            msgs.append(f"Deleting span: {t}")
+        else:
+            msgs.append(
+                f"Correction span: {t} from labels: {fl} to"
+                f" label: {tl}"
+            )
+    return pa.table({
+        "doc_index": pa.array(didx[affected], pa.int64()),
+        "action": pa.array(
+            ["delete" if d else "relabel" for d in is_del], pa.string()),
+        "text": txt,
+        "from_label": frm,
+        "to_label": new,
+        "message": pa.array(msgs, pa.string()),
+    })
 
 
 #: the frozen correction chain, in spec order

@@ -353,6 +353,42 @@ def test_embedding_neardup_100x_planted():
     assert (got["cosine"] >= 0.98).all()
 
 
+def test_embedding_neardup_presort_prunes_block_pairs():
+    """On an angularly clustered corpus the LSH pre-sort must make the
+    triangle prune fire: pairs run ≪ B(B+1)/2, and the result is
+    identical to the unsorted path (the prune is exact either way)."""
+    from recon_ray.functions.dedup import embedding_neardup
+
+    rng = np.random.RandomState(3)
+    # blocks ≫ clusters: most post-sort blocks sit inside one cluster
+    # run, so their angular radius is small and the bound can fire
+    n_clusters, per, dim = 8, 600, 24
+    rows = []
+    for c in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        pts = center + rng.normal(scale=0.02, size=(per, dim))
+        rows.append(pts)
+    mat = np.concatenate(rows)
+    order = rng.permutation(len(mat))  # scatter clusters across blocks
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64)[order],
+                      "embedding": list(mat[order])})
+    ).repartition(32)
+    stats: dict = {}
+    got = embedding_neardup(ds, threshold=0.995, _stats=stats)
+    assert stats["n_blocks"] >= 8
+    # pre-sorted clustered blocks: the vast majority of cross-block
+    # pairs are provably out of angular reach
+    assert stats["n_pairs_run"] < stats["n_pairs_possible"] / 2
+    stats_off: dict = {}
+    got_off = embedding_neardup(ds, threshold=0.995, presort=False,
+                                _stats=stats_off)
+    pd.testing.assert_frame_equal(got, got_off)
+    # without the sort the prune rarely fires on scattered blocks
+    assert stats_off["n_pairs_run"] >= stats["n_pairs_run"]
+
+
 def test_knn_ivf_recall(emb):
     from recon_ray.functions.similarity import knn_bruteforce, knn_ivf, knn_recall
 

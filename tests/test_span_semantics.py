@@ -167,6 +167,79 @@ def test_fix_annotations_from_label_mismatch_keeps():
     assert spans_out(out) == [(0, 2, "IDENT")]
 
 
+# --- corrections_from_dict shorthand (reference recon/corrections.py:98-139,
+# exercised by tests/test_corrections.py::test_fix_annotations)
+def test_corrections_from_dict_forms():
+    from recon_ray.ops.spans import corrections_from_dict
+
+    got = corrections_from_dict({
+        "united states": "GPE",          # str → from ANY
+        "model": None,                   # None → delete from ANY
+        "London": ("LOC", "GPE"),        # (str, to)
+        "paris": (["LOC", "ORG"], "GPE"),  # (list, to)
+    })
+    assert got == [
+        ("united states", ["ANY"], "GPE"),
+        ("model", ["ANY"], None),
+        ("London", ["LOC"], "GPE"),
+        ("paris", ["LOC", "ORG"], "GPE"),
+    ]
+    with pytest.raises(ValueError):
+        corrections_from_dict({"x": 42})
+
+
+def test_fix_annotations_accepts_dict_shorthand():
+    # the reference's test_fix_annotations scenario: relabel
+    # 'software development engineer' to JOB_ROLE, delete 'model'
+    b = batch_of([
+        [("model", 36, 41, "SKILL")],
+        [("model", 32, 37, "JOB_ROLE")],
+        [("Software Development Engineer", 21, 50, "SKILL")],
+        [("SOFTWARE DEVELOPMENT ENGINEER", 22, 51, "JOB_ROLE")],
+    ])
+    out = fix_annotations(
+        b,
+        corrections={"software development engineer": "JOB_ROLE",
+                     "model": None},
+    )
+    assert spans_out(out, 0) == []
+    assert spans_out(out, 1) == []
+    assert spans_out(out, 2) == [(21, 50, "JOB_ROLE")]
+    assert spans_out(out, 3) == [(22, 51, "JOB_ROLE")]
+
+
+def test_fix_annotations_dryrun_reports_without_mutating():
+    from recon_ray.ops.spans import fix_annotations_dryrun
+
+    b = batch_of([
+        [("if", 0, 2, "CALL"), ("model", 5, 10, "SKILL"),
+         ("keep", 12, 16, "CALL")],
+    ])
+    corr = [("if", ["CALL"], None), ("Model", ["ANY"], "JOB_ROLE")]
+    # dryrun=True returns the batch unchanged (reference contract)
+    out = fix_annotations(b, corrections=corr, dryrun=True)
+    assert spans_out(out) == [(0, 2, "CALL"), (5, 10, "SKILL"),
+                              (12, 16, "CALL")]
+    rep = fix_annotations_dryrun(b, corrections=corr).to_pylist()
+    assert [(r["action"], r["text"]) for r in rep] == [
+        ("delete", "if"), ("relabel", "model")]
+    assert rep[0]["message"] == "Deleting span: if"
+    assert rep[1]["message"] == (
+        "Correction span: model from labels: ['ANY'] to label: JOB_ROLE")
+    assert rep[1]["from_label"] == "SKILL"
+    assert rep[1]["to_label"] == "JOB_ROLE"
+
+
+def test_fix_annotations_dryrun_empty_when_no_match():
+    from recon_ray.ops.spans import fix_annotations_dryrun
+
+    b = batch_of([[("zz", 0, 2, "CALL")]])
+    rep = fix_annotations_dryrun(b, corrections=[("if", ["CALL"], None)])
+    assert rep.num_rows == 0
+    assert rep.column_names == [
+        "doc_index", "action", "text", "from_label", "to_label", "message"]
+
+
 # --- property-style: batch kernels == sequential kernels on generated corpus
 def test_batch_kernels_match_sequential_on_corpus(unit_corpus_table):
     import random
