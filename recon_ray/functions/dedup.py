@@ -311,17 +311,142 @@ def _get(ref):
     return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
-def connected_components(edges_ds, max_iter: int = 64) -> pd.DataFrame:
+def _verify_pairs_shuffle(cand_ds, sh_ds, threshold: float):
+    """Distributed candidate verification: the candidate shingle sets
+    shuffle-join onto the pair Dataset's endpoints (a then b), then exact
+    Jaccard runs row-wise inside map_batches — the escape hatch for when
+    the candidate set outgrows a broadcast heap. Sets ride the shuffle
+    once per endpoint; the driver sees only the final verified pairs."""
+    from recon_ray.functions.relational import shuffle_join
+
+    def pack(t: pa.Table) -> pa.Table:
+        # Acero rejects list<> join payloads — pack each shingle set
+        # into a binary cell (uint64 little-endian), unpack after
+        sh = t.column("shingles")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        packed = [
+            np.asarray(s, dtype=np.uint64).tobytes()
+            for s in sh.to_pylist()
+        ]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "sh_bin": pa.array(packed, pa.large_binary()),
+        })
+
+    sh_ds = sh_ds.map_batches(
+        pack, batch_format="pyarrow"
+    ).materialize()  # joined twice: once per endpoint
+    j1 = shuffle_join(cand_ds, sh_ds, on="a", right_on="doc_id")
+    j1 = j1.map_batches(
+        lambda df: df.rename(columns={"sh_bin": "sh_a"})[
+            ["a", "b", "sh_a"]],
+        batch_format="pandas",
+    )
+    j2 = shuffle_join(j1, sh_ds, on="b", right_on="doc_id")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(df["sh_a"].values,
+                                         df["sh_bin"].values)):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            if len(sa) == 0 and len(sb) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        out = df[["a", "b"]].assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def _connected_components_shuffle(edges_ds, max_iter: int) -> pd.DataFrame:
+    """Fully-distributed min-label propagation: labels live as a Dataset
+    and each iteration is two shuffle joins (labels onto both endpoints)
+    + one Ray groupby(node).min — nothing graph-sized ever reaches the
+    driver. Convergence is detected by the label SUM: labels only
+    decrease monotonically per node, so an unchanged sum ⇔ fixpoint;
+    per-batch sums use Python ints (arbitrary precision), never an
+    overflowing int64 accumulator."""
+    from recon_ray.functions.relational import distinct, shuffle_join
+
+    edges = edges_ds.map_batches(
+        lambda df: df[["a", "b"]], batch_format="pandas"
+    ).materialize()
+
+    labels = distinct(
+        edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": pd.concat([df["a"], df["b"]],
+                                   ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        "node",
+    ).map_batches(
+        lambda df: df.assign(lbl=df["node"]), batch_format="pandas"
+    ).materialize()
+
+    def _label_sum(ds) -> int:
+        parts = ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [str(df["lbl"].astype(object).sum())]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        return sum(int(x) for x in parts["s"]) if len(parts) else 0
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        e1 = shuffle_join(edges, labels, on="a", right_on="node")
+        e1 = e1.map_batches(
+            lambda df: df.rename(columns={"lbl": "la"})[["a", "b", "la"]],
+            batch_format="pandas",
+        )
+        e2 = shuffle_join(e1, labels, on="b", right_on="node")
+
+        def msgs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": pd.concat([df["a"], df["b"]],
+                                  ignore_index=True),
+                "lbl": pd.concat([df["lbl"], df["la"]],
+                                 ignore_index=True),
+            })
+
+        m = e2.map_batches(msgs, batch_format="pandas").union(labels)
+        new_labels = m.groupby("node").min("lbl").map_batches(
+            lambda df: df.rename(columns={"min(lbl)": "lbl"}),
+            batch_format="pandas",
+        ).materialize()
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "lbl": "cluster"})
+    return out[["doc_id", "cluster"]]
+
+
+def connected_components(edges_ds, max_iter: int = 64,
+                         driver_limit: int = 2_000_000) -> pd.DataFrame:
     """Connected components of the (a, b) edge Dataset by iterative
     min-label propagation, shaped as the combiner pattern: each iteration
     is ONE distributed pass over the edges (per-batch partial min-label per
     node) plus a small driver merge of the partials. The label table holds
     only the DUP-GRAPH nodes — documents that verified as near-duplicates —
-    a small fraction of the corpus by construction; if it ever outgrows the
-    driver, swap the broadcast for a shuffle join of labels onto edges and
-    the merge for a Ray groupby(node).min — same loop, no logic change.
+    a small fraction of the corpus by construction; past ``driver_limit``
+    EDGES the loop switches to :func:`_connected_components_shuffle`
+    (labels as a Dataset, shuffle joins + Ray groupby-min — same fixpoint,
+    nothing graph-sized on the driver; equality pinned in
+    tests/test_line_dedup.py's mega-cluster fixture).
 
     Converges in O(graph diameter) passes; near-dup clusters are shallow."""
+    if edges_ds.count() > driver_limit:
+        return _connected_components_shuffle(edges_ds, max_iter)
     ends = edges_ds.map_batches(
         lambda df: pd.DataFrame(
             {"node": pd.concat([df["a"], df["b"]], ignore_index=True)}
@@ -365,6 +490,7 @@ def minhash_lsh_dedup(
     n_bands: int = 16,
     k: int = 3,
     concurrency: int = 4,
+    candidate_broadcast_limit: int = 1_000_000,
 ) -> dict:
     """Full near-dup pipeline. Returns {"pairs": verified pair df,
     "clusters": doc_id→cluster_rep df, "n_duplicates": int}.
@@ -373,7 +499,12 @@ def minhash_lsh_dedup(
     fetches only the CANDIDATE docs' shingle sets (semi-join by broadcast
     id-set, never the corpus) and runs exact Jaccard in map_batches over
     the pair Dataset; clustering is iterative min-label propagation as
-    combiner passes over the edge Dataset (see connected_components)."""
+    combiner passes over the edge Dataset (see connected_components).
+    Past ``candidate_broadcast_limit`` candidate DOCS the shingle dict
+    would outgrow a heap, so verification switches to the bucketed
+    fetch: candidate shingle sets shuffle-join onto the pair Dataset's
+    two endpoints (sets ride the shuffle once each, nothing collects on
+    the driver; equality pinned in tests/test_line_dedup.py)."""
     from recon_ray.functions.relational import semi_join
 
     sigs = docs_ds.map_batches(
@@ -400,22 +531,26 @@ def minhash_lsh_dedup(
             "n_duplicates": 0,
         }
     # shingle sets for candidate docs only (candidates << corpus)
-    sh_df = (
-        semi_join(docs_ds.select_columns(["doc_id", "text"]), cand_ids, "doc_id")
-        .map_batches(
-            make_shingle_batch(k), batch_format="pyarrow", zero_copy_batch=True
+    sh_ds = semi_join(
+        docs_ds.select_columns(["doc_id", "text"]), cand_ids, "doc_id"
+    ).map_batches(
+        make_shingle_batch(k), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if len(cand_ids) <= candidate_broadcast_limit:
+        sh_df = sh_ds.to_pandas()
+        sh_ref = ray.put(
+            {
+                d: np.asarray(s, dtype=np.uint64)
+                for d, s in zip(sh_df["doc_id"], sh_df["shingles"])
+            }
         )
-        .to_pandas()
-    )
-    sh_ref = ray.put(
-        {
-            d: np.asarray(s, dtype=np.uint64)
-            for d, s in zip(sh_df["doc_id"], sh_df["shingles"])
-        }
-    )
-    verified_ds = cand_ds.map_batches(
-        _verify_pairs_fn(sh_ref, threshold), batch_format="pandas"
-    ).materialize()  # reused: driver pair table + CC edge passes
+        verified_ds = cand_ds.map_batches(
+            _verify_pairs_fn(sh_ref, threshold), batch_format="pandas"
+        ).materialize()  # reused: driver pair table + CC edge passes
+    else:
+        verified_ds = _verify_pairs_shuffle(
+            cand_ds, sh_ds, threshold
+        ).materialize()
     verified = (
         verified_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )

@@ -246,6 +246,52 @@ def test_minhash_lsh_dedup_planted():
     assert res["n_duplicates"] >= 2
 
 
+def test_minhash_distributed_paths_match_broadcast():
+    """Planted mega-cluster: the shuffle-join verification path
+    (candidate_broadcast_limit=0) and the distributed connected
+    components (driver_limit=0) must return IDENTICAL pairs and
+    clusters to the broadcast/driver paths."""
+    import random
+
+    from recon_ray.functions.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"tok{i}" for i in range(300)]
+    texts, ids = [], []
+    # one mega-cluster: 30 light mutations of a base doc; plus
+    # 20 unrelated docs
+    base_words = [rng.choice(vocab) for _ in range(60)]
+    for i in range(30):
+        w = list(base_words)
+        w[rng.randrange(60)] = rng.choice(vocab)
+        ids.append(i)
+        texts.append(" ".join(w))
+    for i in range(30, 50):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(60)))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})
+                        ).repartition(4)
+
+    res_b = minhash_lsh_dedup(ds, threshold=0.6, concurrency=2)
+    res_d = minhash_lsh_dedup(ds, threshold=0.6, concurrency=2,
+                              candidate_broadcast_limit=0)
+    pd.testing.assert_frame_equal(res_b["pairs"], res_d["pairs"])
+    pd.testing.assert_frame_equal(res_b["clusters"], res_d["clusters"])
+    assert res_b["n_duplicates"] == res_d["n_duplicates"] >= 20
+
+    # CC equality on the verified edge set, forced distributed
+    edges = rd.from_pandas(res_b["pairs"][["a", "b"]])
+    cc_driver = connected_components(edges).sort_values(
+        "doc_id").reset_index(drop=True)
+    cc_shuffle = connected_components(edges, driver_limit=0).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        cc_driver, cc_shuffle, check_dtype=False)
+
+
 def test_simhash_dedup_planted():
     from recon_ray.functions.dedup import SimHasher, simhash_dedup
 
