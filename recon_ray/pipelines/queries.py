@@ -3138,9 +3138,12 @@ def q_orders_exists_discount(sf_dir: str):
     from recon_ray.functions.relational import distinct, group_count, semi_join
 
     keys = distinct(
-        _t(sf_dir, "lineitem")
-        .select_columns(["l_orderkey", "l_discount"])
-        .filter(lambda r: r["l_discount"] >= 0.06),
+        arrow_filter(
+            _t(sf_dir, "lineitem").select_columns(
+                ["l_orderkey", "l_discount"]),
+            lambda t: pc.greater_equal(t["l_discount"],
+                                       pa.scalar(0.06)),
+        ),
         "l_orderkey",
     ).to_pandas()
     gated = semi_join(
@@ -5136,9 +5139,11 @@ def q_events_point_scan(sf_dir: str):
     write_zonemapped(ds, out_dir, stat_cols=["user_id"],
                      rows_per_file=1024, bloom_cols=["user_id"])
     probe = int(
-        _t(sf_dir, "events")
-        .filter(lambda r: r["event_id"] == 42)
-        .take_all()[0]["user_id"])
+        arrow_filter(
+            _t(sf_dir, "events").select_columns(
+                ["event_id", "user_id"]),
+            lambda t: pc.equal(t["event_id"], pa.scalar(42)),
+        ).take_all()[0]["user_id"])
     hits = read_zonemapped(out_dir,
                            equals={"user_id": probe}).to_pandas()
     out = pd.DataFrame({
