@@ -135,7 +135,11 @@ def cmd_report(args) -> int:
     _ensure_ray()
     import ray.data as rd
 
-    from recon_ray.pipelines.report import corpus_report, format_report
+    from recon_ray.pipelines.report import (
+        corpus_report,
+        format_report,
+        format_report_html,
+    )
 
     rep = corpus_report(
         rd.read_parquet(args.docs_path),
@@ -143,7 +147,12 @@ def cmd_report(args) -> int:
         id_col=args.id_col,
         lang_col=args.lang_col,
     )
-    print(format_report(rep))
+    if getattr(args, "html", None):
+        with open(args.html, "w") as f:
+            f.write(format_report_html(rep))
+        print(f"wrote {args.html}", file=sys.stderr)
+    else:
+        print(format_report(rep))
     return 0
 
 
@@ -820,6 +829,9 @@ def main(argv=None) -> int:
     prp.add_argument("--text-col", default="text")
     prp.add_argument("--id-col", default="doc_id")
     prp.add_argument("--lang-col", default="lang")
+    prp.add_argument("--html", default=None, metavar="OUT.html",
+                     help="write a standalone HTML report instead of "
+                          "printing (the dashboard analogue)")
     prp.set_defaults(fn=cmd_report)
 
     psh = sub.add_parser("show", help="render detected mentions inline")

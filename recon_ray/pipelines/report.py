@@ -79,6 +79,65 @@ def corpus_report(ds, text_col: str = "text", id_col: str = "doc_id",
     }
 
 
+def format_report_html(rep: dict, title: str = "Corpus report") -> str:
+    """Standalone-HTML rendering of :func:`corpus_report` — the engine's
+    dashboard analogue (/root/reference/recon/cli/dashboard.py serves a
+    FastAPI/streamlit stub; a server is out of scope for a batch engine,
+    so the same statistics render as one self-contained file: inline CSS,
+    semantic tables, no scripts, no external fetches)."""
+    import html as _html
+
+    def esc(v) -> str:
+        return _html.escape(str(v))
+
+    def table(df: pd.DataFrame, index: bool = False) -> str:
+        cols = ([""] if index else []) + [esc(c) for c in df.columns]
+        head = "".join(f"<th>{c}</th>" for c in cols)
+        rows = []
+        for idx, row in df.iterrows():
+            cells = ([f"<th>{esc(idx)}</th>"] if index else []) + [
+                f"<td>{esc(v)}</td>" for v in row
+            ]
+            rows.append("<tr>" + "".join(cells) + "</tr>")
+        return (
+            f"<table><thead><tr>{head}</tr></thead>"
+            f"<tbody>{''.join(rows)}</tbody></table>"
+        )
+
+    summary = pd.DataFrame(
+        {
+            "metric": ["documents", "words", "characters",
+                       "exact-duplicate docs", "exact-duplicate rate"],
+            "value": [
+                f"{rep['n_docs']:,}", f"{rep['n_words']:,}",
+                f"{rep['n_chars']:,}", f"{rep['exact_dup_docs']:,}",
+                f"{100 * rep['exact_dup_rate']:.2f}%",
+            ],
+        }
+    )
+    css = (
+        "body{font-family:system-ui,sans-serif;margin:2rem auto;"
+        "max-width:56rem;padding:0 1rem;color:#1a1a1a}"
+        "h1{font-size:1.4rem}h2{font-size:1.1rem;margin-top:2rem}"
+        "table{border-collapse:collapse;margin:.5rem 0;width:100%}"
+        "th,td{border:1px solid #d0d0d0;padding:.3rem .6rem;"
+        "text-align:left;font-variant-numeric:tabular-nums}"
+        "th{background:#f5f5f5;font-weight:600}"
+    )
+    parts = [
+        "<!doctype html><html lang=\"en\"><head><meta charset=\"utf-8\">",
+        f"<title>{esc(title)}</title><style>{css}</style></head><body>",
+        f"<h1>{esc(title)}</h1>",
+        "<h2>Summary</h2>", table(summary),
+        "<h2>Languages</h2>", table(rep["languages"]),
+        "<h2>Quality quantiles</h2>",
+        table(rep["quality_quantiles"].round(4), index=True),
+        "<h2>Top terms</h2>", table(rep["top_terms"]),
+        "</body></html>",
+    ]
+    return "".join(parts)
+
+
 def format_report(rep: dict) -> str:
     lines = [
         f"docs: {rep['n_docs']:,}   words: {rep['n_words']:,}   "

@@ -354,6 +354,24 @@ def test_cli_report():
     assert "quality quantiles" in r.stdout
 
 
+def test_cli_report_html(tmp_path):
+    out = tmp_path / "rep.html"
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "report",
+         "/root/testdata/sf0.001/documents.parquet", "--html", str(out)],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    html = out.read_text()
+    assert html.startswith("<!doctype html>")
+    for section in ("Summary", "Languages", "Quality quantiles",
+                    "Top terms"):
+        assert f"<h2>{section}</h2>" in html
+    # self-contained: no scripts, no external fetches
+    assert "<script" not in html and "http" not in html.split("</h1>")[1]
+
+
 def test_ntriples_round_trip(tmp_path):
     """write_ntriples → read_ntriples is byte-exact for hostile entity
     strings (spaces, angle brackets, unicode, percent signs, dots)."""
