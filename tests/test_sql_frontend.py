@@ -2296,6 +2296,8 @@ _dml_stmts = st.lists(st.sampled_from([
     "UPDATE u SET g = 'q' WHERE w < 0",
     "UPDATE u SET w = NULL WHERE g = 'y'",
     "UPDATE u SET h = h * 2 + 1",
+    "UPDATE u SET h = NULL WHERE g = 'z'",
+    "UPDATE u SET g = 'has where inside' WHERE h = 2",
     "INSERT INTO u VALUES (7, 3, 'x'), (8, NULL, NULL)",
 ]), min_size=1, max_size=4)
 
@@ -2366,3 +2368,51 @@ def test_dml_on_provably_empty_table(ray_session):
         assert out["n"].tolist() == [1] and out["mv"].tolist() == ["z"]
     except SqlError as e:
         assert "schema-less" in str(e)
+
+
+def test_dml_null_typing_survives_parquet(ray_session, tmp_path):
+    """The round-3 ADVICE repro: INSERT VALUES with a NULL cell into an
+    int64 column, and UPDATE SET intcol = NULL, must keep EVERY block
+    on the target schema (int64 + nulls) — COPY TO parquet previously
+    died with 'Unsupported cast from int64 to null', and match-free
+    blocks kept int64 while matched blocks upcast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({"k": np.int64([1, 2, 3, 4]),
+                       "v": np.int64([10, 20, 30, 40])})
+    out_dir = tmp_path / "x"
+    out = run_sql_script(
+        f"CREATE TABLE u AS SELECT k, v FROM t WHERE k >= 1; "
+        f"INSERT INTO u VALUES (7, NULL); "
+        f"UPDATE u SET v = NULL WHERE k = 2; "
+        f"COPY u TO '{out_dir}'",
+        {"t": rd.from_pandas(df).repartition(3)})
+    assert out["rows_written"].tolist() == [5]
+    tb = pq.read_table(str(out_dir))
+    assert tb.schema.field("v").type == pa.int64()
+    got = tb.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [1, 2, 3, 4, 7]
+    vals = got["v"].tolist()
+    assert vals[0] == 10 and pd.isna(vals[1]) and vals[2] == 30
+    assert vals[3] == 40 and pd.isna(vals[4])
+
+
+def test_update_where_inside_string_literal(ray_session):
+    """UPDATE u SET s = 'x where y' WHERE k = 1 must split SET/WHERE
+    quote-aware (a regex split at ' where ' misparsed this)."""
+    from recon_ray.sql import run_sql_script
+
+    df = pd.DataFrame({"k": np.int64([1, 2]), "s": ["a", "b"]})
+    out = run_sql_script(
+        "UPDATE u SET s = 'x where y' WHERE k = 1; "
+        "SELECT k, s FROM u ORDER BY k",
+        {"u": rd.from_pandas(df)})
+    assert out["s"].tolist() == ["x where y", "b"]
+    # no WHERE at all still works
+    out2 = run_sql_script(
+        "UPDATE u SET s = 'all where z'; SELECT count(*) AS n, "
+        "min(s) AS m FROM u", {"u": rd.from_pandas(df)})
+    assert out2["n"].tolist() == [2] and out2["m"].tolist() == ["all where z"]
