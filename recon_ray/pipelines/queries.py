@@ -2939,11 +2939,15 @@ def q9_product_profit(sf_dir: str):
     named '%widget%'; profit = Σ price_c·(100−disc_bp) −
     supplycost_c·qty·100 in exact integer cent·bp units, ÷10000 at the
     end (the q5 convention). lineitem streams once: a broadcast
-    part-key semi-filter, then broadcast (partkey,suppkey)→cost,
-    suppkey→nation and orderkey→year lookups — partsupp/orders ride the
-    object store ONCE each (partitioned-join fallback documented in
-    functions/relational.py for when a dim outgrows a heap); one final
-    combiner-pass grouped_agg on (n_name, o_year)."""
+    part-key semi-filter, then broadcast suppkey→nation and
+    (partkey,suppkey)→cost lookups (supplier/nation are genuinely
+    small dims; partsupp is 4×|part| with the partitioned fallback
+    documented in functions/relational.py), and the orders side —
+    big×big at scale — as a SHUFFLE hash join on orderkey, both sides
+    pre-pruned to the join columns; one final combiner-pass
+    grouped_agg on (n_name, o_year)."""
+    from recon_ray.functions.relational import shuffle_join
+
     part_keys = _pdf(sf_dir, "part")
     part_keys = part_keys[
         part_keys["p_name"].str.contains("widget")]["p_partkey"]
@@ -2954,10 +2958,16 @@ def q9_product_profit(sf_dir: str):
         _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]],
         left_on="s_nationkey", right_on="n_nationkey",
     )[["s_suppkey", "n_name"]]
-    orders = _pdf(sf_dir, "orders")[["o_orderkey", "o_orderdate"]]
-    orders["o_year"] = pd.to_datetime(
-        orders["o_orderdate"]).dt.year.astype("int64")
-    orders = orders[["o_orderkey", "o_year"]]
+
+    def year_col(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_year": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+        })
+
+    orders_ds = _t(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate"]
+    ).map_batches(year_col, batch_format="pyarrow", zero_copy_batch=True)
 
     li = semi_join(
         _t(sf_dir, "lineitem").select_columns(
@@ -2966,8 +2976,8 @@ def q9_product_profit(sf_dir: str):
         set(part_keys), on="l_partkey")
     li = broadcast_join(li, supp_nat, on="l_suppkey",
                         small_on="s_suppkey")
-    li = broadcast_join(li, orders, on="l_orderkey",
-                        small_on="o_orderkey")
+    li = shuffle_join(li, orders_ds, on="l_orderkey",
+                      right_on="o_orderkey")
     li = broadcast_join(li, cost, on=["l_partkey", "l_suppkey"],
                         small_on=["ps_partkey", "ps_suppkey"])
 
