@@ -3077,12 +3077,15 @@ def q20_excess_stock(sf_dir: str):
     """TPC-H Q20 (suppliers holding excess stock), adapted: suppliers
     with any 'blue %' part whose availqty exceeds half that
     (part,supplier) pair's 1996 shipped quantity. lineitem streams once
-    through a broadcast part-key semi-filter into a combiner grouped
-    sum (pair-sized frame); partsupp streams through the same
-    semi-filter and the pair-sum broadcasts into it for the 2·avail >
-    qty gate — quantities are whole doubles, so the comparison is
-    exact. Output is the distinct qualifying suppliers' (s_name,
-    n_name)."""
+    through a broadcast part-key semi-filter into a DATASET-native
+    grouped sum (the pair table never lands on the driver); partsupp
+    streams through the same semi-filter and the two sides meet in a
+    SHUFFLE hash join on (partkey, suppkey) for the 2·avail > qty gate
+    — quantities are whole doubles, so the comparison is exact. Only
+    the qualifying suppkey set (suppliers-bounded) reaches the driver.
+    Output is the distinct qualifying suppliers' (s_name, n_name)."""
+    from recon_ray.functions.relational import shuffle_join
+
     pk = _pdf(sf_dir, "part")
     pk = set(pk[pk["p_name"].str.startswith("blue ")]["p_partkey"])
 
@@ -3099,18 +3102,29 @@ def q20_excess_stock(sf_dir: str):
             ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
         ).map_batches(in_1996, batch_format="pyarrow"),
         pk, on="l_partkey")
-    qty = grouped_agg(li, ["l_partkey", "l_suppkey"],
-                      {"l_quantity": ["sum"]})
-    qty = qty.rename(columns={"l_quantity_sum": "__sq"})
+    qty_ds = li.groupby(["l_partkey", "l_suppkey"]).sum(
+        "l_quantity"
+    ).map_batches(
+        lambda df: df.rename(columns={"sum(l_quantity)": "__sq"}),
+        batch_format="pandas",
+    )
 
     ps = semi_join(
         _ps(sf_dir).select_columns(
             ["ps_partkey", "ps_suppkey", "ps_availqty"]),
         pk, on="ps_partkey")
-    j = broadcast_join(ps, qty, on=["ps_partkey", "ps_suppkey"],
-                       small_on=["l_partkey", "l_suppkey"]).to_pandas()
-    j = j[2 * j["ps_availqty"] > j["__sq"]]
-    keys = set(j["ps_suppkey"])
+    j = shuffle_join(ps, qty_ds, on=["ps_partkey", "ps_suppkey"],
+                     right_on=["l_partkey", "l_suppkey"])
+    j = arrow_filter(
+        j,
+        lambda t: pc.greater(
+            pc.multiply(pc.cast(t["ps_availqty"], pa.float64()),
+                        pa.scalar(2.0)),
+            t["__sq"]),
+    )
+    keys = set(
+        j.select_columns(["ps_suppkey"]).to_pandas()["ps_suppkey"]
+    )
     supp = _pdf(sf_dir, "supplier")[
         ["s_suppkey", "s_name", "s_nationkey"]].merge(
         _pdf(sf_dir, "nation")[["n_nationkey", "n_name"]],
