@@ -500,12 +500,19 @@ def minhash_lsh_dedup(
     id-set, never the corpus) and runs exact Jaccard in map_batches over
     the pair Dataset; clustering is iterative min-label propagation as
     combiner passes over the edge Dataset (see connected_components).
-    Past ``candidate_broadcast_limit`` candidate DOCS the shingle dict
-    would outgrow a heap, so verification switches to the bucketed
-    fetch: candidate shingle sets shuffle-join onto the pair Dataset's
-    two endpoints (sets ride the shuffle once each, nothing collects on
-    the driver; equality pinned in tests/test_line_dedup.py)."""
-    from recon_ray.functions.relational import semi_join
+    Past ``candidate_broadcast_limit`` candidate PAIRS the driver-side
+    structures (candidate-id set, shingle dict) would outgrow a heap, so
+    the whole verification goes distributed: the distinct endpoint ids
+    stay a Dataset, the candidate docs are selected by a shuffle
+    semi-join, and their shingle sets shuffle-join onto the pair
+    Dataset's two endpoints (sets ride the shuffle once each, nothing
+    pair-scaled ever collects on the driver; equality pinned in
+    tests/test_functions.py)."""
+    from recon_ray.functions.relational import (
+        distinct,
+        semi_join,
+        shuffle_join,
+    )
 
     sigs = docs_ds.map_batches(
         make_minhash_batch(n_perm, k),
@@ -514,30 +521,29 @@ def minhash_lsh_dedup(
     )
     cand_ds = lsh_candidate_pairs(sigs, n_bands=n_bands, n_perm=n_perm)
     cand_ds = cand_ds.materialize()  # reused: id-collect + verify pass
-    cand_ids = set(
-        np.unique(
-            cand_ds.map_batches(
-                lambda df: pd.DataFrame(
-                    {"i": pd.concat([df["a"], df["b"]], ignore_index=True)}
-                ),
-                batch_format="pandas",
-            ).to_pandas()["i"]
-        ).tolist()
-    )
-    if not cand_ids:
+    n_pairs = cand_ds.count()
+    if n_pairs == 0:
         return {
             "pairs": pd.DataFrame(columns=["a", "b", "jaccard"]),
             "clusters": pd.DataFrame(columns=["doc_id", "cluster"]),
             "n_duplicates": 0,
         }
-    # shingle sets for candidate docs only (candidates << corpus)
-    sh_ds = semi_join(
-        docs_ds.select_columns(["doc_id", "text"]), cand_ids, "doc_id"
-    ).map_batches(
-        make_shingle_batch(k), batch_format="pyarrow", zero_copy_batch=True
+    ends_ds = cand_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"i": pd.concat([df["a"], df["b"]], ignore_index=True)}
+        ),
+        batch_format="pandas",
     )
-    if len(cand_ids) <= candidate_broadcast_limit:
-        sh_df = sh_ds.to_pandas()
+    if n_pairs <= candidate_broadcast_limit:
+        cand_ids = set(np.unique(ends_ds.to_pandas()["i"]).tolist())
+        # shingle sets for candidate docs only (candidates << corpus)
+        sh_df = semi_join(
+            docs_ds.select_columns(["doc_id", "text"]), cand_ids,
+            "doc_id",
+        ).map_batches(
+            make_shingle_batch(k), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
         sh_ref = ray.put(
             {
                 d: np.asarray(s, dtype=np.uint64)
@@ -548,6 +554,16 @@ def minhash_lsh_dedup(
             _verify_pairs_fn(sh_ref, threshold), batch_format="pandas"
         ).materialize()  # reused: driver pair table + CC edge passes
     else:
+        # fully distributed: no id set, no shingle dict on the driver
+        ids_ds = distinct(ends_ds, "i")
+        cand_docs = shuffle_join(
+            docs_ds.select_columns(["doc_id", "text"]), ids_ds,
+            on="doc_id", right_on="i",
+        )
+        sh_ds = cand_docs.map_batches(
+            make_shingle_batch(k), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         verified_ds = _verify_pairs_shuffle(
             cand_ds, sh_ds, threshold
         ).materialize()
