@@ -292,6 +292,27 @@ def test_minhash_distributed_paths_match_broadcast():
         cc_driver, cc_shuffle, check_dtype=False)
 
 
+def test_connected_components_shuffle_long_chain():
+    """High-diameter graph through the distributed path: a 12-node chain
+    needs ~12 propagation rounds (each = 2 shuffle joins + a groupby-min)
+    — the fixpoint detection must not stop early, and a disjoint pair
+    must keep its own label."""
+    from recon_ray.functions.dedup import connected_components
+
+    chain = pd.DataFrame({"a": np.arange(11, dtype=np.int64) + 100,
+                          "b": np.arange(11, dtype=np.int64) + 101})
+    extra = pd.DataFrame({"a": np.int64([500]), "b": np.int64([501])})
+    edges = rd.from_pandas(pd.concat([chain, extra], ignore_index=True)
+                           ).repartition(3)
+    got = connected_components(edges, driver_limit=0).sort_values(
+        "doc_id").reset_index(drop=True)
+    want = pd.DataFrame({
+        "doc_id": list(range(100, 112)) + [500, 501],
+        "cluster": [100] * 12 + [500, 500],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_simhash_dedup_planted():
     from recon_ray.functions.dedup import SimHasher, simhash_dedup
 
