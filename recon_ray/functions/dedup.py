@@ -311,12 +311,15 @@ def _get(ref):
     return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
-def _verify_pairs_shuffle(cand_ds, sh_ds, threshold: float):
+def _verify_pairs_shuffle(cand_ds, sh_ds, threshold: float,
+                          packed: bool = False):
     """Distributed candidate verification: the candidate shingle sets
     shuffle-join onto the pair Dataset's endpoints (a then b), then exact
     Jaccard runs row-wise inside map_batches — the escape hatch for when
     the candidate set outgrows a broadcast heap. Sets ride the shuffle
-    once per endpoint; the driver sees only the final verified pairs."""
+    once per endpoint; the driver sees only the final verified pairs.
+    ``packed=True``: ``sh_ds`` is already (doc_id, sh_bin) binary cells
+    (the minhash_index state format) — skip the pack step."""
     from recon_ray.functions.relational import shuffle_join
 
     def pack(t: pa.Table) -> pa.Table:
@@ -325,18 +328,18 @@ def _verify_pairs_shuffle(cand_ds, sh_ds, threshold: float):
         sh = t.column("shingles")
         if isinstance(sh, pa.ChunkedArray):
             sh = sh.combine_chunks()
-        packed = [
+        packed_cells = [
             np.asarray(s, dtype=np.uint64).tobytes()
             for s in sh.to_pylist()
         ]
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "sh_bin": pa.array(packed, pa.large_binary()),
+            "sh_bin": pa.array(packed_cells, pa.large_binary()),
         })
 
-    sh_ds = sh_ds.map_batches(
-        pack, batch_format="pyarrow"
-    ).materialize()  # joined twice: once per endpoint
+    if not packed:
+        sh_ds = sh_ds.map_batches(pack, batch_format="pyarrow")
+    sh_ds = sh_ds.materialize()  # joined twice: once per endpoint
     j1 = shuffle_join(cand_ds, sh_ds, on="a", right_on="doc_id")
     j1 = j1.map_batches(
         lambda df: df.rename(columns={"sh_bin": "sh_a"})[

@@ -3709,6 +3709,51 @@ def doc_minhash_dedup(sf_dir: str):
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def doc_minhash_incremental(sf_dir: str):
+    """Dedup-at-ingest (functions/minhash_index.py): the documents table
+    split by doc_id parity into two arrival shards, ingested in order
+    against a fresh persisted index — each shard dedups against
+    everything accepted so far via ONE band-bucket join + the
+    shuffle-join exact-Jaccard verify, and only novel docs extend the
+    index. Deterministic (keep-first by min id, seeded hashes), but the
+    index is iterative/stateful → rows-only; exact equality with batch
+    keep-first dedup over the union is pinned in
+    tests/test_minhash_index.py."""
+    import shutil
+    import tempfile
+
+    from recon_ray.functions.minhash_index import (
+        minhash_index_ingest,
+        minhash_index_init,
+    )
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    even = arrow_filter(
+        docs, lambda t: pc.equal(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64())),
+    ).repartition(4)
+    odd = arrow_filter(
+        docs, lambda t: pc.equal(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(1, pa.int64())),
+    ).repartition(4)
+    state = tempfile.mkdtemp(prefix="mh_idx_")
+    try:
+        minhash_index_init(state, threshold=0.7)
+        r1 = minhash_index_ingest(state, even, "even")
+        r2 = minhash_index_ingest(state, odd, "odd")
+        out = pd.DataFrame({
+            "shard": ["even", "odd"],
+            "n_new": np.int64([r1["n_new"], r2["n_new"]]),
+            "n_novel": np.int64([r1["n_novel"], r2["n_novel"]]),
+            "n_dup": np.int64([r1["n_dup"], r2["n_dup"]]),
+        })
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def doc_common_ngram_pairs(sf_dir: str):
     """Cross-document exact 50-char-substring duplication (Lee et al.
     2022's dedup signal): pairs of docs sharing ≥1 verbatim 50-gram plus
@@ -9325,6 +9370,7 @@ QUERIES = {
     "doc_token_chunks": doc_token_chunks,
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
+    "doc_minhash_incremental": doc_minhash_incremental,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
     "doc_common_ngram_pairs": doc_common_ngram_pairs,
