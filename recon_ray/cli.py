@@ -355,6 +355,39 @@ def cmd_store(args) -> int:
     return 0
 
 
+def cmd_dedup_index(args) -> int:
+    """Incremental near-dup index (functions/minhash_index.py):
+    ``init`` creates the state dir, ``ingest`` dedups a documents
+    parquet against everything accepted so far and appends its novel
+    docs (idempotent by --batch-id), ``stats`` prints the manifest."""
+    _ensure_ray()
+    from recon_ray.functions.minhash_index import (
+        minhash_index_ingest,
+        minhash_index_init,
+    )
+
+    if args.verb == "init":
+        man = minhash_index_init(args.state, threshold=args.threshold)
+        print(json.dumps({"state": args.state,
+                          "n_docs": man["n_docs"],
+                          "threshold": man["threshold"]}))
+    elif args.verb == "ingest":
+        import ray.data as rd
+
+        res = minhash_index_ingest(
+            args.state, rd.read_parquet(args.documents), args.batch_id)
+        print(json.dumps({k: res[k] for k in
+                          ("n_new", "n_novel", "n_dup", "replayed")}))
+    elif args.verb == "stats":
+        import json as _json
+
+        man = _json.load(open(f"{args.state}/_manifest.json"))
+        print(json.dumps({"n_docs": man["n_docs"],
+                          "n_batches": len(man["batch_ids"]),
+                          "batches": man["batch_ids"]}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Annotation-format conversions (the loaders surface: JSONL Examples
     ↔ spaCy DocBin ↔ Prodigy-format datasets)."""
@@ -728,6 +761,24 @@ def main(argv=None) -> int:
         sv = stsub.add_parser(verb, help=h)
         sv.add_argument("root", help="store root directory")
         sv.set_defaults(fn=cmd_store)
+
+    pdi = sub.add_parser("dedup-index",
+                         help="incremental near-dup index (dedup at ingest)")
+    disub = pdi.add_subparsers(dest="verb", required=True)
+    dv = disub.add_parser("init", help="create an empty index")
+    dv.add_argument("state")
+    dv.add_argument("--threshold", type=float, default=0.8)
+    dv.set_defaults(fn=cmd_dedup_index)
+    dv = disub.add_parser("ingest",
+                          help="dedup a shard against the index, "
+                               "append its novel docs")
+    dv.add_argument("state")
+    dv.add_argument("documents")
+    dv.add_argument("--batch-id", required=True, dest="batch_id")
+    dv.set_defaults(fn=cmd_dedup_index)
+    dv = disub.add_parser("stats", help="print the index manifest")
+    dv.add_argument("state")
+    dv.set_defaults(fn=cmd_dedup_index)
 
     pcv = sub.add_parser("convert",
                          help="annotation/table format conversions")
