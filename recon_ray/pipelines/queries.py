@@ -3754,6 +3754,50 @@ def doc_minhash_incremental(sf_dir: str):
     return out
 
 
+def emb_incremental_neardup(sf_dir: str):
+    """Exact-cosine dedup-at-ingest (functions/embedding_index.py): the
+    embeddings table split by vec_id parity into two arrival shards;
+    each shard dedups against the persisted index with the EXACT
+    angular triangle bound over stored part metas (recall 1.0 — no
+    banding miss), and only novel vectors extend the index. Stateful /
+    iterative → rows-only; exact equality with batch embedding_neardup
+    + components over the union is pinned in
+    tests/test_embedding_index.py."""
+    import shutil
+    import tempfile
+
+    from recon_ray.functions.embedding_index import (
+        embedding_index_ingest,
+        embedding_index_init,
+    )
+
+    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    even = arrow_filter(
+        emb, lambda t: pc.equal(
+            pc.bit_wise_and(t["vec_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64())),
+    ).repartition(4)
+    odd = arrow_filter(
+        emb, lambda t: pc.equal(
+            pc.bit_wise_and(t["vec_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(1, pa.int64())),
+    ).repartition(4)
+    state = tempfile.mkdtemp(prefix="emb_idx_")
+    try:
+        embedding_index_init(state, threshold=0.98)
+        r1 = embedding_index_ingest(state, even, "even")
+        r2 = embedding_index_ingest(state, odd, "odd")
+        out = pd.DataFrame({
+            "shard": ["even", "odd"],
+            "n_new": np.int64([r1["n_new"], r2["n_new"]]),
+            "n_novel": np.int64([r1["n_novel"], r2["n_novel"]]),
+            "n_dup": np.int64([r1["n_dup"], r2["n_dup"]]),
+        })
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def doc_common_ngram_pairs(sf_dir: str):
     """Cross-document exact 50-char-substring duplication (Lee et al.
     2022's dedup signal): pairs of docs sharing ≥1 verbatim 50-gram plus
@@ -9371,6 +9415,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_dedup": doc_minhash_dedup,
     "doc_minhash_incremental": doc_minhash_incremental,
+    "emb_incremental_neardup": emb_incremental_neardup,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_dedup": doc_ngram_jaccard_dedup,
     "doc_common_ngram_pairs": doc_common_ngram_pairs,
