@@ -388,6 +388,38 @@ def cmd_dedup_index(args) -> int:
     return 0
 
 
+def cmd_emb_index(args) -> int:
+    """Incremental exact-cosine embedding index
+    (functions/embedding_index.py): init / ingest / stats — the vector
+    counterpart of dedup-index."""
+    _ensure_ray()
+    from recon_ray.functions.embedding_index import (
+        embedding_index_ingest,
+        embedding_index_init,
+    )
+
+    if args.verb == "init":
+        man = embedding_index_init(args.state, threshold=args.threshold)
+        print(json.dumps({"state": args.state, "n_vecs": man["n_vecs"],
+                          "threshold": man["threshold"]}))
+    elif args.verb == "ingest":
+        import ray.data as rd
+
+        res = embedding_index_ingest(
+            args.state, rd.read_parquet(args.embeddings), args.batch_id)
+        out = {k: res[k] for k in
+               ("n_new", "n_novel", "n_dup", "replayed")}
+        if "prune_stats" in res:
+            out["prune_stats"] = res["prune_stats"]
+        print(json.dumps(out))
+    elif args.verb == "stats":
+        man = json.load(open(f"{args.state}/_manifest.json"))
+        print(json.dumps({"n_vecs": man["n_vecs"],
+                          "n_parts": len(man["parts"]),
+                          "n_batches": len(man["batch_ids"])}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Annotation-format conversions (the loaders surface: JSONL Examples
     ↔ spaCy DocBin ↔ Prodigy-format datasets)."""
@@ -779,6 +811,23 @@ def main(argv=None) -> int:
     dv = disub.add_parser("stats", help="print the index manifest")
     dv.add_argument("state")
     dv.set_defaults(fn=cmd_dedup_index)
+
+    pei = sub.add_parser("emb-index",
+                         help="incremental exact-cosine embedding index")
+    eisub = pei.add_subparsers(dest="verb", required=True)
+    ev = eisub.add_parser("init", help="create an empty index")
+    ev.add_argument("state")
+    ev.add_argument("--threshold", type=float, default=0.98)
+    ev.set_defaults(fn=cmd_emb_index)
+    ev = eisub.add_parser("ingest",
+                          help="dedup a vector shard against the index")
+    ev.add_argument("state")
+    ev.add_argument("embeddings")
+    ev.add_argument("--batch-id", required=True, dest="batch_id")
+    ev.set_defaults(fn=cmd_emb_index)
+    ev = eisub.add_parser("stats", help="print the index manifest")
+    ev.add_argument("state")
+    ev.set_defaults(fn=cmd_emb_index)
 
     pcv = sub.add_parser("convert",
                          help="annotation/table format conversions")

@@ -107,10 +107,36 @@ def embedding_index_ingest(state_dir: str, emb_ds, batch_id: str,
         rec = done[batch_id]
         return {"n_new": rec["n_new"], "n_novel": rec["n_novel"],
                 "n_dup": rec["n_dup"],
+                "n_preexisting": rec.get("n_preexisting", 0),
                 "novel_ids": pd.DataFrame(columns=[id_col]),
                 "dup_pairs": pd.DataFrame(columns=["a", "b", "cosine"]),
                 "replayed": True}
     emb_ds = emb_ds.select_columns([id_col, emb_col]).materialize()
+    # id-collision guard: rows whose vec_id is ALREADY in the index are
+    # the same logical doc arriving again (the unique-id contract) —
+    # drop them up front instead of silently re-storing. One ids-only
+    # column-pruned scan of the index, intersection is shard-bounded.
+    n_pre = 0
+    if man["parts"]:
+        incoming = set(
+            emb_ds.select_columns([id_col]).to_pandas()[id_col])
+        stored_ids = rd.read_parquet(
+            [os.path.join(state_dir, "vectors", p["name"])
+             for p in man["parts"]],
+            columns=[id_col])
+        ref = ray.put(incoming)
+        pre = stored_ids.map_batches(
+            lambda df: df[df[id_col].isin(ray.get(ref))],
+            batch_format="pandas",
+        ).to_pandas()
+        pre_ids = (set(pre[id_col])
+                   if id_col in pre.columns else set())
+        if pre_ids:
+            n_pre = len(pre_ids)
+            emb_ds = emb_ds.map_batches(
+                lambda df, pp=pre_ids: df[~df[id_col].isin(pp)],
+                batch_format="pandas",
+            ).materialize()
     n_new = emb_ds.count()
     threshold = man["threshold"]
     theta_max = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
@@ -236,14 +262,13 @@ def embedding_index_ingest(state_dir: str, emb_ds, batch_id: str,
     man["n_vecs"] = int(man["n_vecs"] + n_novel)
     man["batch_ids"].append({"id": batch_id, "n_new": int(n_new),
                              "n_novel": int(n_novel),
-                             "n_dup": int(len(dup_ids))})
+                             "n_dup": int(len(dup_ids)),
+                             "n_preexisting": int(n_pre)})
     _publish(state_dir, man)
-    novel_ids = pd.DataFrame({
-        id_col: sorted(
-            set(emb_ds.select_columns([id_col]).to_pandas()[id_col])
-            - dup_ids)
-    })
+    nid = emb_ds.select_columns([id_col]).to_pandas()
+    all_new = set(nid[id_col]) if id_col in nid.columns else set()
+    novel_ids = pd.DataFrame({id_col: sorted(all_new - dup_ids)})
     return {"n_new": int(n_new), "n_novel": int(n_novel),
-            "n_dup": int(len(dup_ids)), "novel_ids": novel_ids,
-            "dup_pairs": verified, "replayed": False,
-            "prune_stats": stats}
+            "n_dup": int(len(dup_ids)), "n_preexisting": int(n_pre),
+            "novel_ids": novel_ids, "dup_pairs": verified,
+            "replayed": False, "prune_stats": stats}

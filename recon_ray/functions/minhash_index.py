@@ -223,10 +223,38 @@ def minhash_index_ingest(state_dir: str, docs_ds,
         rec = done[batch_id]
         return {"n_new": rec["n_new"], "n_novel": rec["n_novel"],
                 "n_dup": rec["n_dup"],
+                "n_preexisting": rec.get("n_preexisting", 0),
                 "novel_ids": pd.DataFrame(columns=["doc_id"]),
                 "dup_pairs": pd.DataFrame(columns=["a", "b", "jaccard"]),
                 "replayed": True}
     docs_ds = docs_ds.materialize()
+    # id-collision guard: a doc_id already in the index is the same
+    # logical doc arriving again (unique-id contract) — drop it up
+    # front rather than silently re-storing it as novel. Ids-only
+    # column-pruned scan; the intersection is shard-bounded.
+    n_pre = 0
+    if man["shingle_parts"]:
+        import ray as _ray
+
+        incoming = set(
+            docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"])
+        stored_ids = rd.read_parquet(
+            [os.path.join(state_dir, "shingles", p)
+             for p in man["shingle_parts"]],
+            columns=["doc_id"])
+        ref = _ray.put(incoming)
+        pre = stored_ids.map_batches(
+            lambda df: df[df["doc_id"].isin(_ray.get(ref))],
+            batch_format="pandas",
+        ).to_pandas()
+        pre_ids = (set(pre["doc_id"])
+                   if "doc_id" in pre.columns else set())
+        if pre_ids:
+            n_pre = len(pre_ids)
+            docs_ds = docs_ds.map_batches(
+                lambda df, pp=pre_ids: df[~df["doc_id"].isin(pp)],
+                batch_format="pandas",
+            ).materialize()
     n_new = docs_ds.count()
     threshold = man["threshold"]
 
@@ -302,6 +330,8 @@ def minhash_index_ingest(state_dir: str, docs_ds,
         batch_format="pandas",
     ).materialize()
     novel_ids = novel.select_columns(["doc_id"]).to_pandas()
+    if "doc_id" not in novel_ids.columns:  # empty → columnless frame
+        novel_ids = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
 
     # append ONLY novel docs' bands + shingles (content-addressed parts)
     band_parts = list(man["band_parts"])
@@ -325,8 +355,10 @@ def minhash_index_ingest(state_dir: str, docs_ds,
     man["n_docs"] = int(man["n_docs"] + len(novel_ids))
     man["batch_ids"].append({"id": batch_id, "n_new": int(n_new),
                              "n_novel": int(len(novel_ids)),
-                             "n_dup": int(len(dup_ids))})
+                             "n_dup": int(len(dup_ids)),
+                             "n_preexisting": int(n_pre)})
     _publish(state_dir, man)
     return {"n_new": int(n_new), "n_novel": int(len(novel_ids)),
-            "n_dup": int(len(dup_ids)), "novel_ids": novel_ids,
-            "dup_pairs": verified, "replayed": False}
+            "n_dup": int(len(dup_ids)), "n_preexisting": int(n_pre),
+            "novel_ids": novel_ids, "dup_pairs": verified,
+            "replayed": False}
