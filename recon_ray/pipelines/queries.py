@@ -2896,7 +2896,10 @@ def q2_min_cost_supplier(sf_dir: str):
         _ps(sf_dir).select_columns(
             ["ps_partkey", "ps_suppkey", "ps_supplycost_c"]),
         supp, on="ps_suppkey", small_on="s_suppkey")
-    j = broadcast_join(j, part_f, on="ps_partkey", small_on="p_partkey")
+    j = broadcast_join(j, part_f, on="ps_partkey",
+                       small_on="p_partkey").materialize()
+    # ^ consumed twice (grouped min + equality join): pin the filtered
+    # region×part subset instead of re-reading partsupp
     mins = grouped_agg(j, "ps_partkey", {"ps_supplycost_c": ["min"]})
     mins = mins.rename(columns={"ps_supplycost_c_min": "__mc"})
     out = broadcast_join(j, mins, on="ps_partkey").to_pandas()
