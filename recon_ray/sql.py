@@ -4582,16 +4582,25 @@ def run_sql_script(script: str, tables: dict,
                 # raises 'Unsupported cast from int64 to null')
                 base = getattr(tsch, "base_schema", None)
                 if isinstance(base, pa.Schema):
-                    arrays = []
+                    arrays, fields = [], []
                     for f in base:
                         vals = new_df[f.name].tolist()
-                        try:
-                            arrays.append(pa.array(vals, type=f.type))
-                        except (pa.ArrowInvalid, pa.ArrowTypeError,
-                                pa.ArrowNotImplementedError):
-                            arrays.append(pa.array(vals).cast(f.type))
+                        if pa.types.is_null(f.type):
+                            # degenerate target type (an all-NULL first
+                            # block inferred null): keep the literals'
+                            # own inferred type instead of erasing them
+                            arr = pa.array(vals)
+                        else:
+                            try:
+                                arr = pa.array(vals, type=f.type)
+                            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                    pa.ArrowNotImplementedError):
+                                arr = pa.array(vals).cast(f.type)
+                        arrays.append(arr)
+                        fields.append(pa.field(f.name, arr.type))
                     new_ds = _rd.from_arrow(
-                        pa.Table.from_arrays(arrays, schema=base))
+                        pa.Table.from_arrays(
+                            arrays, schema=pa.schema(fields)))
                 else:
                     new_ds = _rd.from_pandas(new_df)
                 kind = "values append"
