@@ -160,6 +160,7 @@ def cmd_show(args) -> int:
     """Console-render detected mentions inline (the Example.pretty_print
     analogue, recon/types.py:161-188) for files matching a path substring."""
     _ensure_ray()
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from recon_ray.ops.render import render_doc_row
@@ -168,7 +169,9 @@ def cmd_show(args) -> int:
     ds = rd.read_parquet(args.files_dir)
     if args.path:
         needle = args.path
-        ds = ds.filter(lambda r: needle in r["path"])
+        ds = ds.map_batches(
+            lambda t, n=needle: t.filter(pc.match_substring(t["path"], n)),
+            batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.limit(args.limit).map_batches(
         detect_batch, batch_format="pyarrow", zero_copy_batch=True
     )

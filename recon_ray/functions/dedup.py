@@ -913,6 +913,9 @@ def embedding_neardup(
         for lo, hi, sc, sr in subs:
             entries.append((bi, lo, hi, sc, sr))
     blocks = {bi: blk for bi, (blk, _s) in enumerate(metas) if blk[0]}
+    subs_by_block: dict = {}
+    for e in entries:  # group once: O(E), then O(1) per block pair
+        subs_by_block.setdefault(e[0], []).append(e)
     tasks = []
     n_run = 0
     # two-level prune: block-level bound first (B² driver work), then
@@ -921,12 +924,12 @@ def embedding_neardup(
     bids = sorted(blocks)
     for x, i in enumerate(bids):
         _n_i, c_i, r_i = blocks[i]
-        subs_i = [e for e in entries if e[0] == i]
+        subs_i = subs_by_block.get(i, [])
         for j in bids[x:]:
             _n_j, c_j, r_j = blocks[j]
             if i != j and _pruned(c_i, r_i, c_j, r_j):
                 continue
-            subs_j = [e for e in entries if e[0] == j]
+            subs_j = subs_by_block.get(j, [])
             for si, (_, lo_i, hi_i, sc_i, sr_i) in enumerate(subs_i):
                 start = si if i == j else 0
                 for sj in range(start, len(subs_j)):

@@ -50,6 +50,7 @@ from recon_ray.functions.dedup import (
     connected_components,
     embedding_neardup,
 )
+from recon_ray.functions.minhash_index import cluster_keep_dups
 
 MANIFEST = "_manifest.json"
 
@@ -198,19 +199,7 @@ def embedding_index_ingest(state_dir: str, emb_ds, batch_id: str,
         cc = connected_components(rd.from_pandas(verified[["a", "b"]]))
         new_ids = set(
             emb_ds.select_columns([id_col]).to_pandas()[id_col])
-        keep: dict = {}
-        for _, r in cc.iterrows():
-            c, d = r["cluster"], r["doc_id"]
-            cur = keep.get(c)
-            is_old = d not in new_ids
-            if cur is None or (is_old and cur[1] is False) or (
-                    is_old == cur[1] and d < cur[0]):
-                keep[c] = (d, is_old)
-        dup_ids = {
-            int(r["doc_id"]) for _, r in cc.iterrows()
-            if r["doc_id"] in new_ids
-            and r["doc_id"] != keep[r["cluster"]][0]
-        }
+        dup_ids = cluster_keep_dups(cc, new_ids)
     else:
         dup_ids = set()
 

@@ -177,6 +177,26 @@ def _pack_shingles(docs_ds, k: int):
     return sh.map_batches(pack, batch_format="pyarrow")
 
 
+def cluster_keep_dups(cc: pd.DataFrame, new_ids: set) -> set:
+    """Vectorized cluster keep-rule shared by both incremental indexes:
+    the keeper of each connected component is an INDEX doc when the
+    cluster touches one, else the minimum new id (keep-first). Returns
+    the set of new-doc ids that lost (the shard's duplicates).
+
+    Equivalent to the per-row rule but as one sort + grouped-first —
+    no Python loop over the (dup-cluster-sized) component frame."""
+    if not len(cc):
+        return set()
+    is_new = cc["doc_id"].isin(new_ids)
+    order = cc.assign(__old=~is_new).sort_values(
+        ["cluster", "__old", "doc_id"], ascending=[True, False, True])
+    keepers = order.groupby("cluster", sort=False)["doc_id"].first()
+    keep_of = cc["cluster"].map(keepers)
+    return {int(x)
+            for x in cc.loc[is_new & (cc["doc_id"] != keep_of),
+                            "doc_id"]}
+
+
 def _cross_candidates(new_bands, old_bands):
     """(old_id → 'a', new_id → 'b') distinct candidate pairs from one
     hash-bucket join on (band, bhash) — both sides are narrow band rows."""
@@ -305,21 +325,7 @@ def minhash_index_ingest(state_dir: str, docs_ds,
             verified[["a", "b"]]))
         new_ids = set(
             docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"])
-        keep: dict = {}
-        for _, r in cc.iterrows():
-            c = r["cluster"]
-            d = r["doc_id"]
-            cur = keep.get(c)
-            # prefer index docs as keeper, else the min id
-            is_old = d not in new_ids
-            if cur is None or (is_old and cur[1] is False) or (
-                    is_old == cur[1] and d < cur[0]):
-                keep[c] = (d, is_old)
-        dup_ids = {
-            int(r["doc_id"]) for _, r in cc.iterrows()
-            if r["doc_id"] in new_ids
-            and r["doc_id"] != keep[r["cluster"]][0]
-        }
+        dup_ids = cluster_keep_dups(cc, new_ids)
         verified = verified.sort_values(["a", "b"]).reset_index(drop=True)
     else:
         dup_ids = set()

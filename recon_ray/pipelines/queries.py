@@ -2902,8 +2902,17 @@ def q2_min_cost_supplier(sf_dir: str):
     # region×part subset instead of re-reading partsupp
     mins = grouped_agg(j, "ps_partkey", {"ps_supplycost_c": ["min"]})
     mins = mins.rename(columns={"ps_supplycost_c_min": "__mc"})
-    out = broadcast_join(j, mins, on="ps_partkey").to_pandas()
-    out = out[out["ps_supplycost_c"] == out["__mc"]]
+    out = (
+        broadcast_join(j, mins, on="ps_partkey")
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["ps_supplycost_c"], t["__mc"])),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    # ^ the cost == min equality runs IN the Dataset, so only the
+    # near-final (≤ one row per part × tied suppliers) frame lands
+    # driver-side
     out = out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                "ps_supplycost_c"]]
     out = out.sort_values(

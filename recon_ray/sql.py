@@ -1172,6 +1172,42 @@ def _expr_is_int(node) -> bool:
     return op in "+-*" and _expr_is_int(node[2]) and _expr_is_int(node[3])
 
 
+def _eval_postagg_int(b: pd.DataFrame, node):
+    """Exact int64 evaluation of an ``_expr_is_int``-true post-aggregate
+    tree. ``_eval_expr``'s 'col' case roundtrips through float64, which
+    silently rounds integer aggregates past 2^53 while the final
+    int-cast makes them LOOK exact; here integer aggregate columns are
+    fetched as int64 directly. Returns None when any subtree needs the
+    float path (NULLs present, non-int column, division, round, …) —
+    the caller then falls back to the float evaluator unchanged."""
+    k = node[0]
+    if k == "lit":
+        return np.int64(node[1]) if isinstance(node[1], int) else None
+    if k == "col":
+        v = b[node[1]]
+        if pd.api.types.is_integer_dtype(v) and not v.isna().any():
+            return v.to_numpy().astype("int64", copy=False)
+        return None
+    if k == "neg":
+        v = _eval_postagg_int(b, node[1])
+        return None if v is None else -v
+    if k == "cast" and node[1] == "int":
+        # CAST(<already-exact-int> AS BIGINT) is the identity; a
+        # non-exact inner (avg, division) falls back to float+round
+        return _eval_postagg_int(b, node[2])
+    if k == "ufn" and node[1] == "abs":
+        v = _eval_postagg_int(b, node[2])
+        return None if v is None else np.abs(v)
+    if len(node) == 4 and node[1] in "+-*":
+        lv = _eval_postagg_int(b, node[2])
+        rv = _eval_postagg_int(b, node[3])
+        if lv is None or rv is None:
+            return None
+        return {"+": np.add, "-": np.subtract,
+                "*": np.multiply}[node[1]](lv, rv)
+    return None
+
+
 def _round_away(y, n: int):
     """DuckDB's double rounding: std::round(x * 10^n) / 10^n — half
     away from zero, mirrored operation-for-operation so results are
@@ -3894,12 +3930,20 @@ def run_sql(sql: str, tables: dict,
             # groups-sized frame (the hidden __pa aggregates are
             # ordinary result columns here), then restore select order
             for it in pa_items:
-                vals = _eval_expr(out, it["postagg"])
-                if _expr_is_int(it["postagg"]) \
-                        and not np.any(np.isnan(vals)):
-                    # cast-to-bigint over aggregate results stays int64
-                    # (matches DuckDB's CAST(sum(...) AS BIGINT))
-                    vals = np.asarray(vals).astype("int64")
+                vals = None
+                if _expr_is_int(it["postagg"]):
+                    # exact path: integer aggregates never roundtrip
+                    # through float64 (sums past 2^53 must not round)
+                    vals = _eval_postagg_int(out, it["postagg"])
+                    if vals is not None and np.ndim(vals) == 0:
+                        vals = np.full(len(out), vals, dtype="int64")
+                if vals is None:
+                    vals = _eval_expr(out, it["postagg"])
+                    if _expr_is_int(it["postagg"]) \
+                            and not np.any(np.isnan(vals)):
+                        # cast-to-bigint over aggregate results stays
+                        # int64 (matches DuckDB CAST(sum() AS BIGINT))
+                        vals = np.asarray(vals).astype("int64")
                 out[it["alias"]] = vals
             out = out[[it["alias"] for it in q["select"]]]
 
@@ -4500,7 +4544,15 @@ def run_sql_script(script: str, tables: dict,
                         return None  # string/timestamp: None/NaT ok
                     return "float64"
                 # expression: ints stay exact, everything else widens
-                return "Int64" if _expr_is_int(val) else "float64"
+                # — but never narrow a float column to Int64 just
+                # because the expression is statically int (SET f = 1+1
+                # on a DOUBLE column keeps the column float64, like the
+                # literal branch above)
+                if _expr_is_int(val):
+                    if orig is not None and pa.types.is_floating(orig):
+                        return "float64"
+                    return "Int64"
+                return "float64"
 
             out_dtypes = {col: _out_dtype(col, kind, val)
                           for col, kind, val in assigns}

@@ -122,27 +122,31 @@ def main():
             problems.append(f"rows {len(got)} != {len(want)}")
         if sorted(got.columns) != sorted(want.columns):
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
-        if not problems and value_hash(got) != value_hash(want):
-            problems.append("value-hash mismatch")
-        if not problems and value_hash(got, raw=True) != value_hash(
-            want, raw=True
-        ):
-            problems.append("RAW-str value-hash mismatch (driver mode)")
-            # show first differing row for debugging
-            a = got.reindex(sorted(got.columns), axis=1)
-            b = want.reindex(sorted(want.columns), axis=1)
-            a = a.sort_values(list(a.columns)).reset_index(drop=True)
-            b = b.sort_values(list(b.columns)).reset_index(drop=True)
-            try:
-                neq = (a.astype(str) != b.astype(str)).any(axis=1)
-                if neq.any():
-                    i = neq.idxmax()
-                    problems.append(
-                        f"first diff row {i}: got={a.iloc[i].tolist()} "
-                        f"want={b.iloc[i].tolist()}"
-                    )
-            except Exception:
-                pass
+        if not problems:
+            # both hash modes always run (a normalized miss must not
+            # mask the raw/driver-mode result), and either kind of
+            # mismatch prints the first differing row
+            if value_hash(got) != value_hash(want):
+                problems.append("value-hash mismatch")
+            if value_hash(got, raw=True) != value_hash(want, raw=True):
+                problems.append(
+                    "RAW-str value-hash mismatch (driver mode)")
+            if problems:
+                a = got.reindex(sorted(got.columns), axis=1)
+                b = want.reindex(sorted(want.columns), axis=1)
+                a = a.sort_values(list(a.columns)).reset_index(drop=True)
+                b = b.sort_values(list(b.columns)).reset_index(drop=True)
+                try:
+                    neq = (a.astype(str) != b.astype(str)).any(axis=1)
+                    if neq.any():
+                        i = neq.idxmax()
+                        problems.append(
+                            f"first diff row {i}: "
+                            f"got={a.iloc[i].tolist()} "
+                            f"want={b.iloc[i].tolist()}"
+                        )
+                except Exception:
+                    pass
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
