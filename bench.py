@@ -289,6 +289,53 @@ def run_bench() -> dict:
          "lineitem": rd.read_parquet(f"{SF_DIR}/lineitem.parquet")})
     queries["sql_tpch_q3"] = round(time.time() - t0, 3)
 
+    # incremental dedup indexes: ingest the documents/embeddings tables
+    # as TWO shards (doc_id parity) into a fresh index — the
+    # history-independence claim is shard-2 cost ≈ shard-1 cost (each
+    # ingest scales with shard × admissible-index-slice, not history)
+    from recon_ray.functions.embedding_index import (
+        embedding_index_ingest, embedding_index_init)
+    from recon_ray.functions.minhash_index import (minhash_index_ingest,
+                                                   minhash_index_init)
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    even = docs.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(
+            t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow").materialize()
+    odd = docs.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(
+            t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow").materialize()
+    mh_dir = _tf.mkdtemp(prefix="bench_mhidx_")
+    minhash_index_init(mh_dir, threshold=0.7)
+    t0 = time.time()
+    minhash_index_ingest(mh_dir, even, "shard-even")
+    queries["minhash_ingest_shard1"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    minhash_index_ingest(mh_dir, odd, "shard-odd")
+    queries["minhash_ingest_shard2"] = round(time.time() - t0, 3)
+
+    embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    e_even = embs.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(
+            t.column("vec_id"), 1), 0)),
+        batch_format="pyarrow").materialize()
+    e_odd = embs.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(
+            t.column("vec_id"), 1), 1)),
+        batch_format="pyarrow").materialize()
+    emb_dir = _tf.mkdtemp(prefix="bench_embidx_")
+    embedding_index_init(emb_dir, threshold=0.95)
+    t0 = time.time()
+    embedding_index_ingest(emb_dir, e_even, "shard-even")
+    queries["emb_ingest_shard1"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    embedding_index_ingest(emb_dir, e_odd, "shard-odd")
+    queries["emb_ingest_shard2"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": headline,

@@ -868,6 +868,7 @@ def embedding_neardup(
     emb_ds, threshold: float = 0.98, id_col: str = "vec_id",
     emb_col: str = "embedding", presort: bool = True,
     presort_planes: int = 16, presort_seed: int = 0x5EED,
+    block_rows: int = 4096,
     _stats: "dict | None" = None,
 ) -> pd.DataFrame:
     """Exact cosine near-dup pairs (a<b, cosine≥threshold), blocked: the
@@ -895,6 +896,13 @@ def embedding_neardup(
             fn_kwargs={"emb_col": emb_col, "n_planes": presort_planes,
                        "seed": presort_seed},
         ).sort("__lsh")
+    # coalesce to uniform ``block_rows`` blocks (order-preserving):
+    # the pair-task count is quadratic in BLOCKS, so an input arriving
+    # in many tiny blocks (e.g. post-filter) must not leak its block
+    # structure into the cross-product — same re-batch guard as the
+    # graph canon stages
+    pre = pre.map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=block_rows)
     refs = pre.to_arrow_refs()
     prepped = [_prep_emb_block.remote(r, id_col, emb_col) for r in refs]
     data_refs = [p[0] for p in prepped]

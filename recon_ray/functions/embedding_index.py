@@ -155,7 +155,11 @@ def embedding_index_ingest(state_dir: str, emb_ds, batch_id: str,
             _lsh_presort_signature, batch_format="pyarrow",
             fn_kwargs={"emb_col": emb_col, "n_planes": 16,
                        "seed": 0x5EED},
-        ).sort("__lsh")
+        ).sort("__lsh").map_batches(
+            # order-preserving coalesce: shard × index pair-task count
+            # scales with shard BLOCKS, so tiny post-filter blocks must
+            # merge first (same guard as embedding_neardup)
+            lambda t: t, batch_format="pyarrow", batch_size=4096)
         prepped = [_prep_emb_block.remote(r, id_col, emb_col)
                    for r in pre.to_arrow_refs()]
         data_refs = [p[0] for p in prepped]

@@ -228,7 +228,9 @@ def _cross_candidates(new_bands, old_bands):
 
 
 def minhash_index_ingest(state_dir: str, docs_ds,
-                         batch_id: str) -> dict:
+                         batch_id: str,
+                         candidate_broadcast_limit: int = 1_000_000
+                         ) -> dict:
     """Dedup ``docs_ds`` (doc_id, text) against the index AND within
     itself; append the novel docs' bands+shingles; returns
     {"n_new", "n_novel", "n_dup", "novel_ids": DataFrame,
@@ -294,7 +296,8 @@ def minhash_index_ingest(state_dir: str, docs_ds,
             _as_arrow(_cross_candidates(new_bands, old_bands)))
     cand = cand.materialize()
 
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         verified = pd.DataFrame(columns=["a", "b", "jaccard"])
     else:
         # shingle sets for BOTH endpoints: new shard fully, index side
@@ -303,9 +306,9 @@ def minhash_index_ingest(state_dir: str, docs_ds,
         sh_all = new_sh
         old_sh = _read_parts(
             state_dir, "shingles", man["shingle_parts"])
-        if old_sh is not None:
-            from recon_ray.functions.relational import semi_join
+        from recon_ray.functions.relational import semi_join
 
+        if old_sh is not None:
             old_ids = set(
                 cand.map_batches(
                     lambda df: pd.DataFrame({"i": df["a"]}),
@@ -314,9 +317,31 @@ def minhash_index_ingest(state_dir: str, docs_ds,
             )
             sh_all = _as_arrow(sh_all).union(
                 _as_arrow(semi_join(old_sh, old_ids, on="doc_id")))
-        verified = _verify_pairs_shuffle(
-            cand, sh_all, threshold, packed=True
-        ).to_pandas()
+        if n_pairs <= candidate_broadcast_limit:
+            # broadcast verify (the minhash_lsh_dedup small-side path):
+            # the candidate endpoints' packed shingle cells collect to a
+            # pairs-bounded driver dict, shipped once via ray.put — two
+            # full shuffle-joins are pure fixed cost at this size
+            import ray as _ray
+
+            from recon_ray.functions.dedup import _verify_pairs_fn
+
+            ends = cand.map_batches(
+                lambda df: pd.DataFrame({"i": pd.concat(
+                    [df["a"], df["b"]], ignore_index=True)}),
+                batch_format="pandas")
+            cand_ids = set(ends.to_pandas()["i"])
+            sub = semi_join(sh_all, cand_ids, on="doc_id").to_pandas()
+            sh_ref = _ray.put({
+                d: np.frombuffer(bts, dtype=np.uint64)
+                for d, bts in zip(sub["doc_id"], sub["sh_bin"])})
+            verified = cand.map_batches(
+                _verify_pairs_fn(sh_ref, threshold),
+                batch_format="pandas").to_pandas()
+        else:
+            verified = _verify_pairs_shuffle(
+                cand, sh_all, threshold, packed=True
+            ).to_pandas()
 
     if len(verified):
         # cluster the verified graph; a new doc is DUP iff its cluster

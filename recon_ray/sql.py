@@ -2920,28 +2920,53 @@ def run_sql(sql: str, tables: dict,
                 ds = broadcast_join(right, sm, on=rk, small_on=lk,
                                     how="inner")
             else:
-                # both sides large: hash-partition shuffle join. Ray's
-                # join consumes the right_on columns, but SQL keeps
-                # BOTH key columns in scope (SELECT l_orderkey ... ON
-                # lineitem.l_orderkey = orders.o_orderkey), so any
-                # right key the rest of the query references joins on
-                # a renamed COPY — the original survives as a data
-                # column, and LEFT joins still NULL it on unmatched
-                # rows
-                keep = [c for c in rk if c in _referenced]
-                if keep:
-                    ren = {c: f"__jk{ji}_{k}" for k, c in enumerate(keep)}
+                swapped = False
+                if (j["how"] == "inner" and ji > 0
+                        and base_eff is not None
+                        and base_eff <= broadcast_rows):
+                    # adaptive join selection (the Spark-AQE move): a
+                    # small filtered BASE often keeps the accumulated
+                    # left side dimension-sized through the join chain
+                    # (TPC-H Q3: BUILDING customers ⋈ orders ≈ 1/5 of
+                    # orders, then ⋈ lineitem) — probe its ACTUAL size
+                    # with a bounded limit (the streaming executor
+                    # cancels upstream once the limit fills, so a
+                    # genuinely-big left costs one partial pass, never
+                    # a full scan) and swap-broadcast instead of
+                    # paying the all-to-all hash shuffle. limit() ≥
+                    # true size ⇒ the probe IS the whole left when it
+                    # fits, so it executes exactly once.
+                    lm = ds.limit(broadcast_rows + 1).materialize()
+                    if lm.count() <= broadcast_rows:
+                        sm = lm.to_pandas().dropna(subset=lk)
+                        ds = broadcast_join(right, sm, on=rk,
+                                            small_on=lk, how="inner")
+                        swapped = True
+                if not swapped:
+                    # both sides large: hash-partition shuffle join.
+                    # Ray's join consumes the right_on columns, but
+                    # SQL keeps BOTH key columns in scope (SELECT
+                    # l_orderkey ... ON lineitem.l_orderkey =
+                    # orders.o_orderkey), so any right key the rest of
+                    # the query references joins on a renamed COPY —
+                    # the original survives as a data column, and LEFT
+                    # joins still NULL it on unmatched rows
+                    keep = [c for c in rk if c in _referenced]
+                    if keep:
+                        ren = {c: f"__jk{ji}_{k}"
+                               for k, c in enumerate(keep)}
 
-                    def dup_keys(t: pa.Table, ren=dict(ren)) -> pa.Table:
-                        for src, dst in ren.items():
-                            t = t.append_column(dst, t.column(src))
-                        return t
+                        def dup_keys(t: pa.Table,
+                                     ren=dict(ren)) -> pa.Table:
+                            for src, dst in ren.items():
+                                t = t.append_column(dst, t.column(src))
+                            return t
 
-                    right = right.map_batches(dup_keys,
-                                              batch_format="pyarrow")
-                    rk = [ren.get(c, c) for c in rk]
-                ds = shuffle_join(ds, right, on=lk, right_on=rk,
-                                  how=j["how"])
+                        right = right.map_batches(dup_keys,
+                                                  batch_format="pyarrow")
+                        rk = [ren.get(c, c) for c in rk]
+                    ds = shuffle_join(ds, right, on=lk, right_on=rk,
+                                      how=j["how"])
             acc_cols |= rcols
 
     _SUBQ = ("in_subq", "not_in_subq", "exists_semi", "exists_anti")

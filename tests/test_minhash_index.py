@@ -97,3 +97,31 @@ def test_index_init_param_mismatch(ray_session, tmp_path):
     minhash_index_init(state, threshold=0.6)  # idempotent
     with pytest.raises(ValueError):
         minhash_index_init(state, threshold=0.8)
+
+
+def test_broadcast_and_shuffle_verify_agree(ray_session, tmp_path):
+    """candidate_broadcast_limit=0 forces the distributed shuffle-join
+    verify; the result must be bit-equal to the default broadcast-dict
+    path at every ingest step (same contract as minhash_lsh_dedup's
+    two paths)."""
+    a_rows, b_rows = _corpus()
+    outs = []
+    for mode, limit in (("bcast", 1_000_000), ("shuffle", 0)):
+        state = str(tmp_path / f"idx_{mode}")
+        minhash_index_init(state, threshold=0.6)
+        da = rd.from_pandas(pd.DataFrame(
+            a_rows, columns=["doc_id", "text"])).repartition(2)
+        db = rd.from_pandas(pd.DataFrame(
+            b_rows, columns=["doc_id", "text"])).repartition(2)
+        ra = minhash_index_ingest(state, da, "shard-a",
+                                  candidate_broadcast_limit=limit)
+        rb = minhash_index_ingest(state, db, "shard-b",
+                                  candidate_broadcast_limit=limit)
+        outs.append((ra, rb))
+    for (x, y) in zip(outs[0], outs[1]):
+        assert list(x["novel_ids"]["doc_id"]) == list(
+            y["novel_ids"]["doc_id"])
+        assert x["n_dup"] == y["n_dup"]
+        pd.testing.assert_frame_equal(
+            x["dup_pairs"].reset_index(drop=True),
+            y["dup_pairs"].reset_index(drop=True))
