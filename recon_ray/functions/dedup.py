@@ -494,9 +494,18 @@ def minhash_lsh_dedup(
     k: int = 3,
     concurrency: int = 4,
     candidate_broadcast_limit: int = 1_000_000,
+    pairs_as_dataset: bool = False,
 ) -> dict:
     """Full near-dup pipeline. Returns {"pairs": verified pair df,
     "clusters": doc_id→cluster_rep df, "n_duplicates": int}.
+
+    ``pairs_as_dataset=True`` returns "pairs" as the verified
+    ray.data.Dataset instead of collecting it — the escape hatch for a
+    pathological corpus whose near-dup EDGE LIST outgrows the driver
+    (dup pairs grow quadratically inside a dup cluster; a 1M-doc
+    cluster is ~5·10^11 edges). Consume it with write_parquet or an
+    aggregate; the clusters frame stays driver-side (doc-sized, not
+    pair-sized).
 
     Distributed end to end: candidate pairs stay a Dataset; verification
     fetches only the CANDIDATE docs' shingle sets (semi-join by broadcast
@@ -526,8 +535,15 @@ def minhash_lsh_dedup(
     cand_ds = cand_ds.materialize()  # reused: id-collect + verify pass
     n_pairs = cand_ds.count()
     if n_pairs == 0:
+        import ray.data as _rd
+
+        empty = pd.DataFrame(columns=["a", "b", "jaccard"])
         return {
-            "pairs": pd.DataFrame(columns=["a", "b", "jaccard"]),
+            "pairs": (_rd.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())}))
+                if pairs_as_dataset else empty),
             "clusters": pd.DataFrame(columns=["doc_id", "cluster"]),
             "n_duplicates": 0,
         }
@@ -570,9 +586,13 @@ def minhash_lsh_dedup(
         verified_ds = _verify_pairs_shuffle(
             cand_ds, sh_ds, threshold
         ).materialize()
-    verified = (
-        verified_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
-    )
+    if pairs_as_dataset:
+        verified = verified_ds.sort(["a", "b"])
+    else:
+        verified = (
+            verified_ds.to_pandas().sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
     clusters = connected_components(verified_ds)
     clusters = clusters.sort_values("doc_id").reset_index(drop=True)
     n_dup = int((clusters["doc_id"] != clusters["cluster"]).sum())

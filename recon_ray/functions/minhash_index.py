@@ -229,8 +229,8 @@ def _cross_candidates(new_bands, old_bands):
 
 def minhash_index_ingest(state_dir: str, docs_ds,
                          batch_id: str,
-                         candidate_broadcast_limit: int = 1_000_000
-                         ) -> dict:
+                         candidate_broadcast_limit: int = 1_000_000,
+                         pairs_as_dataset: bool = False) -> dict:
     """Dedup ``docs_ds`` (doc_id, text) against the index AND within
     itself; append the novel docs' bands+shingles; returns
     {"n_new", "n_novel", "n_dup", "novel_ids": DataFrame,
@@ -238,7 +238,14 @@ def minhash_index_ingest(state_dir: str, docs_ds,
     list}. Keep rule per verified cluster: an INDEX doc if the cluster
     touches one, else the minimum batch doc_id (keep-first).
     Re-ingesting a recorded ``batch_id`` is a NO-OP returning the
-    recorded counts."""
+    recorded counts.
+
+    ``pairs_as_dataset=True`` returns ``dup_pairs`` as the verified
+    ray.data.Dataset instead of collecting it to the driver — the
+    escape hatch for a shard whose near-dup edge list is pair-scaled
+    (edges grow quadratically inside a dup cluster). Clustering and
+    the keep-rule consume the edge DATASET either way; only the
+    return-value collection is gated."""
     man = json.load(open(_mpath(state_dir)))
     done = {b["id"]: b for b in man["batch_ids"]}
     if batch_id in done:
@@ -247,7 +254,13 @@ def minhash_index_ingest(state_dir: str, docs_ds,
                 "n_dup": rec["n_dup"],
                 "n_preexisting": rec.get("n_preexisting", 0),
                 "novel_ids": pd.DataFrame(columns=["doc_id"]),
-                "dup_pairs": pd.DataFrame(columns=["a", "b", "jaccard"]),
+                "dup_pairs": (
+                    rd.from_arrow(pa.table({
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64())}))
+                    if pairs_as_dataset
+                    else pd.DataFrame(columns=["a", "b", "jaccard"])),
                 "replayed": True}
     docs_ds = docs_ds.materialize()
     # id-collision guard: a doc_id already in the index is the same
@@ -297,9 +310,7 @@ def minhash_index_ingest(state_dir: str, docs_ds,
     cand = cand.materialize()
 
     n_pairs = cand.count()
-    if n_pairs == 0:
-        verified = pd.DataFrame(columns=["a", "b", "jaccard"])
-    else:
+    if n_pairs:
         # shingle sets for BOTH endpoints: new shard fully, index side
         # pruned to the candidate old ids (semi-join by broadcast set —
         # candidate-old is shard-bounded, ≤ pairs)
@@ -335,26 +346,35 @@ def minhash_index_ingest(state_dir: str, docs_ds,
             sh_ref = _ray.put({
                 d: np.frombuffer(bts, dtype=np.uint64)
                 for d, bts in zip(sub["doc_id"], sub["sh_bin"])})
-            verified = cand.map_batches(
+            verified_ds = cand.map_batches(
                 _verify_pairs_fn(sh_ref, threshold),
-                batch_format="pandas").to_pandas()
+                batch_format="pandas").materialize()
         else:
-            verified = _verify_pairs_shuffle(
+            verified_ds = _verify_pairs_shuffle(
                 cand, sh_all, threshold, packed=True
-            ).to_pandas()
+            ).materialize()
 
-    if len(verified):
+    if n_pairs and verified_ds.count():
         # cluster the verified graph; a new doc is DUP iff its cluster
-        # contains an index doc or a smaller-id batch doc (keep-first)
-        cc = connected_components(rd.from_pandas(
-            verified[["a", "b"]]))
+        # contains an index doc or a smaller-id batch doc (keep-first).
+        # The edge Dataset feeds CC directly — nothing pair-scaled
+        # lands on the driver unless the caller collects dup_pairs.
+        cc = connected_components(verified_ds)
         new_ids = set(
             docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"])
         dup_ids = cluster_keep_dups(cc, new_ids)
-        verified = verified.sort_values(["a", "b"]).reset_index(drop=True)
+        verified = (verified_ds.sort(["a", "b"]) if pairs_as_dataset
+                    else verified_ds.to_pandas().sort_values(["a", "b"])
+                    .reset_index(drop=True))
     else:
         dup_ids = set()
-        verified = pd.DataFrame(columns=["a", "b", "jaccard"])
+        verified = (
+            rd.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())}))
+            if pairs_as_dataset
+            else pd.DataFrame(columns=["a", "b", "jaccard"]))
 
     novel = docs_ds.map_batches(
         lambda df, dd=dup_ids: df[~df["doc_id"].isin(dd)],

@@ -292,6 +292,80 @@ def test_minhash_distributed_paths_match_broadcast():
         cc_driver, cc_shuffle, check_dtype=False)
 
 
+def test_minhash_pairs_as_dataset_mega_dup():
+    """pairs_as_dataset=True on a mega-dup corpus (every doc a light
+    mutation of one base → the edge list is pair-scaled): the return
+    value must be a ray.data.Dataset whose collected content equals
+    the default driver-side frame, and the indexes' ingest must honor
+    the same flag."""
+    import random
+
+    import ray.data as rd_
+
+    from recon_ray.functions.dedup import minhash_lsh_dedup
+
+    rng = random.Random(21)
+    vocab = [f"tok{i}" for i in range(300)]
+    base_words = [rng.choice(vocab) for _ in range(60)]
+    texts, ids = [], []
+    for i in range(40):  # one 40-doc cluster → up to 780 edges
+        w = list(base_words)
+        w[rng.randrange(60)] = rng.choice(vocab)
+        ids.append(i)
+        texts.append(" ".join(w))
+    ds = rd_.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})
+                         ).repartition(4)
+
+    res_pd = minhash_lsh_dedup(ds, threshold=0.6, concurrency=2)
+    res_ds = minhash_lsh_dedup(ds, threshold=0.6, concurrency=2,
+                               pairs_as_dataset=True)
+    assert isinstance(res_ds["pairs"], rd_.Dataset)
+    got = (res_ds["pairs"].to_pandas().sort_values(["a", "b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, res_pd["pairs"])
+    assert res_ds["n_duplicates"] == res_pd["n_duplicates"] == 39
+
+
+def test_minhash_index_pairs_as_dataset(tmp_path):
+    """Ingest with pairs_as_dataset=True returns dup_pairs as a
+    Dataset, equal to the default path's frame."""
+    import random
+
+    import ray.data as rd_
+
+    from recon_ray.functions.minhash_index import (
+        minhash_index_ingest,
+        minhash_index_init,
+    )
+
+    rng = random.Random(22)
+    vocab = [f"tok{i}" for i in range(300)]
+    base_words = [rng.choice(vocab) for _ in range(60)]
+    rows = []
+    for i in range(20):
+        w = list(base_words)
+        w[rng.randrange(60)] = rng.choice(vocab)
+        rows.append((i, " ".join(w)))
+    ds = rd_.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"])
+                         ).repartition(2)
+
+    s1 = str(tmp_path / "i1")
+    minhash_index_init(s1, threshold=0.6)
+    r_pd = minhash_index_ingest(s1, ds, "b0")
+    s2 = str(tmp_path / "i2")
+    minhash_index_init(s2, threshold=0.6)
+    r_ds = minhash_index_ingest(s2, ds, "b0", pairs_as_dataset=True)
+    assert isinstance(r_ds["dup_pairs"], rd_.Dataset)
+    got = (r_ds["dup_pairs"].to_pandas().sort_values(["a", "b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, r_pd["dup_pairs"])
+    assert r_ds["n_dup"] == r_pd["n_dup"] == 19
+    # replay honors the flag too
+    r_rep = minhash_index_ingest(s2, ds, "b0", pairs_as_dataset=True)
+    assert r_rep["replayed"] and isinstance(r_rep["dup_pairs"],
+                                            rd_.Dataset)
+
+
 def test_connected_components_shuffle_long_chain():
     """High-diameter graph through the distributed path: a 12-node chain
     needs ~12 propagation rounds (each = 2 shuffle joins + a groupby-min)
