@@ -289,6 +289,21 @@ def run_bench() -> dict:
          "lineitem": rd.read_parquet(f"{SF_DIR}/lineitem.parquet")})
     queries["sql_tpch_q3"] = round(time.time() - t0, 3)
 
+    # raw big×big exchange: lineitem ⋈ orders through shuffle_join
+    # ('auto' routes to the task-based bucket exchange at this scale;
+    # measures the engine's big-join floor now that Q3's adaptive plan
+    # avoids the shuffle entirely)
+    from recon_ray.functions.relational import shuffle_join
+
+    t0 = time.time()
+    shuffle_join(
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]),
+        on="l_orderkey", right_on="o_orderkey").count()
+    queries["shuffle_join_big2"] = round(time.time() - t0, 3)
+
     # incremental dedup indexes: ingest the documents/embeddings tables
     # as TWO shards (doc_id parity) into a fresh index — the
     # history-independence claim is shard-2 cost ≈ shard-1 cost (each

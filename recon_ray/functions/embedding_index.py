@@ -50,7 +50,10 @@ from recon_ray.functions.dedup import (
     connected_components,
     embedding_neardup,
 )
-from recon_ray.functions.minhash_index import cluster_keep_dups
+from recon_ray.functions.minhash_index import (
+    cluster_keep_dups,
+    id_set_filter,
+)
 
 MANIFEST = "_manifest.json"
 
@@ -125,19 +128,14 @@ def embedding_index_ingest(state_dir: str, emb_ds, batch_id: str,
             [os.path.join(state_dir, "vectors", p["name"])
              for p in man["parts"]],
             columns=[id_col])
-        ref = ray.put(incoming)
-        pre = stored_ids.map_batches(
-            lambda df: df[df[id_col].isin(ray.get(ref))],
-            batch_format="pandas",
-        ).to_pandas()
+        pre = id_set_filter(stored_ids, incoming,
+                            col=id_col).to_pandas()
         pre_ids = (set(pre[id_col])
                    if id_col in pre.columns else set())
         if pre_ids:
             n_pre = len(pre_ids)
-            emb_ds = emb_ds.map_batches(
-                lambda df, pp=pre_ids: df[~df[id_col].isin(pp)],
-                batch_format="pandas",
-            ).materialize()
+            emb_ds = id_set_filter(emb_ds, pre_ids, col=id_col,
+                                   keep=False).materialize()
     n_new = emb_ds.count()
     threshold = man["threshold"]
     theta_max = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
@@ -207,10 +205,7 @@ def embedding_index_ingest(state_dir: str, emb_ds, batch_id: str,
     else:
         dup_ids = set()
 
-    novel = emb_ds.map_batches(
-        lambda df, dd=dup_ids: df[~df[id_col].isin(dd)],
-        batch_format="pandas",
-    )
+    novel = id_set_filter(emb_ds, dup_ids, col=id_col, keep=False)
     # append novel vectors re-sorted by signature → coherent parts
     parts = list(man["parts"])
     n_novel = 0

@@ -42,6 +42,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -177,6 +178,29 @@ def _pack_shingles(docs_ds, k: int):
     return sh.map_batches(pack, batch_format="pyarrow")
 
 
+def id_set_filter(ds, ids, col: str = "doc_id", keep: bool = True):
+    """Arrow-kernel id-set filter: the id set ships ONCE as an Arrow
+    array via ``ray.put``; each batch runs ``pc.is_in`` zero-copy —
+    no pandas roundtrip. ``keep=False`` inverts (drop the ids)."""
+    import ray as _ray
+
+    if not ids:
+        if not keep:
+            return ds
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow")
+    vs = _ray.put(pa.array(sorted(ids)))
+
+    def f(t: pa.Table, vs=vs, col=col, keep=keep) -> pa.Table:
+        m = pc.is_in(t.column(col),
+                     value_set=_ray.get(vs) if isinstance(
+                         vs, _ray.ObjectRef) else vs)
+        return t.filter(m if keep else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def cluster_keep_dups(cc: pd.DataFrame, new_ids: set) -> set:
     """Vectorized cluster keep-rule shared by both incremental indexes:
     the keeper of each connected component is an INDEX doc when the
@@ -205,10 +229,16 @@ def _cross_candidates(new_bands, old_bands):
         distinct,
     )
 
-    tag_new = new_bands.map_batches(
-        lambda df: df.assign(__new=np.int8(1)), batch_format="pandas")
-    tag_old = old_bands.map_batches(
-        lambda df: df.assign(__new=np.int8(0)), batch_format="pandas")
+    def _tag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__new", pa.array(
+                np.full(t.num_rows, v, dtype=np.int8)))
+        return f
+
+    tag_new = new_bands.map_batches(_tag(1), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    tag_old = old_bands.map_batches(_tag(0), batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     def bucket_cross(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["band", "bhash", "doc_id", "__new"])
@@ -269,27 +299,19 @@ def minhash_index_ingest(state_dir: str, docs_ds,
     # column-pruned scan; the intersection is shard-bounded.
     n_pre = 0
     if man["shingle_parts"]:
-        import ray as _ray
-
         incoming = set(
             docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"])
         stored_ids = rd.read_parquet(
             [os.path.join(state_dir, "shingles", p)
              for p in man["shingle_parts"]],
             columns=["doc_id"])
-        ref = _ray.put(incoming)
-        pre = stored_ids.map_batches(
-            lambda df: df[df["doc_id"].isin(_ray.get(ref))],
-            batch_format="pandas",
-        ).to_pandas()
+        pre = id_set_filter(stored_ids, incoming).to_pandas()
         pre_ids = (set(pre["doc_id"])
                    if "doc_id" in pre.columns else set())
         if pre_ids:
             n_pre = len(pre_ids)
-            docs_ds = docs_ds.map_batches(
-                lambda df, pp=pre_ids: df[~df["doc_id"].isin(pp)],
-                batch_format="pandas",
-            ).materialize()
+            docs_ds = id_set_filter(
+                docs_ds, pre_ids, keep=False).materialize()
     n_new = docs_ds.count()
     threshold = man["threshold"]
 
@@ -322,8 +344,8 @@ def minhash_index_ingest(state_dir: str, docs_ds,
         if old_sh is not None:
             old_ids = set(
                 cand.map_batches(
-                    lambda df: pd.DataFrame({"i": df["a"]}),
-                    batch_format="pandas",
+                    lambda t: t.select(["a"]).rename_columns(["i"]),
+                    batch_format="pyarrow", zero_copy_batch=True,
                 ).to_pandas()["i"]
             )
             sh_all = _as_arrow(sh_all).union(
@@ -338,9 +360,10 @@ def minhash_index_ingest(state_dir: str, docs_ds,
             from recon_ray.functions.dedup import _verify_pairs_fn
 
             ends = cand.map_batches(
-                lambda df: pd.DataFrame({"i": pd.concat(
-                    [df["a"], df["b"]], ignore_index=True)}),
-                batch_format="pandas")
+                lambda t: pa.table({"i": pa.concat_arrays([
+                    t.column("a").combine_chunks(),
+                    t.column("b").combine_chunks()])}),
+                batch_format="pyarrow", zero_copy_batch=True)
             cand_ids = set(ends.to_pandas()["i"])
             sub = semi_join(sh_all, cand_ids, on="doc_id").to_pandas()
             sh_ref = _ray.put({
@@ -376,10 +399,7 @@ def minhash_index_ingest(state_dir: str, docs_ds,
             if pairs_as_dataset
             else pd.DataFrame(columns=["a", "b", "jaccard"]))
 
-    novel = docs_ds.map_batches(
-        lambda df, dd=dup_ids: df[~df["doc_id"].isin(dd)],
-        batch_format="pandas",
-    ).materialize()
+    novel = id_set_filter(docs_ds, dup_ids, keep=False).materialize()
     novel_ids = novel.select_columns(["doc_id"]).to_pandas()
     if "doc_id" not in novel_ids.columns:  # empty → columnless frame
         novel_ids = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})

@@ -117,6 +117,92 @@ def _rebatch(t: pa.Table) -> pa.Table:
     return t
 
 
+_PA_JOIN_TYPE = {"inner": "inner", "left_outer": "left outer",
+                 "right_outer": "right outer", "full_outer": "full outer",
+                 "left_semi": "left semi", "left_anti": "left anti"}
+
+
+@ray.remote
+def _hash_bucket_split(tbl: pa.Table, keys, n_buckets: int):
+    """Map side of the bucketed task join: split one Arrow block into
+    ``n_buckets`` hash buckets. Called with ``num_returns=n_buckets``
+    so each bucket is its OWN object-store entry — the driver holds
+    only refs, never table bytes."""
+    df = tbl.select(list(keys)).to_pandas()
+    # positional column names: both sides must bucket identically even
+    # when the key COLUMNS are named differently (l_orderkey vs
+    # o_orderkey)
+    df.columns = range(len(df.columns))
+    for c in df.columns:
+        # dtype-normalize before hashing: an int64 key on one side and
+        # the SAME values as float64 on the other (a nullable int
+        # column renders float64 in pandas once any block has a NULL)
+        # must land in the same bucket — hash_pandas_object is
+        # dtype-sensitive. float64 rounding past 2^53 only merges
+        # buckets, never splits a key across buckets, so correctness
+        # is untouched.
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(object)
+        elif pd.api.types.is_bool_dtype(df[c]) or \
+                pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = pd.to_numeric(df[c]).astype("float64")
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    b = (h % np.uint64(n_buckets)).astype(np.int64)
+    out = tuple(tbl.take(np.flatnonzero(b == i))
+                for i in range(n_buckets))
+    return out if n_buckets > 1 else out[0]
+
+
+@ray.remote
+def _bucket_join_task(lrefs, rrefs, lk, rk, how: str) -> pa.Table:
+    """Reduce side: fetch this bucket's slices from every map output
+    (zero-copy plasma reads), concat, and run ONE local Acero join.
+    Hash partitioning puts every key wholly in one bucket, so even
+    outer joins are correct per-bucket."""
+    lt = pa.concat_tables(ray.get(list(lrefs)),
+                          promote_options="default")
+    rt = pa.concat_tables(ray.get(list(rrefs)),
+                          promote_options="default")
+    return lt.join(rt, keys=list(lk), right_keys=list(rk),
+                   join_type=_PA_JOIN_TYPE[how], right_suffix="_r")
+
+
+def _bucket_shuffle_join(left_ds, right_ds, on_, r_on, how: str,
+                         num_partitions: int):
+    """Task-based bucketed hash join — the lean exchange for the
+    big×big path. Two stages of raw Ray tasks (the documented escape
+    hatch: the Dataset API's join carries a streaming-shuffle operator
+    whose fixed cost dominates at medium scale):
+
+      map:    one task per input block → ``num_partitions`` hash-bucket
+              sub-tables (driver keeps refs only)
+      reduce: one task per bucket → fetches its slice of every map
+              output and joins locally with Acero (same engine as
+              Ray's join ⇒ same semantics; equality-fuzzed in
+              tests/test_relational_fuzz.py)
+
+    Partitioning assumption: object count is M·B (map-blocks ×
+    buckets). ``shuffle_join(strategy="auto")`` only routes here while
+    M·B stays modest; past that, Ray's streaming hash shuffle — which
+    aggregates map outputs incrementally — is the right engine."""
+    import ray.data as rd
+
+    lrefs = left_ds.to_arrow_refs()
+    rrefs = right_ds.to_arrow_refs()
+    B = num_partitions
+    lsplits = [_hash_bucket_split.options(num_returns=B).remote(
+        t, tuple(on_), B) for t in lrefs]
+    rsplits = [_hash_bucket_split.options(num_returns=B).remote(
+        t, tuple(r_on), B) for t in rrefs]
+    if B == 1:
+        lsplits = [[s] for s in lsplits]
+        rsplits = [[s] for s in rsplits]
+    out = [_bucket_join_task.remote(
+        [s[i] for s in lsplits], [s[i] for s in rsplits],
+        tuple(on_), tuple(r_on), how) for i in range(B)]
+    return rd.from_arrow_refs(out)
+
+
 def shuffle_join(
     left_ds,
     right_ds,
@@ -124,11 +210,18 @@ def shuffle_join(
     right_on: Optional[Union[str, list[str]]] = None,
     how: str = "inner",
     num_partitions: Optional[int] = None,
+    strategy: str = "auto",
 ):
     """Both-sides-large hash join: each side shuffles on the key into
     ``num_partitions`` hash partitions and matching partitions join
-    pairwise (Ray's ``Dataset.join``). Use when neither side fits a
-    broadcast; keys should be pre-salted upstream if one key is hot.
+    pairwise. Use when neither side fits a broadcast; keys should be
+    pre-salted upstream if one key is hot.
+
+    ``strategy``: ``"bucket"`` = the task-based bucketed exchange
+    (``_bucket_shuffle_join``; ~2× lower fixed cost at medium scale),
+    ``"ray"`` = Ray's ``Dataset.join`` streaming hash shuffle,
+    ``"auto"`` (default) = bucket while the map-side object count
+    M·B is modest, else ray.
 
     Both sides are first re-batched with an explicit batch_size: Ray
     synthesizes ZERO-COLUMN empty blocks (repartition of small inputs,
@@ -197,6 +290,18 @@ def shuffle_join(
             num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             num_partitions = 8
+    if strategy != "ray" and how in _PA_JOIN_TYPE:
+        # pin both sides once (any shuffle engine executes them fully
+        # anyway) so the block counts that gate the bucket exchange
+        # are real, not estimates
+        lm, rm = left_ds.materialize(), right_ds.materialize()
+        n_blocks = lm.num_blocks() + rm.num_blocks()
+        if (lm.num_blocks() > 0 and rm.num_blocks() > 0
+                and (strategy == "bucket"
+                     or n_blocks * num_partitions <= 20_000)):
+            return _bucket_shuffle_join(
+                lm, rm, on_, r_on or on_, how, num_partitions)
+        left_ds, right_ds = lm, rm  # reuse the pinned blocks
     return left_ds.join(
         right_ds,
         join_type=how,
@@ -1237,13 +1342,15 @@ def skew_join(
 
 def shuffle_semi_join(left_ds, right_ds, on, right_on=None,
                       anti: bool = False,
-                      num_partitions: Optional[int] = None):
+                      num_partitions: Optional[int] = None,
+                      strategy: str = "auto"):
     """Large-large EXISTS / NOT EXISTS: keep left rows with (semi) or
-    without (anti) a key match on the right, via Ray's hash-partitioned
+    without (anti) a key match on the right, via a hash-partitioned
     left_semi/left_anti join — BOTH sides shuffle, so the right side may
     be arbitrarily large (the broadcast :func:`semi_join` collects its
-    key set; this one never does). Same empty-block re-batching guard as
-    :func:`shuffle_join`. Output columns = left columns only."""
+    key set; this one never does). Same empty-block re-batching guard
+    and ``strategy`` exchange dispatch as :func:`shuffle_join`. Output
+    columns = left columns only."""
     on_ = (on,) if isinstance(on, str) else tuple(on)
     r_on = (
         None if right_on is None
@@ -1254,12 +1361,28 @@ def shuffle_semi_join(left_ds, right_ds, on, right_on=None,
             num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             num_partitions = 8
+    # only the right KEYS decide membership and the output is left
+    # columns only — never ship right payload bytes through the shuffle
+    try:
+        right_ds = right_ds.select_columns(list(r_on or on_))
+    except Exception:
+        pass  # schema-less side: planner guards handle emptiness
     left_ds = left_ds.map_batches(
         _rebatch, batch_format="pyarrow", batch_size=65536
     )
     right_ds = right_ds.map_batches(
         _rebatch, batch_format="pyarrow", batch_size=65536
     )
+    if strategy != "ray":
+        lm, rm = left_ds.materialize(), right_ds.materialize()
+        n_blocks = lm.num_blocks() + rm.num_blocks()
+        if (lm.num_blocks() > 0 and rm.num_blocks() > 0
+                and (strategy == "bucket"
+                     or n_blocks * num_partitions <= 20_000)):
+            return _bucket_shuffle_join(
+                lm, rm, on_, r_on or on_,
+                "left_anti" if anti else "left_semi", num_partitions)
+        left_ds, right_ds = lm, rm
     return left_ds.join(
         right_ds,
         join_type="left_anti" if anti else "left_semi",

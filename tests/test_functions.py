@@ -517,14 +517,18 @@ def test_embedding_neardup_presort_prunes_block_pairs():
                       "embedding": list(mat[order])})
     ).repartition(32)
     stats: dict = {}
-    got = embedding_neardup(ds, threshold=0.995, _stats=stats)
+    # block_rows pinned small: the default 4096-row coalesce would fold
+    # this 4.8k fixture into 2 blocks and the test would measure
+    # sub-run granularity instead of the block-level prune
+    got = embedding_neardup(ds, threshold=0.995, block_rows=150,
+                            _stats=stats)
     assert stats["n_blocks"] >= 8
     # pre-sorted clustered blocks: the vast majority of cross-block
     # pairs are provably out of angular reach
     assert stats["n_pairs_run"] < stats["n_pairs_possible"] / 2
     stats_off: dict = {}
     got_off = embedding_neardup(ds, threshold=0.995, presort=False,
-                                _stats=stats_off)
+                                block_rows=150, _stats=stats_off)
     pd.testing.assert_frame_equal(got, got_off)
     # without the sort the prune rarely fires on scattered blocks
     assert stats_off["n_pairs_run"] >= stats["n_pairs_run"]

@@ -1018,3 +1018,42 @@ def test_weighted_bernoulli_sample_properties(ray_session):
     sub = weighted_bernoulli_sample(
         rd.from_pandas(df.head(100)), "w", cap=100).to_pandas()
     assert sorted(sub["doc_id"]) == sorted(i for i in kept if i < 100)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 6),
+                       st.integers(-5, 5)), min_size=0, max_size=25),
+    st.lists(st.tuples(st.integers(0, 6),
+                       st.text("abc", min_size=0, max_size=2)),
+             min_size=0, max_size=25),
+    st.sampled_from(["inner", "left_outer", "right_outer",
+                     "full_outer"]),
+    st.integers(min_value=1, max_value=3),
+)
+def test_bucket_join_matches_ray_join(lrows, rrows, how, parts):
+    """The task-based bucket exchange (strategy='bucket') must return
+    the same multiset of rows as Ray's Dataset.join (strategy='ray')
+    for every join type, including dup keys, empty sides, and NULL-free
+    random layouts."""
+    from recon_ray.functions.relational import shuffle_join
+
+    ldf = pd.DataFrame(lrows, columns=["k", "v"])
+    rdf = pd.DataFrame(rrows, columns=["rk", "s"])
+    if not len(ldf) or not len(rdf):
+        return  # planner resolves empty sides before shuffle_join
+    # nullable keys: one side int64, the other Int64-with-NULLs (which
+    # pandas renders float64) — the bucket hash must be dtype-blind
+    rdf["rk"] = pd.Series(
+        [None if v == 6 else v for v in rdf["rk"]], dtype="Int64")
+    lds = rd.from_pandas(ldf).repartition(parts)
+    rds = rd.from_pandas(rdf).repartition(parts)
+    outs = []
+    for strat in ("bucket", "ray"):
+        j = shuffle_join(lds, rds, on="k", right_on="rk", how=how,
+                         num_partitions=4, strategy=strat)
+        g = j.to_pandas()
+        g = g.reindex(sorted(g.columns), axis=1)
+        g = g.sort_values(list(g.columns)).reset_index(drop=True)
+        outs.append(g)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
