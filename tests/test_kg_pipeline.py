@@ -166,3 +166,18 @@ def test_symbols_from_docs_equals_scan(unit_corpus_dir, kg_result):
     derived = symbols_from_docs(kg_result[0]["docs"]).to_pandas()
     derived = derived.drop_duplicates().sort_values(["repo", "module", "name"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(derived, scan)
+
+
+def test_symbol_broadcast_payload_modes(ray_session, kg_result):
+    """payload="table" ships the deduped Arrow rows and each worker
+    builds the dict locally (TripleLinker.__init__); the resulting
+    lookup must equal the driver-built dict payload bit-for-bit."""
+    from recon_ray.pipelines.kg import symbols_from_docs
+    from recon_ray.stages.link import TripleLinker, build_symbol_broadcast
+
+    res, _, _ = kg_result
+    st = symbols_from_docs(res["docs"])
+    ref_d, d = build_symbol_broadcast(st)
+    ref_t, none = build_symbol_broadcast(st, payload="table")
+    assert none is None
+    assert TripleLinker(ref_t).symbols == d == TripleLinker(ref_d).symbols
