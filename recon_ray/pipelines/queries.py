@@ -542,6 +542,31 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_stream_tumbling_6h(sf_dir: str):
+    """STREAMING form of the tumbling window: the events table replays
+    in event-time order through key-partitioned watermark actors
+    (stages/streaming.py — per-window state lives ACROSS micro-batches,
+    emission happens when the watermark passes each window's end, state
+    is freed on emit). With an ordered replay nothing is ever late, so
+    the emitted aggregate must equal the batch groupby — the same
+    DuckDB oracle as q_events_tumbling_6h. Late-drop semantics are
+    pinned by out-of-order fixtures in tests/test_streaming.py."""
+    from recon_ray.stages.streaming import stream_tumbling_agg
+
+    out = stream_tumbling_agg(
+        _t(sf_dir, "events"), ts_col="ts", key_cols=["event_type"],
+        value_col="value", window="6h", lateness="0s", ordered=True,
+    )
+    df = out["result"].to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["total_value"] = _round_away(df["total_value"], 2)
+    return (
+        df[["window_start", "event_type", "n_events", "total_value"]]
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
 def q_events_rolling_7d(sf_dir: str):
     """Rolling 7-day event count per day: the heavy part (daily counts) is
     a distributed grouped count; the rolling frame runs over the TINY
@@ -9222,6 +9247,7 @@ QUERIES = {
     "q_events_value_quantiles": q_events_value_quantiles,
     "q_events_user_hll": q_events_user_hll,
     "q_events_tumbling_6h": q_events_tumbling_6h,
+    "q_events_stream_tumbling_6h": q_events_stream_tumbling_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
@@ -9499,6 +9525,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_daily": ORACLE_EVENTS_DAILY,
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
+        "q_events_stream_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,

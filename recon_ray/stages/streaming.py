@@ -1,0 +1,229 @@
+"""Watermark-based streaming window aggregation — the STATEFUL
+streaming analogue of the batch tumbling window
+(`pipelines/queries.py:q_events_tumbling_6h`).
+
+The reference has no streaming surface (it is a bounded in-memory
+library); this operator exists for the engine's own 100-TB shape: an
+event stream that cannot be materialized, arriving as micro-batches
+with bounded disorder. The Dataset API cannot express it in one pass
+— per-window partial state must live ACROSS batches — so this is the
+documented actor escape hatch (SURVEY §4: stateful stages are actors).
+
+Semantics (the Flink/Beam event-time model):
+
+- Tumbling windows ``[k·W, (k+1)·W)`` over an event-time column.
+- Each of ``n_partitions`` actors owns a hash slice of the KEY space
+  and keeps only its OPEN windows: ``(window_start, key) → [count,
+  sum]``. Memory is bounded by the disorder horizon (windows newer
+  than the watermark), never by stream length.
+- Watermark per actor = ``max(ts seen) − allowed_lateness``. When the
+  watermark passes a window's END, the window emits exactly once and
+  its state is freed.
+- An event for an already-sealed window (``window_end ≤ watermark``
+  at arrival) is COUNTED AND DROPPED — the late-data contract.
+- With an ordered feed (or ``lateness ≥`` the stream's max disorder)
+  the emitted aggregate equals the batch tumbling groupby bit-for-bit
+  — that equivalence is the operator's DuckDB oracle
+  (`q_events_stream_tumbling_6h`); late-drop behavior is pinned by
+  handcrafted out-of-order streams in tests/test_streaming.py.
+
+Scale shape: the driver never touches event data — blocks split into
+per-partition sub-tables in a remote task (``num_returns=P``) and the
+sub-table REFS route to actors in submission order (Ray actors
+execute a caller's tasks in submission order, so the ordered feed
+survives the async pipeline). Emitted windows stay in the object
+store (``from_arrow_refs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _dur_us(spec: str) -> int:
+    """'6h' / '30m' / '10s' / '250ms' → microseconds."""
+    spec = spec.strip().lower()
+    for suf, mul in (("ms", 1_000), ("s", 1_000_000),
+                     ("m", 60_000_000), ("h", 3_600_000_000),
+                     ("d", 86_400_000_000)):
+        if spec.endswith(suf) and spec[: -len(suf)].isdigit():
+            return int(spec[: -len(suf)]) * mul
+    raise ValueError(f"bad duration {spec!r} (use e.g. '6h', '30m')")
+
+
+def _emit_schema(key_cols: list[str]) -> pa.Schema:
+    return pa.schema(
+        [("window_start", pa.timestamp("us"))]
+        + [(k, pa.string()) for k in key_cols]
+        + [("n_events", pa.int64()), ("total_value", pa.float64())]
+    )
+
+
+@ray.remote
+class WindowStateActor:
+    """One hash-partition of the key space: open-window partials,
+    watermark, late-drop counter. All per-batch work is vectorized
+    (one pandas groupby per ingest); the state merge iterates the
+    GROUPS of the batch (distinct window×key combos), never rows."""
+
+    def __init__(self, window_us: int, lateness_us: int,
+                 ts_col: str, key_cols: list[str], value_col: str):
+        self.w = window_us
+        self.late = lateness_us
+        self.ts_col = ts_col
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        self.state: dict = {}  # (win_start_us, *keys) → [n, sum]
+        self.horizon = None  # emitted-through watermark (us)
+        self.max_ts = None
+        self.n_dropped = 0
+        self.max_open = 0
+
+    def _emit_ready(self) -> pa.Table:
+        wm = (self.max_ts - self.late) if self.max_ts is not None else None
+        rows = []
+        if wm is not None:
+            for k in sorted(self.state):
+                if k[0] + self.w <= wm:
+                    rows.append((k, self.state.pop(k)))
+            self.horizon = wm
+        return self._table(rows)
+
+    def _table(self, rows) -> pa.Table:
+        sch = _emit_schema(self.key_cols)
+        if not rows:
+            return sch.empty_table()
+        cols = {
+            "window_start": pa.array(
+                [r[0][0] for r in rows], pa.timestamp("us")),
+            "n_events": pa.array([r[1][0] for r in rows], pa.int64()),
+            "total_value": pa.array([r[1][1] for r in rows],
+                                    pa.float64()),
+        }
+        for i, kc in enumerate(self.key_cols):
+            cols[kc] = pa.array([r[0][1 + i] for r in rows], pa.string())
+        return pa.table({f.name: cols[f.name] for f in sch})
+
+    def ingest(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _emit_schema(self.key_cols).empty_table()
+        df = tbl.to_pandas()
+        ts = df[self.ts_col].astype("datetime64[us]").astype("int64")
+        win = (ts // self.w) * self.w
+        if self.horizon is not None:
+            late = (win + self.w) <= self.horizon
+            n_late = int(late.sum())
+            if n_late:
+                self.n_dropped += n_late
+                keep = ~late
+                df, ts, win = df[keep], ts[keep], win[keep]
+        if len(df):
+            g = (
+                pd.DataFrame({
+                    "__w": win.to_numpy(),
+                    **{k: df[k].to_numpy() for k in self.key_cols},
+                    "__v": df[self.value_col].to_numpy(),
+                })
+                .groupby(["__w"] + self.key_cols, sort=False)
+                .agg(__n=("__v", "size"), __s=("__v", "sum"))
+                .reset_index()
+            )
+            for wv, nv, sv, *keys in zip(
+                g["__w"].to_numpy(), g["__n"].to_numpy(),
+                g["__s"].to_numpy(),
+                *[g[k].to_numpy() for k in self.key_cols],
+            ):
+                key = (int(wv),) + tuple(keys)
+                cur = self.state.get(key)
+                if cur is None:
+                    self.state[key] = [int(nv), float(sv)]
+                else:
+                    cur[0] += int(nv)
+                    cur[1] += float(sv)
+            mx = int(ts.max())
+            self.max_ts = mx if self.max_ts is None else max(
+                self.max_ts, mx)
+        out = self._emit_ready()
+        # the bounded-state invariant is about what PERSISTS across
+        # micro-batches (open windows inside the disorder horizon);
+        # within-batch transient entries emit in the same call
+        self.max_open = max(self.max_open, len(self.state))
+        return out
+
+    def flush(self) -> pa.Table:
+        rows = [(k, self.state.pop(k)) for k in sorted(self.state)]
+        return self._table(rows)
+
+    def stats(self) -> dict:
+        return {"n_dropped": self.n_dropped, "max_open": self.max_open,
+                "open_now": len(self.state)}
+
+
+@ray.remote
+def _split_by_key(tbl: pa.Table, key_cols, n_parts: int):
+    """Hash-split one block by key so every key lands on ONE actor
+    (the same dtype-normalized hash as the bucket join exchange)."""
+    df = tbl.select(list(key_cols)).to_pandas()
+    df.columns = range(len(df.columns))
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(object)
+        elif pd.api.types.is_bool_dtype(df[c]) or \
+                pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = pd.to_numeric(df[c]).astype("float64")
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    b = (h % np.uint64(n_parts)).astype(np.int64)
+    out = tuple(tbl.take(np.flatnonzero(b == i)) for i in range(n_parts))
+    return out if n_parts > 1 else out[0]
+
+
+def stream_tumbling_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_cols=("event_type",),
+    value_col: str = "value",
+    window: str = "6h",
+    lateness: str = "0s",
+    n_partitions: int = 8,
+    ordered: bool = True,
+):
+    """Feed a Dataset through key-partitioned window actors in arrival
+    order. Returns ``{"result": Dataset of emitted windows,
+    "n_late_dropped": int, "max_open_windows": int}``.
+
+    ``ordered=True`` sorts the stream by event time first — the
+    deterministic replay mode (oracle parity; no event is ever late).
+    ``ordered=False`` feeds blocks as they come: results equal the
+    batch aggregate iff ``lateness`` covers the stream's disorder;
+    beyond it, late events are counted and dropped (inspect
+    ``n_late_dropped``)."""
+    key_cols = list(key_cols)
+    w_us, l_us = _dur_us(window), _dur_us(lateness)
+    actors = [
+        WindowStateActor.remote(w_us, l_us, ts_col, key_cols, value_col)
+        for _ in range(n_partitions)
+    ]
+    src = ds.sort(ts_col) if ordered else ds
+    refs = src.materialize().to_arrow_refs()  # sorted block order = feed order
+    emitted = []
+    for blk in refs:
+        subs = _split_by_key.options(
+            num_returns=n_partitions if n_partitions > 1 else 1
+        ).remote(blk, tuple(key_cols), n_partitions)
+        if n_partitions == 1:
+            subs = [subs]
+        for i in range(n_partitions):
+            emitted.append(actors[i].ingest.remote(subs[i]))
+    emitted.extend(a.flush.remote() for a in actors)
+    stats = ray.get([a.stats.remote() for a in actors])
+    result = rd.from_arrow_refs(emitted)
+    return {
+        "result": result,
+        "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
+        "max_open_windows": int(max(s["max_open"] for s in stats)),
+    }
