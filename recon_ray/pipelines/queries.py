@@ -542,6 +542,31 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_stream_sessions(sf_dir: str):
+    """STREAMING gap-based sessionization (stages/streaming.py
+    SessionStateActor — the MERGING-window case: a late event can
+    bridge two open sessions into one). Ordered replay with zero
+    lateness reproduces the batch sessionization exactly, so the
+    per-user rollup of the emitted session records shares
+    q_events_sessions' DuckDB oracle. Merge/late-drop behavior is
+    pinned by out-of-order fixtures in tests/test_streaming.py."""
+    from recon_ray.stages.streaming import stream_session_windows
+
+    out = stream_session_windows(
+        _t(sf_dir, "events"), ts_col="ts", key_col="user_id",
+        gap="30m", lateness="0s", ordered=True, key_type="int64",
+    )
+    df = out["result"].to_pandas()
+    agg = (
+        df.groupby("user_id", as_index=False)
+        .agg(n_sessions=("session_start", "size"),
+             n_events=("n_events", "sum"))
+    )
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_stream_tumbling_6h(sf_dir: str):
     """STREAMING form of the tumbling window: the events table replays
     in event-time order through key-partitioned watermark actors
@@ -9248,6 +9273,7 @@ QUERIES = {
     "q_events_user_hll": q_events_user_hll,
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_stream_tumbling_6h": q_events_stream_tumbling_6h,
+    "q_events_stream_sessions": q_events_stream_sessions,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
@@ -9526,6 +9552,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_stream_tumbling_6h": ORACLE_EVENTS_TUMBLING,
+        "q_events_stream_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,

@@ -227,3 +227,172 @@ def stream_tumbling_agg(
         "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
         "max_open_windows": int(max(s["max_open"] for s in stats)),
     }
+
+
+@ray.remote
+class SessionStateActor:
+    """One hash-partition of the key space for GAP-based session
+    windows (the merging-window case tumbling windows don't have).
+
+    Per batch the event rows collapse VECTORIZED into mini-sessions
+    (sort + diff + cumsum → one row per contiguous run), and only the
+    mini-sessions — sessions-bounded, never event-bounded — merge into
+    the open-session state with the textbook interval rule: two
+    sessions (or a session and a mini-session) unify when their gap
+    distance is ≤ the session gap, so a late event can BRIDGE two open
+    sessions into one. A session seals and emits when
+    ``last_event + gap ≤ watermark`` (no admissible event can extend
+    it: admissible means ``ts ≥ watermark``, which would start a new
+    session); late events below the watermark are counted and
+    dropped."""
+
+    def __init__(self, gap_us: int, lateness_us: int,
+                 ts_col: str, key_col: str, key_type: str = "int64"):
+        self.gap = gap_us
+        self.late = lateness_us
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.key_type = key_type
+        self.open: dict = {}  # key → sorted list of [start, last, n]
+        self.max_ts = None
+        self.n_dropped = 0
+        self.max_open = 0
+
+    def _schema(self) -> pa.Schema:
+        kt = pa.int64() if self.key_type == "int64" else pa.string()
+        return pa.schema([
+            (self.key_col, kt),
+            ("session_start", pa.timestamp("us")),
+            ("session_end", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+        ])
+
+    def _table(self, rows) -> pa.Table:
+        sch = self._schema()
+        if not rows:
+            return sch.empty_table()
+        return pa.table({
+            self.key_col: pa.array([r[0] for r in rows], sch.types[0]),
+            "session_start": pa.array([r[1] for r in rows],
+                                      pa.timestamp("us")),
+            "session_end": pa.array([r[2] for r in rows],
+                                    pa.timestamp("us")),
+            "n_events": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    def ingest(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return self._schema().empty_table()
+        df = tbl.to_pandas()
+        ts = df[self.ts_col].astype("datetime64[us]").astype("int64")
+        if self.max_ts is not None:
+            horizon = self.max_ts - self.late
+            late = ts < horizon
+            n_late = int(late.sum())
+            if n_late:
+                self.n_dropped += n_late
+                keep = ~late
+                df, ts = df[keep], ts[keep]
+        if len(df):
+            d = pd.DataFrame({"k": df[self.key_col].to_numpy(),
+                              "t": ts.to_numpy()}).sort_values(["k", "t"],
+                                                               kind="mergesort")
+            brk = d["k"].ne(d["k"].shift()) | (d["t"].diff() > self.gap)
+            sid = brk.cumsum()
+            mini = d.groupby(sid, sort=False).agg(
+                k=("k", "first"), start=("t", "min"),
+                last=("t", "max"), n=("t", "size"))
+            for k, start, last, n in zip(
+                    mini["k"].to_numpy(), mini["start"].to_numpy(),
+                    mini["last"].to_numpy(), mini["n"].to_numpy()):
+                lst = self.open.setdefault(k, [])
+                merged = [int(start), int(last), int(n)]
+                rest = []
+                for s in lst:
+                    if (merged[0] - s[1] > self.gap
+                            or s[0] - merged[1] > self.gap):
+                        rest.append(s)  # disjoint beyond the gap
+                    else:  # bridge/extend: unify intervals and counts
+                        merged = [min(merged[0], s[0]),
+                                  max(merged[1], s[1]),
+                                  merged[2] + s[2]]
+                rest.append(merged)
+                rest.sort(key=lambda s: s[0])
+                self.open[k] = rest
+            mx = int(ts.max())
+            self.max_ts = mx if self.max_ts is None else max(
+                self.max_ts, mx)
+        # seal: no admissible event (ts ≥ watermark) can extend a
+        # session whose last + gap < watermark
+        rows = []
+        if self.max_ts is not None:
+            wm = self.max_ts - self.late
+            for k in list(self.open):
+                still = []
+                for s in self.open[k]:
+                    if s[1] + self.gap < wm:
+                        rows.append((k, s[0], s[1], s[2]))
+                    else:
+                        still.append(s)
+                if still:
+                    self.open[k] = still
+                else:
+                    del self.open[k]
+        self.max_open = max(self.max_open,
+                            sum(len(v) for v in self.open.values()))
+        rows.sort()
+        return self._table(rows)
+
+    def flush(self) -> pa.Table:
+        rows = [(k, s[0], s[1], s[2])
+                for k in sorted(self.open) for s in self.open[k]]
+        self.open.clear()
+        return self._table(rows)
+
+    def stats(self) -> dict:
+        return {"n_dropped": self.n_dropped, "max_open": self.max_open,
+                "open_now": sum(len(v) for v in self.open.values())}
+
+
+def stream_session_windows(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30m",
+    lateness: str = "0s",
+    n_partitions: int = 8,
+    ordered: bool = True,
+    key_type: str = "int64",
+):
+    """Gap-based streaming sessionization. Returns ``{"result":
+    Dataset of (key, session_start, session_end, n_events) rows,
+    "n_late_dropped": int, "max_open_sessions": int}``. Same feed
+    contract as :func:`stream_tumbling_agg`; an ordered replay (or
+    ``lateness`` ≥ the stream's disorder) reproduces the batch
+    sessionization exactly — that equivalence is the operator's DuckDB
+    oracle (`q_events_stream_sessions`)."""
+    gap_us, l_us = _dur_us(gap), _dur_us(lateness)
+    actors = [
+        SessionStateActor.remote(gap_us, l_us, ts_col, key_col,
+                                 key_type)
+        for _ in range(n_partitions)
+    ]
+    src = ds.sort(ts_col) if ordered else ds
+    refs = src.materialize().to_arrow_refs()
+    emitted = []
+    for blk in refs:
+        subs = _split_by_key.options(
+            num_returns=n_partitions if n_partitions > 1 else 1
+        ).remote(blk, (key_col,), n_partitions)
+        if n_partitions == 1:
+            subs = [subs]
+        for i in range(n_partitions):
+            emitted.append(actors[i].ingest.remote(subs[i]))
+    emitted.extend(a.flush.remote() for a in actors)
+    stats = ray.get([a.stats.remote() for a in actors])
+    return {
+        "result": rd.from_arrow_refs(emitted),
+        "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
+        "max_open_sessions": int(max(s["max_open"] for s in stats)),
+    }

@@ -115,3 +115,74 @@ def test_keys_partition_cleanly(ray_session):
     dup = got.duplicated(["window_start", "event_type"]).any()
     assert not dup
     assert int(got["n_events"].sum()) == len(rows)
+
+
+def _sev(rows):
+    """rows: (ts_minutes, user_id) → events-shaped frame."""
+    M = 60_000_000
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime([int(m * M) for m, _u in rows],
+                                 unit="us"),
+            "user_id": pd.Series([u for _m, u in rows], dtype="int64"),
+        }
+    )
+
+
+def test_stream_sessions_ordered_matches_batch(ray_session):
+    from recon_ray.stages.streaming import stream_session_windows
+
+    rng = np.random.RandomState(5)
+    rows = [(float(rng.uniform(0, 600)), int(rng.randint(0, 20)))
+            for _ in range(400)]
+    df = _sev(rows)
+    out = stream_session_windows(
+        rd.from_pandas(df).repartition(5), gap="30m", lateness="0s",
+        n_partitions=4, ordered=True)
+    got = out["result"].to_pandas()
+    agg = (got.groupby("user_id", as_index=False)
+           .agg(n_sessions=("session_start", "size"),
+                n_events=("n_events", "sum"))
+           .sort_values("user_id").reset_index(drop=True))
+
+    d = df.sort_values(["user_id", "ts"])
+    new = d["user_id"].ne(d["user_id"].shift()) | (
+        d["ts"].diff() > pd.Timedelta(minutes=30))
+    want = (d.assign(__ns=new).groupby("user_id", as_index=False)
+            .agg(n_sessions=("__ns", "sum"), n_events=("__ns", "size"))
+            .sort_values("user_id").reset_index(drop=True))
+    assert list(agg["n_sessions"]) == list(want["n_sessions"])
+    assert list(agg["n_events"]) == list(want["n_events"])
+    assert out["n_late_dropped"] == 0
+
+
+def test_stream_sessions_bridge_merge(ray_session):
+    """A late-but-admissible event lands BETWEEN two open sessions and
+    must merge them into one (the merging-window case)."""
+    from recon_ray.stages.streaming import stream_session_windows
+
+    # feed order: t=0m, t=50m (two sessions, gap 30m), then t=25m —
+    # within 30m of both ⇒ all three unify into ONE session
+    rows = [(0.0, 7), (50.0, 7), (25.0, 7)]
+    out = stream_session_windows(
+        rd.from_pandas(_sev(rows)).repartition(3), gap="30m",
+        lateness="2h", n_partitions=1, ordered=False)
+    got = out["result"].to_pandas()
+    assert len(got) == 1
+    assert int(got["n_events"].iloc[0]) == 3
+    assert out["n_late_dropped"] == 0
+
+
+def test_stream_sessions_late_drop(ray_session):
+    """Zero lateness: an event below the watermark is dropped, and the
+    two punctual events stay separate sessions."""
+    from recon_ray.stages.streaming import stream_session_windows
+
+    rows = [(0.0, 7), (50.0, 7), (25.0, 7)]
+    out = stream_session_windows(
+        rd.from_pandas(_sev(rows)).repartition(3), gap="30m",
+        lateness="0s", n_partitions=1, ordered=False)
+    got = out["result"].to_pandas()
+    assert out["n_late_dropped"] == 1  # t=25m < watermark 50m
+    assert len(got) == 2
+    assert list(got["n_events"]) == [1, 1]
