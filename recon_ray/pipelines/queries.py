@@ -542,6 +542,39 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_stream_hopping_6h_2h(sf_dir: str):
+    """HOPPING (sliding) streaming window: 6-hour windows every 2 hours
+    — each event contributes to 3 overlapping windows; the watermark
+    seals each hop independently. Oracle: the batch form as a DuckDB
+    cross join of events against the 3 hop offsets."""
+    from recon_ray.stages.streaming import stream_tumbling_agg
+
+    out = stream_tumbling_agg(
+        _t(sf_dir, "events"), ts_col="ts", key_cols=["event_type"],
+        value_col="value", window="6h", slide="2h", lateness="0s",
+        ordered=True,
+    )
+    df = out["result"].to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["total_value"] = _round_away(df["total_value"], 2)
+    return (
+        df[["window_start", "event_type", "n_events", "total_value"]]
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_STREAM_HOPPING = """
+SELECT time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours'
+         AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) hops
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_stream_sessions(sf_dir: str):
     """STREAMING gap-based sessionization (stages/streaming.py
     SessionStateActor — the MERGING-window case: a late event can
@@ -9274,6 +9307,7 @@ QUERIES = {
     "q_events_tumbling_6h": q_events_tumbling_6h,
     "q_events_stream_tumbling_6h": q_events_stream_tumbling_6h,
     "q_events_stream_sessions": q_events_stream_sessions,
+    "q_events_stream_hopping_6h_2h": q_events_stream_hopping_6h_2h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
@@ -9553,6 +9587,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_stream_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_stream_sessions": ORACLE_EVENTS_SESSIONS,
+        "q_events_stream_hopping_6h_2h": ORACLE_EVENTS_STREAM_HOPPING,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,

@@ -71,8 +71,16 @@ class WindowStateActor:
     GROUPS of the batch (distinct window×key combos), never rows."""
 
     def __init__(self, window_us: int, lateness_us: int,
-                 ts_col: str, key_cols: list[str], value_col: str):
+                 ts_col: str, key_cols: list[str], value_col: str,
+                 slide_us: "int | None" = None):
         self.w = window_us
+        # hopping windows: starts aligned to ``slide``; every event
+        # belongs to w/slide overlapping windows. slide == window (the
+        # default) degenerates to tumbling.
+        self.slide = slide_us or window_us
+        if self.w % self.slide:
+            raise ValueError("window must be a multiple of slide")
+        self.hops = self.w // self.slide
         self.late = lateness_us
         self.ts_col = ts_col
         self.key_cols = list(key_cols)
@@ -112,21 +120,31 @@ class WindowStateActor:
         if tbl.num_rows == 0:
             return _emit_schema(self.key_cols).empty_table()
         df = tbl.to_pandas()
-        ts = df[self.ts_col].astype("datetime64[us]").astype("int64")
-        win = (ts // self.w) * self.w
+        ts = (df[self.ts_col].astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        base = (ts // self.slide) * self.slide
+        # one (event, window) assignment per hop — vectorized tile;
+        # tumbling (hops == 1) replicates nothing. Lateness applies per
+        # ASSIGNMENT: an event can be late for its oldest hop window
+        # yet timely for newer ones (n_dropped counts assignments).
+        win = np.concatenate(
+            [base - k * self.slide for k in range(self.hops)])
+        rep = np.tile(np.arange(len(ts)), self.hops)
         if self.horizon is not None:
             late = (win + self.w) <= self.horizon
             n_late = int(late.sum())
             if n_late:
                 self.n_dropped += n_late
                 keep = ~late
-                df, ts, win = df[keep], ts[keep], win[keep]
-        if len(df):
+                win, rep = win[keep], rep[keep]
+        if len(rep):
+            vals = df[self.value_col].to_numpy()
             g = (
                 pd.DataFrame({
-                    "__w": win.to_numpy(),
-                    **{k: df[k].to_numpy() for k in self.key_cols},
-                    "__v": df[self.value_col].to_numpy(),
+                    "__w": win,
+                    **{k: df[k].to_numpy()[rep]
+                       for k in self.key_cols},
+                    "__v": vals[rep],
                 })
                 .groupby(["__w"] + self.key_cols, sort=False)
                 .agg(__n=("__v", "size"), __s=("__v", "sum"))
@@ -188,6 +206,7 @@ def stream_tumbling_agg(
     key_cols=("event_type",),
     value_col: str = "value",
     window: str = "6h",
+    slide: "str | None" = None,
     lateness: str = "0s",
     n_partitions: int = 8,
     ordered: bool = True,
@@ -195,6 +214,10 @@ def stream_tumbling_agg(
     """Feed a Dataset through key-partitioned window actors in arrival
     order. Returns ``{"result": Dataset of emitted windows,
     "n_late_dropped": int, "max_open_windows": int}``.
+
+    ``slide``: hop interval for HOPPING (sliding) windows — window
+    starts align to ``slide`` and every event contributes to
+    ``window/slide`` overlapping windows. None (default) = tumbling.
 
     ``ordered=True`` sorts the stream by event time first — the
     deterministic replay mode (oracle parity; no event is ever late).
@@ -204,8 +227,10 @@ def stream_tumbling_agg(
     ``n_late_dropped``)."""
     key_cols = list(key_cols)
     w_us, l_us = _dur_us(window), _dur_us(lateness)
+    s_us = _dur_us(slide) if slide else None
     actors = [
-        WindowStateActor.remote(w_us, l_us, ts_col, key_cols, value_col)
+        WindowStateActor.remote(w_us, l_us, ts_col, key_cols, value_col,
+                                slide_us=s_us)
         for _ in range(n_partitions)
     ]
     src = ds.sort(ts_col) if ordered else ds

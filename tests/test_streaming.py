@@ -186,3 +186,34 @@ def test_stream_sessions_late_drop(ray_session):
     assert out["n_late_dropped"] == 1  # t=25m < watermark 50m
     assert len(got) == 2
     assert list(got["n_events"]) == [1, 1]
+
+
+def test_hopping_windows_match_batch(ray_session):
+    """6h windows sliding every 2h: each event lands in exactly 3
+    windows; the streamed aggregate equals the brute-force batch form."""
+    rng = np.random.RandomState(3)
+    hours = rng.uniform(0, 48, size=300)
+    types = rng.choice(["a", "b"], size=300)
+    vals = np.round(rng.uniform(0, 9, size=300), 2)
+    df = _ev(list(zip(hours, types, vals)))
+    out = stream_tumbling_agg(
+        rd.from_pandas(df).repartition(4), window="6h", slide="2h",
+        lateness="0s", n_partitions=2, ordered=True)
+    got = _collect(out)
+    assert out["n_late_dropped"] == 0
+
+    frames = []
+    for k in range(3):
+        shifted = df.assign(window_start=(
+            (df["ts"] - pd.Timedelta(hours=2 * k)).dt.floor("2h")))
+        frames.append(shifted)
+    want = (
+        pd.concat(frames)
+        .groupby(["window_start", "event_type"], as_index=False)
+        .agg(n_events=("value", "size"), total_value=("value", "sum"))
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert np.allclose(got["total_value"], want["total_value"])
+    assert list(got["window_start"]) == list(want["window_start"])
