@@ -304,6 +304,18 @@ def run_bench() -> dict:
         on="l_orderkey", right_on="o_orderkey").count()
     queries["shuffle_join_big2"] = round(time.time() - t0, 3)
 
+    # streaming window replay: events in event-time order through the
+    # watermark actors (tumbling 6h × event_type)
+    from recon_ray.stages.streaming import stream_tumbling_agg
+
+    t0 = time.time()
+    stream_tumbling_agg(
+        rd.read_parquet(f"{SF_DIR}/events.parquet",
+                        columns=["ts", "event_type", "value"]),
+        window="6h", lateness="0s", ordered=True,
+    )["result"].count()
+    queries["events_stream_tumbling"] = round(time.time() - t0, 3)
+
     # incremental dedup indexes: ingest the documents/embeddings tables
     # as TWO shards (doc_id parity) into a fresh index — the
     # history-independence claim is shard-2 cost ≈ shard-1 cost (each
