@@ -716,6 +716,42 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Event-time streaming windows over a parquet event table
+    (stages/streaming.py): tumbling/hopping aggregates or gap
+    sessions, replayed with a watermark and allowed lateness."""
+    _ensure_ray()
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.events)
+    if args.mode == "sessions":
+        from recon_ray.stages.streaming import stream_session_windows
+
+        out = stream_session_windows(
+            ds, ts_col=args.ts_col, key_col=args.key,
+            gap=args.gap, lateness=args.lateness,
+            n_partitions=args.partitions,
+            ordered=not args.unordered)
+    else:
+        from recon_ray.stages.streaming import stream_tumbling_agg
+
+        out = stream_tumbling_agg(
+            ds, ts_col=args.ts_col, key_cols=[args.key],
+            value_col=args.value_col, window=args.window,
+            slide=args.slide, lateness=args.lateness,
+            n_partitions=args.partitions,
+            ordered=not args.unordered)
+    df = out["result"].to_pandas()
+    df = df.sort_values(list(df.columns[:2])).reset_index(drop=True)
+    print(df.head(args.limit).to_string(index=False))
+    dropped = out["n_late_dropped"]
+    open_key = ("max_open_sessions" if args.mode == "sessions"
+                else "max_open_windows")
+    print(f"# {len(df)} results; {dropped} late-dropped; "
+          f"{open_key}={out[open_key]}", file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -957,6 +993,26 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="benchmark")
     pb.add_argument("--scaling", action="store_true")
     pb.set_defaults(fn=cmd_bench)
+
+    pstr = sub.add_parser(
+        "stream", help="event-time streaming windows (watermarked)")
+    pstr.add_argument("events", help="events parquet path")
+    pstr.add_argument("--mode", choices=["tumbling", "sessions"],
+                      default="tumbling")
+    pstr.add_argument("--ts-col", default="ts")
+    pstr.add_argument("--key", default="event_type",
+                      help="key column (sessions default: user_id)")
+    pstr.add_argument("--value-col", default="value")
+    pstr.add_argument("--window", default="6h")
+    pstr.add_argument("--slide", default=None,
+                      help="hop interval (hopping windows)")
+    pstr.add_argument("--gap", default="30m", help="session gap")
+    pstr.add_argument("--lateness", default="0s")
+    pstr.add_argument("--partitions", type=int, default=8)
+    pstr.add_argument("--unordered", action="store_true",
+                      help="feed blocks as-is (late events may drop)")
+    pstr.add_argument("--limit", type=int, default=20)
+    pstr.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

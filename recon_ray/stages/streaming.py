@@ -185,6 +185,12 @@ class WindowStateActor:
 def _split_by_key(tbl: pa.Table, key_cols, n_parts: int):
     """Hash-split one block by key so every key lands on ONE actor
     (the same dtype-normalized hash as the bucket join exchange)."""
+    if tbl.num_rows == 0:
+        # Ray's sort synthesizes zero-column empty blocks on tiny
+        # inputs; the actors no-op on empty tables, so just fan the
+        # empty block out
+        out = tuple(tbl for _ in range(n_parts))
+        return out if n_parts > 1 else out[0]
     df = tbl.select(list(key_cols)).to_pandas()
     df.columns = range(len(df.columns))
     for c in df.columns:

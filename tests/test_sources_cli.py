@@ -593,3 +593,35 @@ def test_cli_validate_and_layout(tmp_path):
             timeout=300)
         assert r.returncode == 0, r.stderr[-300:]
         assert check(json.loads(r.stdout.splitlines()[-1])), r.stdout
+
+
+def test_cli_stream(tmp_path):
+    import pandas as pd
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime([0, 3_600_000_000, 30_000_000_000],
+                             unit="us"),
+        "event_type": ["a", "a", "b"],
+        "value": [1.0, 2.0, 3.0],
+        "user_id": pd.Series([1, 1, 2], dtype="int64"),
+    })
+    path = str(tmp_path / "ev.parquet")
+    ev.to_parquet(path)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "stream", path,
+         "--window", "6h"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "0 late-dropped" in r.stderr
+    assert "window_start" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "stream", path,
+         "--mode", "sessions", "--key", "user_id", "--gap", "90m"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "session_start" in r.stdout
