@@ -575,6 +575,34 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_stream_distinct_6h(sf_dir: str):
+    """Watermarked COUNT(DISTINCT user_id) per tumbling 6h window ×
+    event_type (stages/streaming.py DistinctWindowActor, exact mode —
+    per-window value sets; mode="hll" is the fixed-memory scale path,
+    accuracy-pinned in tests/test_streaming.py)."""
+    from recon_ray.stages.streaming import stream_distinct_agg
+
+    out = stream_distinct_agg(
+        _t(sf_dir, "events"), ts_col="ts", key_cols=["event_type"],
+        distinct_col="user_id", window="6h", lateness="0s",
+        mode="exact", ordered=True,
+    )
+    df = out["result"].to_pandas()
+    df["n_distinct"] = df["n_distinct"].astype("int64")
+    return (
+        df[["window_start", "event_type", "n_distinct"]]
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_STREAM_DISTINCT = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_stream_sessions(sf_dir: str):
     """STREAMING gap-based sessionization (stages/streaming.py
     SessionStateActor — the MERGING-window case: a late event can
@@ -9308,6 +9336,7 @@ QUERIES = {
     "q_events_stream_tumbling_6h": q_events_stream_tumbling_6h,
     "q_events_stream_sessions": q_events_stream_sessions,
     "q_events_stream_hopping_6h_2h": q_events_stream_hopping_6h_2h,
+    "q_events_stream_distinct_6h": q_events_stream_distinct_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
@@ -9588,6 +9617,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_stream_tumbling_6h": ORACLE_EVENTS_TUMBLING,
         "q_events_stream_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_stream_hopping_6h_2h": ORACLE_EVENTS_STREAM_HOPPING,
+        "q_events_stream_distinct_6h": ORACLE_EVENTS_STREAM_DISTINCT,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,

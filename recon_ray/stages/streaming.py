@@ -427,3 +427,189 @@ def stream_session_windows(
         "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
         "max_open_sessions": int(max(s["max_open"] for s in stats)),
     }
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimator (same form as
+    functions/sketches.py:hll_distinct, small-range linear counting)."""
+    m = len(regs)
+    r = regs.astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -r))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+@ray.remote
+class DistinctWindowActor:
+    """Watermarked tumbling windows over COUNT(DISTINCT col): per
+    (window, key) the state is either the exact value set
+    (``mode="exact"`` — right while per-window cardinality is
+    driver-heap-ish) or a 2^p-register HyperLogLog (``mode="hll"`` —
+    the 100-TB path: fixed bytes per open window regardless of
+    cardinality; registers merge by elementwise max, so disorder and
+    re-batching never change the estimate). Same watermark/lateness
+    contract as WindowStateActor."""
+
+    def __init__(self, window_us: int, lateness_us: int, ts_col: str,
+                 key_cols: list[str], distinct_col: str,
+                 mode: str = "exact", p: int = 12):
+        from recon_ray.functions.sketches import _col_hashes
+
+        self._hashes = _col_hashes
+        self.w = window_us
+        self.late = lateness_us
+        self.ts_col = ts_col
+        self.key_cols = list(key_cols)
+        self.dcol = distinct_col
+        self.mode = mode
+        self.p = p
+        self.state: dict = {}  # (win, *keys) → set | registers
+        self.horizon = None
+        self.max_ts = None
+        self.n_dropped = 0
+        self.max_open = 0
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema(
+            [("window_start", pa.timestamp("us"))]
+            + [(k, pa.string()) for k in self.key_cols]
+            + [("n_distinct", pa.int64() if self.mode == "exact"
+                else pa.float64())]
+        )
+
+    def _table(self, rows) -> pa.Table:
+        sch = self._schema()
+        if not rows:
+            return sch.empty_table()
+        vals = [
+            (len(st) if self.mode == "exact" else _hll_estimate(st))
+            for _k, st in rows
+        ]
+        cols = {
+            "window_start": pa.array([r[0][0] for r in rows],
+                                     pa.timestamp("us")),
+            "n_distinct": pa.array(vals, sch.types[-1]),
+        }
+        for i, kc in enumerate(self.key_cols):
+            cols[kc] = pa.array([r[0][1 + i] for r in rows],
+                                pa.string())
+        return pa.table({f.name: cols[f.name] for f in sch})
+
+    def ingest(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return self._schema().empty_table()
+        df = tbl.to_pandas()
+        ts = (df[self.ts_col].astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        win = (ts // self.w) * self.w
+        if self.horizon is not None:
+            late = (win + self.w) <= self.horizon
+            n_late = int(late.sum())
+            if n_late:
+                self.n_dropped += n_late
+                keep = ~late
+                df, ts, win = df[keep], ts[keep], win[keep]
+        if len(df):
+            d = pd.DataFrame({
+                "__w": win,
+                **{k: df[k].to_numpy() for k in self.key_cols},
+                "__v": df[self.dcol].to_numpy(),
+            })
+            # one group per distinct (window, key) in the batch; the
+            # per-group update is vectorized over that group's rows
+            for gk, g in d.groupby(["__w"] + self.key_cols,
+                                   sort=False):
+                gk = gk if isinstance(gk, tuple) else (gk,)
+                key = (int(gk[0]),) + tuple(gk[1:])
+                if self.mode == "exact":
+                    st = self.state.setdefault(key, set())
+                    st.update(g["__v"].unique().tolist())
+                else:
+                    h = self._hashes(g.rename(columns={"__v": "c"}),
+                                     "c")
+                    m = 1 << self.p
+                    idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+                    rest = h << np.uint64(self.p)
+                    nbits = 64 - self.p
+                    lz = np.full(len(h), nbits, dtype=np.int64)
+                    cur = rest.copy()
+                    found = np.zeros(len(h), dtype=bool)
+                    for b in range(nbits):
+                        top = (cur >> np.uint64(63)) & np.uint64(1)
+                        hit = (~found) & (top == 1)
+                        lz[hit] = b
+                        found |= hit
+                        cur = cur << np.uint64(1)
+                    regs = self.state.setdefault(
+                        key, np.zeros(m, dtype=np.int8))
+                    np.maximum.at(regs, idx,
+                                  (lz + 1).astype(np.int8))
+            mx = int(ts.max())
+            self.max_ts = mx if self.max_ts is None else max(
+                self.max_ts, mx)
+        rows = []
+        if self.max_ts is not None:
+            wm = self.max_ts - self.late
+            for k in sorted(self.state):
+                if k[0] + self.w <= wm:
+                    rows.append((k, self.state.pop(k)))
+            self.horizon = wm
+        out = self._table(rows)
+        self.max_open = max(self.max_open, len(self.state))
+        return out
+
+    def flush(self) -> pa.Table:
+        rows = [(k, self.state.pop(k)) for k in sorted(self.state)]
+        return self._table(rows)
+
+    def stats(self) -> dict:
+        return {"n_dropped": self.n_dropped, "max_open": self.max_open,
+                "open_now": len(self.state)}
+
+
+def stream_distinct_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_cols=("event_type",),
+    distinct_col: str = "user_id",
+    window: str = "6h",
+    lateness: str = "0s",
+    mode: str = "exact",
+    p: int = 12,
+    n_partitions: int = 8,
+    ordered: bool = True,
+):
+    """Watermarked COUNT(DISTINCT) per tumbling window. ``mode="exact"``
+    keeps per-window value sets (oracle-able); ``mode="hll"`` keeps
+    fixed-size mergeable registers — the scale path (disorder-proof:
+    register max is order-free). Same feed contract as
+    :func:`stream_tumbling_agg`."""
+    key_cols = list(key_cols)
+    w_us, l_us = _dur_us(window), _dur_us(lateness)
+    actors = [
+        DistinctWindowActor.remote(w_us, l_us, ts_col, key_cols,
+                                   distinct_col, mode, p)
+        for _ in range(n_partitions)
+    ]
+    src = ds.sort(ts_col) if ordered else ds
+    refs = src.materialize().to_arrow_refs()
+    emitted = []
+    for blk in refs:
+        subs = _split_by_key.options(
+            num_returns=n_partitions if n_partitions > 1 else 1
+        ).remote(blk, tuple(key_cols), n_partitions)
+        if n_partitions == 1:
+            subs = [subs]
+        for i in range(n_partitions):
+            emitted.append(actors[i].ingest.remote(subs[i]))
+    emitted.extend(a.flush.remote() for a in actors)
+    stats = ray.get([a.stats.remote() for a in actors])
+    return {
+        "result": rd.from_arrow_refs(emitted),
+        "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
+        "max_open_windows": int(max(s["max_open"] for s in stats)),
+    }

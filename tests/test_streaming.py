@@ -217,3 +217,50 @@ def test_hopping_windows_match_batch(ray_session):
     assert list(got["n_events"]) == list(want["n_events"])
     assert np.allclose(got["total_value"], want["total_value"])
     assert list(got["window_start"]) == list(want["window_start"])
+
+
+def test_stream_distinct_exact_and_hll(ray_session):
+    """Exact mode equals the batch nunique; HLL mode lands within the
+    2^12-register error envelope and survives disorder (register max
+    is order-free)."""
+    from recon_ray.stages.streaming import stream_distinct_agg
+
+    rng = np.random.RandomState(17)
+    n = 2000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            (rng.uniform(0, 24, n) * H).astype("int64"), unit="us"),
+        "event_type": rng.choice(["a", "b"], size=n),
+        "user_id": pd.Series(rng.randint(0, 500, size=n),
+                             dtype="int64"),
+    })
+    want = (df.assign(window_start=df["ts"].dt.floor("6h"))
+            .groupby(["window_start", "event_type"])["user_id"]
+            .nunique().reset_index(name="n_distinct")
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True))
+
+    out = stream_distinct_agg(
+        rd.from_pandas(df).repartition(4), window="6h",
+        distinct_col="user_id", mode="exact", n_partitions=2,
+        ordered=True)
+    got = (out["result"].to_pandas()
+           .sort_values(["window_start", "event_type"])
+           .reset_index(drop=True))
+    assert list(got["n_distinct"].astype("int64")) == list(
+        want["n_distinct"])
+
+    # HLL: unordered feed with generous lateness — estimates must stay
+    # within ~5% of truth at p=12 (1.04/sqrt(4096) ≈ 1.6% expected)
+    out_h = stream_distinct_agg(
+        rd.from_pandas(df).repartition(4), window="6h",
+        distinct_col="user_id", mode="hll", lateness="24h",
+        n_partitions=2, ordered=False)
+    got_h = (out_h["result"].to_pandas()
+             .sort_values(["window_start", "event_type"])
+             .reset_index(drop=True))
+    assert len(got_h) == len(want)
+    rel = np.abs(got_h["n_distinct"].to_numpy()
+                 - want["n_distinct"].to_numpy()) / np.maximum(
+        want["n_distinct"].to_numpy(), 1)
+    assert float(rel.max()) < 0.05
