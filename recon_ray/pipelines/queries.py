@@ -6097,6 +6097,27 @@ SQL_FRONTEND_TPCH_Q1 = (
 )
 
 
+SQL_FRONTEND_TUMBLING = (
+    "SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, "
+    "event_type, count(*) AS n_events, "
+    "round(sum(value), 2) AS total_value "
+    "FROM events GROUP BY window_start, event_type "
+    "ORDER BY window_start, event_type"
+)
+
+
+def q_sql_frontend_tumbling_6h(sf_dir: str):
+    """Tumbling-window aggregate THROUGH the SQL front-end:
+    time_bucket(INTERVAL 'N unit', ts) compiles to a temporal derive
+    column (bucket widths must divide a day, so the epoch origin and
+    DuckDB's 2000-01-01 origin agree) feeding the combiner groupby —
+    the identical string runs in DuckDB as the oracle."""
+    from recon_ray.sql import run_sql
+
+    return run_sql(SQL_FRONTEND_TUMBLING,
+                   {"events": _t(sf_dir, "events")})
+
+
 def q_sql_frontend_tpch_q1(sf_dir: str):
     """TPC-H Q1 in integer-cents form under the hash gate — the SAME
     string the handwritten q1 pipeline's oracle uses (ORACLE_Q1), now
@@ -9406,6 +9427,7 @@ QUERIES = {
     "q_sql_frontend_bool": q_sql_frontend_bool,
     "q_sql_frontend_expr": q_sql_frontend_expr,
     "q_sql_frontend_tpch_q1": q_sql_frontend_tpch_q1,
+    "q_sql_frontend_tumbling_6h": q_sql_frontend_tumbling_6h,
     "q_sql_frontend_tpch_q3": q_sql_frontend_tpch_q3,
     "q_sql_frontend_tpch_q5": q_sql_frontend_tpch_q5,
     "q_sql_frontend_tpch_q6": q_sql_frontend_tpch_q6,
@@ -9891,6 +9913,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_sql_frontend_bool": SQL_FRONTEND_BOOL,
         "q_sql_frontend_expr": SQL_FRONTEND_EXPR,
         "q_sql_frontend_tpch_q1": SQL_FRONTEND_TPCH_Q1,
+        "q_sql_frontend_tumbling_6h": SQL_FRONTEND_TUMBLING,
         "q_sql_frontend_tpch_q3": SQL_FRONTEND_TPCH_Q3,
         "q_sql_frontend_tpch_q5": SQL_FRONTEND_TPCH_Q5,
         "q_sql_frontend_tpch_q6": SQL_FRONTEND_TPCH_Q6,

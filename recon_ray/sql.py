@@ -1556,6 +1556,33 @@ def parse_sql(sql: str) -> dict:
                 {"agg": None, "col": alias, "distinct": False,
                  "alias": alias, "strfn": sfn})
             continue
+        tbm = re.match(
+            r"^time_bucket\s*\(\s*interval\s+'(\d+)\s*"
+            r"(second|seconds|minute|minutes|hour|hours|day|days)'"
+            r"\s*,\s*(" + _QCOL + r")\s*\)$", expr, re.I)
+        if tbm:
+            # time_bucket(INTERVAL 'N unit', ts): arbitrary-width
+            # tumbling bucket as a temporal derive column. Widths must
+            # divide a day so the epoch origin and DuckDB's 2000-01-01
+            # origin land on the same boundaries (both are midnights).
+            if not alias:
+                raise SqlError(
+                    f"time_bucket select items need an AS alias: "
+                    f"{item!r}")
+            n = int(tbm.group(1))
+            unit = tbm.group(2).lower().rstrip("s")
+            secs = n * {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400}[unit]
+            if secs <= 0 or (86400 % secs and secs % 86400):
+                raise SqlError(
+                    "time_bucket width must divide (or be a multiple "
+                    f"of) one day for origin-free bucketing: {item!r}")
+            q["select"].append(
+                {"agg": None, "col": alias, "distinct": False,
+                 "alias": alias,
+                 "datefn": (f"bucket_{secs}",
+                            _unqual(tbm.group(3), aliases))})
+            continue
         dtm = re.match(
             r"^date_trunc\s*\(\s*'(year|month|week|day|hour|minute)'"
             r"\s*,\s*(" + _QCOL + r")\s*\)$", expr, re.I)
@@ -3208,7 +3235,10 @@ def run_sql(sql: str, tables: dict,
                     s = pd.Series(b[src])
                     if not pd.api.types.is_datetime64_any_dtype(s):
                         s = pd.to_datetime(s)
-                    if part == "year":
+                    if part.startswith("bucket_"):
+                        v = s.dt.floor(
+                            pd.Timedelta(seconds=int(part[7:])))
+                    elif part == "year":
                         v = s.dt.to_period("Y").dt.to_timestamp()
                     elif part == "month":
                         v = s.dt.to_period("M").dt.to_timestamp()

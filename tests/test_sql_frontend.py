@@ -2416,3 +2416,31 @@ def test_update_where_inside_string_literal(ray_session):
         "UPDATE u SET s = 'all where z'; SELECT count(*) AS n, "
         "min(s) AS m FROM u", {"u": rd.from_pandas(df)})
     assert out2["n"].tolist() == [2] and out2["m"].tolist() == ["all where z"]
+
+
+def test_time_bucket_widths(ray_session):
+    """time_bucket compiles for day-dividing widths and matches DuckDB
+    on the identical string; a non-dividing width is rejected at plan
+    time (its buckets would depend on the origin)."""
+    import duckdb
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(
+            np.arange(50, dtype="int64") * 2_700_000_000_000, unit="us"),
+        "v": np.arange(50, dtype="float64"),
+    })
+    con = duckdb.connect()
+    con.register("e", ev)
+    for width in ("2 hours", "45 minutes", "1 day", "30 seconds"):
+        sql = (f"SELECT time_bucket(INTERVAL '{width}', ts) AS w, "
+               "count(*) AS n, round(sum(v), 2) AS sv "
+               "FROM e GROUP BY w ORDER BY w")
+        got = run_sql(sql, {"e": rd.from_pandas(ev)})
+        want = con.execute(sql).df()
+        assert list(got["n"]) == list(want["n"])
+        assert list(got["sv"]) == list(want["sv"])
+        assert list(got["w"]) == list(want["w"])
+    with pytest.raises(SqlError):
+        run_sql("SELECT time_bucket(INTERVAL '7 hours', ts) AS w, "
+                "count(*) AS n FROM e GROUP BY w",
+                {"e": rd.from_pandas(ev)})
