@@ -603,6 +603,42 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_stream_topk_users_6h(sf_dir: str):
+    """Watermarked per-window TOP-5 users by event count (streaming
+    TopKWindowActor, exact mode — rows split by WINDOW so each actor
+    ranks whole windows; mode="mg" is the fixed-memory Misra-Gries
+    scale path, heavy-hitter-pinned in tests/test_streaming.py).
+    Deterministic rank: count DESC, user_id ASC."""
+    from recon_ray.stages.streaming import stream_topk_agg
+
+    out = stream_topk_agg(
+        _t(sf_dir, "events"), ts_col="ts", item_col="user_id",
+        window="6h", k=5, lateness="0s", mode="exact", ordered=True,
+    )
+    df = out["result"].to_pandas()
+    df = df.rename(columns={"item": "user_id"})
+    df["n"] = df["n"].astype("int64")
+    return (
+        df[["window_start", "user_id", "n"]]
+        .sort_values(["window_start", "n", "user_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_EVENTS_STREAM_TOPK = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, user_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, user_id) AS rk
+      FROM c)
+SELECT window_start, user_id, n FROM r WHERE rk <= 5
+ORDER BY window_start, n DESC, user_id
+"""
+
+
 def q_events_stream_sessions(sf_dir: str):
     """STREAMING gap-based sessionization (stages/streaming.py
     SessionStateActor — the MERGING-window case: a late event can
@@ -9358,6 +9394,7 @@ QUERIES = {
     "q_events_stream_sessions": q_events_stream_sessions,
     "q_events_stream_hopping_6h_2h": q_events_stream_hopping_6h_2h,
     "q_events_stream_distinct_6h": q_events_stream_distinct_6h,
+    "q_events_stream_topk_users_6h": q_events_stream_topk_users_6h,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
@@ -9640,6 +9677,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_stream_sessions": ORACLE_EVENTS_SESSIONS,
         "q_events_stream_hopping_6h_2h": ORACLE_EVENTS_STREAM_HOPPING,
         "q_events_stream_distinct_6h": ORACLE_EVENTS_STREAM_DISTINCT,
+        "q_events_stream_topk_users_6h": ORACLE_EVENTS_STREAM_TOPK,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,

@@ -613,3 +613,181 @@ def stream_distinct_agg(
         "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
         "max_open_windows": int(max(s["max_open"] for s in stats)),
     }
+
+
+@ray.remote
+def _split_by_window(tbl: pa.Table, ts_col: str, w_us: int,
+                     n_parts: int):
+    """Hash-split one block by WINDOW assignment (floor(ts/w)) — for
+    per-window rankings every row of a window must land on one actor
+    (keys alone won't do: ranking is global within the window)."""
+    if tbl.num_rows == 0:
+        out = tuple(tbl for _ in range(n_parts))
+        return out if n_parts > 1 else out[0]
+    ts = (tbl.column(ts_col).to_pandas()
+          .astype("datetime64[us]").astype("int64").to_numpy())
+    win = (ts // w_us) * w_us
+    h = pd.util.hash_pandas_object(
+        pd.Series(win), index=False).to_numpy()
+    b = (h % np.uint64(n_parts)).astype(np.int64)
+    out = tuple(tbl.take(np.flatnonzero(b == i)) for i in range(n_parts))
+    return out if n_parts > 1 else out[0]
+
+
+@ray.remote
+class TopKWindowActor:
+    """Per-window top-k items. ``mode="exact"``: a full item→count map
+    per open window (oracle-able; right while per-window cardinality is
+    heap-ish). ``mode="mg"``: a Misra-Gries summary of ``capacity``
+    counters per window — fixed memory; any item with true frequency
+    > window_n/capacity is guaranteed present (the classic heavy-hitter
+    bound), so the true top-k survives on skewed streams. Emission
+    ranks by (count DESC, item ASC) and keeps k rows per window."""
+
+    def __init__(self, window_us: int, lateness_us: int, ts_col: str,
+                 item_col: str, k: int, mode: str = "exact",
+                 capacity: int = 256):
+        self.w = window_us
+        self.late = lateness_us
+        self.ts_col = ts_col
+        self.item_col = item_col
+        self.k = k
+        self.mode = mode
+        self.cap = capacity
+        self.state: dict = {}  # win_start → {item: count}
+        self.horizon = None
+        self.max_ts = None
+        self.n_dropped = 0
+        self.max_open = 0
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema([
+            ("window_start", pa.timestamp("us")),
+            ("item", pa.int64()),
+            ("n", pa.int64()),
+        ])
+
+    def _table(self, rows) -> pa.Table:
+        sch = self._schema()
+        if not rows:
+            return sch.empty_table()
+        return pa.table({
+            "window_start": pa.array([r[0] for r in rows],
+                                     pa.timestamp("us")),
+            "item": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    def ingest(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return self._schema().empty_table()
+        df = tbl.to_pandas()
+        ts = (df[self.ts_col].astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        win = (ts // self.w) * self.w
+        if self.horizon is not None:
+            late = (win + self.w) <= self.horizon
+            n_late = int(late.sum())
+            if n_late:
+                self.n_dropped += n_late
+                keep = ~late
+                df, ts, win = df[keep], ts[keep], win[keep]
+        if len(df):
+            counts = (
+                pd.DataFrame({"__w": win,
+                              "__i": df[self.item_col].to_numpy()})
+                .groupby(["__w", "__i"], sort=False)
+                .size().reset_index(name="__n")
+            )
+            # merge loop is (window × distinct-item-in-batch)-bounded
+            for wv, iv, nv in zip(counts["__w"].to_numpy(),
+                                  counts["__i"].to_numpy(),
+                                  counts["__n"].to_numpy()):
+                st = self.state.setdefault(int(wv), {})
+                item, add = int(iv), int(nv)
+                if item in st or self.mode == "exact" \
+                        or len(st) < self.cap:
+                    st[item] = st.get(item, 0) + add
+                else:
+                    # Misra-Gries decrement: new item with a full
+                    # summary → subtract min(add, current minimum)
+                    # from EVERY counter, evicting zeros; survivors'
+                    # counts stay lower bounds within n/capacity
+                    dec = min(add, min(st.values()))
+                    st = {i: c - dec for i, c in st.items() if c > dec}
+                    if add > dec:
+                        st[item] = add - dec
+                    self.state[int(wv)] = st
+            mx = int(ts.max())
+            self.max_ts = mx if self.max_ts is None else max(
+                self.max_ts, mx)
+        rows = []
+        if self.max_ts is not None:
+            wm = self.max_ts - self.late
+            for w0 in sorted(self.state):
+                if w0 + self.w <= wm:
+                    st = self.state.pop(w0)
+                    top = sorted(st.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[: self.k]
+                    rows.extend((w0, i, c) for i, c in top)
+            self.horizon = wm
+        out = self._table(rows)
+        self.max_open = max(self.max_open, len(self.state))
+        return out
+
+    def flush(self) -> pa.Table:
+        rows = []
+        for w0 in sorted(self.state):
+            st = self.state.pop(w0)
+            top = sorted(st.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[: self.k]
+            rows.extend((w0, i, c) for i, c in top)
+        return self._table(rows)
+
+    def stats(self) -> dict:
+        return {"n_dropped": self.n_dropped, "max_open": self.max_open,
+                "open_now": len(self.state)}
+
+
+def stream_topk_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    window: str = "6h",
+    k: int = 5,
+    lateness: str = "0s",
+    mode: str = "exact",
+    capacity: int = 256,
+    n_partitions: int = 8,
+    ordered: bool = True,
+):
+    """Watermarked per-window top-k items. Rows split by WINDOW (a
+    ranking needs its whole window on one actor), so actors own whole
+    windows and emit exactly k (count DESC, item ASC) rows per sealed
+    window. ``mode="mg"`` bounds per-window memory with a Misra-Gries
+    summary (heavy hitters guaranteed above n/capacity)."""
+    w_us, l_us = _dur_us(window), _dur_us(lateness)
+    actors = [
+        TopKWindowActor.remote(w_us, l_us, ts_col, item_col, k, mode,
+                               capacity)
+        for _ in range(n_partitions)
+    ]
+    src = ds.sort(ts_col) if ordered else ds
+    refs = src.materialize().to_arrow_refs()
+    emitted = []
+    for blk in refs:
+        subs = _split_by_window.options(
+            num_returns=n_partitions if n_partitions > 1 else 1
+        ).remote(blk, ts_col, w_us, n_partitions)
+        if n_partitions == 1:
+            subs = [subs]
+        for i in range(n_partitions):
+            emitted.append(actors[i].ingest.remote(subs[i]))
+    emitted.extend(a.flush.remote() for a in actors)
+    stats = ray.get([a.stats.remote() for a in actors])
+    return {
+        "result": rd.from_arrow_refs(emitted),
+        "n_late_dropped": int(sum(s["n_dropped"] for s in stats)),
+        "max_open_windows": int(max(s["max_open"] for s in stats)),
+    }

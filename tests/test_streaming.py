@@ -264,3 +264,56 @@ def test_stream_distinct_exact_and_hll(ray_session):
                  - want["n_distinct"].to_numpy()) / np.maximum(
         want["n_distinct"].to_numpy(), 1)
     assert float(rel.max()) < 0.05
+
+
+def test_stream_topk_exact_and_mg(ray_session):
+    """Exact mode equals the batch per-window top-k (count DESC, item
+    ASC); Misra-Gries mode on a skewed stream keeps every true heavy
+    hitter (frequency > n/capacity guarantee) in rank order."""
+    from recon_ray.stages.streaming import stream_topk_agg
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    # skewed items: 3 heavies own ~60% of each window
+    items = np.where(rng.uniform(size=n) < 0.6,
+                     rng.randint(0, 3, size=n),
+                     rng.randint(3, 200, size=n))
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            (rng.uniform(0, 24, n) * H).astype("int64"), unit="us"),
+        "user_id": pd.Series(items, dtype="int64"),
+    })
+
+    def batch_topk(k):
+        c = (df.assign(window_start=df["ts"].dt.floor("6h"))
+             .groupby(["window_start", "user_id"])
+             .size().reset_index(name="n"))
+        c = c.sort_values(["window_start", "n", "user_id"],
+                          ascending=[True, False, True])
+        return (c.groupby("window_start").head(k)
+                .reset_index(drop=True))
+
+    out = stream_topk_agg(
+        rd.from_pandas(df).repartition(4), window="6h", k=5,
+        item_col="user_id", mode="exact", n_partitions=2, ordered=True)
+    got = (out["result"].to_pandas()
+           .sort_values(["window_start", "n", "item"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    want = batch_topk(5)
+    assert list(got["item"]) == list(want["user_id"])
+    assert list(got["n"].astype("int64")) == list(want["n"])
+
+    out_mg = stream_topk_agg(
+        rd.from_pandas(df).repartition(4), window="6h", k=3,
+        item_col="user_id", mode="mg", capacity=64, n_partitions=2,
+        ordered=True)
+    got_mg = out_mg["result"].to_pandas()
+    want3 = batch_topk(3)
+    for w0, grp in want3.groupby("window_start"):
+        mg_items = list(
+            got_mg[got_mg["window_start"] == w0]["item"])
+        # each window's ~20%-frequency heavies are far above the
+        # n/capacity survival bound — ALL true top-3 must be present
+        assert set(grp["user_id"]).issubset(set(mg_items)), (
+            w0, mg_items, list(grp["user_id"]))
