@@ -639,6 +639,49 @@ ORDER BY window_start, n DESC, user_id
 """
 
 
+def q_events_stream_attribution(sf_dir: str):
+    """Stream-stream event-time interval join (stages/streaming.py
+    IntervalJoinActor): purchases attributed to a preceding view by
+    the same user within 24 h — (view event_id, purchase event_id)
+    pairs, emitted exactly once regardless of which side arrives
+    second. The two-input watermark is min(per-side max ts) −
+    lateness, the Flink rule. Oracle: the equivalent batch interval
+    self-join in DuckDB."""
+    import pyarrow.compute as _pc
+
+    from recon_ray.stages.streaming import stream_interval_join
+
+    ev = _t(sf_dir, "events")
+
+    def side(t, kind):
+        return t.filter(_pc.equal(t.column("event_type"), kind))
+
+    views = ev.map_batches(lambda t: side(t, "view"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    buys = ev.map_batches(lambda t: side(t, "purchase"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    out = stream_interval_join(
+        views, buys, key_col="user_id", ts_col="ts",
+        id_col="event_id", horizon="24h", lateness="0s", ordered=True,
+    )
+    df = out["result"].to_pandas().rename(
+        columns={"left_id": "view_id", "right_id": "purchase_id"})
+    df["view_id"] = df["view_id"].astype("int64")
+    df["purchase_id"] = df["purchase_id"].astype("int64")
+    return (df.sort_values(["view_id", "purchase_id"])
+            .reset_index(drop=True))
+
+
+ORACLE_EVENTS_STREAM_ATTRIBUTION = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+
 def q_events_stream_sessions(sf_dir: str):
     """STREAMING gap-based sessionization (stages/streaming.py
     SessionStateActor — the MERGING-window case: a late event can
@@ -9395,6 +9438,7 @@ QUERIES = {
     "q_events_stream_hopping_6h_2h": q_events_stream_hopping_6h_2h,
     "q_events_stream_distinct_6h": q_events_stream_distinct_6h,
     "q_events_stream_topk_users_6h": q_events_stream_topk_users_6h,
+    "q_events_stream_attribution": q_events_stream_attribution,
     "q_events_rolling_7d": q_events_rolling_7d,
     "q_events_window_running": q_events_window_running,
     "q_events_transitions": q_events_transitions,
@@ -9678,6 +9722,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "q_events_stream_hopping_6h_2h": ORACLE_EVENTS_STREAM_HOPPING,
         "q_events_stream_distinct_6h": ORACLE_EVENTS_STREAM_DISTINCT,
         "q_events_stream_topk_users_6h": ORACLE_EVENTS_STREAM_TOPK,
+        "q_events_stream_attribution": ORACLE_EVENTS_STREAM_ATTRIBUTION,
         "q_events_rolling_7d": ORACLE_EVENTS_ROLLING,
         "q_events_window_running": ORACLE_EVENTS_WINDOW,
         "q_events_transitions": ORACLE_EVENTS_TRANSITIONS,

@@ -317,3 +317,63 @@ def test_stream_topk_exact_and_mg(ray_session):
         # n/capacity survival bound — ALL true top-3 must be present
         assert set(grp["user_id"]).issubset(set(mg_items)), (
             w0, mg_items, list(grp["user_id"]))
+
+
+def test_stream_interval_join_matches_batch(ray_session):
+    """Exactly-once pair emission vs the brute-force batch interval
+    join, both ordered and with a disordered feed under a lateness
+    budget (a pair must emit once no matter which side arrives
+    second)."""
+    from recon_ray.stages.streaming import stream_interval_join
+
+    rng = np.random.RandomState(31)
+    n = 400
+    base = pd.DataFrame({
+        "ts": pd.to_datetime(
+            (rng.uniform(0, 96, n) * H).astype("int64"), unit="us"),
+        "user_id": pd.Series(rng.randint(0, 12, n), dtype="int64"),
+        "event_id": pd.Series(np.arange(n), dtype="int64"),
+    })
+    L = base.iloc[: n // 2].reset_index(drop=True)
+    R = base.iloc[n // 2:].reset_index(drop=True)
+
+    want = (L.merge(R, on="user_id", suffixes=("_l", "_r")))
+    want = want[(want["ts_r"] >= want["ts_l"])
+                & (want["ts_r"] <= want["ts_l"]
+                   + pd.Timedelta(hours=12))]
+    want = set(zip(want["event_id_l"], want["event_id_r"]))
+
+    for ordered, lateness in ((True, "0s"), (False, "96h")):
+        out = stream_interval_join(
+            rd.from_pandas(L).repartition(4),
+            rd.from_pandas(R).repartition(3),
+            key_col="user_id", horizon="12h", lateness=lateness,
+            n_partitions=3, ordered=ordered)
+        df = out["result"].to_pandas()
+        got = list(zip(df["left_id"], df["right_id"]))
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        assert set(got) == want
+        assert out["n_late_dropped"] == 0
+
+
+def test_stream_interval_join_buffer_bounded(ray_session):
+    """With an ordered feed and a small horizon, buffered state stays
+    bounded by the horizon population, not stream length."""
+    from recon_ray.stages.streaming import stream_interval_join
+
+    n = 1000
+    L = pd.DataFrame({
+        "ts": pd.to_datetime(np.arange(n, dtype="int64") * H, unit="us"),
+        "user_id": pd.Series(np.zeros(n), dtype="int64"),
+        "event_id": pd.Series(np.arange(n), dtype="int64"),
+    })
+    R = L.assign(event_id=L["event_id"] + n)
+    out = stream_interval_join(
+        rd.from_pandas(L).repartition(20),
+        rd.from_pandas(R).repartition(20),
+        key_col="user_id", horizon="2h", lateness="0s",
+        n_partitions=1, ordered=True)
+    df = out["result"].to_pandas()
+    # each left matches rights at +0h,+1h,+2h (except the tail)
+    assert len(df) == 3 * n - 3
+    assert out["max_buffered"] < 300  # ≪ 2n total events
