@@ -732,6 +732,24 @@ def cmd_stream(args) -> int:
             gap=args.gap, lateness=args.lateness,
             n_partitions=args.partitions,
             ordered=not args.unordered)
+    elif args.mode == "distinct":
+        from recon_ray.stages.streaming import stream_distinct_agg
+
+        out = stream_distinct_agg(
+            ds, ts_col=args.ts_col, key_cols=[args.key],
+            distinct_col=args.distinct_col, window=args.window,
+            lateness=args.lateness, mode=args.sketch,
+            n_partitions=args.partitions,
+            ordered=not args.unordered)
+    elif args.mode == "topk":
+        from recon_ray.stages.streaming import stream_topk_agg
+
+        out = stream_topk_agg(
+            ds, ts_col=args.ts_col, item_col=args.distinct_col,
+            window=args.window, k=args.k, lateness=args.lateness,
+            mode="exact" if args.sketch == "exact" else "mg",
+            n_partitions=args.partitions,
+            ordered=not args.unordered)
     else:
         from recon_ray.stages.streaming import stream_tumbling_agg
 
@@ -997,8 +1015,16 @@ def main(argv=None) -> int:
     pstr = sub.add_parser(
         "stream", help="event-time streaming windows (watermarked)")
     pstr.add_argument("events", help="events parquet path")
-    pstr.add_argument("--mode", choices=["tumbling", "sessions"],
+    pstr.add_argument("--mode",
+                      choices=["tumbling", "sessions", "distinct",
+                               "topk"],
                       default="tumbling")
+    pstr.add_argument("--distinct-col", default="user_id",
+                      help="distinct/top-k item column")
+    pstr.add_argument("--sketch", choices=["exact", "hll", "mg"],
+                      default="exact",
+                      help="distinct: exact|hll; topk: exact|mg")
+    pstr.add_argument("-k", type=int, default=5, help="topk k")
     pstr.add_argument("--ts-col", default="ts")
     pstr.add_argument("--key", default="event_type",
                       help="key column (sessions default: user_id)")

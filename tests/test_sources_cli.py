@@ -625,3 +625,33 @@ def test_cli_stream(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "session_start" in r.stdout
+
+
+def test_cli_stream_distinct_topk(tmp_path):
+    import pandas as pd
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime([0, 1, 2, 3_600_000_000], unit="us"),
+        "event_type": ["a", "a", "a", "b"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "user_id": pd.Series([1, 1, 2, 3], dtype="int64"),
+    })
+    path = str(tmp_path / "ev.parquet")
+    ev.to_parquet(path)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "stream", path,
+         "--mode", "distinct", "--window", "6h"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "n_distinct" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "stream", path,
+         "--mode", "topk", "-k", "2", "--window", "6h"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "item" in r.stdout
