@@ -316,6 +316,12 @@ def run_bench() -> dict:
     )["result"].count()
     queries["events_stream_tumbling"] = round(time.time() - t0, 3)
 
+    from recon_ray.pipelines.queries import q_events_stream_attribution
+
+    t0 = time.time()
+    q_events_stream_attribution(SF_DIR)
+    queries["events_stream_attribution"] = round(time.time() - t0, 3)
+
     # incremental dedup indexes: ingest the documents/embeddings tables
     # as TWO shards (doc_id parity) into a fresh index — the
     # history-independence claim is shard-2 cost ≈ shard-1 cost (each

@@ -1007,6 +1007,12 @@ def stream_interval_join(
             batch_format="pyarrow", zero_copy_batch=True)
         if ordered:
             ds = ds.sort("__ts")
+        # order-preserving coalesce: ingest-call count is blocks ×
+        # partitions, and the per-call buffered-pair subtraction is
+        # recomputed per micro-batch — fewer, bigger micro-batches
+        # amortize both
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=32768)
         return ds.materialize().to_arrow_refs()
 
     lrefs, rrefs = prep(left_ds), prep(right_ds)
