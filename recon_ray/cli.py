@@ -724,6 +724,11 @@ def cmd_stream(args) -> int:
     import ray.data as rd
 
     ds = rd.read_parquet(args.events)
+    # per-mode key default: sessions sessionize per user, the window
+    # aggregates group per event_type (argparse default is None so the
+    # help text and the behavior agree)
+    if args.key is None:
+        args.key = "user_id" if args.mode == "sessions" else "event_type"
     if args.mode == "sessions":
         from recon_ray.stages.streaming import stream_session_windows
 
@@ -1026,8 +1031,9 @@ def main(argv=None) -> int:
                       help="distinct: exact|hll; topk: exact|mg")
     pstr.add_argument("-k", type=int, default=5, help="topk k")
     pstr.add_argument("--ts-col", default="ts")
-    pstr.add_argument("--key", default="event_type",
-                      help="key column (sessions default: user_id)")
+    pstr.add_argument("--key", default=None,
+                      help="key column (default: user_id for "
+                           "sessions, event_type otherwise)")
     pstr.add_argument("--value-col", default="value")
     pstr.add_argument("--window", default="6h")
     pstr.add_argument("--slide", default=None,

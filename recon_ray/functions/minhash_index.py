@@ -195,6 +195,10 @@ def id_set_filter(ds, ids, col: str = "doc_id", keep: bool = True):
         m = pc.is_in(t.column(col),
                      value_set=_ray.get(vs) if isinstance(
                          vs, _ray.ObjectRef) else vs)
+        # null ids yield a null mask entry; fill with False so the
+        # drop path (keep=False) RETAINS null-id rows (isin semantics)
+        # rather than silently filtering them out.
+        m = pc.fill_null(m, False)
         return t.filter(m if keep else pc.invert(m))
 
     return ds.map_batches(f, batch_format="pyarrow",

@@ -1562,9 +1562,10 @@ def parse_sql(sql: str) -> dict:
             r"\s*,\s*(" + _QCOL + r")\s*\)$", expr, re.I)
         if tbm:
             # time_bucket(INTERVAL 'N unit', ts): arbitrary-width
-            # tumbling bucket as a temporal derive column. Widths must
-            # divide a day so the epoch origin and DuckDB's 2000-01-01
-            # origin land on the same boundaries (both are midnights).
+            # tumbling bucket as a temporal derive column. Buckets are
+            # aligned to DuckDB's default origin 2000-01-03 00:00:00
+            # (a Monday), so any positive width — including multi-day
+            # and non-day-dividing widths — matches DuckDB exactly.
             if not alias:
                 raise SqlError(
                     f"time_bucket select items need an AS alias: "
@@ -1573,10 +1574,9 @@ def parse_sql(sql: str) -> dict:
             unit = tbm.group(2).lower().rstrip("s")
             secs = n * {"second": 1, "minute": 60, "hour": 3600,
                         "day": 86400}[unit]
-            if secs <= 0 or (86400 % secs and secs % 86400):
+            if secs <= 0:
                 raise SqlError(
-                    "time_bucket width must divide (or be a multiple "
-                    f"of) one day for origin-free bucketing: {item!r}")
+                    f"time_bucket width must be positive: {item!r}")
             q["select"].append(
                 {"agg": None, "col": alias, "distinct": False,
                  "alias": alias,
@@ -3236,8 +3236,21 @@ def run_sql(sql: str, tables: dict,
                     if not pd.api.types.is_datetime64_any_dtype(s):
                         s = pd.to_datetime(s)
                     if part.startswith("bucket_"):
-                        v = s.dt.floor(
-                            pd.Timedelta(seconds=int(part[7:])))
+                        # DuckDB time_bucket aligns to origin
+                        # 2000-01-03 00:00:00 (not the Unix epoch);
+                        # int64-ns floor-div rounds toward -inf so
+                        # pre-origin timestamps bucket correctly too.
+                        width_ns = int(part[7:]) * 1_000_000_000
+                        origin_ns = pd.Timestamp("2000-01-03").value
+                        ns = s.astype("int64").to_numpy()
+                        off = ns - origin_ns
+                        v = pd.Series(
+                            pd.to_datetime(
+                                (off // width_ns) * width_ns
+                                + origin_ns),
+                            index=s.index)
+                        if s.isna().any():
+                            v[s.isna()] = pd.NaT
                     elif part == "year":
                         v = s.dt.to_period("Y").dt.to_timestamp()
                     elif part == "month":

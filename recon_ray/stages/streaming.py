@@ -33,6 +33,19 @@ sub-table REFS route to actors in submission order (Ray actors
 execute a caller's tasks in submission order, so the ordered feed
 survives the async pipeline). Emitted windows stay in the object
 store (``from_arrow_refs``).
+
+Cross-batch state in every actor is COLUMNAR (pandas frames / numpy
+register matrices), and each ingest folds the batch in with one
+vectorized concat + groupby — there is no per-(window × key) Python
+loop anywhere on the hot path, so a stream keyed by a
+row-cardinality column (user_id) costs the same per event as one
+keyed by a low-cardinality column (event_type).
+
+``ordered=False`` is the production path: blocks stream straight out
+of the execution via ``iter_internal_ref_bundles`` (no sort, no
+materialize of the source); results equal the batch aggregate iff
+``lateness`` covers the stream's disorder.  ``ordered=True`` is the
+deterministic replay mode (global sort first) used for oracle parity.
 """
 
 from __future__ import annotations
@@ -55,10 +68,48 @@ def _dur_us(spec: str) -> int:
     raise ValueError(f"bad duration {spec!r} (use e.g. '6h', '30m')")
 
 
-def _emit_schema(key_cols: list[str]) -> pa.Schema:
+def _col_types(ds, cols) -> list:
+    """Arrow types of ``cols`` from the Dataset's schema, so emitted
+    window rows carry the INPUT key dtypes (an int64 user_id key emits
+    int64, not a hard-coded string)."""
+    sch = ds.schema()
+    m = dict(zip(sch.names, sch.types))
+    out = []
+    for c in cols:
+        t = m.get(c)
+        out.append(t if isinstance(t, pa.DataType) else pa.string())
+    return out
+
+
+def _feed_refs(ds, sort_col: str, ordered: bool):
+    """Block refs in feed order. ``ordered=True`` → global sort +
+    materialize (the deterministic replay mode; batch-equivalent by
+    construction). ``ordered=False`` → STREAM the execution's ref
+    bundles as they are produced — no sort, no materialization of the
+    source; this is the production path, where backpressure and block
+    pipelining stay intact."""
+    if ordered:
+        return ds.sort(sort_col).materialize().to_arrow_refs()
+
+    def gen():
+        # preserve_order keeps the feed deterministic (block order =
+        # logical dataset order) while the executor still streams with
+        # backpressure — late-drop counts stay reproducible run-to-run
+        try:
+            ds.context.execution_options.preserve_order = True
+        except AttributeError:
+            pass
+        for bundle in ds.iter_internal_ref_bundles():
+            yield from bundle.block_refs
+
+    return gen()
+
+
+def _emit_schema(key_cols: list[str], key_types=None) -> pa.Schema:
+    kts = key_types or [pa.string()] * len(key_cols)
     return pa.schema(
         [("window_start", pa.timestamp("us"))]
-        + [(k, pa.string()) for k in key_cols]
+        + list(zip(key_cols, kts))
         + [("n_events", pa.int64()), ("total_value", pa.float64())]
     )
 
@@ -66,13 +117,15 @@ def _emit_schema(key_cols: list[str]) -> pa.Schema:
 @ray.remote
 class WindowStateActor:
     """One hash-partition of the key space: open-window partials,
-    watermark, late-drop counter. All per-batch work is vectorized
-    (one pandas groupby per ingest); the state merge iterates the
-    GROUPS of the batch (distinct window×key combos), never rows."""
+    watermark, late-drop counter. State is a COLUMNAR frame
+    (__w, *keys, __n, __s); each ingest folds the batch partial in
+    with one vectorized concat + groupby-sum — cost is
+    O(open state + batch groups) at numpy speed, independent of key
+    cardinality (no per-group Python loop)."""
 
     def __init__(self, window_us: int, lateness_us: int,
                  ts_col: str, key_cols: list[str], value_col: str,
-                 slide_us: "int | None" = None):
+                 slide_us: "int | None" = None, key_types=None):
         self.w = window_us
         # hopping windows: starts aligned to ``slide``; every event
         # belongs to w/slide overlapping windows. slide == window (the
@@ -84,41 +137,55 @@ class WindowStateActor:
         self.late = lateness_us
         self.ts_col = ts_col
         self.key_cols = list(key_cols)
+        self.key_types = key_types
         self.value_col = value_col
-        self.state: dict = {}  # (win_start_us, *keys) → [n, sum]
+        self.state: "pd.DataFrame | None" = None
         self.horizon = None  # emitted-through watermark (us)
         self.max_ts = None
         self.n_dropped = 0
         self.max_open = 0
 
-    def _emit_ready(self) -> pa.Table:
-        wm = (self.max_ts - self.late) if self.max_ts is not None else None
-        rows = []
-        if wm is not None:
-            for k in sorted(self.state):
-                if k[0] + self.w <= wm:
-                    rows.append((k, self.state.pop(k)))
-            self.horizon = wm
-        return self._table(rows)
+    def _schema(self) -> pa.Schema:
+        return _emit_schema(self.key_cols, self.key_types)
 
-    def _table(self, rows) -> pa.Table:
-        sch = _emit_schema(self.key_cols)
-        if not rows:
+    def _table(self, frame: "pd.DataFrame | None") -> pa.Table:
+        sch = self._schema()
+        if frame is None or not len(frame):
             return sch.empty_table()
+        frame = frame.sort_values(["__w"] + self.key_cols,
+                                  kind="mergesort")
         cols = {
             "window_start": pa.array(
-                [r[0][0] for r in rows], pa.timestamp("us")),
-            "n_events": pa.array([r[1][0] for r in rows], pa.int64()),
-            "total_value": pa.array([r[1][1] for r in rows],
-                                    pa.float64()),
+                frame["__w"].to_numpy().astype("int64"),
+                pa.timestamp("us")),
+            "n_events": pa.array(
+                frame["__n"].to_numpy().astype("int64"), pa.int64()),
+            "total_value": pa.array(
+                frame["__s"].to_numpy().astype("float64"),
+                pa.float64()),
         }
-        for i, kc in enumerate(self.key_cols):
-            cols[kc] = pa.array([r[0][1 + i] for r in rows], pa.string())
+        for kc, kt in zip(self.key_cols, sch.types[1:1 + len(
+                self.key_cols)]):
+            cols[kc] = pa.array(frame[kc], type=kt, from_pandas=True)
         return pa.table({f.name: cols[f.name] for f in sch})
+
+    def _emit_ready(self) -> pa.Table:
+        if self.max_ts is None:
+            return self._schema().empty_table()
+        wm = self.max_ts - self.late
+        self.horizon = wm
+        if self.state is None or not len(self.state):
+            return self._schema().empty_table()
+        sealed = (self.state["__w"].to_numpy() + self.w) <= wm
+        if not sealed.any():
+            return self._schema().empty_table()
+        emit = self.state[sealed]
+        self.state = self.state[~sealed].reset_index(drop=True)
+        return self._table(emit)
 
     def ingest(self, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return _emit_schema(self.key_cols).empty_table()
+            return self._schema().empty_table()
         df = tbl.to_pandas()
         ts = (df[self.ts_col].astype("datetime64[us]")
               .astype("int64").to_numpy())
@@ -150,18 +217,17 @@ class WindowStateActor:
                 .agg(__n=("__v", "size"), __s=("__v", "sum"))
                 .reset_index()
             )
-            for wv, nv, sv, *keys in zip(
-                g["__w"].to_numpy(), g["__n"].to_numpy(),
-                g["__s"].to_numpy(),
-                *[g[k].to_numpy() for k in self.key_cols],
-            ):
-                key = (int(wv),) + tuple(keys)
-                cur = self.state.get(key)
-                if cur is None:
-                    self.state[key] = [int(nv), float(sv)]
-                else:
-                    cur[0] += int(nv)
-                    cur[1] += float(sv)
+            # vectorized cross-batch fold: ONE concat + groupby-sum,
+            # no per-(window × key) Python loop
+            if self.state is None or not len(self.state):
+                self.state = g
+            else:
+                self.state = (
+                    pd.concat([self.state, g], ignore_index=True)
+                    .groupby(["__w"] + self.key_cols, sort=False,
+                             as_index=False)
+                    .agg({"__n": "sum", "__s": "sum"})
+                )
             mx = int(ts.max())
             self.max_ts = mx if self.max_ts is None else max(
                 self.max_ts, mx)
@@ -169,22 +235,29 @@ class WindowStateActor:
         # the bounded-state invariant is about what PERSISTS across
         # micro-batches (open windows inside the disorder horizon);
         # within-batch transient entries emit in the same call
-        self.max_open = max(self.max_open, len(self.state))
+        self.max_open = max(
+            self.max_open,
+            0 if self.state is None else len(self.state))
         return out
 
     def flush(self) -> pa.Table:
-        rows = [(k, self.state.pop(k)) for k in sorted(self.state)]
-        return self._table(rows)
+        out = self._table(self.state)
+        self.state = None
+        return out
 
     def stats(self) -> dict:
         return {"n_dropped": self.n_dropped, "max_open": self.max_open,
-                "open_now": len(self.state)}
+                "open_now": 0 if self.state is None else len(self.state)}
 
 
 @ray.remote
 def _split_by_key(tbl: pa.Table, key_cols, n_parts: int):
     """Hash-split one block by key so every key lands on ONE actor
     (the same dtype-normalized hash as the bucket join exchange)."""
+    if isinstance(tbl, pd.DataFrame):
+        # streaming feed hands over RAW blocks; a pandas-block source
+        # (from_pandas) normalizes to Arrow here, inside the task
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     if tbl.num_rows == 0:
         # Ray's sort synthesizes zero-column empty blocks on tiny
         # inputs; the actors no-op on empty tables, so just fan the
@@ -227,22 +300,22 @@ def stream_tumbling_agg(
 
     ``ordered=True`` sorts the stream by event time first — the
     deterministic replay mode (oracle parity; no event is ever late).
-    ``ordered=False`` feeds blocks as they come: results equal the
-    batch aggregate iff ``lateness`` covers the stream's disorder;
-    beyond it, late events are counted and dropped (inspect
+    ``ordered=False`` STREAMS blocks as the execution produces them
+    (no sort, no source materialization): results equal the batch
+    aggregate iff ``lateness`` covers the stream's disorder; beyond
+    it, late events are counted and dropped (inspect
     ``n_late_dropped``)."""
     key_cols = list(key_cols)
     w_us, l_us = _dur_us(window), _dur_us(lateness)
     s_us = _dur_us(slide) if slide else None
+    key_types = _col_types(ds, key_cols)
     actors = [
         WindowStateActor.remote(w_us, l_us, ts_col, key_cols, value_col,
-                                slide_us=s_us)
+                                slide_us=s_us, key_types=key_types)
         for _ in range(n_partitions)
     ]
-    src = ds.sort(ts_col) if ordered else ds
-    refs = src.materialize().to_arrow_refs()  # sorted block order = feed order
     emitted = []
-    for blk in refs:
+    for blk in _feed_refs(ds, ts_col, ordered):
         subs = _split_by_key.options(
             num_returns=n_partitions if n_partitions > 1 else 1
         ).remote(blk, tuple(key_cols), n_partitions)
@@ -278,21 +351,26 @@ class SessionStateActor:
     dropped."""
 
     def __init__(self, gap_us: int, lateness_us: int,
-                 ts_col: str, key_col: str, key_type: str = "int64"):
+                 ts_col: str, key_col: str, key_type="int64"):
         self.gap = gap_us
         self.late = lateness_us
         self.ts_col = ts_col
         self.key_col = key_col
-        self.key_type = key_type
+        # pa.DataType (inferred from the input schema) or the legacy
+        # "int64"/"string" strings
+        if isinstance(key_type, pa.DataType):
+            self.key_pa_type = key_type
+        else:
+            self.key_pa_type = (pa.int64() if key_type == "int64"
+                                else pa.string())
         self.open: dict = {}  # key → sorted list of [start, last, n]
         self.max_ts = None
         self.n_dropped = 0
         self.max_open = 0
 
     def _schema(self) -> pa.Schema:
-        kt = pa.int64() if self.key_type == "int64" else pa.string()
         return pa.schema([
-            (self.key_col, kt),
+            (self.key_col, self.key_pa_type),
             ("session_start", pa.timestamp("us")),
             ("session_end", pa.timestamp("us")),
             ("n_events", pa.int64()),
@@ -394,7 +472,7 @@ def stream_session_windows(
     lateness: str = "0s",
     n_partitions: int = 8,
     ordered: bool = True,
-    key_type: str = "int64",
+    key_type=None,
 ):
     """Gap-based streaming sessionization. Returns ``{"result":
     Dataset of (key, session_start, session_end, n_events) rows,
@@ -402,17 +480,18 @@ def stream_session_windows(
     contract as :func:`stream_tumbling_agg`; an ordered replay (or
     ``lateness`` ≥ the stream's disorder) reproduces the batch
     sessionization exactly — that equivalence is the operator's DuckDB
-    oracle (`q_events_stream_sessions`)."""
+    oracle (`q_events_stream_sessions`). ``key_type=None`` (default)
+    infers the emitted key dtype from the input schema."""
     gap_us, l_us = _dur_us(gap), _dur_us(lateness)
+    if key_type is None:
+        key_type = _col_types(ds, [key_col])[0]
     actors = [
         SessionStateActor.remote(gap_us, l_us, ts_col, key_col,
                                  key_type)
         for _ in range(n_partitions)
     ]
-    src = ds.sort(ts_col) if ordered else ds
-    refs = src.materialize().to_arrow_refs()
     emitted = []
-    for blk in refs:
+    for blk in _feed_refs(ds, ts_col, ordered):
         subs = _split_by_key.options(
             num_returns=n_partitions if n_partitions > 1 else 1
         ).remote(blk, (key_col,), n_partitions)
@@ -429,17 +508,35 @@ def stream_session_windows(
     }
 
 
-def _hll_estimate(regs: np.ndarray) -> float:
-    """Bias-corrected HLL estimator (same form as
+def _hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Bias-corrected HLL estimator, VECTORIZED over a (g, m) register
+    matrix — one estimate per row (same form as
     functions/sketches.py:hll_distinct, small-range linear counting)."""
-    m = len(regs)
+    g, m = regs.shape
     r = regs.astype(np.float64)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -r))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return float(est)
+    est = alpha * m * m / np.sum(np.power(2.0, -r), axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    lin = m * np.log(m / np.maximum(zeros, 1))
+    return np.where((est <= 2.5 * m) & (zeros > 0), lin, est)
+
+
+def _lz64(h: np.ndarray, p: int) -> np.ndarray:
+    """Leading-zero count of the low (64-p) bits of each uint64 —
+    vectorized over the WHOLE batch (one 64-pass bit scan for all
+    rows, not one per group)."""
+    rest = h << np.uint64(p)
+    nbits = 64 - p
+    lz = np.full(len(h), nbits, dtype=np.int64)
+    cur = rest.copy()
+    found = np.zeros(len(h), dtype=bool)
+    for b in range(nbits):
+        top = (cur >> np.uint64(63)) & np.uint64(1)
+        hit = (~found) & (top == 1)
+        lz[hit] = b
+        found |= hit
+        cur = cur << np.uint64(1)
+    return lz
 
 
 @ray.remote
@@ -451,11 +548,16 @@ class DistinctWindowActor:
     the 100-TB path: fixed bytes per open window regardless of
     cardinality; registers merge by elementwise max, so disorder and
     re-batching never change the estimate). Same watermark/lateness
-    contract as WindowStateActor."""
+    contract as WindowStateActor.
+
+    Both modes keep COLUMNAR state and fold each batch vectorized:
+    exact = a unique-rows frame (concat + drop_duplicates); hll = a
+    group-keys frame aligned with a 2-D register matrix
+    (whole-batch hashing + one scatter-max) — no per-group loop."""
 
     def __init__(self, window_us: int, lateness_us: int, ts_col: str,
                  key_cols: list[str], distinct_col: str,
-                 mode: str = "exact", p: int = 12):
+                 mode: str = "exact", p: int = 12, key_types=None):
         from recon_ray.functions.sketches import _col_hashes
 
         self._hashes = _col_hashes
@@ -463,40 +565,56 @@ class DistinctWindowActor:
         self.late = lateness_us
         self.ts_col = ts_col
         self.key_cols = list(key_cols)
+        self.key_types = key_types
         self.dcol = distinct_col
         self.mode = mode
         self.p = p
-        self.state: dict = {}  # (win, *keys) → set | registers
+        self.m = 1 << p
+        # exact: frame of unique (__w, *keys, __v) rows
+        self.state: "pd.DataFrame | None" = None
+        # hll: group-keys frame (row-aligned with the register matrix)
+        self.hkeys: "pd.DataFrame | None" = None
+        self.regs: "np.ndarray | None" = None  # (n_groups, m) int8
         self.horizon = None
         self.max_ts = None
         self.n_dropped = 0
         self.max_open = 0
 
     def _schema(self) -> pa.Schema:
+        kts = self.key_types or [pa.string()] * len(self.key_cols)
         return pa.schema(
             [("window_start", pa.timestamp("us"))]
-            + [(k, pa.string()) for k in self.key_cols]
+            + list(zip(self.key_cols, kts))
             + [("n_distinct", pa.int64() if self.mode == "exact"
                 else pa.float64())]
         )
 
-    def _table(self, rows) -> pa.Table:
+    def _table(self, frame: "pd.DataFrame | None") -> pa.Table:
+        """frame: columns __w, *keys, __d (the per-group value)."""
         sch = self._schema()
-        if not rows:
+        if frame is None or not len(frame):
             return sch.empty_table()
-        vals = [
-            (len(st) if self.mode == "exact" else _hll_estimate(st))
-            for _k, st in rows
-        ]
+        frame = frame.sort_values(["__w"] + self.key_cols,
+                                  kind="mergesort")
         cols = {
-            "window_start": pa.array([r[0][0] for r in rows],
-                                     pa.timestamp("us")),
-            "n_distinct": pa.array(vals, sch.types[-1]),
+            "window_start": pa.array(
+                frame["__w"].to_numpy().astype("int64"),
+                pa.timestamp("us")),
+            "n_distinct": pa.array(frame["__d"].to_numpy(),
+                                   sch.types[-1]),
         }
-        for i, kc in enumerate(self.key_cols):
-            cols[kc] = pa.array([r[0][1 + i] for r in rows],
-                                pa.string())
+        for kc, kt in zip(self.key_cols,
+                          sch.types[1:1 + len(self.key_cols)]):
+            cols[kc] = pa.array(frame[kc], type=kt, from_pandas=True)
         return pa.table({f.name: cols[f.name] for f in sch})
+
+    def _n_open(self) -> int:
+        if self.mode == "exact":
+            if self.state is None or not len(self.state):
+                return 0
+            return len(self.state[["__w"] + self.key_cols]
+                       .drop_duplicates())
+        return 0 if self.hkeys is None else len(self.hkeys)
 
     def ingest(self, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -513,61 +631,115 @@ class DistinctWindowActor:
                 keep = ~late
                 df, ts, win = df[keep], ts[keep], win[keep]
         if len(df):
-            d = pd.DataFrame({
-                "__w": win,
-                **{k: df[k].to_numpy() for k in self.key_cols},
-                "__v": df[self.dcol].to_numpy(),
-            })
-            # one group per distinct (window, key) in the batch; the
-            # per-group update is vectorized over that group's rows
-            for gk, g in d.groupby(["__w"] + self.key_cols,
-                                   sort=False):
-                gk = gk if isinstance(gk, tuple) else (gk,)
-                key = (int(gk[0]),) + tuple(gk[1:])
-                if self.mode == "exact":
-                    st = self.state.setdefault(key, set())
-                    st.update(g["__v"].unique().tolist())
+            gcols = ["__w"] + self.key_cols
+            if self.mode == "exact":
+                d = pd.DataFrame({
+                    "__w": win,
+                    **{k: df[k].to_numpy() for k in self.key_cols},
+                    "__v": df[self.dcol].to_numpy(),
+                }).drop_duplicates()
+                if self.state is None or not len(self.state):
+                    self.state = d
                 else:
-                    h = self._hashes(g.rename(columns={"__v": "c"}),
-                                     "c")
-                    m = 1 << self.p
-                    idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-                    rest = h << np.uint64(self.p)
-                    nbits = 64 - self.p
-                    lz = np.full(len(h), nbits, dtype=np.int64)
-                    cur = rest.copy()
-                    found = np.zeros(len(h), dtype=bool)
-                    for b in range(nbits):
-                        top = (cur >> np.uint64(63)) & np.uint64(1)
-                        hit = (~found) & (top == 1)
-                        lz[hit] = b
-                        found |= hit
-                        cur = cur << np.uint64(1)
-                    regs = self.state.setdefault(
-                        key, np.zeros(m, dtype=np.int8))
-                    np.maximum.at(regs, idx,
-                                  (lz + 1).astype(np.int8))
+                    self.state = pd.concat(
+                        [self.state, d],
+                        ignore_index=True).drop_duplicates()
+            else:
+                # whole-batch hashing + leading zeros, then ONE
+                # grouped scatter-max into the register matrix
+                h = self._hashes(
+                    pd.DataFrame({"c": df[self.dcol].to_numpy()}), "c")
+                idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+                rank = (_lz64(h, self.p) + 1).astype(np.int8)
+                red = (
+                    pd.DataFrame({
+                        "__w": win,
+                        **{k: df[k].to_numpy()
+                           for k in self.key_cols},
+                        "__idx": idx, "__r": rank,
+                    })
+                    .groupby(gcols + ["__idx"], sort=False,
+                             as_index=False)["__r"].max()
+                )
+                gdf = red[gcols].drop_duplicates()
+                if self.hkeys is None or not len(self.hkeys):
+                    self.hkeys = gdf.reset_index(drop=True)
+                    self.regs = np.zeros((len(self.hkeys), self.m),
+                                         dtype=np.int8)
+                else:
+                    new = gdf.merge(self.hkeys, on=gcols, how="left",
+                                    indicator=True)
+                    new = new[new["_merge"] == "left_only"][gcols]
+                    if len(new):
+                        self.hkeys = pd.concat(
+                            [self.hkeys, new],
+                            ignore_index=True)
+                        self.regs = np.vstack(
+                            [self.regs,
+                             np.zeros((len(new), self.m),
+                                      dtype=np.int8)])
+                hk = self.hkeys.reset_index(names="__row")
+                pos = red.merge(hk, on=gcols,
+                                how="left")["__row"].to_numpy()
+                np.maximum.at(
+                    self.regs,
+                    (pos.astype(np.int64),
+                     red["__idx"].to_numpy()),
+                    red["__r"].to_numpy())
             mx = int(ts.max())
             self.max_ts = mx if self.max_ts is None else max(
                 self.max_ts, mx)
-        rows = []
-        if self.max_ts is not None:
-            wm = self.max_ts - self.late
-            for k in sorted(self.state):
-                if k[0] + self.w <= wm:
-                    rows.append((k, self.state.pop(k)))
-            self.horizon = wm
-        out = self._table(rows)
-        self.max_open = max(self.max_open, len(self.state))
+        out = self._emit_ready()
+        self.max_open = max(self.max_open, self._n_open())
         return out
 
+    def _emit_ready(self) -> pa.Table:
+        if self.max_ts is None:
+            return self._schema().empty_table()
+        wm = self.max_ts - self.late
+        self.horizon = wm
+        gcols = ["__w"] + self.key_cols
+        if self.mode == "exact":
+            if self.state is None or not len(self.state):
+                return self._schema().empty_table()
+            sealed = (self.state["__w"].to_numpy() + self.w) <= wm
+            if not sealed.any():
+                return self._schema().empty_table()
+            emit = self.state[sealed]
+            self.state = self.state[~sealed].reset_index(drop=True)
+            counts = (emit.groupby(gcols, sort=False)
+                      .size().rename("__d").reset_index())
+            return self._table(counts)
+        if self.hkeys is None or not len(self.hkeys):
+            return self._schema().empty_table()
+        sealed = (self.hkeys["__w"].to_numpy() + self.w) <= wm
+        if not sealed.any():
+            return self._schema().empty_table()
+        emit = self.hkeys[sealed].copy()
+        emit["__d"] = _hll_estimate_rows(self.regs[sealed])
+        self.hkeys = self.hkeys[~sealed].reset_index(drop=True)
+        self.regs = self.regs[~sealed]
+        return self._table(emit)
+
     def flush(self) -> pa.Table:
-        rows = [(k, self.state.pop(k)) for k in sorted(self.state)]
-        return self._table(rows)
+        gcols = ["__w"] + self.key_cols
+        if self.mode == "exact":
+            if self.state is None or not len(self.state):
+                return self._schema().empty_table()
+            counts = (self.state.groupby(gcols, sort=False)
+                      .size().rename("__d").reset_index())
+            self.state = None
+            return self._table(counts)
+        if self.hkeys is None or not len(self.hkeys):
+            return self._schema().empty_table()
+        emit = self.hkeys.copy()
+        emit["__d"] = _hll_estimate_rows(self.regs)
+        self.hkeys, self.regs = None, None
+        return self._table(emit)
 
     def stats(self) -> dict:
         return {"n_dropped": self.n_dropped, "max_open": self.max_open,
-                "open_now": len(self.state)}
+                "open_now": self._n_open()}
 
 
 def stream_distinct_agg(
@@ -590,15 +762,15 @@ def stream_distinct_agg(
     :func:`stream_tumbling_agg`."""
     key_cols = list(key_cols)
     w_us, l_us = _dur_us(window), _dur_us(lateness)
+    key_types = _col_types(ds, key_cols)
     actors = [
         DistinctWindowActor.remote(w_us, l_us, ts_col, key_cols,
-                                   distinct_col, mode, p)
+                                   distinct_col, mode, p,
+                                   key_types=key_types)
         for _ in range(n_partitions)
     ]
-    src = ds.sort(ts_col) if ordered else ds
-    refs = src.materialize().to_arrow_refs()
     emitted = []
-    for blk in refs:
+    for blk in _feed_refs(ds, ts_col, ordered):
         subs = _split_by_key.options(
             num_returns=n_partitions if n_partitions > 1 else 1
         ).remote(blk, tuple(key_cols), n_partitions)
@@ -621,6 +793,8 @@ def _split_by_window(tbl: pa.Table, ts_col: str, w_us: int,
     """Hash-split one block by WINDOW assignment (floor(ts/w)) — for
     per-window rankings every row of a window must land on one actor
     (keys alone won't do: ranking is global within the window)."""
+    if isinstance(tbl, pd.DataFrame):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     if tbl.num_rows == 0:
         out = tuple(tbl for _ in range(n_parts))
         return out if n_parts > 1 else out[0]
@@ -636,17 +810,24 @@ def _split_by_window(tbl: pa.Table, ts_col: str, w_us: int,
 
 @ray.remote
 class TopKWindowActor:
-    """Per-window top-k items. ``mode="exact"``: a full item→count map
+    """Per-window top-k items. ``mode="exact"``: full item→count state
     per open window (oracle-able; right while per-window cardinality is
     heap-ish). ``mode="mg"``: a Misra-Gries summary of ``capacity``
     counters per window — fixed memory; any item with true frequency
     > window_n/capacity is guaranteed present (the classic heavy-hitter
     bound), so the true top-k survives on skewed streams. Emission
-    ranks by (count DESC, item ASC) and keeps k rows per window."""
+    ranks by (count DESC, item ASC) and keeps k rows per window.
+
+    State is a COLUMNAR (__w, __i, __n) frame; each batch folds in
+    with one concat + groupby-sum, and the MG capacity bound applies
+    as the standard mergeable-summaries reduction (subtract each
+    over-full window's (capacity+1)-th largest count from all of its
+    counters, drop non-positive) — fully vectorized, no per-item
+    loop."""
 
     def __init__(self, window_us: int, lateness_us: int, ts_col: str,
                  item_col: str, k: int, mode: str = "exact",
-                 capacity: int = 256):
+                 capacity: int = 256, item_type=None):
         self.w = window_us
         self.late = lateness_us
         self.ts_col = ts_col
@@ -654,7 +835,8 @@ class TopKWindowActor:
         self.k = k
         self.mode = mode
         self.cap = capacity
-        self.state: dict = {}  # win_start → {item: count}
+        self.item_type = item_type or pa.int64()
+        self.state: "pd.DataFrame | None" = None  # __w, __i, __n
         self.horizon = None
         self.max_ts = None
         self.n_dropped = 0
@@ -663,20 +845,32 @@ class TopKWindowActor:
     def _schema(self) -> pa.Schema:
         return pa.schema([
             ("window_start", pa.timestamp("us")),
-            ("item", pa.int64()),
+            ("item", self.item_type),
             ("n", pa.int64()),
         ])
 
-    def _table(self, rows) -> pa.Table:
+    def _table(self, frame: "pd.DataFrame | None") -> pa.Table:
         sch = self._schema()
-        if not rows:
+        if frame is None or not len(frame):
             return sch.empty_table()
         return pa.table({
-            "window_start": pa.array([r[0] for r in rows],
-                                     pa.timestamp("us")),
-            "item": pa.array([r[1] for r in rows], pa.int64()),
-            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "window_start": pa.array(
+                frame["__w"].to_numpy().astype("int64"),
+                pa.timestamp("us")),
+            "item": pa.array(frame["__i"], type=self.item_type,
+                             from_pandas=True),
+            "n": pa.array(frame["__n"].to_numpy().astype("int64"),
+                          pa.int64()),
         })
+
+    def _rank_topk(self, frame: pd.DataFrame) -> pd.DataFrame:
+        """(count DESC, item ASC) rank per window, head k — vectorized
+        sort + cumcount."""
+        s = frame.sort_values(["__w", "__n", "__i"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        pos = s.groupby("__w", sort=False).cumcount()
+        return s[pos < self.k]
 
     def ingest(self, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -697,56 +891,68 @@ class TopKWindowActor:
                 pd.DataFrame({"__w": win,
                               "__i": df[self.item_col].to_numpy()})
                 .groupby(["__w", "__i"], sort=False)
-                .size().reset_index(name="__n")
+                .size().rename("__n").reset_index()
             )
-            # merge loop is (window × distinct-item-in-batch)-bounded
-            for wv, iv, nv in zip(counts["__w"].to_numpy(),
-                                  counts["__i"].to_numpy(),
-                                  counts["__n"].to_numpy()):
-                st = self.state.setdefault(int(wv), {})
-                item, add = int(iv), int(nv)
-                if item in st or self.mode == "exact" \
-                        or len(st) < self.cap:
-                    st[item] = st.get(item, 0) + add
-                else:
-                    # Misra-Gries decrement: new item with a full
-                    # summary → subtract min(add, current minimum)
-                    # from EVERY counter, evicting zeros; survivors'
-                    # counts stay lower bounds within n/capacity
-                    dec = min(add, min(st.values()))
-                    st = {i: c - dec for i, c in st.items() if c > dec}
-                    if add > dec:
-                        st[item] = add - dec
-                    self.state[int(wv)] = st
+            if self.state is None or not len(self.state):
+                self.state = counts
+            else:
+                self.state = (
+                    pd.concat([self.state, counts],
+                              ignore_index=True)
+                    .groupby(["__w", "__i"], sort=False,
+                             as_index=False)["__n"].sum()
+                )
+            if self.mode == "mg":
+                s = self.state
+                sizes = s.groupby("__w", sort=False)["__w"].transform(
+                    "size")
+                if (sizes > self.cap).any():
+                    # mergeable-summaries MG reduction: per over-full
+                    # window subtract the (cap+1)-th largest count
+                    # from every counter; survivors ≤ cap, and each
+                    # item's total decrement stays ≤ n/(cap+1) — the
+                    # heavy-hitter survival bound holds
+                    s = s.sort_values(["__w", "__n"],
+                                      ascending=[True, False],
+                                      kind="mergesort")
+                    pos = s.groupby("__w", sort=False).cumcount()
+                    thr = s["__n"].where(pos == self.cap)
+                    thr = (thr.groupby(s["__w"].to_numpy())
+                           .transform("max").fillna(0).astype("int64"))
+                    s = s.assign(__n=s["__n"] - thr)
+                    self.state = s[s["__n"] > 0].reset_index(drop=True)
             mx = int(ts.max())
             self.max_ts = mx if self.max_ts is None else max(
                 self.max_ts, mx)
-        rows = []
-        if self.max_ts is not None:
+        rows = None
+        if self.max_ts is not None and self.state is not None \
+                and len(self.state):
             wm = self.max_ts - self.late
-            for w0 in sorted(self.state):
-                if w0 + self.w <= wm:
-                    st = self.state.pop(w0)
-                    top = sorted(st.items(),
-                                 key=lambda kv: (-kv[1], kv[0]))[: self.k]
-                    rows.extend((w0, i, c) for i, c in top)
+            sealed = (self.state["__w"].to_numpy() + self.w) <= wm
             self.horizon = wm
+            if sealed.any():
+                rows = self._rank_topk(self.state[sealed])
+                self.state = self.state[~sealed].reset_index(drop=True)
+        elif self.max_ts is not None:
+            self.horizon = self.max_ts - self.late
         out = self._table(rows)
-        self.max_open = max(self.max_open, len(self.state))
+        self.max_open = max(
+            self.max_open,
+            0 if self.state is None or not len(self.state)
+            else self.state["__w"].nunique())
         return out
 
     def flush(self) -> pa.Table:
-        rows = []
-        for w0 in sorted(self.state):
-            st = self.state.pop(w0)
-            top = sorted(st.items(),
-                         key=lambda kv: (-kv[1], kv[0]))[: self.k]
-            rows.extend((w0, i, c) for i, c in top)
+        if self.state is None or not len(self.state):
+            return self._schema().empty_table()
+        rows = self._rank_topk(self.state)
+        self.state = None
         return self._table(rows)
 
     def stats(self) -> dict:
         return {"n_dropped": self.n_dropped, "max_open": self.max_open,
-                "open_now": len(self.state)}
+                "open_now": 0 if self.state is None
+                else self.state["__w"].nunique()}
 
 
 def stream_topk_agg(
@@ -768,15 +974,14 @@ def stream_topk_agg(
     window. ``mode="mg"`` bounds per-window memory with a Misra-Gries
     summary (heavy hitters guaranteed above n/capacity)."""
     w_us, l_us = _dur_us(window), _dur_us(lateness)
+    item_type = _col_types(ds, [item_col])[0]
     actors = [
         TopKWindowActor.remote(w_us, l_us, ts_col, item_col, k, mode,
-                               capacity)
+                               capacity, item_type=item_type)
         for _ in range(n_partitions)
     ]
-    src = ds.sort(ts_col) if ordered else ds
-    refs = src.materialize().to_arrow_refs()
     emitted = []
-    for blk in refs:
+    for blk in _feed_refs(ds, ts_col, ordered):
         subs = _split_by_window.options(
             num_returns=n_partitions if n_partitions > 1 else 1
         ).remote(blk, ts_col, w_us, n_partitions)
@@ -851,24 +1056,23 @@ class IntervalJoinActor:
         return lids, ri[offs]
 
     def ingest(self, ltbl: pa.Table, rtbl: pa.Table) -> pa.Table:
-        la_t, la_i = self._extract(ltbl)
-        ra_t, ra_i = self._extract(rtbl)
+        # extract (ts, id, key) TOGETHER and apply the late mask to
+        # all three, so key alignment never depends on id uniqueness
+        la_t, la_i, la_k = self._extract(ltbl)
+        ra_t, ra_i, ra_k = self._extract(rtbl)
         wm_in = self._wm()
         if wm_in is not None:
-            for side in ("L", "R"):
-                t, i = (la_t, la_i) if side == "L" else (ra_t, ra_i)
-                m = t < wm_in
-                nd = int(m.sum())
-                if nd:
-                    self.n_dropped += nd
-                    if side == "L":
-                        la_t, la_i = t[~m], i[~m]
-                    else:
-                        ra_t, ra_i = t[~m], i[~m]
+            m = la_t < wm_in
+            if m.any():
+                self.n_dropped += int(m.sum())
+                la_t, la_i, la_k = la_t[~m], la_i[~m], la_k[~m]
+            m = ra_t < wm_in
+            if m.any():
+                self.n_dropped += int(m.sum())
+                ra_t, ra_i, ra_k = ra_t[~m], ra_i[~m], ra_k[~m]
         out_l, out_r = [], []
-        keys = set()
-        kl = self._group(ltbl, la_t, la_i)
-        kr = self._group(rtbl, ra_t, ra_i)
+        kl = self._group(la_k, la_t, la_i)
+        kr = self._group(ra_k, ra_t, ra_i)
         keys = set(kl) | set(kr)
         for k in keys:
             nlt, nli = kl.get(k, (np.empty(0, np.int64),
@@ -943,26 +1147,22 @@ class IntervalJoinActor:
     @staticmethod
     def _extract(tbl: pa.Table):
         if tbl.num_rows == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, object))
         df = tbl.to_pandas()
         ts = (df["__ts"].astype("datetime64[us]")
               .astype("int64").to_numpy())
-        return ts, df["__id"].to_numpy().astype(np.int64)
+        return (ts, df["__id"].to_numpy().astype(np.int64),
+                df["__k"].to_numpy())
 
     @staticmethod
-    def _group(tbl: pa.Table, ts: np.ndarray, ids: np.ndarray):
+    def _group(keys: np.ndarray, ts: np.ndarray, ids: np.ndarray):
+        """key → (ts, ids) arrays; inputs are row-aligned (the late
+        mask was applied to all three upstream, so no id-based
+        re-alignment is ever needed)."""
         out: dict = {}
-        if tbl.num_rows == 0 or not len(ts):
+        if not len(ts):
             return out
-        keys = tbl.to_pandas()["__k"].to_numpy()
-        # ts/ids may be pre-filtered shorter than tbl (late drops):
-        # align by re-reading through the same mask is unnecessary —
-        # the caller passes ts/ids EXTRACTED from tbl, then filtered;
-        # regroup on the filtered ids via an id→position map
-        if len(ts) != len(keys):
-            pos = {int(i): j for j, i in enumerate(
-                tbl.to_pandas()["__id"].to_numpy())}
-            keys = np.asarray([keys[pos[int(i)]] for i in ids])
         order = np.argsort(keys, kind="stable")
         ks, t_s, i_s = keys[order], ts[order], ids[order]
         bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
@@ -995,6 +1195,8 @@ def stream_interval_join(
     Pairs emit exactly once regardless of arrival order within the
     lateness budget. Returns {"result": Dataset(left_id, right_id),
     "n_late_dropped": int, "max_buffered": int}."""
+    from itertools import zip_longest
+
     h_us, l_us = _dur_us(horizon), _dur_us(lateness)
     actors = [IntervalJoinActor.remote(h_us, l_us)
               for _ in range(n_partitions)]
@@ -1007,13 +1209,15 @@ def stream_interval_join(
             batch_format="pyarrow", zero_copy_batch=True)
         if ordered:
             ds = ds.sort("__ts")
-        # order-preserving coalesce: ingest-call count is blocks ×
-        # partitions, and the per-call buffered-pair subtraction is
-        # recomputed per micro-batch — fewer, bigger micro-batches
-        # amortize both
+        # order-preserving coalesce (AFTER the sort): ingest-call
+        # count is blocks × partitions, and the per-call buffered-pair
+        # subtraction is recomputed per micro-batch — fewer, bigger
+        # micro-batches amortize both
         ds = ds.map_batches(lambda t: t, batch_format="pyarrow",
                             batch_size=32768)
-        return ds.materialize().to_arrow_refs()
+        if ordered:
+            return ds.materialize().to_arrow_refs()
+        return _feed_refs(ds, "__ts", ordered=False)
 
     lrefs, rrefs = prep(left_ds), prep(right_ds)
     # zip the two streams' blocks into joint micro-batches (pad the
@@ -1022,9 +1226,9 @@ def stream_interval_join(
                       "__ts": pa.array([], pa.timestamp("us")),
                       "__id": pa.array([], pa.int64())})
     emitted = []
-    for j in range(max(len(lrefs), len(rrefs))):
-        lb = lrefs[j] if j < len(lrefs) else ray.put(empty)
-        rb = rrefs[j] if j < len(rrefs) else ray.put(empty)
+    for lb, rb in zip_longest(lrefs, rrefs, fillvalue=None):
+        lb = lb if lb is not None else ray.put(empty)
+        rb = rb if rb is not None else ray.put(empty)
         lsub = _split_by_key.options(
             num_returns=n_partitions if n_partitions > 1 else 1
         ).remote(lb, ("__k",), n_partitions)

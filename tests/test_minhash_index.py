@@ -125,3 +125,23 @@ def test_broadcast_and_shuffle_verify_agree(ray_session, tmp_path):
         pd.testing.assert_frame_equal(
             x["dup_pairs"].reset_index(drop=True),
             y["dup_pairs"].reset_index(drop=True))
+
+
+def test_id_set_filter_null_ids(ray_session):
+    """keep=False (the drop path) must RETAIN rows whose id is null —
+    pc.is_in yields null for null input; without fill_null(False) the
+    inverted mask stays null and Table.filter drops the row, silently
+    losing null-id corpus rows (pandas ~isin keeps them)."""
+    from recon_ray.functions.minhash_index import id_set_filter
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, None, 4], dtype="Int64"),
+        "text": ["a", "b", "c", "d"],
+    })
+    ds = rd.from_pandas(df)
+    kept = id_set_filter(ds, {2}, keep=False).to_pandas()
+    # row with null id stays on the drop path
+    assert sorted(kept["text"]) == ["a", "c", "d"]
+    # keep=True: null-id rows are NOT members of the set
+    only = id_set_filter(ds, {1, 4}, keep=True).to_pandas()
+    assert sorted(only["text"]) == ["a", "d"]

@@ -2419,9 +2419,11 @@ def test_update_where_inside_string_literal(ray_session):
 
 
 def test_time_bucket_widths(ray_session):
-    """time_bucket compiles for day-dividing widths and matches DuckDB
-    on the identical string; a non-dividing width is rejected at plan
-    time (its buckets would depend on the origin)."""
+    """time_bucket matches DuckDB on the identical string for every
+    width shape — day-dividing, non-dividing (origin-dependent), and
+    multi-day — including pre-origin timestamps (these fixtures sit in
+    1970, well before DuckDB's 2000-01-03 default origin, so the
+    negative floor-division path is exercised)."""
     import duckdb
 
     ev = pd.DataFrame({
@@ -2429,18 +2431,26 @@ def test_time_bucket_widths(ray_session):
             np.arange(50, dtype="int64") * 2_700_000_000_000, unit="us"),
         "v": np.arange(50, dtype="float64"),
     })
+    # a second frame sitting after the origin (2024) with odd offsets
+    ev2 = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-05 03:00:00")
+        + pd.to_timedelta(np.arange(50, dtype="int64") * 2_700, unit="s"),
+        "v": np.arange(50, dtype="float64"),
+    })
     con = duckdb.connect()
-    con.register("e", ev)
-    for width in ("2 hours", "45 minutes", "1 day", "30 seconds"):
-        sql = (f"SELECT time_bucket(INTERVAL '{width}', ts) AS w, "
-               "count(*) AS n, round(sum(v), 2) AS sv "
-               "FROM e GROUP BY w ORDER BY w")
-        got = run_sql(sql, {"e": rd.from_pandas(ev)})
-        want = con.execute(sql).df()
-        assert list(got["n"]) == list(want["n"])
-        assert list(got["sv"]) == list(want["sv"])
-        assert list(got["w"]) == list(want["w"])
+    for name, frame in (("e", ev), ("e2", ev2)):
+        con.register(name, frame)
+        for width in ("2 hours", "45 minutes", "1 day", "30 seconds",
+                      "7 hours", "90 minutes", "2 days", "3 days"):
+            sql = (f"SELECT time_bucket(INTERVAL '{width}', ts) AS w, "
+                   "count(*) AS n, round(sum(v), 2) AS sv "
+                   f"FROM {name} GROUP BY w ORDER BY w")
+            got = run_sql(sql, {name: rd.from_pandas(frame)})
+            want = con.execute(sql).df()
+            assert list(got["n"]) == list(want["n"]), width
+            assert list(got["sv"]) == list(want["sv"]), width
+            assert list(got["w"]) == list(want["w"]), width
     with pytest.raises(SqlError):
-        run_sql("SELECT time_bucket(INTERVAL '7 hours', ts) AS w, "
+        run_sql("SELECT time_bucket(INTERVAL '0 hours', ts) AS w, "
                 "count(*) AS n FROM e GROUP BY w",
                 {"e": rd.from_pandas(ev)})

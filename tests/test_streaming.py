@@ -377,3 +377,125 @@ def test_stream_interval_join_buffer_bounded(ray_session):
     # each left matches rights at +0h,+1h,+2h (except the tail)
     assert len(df) == 3 * n - 3
     assert out["max_buffered"] < 300  # ≪ 2n total events
+
+def test_unordered_stream_matches_batch_with_lateness(ray_session):
+    """The PRODUCTION path: ordered=False (no sort, no source
+    materialization — blocks stream straight off the execution) with a
+    lateness that covers the stream's disorder must equal the batch
+    aggregate exactly, with zero late drops."""
+    rng = np.random.RandomState(29)
+    hours = rng.uniform(0, 48, size=800)  # unsorted: disorder ≈ 48h
+    types = rng.choice(["click", "view", "buy"], size=800)
+    vals = np.round(rng.uniform(0, 50, size=800), 2)
+    df = _ev(list(zip(hours, types, vals)))
+    out = stream_tumbling_agg(
+        rd.from_pandas(df).repartition(6), window="6h", lateness="48h",
+        n_partitions=4, ordered=False)
+    got = _collect(out)
+    assert out["n_late_dropped"] == 0
+    want = (
+        df.assign(window_start=df["ts"].dt.floor("6h"))
+        .groupby(["window_start", "event_type"], as_index=False)
+        .agg(n_events=("value", "size"), total_value=("value", "sum"))
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert np.allclose(got["total_value"], want["total_value"])
+    assert list(got["window_start"]) == list(want["window_start"])
+
+
+def test_high_cardinality_int_key(ray_session):
+    """A stream keyed by an int64 row-cardinality column (user_id):
+    (a) the emitted key column carries the INPUT dtype (int64, not a
+    hard-coded string — this used to crash at emit time), and (b) the
+    columnar state fold handles groups ≈ rows correctly."""
+    rng = np.random.RandomState(31)
+    n = 2000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            (rng.uniform(0, 24, n) * H).astype("int64"), unit="us"),
+        "user_id": pd.Series(rng.randint(0, 1500, n), dtype="int64"),
+        "value": np.round(rng.uniform(0, 10, n), 2),
+    })
+    out = stream_tumbling_agg(
+        rd.from_pandas(df).repartition(4), window="6h",
+        key_cols=("user_id",), lateness="0s", n_partitions=4,
+        ordered=True)
+    got = (out["result"].to_pandas()
+           .sort_values(["window_start", "user_id"])
+           .reset_index(drop=True))
+    assert str(got["user_id"].dtype) == "int64"
+    want = (
+        df.assign(window_start=df["ts"].dt.floor("6h"))
+        .groupby(["window_start", "user_id"], as_index=False)
+        .agg(n_events=("value", "size"), total_value=("value", "sum"))
+        .sort_values(["window_start", "user_id"])
+        .reset_index(drop=True)
+    )
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert np.allclose(got["total_value"], want["total_value"])
+
+
+def test_topk_string_items(ray_session):
+    """TopKWindowActor with a STRING item column (used to hard-code
+    int64 and crash): exact mode equals the batch per-window top-k."""
+    from recon_ray.stages.streaming import stream_topk_agg
+
+    rng = np.random.RandomState(37)
+    n = 1200
+    items = rng.choice([f"page{i}" for i in range(40)], size=n)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            (rng.uniform(0, 18, n) * H).astype("int64"), unit="us"),
+        "page": pd.Series(items, dtype="object"),
+    })
+    out = stream_topk_agg(
+        rd.from_pandas(df).repartition(3), window="6h", k=4,
+        item_col="page", mode="exact", n_partitions=2, ordered=True)
+    got = (out["result"].to_pandas()
+           .sort_values(["window_start", "n", "item"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    c = (df.assign(window_start=df["ts"].dt.floor("6h"))
+         .groupby(["window_start", "page"]).size().reset_index(name="n")
+         .sort_values(["window_start", "n", "page"],
+                      ascending=[True, False, True]))
+    want = c.groupby("window_start").head(4).reset_index(drop=True)
+    assert list(got["item"]) == list(want["page"])
+    assert list(got["n"].astype("int64")) == list(want["n"])
+
+
+def test_distinct_hll_high_cardinality_key(ray_session):
+    """HLL mode keyed by int64 user_id (groups ≈ rows): the register-
+    matrix fold must agree with per-group exact counts within HLL
+    error, and emitted keys carry int64."""
+    from recon_ray.stages.streaming import stream_distinct_agg
+
+    rng = np.random.RandomState(41)
+    n = 3000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            (rng.uniform(0, 12, n) * H).astype("int64"), unit="us"),
+        "user_id": pd.Series(rng.randint(0, 50, n), dtype="int64"),
+        "item": pd.Series(rng.randint(0, 400, n), dtype="int64"),
+    })
+    out = stream_distinct_agg(
+        rd.from_pandas(df).repartition(4), window="6h",
+        key_cols=("user_id",), distinct_col="item", mode="hll",
+        n_partitions=2, ordered=True)
+    got = (out["result"].to_pandas()
+           .sort_values(["window_start", "user_id"])
+           .reset_index(drop=True))
+    assert str(got["user_id"].dtype) == "int64"
+    want = (df.assign(window_start=df["ts"].dt.floor("6h"))
+            .groupby(["window_start", "user_id"])["item"]
+            .nunique().reset_index(name="n_distinct")
+            .sort_values(["window_start", "user_id"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    rel = np.abs(got["n_distinct"].to_numpy()
+                 - want["n_distinct"].to_numpy()) / np.maximum(
+        want["n_distinct"].to_numpy(), 1)
+    assert float(rel.max()) < 0.12  # 2^12 registers, small sets
