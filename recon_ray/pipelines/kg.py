@@ -98,6 +98,82 @@ def scan_symbols(files_ds) -> pa.Table:
     return pa.concat_tables(blocks)
 
 
+def _defs_kernel(batch: pa.Table) -> pa.Table:
+    """Per-block DEF partial: distinct (repo, module, name) rows from the
+    detected mentions. Fully Arrow-native: never converts the mention
+    columns to Python (mentions_parts's to_pylist of text/label/source
+    measured ~70% of this stage); only the DEF subset is ever gathered.
+
+    Vectorized spec.def_name / spec.module_of (equivalence pinned by
+    tests/test_kg_pipeline.py symbol-table equality): last whitespace
+    token of the DEF text; path stem (text after the LAST dot cut,
+    exactly like str.rsplit('.', 1)) with '/' → '.'."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = batch.column("mentions")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    child = arr.flatten()
+    mask = pc.equal(child.field("label"), pa.scalar("DEF"))
+    if not (pc.any(mask).as_py() or False):
+        return pa.table(
+            {"repo": pa.array([], pa.string()),
+             "module": pa.array([], pa.string()),
+             "name": pa.array([], pa.string())}
+        )
+    lengths = arr.value_lengths().fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    didx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
+    sel = mask.to_numpy(zero_copy_only=False)
+    idx = pa.array(didx[sel])
+    texts = child.field("text").filter(mask)
+    names = pc.struct_field(
+        pc.extract_regex(texts, r"(?P<name>\S+)\s*$"), "name"
+    )
+    modules = pc.replace_substring(
+        pc.replace_substring_regex(
+            batch.column("path").take(idx), r"\.[^.]*$", ""
+        ),
+        "/", ".",
+    )
+    t = pa.table(
+        {
+            "repo": batch.column("repo").take(idx),
+            "module": modules,
+            "name": names,
+        }
+    )
+    return t.group_by(["repo", "module", "name"]).aggregate([])
+
+
+@ray.remote
+def _defs_block(block) -> pa.Table:
+    """Task form of the DEF kernel over one materialized doc block."""
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    return _defs_kernel(block)
+
+
+@ray.remote
+def _merge_defs_to_dict(*parts: pa.Table):
+    """Merge per-block DEF partials and build the broadcast symbol DICT
+    off the driver's critical path (the linker workers ray.get this
+    task's return ref — a pending ref simply blocks the first link batch
+    until the build lands)."""
+    from recon_ray.stages.link import (_dedup_symbol_table,
+                                       _dict_from_symbol_table)
+
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return {}
+    t = pa.concat_tables(parts)
+    return _dict_from_symbol_table(_dedup_symbol_table(t))
+
+
 def symbols_from_docs(docs_ds) -> pa.Table:
     """Symbol table derived from the ALREADY-DETECTED mentions: DEF spans
     survive the correction chain unchanged (SymbolScanner invariant,
@@ -106,55 +182,8 @@ def symbols_from_docs(docs_ds) -> pa.Table:
     table without the second corpus read+regex pass (measured 3.5 s @32 /
     5.3 s @8 cpus at 96k files). Requires a MATERIALIZED docs dataset or
     detection runs twice."""
-    import numpy as np
-    import pyarrow.compute as pc
-
-    def defs(batch: pa.Table) -> pa.Table:
-        # fully Arrow-native: never converts the mention columns to Python
-        # (mentions_parts's to_pylist of text/label/source measured ~70% of
-        # this stage); only the DEF subset is ever gathered.
-        arr = batch.column("mentions")
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        child = arr.flatten()
-        mask = pc.equal(child.field("label"), pa.scalar("DEF"))
-        if not (pc.any(mask).as_py() or False):
-            return pa.table(
-                {"repo": pa.array([], pa.string()),
-                 "module": pa.array([], pa.string()),
-                 "name": pa.array([], pa.string())}
-            )
-        lengths = arr.value_lengths().fill_null(0).to_numpy(
-            zero_copy_only=False
-        )
-        didx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
-        sel = mask.to_numpy(zero_copy_only=False)
-        idx = pa.array(didx[sel])
-        texts = child.field("text").filter(mask)
-        # vectorized spec.def_name / spec.module_of (equivalence pinned by
-        # tests/test_kg_pipeline.py symbol-table equality): last whitespace
-        # token of the DEF text; path stem (text after the LAST dot cut,
-        # exactly like str.rsplit('.', 1)) with '/' → '.'
-        names = pc.struct_field(
-            pc.extract_regex(texts, r"(?P<name>\S+)\s*$"), "name"
-        )
-        modules = pc.replace_substring(
-            pc.replace_substring_regex(
-                batch.column("path").take(idx), r"\.[^.]*$", ""
-            ),
-            "/", ".",
-        )
-        t = pa.table(
-            {
-                "repo": batch.column("repo").take(idx),
-                "module": modules,
-                "name": names,
-            }
-        )
-        return t.group_by(["repo", "module", "name"]).aggregate([])
-
     sym_ds = docs_ds.map_batches(
-        defs, batch_format="pyarrow", zero_copy_batch=True
+        _defs_kernel, batch_format="pyarrow", zero_copy_batch=True
     )
     blocks = ray.get(sym_ds.to_arrow_refs())
     blocks = [b for b in blocks if b.num_rows] or [
@@ -234,17 +263,46 @@ def run_kg(
     )
     docs = pipe(docs, CORRECTION_CHAIN, tracker=tracker, batch_size=batch_size)
     docs = docs.drop_columns(["content"])
-    if materialize_docs:
+    overlap_symbols = (
+        symbol_source == "mentions"
+        and linker_mode != "partitioned"
+        and symbols_ref is None
+    )
+    if materialize_docs and overlap_symbols:
+        # OVERLAPPED symbol build (the former serial chain — materialize
+        # docs, then gather DEF rows, then build the dict on the driver —
+        # cost ~1.3 s of idle cluster at 96k files/32 cpus): stream doc
+        # blocks as detection finishes them, submit a per-block DEF task
+        # immediately, and build the broadcast dict in a REMOTE task.
+        # The linker gets the pending ref — its first batch blocks only
+        # if the build is still running by link time (it never is: the
+        # DEF partials are tiny vs detection). preserve_order keeps the
+        # doc block order deterministic, same as materialize().
+        try:
+            docs.context.execution_options.preserve_order = True
+        except AttributeError:
+            pass
+        block_refs, def_parts = [], []
+        for bundle in docs.iter_internal_ref_bundles():
+            for ref in bundle.block_refs:
+                block_refs.append(ref)
+                def_parts.append(_defs_block.remote(ref))
+        if block_refs:
+            docs = rd.from_arrow_refs(block_refs)
+            symbols_ref = _merge_defs_to_dict.remote(*def_parts)
+        else:  # empty corpus: nothing detected, empty dict broadcast
+            docs = docs.materialize()
+            symbols_ref = ray.put({})
+        # symbols_table/_dict stay None on this path (nothing downstream
+        # of the bench/runner mentions mode reads them; callers who need
+        # the table use symbol_source="scan" or symbols_from_docs())
+    elif materialize_docs:
         # Pin the corrected docs so the two consumers (triples + mentions)
         # don't re-execute detection/corrections (and double-count lineage).
         # Only sane for bounded inputs — the checkpointed runner does this
         # per SHARD, never on the whole corpus (state/runner.py).
         docs = docs.materialize()
-    if (
-        symbol_source == "mentions"
-        and linker_mode != "partitioned"
-        and symbols_ref is None
-    ):
+    if overlap_symbols and symbols_ref is None:
         symbols_table = symbols_from_docs(docs)
         symbols_ref, symbols_dict = build_symbol_broadcast(symbols_table)
 
