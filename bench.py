@@ -304,6 +304,22 @@ def run_bench() -> dict:
         on="l_orderkey", right_on="o_orderkey").count()
     queries["shuffle_join_big2"] = round(time.time() - t0, 3)
 
+    # grouped_agg through the task-based bucket exchange (strategy
+    # "auto"): 147k distinct l_orderkey groups merge in ~0.3 s vs ~70 s
+    # through Ray's sort-based Aggregate on the same partials (measured
+    # r5; the delta is recorded in BASELINE.md — the ray path is not
+    # re-benched every round at that cost)
+    from recon_ray.functions.relational import grouped_agg
+
+    li_ga = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+    t0 = time.time()
+    grouped_agg(li_ga, "l_orderkey",
+                {"l_quantity": ["sum", "count"],
+                 "l_extendedprice": ["sum", "min", "max"]})
+    queries["grouped_agg_orderkey"] = round(time.time() - t0, 3)
+
     # streaming window replay: events in event-time order through the
     # watermark actors (tumbling 6h × event_type)
     from recon_ray.stages.streaming import stream_tumbling_agg

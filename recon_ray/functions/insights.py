@@ -114,14 +114,16 @@ def _with_bucket(ds):
     per group (see canonicalize.py), so the FP/FN logic runs once per
     BUCKET of docs, fully vectorized, instead of once per doc."""
 
-    def add(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["bucket"] = (
-            batch["doc_id"].astype("uint64") % N_ERROR_BUCKETS
-        ).astype("int64")
-        return batch
+    def add(t: pa.Table) -> pa.Table:
+        # N_ERROR_BUCKETS is a power of two, so the modulo is a
+        # bit-mask (pyarrow has no modulo kernel)
+        b = pc.cast(pc.bit_wise_and(
+            pc.cast(t.column("doc_id"), pa.uint64()),
+            pa.scalar(N_ERROR_BUCKETS - 1, pa.uint64())), pa.int64())
+        return t.append_column("bucket", b)
 
-    return ds.map_batches(add, batch_format="pandas")
+    return ds.map_batches(add, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _bucket_errors(
@@ -307,10 +309,11 @@ def mixture_sample(ds, key_col: str, rates: dict, id_col: str = "doc_id"):
         k: np.uint64(t) for k, t in thresholds.items() if t < (1 << 64)
     }
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy().astype(np.uint64)
+    def pick(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
         h = ids * np.uint64(_MIX_C)  # wraps mod 2^64
-        keys = batch[key_col]
+        keys = pd.Series(t.column(key_col).to_pandas())
         keep = keys.isin(keep_all).to_numpy()
         m = keys.map(thr_u64)
         has = m.notna().to_numpy()
@@ -319,9 +322,10 @@ def mixture_sample(ds, key_col: str, rates: dict, id_col: str = "doc_id"):
                 (int(x) for x in m[has]), dtype=np.uint64, count=int(has.sum())
             )
             keep[has] = h[has] < tvals
-        return batch[keep]
+        return t.filter(pa.array(keep))
 
-    return ds.map_batches(pick, batch_format="pandas")
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def assign_split(ds, fractions: dict, id_col: str = "doc_id",
@@ -344,17 +348,18 @@ def assign_split(ds, fractions: dict, id_col: str = "doc_id",
         cum += float(fractions[lb])
         thresholds.append(np.uint64(min(int(cum * (1 << 64)), (1 << 64) - 1)))
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy().astype(np.uint64)
+    def tag(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
         h = ids * np.uint64(_MIX_C)  # wraps mod 2^64
-        idx = np.zeros(len(batch), dtype=np.int64)
-        for t in thresholds:
-            idx += (h >= t).astype(np.int64)
-        out = batch.copy()
-        out[split_col] = np.array(labels, dtype=object)[idx]
-        return out
+        idx = np.zeros(t.num_rows, dtype=np.int64)
+        for thr in thresholds:
+            idx += (h >= thr).astype(np.int64)
+        lab = pa.array(np.array(labels, dtype=object)[idx], pa.string())
+        return t.append_column(split_col, lab)
 
-    return ds.map_batches(tag, batch_format="pandas")
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def weighted_bernoulli_sample(ds, weight_col: str, cap: int,
@@ -375,15 +380,18 @@ def weighted_bernoulli_sample(ds, weight_col: str, cap: int,
     if cap <= 0:
         raise ValueError("cap must be positive")
 
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy().astype(np.uint64)
+    def keep(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
         draw = (ids * np.uint64(_MIX_C)) % np.uint64(cap)
         w = np.maximum(
-            batch[weight_col].to_numpy().astype(np.int64), 0
+            t.column(weight_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64), 0
         ).astype(np.uint64)
-        return batch[draw < w]
+        return t.filter(pa.array(draw < w))
 
-    return ds.map_batches(keep, batch_format="pandas")
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def deterministic_shuffle(ds, id_col: str = "doc_id", n_buckets: int = 256,

@@ -31,6 +31,8 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 AggSpec = dict[str, Sequence[str]]  # col → ["sum","count","min","max","mean"]
 
+N_HASH_BUCKETS = 64
+
 
 def _get_broadcast(ref_or_obj):
     return ray.get(ref_or_obj) if isinstance(ref_or_obj, ray.ObjectRef) else ref_or_obj
@@ -312,8 +314,38 @@ def shuffle_join(
     )
 
 
-def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
-    """Pre-aggregated groupby. Output columns named ``{col}_{agg}``."""
+@ray.remote
+def _grouped_agg_merge(keys_, partial_cols, refs) -> pd.DataFrame:
+    """Reduce side of grouped_agg's task-based exchange: merge this
+    bucket's partial frames with one vectorized pandas groupby
+    (counts merge by SUM; min/max by themselves)."""
+    parts = ray.get(list(refs))
+    live = [p for p in parts if len(p.columns)]
+    if not live:
+        return pd.DataFrame()
+    g = pd.concat(live, ignore_index=True)
+    if g.empty:
+        return g
+    gb = g.groupby(list(keys_), sort=False, dropna=False)
+    out = {}
+    for col, op in partial_cols:
+        name = f"__{col}__{op}"
+        mop = "sum" if op in ("sum", "count") else op
+        out[name] = getattr(gb[name], mop)()
+    return pd.DataFrame(out).reset_index()
+
+
+def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec,
+                strategy: str = "auto",
+                n_buckets: int = N_HASH_BUCKETS):
+    """Pre-aggregated groupby. Output columns named ``{col}_{agg}``.
+
+    ``strategy``: ``"tasks"`` = merge the per-batch partials through the
+    task-based bucket exchange (split per partial block, one merge task
+    per bucket — no sort-shuffle orchestration); ``"ray"`` = Ray's
+    ``groupby().aggregate`` streaming shuffle; ``"auto"`` (default) =
+    tasks while blocks×buckets stays modest (same M·B gate as
+    ``shuffle_join``)."""
     keys_ = [keys] if isinstance(keys, str) else list(keys)
     # which partials each requested agg needs
     partial_cols: list[tuple[str, str]] = []  # (col, op) with op in sum/count/min/max
@@ -348,16 +380,45 @@ def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
         return res
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    ray_aggs = []
-    for col, op in partial_cols:
-        pc_name = f"__{col}__{op}"
-        if op in ("sum", "count"):
-            ray_aggs.append(Sum(pc_name, alias_name=pc_name))
-        elif op == "min":
-            ray_aggs.append(Min(pc_name, alias_name=pc_name))
-        elif op == "max":
-            ray_aggs.append(Max(pc_name, alias_name=pc_name))
-    merged = partials.groupby(keys_).aggregate(*ray_aggs).to_pandas()
+    merged = None
+    if strategy != "ray":
+        # explicit-batch_size rebatch: Ray synthesizes ZERO-COLUMN empty
+        # blocks (repartition/filter of small inputs) that skip map UDFs
+        # and would reach the split task schema-less — the batcher
+        # consumes blocks into batches, where empties vanish (same rule
+        # as shuffle_join's _rebatch)
+        refs = partials.map_batches(
+            lambda b: b, batch_format="pandas", batch_size=65536
+        ).materialize().to_pandas_refs()
+        if refs and (strategy == "tasks"
+                     or len(refs) * n_buckets <= 20_000):
+            splits = [
+                _pd_bucket_split.options(num_returns=n_buckets).remote(
+                    r, tuple(keys_), n_buckets)
+                for r in refs
+            ]
+            if n_buckets == 1:
+                splits = [[s] for s in splits]
+            merged = pd.concat(
+                ray.get([
+                    _grouped_agg_merge.remote(
+                        tuple(keys_), tuple(partial_cols),
+                        [s[i] for s in splits])
+                    for i in range(n_buckets)
+                ]),
+                ignore_index=True,
+            )
+    if merged is None:
+        ray_aggs = []
+        for col, op in partial_cols:
+            pc_name = f"__{col}__{op}"
+            if op in ("sum", "count"):
+                ray_aggs.append(Sum(pc_name, alias_name=pc_name))
+            elif op == "min":
+                ray_aggs.append(Min(pc_name, alias_name=pc_name))
+            elif op == "max":
+                ray_aggs.append(Max(pc_name, alias_name=pc_name))
+        merged = partials.groupby(keys_).aggregate(*ray_aggs).to_pandas()
     if merged.empty and not all(k in merged.columns for k in keys_):
         # an all-empty input loses its schema through Ray's Aggregate;
         # reconstruct the output columns (float64 — callers cast)
@@ -367,7 +428,9 @@ def grouped_agg(ds, keys: Union[str, list[str]], aggs: AggSpec):
         return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
     for k in keys_:
         if merged[k].dtype == object:
-            merged[k] = merged[k].replace({_NULLK: np.nan})
+            # where (not replace): no silent-downcasting FutureWarning,
+            # and key columns stay object even when all-NULL
+            merged[k] = merged[k].where(merged[k] != _NULLK, np.nan)
     out = merged[keys_].copy()
     for col, ops in aggs.items():
         for op in ops:
@@ -407,7 +470,9 @@ def group_count(ds, keys: Union[str, list[str]], alias: str = "count") -> pd.Dat
     )
     for k in keys_:
         if k in merged.columns and merged[k].dtype == object:
-            merged[k] = merged[k].replace({_NULLK: np.nan})
+            # where (not replace): no silent-downcasting FutureWarning,
+            # and key columns stay object even when all-NULL
+            merged[k] = merged[k].where(merged[k] != _NULLK, np.nan)
     if merged.empty and alias not in merged.columns:
         # an all-empty input loses its schema through Ray's Aggregate
         # (same reconstruction as grouped_agg)
@@ -465,7 +530,6 @@ def local_global_topk(
     )
 
 
-N_HASH_BUCKETS = 64
 
 
 def _add_hash_bucket(key_cols: list[str], n_buckets: int):
@@ -478,26 +542,106 @@ def _add_hash_bucket(key_cols: list[str], n_buckets: int):
     return add
 
 
+@ray.remote
+def _pd_bucket_split(df: pd.DataFrame, key_cols, n_buckets: int):
+    """Map side of the task-based bucket exchange for PANDAS blocks:
+    one block → n_buckets key-hash slices (same hash rule as
+    ``_add_hash_bucket``; slices keep the block's columns/dtypes, so an
+    empty slice still carries schema). Synthesized empty blocks can
+    arrive schema-less (zero columns / missing keys) — they fan out as
+    empty slices, matching the old groupby path where the UDF was
+    simply never called for them."""
+    if not len(df) or any(c not in df.columns for c in key_cols):
+        empty = df.iloc[0:0]
+        out = tuple(empty for _ in range(n_buckets))
+        return out if n_buckets > 1 else out[0]
+    h = pd.util.hash_pandas_object(
+        df[list(key_cols)], index=False).to_numpy()
+    b = (h % np.uint64(n_buckets)).astype(np.int64)
+    out = tuple(df.iloc[np.flatnonzero(b == i)] for i in range(n_buckets))
+    return out if n_buckets > 1 else out[0]
+
+
+@ray.remote
+def _bucket_apply_task(bucket_fn, refs) -> pd.DataFrame:
+    """Reduce side: fetch this bucket's slices from every map block,
+    concat, run the vectorized bucket body once. An empty bucket still
+    calls ``bucket_fn`` on a schema-correct empty frame (every
+    bucket_fn in this module returns an empty output frame for empty
+    input), so the output block set has a consistent schema."""
+    parts = ray.get(list(refs))
+    live = [p for p in parts if len(p.columns)]
+    if not live:  # every slice came from schema-less empties
+        return pd.DataFrame()
+    g = pd.concat(live, ignore_index=True)
+    if g.empty:
+        # the old groupby path never called the fn for missing buckets;
+        # most bucket_fns return a schema-correct empty frame for empty
+        # input (keeps block schemas consistent), but index-arithmetic
+        # bodies may not — degrade to Ray's native zero-column empty
+        # block shape then
+        try:
+            return bucket_fn(g)
+        except Exception:
+            return pd.DataFrame()
+    return bucket_fn(g)
+
+
 def bucketed_group_apply(ds, key_cols: Union[str, list[str]], bucket_fn,
-                         n_buckets: int = N_HASH_BUCKETS):
+                         n_buckets: int = N_HASH_BUCKETS,
+                         strategy: str = "auto"):
     """Group-wise apply WITHOUT the per-distinct-key Python-callback trap:
     rows shuffle on hash(key) % n_buckets (every row of a key lands in one
     bucket), and ``bucket_fn`` runs once per BUCKET — bounded at n_buckets
     calls total — with a fully vectorized pandas body over all keys in the
     bucket. A plain ``groupby(key).map_groups`` costs ~1 ms of interpreter
     overhead per DISTINCT KEY (measured in canonicalize.py) and collapses
-    when distinct keys ≈ corpus size."""
+    when distinct keys ≈ corpus size.
+
+    ``strategy``: ``"tasks"`` = the task-based bucket exchange (map-side
+    split per block, one reduce task per bucket — the same lean engine
+    as ``shuffle_join``'s bucket path, ~2-4× lower fixed cost than Ray's
+    sort shuffle at medium scale); ``"ray"`` = the
+    ``groupby("__bucket").map_groups`` sort shuffle; ``"auto"``
+    (default) = tasks while the map-side object count blocks×buckets
+    stays modest, else ray (the streaming shuffle aggregates map outputs
+    incrementally and wins at very high block counts)."""
+    import ray.data as rd
+
     key_cols_ = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    tagged = ds.map_batches(
+    if strategy != "ray":
         # explicit batch_size coalesces upstream micro-blocks (filtered /
-        # piped inputs arrive as many tiny blocks, and the groupby sort
-        # pays per-block overheads — measured 57.5 s → 3 s on the sf0.1
-        # triangle census before the graph-side coalesce). Inputs here
-        # are narrow by design (keys + small payloads), so 64k rows is a
-        # few MB per batch.
-        _add_hash_bucket(key_cols_, n_buckets), batch_format="pandas",
-        batch_size=65536,
-    )
+        # piped inputs arrive as many tiny blocks and each pays per-block
+        # overhead — measured 57.5 s → 3 s on the sf0.1 triangle census
+        # before the graph-side coalesce). Inputs here are narrow by
+        # design (keys + small payloads), so 64k rows is a few MB/batch.
+        m = ds.map_batches(
+            lambda b: b, batch_format="pandas", batch_size=65536
+        ).materialize()
+        refs = m.to_pandas_refs()
+        if refs and (strategy == "tasks"
+                     or len(refs) * n_buckets <= 20_000):
+            splits = [
+                _pd_bucket_split.options(num_returns=n_buckets).remote(
+                    r, tuple(key_cols_), n_buckets)
+                for r in refs
+            ]
+            if n_buckets == 1:
+                splits = [[s] for s in splits]
+            out = [
+                _bucket_apply_task.remote(
+                    bucket_fn, [s[i] for s in splits])
+                for i in range(n_buckets)
+            ]
+            return rd.from_pandas_refs(out)
+        tagged = m.map_batches(
+            _add_hash_bucket(key_cols_, n_buckets), batch_format="pandas"
+        )
+    else:
+        tagged = ds.map_batches(
+            _add_hash_bucket(key_cols_, n_buckets), batch_format="pandas",
+            batch_size=65536,
+        )
     return tagged.groupby("__bucket").map_groups(
         lambda g: bucket_fn(g.drop(columns="__bucket")), batch_format="pandas"
     )

@@ -540,7 +540,8 @@ def knn_int8(
     cand_ids = set(cand[id_col].tolist())
     narrow = semi_join(
         emb_ds.map_batches(
-            lambda b: b[[id_col, emb_col]], batch_format="pandas"
+            lambda t, c=(id_col, emb_col): t.select(list(c)),
+            batch_format="pyarrow", zero_copy_batch=True,
         ),
         cand_ids, on=id_col,
     )

@@ -445,11 +445,14 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_events_daily(sf_dir: str):
     ev = _t(sf_dir, "events")
 
-    def day(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": df["ts"].dt.floor("D")})
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t.column("ts"),
+                                                  unit="day")})
 
-    g = group_count(ev.map_batches(day, batch_format="pandas"), "day",
-                    alias="n_events")
+    g = group_count(
+        ev.map_batches(day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "day", alias="n_events")
     return g.sort_values("day").reset_index(drop=True)
 
 
@@ -509,17 +512,19 @@ def q_events_tumbling_6h(sf_dir: str):
     grouped_agg like any other key; no ordering or state needed."""
     ev = _t(sf_dir, "events")
 
-    def win(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def win(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "window_start": df["ts"].dt.floor("6h"),
-                "event_type": df["event_type"],
-                "value": df["value"],
+                "window_start": pc.floor_temporal(
+                    t.column("ts"), multiple=6, unit="hour"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
             }
         )
 
     g = grouped_agg(
-        ev.map_batches(win, batch_format="pandas"),
+        ev.map_batches(win, batch_format="pyarrow",
+                       zero_copy_batch=True),
         ["window_start", "event_type"],
         {"value": ["sum", "count"]},
     )
@@ -739,11 +744,14 @@ def q_events_rolling_7d(sf_dir: str):
     window whose frame spans many partitions."""
     ev = _t(sf_dir, "events")
 
-    def day(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": df["ts"].dt.floor("D")})
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t.column("ts"),
+                                                  unit="day")})
 
     daily = group_count(
-        ev.map_batches(day, batch_format="pandas"), "day", alias="n_events"
+        ev.map_batches(day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "day", alias="n_events"
     ).sort_values("day").reset_index(drop=True)
     daily["n_events_7d"] = (
         daily.set_index("day")["n_events"].rolling("7D").sum().to_numpy()
@@ -776,18 +784,22 @@ def q_full_outer_daily_users(sf_dir: str):
     ev = _t(sf_dir, "events").select_columns(["ts", "event_type", "value"])
 
     def day_counts(which: str):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["event_type"] == which]
-            d = b["ts"].dt.strftime("%Y-%m-%d")
-            return d.value_counts().rename("n").rename_axis("day").reset_index()
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), which))
+            d = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+            g = (pa.table({"day": d})
+                 .group_by(["day"]).aggregate([([], "count_all")]))
+            return g.rename_columns(["day", "n"])
         return f
 
     buy = grouped_agg(
-        ev.map_batches(day_counts("purchase"), batch_format="pandas"),
+        ev.map_batches(day_counts("purchase"), batch_format="pyarrow",
+                       zero_copy_batch=True),
         "day", {"n": ["sum"]},
     ).rename(columns={"n_sum": "n_purchases"})
     log = grouped_agg(
-        ev.map_batches(day_counts("click"), batch_format="pandas"),
+        ev.map_batches(day_counts("click"), batch_format="pyarrow",
+                       zero_copy_batch=True),
         "day", {"n": ["sum"]},
     ).rename(columns={"n_sum": "n_clicks"})
     # drop odd days from the left and even from the right so BOTH
@@ -1276,13 +1288,15 @@ def _events_user_days(sf_dir: str, event_type: str):
     projection (no full-row shuffle; the set op dedups)."""
     ev = _t(sf_dir, "events")
 
-    def proj(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["event_type"] == event_type]
-        return pd.DataFrame(
-            {"user_id": b["user_id"], "day": b["ts"].dt.floor("D")}
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), event_type))
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "day": pc.floor_temporal(t.column("ts"), unit="day")}
         )
 
-    return ev.map_batches(proj, batch_format="pandas")
+    return ev.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def q_events_user_day_intersect(sf_dir: str):
@@ -2165,8 +2179,8 @@ def kg_calls_2hop(sf_dir: str):
         lambda t: pc.equal(t.column("pred"), "calls"),
     ).select_columns(["subj", "obj"])
     right = edges.map_batches(
-        lambda b: b.rename(columns={"subj": "mid", "obj": "callee"}),
-        batch_format="pandas",
+        lambda t: t.rename_columns(["mid", "callee"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     paths = shuffle_join(edges, right, on="obj", right_on="mid")
     out = group_count(
@@ -3248,8 +3262,9 @@ def q16_supplier_part_counts(sf_dir: str):
         part_f, on="ps_partkey", small_on="p_partkey")
     j = anti_join(j, excl, on="ps_suppkey")
     d = distinct(j.map_batches(
-        lambda b: b[["p_brand", "p_type", "p_size", "ps_suppkey"]],
-        batch_format="pandas"),
+        lambda t: t.select(["p_brand", "p_type", "p_size",
+                            "ps_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True),
         ["p_brand", "p_type", "p_size", "ps_suppkey"])
     out = group_count(d, ["p_brand", "p_type", "p_size"],
                       alias="supplier_cnt")
@@ -3307,8 +3322,10 @@ def q20_excess_stock(sf_dir: str):
     qty_ds = li.groupby(["l_partkey", "l_suppkey"]).sum(
         "l_quantity"
     ).map_batches(
-        lambda df: df.rename(columns={"sum(l_quantity)": "__sq"}),
-        batch_format="pandas",
+        lambda t: t.rename_columns(
+            ["__sq" if c == "sum(l_quantity)" else c
+             for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
     ps = semi_join(
@@ -3611,16 +3628,16 @@ def q_events_cube(sf_dir: str):
     CUBE."""
     from recon_ray.functions.relational import cube_agg
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"event_type": b["event_type"],
-             "day": b["ts"].dt.strftime("%Y-%m-%d"),
-             "value_c": _cents(b["value"]).to_numpy()}
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+             "value_c": _cents_arrow(t.column("value"))}
         )
 
     ds = _t(sf_dir, "events").select_columns(
         ["event_type", "ts", "value"]
-    ).map_batches(prep, batch_format="pandas")
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     out = cube_agg(ds, ["event_type", "day"],
                    {"value_c": ["sum", "count"]})
     out["value_c_sum"] = out["value_c_sum"].astype("int64")
@@ -4774,14 +4791,14 @@ def q_events_pivot_day_type(sf_dir: str):
     every scale. Oracle = conditional aggregation (count FILTER)."""
     from recon_ray.functions.relational import pivot_agg
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"day": b["ts"].dt.strftime("%Y-%m-%d"),
-             "event_type": b["event_type"]}
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+             "event_type": t.column("event_type")}
         )
 
     ds = _t(sf_dir, "events").select_columns(["ts", "event_type"]).map_batches(
-        prep, batch_format="pandas"
+        prep, batch_format="pyarrow", zero_copy_batch=True
     )
     out = pivot_agg(ds, "day", "event_type", agg="count",
                     categories=EVENT_TYPES)
@@ -5045,16 +5062,20 @@ def q12_priority_by_linestatus(sf_dir: str):
     )
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
 
-    def split(b: pd.DataFrame) -> pd.DataFrame:
-        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
-        return pd.DataFrame(
-            {"l_linestatus": b["l_linestatus"],
-             "high_count": b["__c"].where(hi, 0),
-             "low_count": b["__c"].where(~hi, 0)}
+    def split(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        c = t.column("__c")
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {"l_linestatus": t.column("l_linestatus"),
+             "high_count": pc.if_else(hi, c, zero),
+             "low_count": pc.if_else(hi, zero, c)}
         )
 
     g = grouped_agg(
-        j.map_batches(split, batch_format="pandas"),
+        j.map_batches(split, batch_format="pyarrow",
+                      zero_copy_batch=True),
         "l_linestatus", {"high_count": ["sum"], "low_count": ["sum"]},
     )
     out = pd.DataFrame(
@@ -5387,17 +5408,20 @@ def q_events_pruned_scan(sf_dir: str):
 
     from recon_ray.sources.zonemap import read_zonemapped, write_zonemapped
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": b["event_id"],
-            "user_id": b["user_id"],
-            "event_type": b["event_type"],
-            "day": b["ts"].to_numpy().astype("datetime64[D]")
-                          .astype("int64"),
-            "cents": _cents(b["value"]),
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            # date32 IS days-since-epoch; two casts give the int64 day
+            "day": pc.cast(pc.cast(
+                pc.cast(t.column("ts"), pa.date32()), pa.int32()),
+                pa.int64()),
+            "cents": _cents_arrow(t.column("value")),
         })
 
-    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pyarrow",
+                                          zero_copy_batch=True)
     out_dir = tempfile.mkdtemp(prefix="zonemap_")
     write_zonemapped(ds, out_dir, stat_cols=["user_id", "day"],
                      zorder_cols=("user_id", "day"), rows_per_file=512)
@@ -5441,15 +5465,16 @@ def q_events_point_scan(sf_dir: str):
 
     from recon_ray.sources.zonemap import read_zonemapped, write_zonemapped
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": b["event_id"],
-            "user_id": b["user_id"],
-            "event_type": b["event_type"],
-            "cents": _cents(b["value"]),
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "cents": _cents_arrow(t.column("value")),
         })
 
-    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pyarrow",
+                                          zero_copy_batch=True)
     out_dir = tempfile.mkdtemp(prefix="zonemap_pt_")
     write_zonemapped(ds, out_dir, stat_cols=["user_id"],
                      rows_per_file=1024, bloom_cols=["user_id"])
@@ -5498,15 +5523,16 @@ def interop_roundtrip(sf_dir: str):
         write_csv_shards, write_ipc_shards, write_orc_shards,
     )
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": b["event_id"],
-            "event_type": b["event_type"],
-            "props": b["props"].fillna(""),
-            "cents": _cents(b["value"]),
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "props": pc.fill_null(t.column("props"), ""),
+            "cents": _cents_arrow(t.column("value")),
         })
 
-    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pandas")
+    ds = _t(sf_dir, "events").map_batches(prep, batch_format="pyarrow",
+                                          zero_copy_batch=True)
     d_csv = tempfile.mkdtemp(prefix="interop_csv_")
     write_csv_shards(ds, d_csv)
     back = read_csv_shards(d_csv, column_types={
@@ -5667,13 +5693,14 @@ def q_orders_apply_cdc(sf_dir: str):
     log = base.map_batches(mk_log, batch_format="pandas")
     merged = apply_cdc(base, log, key="o_orderkey")
 
-    def cents(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"o_orderstatus": b["o_orderstatus"],
-             "price_c": _cents(b["o_totalprice"])})
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderstatus": t.column("o_orderstatus"),
+             "price_c": _cents_arrow(t.column("o_totalprice"))})
 
     out = (
-        merged.map_batches(cents, batch_format="pandas")
+        merged.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
         .to_pandas().groupby("o_orderstatus", as_index=False)
         .agg(n=("price_c", "size"), cents=("price_c", "sum"))
     )

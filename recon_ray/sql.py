@@ -3242,7 +3242,11 @@ def run_sql(sql: str, tables: dict,
                         # pre-origin timestamps bucket correctly too.
                         width_ns = int(part[7:]) * 1_000_000_000
                         origin_ns = pd.Timestamp("2000-01-03").value
-                        ns = s.astype("int64").to_numpy()
+                        # normalize to ns first — the bare int64 view
+                        # is in the series' NATIVE unit (parquet
+                        # timestamps are typically us)
+                        ns = (s.astype("datetime64[ns]")
+                              .astype("int64").to_numpy())
                         off = ns - origin_ns
                         v = pd.Series(
                             pd.to_datetime(

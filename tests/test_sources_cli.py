@@ -655,3 +655,20 @@ def test_cli_stream_distinct_topk(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "item" in r.stdout
+
+
+def test_operators_md_count_matches_queries():
+    """docs/OPERATORS.md header count must equal len(queries()) — the
+    round-4 docs drift (257 vs 256) regression pin."""
+    import os
+    import re
+
+    import __ray_entry__ as e
+
+    n = len(e.queries())
+    md = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "OPERATORS.md")).read()
+    m = re.search(r"\*\*(\d+) queries, (\d+) SQL-oracled\.\*\*", md)
+    assert m, "OPERATORS.md header count line missing"
+    assert int(m.group(1)) == n, (m.group(1), n)
+    assert int(m.group(2)) == len(e.oracle_sql())

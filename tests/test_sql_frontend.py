@@ -2437,8 +2437,11 @@ def test_time_bucket_widths(ray_session):
         + pd.to_timedelta(np.arange(50, dtype="int64") * 2_700, unit="s"),
         "v": np.arange(50, dtype="float64"),
     })
+    # parquet timestamps arrive as datetime64[us] — the int64 view is
+    # unit-sensitive, so the us case must be covered too
+    ev3 = ev2.assign(ts=ev2["ts"].astype("datetime64[us]"))
     con = duckdb.connect()
-    for name, frame in (("e", ev), ("e2", ev2)):
+    for name, frame in (("e", ev), ("e2", ev2), ("e3", ev3)):
         con.register(name, frame)
         for width in ("2 hours", "45 minutes", "1 day", "30 seconds",
                       "7 hours", "90 minutes", "2 days", "3 days"):
