@@ -5,11 +5,13 @@ The Ray-side plumbing here is REAL and tested — schemas, small-batch
 actor-pool stages, output layout. Codecs sit behind the ``DecodeBackend``
 seam: ``NetpbmBackend`` is a REAL pure-numpy decoder for the
 self-describing formats (PPM/PGM, uncompressed 24-bit BMP, WAV PCM16 —
-encoders included for fixtures) plus three real compressed codecs written
+encoders included for fixtures) plus real compressed codecs written
 longhand: baseline JPEG (T.81 sequential DCT, Annex K tables, restart
-markers), PNG (stdlib-zlib DEFLATE, all five filters) and GIF89a (LZW
-with early-change width growth and dictionary resets); what remains
-behind the seam (MP4, progressive JPEG, ...) needs an imaging library
+markers), progressive JPEG (SOF2 spectral selection + successive
+approximation with EOB runs, both directions), PNG (stdlib-zlib
+DEFLATE, all five filters) and GIF89a (LZW with early-change width
+growth and dictionary resets); what remains
+behind the seam (MP4, ...) needs an imaging library
 (PIL/librosa/pyav) that doesn't ship in this container, so the base
 ``DecodeBackend`` covers those with a deterministic fake
 (sha256-keystream "decode") and a real backend plugs in via
@@ -529,10 +531,10 @@ def _parse_pnm_header(payload: bytes, magic: bytes):
 
 class NetpbmBackend(DecodeBackend):
     """REAL decoder for the formats a numpy-only container can honestly
-    handle: baseline JPEG (sequential DCT, see ``decode_jpeg``), PNG
+    handle: baseline AND progressive JPEG (see ``decode_jpeg``), PNG
     (8-bit, all filters, stdlib zlib), GIF89a (longhand LZW, global
     color table), PPM (P6) / PGM (P5) / 24-bit BMP images and WAV
-    PCM16 audio. Anything else (mp4, progressive JPEG, ...) still
+    PCM16 audio. Anything else (mp4, ...) still
     raises — that seam needs PIL/pyav. Dimensions come from the payload
     itself; the h/w metadata arguments are verified when ≥ 0, not
     trusted."""
@@ -1562,12 +1564,13 @@ def _jpeg_decode_sym(br: _JpegBitReader, table: dict) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF decoder for the encoder's scope and standard
-    baseline files: SOF0, 8-bit, 1 or 3 components, any sampling
-    factors in {1, 2}, restart markers, tables read from the file.
-    Returns (h, w, 3) uint8 RGB for 3-component scans (inverse of the
-    module's full-range BT.601), (h, w) uint8 for grayscale.
-    Progressive (SOF2), arithmetic coding and 12-bit raise."""
+    """JFIF decoder for the encoders' scope and standard files:
+    baseline (SOF0) with any sampling factors in {1, 2} and restart
+    markers, AND progressive (SOF2, 4:4:4 or grayscale) with spectral
+    selection, successive approximation and EOB runs — 8-bit, 1 or 3
+    components, tables read from the file. Returns (h, w, 3) uint8 RGB
+    for 3-component scans (inverse of the module's full-range BT.601),
+    (h, w) uint8 for grayscale. Arithmetic coding and 12-bit raise."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1578,8 +1581,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h = w = 0
     dri = 0
     pos = 2
-    scan_segments = None
-    scan_comps = None
+    progressive = False
+    scans: list = []  # per SOS: dict(comps, ss, se, ah, al, segments)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -1613,7 +1616,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htabs[(("dc", "ac")[cls], tid)] = _jpeg_canonical(
                     bits, vals)[1]
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if _prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -1622,7 +1626,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, sv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": sv >> 4, "v": sv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
@@ -1635,6 +1639,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan_comps.append({"id": cid, "dc": tt >> 4,
                                    "ac": tt & 0x0F})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # walk the entropy stream: unstuff FF00, split at RSTn,
             # stop at the next real marker
             p = pos + ln
@@ -1654,14 +1660,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     p += 2
                 else:
                     break
-            scan_segments = [bytes(s) for s in segs]
+            scans.append({"comps": scan_comps, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 0x0F,
+                          "segments": [bytes(s) for s in segs]})
             pos = p
             continue
         else:
             pass  # APPn / COM: skipped
         pos += ln
-    if not comps or scan_segments is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if not comps or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        return _decode_jpeg_progressive(
+            comps, scans, qtabs, htabs, h, w, dri)
+    scan_comps = scans[0]["comps"]
+    scan_segments = scans[0]["segments"]
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1735,3 +1748,425 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(planes) != 3:
         raise ValueError(f"{len(planes)}-component JPEG unsupported")
     return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _decode_jpeg_progressive(comps, scans, qtabs, htabs, h, w, dri):
+    """Progressive (SOF2) scan accumulation — T.81 Annex G decoding:
+    DC-first/DC-refinement scans (interleaved or single-component) and
+    AC-first/AC-refinement scans (single-component, spectral band
+    [Ss, Se], successive-approximation bit Al, EOB runs), with restart
+    markers. Coefficients accumulate QUANTIZED across scans; one
+    dequantize + IDCT at the end (same reconstruction as baseline)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        # MCU-padded grid (covers the non-interleaved own grid too)
+        c["coef"] = np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        # own (non-interleaved) block grid
+        c["bx_n"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["by_n"] = -(-(-(-h * c["v"] // vmax)) // 8)
+
+    for sc in scans:
+        ss, se = sc["ss"], sc["se"]
+        ah, al = sc["ah"], sc["al"]
+        segs = sc["segments"]
+        order = [by_id[s["id"]] for s in sc["comps"]]
+        if ss == 0 and se == 0:  # DC scan
+            for c, s in zip(order, sc["comps"]):
+                if ah == 0:
+                    c["dc_tab"] = htabs[("dc", s["dc"])]
+            seg_i, br = 0, _JpegBitReader(segs[0])
+            preds = {c["id"]: 0 for c in order}
+            if len(order) > 1:  # interleaved MCU order
+                for mcu in range(mcus_x * mcus_y):
+                    if dri and mcu and mcu % dri == 0:
+                        seg_i += 1
+                        br = _JpegBitReader(segs[seg_i])
+                        preds = {c["id"]: 0 for c in order}
+                    my, mx = divmod(mcu, mcus_x)
+                    for c in order:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = c["coef"][my * c["v"] + by,
+                                                mx * c["h"] + bx]
+                                _jpeg_dc_scan_block(
+                                    br, blk, c, preds, ah, al)
+            else:
+                c = order[0]
+                n_blocks = c["by_n"] * c["bx_n"]
+                for bi in range(n_blocks):
+                    if dri and bi and bi % dri == 0:
+                        seg_i += 1
+                        br = _JpegBitReader(segs[seg_i])
+                        preds = {c["id"]: 0}
+                    by, bx = divmod(bi, c["bx_n"])
+                    _jpeg_dc_scan_block(
+                        br, c["coef"][by, bx], c, preds, ah, al)
+        else:  # AC scan: single component, band [ss, se]
+            if len(order) != 1:
+                raise ValueError("interleaved AC scan is illegal")
+            c = order[0]
+            ac_tab = htabs[("ac", sc["comps"][0]["ac"])]
+            seg_i, br = 0, _JpegBitReader(segs[0])
+            eobrun = 0
+            n_blocks = c["by_n"] * c["bx_n"]
+            for bi in range(n_blocks):
+                if dri and bi and bi % dri == 0:
+                    seg_i += 1
+                    br = _JpegBitReader(segs[seg_i])
+                    eobrun = 0
+                by, bx = divmod(bi, c["bx_n"])
+                zz = c["coef"][by, bx]
+                if ah == 0:
+                    eobrun = _jpeg_ac_first_block(
+                        br, zz, ac_tab, ss, se, al, eobrun)
+                else:
+                    eobrun = _jpeg_ac_refine_block(
+                        br, zz, ac_tab, ss, se, al, eobrun)
+
+    planes = []
+    for c in comps:
+        deq = c["coef"] * qtabs[c["tq"]].reshape(64)[_JPEG_ZZ]
+        byn, bxn, _ = deq.shape
+        flat = np.zeros((byn, bxn, 64), np.float64)
+        flat[:, :, _JPEG_ZZ] = deq
+        blocks = flat.reshape(byn, bxn, 8, 8)
+        recon = np.einsum("ji,abjk,kl->abil", _DCT8, blocks, _DCT8,
+                          optimize=True) + 128.0
+        plane = recon.transpose(0, 2, 1, 3).reshape(byn * 8, bxn * 8)
+        plane = np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
+        ch = -(-h * c["v"] // vmax)
+        cw = -(-w * c["h"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG unsupported")
+    return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _jpeg_dc_scan_block(br, blk, c, preds, ah, al):
+    if ah == 0:  # first DC scan: diff-coded point-transformed values
+        s = _jpeg_decode_sym(br, c["dc_tab"])
+        diff = _jpeg_extend(br.receive(s), s)
+        preds[c["id"]] += diff
+        blk[0] = preds[c["id"]] << al
+    else:  # refinement: one bit per block (Python int OR is two's-
+        # complement-correct for negatives, like libjpeg's int16 |=)
+        if br.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _jpeg_ac_first_block(br, zz, ac_tab, ss, se, al, eobrun):
+    """T.81 G.2.1: first AC scan for one block; returns the EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_sym(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r)+bits blocks ending here, this
+            # block included
+            return (1 << r) - 1 + br.receive(r)
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _jpeg_extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine_block(br, zz, ac_tab, ss, se, al, eobrun):
+    """T.81 G.2.2 (libjpeg decode_mcu_AC_refine shape): one refinement
+    bit per already-nonzero coefficient, new ±1<<Al insertions at
+    zero-history positions; returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_sym(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # NO -1 here (unlike the first-scan path): the
+                    # tail loop below still reads this block's
+                    # remaining correction bits, then decrements
+                    eobrun = (1 << r) + br.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:  # history: append a correction bit
+                    if br.read_bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if s:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region still carries correction bits
+            if zz[k] != 0:
+                if br.read_bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+#: the classic IJG-style progression script (component, Ss, Se, Ah, Al);
+#: component=None means the interleaved DC scan over all components.
+#: Exercises every Annex G path: DC first + refinement, AC band splits,
+#: AC successive approximation with EOB runs.
+_JPEG_PROG_SCRIPT_3 = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (2, 1, 63, 0, 1),
+    (1, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (2, 1, 63, 1, 0),
+    (1, 1, 63, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+_JPEG_PROG_SCRIPT_1 = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+
+
+#: AC Huffman table for the PROGRESSIVE encoder: the Annex K baseline
+#: tables have no EOBn symbols (0x10..0xE0), which progressive scans
+#: need — real encoders ship optimized per-scan tables; this fixed
+#: canonical table gives every emittable symbol (EOB0..EOB14, ZRL,
+#: (run, size) for size 1..10) a 9-bit code: Kraft 176/512, valid, and
+#: the all-ones code stays unassigned. Decoders read it from DHT.
+_JPEG_PROG_AC_SYMS = bytes(
+    [0x00] + [r << 4 for r in range(1, 15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_JPEG_PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_SYMS), 0, 0, 0, 0, 0,
+     0, 0],
+    _JPEG_PROG_AC_SYMS)
+_JPEG_PROG_AC_ENC = _jpeg_canonical(*_JPEG_PROG_AC_SPEC)[0]
+
+
+class _JpegProgACState:
+    """Cross-block AC-scan encoder state: the pending EOB run and the
+    correction bits buffered behind it (they emit only after the EOBn
+    symbol, T.81 G.1.2.3)."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits: list = []
+
+    def flush(self, bw: _JpegBitWriter, ac_tab: dict):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = ac_tab[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.bits:
+            bw.write(b, 1)
+        self.bits = []
+
+
+def _jpeg_enc_ac_first(bw, st, zz, ac_tab, ss, se, al):
+    """First AC scan for one block (T.81 G.1.2.2): point-transformed
+    magnitudes, ZRL runs, EOBn accumulation across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.flush(bw, ac_tab)
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        st.flush(bw, ac_tab)
+        s = t.bit_length()
+        code, ln = ac_tab[(r << 4) | s]
+        bw.write(code, ln)
+        tv = t if v > 0 else -t
+        bw.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush(bw, ac_tab)
+
+
+def _jpeg_enc_ac_refine(bw, st, zz, ac_tab, ss, se, al):
+    """AC refinement scan for one block (libjpeg encode_mcu_AC_refine
+    shape): correction bits for history coefficients, (run, 1) symbols
+    + sign for newly-visible ones, EOBn + buffered bits for the tail."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    pending: list = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            st.flush(bw, ac_tab)
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # history coefficient: buffer its correction bit
+            pending.append(t & 1)
+            continue
+        # newly visible (t == 1): emit (r, 1) + sign
+        st.flush(bw, ac_tab)
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        st.eobrun += 1
+        st.bits.extend(pending)
+        if st.eobrun == 0x7FFF or len(st.bits) > 930:
+            st.flush(bw, ac_tab)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 75,
+                            scans: "list | None" = None) -> bytes:
+    """Progressive JFIF encoder (ITU-T T.81 SOF2 with spectral
+    selection + successive approximation, Annex K tables, IJG quality
+    scaling). Same pixel math as :func:`encode_jpeg` — identical
+    quantized coefficients, so ``decode_jpeg`` reconstructs BIT-IDENTICAL
+    pixels from the progressive and baseline encodings of one image
+    (that equivalence is the operator's test oracle). Scope: 4:4:4
+    (no chroma subsampling) or grayscale; ``scans`` overrides the
+    default IJG-style progression script with (comp, Ss, Se, Ah, Al)
+    tuples (comp=None = interleaved DC)."""
+    import struct
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _jpeg_qtables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qids = [0]
+    else:
+        ycc = rgb_to_ycbcr(img).astype(np.float64)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qids = [0, 1, 1]
+    ncomp = len(planes)
+    qtabs = [ql, qc]
+    mcus_x = -(-w // 8)
+    mcus_y = -(-h // 8)
+    quant = []
+    for p, qid in zip(planes, qids):
+        padded = _edge_pad(p, mcus_y * 8, mcus_x * 8) - 128.0
+        quant.append(_jpeg_quantize_plane(padded, qtabs[qid]))
+    if scans is None:
+        scans = _JPEG_PROG_SCRIPT_1 if gray else _JPEG_PROG_SCRIPT_3
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
+    out += b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid in range(1 if gray else 2):
+        zzq = qtabs[tid].reshape(64)[_JPEG_ZZ]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(v) for v in zzq)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                     ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, qids[ci]])
+    for hid in ([0] if gray else [0, 1]):
+        bits, vals = _JPEG_HUFF_SPECS[("dc", hid)]
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([hid]) + bytes(bits) + vals
+        bits, vals = _JPEG_PROG_AC_SPEC
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([0x10 | hid]) + bytes(bits) + vals
+
+    n_blocks = mcus_y * mcus_x
+    for comp, ss, se, ah, al in scans:
+        if comp is None:  # DC scan, interleaved over all components
+            ns = ncomp
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+            for ci in range(ncomp):
+                hid = 0 if ci == 0 else 1
+                out += bytes([ci + 1, hid << 4])
+            out += bytes([0, 0, (ah << 4) | al])
+            bw = _JpegBitWriter()
+            if ah == 0:
+                preds = [0] * ncomp
+                for bi in range(n_blocks):
+                    by, bx = divmod(bi, mcus_x)
+                    for ci in range(ncomp):
+                        hid = 0 if ci == 0 else 1
+                        dc_tab = _JPEG_ENC_TABLES[("dc", hid)]
+                        v = int(quant[ci][by, bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = abs(diff).bit_length()
+                        code, ln = dc_tab[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff > 0
+                                     else diff + (1 << s) - 1, s)
+            else:
+                for bi in range(n_blocks):
+                    by, bx = divmod(bi, mcus_x)
+                    for ci in range(ncomp):
+                        bw.write((int(quant[ci][by, bx, 0]) >> al) & 1,
+                                 1)
+            out += bw.flush()
+        else:
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            hid = 0 if comp == 0 else 1
+            out += bytes([comp + 1, hid])
+            out += bytes([ss, se, (ah << 4) | al])
+            ac_tab = _JPEG_PROG_AC_ENC
+            bw = _JpegBitWriter()
+            st = _JpegProgACState()
+            enc = _jpeg_enc_ac_first if ah == 0 else _jpeg_enc_ac_refine
+            for bi in range(n_blocks):
+                by, bx = divmod(bi, mcus_x)
+                enc(bw, st, quant[comp][by, bx], ac_tab, ss, se, al)
+            st.flush(bw, ac_tab)
+            out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -4663,6 +4663,52 @@ GROUP BY i ORDER BY 1
 """
 
 
+def media_image_progressive_jpeg_channels(sf_dir: str):
+    """REAL progressive JPEG (SOF2) decode under the oracle gate —
+    closes the round-4 seam: 10 payloads from the pure-numpy
+    progressive encoder (spectral selection, successive approximation,
+    EOB runs; the IJG-style 10-scan script), same constant-8x8-block
+    images as media_image_jpeg_channels, so quantization is exact and
+    DuckDB replays the channel sums in closed form. The decoder walks
+    every Annex G scan kind (DC first/refine interleaved, AC
+    first/refine with EOBRUN); general AC content is pinned
+    pixel-identical to the baseline decode in tests/test_codecs.py."""
+    import ray.data as _rd
+
+    from recon_ray.functions.multimodal import (MEDIA_SCHEMA,
+                                                MM_BATCH_SIZE,
+                                                ImageChannelSums,
+                                                NetpbmBackend,
+                                                encode_jpeg_progressive)
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    blockmap = (3 * (np.arange(24)[:, None] // 8)
+                + np.arange(24)[None, :] // 8)
+    for i in range(10):
+        vb = (128 + 2 * (((i * 7 + np.arange(9) * 13) % 61) - 30)
+              ).astype(np.uint8)
+        img = np.repeat(vb[blockmap][..., None], 3, axis=2)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("jpeg")
+        rows["payload"].append(encode_jpeg_progressive(img, quality=50))
+        rows["width"].append(24)
+        rows["height"].append(24)
+        rows["duration_ms"].append(-1)
+    ds = _rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+    out = ds.map_batches(
+        ImageChannelSums,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=2,
+        fn_constructor_kwargs={"backend": NetpbmBackend()},
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_PROG_JPEG_CHANNELS = ORACLE_MEDIA_JPEG_CHANNELS
+
+
 def media_image_neardup(sf_dir: str):
     """Image near-duplicate pairs over REAL encoded PPM payloads:
     deterministic base images plus planted one-pixel perturbations →
@@ -9699,6 +9745,7 @@ QUERIES = {
     "media_image_png_channels": media_image_png_channels,
     "media_image_gif_channels": media_image_gif_channels,
     "media_image_jpeg_channels": media_image_jpeg_channels,
+    "media_image_progressive_jpeg_channels": media_image_progressive_jpeg_channels,
     "media_image_neardup": media_image_neardup,
 }
 
@@ -10099,6 +10146,7 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
         "media_image_png_channels": ORACLE_MEDIA_PNG_CHANNELS,
         "media_image_gif_channels": ORACLE_MEDIA_GIF_CHANNELS,
         "media_image_jpeg_channels": ORACLE_MEDIA_JPEG_CHANNELS,
+        "media_image_progressive_jpeg_channels": ORACLE_MEDIA_PROG_JPEG_CHANNELS,
         "doc_word_top20_mg": ORACLE_WORD_TOP20_MG,
         "q_events_value_quantiles": ORACLE_EVENTS_QUANTILES,
         "knn_exact_top10": ORACLE_KNN,

@@ -106,7 +106,15 @@ def _reduce_key_range(lo, hi, *blocks: pa.Table) -> pa.Table:
     final table so the sorted Dataset is a pure block source."""
     picked = []
     for b in blocks:
-        # empty upstream blocks can arrive schema-less (no columns at all)
+        # empty upstream blocks can arrive schema-less (no columns at
+        # all) and even as raw pandas frames (Ray's to_arrow_refs does
+        # not convert zero-column pandas blocks)
+        if not isinstance(b, pa.Table):
+            import pandas as _pd
+
+            if not isinstance(b, _pd.DataFrame) or not len(b.columns):
+                continue
+            b = pa.Table.from_pandas(b, preserve_index=False)
         if b.num_rows == 0 or KEY_COLS[0] not in b.column_names:
             continue
         key = _pack_key(b)
@@ -146,7 +154,13 @@ def _sample_key_boundaries(refs, n_reducers: int) -> list[str]:
     tables = ray.get([refs[i] for i in idx])
     keys: list[str] = []
     for t in tables:
-        if t.num_rows:
+        if not isinstance(t, pa.Table):
+            import pandas as _pd
+
+            if not isinstance(t, _pd.DataFrame) or not len(t.columns):
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows and KEY_COLS[0] in t.column_names:
             keys.extend(_pack_key(t).to_pylist())
     if not keys:
         return []
@@ -168,6 +182,12 @@ def _reduce_bucket_range(r: int, n_reducers: int, *blocks: pa.Table) -> pa.Table
     hi = (r + 1) * N_BUCKETS // n_reducers
     picked = []
     for b in blocks:
+        if not isinstance(b, pa.Table):
+            import pandas as _pd
+
+            if not isinstance(b, _pd.DataFrame) or not len(b.columns):
+                continue
+            b = pa.Table.from_pandas(b, preserve_index=False)
         if b.num_rows == 0 or "bucket" not in b.column_names:
             continue
         col = b.column("bucket")

@@ -551,10 +551,67 @@ def test_jpeg_backend_dispatch_and_scope():
     out = be.decode_image(encode_jpeg(img[:, :, 0], 95), "jpeg", -1, -1)
     assert out.shape == (16, 16, 3)
     assert (out[..., 0] == out[..., 1]).all()
-    # progressive (SOF2) stays behind the seam
+    # SOF2 is now SUPPORTED (round-5 seam close) — but a baseline file
+    # with its marker flipped to SOF2 is a MALFORMED progressive stream
+    # (full-band interleaved AC scan, illegal per T.81 G): clear error
     b = bytearray(encode_jpeg(img, 95))
     b[b.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(b))
+    # lossless/arithmetic SOF markers still raise behind the seam
+    b2 = bytearray(encode_jpeg(img, 95))
+    b2[b2.index(b"\xff\xc0") + 1] = 0xC3
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b2))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    """Progressive (SOF2) encode of an image reconstructs BIT-IDENTICAL
+    pixels to the baseline encode at the same quality: both quantize to
+    the same coefficients, so any divergence is a scan-decoding bug
+    (DC first/refine, AC band first/refine, EOBRUN, correction bits)."""
+    import numpy as np
+
+    from recon_ray.functions.multimodal import (decode_jpeg, encode_jpeg,
+                                                encode_jpeg_progressive)
+
+    rng = np.random.RandomState(7)
+    g = np.linspace(0, 255, 64 * 48).reshape(48, 64).astype(np.uint8)
+    cases = [
+        g,                                                  # EOB-heavy
+        rng.randint(0, 256, (40, 56)).astype(np.uint8),    # dense AC
+        np.full((24, 24), 128, np.uint8),                  # pure EOBRUN
+        np.stack([g, np.roll(g, 7, 1), 255 - g], axis=-1),  # RGB
+        rng.randint(0, 256, (33, 41, 3)).astype(np.uint8),  # odd dims
+        rng.randint(0, 256, (5, 9, 3)).astype(np.uint8),   # < one MCU
+    ]
+    for img in cases:
+        for q in (50, 75, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), (img.shape, q)
+
+
+def test_progressive_jpeg_is_sof2():
+    """The progressive payload really is SOF2 (the baseline decoder of
+    round 4 would have raised on it), and a custom scan script also
+    round-trips."""
+    import numpy as np
+
+    from recon_ray.functions.multimodal import (decode_jpeg, encode_jpeg,
+                                                encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (26, 30, 3)).astype(np.uint8)
+    payload = encode_jpeg_progressive(img, quality=75)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    # custom script: single-level (no successive approximation) bands
+    scans = [(None, 0, 0, 0, 0),
+             (0, 1, 20, 0, 0), (0, 21, 63, 0, 0),
+             (1, 1, 63, 0, 0), (2, 1, 63, 0, 0)]
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=75,
+                                               scans=scans))
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    assert np.array_equal(base, prog)
