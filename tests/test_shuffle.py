@@ -56,3 +56,62 @@ def test_bad_buckets():
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1]}))
     with pytest.raises(ValueError):
         deterministic_shuffle(ds, "doc_id", n_buckets=100)
+
+
+def test_bucketed_group_apply_strategies_agree(ray_session):
+    """The task-based bucket exchange (strategy='tasks') and the Ray
+    groupby path (strategy='ray') produce identical grouped results,
+    including NULL keys and n_buckets=1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.relational import bucketed_group_apply
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, 500).astype("float64"),
+        "v": rng.uniform(0, 10, 500),
+    })
+    df.loc[df.index % 17 == 0, "k"] = np.nan
+
+    def fn(g):
+        return (g.groupby("k", dropna=False, sort=False)["v"]
+                .sum().rename("s").reset_index())
+
+    outs = {}
+    for strat, nb in (("tasks", 8), ("ray", 8), ("tasks", 1)):
+        o = bucketed_group_apply(
+            rd.from_pandas(df).repartition(4), "k", fn,
+            n_buckets=nb, strategy=strat).to_pandas()
+        outs[(strat, nb)] = (o.sort_values("k", na_position="last")
+                             .reset_index(drop=True))
+    base = outs[("ray", 8)]
+    for key, o in outs.items():
+        pd.testing.assert_frame_equal(o, base, check_like=True)
+
+
+def test_grouped_agg_strategies_agree(ray_session):
+    """grouped_agg through the task exchange equals the Ray Aggregate
+    path bit-for-bit (sum/count/min/max/mean, NULL string keys)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from recon_ray.functions.relational import grouped_agg
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "k": pd.Series(rng.choice(["a", "b", "c", None], 400),
+                       dtype="object"),
+        "v": rng.uniform(-5, 5, 400),
+    })
+    a = grouped_agg(rd.from_pandas(df).repartition(3), "k",
+                    {"v": ["sum", "count", "min", "max", "mean"]},
+                    strategy="tasks")
+    b = grouped_agg(rd.from_pandas(df).repartition(3), "k",
+                    {"v": ["sum", "count", "min", "max", "mean"]},
+                    strategy="ray")
+    key = lambda o: (o.assign(k=o["k"].fillna("\x7f"))  # noqa: E731
+                     .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(key(a), key(b), check_like=True)

@@ -625,6 +625,16 @@ def test_cli_stream(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "session_start" in r.stdout
+    # --key omitted: sessions must default to user_id (the round-4 help
+    # text said so but the argparse default was event_type — regression)
+    r = subprocess.run(
+        [sys.executable, "-m", "recon_ray", "stream", path,
+         "--mode", "sessions", "--gap", "90m"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "user_id" in r.stdout
 
 
 def test_cli_stream_distinct_topk(tmp_path):
