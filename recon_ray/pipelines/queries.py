@@ -364,8 +364,10 @@ def q_big_customer_orders(sf_dir: str):
     orders = _t(sf_dir, "orders")
     big = (
         orders.map_batches(
-            lambda df: df.loc[df["o_totalprice"] > 400000, ["o_custkey"]],
-            batch_format="pandas",
+            lambda t: t.filter(
+                pc.greater(t.column("o_totalprice"), 400000)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
         .to_pandas()["o_custkey"]
         .unique()
@@ -1029,8 +1031,9 @@ def q_events_transitions(sf_dir: str):
         [("lag", "event_type", "prev_type")],
     )
     pairs = w.map_batches(
-        lambda b: b[b["prev_type"].notna()][["prev_type", "event_type"]],
-        batch_format="pandas",
+        lambda t: t.filter(pc.is_valid(t.column("prev_type")))
+        .select(["prev_type", "event_type"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     out = group_count(pairs, ["prev_type", "event_type"], alias="n")
     out["n"] = out["n"].astype("int64")
@@ -1554,13 +1557,15 @@ def q_orders_range_join_bands(sf_dir: str):
     bands = pd.DataFrame(PRICE_BANDS, columns=["band", "lo", "hi"])
     j = range_join(orders, bands, on="o_totalprice")
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"band": df["band"], "price_c": _cents(df["o_totalprice"])}
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"band": t.column("band"),
+             "price_c": _cents_arrow(t.column("o_totalprice"))}
         )
 
     g = grouped_agg(
-        j.map_batches(cents, batch_format="pandas"),
+        j.map_batches(cents, batch_format="pyarrow",
+                      zero_copy_batch=True),
         ["band"],
         {"price_c": ["sum", "count"]},
     )
@@ -1591,16 +1596,22 @@ def q_union_price_bands(sf_dir: str):
     """Union-all of two filtered selects + grouped count (Corpus.all shape)."""
     orders = _t(sf_dir, "orders")
 
-    def tag(df: pd.DataFrame, band: str, lo: float, hi: float) -> pd.DataFrame:
-        sel = df[(df["o_totalprice"] >= lo) & (df["o_totalprice"] < hi)].copy()
-        sel["band"] = band
-        return sel[["band", "o_orderkey"]]
+    def tag(t: pa.Table, band: str, lo: float, hi: float) -> pa.Table:
+        p = t.column("o_totalprice")
+        sel = t.filter(pc.and_(pc.greater_equal(p, lo),
+                               pc.less(p, hi)))
+        return pa.table({
+            "band": pa.array([band] * sel.num_rows, pa.string()),
+            "o_orderkey": sel.column("o_orderkey"),
+        })
 
     high = orders.map_batches(
-        lambda df: tag(df, "high", 300000, float("inf")), batch_format="pandas"
+        lambda t: tag(t, "high", 300000.0, float("inf")),
+        batch_format="pyarrow", zero_copy_batch=True
     )
     low = orders.map_batches(
-        lambda df: tag(df, "low", 0, 50000), batch_format="pandas"
+        lambda t: tag(t, "low", 0.0, 50000.0),
+        batch_format="pyarrow", zero_copy_batch=True
     )
     g = group_count(high.union(low), "band", alias="n_orders")
     return g.sort_values("band").reset_index(drop=True)
@@ -3197,16 +3208,19 @@ def q9_product_profit(sf_dir: str):
     li = broadcast_join(li, cost, on=["l_partkey", "l_suppkey"],
                         small_on=["ps_partkey", "ps_suppkey"])
 
-    def amount(b: pd.DataFrame) -> pd.DataFrame:
-        price_c = _cents(b["l_extendedprice"]).to_numpy()
-        disc_bp = _cents(b["l_discount"]).to_numpy()
-        qty = b["l_quantity"].to_numpy().astype("int64")
-        amt = (price_c * (100 - disc_bp)
-               - b["ps_supplycost_c"].to_numpy() * qty * 100)
-        return pd.DataFrame({"n_name": b["n_name"],
-                             "o_year": b["o_year"], "amount": amt})
+    def amount(t: pa.Table) -> pa.Table:
+        price_c = _cents_arrow(t.column("l_extendedprice")).to_numpy()
+        disc_bp = _cents_arrow(t.column("l_discount")).to_numpy()
+        qty = (t.column("l_quantity").to_numpy(zero_copy_only=False)
+               .astype("int64"))
+        sup = t.column("ps_supplycost_c").to_numpy(zero_copy_only=False)
+        amt = price_c * (100 - disc_bp) - sup * qty * 100
+        return pa.table({"n_name": t.column("n_name"),
+                         "o_year": t.column("o_year"),
+                         "amount": pa.array(amt, pa.int64())})
 
-    g = grouped_agg(li.map_batches(amount, batch_format="pandas"),
+    g = grouped_agg(li.map_batches(amount, batch_format="pyarrow",
+                                   zero_copy_batch=True),
                     ["n_name", "o_year"], {"amount": ["sum"]})
     out = pd.DataFrame({
         "n_name": g["n_name"],
@@ -5295,8 +5309,10 @@ def q_events_above_type_mean(sf_dir: str):
         .aggregate(Sum("value_c", alias_name="sum_c"),
                    Count(alias_name="n"))
         .map_batches(
-            lambda b: b.rename(columns={"event_type": "t_type"}),
-            batch_format="pandas",
+            lambda t: t.rename_columns(
+                ["t_type" if c == "event_type" else c
+                 for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
     )
     j = skew_join(evc, stats, on="event_type", right_on="t_type",

@@ -499,3 +499,36 @@ def test_distinct_hll_high_cardinality_key(ray_session):
                  - want["n_distinct"].to_numpy()) / np.maximum(
         want["n_distinct"].to_numpy(), 1)
     assert float(rel.max()) < 0.12  # 2^12 registers, small sets
+
+
+def test_stream_sessions_unordered_matches_batch(ray_session):
+    """Sessions through the TRUE streaming feed (ordered=False, blocks
+    off the executor) with a lateness covering the disorder equal the
+    batch sessionization; int64 keys emit int64."""
+    from recon_ray.stages.streaming import stream_session_windows
+
+    rng = np.random.RandomState(43)
+    rows = [(float(rng.uniform(0, 600)), int(rng.randint(0, 15)))
+            for _ in range(600)]
+    df = _sev(rows)
+    out = stream_session_windows(
+        rd.from_pandas(df).repartition(5), gap="20m", lateness="10h",
+        n_partitions=3, ordered=False)
+    got = (out["result"].to_pandas()
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    assert out["n_late_dropped"] == 0
+    assert str(got["user_id"].dtype) == "int64"
+    d = df.sort_values(["user_id", "ts"])
+    brk = (d["user_id"].ne(d["user_id"].shift())
+           | (d["ts"].diff() > pd.Timedelta(minutes=20)))
+    sid = brk.cumsum()
+    want = (d.groupby(sid).agg(
+        user_id=("user_id", "first"), session_start=("ts", "min"),
+        session_end=("ts", "max"), n_events=("ts", "size"))
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True))
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["session_start"]) == list(want["session_start"])
+    assert list(got["session_end"]) == list(want["session_end"])
+    assert list(got["n_events"]) == list(want["n_events"])
