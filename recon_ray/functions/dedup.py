@@ -377,20 +377,22 @@ def _connected_components_shuffle(edges_ds, max_iter: int) -> pd.DataFrame:
     from recon_ray.functions.relational import distinct, shuffle_join
 
     edges = edges_ds.map_batches(
-        lambda df: df[["a", "b"]], batch_format="pandas"
+        lambda t: t.select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
+    def _nodes(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table({"node": pa.chunked_array([a, b])})
+
     labels = distinct(
-        edges.map_batches(
-            lambda df: pd.DataFrame(
-                {"node": pd.concat([df["a"], df["b"]],
-                                   ignore_index=True)}
-            ),
-            batch_format="pandas",
-        ),
+        edges.map_batches(_nodes, batch_format="pyarrow",
+                          zero_copy_batch=True),
         "node",
     ).map_batches(
-        lambda df: df.assign(lbl=df["node"]), batch_format="pandas"
+        lambda t: t.append_column("lbl", t.column("node")),
+        batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     def _label_sum(ds) -> int:
@@ -411,18 +413,25 @@ def _connected_components_shuffle(edges_ds, max_iter: int) -> pd.DataFrame:
         )
         e2 = shuffle_join(e1, labels, on="b", right_on="node")
 
-        def msgs(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "node": pd.concat([df["a"], df["b"]],
-                                  ignore_index=True),
-                "lbl": pd.concat([df["lbl"], df["la"]],
-                                 ignore_index=True),
+        def msgs(t: pa.Table) -> pa.Table:
+            # arrow blocks, matching `labels` — Dataset.union requires
+            # homogeneous block types
+            return pa.table({
+                "node": pa.chunked_array(
+                    [t.column("a").combine_chunks(),
+                     t.column("b").combine_chunks()]),
+                "lbl": pa.chunked_array(
+                    [t.column("lbl").combine_chunks(),
+                     t.column("la").combine_chunks()]),
             })
 
-        m = e2.map_batches(msgs, batch_format="pandas").union(labels)
+        m = e2.map_batches(msgs, batch_format="pyarrow",
+                           zero_copy_batch=True).union(labels)
         new_labels = m.groupby("node").min("lbl").map_batches(
-            lambda df: df.rename(columns={"min(lbl)": "lbl"}),
-            batch_format="pandas",
+            lambda t: t.rename_columns(
+                ["lbl" if c == "min(lbl)" else c
+                 for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True,
         ).materialize()
         new_sum = _label_sum(new_labels)
         labels = new_labels
