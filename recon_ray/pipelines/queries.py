@@ -2754,8 +2754,10 @@ def doc_top_words_per_lang(sf_dir: str):
         [("row_number", None, "rk")],
     )
     out = ranked.map_batches(
-        lambda df: df[df["rk"] <= 3].drop(columns="__neg_words"),
-        batch_format="pandas",
+        lambda t: t.filter(
+            pc.less_equal(t.column("rk"), 3)).drop_columns(
+            ["__neg_words"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     ).to_pandas()
     out["rk"] = out["rk"].astype("int64")
     out = out[["lang", "rk", "doc_id", "n_words"]]
